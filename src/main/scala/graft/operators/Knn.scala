@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Flat (exact) k-nearest-neighbour search, Spark-first.
+  *
+  * Reference behavior: /root/reference/pkg/index/flat/flat.go computes
+  * the metric against every stored vector, sorts, truncates to k. Here
+  * the corpus is a DataFrame and `orderBy(dist).limit(k)` compiles to
+  * `TakeOrderedAndProject`: a per-partition bounded heap followed by a
+  * driver-side merge of k rows per partition — no global sort, no
+  * corpus shuffle, linear scale-out with executors.
+  *
+  * Distances are rounded to `roundTo` decimals BEFORE ordering and ties
+  * are broken by the id column, so results are deterministic and
+  * reproducible across engines (the DuckDB oracle orders identically).
+  */
+object Knn {
+
+  val DefaultRound = 4
+
+  /** Exact top-k for a single query vector column expression.
+    *
+    * @param corpus  DataFrame holding `idCol` and `vecCol`
+    * @param query   single-row DataFrame with the query vector as `qvec`
+    * @param metric  euclidean | cosine | dotproduct | manhattan
+    */
+  def topK(
+      corpus: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      metric: String,
+      k: Int,
+      roundTo: Int = DefaultRound): DataFrame = {
+    val d = VectorFunctions.forMetric(metric)(col(vecCol), col("qvec"))
+    corpus
+      .crossJoin(broadcast(query))
+      .select(col(idCol), round(d, roundTo).as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** Batch kNN: every row of `queries` gets its own top-k from `corpus`.
+    *
+    * The query set is broadcast (q << corpus); the corpus is scanned
+    * once. Per-query top-k is selected with a rank window partitioned
+    * by query id — the shuffle is q x |corpus| rows wide, acceptable
+    * for small q; a TypedImperativeAggregate top-k heap is the planned
+    * scale path for large q (SURVEY.md §5).
+    */
+  def knnJoin(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      qvecCol: String,
+      metric: String,
+      k: Int,
+      excludeSelf: Boolean = true,
+      roundTo: Int = DefaultRound): DataFrame = {
+    val d = VectorFunctions.forMetric(metric)(col(vecCol), col(qvecCol))
+    val pairs = corpus
+      .crossJoin(broadcast(queries))
+      .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
+      .select(col(qidCol), col(idCol), round(d, roundTo).as("dist"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("dist"), col(idCol))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy(col(qidCol), col("rank"))
+  }
+}

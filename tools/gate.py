@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/gate.py [sfDir] [outDir]
+
+Runs graft.Verify via sbt (writes each query's result parquet +
+oracle_sql.json), then executes each oracle in DuckDB over the same
+parquet tables and compares row count, column names and values
+(column-name-sorted, like the driver's hash compare).
+"""
+import sys, os, json, subprocess, glob
+import duckdb
+import pyarrow.parquet as pq
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+SKIP_RUN = os.environ.get("SKIP_RUN") == "1"
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+if not SKIP_RUN:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        capture_output=True, text=True, cwd="/root/repo")
+    sys.stdout.write("\n".join(l for l in r.stdout.splitlines()
+                               if "error" in l.lower() or "failed" in l.lower()) + "\n")
+    if r.returncode != 0:
+        print(r.stdout[-3000:]); print(r.stderr[-2000:]); sys.exit(1)
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+results = {}
+for name, sql in sorted(oracle.items()):
+    entry = {"match": False}
+    try:
+        exp = con.sql(sql).fetchall()
+        expcols = [d[0] for d in con.sql(sql).description]
+    except Exception as e:
+        results[name] = {"match": False, "error": f"oracle: {e}"}
+        continue
+    pdir = f"{OUT}/{name}"
+    files = glob.glob(f"{pdir}/*.parquet")
+    if not files:
+        results[name] = {"match": False, "error": "no spark output"}
+        continue
+    tb = pq.read_table(pdir)
+    gotcols = tb.column_names
+    got = [tuple(row[c] for c in gotcols) for row in tb.to_pylist()]
+    if sorted(gotcols) != sorted(expcols):
+        entry["error"] = f"cols: spark={gotcols} duck={expcols}"
+    elif len(got) != len(exp):
+        entry["error"] = f"rows: spark={len(got)} duck={len(exp)}"
+    else:
+        # driver sorts columns by name before hashing values
+        gidx = [gotcols.index(c) for c in sorted(gotcols)]
+        eidx = [expcols.index(c) for c in sorted(expcols)]
+        bad = None
+        for i, (g, e) in enumerate(zip(got, exp)):
+            gs = tuple(g[j] for j in gidx); es = tuple(e[j] for j in eidx)
+            if gs != es:
+                bad = (i, gs, es); break
+        if bad:
+            entry["error"] = f"row {bad[0]}: spark={bad[1]} duck={bad[2]}"
+        else:
+            entry["match"] = True
+            entry["rows"] = len(got)
+    results[name] = entry
+
+declared = set()
+ok = sum(1 for v in results.values() if v["match"])
+print(f"\n=== gate: {ok}/{len(results)} match ===")
+for name, v in sorted(results.items()):
+    mark = "OK " if v["match"] else "FAIL"
+    extra = f" rows={v.get('rows','')}" if v["match"] else f" {v.get('error','')[:300]}"
+    print(f"  {mark} {name}{extra}")
+sys.exit(0 if ok == len(results) else 2)
