@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
-import graft.operators.Knn
+import graft.functions.{SqlSnips, TextEmbed, TextExprs, TextFuncs, VectorFunctions}
+import graft.operators.{Ann, Dedup, Knn}
+import graft.sources.VectorStore
 
 /** Driver contract — see SURVEY.md §2 (inventory) and §7 (plan).
   *
@@ -70,7 +71,10 @@ object SparkEntry {
 
   // ---- query registry ---------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ pipelineQueries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -- flat kNN, one per reference metric (distance.go:55-150) --
     "knn_euclidean" -> ((s, dir) => knnQuery("euclidean")(s, dir)),
@@ -199,9 +203,286 @@ object SparkEntry {
         .orderBy(col("hour_bucket"), col("event_type")))
   )
 
+  /** Text-analysis / dedup / CRUD / embedding layer (SURVEY.md §2
+    * "LLM-data-pipeline"). All hashing is the portable polynomial
+    * fold from TextFuncs so DuckDB oracles replicate it exactly.
+    */
+  private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "text_stats" -> ((s, dir) => {
+      val toks = TextFuncs.tokens(col("text"))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          round(
+            aggregate(transform(toks, w => length(w).cast("long")), lit(0L),
+              (a, x) => a + x).cast("double") / size(toks), 4).as("avg_len"),
+          round(TextFuncs.stopRatio(toks, Seq("the", "a")), 4).as("stop_ratio"))
+        .orderBy(col("doc_id")).limit(200)
+    }),
+
+    "token_count" -> ((s, dir) => {
+      val toks = TextFuncs.tokens(col("text"))
+      val d = t(s, dir, "documents")
+      val totals = d.select(
+          size(toks).cast("long").as("nt"),
+          size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").as("nr"))
+        .agg(sum(col("nt")).as("total_tokens"), sum(col("nr")).as("regex_tokens"))
+      val distincts = d.select(explode(toks).as("tok"))
+        .agg(countDistinct(col("tok")).as("distinct_tokens"))
+      totals.crossJoin(distincts)
+        .select(col("total_tokens"), col("distinct_tokens"), col("regex_tokens"))
+    }),
+
+    "lang_id" -> ((s, dir) => {
+      val toks = TextFuncs.tokens(col("text"))
+      val nThe = size(filter(toks, w => w === "the"))
+      val nA = size(filter(toks, w => w === "a"))
+      t(s, dir, "documents").select(
+          col("lang"),
+          when(nThe > nA, "en").when(nA > nThe, "fr").otherwise("und").as("guess"))
+        .groupBy(col("lang"), col("guess")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("guess"))
+    }),
+
+    "quality_score" -> ((s, dir) => {
+      val toks = TextFuncs.tokens(col("text"))
+      val n = size(toks).cast("double")
+      val q = least(lit(1.0), n / 100) * 0.4 +
+        (lit(1.0) - TextFuncs.stopRatio(toks, Seq("the", "a"))) * 0.3 +
+        (size(array_distinct(toks)) / n) * 0.3
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(toks).as("n_tokens"), round(q, 4).as("quality"))
+        .orderBy(col("quality").desc, col("doc_id")).limit(50)
+    }),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextExprs.char_fold(col("text")).as("fp"))
+        .orderBy(col("doc_id")).limit(200)),
+
+    "json_flatten" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"))
+        .orderBy(col("event_type"))),
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("h")).limit(100)),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashDocs(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc")).limit(200)),
+
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+          "lang", idWindow = 25, minJaccard = 0.5)
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(100)),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.closestEmbeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 20)),
+
+    "crud_insert" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+      val extra = s.range(1)
+        .select(lit(9999L).as("vec_id"), lit(99).as("label"))
+      VectorStore.insert(e, extra)
+        .where(col("vec_id") >= 495)
+        .orderBy(col("vec_id"))
+    }),
+
+    "crud_delete" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+      val doomed = e.where(col("vec_id") % 10 === 0).select(col("vec_id"))
+      VectorStore.delete(e, "vec_id", doomed)
+        .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_sum"))
+    }),
+
+    "crud_update" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+      val updates = e.where(col("vec_id") < 10)
+        .select(col("vec_id"), (col("label") + 100).as("label"))
+      VectorStore.update(e, "vec_id", updates)
+        .where(col("vec_id") < 20)
+        .orderBy(col("vec_id"))
+    }),
+
+    "embed_text" -> ((s, dir) => {
+      val emb = TextExprs.text_embed(col("text"))
+      t(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          round(element_at(emb, 1), 4).as("x0"),
+          round(element_at(emb, 2), 4).as("x1"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "search_text" -> ((s, dir) => {
+      val qvec = typedLit(TextEmbed.embedLocal(SearchTextQuery).toSeq)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(VectorFunctions.vec_cosine(TextExprs.text_embed(col("text")), qvec), 4)
+            .as("dist"))
+        .orderBy(col("dist"), col("doc_id")).limit(10)
+    }),
+
+    // -- approximate NN: LSH bucket probe (HNSW's batch replacement) --
+    "ann_lsh" -> ((s, dir) =>
+      Ann.searchLsh(t(s, dir, "embeddings"), queryVec(s, dir, 0),
+        "vec_id", "embedding", "cosine", 10)),
+
+    // -- approximate NN: IVF coarse quantizer, nprobe=2 (kmeans is
+    //    iterative -> no SQL oracle; driver records rows-only check) --
+    "ann_ivf" -> ((s, dir) => {
+      val (tagged, centroids) = Ann.buildIvf(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 3)
+      Ann.searchIvf(tagged, centroids, queryVec(s, dir, 0),
+        "vec_id", "embedding", "cosine", 10, nprobe = 2)
+    })
+  )
+
+  /** Constant query string for the search_text end-to-end pipeline. */
+  val SearchTextQuery = "spark join merge sort table scan"
+
   // ---- oracle SQL (DuckDB 1.0, bare table names per driver) ------------
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracles ++ pipelineOracles
+
+  private def pipelineOracles: Map[String, String] = {
+    val toks = SqlSnips.tokens("text")
+    Map(
+      "text_stats" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents)
+           |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+           | round(CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS DOUBLE) / len(toks), 4) AS avg_len,
+           | round(${SqlSnips.stopRatio("toks", Seq("the", "a"))}, 4) AS stop_ratio
+           |FROM tk ORDER BY doc_id LIMIT 200""".stripMargin.replaceAll("\n", " "),
+      "token_count" ->
+        s"""WITH tk AS (SELECT $toks AS toks, text FROM documents)
+           |SELECT CAST((SELECT sum(len(toks)) FROM tk) AS BIGINT) AS total_tokens,
+           | CAST((SELECT count(DISTINCT tok) FROM (SELECT unnest(toks) AS tok FROM tk)) AS BIGINT) AS distinct_tokens,
+           | CAST((SELECT sum(len(regexp_extract_all(text, '[a-z]+'))) FROM tk) AS BIGINT) AS regex_tokens""".stripMargin.replaceAll("\n", " "),
+      "lang_id" ->
+        s"""WITH g AS (SELECT lang,
+           | len(list_filter($toks, w -> w = 'the')) AS n_the,
+           | len(list_filter($toks, w -> w = 'a')) AS n_a
+           | FROM documents)
+           |SELECT lang,
+           | CASE WHEN n_the > n_a THEN 'en' WHEN n_a > n_the THEN 'fr' ELSE 'und' END AS guess,
+           | CAST(count(*) AS BIGINT) AS n
+           |FROM g GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin.replaceAll("\n", " "),
+      "quality_score" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents)
+           |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+           | round(least(1.0, CAST(len(toks) AS DOUBLE) / 100) * 0.4 +
+           |  (1.0 - ${SqlSnips.stopRatio("toks", Seq("the", "a"))}) * 0.3 +
+           |  (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) * 0.3, 4) AS quality
+           |FROM tk ORDER BY quality DESC, doc_id LIMIT 50""".stripMargin.replaceAll("\n", " "),
+      "doc_fingerprint" ->
+        s"""SELECT doc_id, ${SqlSnips.charFold("text")} AS fp
+           |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin.replaceAll("\n", " "),
+      "json_flatten" ->
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          | round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)), 4) AS avg_k
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
+      "dedup_exact" ->
+        """SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keep_id
+          |FROM documents GROUP BY md5(text) ORDER BY h LIMIT 100""".stripMargin.replaceAll("\n", " "),
+      "dedup_minhash" -> {
+        val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+        s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+           |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
+           |  FROM tk WHERE len(toks) >= 3),
+           |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
+           |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
+           |pairs AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+           |  FROM bands x JOIN bands y
+           |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc)
+           |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
+      },
+      "dedup_simhash" -> {
+        val hashes = s"list_transform(toks, w -> ${SqlSnips.charFold("w")})"
+        s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents)
+           |SELECT doc, CAST(${SqlSnips.simhash32(hashes)} AS BIGINT) AS simhash
+           |FROM tk ORDER BY doc LIMIT 200""".stripMargin.replaceAll("\n", " ")
+      },
+      "dedup_jaccard" ->
+        s"""WITH tk AS (SELECT doc_id AS doc, lang, list_distinct($toks) AS ts FROM documents),
+           |p AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+           |  round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+           |    len(list_distinct(list_concat(a.ts, b.ts))), 4) AS jaccard
+           |  FROM tk a JOIN tk b
+           |  ON a.lang = b.lang AND a.doc < b.doc AND b.doc - a.doc <= 25)
+           |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
+           |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin.replaceAll("\n", " "),
+      "dedup_embedding" ->
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          | round(CASE WHEN
+          |  list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0 OR
+          |  list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+          | THEN 1.0 ELSE 1.0 - greatest(-1.0, least(1.0,
+          |  list_sum(list_transform(a.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+          |  (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+          |   sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))) END, 4) AS dist
+          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |ORDER BY dist, id_a, id_b LIMIT 20""".stripMargin.replaceAll("\n", " "),
+      "crud_insert" ->
+        """SELECT vec_id, label FROM
+          | (SELECT vec_id, label FROM embeddings UNION ALL SELECT 9999, 99)
+          |WHERE vec_id >= 495 ORDER BY vec_id""".stripMargin.replaceAll("\n", " "),
+      "crud_delete" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(vec_id) AS BIGINT) AS id_sum
+          |FROM embeddings WHERE vec_id % 10 <> 0""".stripMargin.replaceAll("\n", " "),
+      "crud_update" ->
+        """SELECT vec_id,
+          | CASE WHEN vec_id < 10 THEN label + 100 ELSE label END AS label
+          |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin.replaceAll("\n", " "),
+      "embed_text" -> {
+        val hashes = s"list_transform(toks, w -> ${SqlSnips.charFold("w")})"
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id < 50),
+           |raw AS (SELECT doc_id, ${TextEmbed.sqlRawComponents(hashes)} AS r FROM tk),
+           |n AS (SELECT doc_id, r, sqrt(list_sum(list_transform(r, y -> y * y))) AS nm FROM raw)
+           |SELECT doc_id, round(r[1] / nm, 4) AS x0, round(r[2] / nm, 4) AS x1
+           |FROM n ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+      },
+      "search_text" -> {
+        val hashes = s"list_transform(toks, w -> ${SqlSnips.charFold("w")})"
+        val qhashes = s"list_transform(${SqlSnips.tokens("'" + SearchTextQuery + "'")}, w -> ${SqlSnips.charFold("w")})"
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+           |raw AS (SELECT doc_id, ${TextEmbed.sqlRawComponents(hashes)} AS r FROM tk),
+           |docs AS (SELECT doc_id, list_transform(r, x -> x / sqrt(list_sum(list_transform(r, y -> y * y)))) AS v FROM raw),
+           |qraw AS (SELECT ${TextEmbed.sqlRawComponents(qhashes)} AS r),
+           |q AS (SELECT list_transform(r, x -> x / sqrt(list_sum(list_transform(r, y -> y * y)))) AS qv FROM qraw)
+           |SELECT doc_id, round(CASE WHEN
+           |  list_sum(list_transform(v, x -> x * x)) = 0 OR
+           |  list_sum(list_transform(qv, x -> x * x)) = 0
+           | THEN 1.0 ELSE 1.0 - greatest(-1.0, least(1.0,
+           |  list_sum(list_transform(v, (x, i) -> x * qv[i])) /
+           |  (sqrt(list_sum(list_transform(v, x -> x * x))) *
+           |   sqrt(list_sum(list_transform(qv, x -> x * x)))))) END, 4) AS dist
+           |FROM docs, q ORDER BY dist, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
+      },
+      "ann_lsh" ->
+        s"""WITH sigs AS (SELECT vec_id, embedding,
+           |  list_sum(list_transform(range(0, 8), p -> CASE WHEN
+           |    list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) *
+           |      ((((p * 64 + i) * 2654435761) % 4294967296) / 4294967296.0 - 0.5))) > 0
+           |    THEN CAST(2 ** p AS BIGINT) ELSE 0 END)) AS bucket
+           |  FROM embeddings),
+           |q AS (SELECT embedding AS qvec, bucket AS qbucket FROM sigs WHERE vec_id = 0)
+           |SELECT e.vec_id AS vec_id, ${sqlDist("cosine")} AS dist
+           |FROM sigs e, q WHERE e.bucket = q.qbucket
+           |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
+    )
+  }
+
+  private def coreOracles: Map[String, String] = Map(
     "knn_euclidean" -> knnOracle("euclidean"),
     "knn_cosine"    -> knnOracle("cosine"),
     "knn_dot"       -> knnOracle("dotproduct"),

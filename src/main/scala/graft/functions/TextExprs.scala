@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop kernels behind the native text expressions.
+  *
+  * Semantics are EXACTLY TextFuncs' higher-order-function forms (and
+  * therefore the DuckDB oracles): whitespace tokens, polynomial char
+  * fold mod P, seeded minhash, 32-bit simhash votes, hash-projection
+  * embedding. The HOF forms are the executable spec; these exist
+  * because Catalyst evaluates HOF lambdas interpreted per element —
+  * fine for one fold, quadratic death for nested folds (the embed
+  * norm recomputed its 64-aggregate subtree per output element).
+  * Spec-tested for equality against the HOF forms.
+  */
+object TextKernels {
+  val P: Long = TextFuncs.P
+  val M: Long = TextEmbed.M
+
+  def tokenize(s: UTF8String): Array[String] =
+    s.toString.trim.split("\\s+").filterNot(_.isEmpty)
+
+  /** fold(acc*31 + codepoint) mod P over the chars of s. */
+  def charFold(s: String): Long = {
+    var acc = 0L; var i = 0
+    while (i < s.length) { acc = (acc * 31 + s.charAt(i).toLong) % P; i += 1 }
+    acc
+  }
+
+  def tokenHashes(s: UTF8String): Array[Long] = tokenize(s).map(charFold)
+
+  /** Word k-shingle hashes (fold over the joined "w1 w2 w3" string). */
+  def shingleHashes(s: UTF8String, k: Int): Array[Long] = {
+    val toks = tokenize(s)
+    if (toks.length < k) return Array.empty
+    Array.tabulate(toks.length - k + 1) { i =>
+      charFold(toks.slice(i, i + k).mkString(" "))
+    }
+  }
+
+  def minhashSig(bases: Array[Long], numSeeds: Int): Array[Long] =
+    Array.tabulate(numSeeds) { s =>
+      var mn = Long.MaxValue; var i = 0
+      while (i < bases.length) {
+        val h = (bases(i) * (2 * s + 1) + (131 * s + 7)) % P
+        if (h < mn) mn = h
+        i += 1
+      }
+      mn
+    }
+
+  def simhash32(hashes: Array[Long]): Long = {
+    var out = 0L; var j = 0
+    while (j < 32) {
+      var vote = 0L; var i = 0
+      while (i < hashes.length) {
+        // floor(h / 2^j) % 2 — matches the portable SQL bit extract
+        if ((hashes(i) >>> j) % 2 == 1) vote += 1 else vote -= 1
+        i += 1
+      }
+      if (vote > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** L2-normalized hash-projection embedding (TextEmbed formula). */
+  def embed(s: UTF8String, dim: Int): Array[Double] = {
+    val hashes = tokenHashes(s)
+    if (hashes.isEmpty) return Array.fill(dim)(0.0)
+    val raw = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      var acc = 0L; var i = 0
+      while (i < hashes.length) { acc += (hashes(i) * (j + 1) + j * 37) % M; i += 1 }
+      raw(j) = acc.toDouble / (hashes.length * M)
+      j += 1
+    }
+    var norm = 0.0; j = 0
+    while (j < dim) { norm += raw(j) * raw(j); j += 1 }
+    norm = math.sqrt(norm)
+    j = 0
+    while (j < dim) { raw(j) = raw(j) / norm; j += 1 }
+    raw
+  }
+}
+
+/** Base for the string -> scalar/array kernel expressions. One
+  * interpreted call per ROW (the loop inside is plain JVM code), so
+  * CodegenFallback costs a virtual call, not an interpreter walk.
+  */
+abstract class TextKernelExpression extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.catalogString}")
+  }
+}
+
+/** Native CharFold — codegen'd inline (it's the innermost hot loop). */
+case class CharFold(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_fold"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"char_fold expects string, got ${t.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.charFold(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.charFold($c.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class TextEmbedExpr(child: Expression, dim: Int) extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "text_embed"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextKernels.embed(v.asInstanceOf[UTF8String], dim))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SimHash32Expr(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.simhash32(TextKernels.tokenHashes(v.asInstanceOf[UTF8String]))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class MinHashSigExpr(child: Expression, shingleK: Int, numSeeds: Int)
+    extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(v: Any): Any = {
+    val bases = TextKernels.shingleHashes(v.asInstanceOf[UTF8String], shingleK)
+    if (bases.isEmpty) null
+    else new GenericArrayData(TextKernels.minhashSig(bases, numSeeds))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column API + SQL registration for the native text kernels. */
+object TextExprs {
+  def char_fold(c: Column): Column = Shims.column(CharFold(Shims.expression(c)))
+  def text_embed(c: Column, dim: Int = TextEmbed.Dim): Column =
+    Shims.column(TextEmbedExpr(Shims.expression(c), dim))
+  def simhash32(c: Column): Column = Shims.column(SimHash32Expr(Shims.expression(c)))
+  def minhash_sig(c: Column, shingleK: Int = 3, numSeeds: Int = 8): Column =
+    Shims.column(MinHashSigExpr(Shims.expression(c), shingleK, numSeeds))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = Shims.functionRegistry(spark)
+    reg.createOrReplaceTempFunction("char_fold", es => CharFold(es.head), "built-in")
+    reg.createOrReplaceTempFunction("text_embed", es => TextEmbedExpr(es.head, TextEmbed.Dim), "built-in")
+    reg.createOrReplaceTempFunction("simhash32", es => SimHash32Expr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSigExpr(es.head, 3, 8), "built-in")
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate nearest neighbour — the batch/scale replacement for the
+  * reference's HNSW graph (/root/reference/pkg/index/hnsw/hnsw.go).
+  *
+  * HNSW is a pointer-chasing, sequentially-built in-memory graph:
+  * exactly what does NOT map to a 1000-executor cluster. The two
+  * Spark-native strategies here keep the same contract (approximate
+  * top-k, tunable recall/speed) while staying shuffle-bounded:
+  *
+  *  - LSH: deterministic random-hyperplane signatures; search touches
+  *    only the query's bucket. Signature assign is map-only; at rest
+  *    the corpus is written `partitionBy("bucket")` so a bucket probe
+  *    is a partition-pruned scan, not a full read.
+  *  - IVF: k-means coarse quantizer (Lloyd's over DataFrames, all
+  *    reduces map-side-combined), then nprobe-nearest-cluster search.
+  */
+object Ann {
+
+  // ---- LSH ---------------------------------------------------------------
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dim j): integer arithmetic exact under IEEE double (< 2^53) so
+    * any engine reproduces it bit-for-bit (Knuth multiplicative hash).
+    */
+  private def planeComponent(p: Column, j: Column): Column =
+    ((p * 64 + j + 1) * 2654435761L % 4294967296L) / lit(4294967296.0) - 0.5
+
+  /** Signature = `numPlanes`-bit integer, bit p set iff dot(v, plane_p) > 0. */
+  def lshSignature(vec: Column, numPlanes: Int = 8): Column =
+    aggregate(
+      sequence(lit(0), lit(numPlanes - 1)),
+      lit(0L),
+      (acc, p) => {
+        val dot = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, j) => x.cast("double") * planeComponent(p, j)),
+          lit(0.0), (a, x) => a + x)
+        acc + when(dot > 0, pow(lit(2.0), p.cast("double")).cast("long")).otherwise(0L)
+      })
+
+  /** Bucketed ANN: exact metric, but only within the query's LSH bucket. */
+  def searchLsh(
+      corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+      metric: String, k: Int, numPlanes: Int = 8, roundTo: Int = 4): DataFrame = {
+    val bucketed = corpus.withColumn("bucket", lshSignature(col(vecCol), numPlanes))
+    val q = query.withColumn("qbucket", lshSignature(col("qvec"), numPlanes))
+    val d = VectorFunctions.forMetric(metric)(col(vecCol), col("qvec"))
+    bucketed
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col(idCol), round(d, roundTo).as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
+  // ---- IVF ---------------------------------------------------------------
+
+  /** Lloyd's k-means over DataFrames. Deterministic: seeded from the
+    * first k vectors in id order; each iteration is one broadcast
+    * cross-join (assign) + one partial-aggregated shuffle (recenter).
+    * Returns (cluster: int, centroid: array<double>).
+    */
+  def kmeans(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("_id"),
+      transform(col(vecCol), _.cast("double")).as("_v"))
+    var centroids = vecs.orderBy(col("_id")).limit(k)
+      .select(
+        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("_id"))) - 1)
+          .as("cluster"),
+        col("_v").as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assign(vecs, centroids)
+      centroids = assigned
+        .select(col("cluster"), posexplode(col("_v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+      centroids = centroids.localCheckpoint(eager = true) // cut lineage per iter
+    }
+    centroids
+  }
+
+  /** Argmin-centroid assignment via broadcast cross-join + rank. */
+  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_d"), col("cluster"))
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("_d", VectorFunctions.vec_l2(col("_v"), col("centroid")))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_d", "_rn", "centroid")
+  }
+
+  /** IVF index: corpus rows tagged with their cluster id. At scale,
+    * write this `partitionBy("cluster")` (parquet) so search scans
+    * only nprobe partitions.
+    */
+  def buildIvf(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): (DataFrame, DataFrame) = {
+    val centroids = kmeans(corpus, idCol, vecCol, k, iters)
+    val vecs = corpus.select(col(idCol).as("_id"),
+      transform(col(vecCol), _.cast("double")).as("_v"))
+    val tagged = assign(vecs, centroids)
+      .select(col("_id").as(idCol), col("_v").as(vecCol), col("cluster"))
+    (tagged, centroids)
+  }
+
+  /** Search an IVF index: probe the `nprobe` nearest clusters only. */
+  def searchIvf(
+      tagged: DataFrame, centroids: DataFrame, query: DataFrame,
+      idCol: String, vecCol: String, metric: String, k: Int,
+      nprobe: Int = 2, roundTo: Int = 4): DataFrame = {
+    val qc = query.crossJoin(broadcast(centroids))
+      .select(col("cluster"),
+        VectorFunctions.vec_l2(
+          transform(col("qvec"), _.cast("double")), col("centroid")).as("_d"))
+      .orderBy(col("_d")).limit(nprobe)
+      .select(col("cluster"))
+    val d = VectorFunctions.forMetric(metric)(col(vecCol), col("qvec"))
+    tagged
+      .join(broadcast(qc), Seq("cluster")) // partition-prunes when bucketed at rest
+      .crossJoin(broadcast(query))
+      .select(col(idCol), round(d, roundTo).as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextExprs, TextFuncs, VectorFunctions}
+
+/** Corpus deduplication for LLM training-data pipelines. Five
+  * strategies, cheapest-first; all shuffle-bounded (candidate
+  * generation is always blocked/bucketed — never a blind n² join).
+  */
+object Dedup {
+
+  /** Exact dedup groups keyed by md5 of a column. Map-side-combining
+    * hash aggregate; at 100 TB this is the one unavoidable shuffle
+    * (by 128-bit digest, uniformly distributed).
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("h"), col(idCol))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
+
+  /** MinHash+LSH candidate pairs.
+    *
+    * doc -> word k-shingles -> polynomial base hash per shingle ->
+    * `numSeeds` seeded min-hashes -> bands of `rowsPerBand` ->
+    * self-join on (band index, band signature). Shuffle is bounded by
+    * band-bucket size; pairs never materialize outside a bucket.
+    */
+  def minhashPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, numSeeds: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val numBands = numSeeds / rowsPerBand
+    // native kernel (TextExprs) — formula-identical to the TextFuncs
+    // HOF composition, one tight-loop call per row
+    val sigs = df
+      .where(size(TextFuncs.tokens(col(textCol))) >= shingleK)
+      .select(
+        col(idCol).as("doc"),
+        TextExprs.minhash_sig(col(textCol), shingleK, numSeeds).as("sig"))
+    val bands = sigs.select(
+      col("doc"),
+      explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+        struct(b.as("band"),
+          concat_ws("_", (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("key"))))
+        .as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** Per-document 32-bit SimHash values (near-identical docs collide
+    * or differ in few bits; join on value or banded bytes downstream).
+    */
+  def simhashDocs(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc"),
+      TextExprs.simhash32(col(textCol)).as("simhash"))
+
+  /** Exact n-gram (token-set) Jaccard over *blocked* candidate pairs:
+    * only docs sharing `blockCol` and within `idWindow` of each other
+    * are compared — the blocking key is what keeps this linear-ish.
+    */
+  def jaccardPairs(
+      df: DataFrame, textCol: String, idCol: String, blockCol: String,
+      idWindow: Int, minJaccard: Double): DataFrame = {
+    // banded range join: bucket ids by the window size and probe each
+    // bucket + its predecessor, so the equi-join key is (block,
+    // bucket) — well-distributed parallelism instead of one task per
+    // block value, and candidate pairs stay O(window) per row
+    val base = df.select(
+      col(idCol).as("doc"), col(blockCol).as("blk"),
+      array_distinct(TextFuncs.tokens(col(textCol))).as("ts"),
+      (col(idCol) / idWindow).cast("long").as("bkt"))
+    val a = base.as("a")
+    val b = base
+      .withColumn("probe", explode(array(col("bkt"), col("bkt") - 1)))
+      .as("b")
+    a.join(b,
+        col("a.blk") === col("b.blk") &&
+          col("a.bkt") === col("b.probe") &&
+          col("a.doc") < col("b.doc") &&
+          col("b.doc") - col("a.doc") <= idWindow)
+      .select(
+        col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        round(
+          size(array_intersect(col("a.ts"), col("b.ts"))).cast("double") /
+            size(array_union(col("a.ts"), col("b.ts"))), 4).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** Top-k closest pairs by embedding cosine distance (threshold-free
+    * variant of near-dup detection; `TakeOrderedAndProject` keeps the
+    * pair stream bounded). For 100 TB corpora the LSH/IVF bucketed
+    * join in Ann replaces the a<b self-join here.
+    */
+  def closestEmbeddingPairs(
+      df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.vec_cosine(col("va"), col("vb")), 4).as("dist"))
+      .orderBy(col("dist"), col("id_a"), col("id_b"))
+      .limit(k)
+  }
+}

