@@ -191,6 +191,68 @@ object SparkEntry {
         .orderBy(col("total_value").desc, col("user_id"))
         .limit(20)),
 
+    // -- TPC-H Q9-style profit rollup: 5-table join, 2 broadcasts --
+    "q9_profit" -> ((s, dir) => {
+      val p = t(s, dir, "part").where(col("p_name").like("%a%"))
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+        .agg(round(sum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")) -
+            col("p_retailprice") * col("l_quantity") * 0.1) / 1000, 2).as("profit_k"))
+        .orderBy(col("n_name"), col("yr"))
+    }),
+
+    // -- exact interpolated percentiles (reference has no aggs beyond
+    //    COUNT; this is the analytics-side extension) --
+    "events_quantiles" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("med"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(avg(col("value")), 4).as("mean"))
+        .orderBy(col("event_type"))),
+
+    // -- per-key top-n via rank window --
+    "top_orders_per_customer" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // -- gap-based sessionization, pure SQL-window form (exact integer
+    //    microsecond arithmetic; streaming form lives in EventStream) --
+    "sessionize_sql" -> ((s, dir) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val run = byUser.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .withColumn("new_sess",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) <= 3600L * 1000000L, 0L)
+            .otherwise(1L))
+        .withColumn("sess_id", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("user_id"), col("sess_id"))
+        .limit(500)
+    }),
+
     // -- tumbling 1h window over the event stream (batch form);
     //    ts is long nanos (see Tables.load) -> exact integer bucketing --
     "events_window" -> ((s, dir) =>
@@ -555,6 +617,34 @@ object SparkEntry {
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id ORDER BY total_value DESC, user_id
         |LIMIT 20""".stripMargin.replaceAll("\n", " "),
+    "q9_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        | round(sum(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1) / 1000, 2) AS profit_k
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%a%'
+        |GROUP BY n_name, year(o_orderdate) ORDER BY n_name, yr""".stripMargin.replaceAll("\n", " "),
+    "events_quantiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med,
+        | round(quantile_cont(value, 0.9), 4) AS p90, round(avg(value), 4) AS mean
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
+    "top_orders_per_customer" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        | FROM orders)
+        |SELECT o_custkey, o_orderkey, price, rn FROM r WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin.replaceAll("\n", " "),
+    "sessionize_sql" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+        |s AS (SELECT *, sum(CASE WHEN prev IS NOT NULL AND ts_us - prev <= 3600000000 THEN 0 ELSE 1 END)
+        |  OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM l)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(value), 2) AS total
+        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id LIMIT 500""".stripMargin.replaceAll("\n", " "),
     "events_window" ->
       """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
         | event_type, CAST(count(*) AS BIGINT) AS n,
