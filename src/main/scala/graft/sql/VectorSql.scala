@@ -1,0 +1,394 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference engine's SQL dialect, re-planned onto DataFrames.
+  *
+  * Grammar (from the observed surface of /root/reference/pkg/sql/
+  * parser/parser.go and README examples — the implementation below is
+  * written from scratch against that grammar, not translated):
+  *
+  *   SELECT cols FROM table
+  *     [NEAREST TO [v,...] | NEAREST TO (SELECT ... )] [USING metric]
+  *     [WHERE cond] [LIMIT n]
+  *   INSERT INTO table (id, vector) VALUES ('id', [v,...])
+  *   DELETE FROM table WHERE cond
+  *   UPDATE table SET metadata.key = 'v' WHERE cond
+  *   CREATE COLLECTION table | DROP COLLECTION table
+  *
+  * cols: id | vector | dimension | distance | metadata.k | COUNT(*)
+  *       (each optionally AS alias)
+  * cond: (cond) | cond AND cond | cond OR cond |
+  *       field (=|!=|<>|LIKE) literal, field = id | metadata.k
+  *
+  * Collections are DataFrames with (id string, vector array<float>,
+  * metadata map<string,string>); a NEAREST TO plan compiles to the
+  * same TakeOrderedAndProject top-k as Knn.topK, WHERE pushes into
+  * the scan, so the SQL surface inherits every scale property of the
+  * DataFrame operators.
+  */
+object VectorSql {
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("vector", ArrayType(FloatType)),
+    StructField("metadata", MapType(StringType, StringType))))
+
+  /** Mutable collection namespace (the reference's storage engine). */
+  final class Catalog(val spark: SparkSession) {
+    private val tables = scala.collection.mutable.Map[String, DataFrame]()
+    def create(name: String): Unit =
+      tables(name) = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    def drop(name: String): Unit = tables.remove(name)
+    def put(name: String, df: DataFrame): Unit = tables(name) = df
+    def get(name: String): DataFrame = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown collection: $name"))
+    def exists(name: String): Boolean = tables.contains(name)
+  }
+
+  // ---- lexer -------------------------------------------------------------
+
+  private sealed trait Tok
+  private case class Kw(s: String) extends Tok      // uppercased keyword/ident
+  private case class Ident(s: String) extends Tok   // original-case identifier
+  private case class Str(s: String) extends Tok
+  private case class Num(s: String) extends Tok
+  private case class Sym(s: String) extends Tok
+
+  private val keywords = Set("SELECT", "FROM", "WHERE", "NEAREST", "TO",
+    "USING", "LIMIT", "AS", "AND", "OR", "LIKE", "INSERT", "INTO", "VALUES",
+    "DELETE", "UPDATE", "SET", "CREATE", "DROP", "COLLECTION", "COUNT", "NOT")
+
+  private def lex(sql: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') {
+        val j = sql.indexOf('\'', i + 1)
+        require(j > 0, s"unterminated string at $i")
+        out += Str(sql.substring(i + 1, j)); i = j + 1
+      } else if (c.isDigit || (c == '-' && i + 1 < n && sql(i + 1).isDigit)) {
+        val j = math.max(i + 1, i + sql.substring(i).takeWhile(
+          ch => ch.isDigit || ch == '.' || ch == '-' || ch == 'e' || ch == 'E').length)
+        out += Num(sql.substring(i, j)); i = j
+      } else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < n && (sql(j).isLetterOrDigit || sql(j) == '_' || sql(j) == '.')) j += 1
+        val w = sql.substring(i, j)
+        if (keywords.contains(w.toUpperCase)) out += Kw(w.toUpperCase)
+        else out += Ident(w)
+        i = j
+      } else if (c == '!' && i + 1 < n && sql(i + 1) == '=') { out += Sym("!="); i += 2 }
+      else if (c == '<' && i + 1 < n && sql(i + 1) == '>') { out += Sym("!="); i += 2 }
+      else { out += Sym(c.toString); i += 1 }
+    }
+    out.result()
+  }
+
+  // ---- AST ---------------------------------------------------------------
+
+  sealed trait Cond
+  case class Cmp(field: String, op: String, value: Either[String, Double]) extends Cond
+  case class AndC(l: Cond, r: Cond) extends Cond
+  case class OrC(l: Cond, r: Cond) extends Cond
+
+  sealed trait Stmt
+  case class Select(cols: Seq[(String, Option[String])], table: String,
+      nearest: Option[Either[Seq[Float], Select]], metric: Option[String],
+      where: Option[Cond], limit: Option[Int], countStar: Boolean) extends Stmt
+  case class Insert(table: String, id: String, vector: Seq[Float],
+      metadata: Map[String, String]) extends Stmt
+  case class Delete(table: String, where: Option[Cond]) extends Stmt
+  case class Update(table: String, sets: Map[String, String], where: Option[Cond]) extends Stmt
+  case class CreateC(table: String) extends Stmt
+  case class DropC(table: String) extends Stmt
+
+  // ---- parser ------------------------------------------------------------
+
+  private final class P(toks: Vector[Tok]) {
+    private var pos = 0
+    def peek: Option[Tok] = toks.lift(pos)
+    def next(): Tok = {
+      require(pos < toks.length, "unexpected end of input")
+      val t = toks(pos); pos += 1; t
+    }
+    def accept(t: Tok): Boolean =
+      if (peek.contains(t)) { pos += 1; true } else false
+    def expect(t: Tok): Unit =
+      require(accept(t), s"expected $t, got $peek")
+    def done: Boolean = pos >= toks.length || peek.contains(Sym(";"))
+
+    def statement(): Stmt = next() match {
+      case Kw("SELECT") => select()
+      case Kw("INSERT") => insert()
+      case Kw("DELETE") => delete()
+      case Kw("UPDATE") => update()
+      case Kw("CREATE") => expect(Kw("COLLECTION")); CreateC(ident())
+      case Kw("DROP")   => expect(Kw("COLLECTION")); DropC(ident())
+      case t => throw new IllegalArgumentException(s"unsupported statement: $t")
+    }
+
+    private def ident(): String = next() match {
+      case Ident(s) => s
+      case Kw(s)    => s.toLowerCase
+      case t => throw new IllegalArgumentException(s"expected identifier, got $t")
+    }
+
+    private def select(): Select = {
+      var countStar = false
+      val cols = Vector.newBuilder[(String, Option[String])]
+      if (accept(Kw("COUNT"))) {
+        expect(Sym("(")); expect(Sym("*")); expect(Sym(")"))
+        countStar = true
+        if (accept(Kw("AS"))) cols += (("count", Some(ident())))
+      } else if (accept(Sym("*"))) {
+        cols += (("*", None))
+      } else {
+        var more = true
+        while (more) {
+          val c = ident()
+          val alias = if (accept(Kw("AS"))) Some(ident()) else None
+          cols += ((c, alias))
+          more = accept(Sym(","))
+        }
+      }
+      expect(Kw("FROM"))
+      val table = ident()
+      var nearest: Option[Either[Seq[Float], Select]] = None
+      var metric: Option[String] = None
+      if (accept(Kw("NEAREST"))) {
+        expect(Kw("TO"))
+        if (accept(Sym("("))) {
+          expect(Kw("SELECT"))
+          nearest = Some(Right(select()))
+          expect(Sym(")"))
+        } else nearest = Some(Left(vectorLit()))
+        if (accept(Kw("USING"))) metric = Some(next() match {
+          case Ident(s) => s; case Str(s) => s; case Kw(s) => s.toLowerCase
+          case t => throw new IllegalArgumentException(s"bad metric: $t")
+        })
+      }
+      val where = if (accept(Kw("WHERE"))) Some(cond()) else None
+      val limit = if (accept(Kw("LIMIT"))) Some(num().toInt) else None
+      Select(cols.result(), table, nearest, metric, where, limit, countStar)
+    }
+
+    private def insert(): Insert = {
+      expect(Kw("INTO"))
+      val table = ident()
+      expect(Sym("("))
+      val fields = Vector.newBuilder[String]
+      fields += ident()
+      while (accept(Sym(","))) fields += ident()
+      expect(Sym(")"))
+      expect(Kw("VALUES")); expect(Sym("("))
+      val fs = fields.result()
+      var id = ""; var vec: Seq[Float] = Nil
+      val meta = Map.newBuilder[String, String]
+      fs.zipWithIndex.foreach { case (f, ix) =>
+        if (ix > 0) expect(Sym(","))
+        f match {
+          case "id" => id = next() match {
+            case Str(s) => s; case t => throw new IllegalArgumentException(s"id: $t") }
+          case "vector" => vec = vectorLit()
+          case m if m.startsWith("metadata.") =>
+            meta += (m.stripPrefix("metadata.") -> (next() match {
+              case Str(s) => s; case Num(s) => s
+              case t => throw new IllegalArgumentException(s"metadata: $t") }))
+          case other => throw new IllegalArgumentException(s"unknown column $other")
+        }
+      }
+      expect(Sym(")"))
+      Insert(table, id, vec, meta.result())
+    }
+
+    private def delete(): Delete = {
+      expect(Kw("FROM"))
+      val table = ident()
+      Delete(table, if (accept(Kw("WHERE"))) Some(cond()) else None)
+    }
+
+    private def update(): Update = {
+      val table = ident()
+      expect(Kw("SET"))
+      val sets = Map.newBuilder[String, String]
+      var more = true
+      while (more) {
+        val f = ident()
+        expect(Sym("="))
+        val v = next() match {
+          case Str(s) => s; case Num(s) => s
+          case t => throw new IllegalArgumentException(s"bad SET value: $t") }
+        sets += (f -> v)
+        more = accept(Sym(","))
+      }
+      Update(table, sets.result(),
+        if (accept(Kw("WHERE"))) Some(cond()) else None)
+    }
+
+    private def vectorLit(): Seq[Float] = {
+      expect(Sym("["))
+      val vs = Vector.newBuilder[Float]
+      if (!peek.contains(Sym("]"))) {
+        vs += num().toFloat
+        while (accept(Sym(","))) vs += num().toFloat
+      }
+      expect(Sym("]"))
+      vs.result()
+    }
+
+    private def num(): Double = next() match {
+      case Num(s) => s.toDouble
+      case t => throw new IllegalArgumentException(s"expected number, got $t")
+    }
+
+    private def cond(): Cond = {
+      var left = condAnd()
+      while (accept(Kw("OR"))) left = OrC(left, condAnd())
+      left
+    }
+    private def condAnd(): Cond = {
+      var left = condAtom()
+      while (accept(Kw("AND"))) left = AndC(left, condAtom())
+      left
+    }
+    private def condAtom(): Cond = {
+      if (accept(Sym("("))) { val c = cond(); expect(Sym(")")); c }
+      else {
+        val field = ident()
+        val op = next() match {
+          case Sym("=") => "="
+          case Sym("!=") => "!="
+          case Kw("LIKE") => "LIKE"
+          case t => throw new IllegalArgumentException(s"bad operator: $t")
+        }
+        val value = next() match {
+          case Str(s) => Left(s)
+          case Num(s) => Right(s.toDouble)
+          case t => throw new IllegalArgumentException(s"bad literal: $t")
+        }
+        Cmp(field, op, value)
+      }
+    }
+  }
+
+  def parse(sql: String): Stmt = {
+    val p = new P(lex(sql))
+    val s = p.statement()
+    require(p.done, "trailing tokens after statement")
+    s
+  }
+
+  // ---- planner / executor ------------------------------------------------
+
+  private def condCol(c: Cond): Column = c match {
+    case AndC(l, r) => condCol(l) && condCol(r)
+    case OrC(l, r)  => condCol(l) || condCol(r)
+    case Cmp(field, op, value) =>
+      val target: Column =
+        if (field.startsWith("metadata.")) col("metadata")(field.stripPrefix("metadata."))
+        else col(field)
+      val litv: Column = value match {
+        case Left(s)  => lit(s)
+        case Right(d) => lit(d)
+      }
+      op match {
+        case "="    => target === litv
+        case "!="   => target =!= litv
+        case "LIKE" => target.like(value.left.getOrElse(
+          throw new IllegalArgumentException("LIKE needs a string pattern")))
+      }
+  }
+
+  private def metricName(m: Option[String]): String = m.getOrElse("euclidean")
+
+  /** Executes a statement. SELECT returns rows; DML mutates the
+    * catalog and returns the post-image row count as a 1-row frame.
+    */
+  def execute(cat: Catalog, sql: String): DataFrame = parse(sql) match {
+    case s: Select => runSelect(cat, s)
+
+    case Insert(table, id, vec, meta) =>
+      val spark = cat.spark
+      import spark.implicits._
+      val row = Seq((id, vec.toArray, meta))
+        .toDF("id", "vector", "metadata")
+        .select(col("id"), col("vector"), col("metadata"))
+      cat.put(table, cat.get(table).unionByName(row))
+      cat.get(table).agg(count(lit(1)).as("count"))
+
+    case Delete(table, where) =>
+      val df = cat.get(table)
+      cat.put(table, where.map(w => df.where(!condCol(w))).getOrElse(df.limit(0)))
+      cat.get(table).agg(count(lit(1)).as("count"))
+
+    case Update(table, sets, where) =>
+      val df = cat.get(table)
+      val hit = where.map(condCol).getOrElse(lit(true))
+      val updated = sets.foldLeft(df) { case (d, (f, v)) =>
+        if (f.startsWith("metadata.")) {
+          val k = f.stripPrefix("metadata.")
+          d.withColumn("metadata",
+            when(hit, map_concat(
+              map_filter(col("metadata"), (mk, mv) => mk =!= k),
+              map(lit(k), lit(v))))
+              .otherwise(col("metadata")))
+        } else d.withColumn(f, when(hit, lit(v)).otherwise(col(f)))
+      }
+      cat.put(table, updated)
+      cat.get(table).agg(count(lit(1)).as("count"))
+
+    case CreateC(t) => cat.create(t)
+      cat.get(t).agg(count(lit(1)).as("count"))
+    case DropC(t) => cat.drop(t)
+      cat.spark.range(0).select(count(lit(1)).as("count"))
+  }
+
+  private def runSelect(cat: Catalog, s: Select): DataFrame = {
+    var df = cat.get(s.table)
+    s.where.foreach(w => df = df.where(condCol(w)))
+
+    if (s.countStar)
+      return df.agg(count(lit(1)).as(
+        s.cols.headOption.flatMap(_._2).getOrElse("count")))
+
+    val withDist: DataFrame = s.nearest match {
+      case None => df
+      case Some(q) =>
+        val qvec: Seq[Float] = q match {
+          case Left(v) => v
+          case Right(sub) =>
+            // NEAREST TO (subquery): subquery must yield one vector
+            val rows = runSelect(cat, sub).select(col("vector")).head(2)
+            require(rows.length == 1, "NEAREST TO subquery must return exactly 1 row")
+            rows(0).getSeq[Float](0)
+        }
+        val d = graft.functions.VectorFunctions.forMetric(metricName(s.metric))(
+          col("vector"), typedLit(qvec))
+        df.withColumn("distance", d)
+          .orderBy(col("distance"), col("id"))
+    }
+
+    val limited = s.limit.map(withDist.limit).getOrElse(withDist)
+
+    val projected = s.cols match {
+      case Seq(("*", None)) => limited
+      case cs => limited.select(cs.map { case (c, alias) =>
+        val base: Column = c match {
+          case "dimension" => size(col("vector"))
+          case m if m.startsWith("metadata.") =>
+            col("metadata")(m.stripPrefix("metadata."))
+          case other => col(other)
+        }
+        alias.map(base.as).getOrElse(base.as(c.replace('.', '_')))
+      }: _*)
+    }
+    projected
+  }
+}

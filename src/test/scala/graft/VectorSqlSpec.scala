@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sql.VectorSql
+
+/** Drives the reference dialect end-to-end: every statement form the
+  * reference README documents, against a live catalog.
+  */
+class VectorSqlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def freshCat(): VectorSql.Catalog = {
+    val cat = new VectorSql.Catalog(spark)
+    VectorSql.execute(cat, "CREATE COLLECTION vectors")
+    VectorSql.execute(cat,
+      "INSERT INTO vectors (id, vector, metadata.category) VALUES ('v1', [1.0, 0.0, 0.0], 'image')")
+    VectorSql.execute(cat,
+      "INSERT INTO vectors (id, vector, metadata.category) VALUES ('v2', [0.0, 1.0, 0.0], 'text')")
+    VectorSql.execute(cat,
+      "INSERT INTO vectors (id, vector, metadata.category) VALUES ('v3', [0.9, 0.1, 0.0], 'image')")
+    VectorSql.execute(cat,
+      "INSERT INTO vectors (id, vector) VALUES ('test1', [0.0, 0.0, 1.0])")
+    cat
+  }
+
+  test("SELECT id, dimension FROM vectors") {
+    val r = VectorSql.execute(freshCat(),
+      "SELECT id, dimension FROM vectors").collect()
+    assert(r.length == 4)
+    assert(r.forall(_.getInt(1) == 3))
+  }
+
+  test("COUNT(*)") {
+    val r = VectorSql.execute(freshCat(),
+      "SELECT COUNT(*) FROM vectors").head()
+    assert(r.getLong(0) == 4L)
+  }
+
+  test("NEAREST TO with LIMIT and metrics") {
+    val cat = freshCat()
+    val near = VectorSql.execute(cat,
+      "SELECT id, distance FROM vectors NEAREST TO [1.0, 0.0, 0.0] LIMIT 2").collect()
+    assert(near.map(_.getString(0)).toSeq == Seq("v1", "v3"))
+    assert(near.head.getDouble(1) == 0.0)
+    val cos = VectorSql.execute(cat,
+      "SELECT id, distance FROM vectors NEAREST TO [0.9, 0.1, 0.0] USING cosine LIMIT 1").head()
+    assert(cos.getString(0) == "v3")
+  }
+
+  test("WHERE id LIKE and metadata filters, AND/OR") {
+    val cat = freshCat()
+    val like = VectorSql.execute(cat,
+      "SELECT id FROM vectors WHERE id LIKE 'test%'").collect()
+    assert(like.map(_.getString(0)).toSeq == Seq("test1"))
+    val meta = VectorSql.execute(cat,
+      "SELECT id FROM vectors WHERE metadata.category = 'image'").collect()
+    assert(meta.map(_.getString(0)).sorted.toSeq == Seq("v1", "v3"))
+    val or = VectorSql.execute(cat,
+      "SELECT id FROM vectors WHERE metadata.category = 'text' OR id = 'v1'").collect()
+    assert(or.map(_.getString(0)).sorted.toSeq == Seq("v1", "v2"))
+    val neq = VectorSql.execute(cat,
+      "SELECT id FROM vectors WHERE metadata.category != 'image' AND id LIKE 'v%'").collect()
+    assert(neq.map(_.getString(0)).toSeq == Seq("v2"))
+  }
+
+  test("WHERE + NEAREST TO combined (filtered vector search)") {
+    val r = VectorSql.execute(freshCat(),
+      "SELECT id, distance FROM vectors NEAREST TO [1.0, 0.0, 0.0] " +
+        "WHERE metadata.category = 'image' LIMIT 5").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("v1", "v3"))
+  }
+
+  test("NEAREST TO (subquery)") {
+    val r = VectorSql.execute(freshCat(),
+      "SELECT id, distance FROM vectors NEAREST TO " +
+        "(SELECT vector FROM vectors WHERE id = 'v2') LIMIT 1").head()
+    assert(r.getString(0) == "v2" && r.getDouble(1) == 0.0)
+  }
+
+  test("DELETE / UPDATE / DROP mutate the catalog") {
+    val cat = freshCat()
+    VectorSql.execute(cat, "DELETE FROM vectors WHERE id = 'test1'")
+    assert(VectorSql.execute(cat, "SELECT COUNT(*) FROM vectors").head().getLong(0) == 3L)
+    VectorSql.execute(cat,
+      "UPDATE vectors SET metadata.category = 'archived' WHERE id = 'v1'")
+    val m = VectorSql.execute(cat,
+      "SELECT metadata.category FROM vectors WHERE id = 'v1'").head()
+    assert(m.getString(0) == "archived")
+    // unmatched rows keep their metadata
+    val m2 = VectorSql.execute(cat,
+      "SELECT metadata.category FROM vectors WHERE id = 'v2'").head()
+    assert(m2.getString(0) == "text")
+    VectorSql.execute(cat, "DROP COLLECTION vectors")
+    intercept[IllegalArgumentException] {
+      VectorSql.execute(cat, "SELECT id FROM vectors")
+    }
+  }
+
+  test("SELECT * includes distance under NEAREST TO") {
+    val df = VectorSql.execute(freshCat(),
+      "SELECT * FROM vectors NEAREST TO [0.0, 0.0, 1.0] LIMIT 1")
+    assert(df.columns.contains("distance"))
+    assert(df.head().getAs[String]("id") == "test1")
+  }
+
+  test("parse errors are explicit") {
+    intercept[IllegalArgumentException] {
+      VectorSql.parse("SELECT id FROM")
+    }
+    intercept[IllegalArgumentException] {
+      VectorSql.parse("NONSENSE QUERY")
+    }
+  }
+
+  test("NEAREST TO plan is TakeOrderedAndProject (no global sort)") {
+    val df = VectorSql.execute(freshCat(),
+      "SELECT id, distance FROM vectors NEAREST TO [1.0, 0.0, 0.0] LIMIT 2")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
