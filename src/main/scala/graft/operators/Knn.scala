@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.functions.{TopKAgg, VectorFunctions}
 
 /** Flat (exact) k-nearest-neighbour search, Spark-first.
   *
@@ -48,10 +48,11 @@ object Knn {
   /** Batch kNN: every row of `queries` gets its own top-k from `corpus`.
     *
     * The query set is broadcast (q << corpus); the corpus is scanned
-    * once. Per-query top-k is selected with a rank window partitioned
-    * by query id — the shuffle is q x |corpus| rows wide, acceptable
-    * for small q; a TypedImperativeAggregate top-k heap is the planned
-    * scale path for large q (SURVEY.md §5).
+    * once. Per-query top-k goes through the TopKPairs
+    * TypedImperativeAggregate: each map task reduces its partition to
+    * <= k pairs per query BEFORE the shuffle, so the exchange carries
+    * q*k*partitions rows — not the q*|corpus| a rank window would
+    * shuffle. Output: (qid, id, dist, rank).
     */
   def knnJoin(
       corpus: DataFrame,
@@ -63,16 +64,47 @@ object Knn {
       metric: String,
       k: Int,
       excludeSelf: Boolean = true,
+      roundTo: Int = DefaultRound): DataFrame =
+    knnPairs(corpus, queries, idCol, vecCol, qidCol, qvecCol, metric,
+      excludeSelf, roundTo)
+      .groupBy(col(qidCol))
+      .agg(TopKAgg.topk_pairs(col("dist"), col(idCol), k).as("topk"))
+      .select(col(qidCol), posexplode(col("topk")).as(Seq("pos", "pair")))
+      .select(col(qidCol), col(s"pair.id").as(idCol),
+        col("pair.dist").as("dist"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col(qidCol), col("rank"))
+
+  /** Rank-window formulation of knnJoin — same semantics, shuffles
+    * every candidate pair; kept as the executable spec the aggregate
+    * version is tested against.
+    */
+  def knnJoinWindow(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      qvecCol: String,
+      metric: String,
+      k: Int,
+      excludeSelf: Boolean = true,
       roundTo: Int = DefaultRound): DataFrame = {
-    val d = VectorFunctions.forMetric(metric)(col(vecCol), col(qvecCol))
-    val pairs = corpus
-      .crossJoin(broadcast(queries))
-      .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
-      .select(col(qidCol), col(idCol), round(d, roundTo).as("dist"))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("dist"), col(idCol))
-    pairs
+    knnPairs(corpus, queries, idCol, vecCol, qidCol, qvecCol, metric,
+        excludeSelf, roundTo)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .orderBy(col(qidCol), col("rank"))
+  }
+
+  private def knnPairs(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      qidCol: String, qvecCol: String, metric: String,
+      excludeSelf: Boolean, roundTo: Int): DataFrame = {
+    val d = VectorFunctions.forMetric(metric)(col(vecCol), col(qvecCol))
+    corpus
+      .crossJoin(broadcast(queries))
+      .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
+      .select(col(qidCol), col(idCol), round(d, roundTo).as("dist"))
   }
 }
