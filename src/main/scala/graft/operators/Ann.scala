@@ -31,8 +31,15 @@ object Ann {
   private def planeComponent(p: Column, j: Column): Column =
     ((p * 64 + j + 1) * 2654435761L % 4294967296L) / lit(4294967296.0) - 0.5
 
-  /** Signature = `numPlanes`-bit integer, bit p set iff dot(v, plane_p) > 0. */
+  /** Signature = `numPlanes`-bit integer, bit p set iff dot(v, plane_p) > 0.
+    * Native codegen'd expression; the HOF form below is the executable
+    * spec (equality-tested).
+    */
   def lshSignature(vec: Column, numPlanes: Int = 8): Column =
+    graft.functions.LshExpr.lsh_signature(vec, numPlanes)
+
+  /** HOF composition of the same signature (mirrors the DuckDB oracle). */
+  def lshSignatureHof(vec: Column, numPlanes: Int = 8): Column =
     aggregate(
       sequence(lit(0), lit(numPlanes - 1)),
       lit(0L),

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.VectorStore
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions-built session resolves every injected function") {
+    // the shared test session is built withExtensions(new GraftExtensions)
+    val s = SparkTestSession.spark
+    val r = s.sql(
+      """SELECT vec_l2(array(0.0F, 0.0F), array(3.0F, 4.0F)) AS d,
+        |  char_fold('hello world') AS f,
+        |  lsh_signature(array(1.0F, 0.0F)) AS b,
+        |  size(text_embed('a b c')) AS n,
+        |  size(minhash_sig('one two three four')) AS m,
+        |  simhash32('x y z') AS sh""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 5.0) < 1e-12)
+    assert(r.getLong(1) == 204910434L)
+    assert(r.getInt(3) == 64)
+    assert(r.getInt(4) == 8)
+  }
+}
+
+class ImportExportSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("csv and json export/import round-trip (reference import/export)") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+    val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
+    VectorStore.exportCsv(df, s"$dir/csv")
+    VectorStore.exportJson(df, s"$dir/json")
+    val csv = VectorStore.importCsv(spark, s"$dir/csv").orderBy("id")
+    val json = VectorStore.importJson(spark, s"$dir/json").orderBy("id")
+      .select("id", "name", "score")
+    assert(csv.collect().map(_.toSeq).toSeq == df.orderBy("id").collect().map(_.toSeq).toSeq)
+    assert(json.collect().map(_.toSeq).toSeq == df.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+}
