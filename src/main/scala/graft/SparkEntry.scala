@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SqlSnips, TextEmbed, TextExprs, TextFuncs, VectorFunctions}
-import graft.operators.{Ann, Dedup, Knn}
+import graft.operators.{Ann, Dedup, Knn, Skew}
 import graft.sources.VectorStore
 
 /** Driver contract — see SURVEY.md §2 (inventory) and §7 (plan).
@@ -406,7 +406,26 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 3)
       Ann.searchIvf(tagged, centroids, queryVec(s, dir, 0),
         "vec_id", "embedding", "cosine", 10, nprobe = 2)
-    })
+    }),
+
+    // -- IVF with FIXED centroids (first 8 vectors): assignment+probe
+    //    fully deterministic, so unlike ann_ivf this one IS oracled --
+    "ann_ivf_static" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cluster"),
+          transform(col("embedding"), _.cast("double")).as("centroid"))
+      val tagged = Ann.tagCorpus(e, "vec_id", "embedding", cents)
+      Ann.searchIvf(tagged, cents, queryVec(s, dir, 0),
+        "vec_id", "embedding", "cosine", 10, nprobe = 2)
+    }),
+
+    // -- salted two-phase aggregation (skewed-key pattern; results
+    //    identical to the direct groupBy the oracle runs) --
+    "events_by_type_salted" -> ((s, dir) =>
+      Skew.saltedSumCount(t(s, dir, "events"), Seq("event_type"), "value", 16)
+        .select(col("event_type"), col("n"), round(col("total"), 2).as("total"))
+        .orderBy(col("event_type")))
   )
 
   /** Constant query string for the search_text end-to-end pipeline. */
@@ -540,7 +559,31 @@ object SparkEntry {
            |q AS (SELECT embedding AS qvec, bucket AS qbucket FROM sigs WHERE vec_id = 0)
            |SELECT e.vec_id AS vec_id, ${sqlDist("cosine")} AS dist
            |FROM sigs e, q WHERE e.bucket = q.qbucket
+           |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+      "ann_ivf_static" -> {
+        val l2c = "sqrt(list_sum(list_transform(%s, (x, i) -> " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)) * " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)))))"
+        val l2e = l2c.format("e.embedding", "c.centroid", "c.centroid")
+        val l2q = l2c.format("q.qvec", "c.centroid", "c.centroid")
+        s"""WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cluster,
+           |  embedding AS centroid FROM embeddings WHERE vec_id < 8),
+           |asgn AS (SELECT vec_id, embedding, cluster FROM (
+           |  SELECT e.vec_id, e.embedding, c.cluster,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $l2e, c.cluster) AS rn
+           |  FROM embeddings e, cents c) _r WHERE rn = 1),
+           |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |qc AS (SELECT cluster FROM (
+           |  SELECT c.cluster, $l2q AS d FROM cents c, q) _q
+           |  ORDER BY d, cluster LIMIT 2)
+           |SELECT e.vec_id AS vec_id, ${sqlDist("cosine")} AS dist
+           |FROM asgn e, q, qc WHERE e.cluster = qc.cluster
            |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
+      },
+      "events_by_type_salted" ->
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          | round(sum(value), 2) AS total
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " ")
     )
   }
 

@@ -116,11 +116,21 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 5): (DataFrame, DataFrame) = {
     val centroids = kmeans(corpus, idCol, vecCol, k, iters)
+    (tagCorpus(corpus, idCol, vecCol, centroids), centroids)
+  }
+
+  /** Tag every corpus row with its argmin-l2 centroid. With a FIXED
+    * centroid set (no k-means) the whole IVF path is deterministic and
+    * SQL-expressible — the oracle-checked `ann_ivf_static` query uses
+    * the first k corpus vectors as centroids.
+    */
+  def tagCorpus(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
     val vecs = corpus.select(col(idCol).as("_id"),
       transform(col(vecCol), _.cast("double")).as("_v"))
-    val tagged = assign(vecs, centroids)
+    assign(vecs, centroids)
       .select(col("_id").as(idCol), col("_v").as(vecCol), col("cluster"))
-    (tagged, centroids)
   }
 
   /** Search an IVF index: probe the `nprobe` nearest clusters only. */
@@ -132,7 +142,7 @@ object Ann {
       .select(col("cluster"),
         VectorFunctions.vec_l2(
           transform(col("qvec"), _.cast("double")), col("centroid")).as("_d"))
-      .orderBy(col("_d")).limit(nprobe)
+      .orderBy(col("_d"), col("cluster")).limit(nprobe)
       .select(col("cluster"))
     val d = VectorFunctions.forMetric(metric)(col(vecCol), col("qvec"))
     tagged
