@@ -1,0 +1,85 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+import graft.functions.{TextKernels, TopKBuffer, VectorDistance}
+
+/** Algebraic properties the engine's correctness rests on, checked
+  * over random inputs (expression eval directly — no session needed).
+  */
+object DistanceProps extends Properties("graft") {
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.chooseNum(1, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100f, 100f)).map(_.toArray))
+
+  private val pairGen: Gen[(Array[Float], Array[Float])] = for {
+    n <- Gen.chooseNum(1, 16)
+    a <- Gen.listOfN(n, Gen.chooseNum(-100f, 100f))
+    b <- Gen.listOfN(n, Gen.chooseNum(-100f, 100f))
+  } yield (a.toArray, b.toArray)
+
+  private def d(m: String)(a: Array[Float], b: Array[Float]): Double =
+    VectorDistance(
+      Literal(ArrayData.toArrayData(a), ArrayType(FloatType, false)),
+      Literal(ArrayData.toArrayData(b), ArrayType(FloatType, false)),
+      m).eval(null).asInstanceOf[Double]
+
+  property("l2/l1/cosine symmetric") = forAll(pairGen) { case (a, b) =>
+    d("l2")(a, b) == d("l2")(b, a) &&
+      d("l1")(a, b) == d("l1")(b, a) &&
+      math.abs(d("cosine")(a, b) - d("cosine")(b, a)) < 1e-12
+  }
+
+  property("l2/l1 nonnegative, self-distance 0") = forAll(vecGen) { a =>
+    d("l2")(a, a) == 0.0 && d("l1")(a, a) == 0.0 &&
+      d("l2")(a, a.map(_ + 1f)) > 0.0
+  }
+
+  property("cosine in [0, 2]") = forAll(pairGen) { case (a, b) =>
+    val c = d("cosine")(a, b); c >= 0.0 && c <= 2.0
+  }
+
+  property("dot antisymmetric under negation") = forAll(pairGen) { case (a, b) =>
+    math.abs(d("dot")(a, b) + d("dot")(a.map(-_), b)) < 1e-6
+  }
+
+  property("l2 triangle inequality") = forAll(for {
+    n <- Gen.chooseNum(1, 12)
+    a <- Gen.listOfN(n, Gen.chooseNum(-50f, 50f))
+    b <- Gen.listOfN(n, Gen.chooseNum(-50f, 50f))
+    c <- Gen.listOfN(n, Gen.chooseNum(-50f, 50f))
+  } yield (a.toArray, b.toArray, c.toArray)) { case (a, b, c) =>
+    d("l2")(a, c) <= d("l2")(a, b) + d("l2")(b, c) + 1e-9
+  }
+
+  property("charFold stable and in [0, P)") = forAll(Gen.asciiPrintableStr) { s =>
+    val h = TextKernels.charFold(s)
+    h == TextKernels.charFold(s) && h >= 0 && h < TextKernels.P
+  }
+
+  // the invariant partial aggregation rests on: any partitioning of
+  // the input, merged in any order, equals global-sort-take-k
+  property("TopKBuffer merge == global top-k for any partitioning") =
+    forAll(for {
+      xs <- Gen.listOf(Gen.zip(Gen.chooseNum(0.0, 10.0), Gen.chooseNum(0L, 50L)))
+      k <- Gen.chooseNum(1, 8)
+      cut <- Gen.chooseNum(0, math.max(xs.length, 1))
+    } yield (xs.distinct, k, math.min(cut, xs.distinct.length))) {
+      case (xs, k, cut) =>
+        // distinct pairs: in knnJoin each (dist, id) occurs once per group
+        val expected = xs.sorted.take(k)
+        val (l, r) = xs.splitAt(cut)
+        val bl = new TopKBuffer(k); val br = new TopKBuffer(k)
+        l.foreach { case (dd, i) => bl.add(dd, i) }
+        r.foreach { case (dd, i) => br.add(dd, i) }
+        bl.merge(br)
+        val got = bl.sorted.toList
+        Prop(got == expected) :| s"got=$got expected=$expected"
+    }
+}
