@@ -494,10 +494,12 @@ object SparkEntry {
            |FROM tk ORDER BY doc LIMIT 200""".stripMargin.replaceAll("\n", " ")
       },
       "dedup_jaccard" ->
-        s"""WITH tk AS (SELECT doc_id AS doc, lang, list_distinct($toks) AS ts FROM documents),
+        s"""WITH tk AS (SELECT doc_id AS doc, lang,
+           |  list_sort(list_distinct(list_transform($toks, w -> ${SqlSnips.charFold("w")}))) AS ts
+           |  FROM documents),
            |p AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
            |  round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
-           |    len(list_distinct(list_concat(a.ts, b.ts))), 4) AS jaccard
+           |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4) AS jaccard
            |  FROM tk a JOIN tk b
            |  ON a.lang = b.lang AND a.doc < b.doc AND b.doc - a.doc <= 25)
            |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextExprs, TextFuncs, VectorFunctions}
+import graft.functions.{SetExprs, TextExprs, TextFuncs, VectorFunctions}
 
 /** Corpus deduplication for LLM training-data pipelines. Five
   * strategies, cheapest-first; all shuffle-bounded (candidate
@@ -73,14 +73,17 @@ object Dedup {
     // bucket + its predecessor, so the equi-join key is (block,
     // bucket) — well-distributed parallelism instead of one task per
     // block value, and candidate pairs stay O(window) per row
+    // token sets as SORTED hashed-long arrays: the per-pair cost drops
+    // from string-array hash probes to a codegen'd two-pointer merge
     val base = df.select(
       col(idCol).as("doc"), col(blockCol).as("blk"),
-      array_distinct(TextFuncs.tokens(col(textCol))).as("ts"),
+      SetExprs.token_hash_set(col(textCol)).as("ts"),
       (col(idCol) / idWindow).cast("long").as("bkt"))
     val a = base.as("a")
     val b = base
       .withColumn("probe", explode(array(col("bkt"), col("bkt") - 1)))
       .as("b")
+    val inter = SetExprs.sorted_intersect_size(col("a.ts"), col("b.ts"))
     a.join(b,
         col("a.blk") === col("b.blk") &&
           col("a.bkt") === col("b.probe") &&
@@ -88,9 +91,8 @@ object Dedup {
           col("b.doc") - col("a.doc") <= idWindow)
       .select(
         col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        round(
-          size(array_intersect(col("a.ts"), col("b.ts"))).cast("double") /
-            size(array_union(col("a.ts"), col("b.ts"))), 4).as("jaccard"))
+        round(inter.cast("double") /
+          (size(col("a.ts")) + size(col("b.ts")) - inter), 4).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
 
