@@ -420,6 +420,11 @@ object SparkEntry {
         "vec_id", "embedding", "cosine", 10, nprobe = 2)
     }),
 
+    // -- the same windowed agg EXECUTED AS A STREAM (memory sink,
+    //    drained synchronously): streaming execution is oracle-gated --
+    "streaming_window" -> ((s, dir) =>
+      graft.streaming.EventStream.windowedCountsBatchDrain(s, dir)),
+
     // -- salted two-phase aggregation (skewed-key pattern; results
     //    identical to the direct groupBy the oracle runs) --
     "events_by_type_salted" -> ((s, dir) =>
@@ -585,7 +590,12 @@ object SparkEntry {
       "events_by_type_salted" ->
         """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
           | round(sum(value), 2) AS total
-          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " ")
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
+      "streaming_window" ->
+        """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+          | event_type, CAST(count(*) AS BIGINT) AS n,
+          | round(sum(value), 2) AS total
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")
     )
   }
 

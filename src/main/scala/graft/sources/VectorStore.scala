@@ -51,4 +51,16 @@ object VectorStore {
 
   def importJson(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
+
+  /** Deterministic "random" vector generation (the reference CLI's
+    * `random` command, cmd/vectodb/main.go:201): component j of row i
+    * is a hash-derived uniform in [-0.5, 0.5). Seeded + reproducible
+    * across runs and engines — no RNG state, pure map over range(n).
+    */
+  def randomVectors(spark: SparkSession, n: Long, dim: Int, seed: Long = 42L): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        ((((col("id") * dim + j + seed) * 2654435761L) % 4294967296L) /
+          lit(4294967296.0) - 0.5).cast("float")).as("embedding"))
 }

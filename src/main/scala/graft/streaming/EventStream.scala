@@ -28,7 +28,32 @@ object EventStream {
 
   def readStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(schema).parquet(s"$sfDir/")
+    // glob, not bare file: FileStreamSource requires a directory-like
+    // path for basePath inference
+    spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
+  }
+
+  private val memSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Runs the watermarked windowed aggregation AS A STREAM (memory
+    * sink, complete mode, drained synchronously) and returns the
+    * result — the oracle-checked `streaming_window` query goes through
+    * here, so streaming execution itself is gated against DuckDB.
+    */
+  def windowedCountsBatchDrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val name = s"graft_stream_win_${memSinkId.incrementAndGet()}"
+    val q = windowedCounts(readStream(spark, sfDir), "1 hour", "2 hours")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    // 1h tumbling windows align to epoch hours -> same buckets as the
+    // batch events_window query
+    spark.table(name).select(
+      (unix_timestamp(col("window.start")) / 3600L).cast("long").as("hour_bucket"),
+      col("event_type"), col("n"),
+      round(col("total"), 2).as("total"))
+      .orderBy(col("hour_bucket"), col("event_type"))
   }
 
   /** Exact nanos -> timestamp without a double round-trip ("/" would

@@ -114,6 +114,17 @@ class CrudSpec extends AnyFunSuite {
     assert(VectorStore.listIds(upd, "id").as[Long].collect().length == 3)
   }
 
+  test("randomVectors: deterministic, seeded, right shape") {
+    val a = VectorStore.randomVectors(spark, 10, 8).collect()
+    val b = VectorStore.randomVectors(spark, 10, 8).collect()
+    assert(a.length == 10)
+    assert(a.head.getSeq[Float](1).length == 8)
+    assert(a.map(_.getSeq[Float](1)).toSeq == b.map(_.getSeq[Float](1)).toSeq)
+    val c = VectorStore.randomVectors(spark, 10, 8, seed = 7L).collect()
+    assert(a.head.getSeq[Float](1) != c.head.getSeq[Float](1))
+    assert(a.flatMap(_.getSeq[Float](1)).forall(v => v >= -0.5f && v < 0.5f))
+  }
+
   test("parquet save/load round-trip preserves data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vs").toString
     VectorStore.save(store, s"$dir/t")
