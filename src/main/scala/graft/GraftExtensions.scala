@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       builder)
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
     e.injectFunction(fn("vec_l2",
       "vec_l2(a, b) - Euclidean distance between two vectors",
       es => VectorDistance(es(0), es(1), "l2")))

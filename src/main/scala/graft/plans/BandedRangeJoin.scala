@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Optimizer rule: turn a band-range join into an equi join.
+  *
+  * A join whose only usable condition is a range —
+  *   a.join(b, a("x") <= b("x") && b("x") - a("x") <= lit(w))
+  * — has no equi conjunct, so Spark plans a broadcast-nested-loop or
+  * cartesian product: O(|a|*|b|) comparisons. But a band of width w
+  * admits the classic bucket trick (each side bucketed by floor(x/w),
+  * the probe side exploded into its bucket and its predecessor), which
+  * this rule applies automatically:
+  *
+  *   Join(cond) ==> Project(origOutput)(
+  *     Join(left + bkt(lx), Explode(right + [bkt(rx), bkt(rx)-1]),
+  *          cond && lbkt === rbkt))
+  *
+  * The original condition is kept verbatim (the equi bucket conjunct
+  * only prunes pairs), so results are identical — spec-tested — while
+  * the planner now has a hash-joinable key. Pattern recognized:
+  * `lx <(=) rx` and `rx - lx <= w` conjuncts over the same two
+  * numeric expressions, one from each side, w a positive literal.
+  * graft.operators.Dedup.jaccardPairs is the hand-written form of the
+  * same rewrite; with this rule injected (GraftExtensions) users get
+  * it for free on natural range-join syntax.
+  */
+object BandedRangeJoinRule extends Rule[LogicalPlan] {
+
+  private val BktPrefix = "_graft_bkt"
+
+  private def fromSide(e: Expression, side: LogicalPlan): Boolean =
+    e.references.nonEmpty && e.references.subsetOf(side.outputSet)
+
+  private def widthOf(e: Expression): Option[Double] = e match {
+    case Literal(v: Number, _) if v.doubleValue() > 0 => Some(v.doubleValue())
+    case _ => None
+  }
+
+  /** Splits a condition into conjuncts. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if !cond.exists {
+          case a: Attribute => a.name.startsWith(BktPrefix)
+          case _            => false
+        } =>
+      val cs = conjuncts(cond)
+      // already has an equi conjunct (one side each)? nothing to gain
+      val hasEqui = cs.exists {
+        case EqualTo(l, r) =>
+          (fromSide(l, left) && fromSide(r, right)) ||
+            (fromSide(l, right) && fromSide(r, left))
+        case _ => false
+      }
+      val band = if (hasEqui) None else cs.collectFirst {
+        // rx - lx <= w  with lx from left, rx from right
+        case LessThanOrEqual(Subtract(rx, lx, _), wLit)
+            if fromSide(lx, left) && fromSide(rx, right) &&
+              widthOf(wLit).isDefined &&
+              cs.exists { // ... plus an ordering conjunct on the same pair
+                case LessThan(a, b)        => a.semanticEquals(lx) && b.semanticEquals(rx)
+                case LessThanOrEqual(a, b) => a.semanticEquals(lx) && b.semanticEquals(rx)
+                case _                     => false
+              } =>
+          (lx, rx, widthOf(wLit).get)
+      }
+      band match {
+        case None => j
+        case Some((lx, rx, w)) =>
+          val lBkt = Alias(
+            Cast(Floor(Divide(Cast(lx, DoubleType), Literal(w))), LongType),
+            s"${BktPrefix}_l")()
+          val newLeft = Project(left.output :+ lBkt, left)
+
+          val rBktExpr =
+            Cast(Floor(Divide(Cast(rx, DoubleType), Literal(w))), LongType)
+          val probeArr = CreateArray(Seq(
+            rBktExpr, Subtract(rBktExpr, Literal(1L))))
+          val rBktAttr = AttributeReference(s"${BktPrefix}_r", LongType)()
+          val newRight = Generate(
+            Explode(probeArr), unrequiredChildIndex = Nil, outer = false,
+            qualifier = None, generatorOutput = Seq(rBktAttr), right)
+
+          val newCond = And(cond, EqualTo(lBkt.toAttribute, rBktAttr))
+          Project(j.output,
+            Join(newLeft, newRight, Inner, Some(newCond), hint))
+      }
+  }
+}
