@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextEmbed, TextExprs, TextFuncs}
+import graft.operators.{Ann, Knn}
+
+/** Head-to-head timings + recall for the engine's design choices,
+  * written to docs/PERF.md. Usage: runMain graft.Microbench [sfDir].
+  */
+object Microbench {
+
+  private def time[A](warm: Int = 1, reps: Int = 3)(f: => A): Double = {
+    (0 until warm).foreach(_ => f)
+    val t0 = System.nanoTime()
+    (0 until reps).foreach(_ => f)
+    (System.nanoTime() - t0) / 1e9 / reps
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sb = new StringBuilder
+    sb ++= s"# Microbenchmarks ($sfDir, local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}], median-ish of 3 after warmup)\n\n"
+
+    // 1. batch kNN: TopKPairs aggregate vs rank window, growing q
+    sb ++= "## Batch kNN: topk_pairs aggregate vs rank window\n\n"
+    sb ++= "| queries q | aggregate (s) | window (s) |\n|---|---|---|\n"
+    Seq(50, 200, 1000).foreach { q =>
+      val qs = e.where(col("vec_id") < q)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val ta = time() {
+        Knn.knnJoin(e, qs, "vec_id", "embedding", "qid", "qvec",
+          "euclidean", 10).count()
+      }
+      val tw = time() {
+        Knn.knnJoinWindow(e, qs, "vec_id", "embedding", "qid", "qvec",
+          "euclidean", 10).count()
+      }
+      sb ++= f"| $q | $ta%.2f | $tw%.2f |\n"
+    }
+
+    // 2. native kernels vs HOF compositions (same values, spec-tested)
+    sb ++= "\n## Native kernels vs interpreted HOF compositions\n\n"
+    sb ++= "| op | native (s) | HOF (s) |\n|---|---|---|\n"
+    val tEmbedN = time() {
+      docs.select(TextExprs.text_embed(col("text")).as("v"))
+        .agg(sum(element_at(col("v"), 1))).collect()
+    }
+    val tEmbedH = time(warm = 0, reps = 1) {
+      docs.limit(200).select(TextEmbed.embed(col("text")).as("v"))
+        .agg(sum(element_at(col("v"), 1))).collect()
+    }
+    sb ++= f"| text_embed (all docs) vs HOF (200 docs only!) | $tEmbedN%.2f | $tEmbedH%.2f |\n"
+    val tLshN = time() {
+      e.select(Ann.lshSignature(col("embedding")).as("b")).agg(sum("b")).collect()
+    }
+    val tLshH = time() {
+      e.select(Ann.lshSignatureHof(col("embedding")).as("b")).agg(sum("b")).collect()
+    }
+    sb ++= f"| lsh_signature (corpus) | $tLshN%.2f | $tLshH%.2f |\n"
+    val tSimN = time() {
+      docs.select(TextExprs.simhash32(col("text")).as("s")).agg(sum("s")).collect()
+    }
+    val tSimH = time() {
+      docs.select(TextFuncs.simhash32(
+        transform(TextFuncs.tokens(col("text")), t => TextFuncs.charFold(t))).as("s"))
+        .agg(sum("s")).collect()
+    }
+    sb ++= f"| simhash32 (all docs) | $tSimN%.2f | $tSimH%.2f |\n"
+
+    // 3. ANN recall@10 vs exact, 50 queries
+    sb ++= "\n## ANN recall@10 (50 queries vs exact cosine)\n\n"
+    def exactTop(qid: Long): Set[Long] = {
+      val q = e.where(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      Knn.topK(e, q, "vec_id", "embedding", "cosine", 10)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val qids = (0L until 50L)
+    val exact = qids.map(q => q -> exactTop(q)).toMap
+
+    val lshAll = {
+      val bucketed = e.withColumn("bucket", Ann.lshSignature(col("embedding"), 8))
+      val qs = bucketed.where(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("bucket").as("qbucket"))
+      import graft.functions.VectorFunctions
+      val d = VectorFunctions.vec_cosine(col("embedding"), col("qvec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+      bucketed.join(broadcast(qs), col("bucket") === col("qbucket"))
+        .select(col("qid"), col("vec_id"), round(d, 4).as("dist"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    }
+    val lshRecall = qids.map(q =>
+      (exact(q) intersect lshAll.getOrElse(q, Set.empty)).size).sum / (50.0 * 10)
+
+    // multi-probe: per-query searchLsh with hamming-1 probes
+    val lshMpRecall = qids.take(20).map { qid =>
+      val q = e.where(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val got = Ann.searchLsh(e, q, "vec_id", "embedding", "cosine", 10,
+        probeHamming = 1).collect().map(_.getLong(0)).toSet
+      (exact(qid) intersect got).size
+    }.sum / (20.0 * 10)
+
+    val (tagged, cents) = Ann.buildIvf(e, "vec_id", "embedding", k = 16, iters = 5)
+    val taggedC = tagged.cache(); taggedC.count()
+    val ivfRecall = qids.map { qid =>
+      val q = e.where(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val got = Ann.searchIvf(taggedC, cents, q, "vec_id", "embedding",
+        "cosine", 10, nprobe = 4).collect().map(_.getLong(0)).toSet
+      (exact(qid) intersect got).size
+    }.sum / (50.0 * 10)
+
+    sb ++= f"- LSH (8 planes, 1 bucket probed): recall@10 = $lshRecall%.2f\n"
+    sb ++= f"- LSH multi-probe (hamming<=1, 9 of 256 buckets): recall@10 = $lshMpRecall%.2f\n"
+    sb ++= f"- IVF (k=16, nprobe=4): recall@10 = $ivfRecall%.2f\n"
+    sb ++= "\nExact flat search stays the correctness baseline; LSH/IVF trade\n"
+    sb ++= "recall for touching 1/buckets of the corpus — at 100 TB that is\n"
+    sb ++= "the difference between scanning everything and a partition-pruned\n"
+    sb ++= "probe (see AnnScaleSpec for the at-rest pruning proof).\n"
+
+    Files.createDirectories(Paths.get("docs"))
+    Files.writeString(Paths.get("docs/PERF.md"), sb.toString)
+    println("wrote docs/PERF.md")
+    spark.stop()
+  }
+}

@@ -51,12 +51,24 @@ object Ann {
         acc + when(dot > 0, pow(lit(2.0), p.cast("double")).cast("long")).otherwise(0L)
       })
 
-  /** Bucketed ANN: exact metric, but only within the query's LSH bucket. */
+  /** Bucketed ANN: exact metric, but only within the query's LSH
+    * bucket(s). `probeHamming = 1` multi-probes every bucket within
+    * hamming distance 1 of the query's signature (numPlanes + 1
+    * buckets instead of 1) — recall jumps for one extra partition
+    * probe per plane, still never a corpus scan.
+    */
   def searchLsh(
       corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
-      metric: String, k: Int, numPlanes: Int = 8, roundTo: Int = 4): DataFrame = {
+      metric: String, k: Int, numPlanes: Int = 8, roundTo: Int = 4,
+      probeHamming: Int = 0): DataFrame = {
     val bucketed = corpus.withColumn("bucket", lshSignature(col(vecCol), numPlanes))
-    val q = query.withColumn("qbucket", lshSignature(col("qvec"), numPlanes))
+    val sig = lshSignature(col("qvec"), numPlanes)
+    val probes: Column =
+      if (probeHamming == 0) array(sig)
+      else array(sig +: (0 until numPlanes).map(p =>
+        sig.bitwiseXOR(lit(1L << p))): _*)
+    val q = query
+      .withColumn("qbucket", explode(probes))
     val d = VectorFunctions.forMetric(metric)(col(vecCol), col("qvec"))
     bucketed
       .join(broadcast(q), col("bucket") === col("qbucket"))
