@@ -420,6 +420,29 @@ object SparkEntry {
         "vec_id", "embedding", "cosine", 10, nprobe = 2)
     }),
 
+    // -- correlated scalar subquery through the Spark SQL surface --
+    "corr_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, round(o_totalprice, 2) AS price
+          |FROM orders_v o
+          |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.5
+          |  FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey LIMIT 100""".stripMargin)
+    }),
+
+    // -- pivot with fixed value set (null cells -> 0 for parity) --
+    "docs_pivot" -> ((s, dir) => {
+      val p = t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .pivot("source", Seq("src0", "src1", "src2", "src3"))
+        .agg(count(lit(1)))
+      p.select(col("lang") +:
+          Seq("src0", "src1", "src2", "src3").map(c =>
+            coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy(col("lang"))
+    }),
+
     // -- the same windowed agg EXECUTED AS A STREAM (memory sink,
     //    drained synchronously): streaming execution is oracle-gated --
     "streaming_window" -> ((s, dir) =>
@@ -595,7 +618,20 @@ object SparkEntry {
         """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
           | event_type, CAST(count(*) AS BIGINT) AS n,
           | round(sum(value), 2) AS total
-          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+      "corr_subquery" ->
+        """SELECT o_orderkey, round(o_totalprice, 2) AS price
+          |FROM orders o
+          |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.5
+          |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey LIMIT 100""".stripMargin.replaceAll("\n", " "),
+      "docs_pivot" ->
+        """SELECT lang,
+          | CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS src0,
+          | CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS src1,
+          | CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS src2,
+          | CAST(sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS src3
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " ")
     )
   }
 
