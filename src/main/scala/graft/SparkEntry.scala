@@ -271,17 +271,17 @@ object SparkEntry {
     */
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    "text_stats" -> ((s, dir) => {
-      val toks = TextFuncs.tokens(col("text"))
-      t(s, dir, "documents").select(
-          col("doc_id"),
-          size(toks).as("n_tokens"),
-          round(
-            aggregate(transform(toks, w => length(w).cast("long")), lit(0L),
-              (a, x) => a + x).cast("double") / size(toks), 4).as("avg_len"),
-          round(TextFuncs.stopRatio(toks, Seq("the", "a")), 4).as("stop_ratio"))
-        .orderBy(col("doc_id")).limit(200)
-    }),
+    "text_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextExprs.token_stats(col("text"), Seq("the", "a")).as("st"))
+        .select(col("doc_id"),
+          col("st.n_tokens").as("n_tokens"),
+          round(col("st.sum_len").cast("double") / col("st.n_tokens"), 4)
+            .as("avg_len"),
+          round((col("st.marker_counts")(0) + col("st.marker_counts")(1))
+            .cast("double") / col("st.n_tokens"), 4).as("stop_ratio"))
+        .orderBy(col("doc_id")).limit(200)),
 
     "token_count" -> ((s, dir) => {
       val toks = TextFuncs.tokens(col("text"))
@@ -297,24 +297,29 @@ object SparkEntry {
     }),
 
     "lang_id" -> ((s, dir) => {
-      val toks = TextFuncs.tokens(col("text"))
-      val nThe = size(filter(toks, w => w === "the"))
-      val nA = size(filter(toks, w => w === "a"))
-      t(s, dir, "documents").select(
-          col("lang"),
+      val nThe = col("st.marker_counts")(0)
+      val nA = col("st.marker_counts")(1)
+      t(s, dir, "documents")
+        .select(col("lang"),
+          TextExprs.token_stats(col("text"), Seq("the", "a")).as("st"))
+        .select(col("lang"),
           when(nThe > nA, "en").when(nA > nThe, "fr").otherwise("und").as("guess"))
         .groupBy(col("lang"), col("guess")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("guess"))
     }),
 
     "quality_score" -> ((s, dir) => {
-      val toks = TextFuncs.tokens(col("text"))
-      val n = size(toks).cast("double")
+      val n = col("st.n_tokens").cast("double")
+      val stop = (col("st.marker_counts")(0) + col("st.marker_counts")(1))
+        .cast("double") / n
       val q = least(lit(1.0), n / 100) * 0.4 +
-        (lit(1.0) - TextFuncs.stopRatio(toks, Seq("the", "a"))) * 0.3 +
-        (size(array_distinct(toks)) / n) * 0.3
+        (lit(1.0) - stop) * 0.3 +
+        (col("st.n_distinct") / n) * 0.3
       t(s, dir, "documents")
-        .select(col("doc_id"), size(toks).as("n_tokens"), round(q, 4).as("quality"))
+        .select(col("doc_id"),
+          TextExprs.token_stats(col("text"), Seq("the", "a")).as("st"))
+        .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
+          round(q, 4).as("quality"))
         .orderBy(col("quality").desc, col("doc_id")).limit(50)
     }),
 

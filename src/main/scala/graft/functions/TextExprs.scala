@@ -149,6 +149,46 @@ case class MinHashSigExpr(child: Expression, shingleK: Int, numSeeds: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** token_stats(text, markers...): one tokenization pass producing
+  * struct(n_tokens, sum_len, n_distinct, marker_counts) — feeds
+  * text_stats / quality_score / lang_id without three interpreted
+  * HOF walks over the same token array.
+  */
+case class TokenStatsExpr(child: Expression, markers: Seq[String])
+    extends TextKernelExpression {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("sum_len", LongType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("marker_counts", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "token_stats"
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = TextKernels.tokenize(v.asInstanceOf[UTF8String])
+    var sumLen = 0L
+    val seen = new java.util.HashSet[String]()
+    val mc = new Array[Int](markers.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      sumLen += t.length
+      seen.add(t)
+      var m = 0
+      while (m < markers.length) {
+        if (t == markers(m)) mc(m) += 1
+        m += 1
+      }
+      i += 1
+    }
+    InternalRow(toks.length, sumLen, seen.size, new GenericArrayData(mc))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column API + SQL registration for the native text kernels. */
 object TextExprs {
   def char_fold(c: Column): Column = Shims.column(CharFold(Shims.expression(c)))
@@ -157,6 +197,8 @@ object TextExprs {
   def simhash32(c: Column): Column = Shims.column(SimHash32Expr(Shims.expression(c)))
   def minhash_sig(c: Column, shingleK: Int = 3, numSeeds: Int = 8): Column =
     Shims.column(MinHashSigExpr(Shims.expression(c), shingleK, numSeeds))
+  def token_stats(c: Column, markers: Seq[String]): Column =
+    Shims.column(TokenStatsExpr(Shims.expression(c), markers))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = Shims.functionRegistry(spark)

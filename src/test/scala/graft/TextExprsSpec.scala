@@ -56,6 +56,25 @@ class TextExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("token_stats kernel == HOF pieces") {
+    val toks = TextFuncs.tokens(col("text"))
+    val diff = docs.select(
+        TextExprs.token_stats(col("text"), Seq("the", "a")).as("st"),
+        size(toks).as("n"),
+        aggregate(transform(toks, w => length(w).cast("long")), lit(0L),
+          (a, x) => a + x).as("sl"),
+        size(array_distinct(toks)).as("nd"),
+        size(filter(toks, w => w === "the")).as("nthe"),
+        size(filter(toks, w => w === "a")).as("na"))
+      .where(col("st.n_tokens") =!= col("n") ||
+        col("st.sum_len") =!= col("sl") ||
+        col("st.n_distinct") =!= col("nd") ||
+        col("st.marker_counts")(0) =!= col("nthe") ||
+        col("st.marker_counts")(1) =!= col("na"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("kernels registered for SQL") {
     TextExprs.register(spark)
     val r = spark.sql(
