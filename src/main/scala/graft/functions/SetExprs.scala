@@ -16,11 +16,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class TokenHashSet(child: Expression) extends TextKernelExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "token_hash_set"
-  override def nullSafeEval(v: Any): Any = {
-    val hs = TextKernels.tokenHashes(v.asInstanceOf[UTF8String]).distinct
-    java.util.Arrays.sort(hs)
-    new GenericArrayData(hs)
-  }
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextKernels.tokenHashSet(v.asInstanceOf[UTF8String]))
+  override protected def kernelCall(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      c: String): String =
+    s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"graft.functions.TextKernels.tokenHashSet($c))"
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

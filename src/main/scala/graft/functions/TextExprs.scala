@@ -72,6 +72,36 @@ object TextKernels {
     out
   }
 
+  /** Sorted distinct token hashes (TokenHashSet's kernel). */
+  def tokenHashSet(s: UTF8String): Array[Long] = {
+    val hs = tokenHashes(s).distinct
+    java.util.Arrays.sort(hs)
+    hs
+  }
+
+  /** token_stats in one pass; returns the InternalRow for the struct
+    * (Java-callable from generated code).
+    */
+  def tokenStatsRow(s: UTF8String, markers: Array[String]): InternalRow = {
+    val toks = tokenize(s)
+    var sumLen = 0L
+    val seen = new java.util.HashSet[String]()
+    val mc = new Array[Int](markers.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      sumLen += t.length
+      seen.add(t)
+      var m = 0
+      while (m < markers.length) {
+        if (t == markers(m)) mc(m) += 1
+        m += 1
+      }
+      i += 1
+    }
+    InternalRow(toks.length, sumLen, seen.size, new GenericArrayData(mc))
+  }
+
   /** L2-normalized hash-projection embedding (TextEmbed formula). */
   def embed(s: UTF8String, dim: Int): Array[Double] = {
     val hashes = tokenHashes(s)
@@ -93,16 +123,23 @@ object TextKernels {
   }
 }
 
-/** Base for the string -> scalar/array kernel expressions. One
-  * interpreted call per ROW (the loop inside is plain JVM code), so
-  * CodegenFallback costs a virtual call, not an interpreter walk.
+/** Base for the string -> scalar/array kernel expressions. Each
+  * generates a single static call into TextKernels (see `kernelCall`),
+  * so the expressions stay inside whole-stage codegen while the work
+  * happens in one tight JVM loop per row.
   */
-abstract class TextKernelExpression extends UnaryExpression with CodegenFallback {
+abstract class TextKernelExpression extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects string, got ${t.catalogString}")
   }
+
+  /** Java source for the value given the input UTF8String variable. */
+  protected def kernelCall(ctx: CodegenContext, input: String): String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => kernelCall(ctx, c))
 }
 
 /** Native CharFold — codegen'd inline (it's the innermost hot loop). */
@@ -126,6 +163,9 @@ case class TextEmbedExpr(child: Expression, dim: Int) extends TextKernelExpressi
   override def prettyName: String = "text_embed"
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(TextKernels.embed(v.asInstanceOf[UTF8String], dim))
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"graft.functions.TextKernels.embed($c, $dim))"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -134,18 +174,35 @@ case class SimHash32Expr(child: Expression) extends TextKernelExpression {
   override def prettyName: String = "simhash32"
   override def nullSafeEval(v: Any): Any =
     TextKernels.simhash32(TextKernels.tokenHashes(v.asInstanceOf[UTF8String]))
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.functions.TextKernels.simhash32(" +
+      s"graft.functions.TextKernels.tokenHashes($c))"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class MinHashSigExpr(child: Expression, shingleK: Int, numSeeds: Int)
     extends TextKernelExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // empty shingle set -> null
   override def prettyName: String = "minhash_sig"
   override def nullSafeEval(v: Any): Any = {
     val bases = TextKernels.shingleHashes(v.asInstanceOf[UTF8String], shingleK)
     if (bases.isEmpty) null
     else new GenericArrayData(TextKernels.minhashSig(bases, numSeeds))
   }
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    throw new UnsupportedOperationException("uses custom doGenCode")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bases = ctx.freshName("bases")
+      s"""long[] $bases = graft.functions.TextKernels.shingleHashes($c, $shingleK);
+         |if ($bases.length == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    graft.functions.TextKernels.minhashSig($bases, $numSeeds));
+         |}""".stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -166,24 +223,14 @@ case class TokenStatsExpr(child: Expression, markers: Seq[String])
       nullable = false)))
   override def prettyName: String = "token_stats"
 
-  override def nullSafeEval(v: Any): Any = {
-    val toks = TextKernels.tokenize(v.asInstanceOf[UTF8String])
-    var sumLen = 0L
-    val seen = new java.util.HashSet[String]()
-    val mc = new Array[Int](markers.length)
-    var i = 0
-    while (i < toks.length) {
-      val t = toks(i)
-      sumLen += t.length
-      seen.add(t)
-      var m = 0
-      while (m < markers.length) {
-        if (t == markers(m)) mc(m) += 1
-        m += 1
-      }
-      i += 1
-    }
-    InternalRow(toks.length, sumLen, seen.size, new GenericArrayData(mc))
+  private lazy val markersArr: Array[String] = markers.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.tokenStatsRow(v.asInstanceOf[UTF8String], markersArr)
+
+  override protected def kernelCall(ctx: CodegenContext, c: String): String = {
+    val ref = ctx.addReferenceObj("markers", markersArr, "java.lang.String[]")
+    s"graft.functions.TextKernels.tokenStatsRow($c, $ref)"
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
