@@ -425,6 +425,21 @@ object SparkEntry {
         "vec_id", "embedding", "cosine", 10, nprobe = 2)
     }),
 
+    // -- typed flatMapGroupsWithState sessionization (batch drain):
+    //    emits only CLOSED sessions (the open one stays in state), so
+    //    the oracle is sessionize_sql minus each user's last session --
+    "sessionize_state" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tsUs"), col("value"))
+        .as[graft.streaming.EventStream.Event]
+      graft.streaming.EventStream.sessionize(ev, gapUs = 3600L * 1000000L)
+        .toDF()
+        .select(col("user_id"), col("nEvents").as("n"),
+          round(col("totalValue"), 2).as("total"), col("startUs").as("start_us"))
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
     // -- correlated scalar subquery through the Spark SQL surface --
     "corr_subquery" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders_v")
@@ -630,6 +645,18 @@ object SparkEntry {
           |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.5
           |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
           |ORDER BY o_orderkey LIMIT 100""".stripMargin.replaceAll("\n", " "),
+      "sessionize_state" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+          |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+          |s AS (SELECT *, sum(CASE WHEN prev IS NOT NULL AND ts_us - prev <= 3600000000 THEN 0 ELSE 1 END)
+          |  OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM l),
+          |agg AS (SELECT user_id, sess_id, CAST(count(*) AS BIGINT) AS n,
+          |  round(sum(value), 2) AS total, min(ts_us) AS start_us
+          |  FROM s GROUP BY user_id, sess_id),
+          |mx AS (SELECT user_id, max(sess_id) AS m FROM agg GROUP BY user_id)
+          |SELECT a.user_id, a.n, a.total, a.start_us
+          |FROM agg a JOIN mx ON a.user_id = mx.user_id AND a.sess_id < mx.m
+          |ORDER BY a.user_id, a.start_us""".stripMargin.replaceAll("\n", " "),
       "docs_pivot" ->
         """SELECT lang,
           | CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS src0,

@@ -72,34 +72,35 @@ object EventStream {
       .groupBy(window(col("event_ts"), windowDur), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
 
-  case class Event(user_id: Long, tsSec: Double, value: Double)
+  case class Event(user_id: Long, tsUs: Long, value: Double)
   case class Session(user_id: Long, nEvents: Long, totalValue: Double,
-      startSec: Double, endSec: Double)
+      startUs: Long, endUs: Long)
 
-  /** Gap-based sessionization with explicit state. Emits a session
-    * when `gapSec` elapses between a user's consecutive events (or at
-    * state timeout in a live stream). GroupState is per-key and
-    * partitioned by user_id — scales horizontally with executors.
+  /** Gap-based sessionization with explicit state (exact integer
+    * microseconds). Emits a session when `gapUs` elapses between a
+    * user's consecutive events; the still-open session stays in
+    * GroupState (per-key, partitioned by user_id — scales
+    * horizontally with executors).
     */
-  def sessionize(events: Dataset[Event], gapSec: Double): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapUs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Session, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Event], state: GroupState[Session]) =>
-          val sorted = it.toSeq.sortBy(_.tsSec)
+          val sorted = it.toSeq.sortBy(_.tsUs)
           val out = scala.collection.mutable.ArrayBuffer[Session]()
           var cur = state.getOption.orNull
           for (e <- sorted) {
             if (cur == null) {
-              cur = Session(uid, 1L, e.value, e.tsSec, e.tsSec)
-            } else if (e.tsSec - cur.endSec > gapSec) {
+              cur = Session(uid, 1L, e.value, e.tsUs, e.tsUs)
+            } else if (e.tsUs - cur.endUs > gapUs) {
               out += cur
-              cur = Session(uid, 1L, e.value, e.tsSec, e.tsSec)
+              cur = Session(uid, 1L, e.value, e.tsUs, e.tsUs)
             } else {
               cur = cur.copy(nEvents = cur.nEvents + 1,
-                totalValue = cur.totalValue + e.value, endSec = e.tsSec)
+                totalValue = cur.totalValue + e.value, endUs = e.tsUs)
             }
           }
           if (cur != null) state.update(cur)

@@ -184,11 +184,11 @@ class StreamingSpec extends AnyFunSuite {
   test("sessionize groups events by gap") {
     import spark.implicits._
     val ev = Seq(
-      EventStream.Event(1L, 0.0, 1.0), EventStream.Event(1L, 10.0, 2.0),
-      EventStream.Event(1L, 500.0, 3.0), // gap > 300 -> new session
-      EventStream.Event(2L, 5.0, 4.0)
+      EventStream.Event(1L, 0L, 1.0), EventStream.Event(1L, 10L, 2.0),
+      EventStream.Event(1L, 500L, 3.0), // gap > 300 -> new session
+      EventStream.Event(2L, 5L, 4.0)
     ).toDS()
-    val sessions = EventStream.sessionize(ev, gapSec = 300.0).collect()
+    val sessions = EventStream.sessionize(ev, gapUs = 300L).collect()
     // streaming semantics: the still-open session per user stays in
     // state, so only the *closed* session for user 1 is emitted
     assert(sessions.length == 1)
