@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SqlSnips, TextEmbed, TextExprs, TextFuncs, VectorFunctions}
-import graft.operators.{Ann, Dedup, Knn, Skew}
+import graft.operators.{Ann, Dedup, Knn, Pq, Skew}
 import graft.sources.VectorStore
 
 /** Driver contract — see SURVEY.md §2 (inventory) and §7 (plan).
@@ -467,6 +467,16 @@ object SparkEntry {
     //    drained synchronously): streaming execution is oracle-gated --
     "streaming_window" -> ((s, dir) =>
       graft.streaming.EventStream.windowedCountsBatchDrain(s, dir)),
+
+    // -- product quantization ANN (8 bytes/vector ADC search);
+    //    k-means codebooks -> rows-only check like ann_ivf --
+    "ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = Pq.train(e, "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 2)
+      val codes = Pq.encode(model, e, "vec_id", "embedding")
+      val qvec = e.where(col("vec_id") === 0).head().getSeq[Float](1).toArray
+      Pq.searchAdc(model, codes, qvec, "vec_id", topK = 10)
+    }),
 
     // -- salted two-phase aggregation (skewed-key pattern; results
     //    identical to the direct groupBy the oracle runs) --

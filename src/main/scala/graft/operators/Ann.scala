@@ -145,6 +145,15 @@ object Ann {
       .select(col("_id").as(idCol), col("_v").as(vecCol), col("cluster"))
   }
 
+  /** Incremental maintenance: new vectors join an existing IVF index
+    * by centroid assignment only (no retrain) — the insert path of a
+    * live index (reference storage.go Insert + hnsw.go Add).
+    */
+  def appendToIvf(
+      tagged: DataFrame, centroids: DataFrame,
+      newRows: DataFrame, idCol: String, vecCol: String): DataFrame =
+    tagged.unionByName(tagCorpus(newRows, idCol, vecCol, centroids))
+
   /** Search an IVF index: probe the `nprobe` nearest clusters only. */
   def searchIvf(
       tagged: DataFrame, centroids: DataFrame, query: DataFrame,

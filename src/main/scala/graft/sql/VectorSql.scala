@@ -308,6 +308,15 @@ object VectorSql {
 
   private def metricName(m: Option[String]): String = m.getOrElse("euclidean")
 
+  /** The reference CLI's -verbose mode: the physical plan a statement
+    * would run (planner.go's plan printout, but the real Catalyst one).
+    */
+  def explain(cat: Catalog, sql: String): String = parse(sql) match {
+    case s: Select => runSelect(cat, s).queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    case other => s"DML/DDL statement: ${other.getClass.getSimpleName}"
+  }
+
   /** Executes a statement. SELECT returns rows; DML mutates the
     * catalog and returns the post-image row count as a 1-row frame.
     */

@@ -25,6 +25,17 @@ class AnnScaleSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [lsh_signature"), plan)
   }
 
+  test("appendToIvf: new vectors land in their nearest cluster, no retrain") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val (tagged, centroids) = Ann.buildIvf(e, "vec_id", "embedding", k = 4, iters = 2)
+    val newRows = graft.sources.VectorStore.randomVectors(spark, 10, 64, seed = 9L)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val appended = Ann.appendToIvf(tagged, centroids, newRows, "vec_id", "embedding")
+    assert(appended.count() == e.count() + 10)
+    assert(appended.where(col("vec_id") >= 10000L)
+      .select("cluster").distinct().count() >= 1)
+  }
+
   test("IVF written partitionBy(cluster): probe scans only nprobe partitions") {
     val e = Tables.load(spark, sf, "embeddings")
     val (tagged, centroids) = Ann.buildIvf(e, "vec_id", "embedding", k = 4, iters = 2)

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pq
+
+class PqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private lazy val e = Tables.load(spark, sf, "embeddings")
+  private lazy val model = Pq.train(e, "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 2)
+  private lazy val codes = Pq.encode(model, e, "vec_id", "embedding").cache()
+
+  test("train: m*k codebook entries of subDim each") {
+    assert(model.codebooks.count() == 8 * 16)
+    assert(model.codebooks.select(size(col("centroid"))).distinct().head().getInt(0) == 8)
+  }
+
+  test("encode: one code row per vector, m codes in [0, k)") {
+    assert(codes.count() == e.count())
+    val bad = codes.where(size(col("codes")) =!= 8 ||
+      exists(col("codes"), c => c < 0 || c >= 16)).count()
+    assert(bad == 0)
+  }
+
+  test("encode is deterministic") {
+    val again = Pq.encode(model, e, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val first = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(first == again)
+  }
+
+  test("ADC search: self-query ranks the encoded vector at/near the top, recall reasonable") {
+    val qvec = e.where(col("vec_id") === 0)
+      .head().getSeq[Float](1).toArray
+    val approx = Pq.searchAdc(model, codes, qvec, "vec_id", topK = 20)
+      .collect().map(_.getLong(0))
+    assert(approx.take(5).contains(0L), s"query vector not in top-5: ${approx.toSeq}")
+    // recall@10 of PQ-ADC (8 bytes/vector) vs exact l2 top-10
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val exact = graft.operators.Knn.topK(e, q, "vec_id", "embedding", "euclidean", 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx.take(10).toSet).size / 10.0
+    assert(recall >= 0.2, s"recall $recall")
+  }
+}

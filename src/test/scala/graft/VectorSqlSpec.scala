@@ -104,6 +104,12 @@ class VectorSqlSpec extends AnyFunSuite {
     assert(df.head().getAs[String]("id") == "test1")
   }
 
+  test("explain (reference -verbose) prints the physical plan") {
+    val plan = VectorSql.explain(freshCat(),
+      "SELECT id, distance FROM vectors NEAREST TO [1.0, 0.0, 0.0] LIMIT 2")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("parse errors are explicit") {
     intercept[IllegalArgumentException] {
       VectorSql.parse("SELECT id FROM")
