@@ -126,9 +126,25 @@ object Microbench {
       (exact(qid) intersect got).size
     }.sum / (50.0 * 10)
 
+    val pqModel = graft.operators.Pq.train(e, "vec_id", "embedding",
+      dim = 64, m = 8, k = 16, iters = 3)
+    val pqCodes = graft.operators.Pq.encode(pqModel, e, "vec_id", "embedding").cache()
+    pqCodes.count()
+    val pqRecall = qids.take(20).map { qid =>
+      val qv = e.where(col("vec_id") === qid).head().getSeq[Float](1).toArray
+      val got = graft.operators.Pq.searchAdc(pqModel, pqCodes, qv, "vec_id", 10)
+        .collect().map(_.getLong(0)).toSet
+      // exact-l2 baseline for PQ (it approximates l2, not cosine)
+      val q = e.where(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val ex = Knn.topK(e, q, "vec_id", "embedding", "euclidean", 10)
+        .collect().map(_.getLong(0)).toSet
+      (ex intersect got).size
+    }.sum / (20.0 * 10)
+
     sb ++= f"- LSH (8 planes, 1 bucket probed): recall@10 = $lshRecall%.2f\n"
     sb ++= f"- LSH multi-probe (hamming<=1, 9 of 256 buckets): recall@10 = $lshMpRecall%.2f\n"
     sb ++= f"- IVF (k=16, nprobe=4): recall@10 = $ivfRecall%.2f\n"
+    sb ++= f"- PQ-ADC (m=8, k=16 -> 8 bytes/vector, 32x compression): recall@10 vs exact l2 = $pqRecall%.2f\n"
     sb ++= "\nExact flat search stays the correctness baseline; LSH/IVF trade\n"
     sb ++= "recall for touching 1/buckets of the corpus — at 100 TB that is\n"
     sb ++= "the difference between scanning everything and a partition-pruned\n"
