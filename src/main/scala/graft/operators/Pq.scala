@@ -119,4 +119,25 @@ object Pq {
       .orderBy(col("score"), col(idCol))
       .limit(topK)
   }
+
+  /** ADC shortlist + exact re-rank: scan the 8-byte codes for
+    * `candidates` approximate nearest, then compute true distances
+    * for only those rows. The production pattern: the full-precision
+    * corpus is touched for C rows, not |corpus| — at 100 TB the codes
+    * (32x smaller) are the only full scan.
+    */
+  def searchWithRerank(
+      model: Model, codes: DataFrame, corpus: DataFrame,
+      queryVec: Array[Float], idCol: String, vecCol: String,
+      metric: String, topK: Int, candidates: Int = 100): DataFrame = {
+    val shortlist = searchAdc(model, codes, queryVec, idCol, candidates)
+      .select(col(idCol))
+    val d = VectorFunctions.forMetric(metric)(
+      col(vecCol), typedLit(queryVec.toSeq))
+    corpus
+      .join(broadcast(shortlist), Seq(idCol)) // semi-scan of C ids only
+      .select(col(idCol), round(d, 4).as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(topK)
+  }
 }

@@ -45,4 +45,16 @@ class PqSpec extends AnyFunSuite {
     val recall = (exact intersect approx.take(10).toSet).size / 10.0
     assert(recall >= 0.2, s"recall $recall")
   }
+
+  test("ADC + exact re-rank recovers near-perfect recall") {
+    val qvec = e.where(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    val reranked = Pq.searchWithRerank(model, codes, e, qvec,
+      "vec_id", "embedding", "euclidean", topK = 10, candidates = 100)
+      .collect().map(_.getLong(0)).toSet
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val exact = graft.operators.Knn.topK(e, q, "vec_id", "embedding", "euclidean", 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect reranked).size / 10.0
+    assert(recall >= 0.7, s"rerank recall $recall")
+  }
 }
