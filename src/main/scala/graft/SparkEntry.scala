@@ -404,6 +404,11 @@ object SparkEntry {
       Ann.searchLsh(t(s, dir, "embeddings"), queryVec(s, dir, 0),
         "vec_id", "embedding", "cosine", 10)),
 
+    // -- multi-probe LSH: query bucket + all hamming-1 buckets --
+    "ann_lsh_multiprobe" -> ((s, dir) =>
+      Ann.searchLsh(t(s, dir, "embeddings"), queryVec(s, dir, 0),
+        "vec_id", "embedding", "cosine", 10, probeHamming = 1)),
+
     // -- approximate NN: IVF coarse quantizer, nprobe=2 (kmeans is
     //    iterative -> no SQL oracle; driver records rows-only check) --
     "ann_ivf" -> ((s, dir) => {
@@ -619,6 +624,20 @@ object SparkEntry {
            |q AS (SELECT embedding AS qvec, bucket AS qbucket FROM sigs WHERE vec_id = 0)
            |SELECT e.vec_id AS vec_id, ${sqlDist("cosine")} AS dist
            |FROM sigs e, q WHERE e.bucket = q.qbucket
+           |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+      "ann_lsh_multiprobe" ->
+        s"""WITH sigs AS (SELECT vec_id, embedding,
+           |  CAST(list_sum(list_transform(range(0, 8), p -> CASE WHEN
+           |    list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) *
+           |      ((((p * 64 + i) * 2654435761) % 4294967296) / 4294967296.0 - 0.5))) > 0
+           |    THEN CAST(2 ** p AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+           |  FROM embeddings),
+           |q AS (SELECT embedding AS qvec, bucket AS qb FROM sigs WHERE vec_id = 0),
+           |probes AS (SELECT xor(q.qb, CAST(2 ** _p.p AS BIGINT)) AS pb
+           |    FROM q, (SELECT unnest(range(0, 8)) AS p) _p
+           |  UNION ALL SELECT qb FROM q)
+           |SELECT e.vec_id AS vec_id, ${sqlDist("cosine")} AS dist
+           |FROM sigs e, q WHERE e.bucket IN (SELECT pb FROM probes)
            |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
       "ann_ivf_static" -> {
         val l2c = "sqrt(list_sum(list_transform(%s, (x, i) -> " +

@@ -63,6 +63,31 @@ object DistanceProps extends Properties("graft") {
     h == TextKernels.charFold(s) && h >= 0 && h < TextKernels.P
   }
 
+  property("tokenHashSet sorted, distinct, subset-stable") =
+    forAll(Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd", "e"))) { words =>
+      val s = org.apache.spark.unsafe.types.UTF8String.fromString(words.mkString(" "))
+      val hs = TextKernels.tokenHashSet(s)
+      hs.sorted.sameElements(hs) && hs.distinct.length == hs.length &&
+        hs.toSet == words.filter(_.nonEmpty).map(TextKernels.charFold).toSet
+    }
+
+  property("embed is unit-norm for nonempty text") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "d"))) { words =>
+      val s = org.apache.spark.unsafe.types.UTF8String.fromString(words.mkString(" "))
+      val v = TextKernels.embed(s, 16)
+      math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9
+    }
+
+  property("minhash component never increases when shingles are added") =
+    forAll(for {
+      base <- Gen.nonEmptyListOf(Gen.chooseNum(0L, TextKernels.P - 1))
+      extra <- Gen.nonEmptyListOf(Gen.chooseNum(0L, TextKernels.P - 1))
+    } yield (base.toArray, extra.toArray)) { case (base, extra) =>
+      val s1 = TextKernels.minhashSig(base, 4)
+      val s2 = TextKernels.minhashSig(base ++ extra, 4)
+      s1.zip(s2).forall { case (a, b) => b <= a }
+    }
+
   // the invariant partial aggregation rests on: any partitioning of
   // the input, merged in any order, equals global-sort-take-k
   property("TopKBuffer merge == global top-k for any partitioning") =
