@@ -71,6 +71,14 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(row.getDouble(3) > 0.0 && row.getDouble(3) < 1.0)
   }
 
+  test("null input propagates null, not an error") {
+    val row = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+      .select(VectorFunctions.vec_l2($"a", $"b").as("d"))
+      .head()
+    assert(row.isNullAt(0))
+  }
+
   test("SQL registration: vec_l2 usable from spark.sql") {
     VectorFunctions.register(spark)
     Seq((Array(0f, 0f), Array(3f, 4f))).toDF("a", "b")

@@ -119,6 +119,15 @@ class VectorSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("dimension-mismatched NEAREST TO literal fails with a clear error") {
+    val e = intercept[Exception] {
+      VectorSql.execute(freshCat(),
+        "SELECT id, distance FROM vectors NEAREST TO [1.0, 0.0] LIMIT 1").collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("dimension") || e.getCause != null))
+  }
+
   test("NEAREST TO plan is TakeOrderedAndProject (no global sort)") {
     val df = VectorSql.execute(freshCat(),
       "SELECT id, distance FROM vectors NEAREST TO [1.0, 0.0, 0.0] LIMIT 2")
