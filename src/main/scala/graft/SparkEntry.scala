@@ -353,8 +353,12 @@ object SparkEntry {
           "lang", idWindow = 25, minJaccard = 0.5)
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(100)),
 
+    // -- LSH-bucketed near-dup pairs: candidates share a 4-plane LSH
+    //    bucket (equi hash join, never an all-pairs product); oracle
+    //    mirrors the bucketing so semantics stay SQL-checkable --
     "dedup_embedding" -> ((s, dir) =>
-      Dedup.closestEmbeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 20)),
+      Dedup.lshClosestPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 20,
+        numPlanes = 4)),
 
     "crud_insert" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
@@ -412,8 +416,11 @@ object SparkEntry {
     // -- approximate NN: IVF coarse quantizer, nprobe=2 (kmeans is
     //    iterative -> no SQL oracle; driver records rows-only check) --
     "ann_ivf" -> ((s, dir) => {
+      // centroids train on the deterministic id%2 sample (the 100 TB
+      // pattern: Lloyd's on a sample, tag the full corpus map-side)
       val (tagged, centroids) = Ann.buildIvf(
-        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 3)
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 3,
+        trainSampleMod = 2)
       Ann.searchIvf(tagged, centroids, queryVec(s, dir, 0),
         "vec_id", "embedding", "cosine", 10, nprobe = 2)
     }),
@@ -474,13 +481,40 @@ object SparkEntry {
       graft.streaming.EventStream.windowedCountsBatchDrain(s, dir)),
 
     // -- product quantization ANN (8 bytes/vector ADC search);
-    //    k-means codebooks -> rows-only check like ann_ivf --
+    //    k-means codebooks -> rows-only check like ann_ivf. Codebooks
+    //    train on the id%2 sample; the query vector stays a broadcast
+    //    one-row DataFrame (no driver-side head() on the query path) --
     "ann_pq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val model = Pq.train(e, "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 2)
+      val model = Pq.train(e, "vec_id", "embedding", dim = 64, m = 8, k = 16,
+        iters = 2, trainSampleMod = 2)
       val codes = Pq.encode(model, e, "vec_id", "embedding")
-      val qvec = e.where(col("vec_id") === 0).head().getSeq[Float](1).toArray
-      Pq.searchAdc(model, codes, qvec, "vec_id", topK = 10)
+      Pq.searchAdcJoin(model, codes, queryVec(s, dir, 0), "vec_id", topK = 10)
+    }),
+
+    // -- PQ with FIXED codebooks (subvectors of the first 16 corpus
+    //    vectors): encode + ADC fully deterministic and DuckDB-oracled,
+    //    same trick as ann_ivf_static; only Lloyd's stays rows-only --
+    "ann_pq_static" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = Pq.staticCodebooks(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+      val codes = Pq.encode(model, e, "vec_id", "embedding")
+      Pq.searchAdcJoin(model, codes, queryVec(s, dir, 0), "vec_id", topK = 10)
+    }),
+
+    // -- VectorSql range comparisons (< > <= >=): the reference PARSER
+    //    accepts them (parser.go:716-748); the whole statement runs
+    //    through the dialect front-end, incl. the deterministic
+    //    ORDER-BY-id-on-LIMIT default --
+    "vector_sql_range" -> ((s, dir) => {
+      val cat = new graft.sql.VectorSql.Catalog(s)
+      cat.put("vectors", t(s, dir, "embeddings").select(
+        col("vec_id").cast("string").as("id"),
+        col("embedding").as("vector"),
+        map(lit("label"), col("label").cast("string")).as("metadata")))
+      graft.sql.VectorSql.execute(cat,
+        "SELECT id, metadata.label AS label FROM vectors " +
+          "WHERE metadata.label >= 3 AND metadata.label < 6 LIMIT 50")
     }),
 
     // -- salted two-phase aggregation (skewed-key pattern; results
@@ -568,7 +602,13 @@ object SparkEntry {
            |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
            |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin.replaceAll("\n", " "),
       "dedup_embedding" ->
-        """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        """WITH sigs AS (SELECT vec_id, embedding,
+          |  list_sum(list_transform(range(0, 4), p -> CASE WHEN
+          |    list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) *
+          |      ((((p * 64 + i) * 2654435761) % 4294967296) / 4294967296.0 - 0.5))) > 0
+          |    THEN CAST(2 ** p AS BIGINT) ELSE 0 END)) AS bucket
+          |  FROM embeddings)
+          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           | round(CASE WHEN
           |  list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0 OR
           |  list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
@@ -576,7 +616,7 @@ object SparkEntry {
           |  list_sum(list_transform(a.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
           |  (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
           |   sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))) END, 4) AS dist
-          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
           |ORDER BY dist, id_a, id_b LIMIT 20""".stripMargin.replaceAll("\n", " "),
       "crud_insert" ->
         """SELECT vec_id, label FROM
@@ -659,6 +699,33 @@ object SparkEntry {
            |FROM asgn e, q, qc WHERE e.cluster = qc.cluster
            |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
       },
+      // PQ with fixed codebooks: subspace g's codebook = subvectors of
+      // vectors 0..15; encode = argmin-l2 per (vec, subspace); score =
+      // sqrt of the summed per-subspace squared distances to the query
+      "ann_pq_static" ->
+        """WITH g8 AS (SELECT unnest(range(0, 8)) AS grp),
+          |cb AS (SELECT g8.grp, CAST(e.vec_id AS INTEGER) AS code,
+          |  list_transform(e.embedding[(g8.grp*8+1):(g8.grp*8+8)], x -> CAST(x AS DOUBLE)) AS centroid
+          | FROM embeddings e, g8 WHERE e.vec_id < 16),
+          |sv AS (SELECT e.vec_id, g8.grp,
+          |  list_transform(e.embedding[(g8.grp*8+1):(g8.grp*8+8)], x -> CAST(x AS DOUBLE)) AS sv
+          | FROM embeddings e, g8),
+          |asgn AS (SELECT vec_id, grp, code FROM (
+          |  SELECT sv.vec_id, sv.grp, cb.code,
+          |    row_number() OVER (PARTITION BY sv.vec_id, sv.grp ORDER BY
+          |      sqrt(list_sum(list_transform(sv.sv, (x, i) -> (x - cb.centroid[i]) * (x - cb.centroid[i])))), cb.code) AS rn
+          |  FROM sv JOIN cb ON sv.grp = cb.grp) _r WHERE rn = 1),
+          |q AS (SELECT grp, sv AS qsv FROM sv WHERE vec_id = 0)
+          |SELECT a.vec_id AS vec_id,
+          | round(sqrt(sum(list_sum(list_transform(q.qsv, (x, i) -> (x - cb.centroid[i]) * (x - cb.centroid[i]))))), 4) AS score
+          |FROM asgn a JOIN cb ON a.grp = cb.grp AND a.code = cb.code JOIN q ON q.grp = a.grp
+          |GROUP BY a.vec_id ORDER BY score, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+      // string id ordering on purpose ("10" < "2"): the collection key
+      // is a string, and both engines sort varchar byte-lexicographic
+      "vector_sql_range" ->
+        """SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label
+          |FROM embeddings WHERE label >= 3 AND label < 6
+          |ORDER BY id LIMIT 50""".stripMargin.replaceAll("\n", " "),
       "events_by_type_salted" ->
         """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
           | round(sum(value), 2) AS total

@@ -20,8 +20,15 @@ object TextFuncs {
 
   val P: Long = 1000000007L
 
-  /** Whitespace tokenization (same regex as DuckDB regexp_split_to_array). */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  /** Whitespace tokenization. Canonical semantics shared by ALL THREE
+    * sides (this HOF spec, the native TextKernels.tokenize, and the
+    * DuckDB SqlSnips.tokens): trim, split on \s+, drop empty tokens —
+    * so padded/empty text yields the same token list everywhere
+    * (a bare split keeps a leading "" for padded input, which would
+    * silently shift n_tokens/minhash/simhash off the oracle).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
   /** Portable polynomial rolling hash over the characters of a string:
     * fold(acc*31 + ascii(c)) mod P. Identical to SqlSnips.charFold.
@@ -82,8 +89,11 @@ object TextFuncs {
 object SqlSnips {
   val P = "1000000007"
 
-  /** tokens(text) */
-  def tokens(text: String): String = s"regexp_split_to_array($text, '\\s+')"
+  /** tokens(text) — trim + split + drop empties, same as TextFuncs.tokens
+    * and TextKernels.tokenize (see the tokenization note there).
+    */
+  def tokens(text: String): String =
+    s"list_filter(regexp_split_to_array(trim($text), '\\s+'), t -> t <> '')"
 
   /** charFold(text) */
   def charFold(text: String): String =

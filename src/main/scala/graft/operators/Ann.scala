@@ -83,12 +83,22 @@ object Ann {
     * first k vectors in id order; each iteration is one broadcast
     * cross-join (assign) + one partial-aggregated shuffle (recenter).
     * Returns (cluster: int, centroid: array<double>).
+    *
+    * `trainSampleMod > 1` trains on the deterministic id-mod sample
+    * (`id % trainSampleMod == 0`): centroids need ~100k vectors, so
+    * iterating Lloyd's over a full 100 TB corpus is pure waste — train
+    * on the sample, then tag/encode the FULL corpus (one map-side
+    * pass). The id-mod sample (not `.sample()`) keeps the result
+    * reproducible across runs for the driver's rows-only check.
     */
   def kmeans(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 5): DataFrame = {
-    val vecs = corpus.select(col(idCol).as("_id"),
+      k: Int, iters: Int = 5, trainSampleMod: Long = 1): DataFrame = {
+    val all = corpus.select(col(idCol).as("_id"),
       transform(col(vecCol), _.cast("double")).as("_v"))
+    val vecs =
+      if (trainSampleMod > 1) all.where(col("_id") % trainSampleMod === 0)
+      else all
     var centroids = vecs.orderBy(col("_id")).limit(k)
       .select(
         (row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("_id"))) - 1)
@@ -109,16 +119,20 @@ object Ann {
     centroids
   }
 
-  /** Argmin-centroid assignment via broadcast cross-join + rank. */
-  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_id")).orderBy(col("_d"), col("cluster"))
+  /** Argmin-centroid assignment via broadcast cross-join + `min_by`
+    * aggregation. The aggregate gets map-side partial aggregation, so
+    * the exchange carries n rows — NOT the n×k candidate rows a
+    * row_number() window would shuffle (the round-1 scale-killer).
+    * Ties break like the old window did: (distance, cluster) ascending.
+    */
+  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(centroids))
       .withColumn("_d", VectorFunctions.vec_l2(col("_v"), col("centroid")))
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .drop("_d", "_rn", "centroid")
-  }
+      .groupBy(col("_id"))
+      .agg(min_by(
+        struct(col("cluster"), col("_v")),
+        struct(col("_d"), col("cluster"))).as("_m"))
+      .select(col("_id"), col("_m.cluster").as("cluster"), col("_m._v").as("_v"))
 
   /** IVF index: corpus rows tagged with their cluster id. At scale,
     * write this `partitionBy("cluster")` (parquet) so search scans
@@ -126,8 +140,8 @@ object Ann {
     */
   def buildIvf(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 5): (DataFrame, DataFrame) = {
-    val centroids = kmeans(corpus, idCol, vecCol, k, iters)
+      k: Int, iters: Int = 5, trainSampleMod: Long = 1): (DataFrame, DataFrame) = {
+    val centroids = kmeans(corpus, idCol, vecCol, k, iters, trainSampleMod)
     (tagCorpus(corpus, idCol, vecCol, centroids), centroids)
   }
 

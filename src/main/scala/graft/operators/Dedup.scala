@@ -33,11 +33,15 @@ object Dedup {
     val numBands = numSeeds / rowsPerBand
     // native kernel (TextExprs) — formula-identical to the TextFuncs
     // HOF composition, one tight-loop call per row
+    // the guard and the kernel share one tokenization (trim + split +
+    // drop empties); the null filter is belt-and-braces so a null sig
+    // can never reach concat_ws (which skips nulls -> bogus shared keys)
     val sigs = df
       .where(size(TextFuncs.tokens(col(textCol))) >= shingleK)
       .select(
         col(idCol).as("doc"),
         TextExprs.minhash_sig(col(textCol), shingleK, numSeeds).as("sig"))
+      .where(col("sig").isNotNull)
     val bands = sigs.select(
       col("doc"),
       explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
@@ -96,16 +100,44 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
-  /** Top-k closest pairs by embedding cosine distance (threshold-free
-    * variant of near-dup detection; `TakeOrderedAndProject` keeps the
-    * pair stream bounded). For 100 TB corpora the LSH/IVF bucketed
-    * join in Ann replaces the a<b self-join here.
+  /** Top-k closest pairs by embedding cosine distance, EXACT all-pairs
+    * form: O(n²) candidates — only for small corpora / recall
+    * measurement. The shipped query path is [[lshClosestPairs]].
     */
   def closestEmbeddingPairs(
       df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.vec_cosine(col("va"), col("vb")), 4).as("dist"))
+      .orderBy(col("dist"), col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
+  /** Top-k closest embedding pairs at scale: candidates are generated
+    * by LSH bucketing (random-hyperplane signature — the same
+    * deterministic planes as Ann.lshSignature), cosine is computed
+    * only WITHIN a bucket, and the global top-k pair stream is a
+    * `TakeOrderedAndProject` (per-partition heap, no corpus shuffle
+    * beyond the bucket equi-join). Shuffle ∝ Σ bucket² not n²; at
+    * 100 TB `numPlanes` grows with corpus density so buckets stay
+    * partition-sized. Near-identical embeddings land in the same
+    * bucket with probability (1 - θ/π)^numPlanes ≈ 1 for θ→0, so
+    * near-dup recall stays high while far pairs are never compared.
+    */
+  def lshClosestPairs(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      numPlanes: Int = 4): DataFrame = {
+    val bucketed = df.select(
+      col(idCol).as("_pid"), col(vecCol).as("_pv"),
+      Ann.lshSignature(col(vecCol), numPlanes).as("bucket"))
+    val a = bucketed.select(
+      col("bucket"), col("_pid").as("id_a"), col("_pv").as("va"))
+    val b = bucketed.select(
+      col("bucket"), col("_pid").as("id_b"), col("_pv").as("vb"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(VectorFunctions.vec_cosine(col("va"), col("vb")), 4).as("dist"))
       .orderBy(col("dist"), col("id_a"), col("id_b"))

@@ -49,16 +49,20 @@ object Pq {
     centroids
   }
 
-  /** Argmin-centroid code per (grp, _id) via broadcast join + rank. */
-  private def assignCodes(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("grp"), col("_id"))
-      .orderBy(col("_d"), col("code"))
+  /** Argmin-centroid code per (grp, _id) via broadcast join + `min_by`
+    * aggregation: map-side partial agg shrinks the exchange from
+    * n×m×k candidate rows (the row_number() window form) to n×m.
+    * Ties break as before: (distance, code) ascending.
+    */
+  private def assignCodes(vecs: DataFrame, centroids: DataFrame): DataFrame =
     vecs.join(broadcast(centroids), Seq("grp"))
       .withColumn("_d", VectorFunctions.vec_l2(col("_v"), col("centroid")))
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .drop("_d", "_rn", "centroid")
-  }
+      .groupBy(col("grp"), col("_id"))
+      .agg(min_by(
+        struct(col("code"), col("_v")),
+        struct(col("_d"), col("code"))).as("_m"))
+      .select(col("grp"), col("_id"),
+        col("_m.code").as("code"), col("_m._v").as("_v"))
 
   /** Rows of (grp, _id, subvector) for every subspace. */
   private def subvectors(corpus: DataFrame, idCol: String, vecCol: String,
@@ -71,14 +75,39 @@ object Pq {
       .select(col("e.grp").as("grp"), col("_id"), col("e.sv").as("_v"))
 
   /** Train codebooks. Deterministic: seeded from the first k vectors
-    * per subspace in id order.
+    * per subspace in id order. `trainSampleMod > 1` runs Lloyd's on
+    * the deterministic `id % trainSampleMod == 0` sample only —
+    * codebooks need ~100k training vectors, so at 100 TB the sample is
+    * the difference between a feasible build and a non-starter; the
+    * full corpus is still ENCODED in one map-side pass afterwards.
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, m: Int = 8, k: Int = 16, iters: Int = 3): Model = {
+      dim: Int, m: Int = 8, k: Int = 16, iters: Int = 3,
+      trainSampleMod: Long = 1): Model = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
-    val cb = groupedKmeans(subvectors(corpus, idCol, vecCol, m, subDim), k, iters)
+    val sample =
+      if (trainSampleMod > 1) corpus.where(col(idCol) % trainSampleMod === 0)
+      else corpus
+    val cb = groupedKmeans(subvectors(sample, idCol, vecCol, m, subDim), k, iters)
     Model(m, k, subDim, cb.localCheckpoint(eager = true))
+  }
+
+  /** Codebooks WITHOUT k-means: entry (g, c) is subvector g of the
+    * corpus vector with id c (ids 0..k-1 must exist). Deterministic
+    * and SQL-expressible, so the whole encode + ADC path can be
+    * DuckDB-oracled (`ann_pq_static`) — the same trick
+    * `ann_ivf_static` uses for IVF; only Lloyd's itself stays under
+    * the weaker rows-only check.
+    */
+  def staticCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int = 8, k: Int = 16): Model = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val cb = subvectors(corpus.where(col(idCol) < k), idCol, vecCol, m, subDim)
+      .select(col("grp"), col("_id").cast("int").as("code"),
+        col("_v").as("centroid"))
+    Model(m, k, subDim, cb)
   }
 
   /** Encode: (id, codes array<int> of length m). */
@@ -116,6 +145,37 @@ object Pq {
         (code, g) => element_at(tLit, (g * model.k + code).cast("int") + 1)),
       lit(0.0), (a, x) => a + x)
     codes.select(col(idCol), round(sqrt(score), roundTo).as("score"))
+      .orderBy(col("score"), col(idCol))
+      .limit(topK)
+  }
+
+  /** ADC top-k with NO driver-side action on the query path: the
+    * query vector stays a (broadcast) one-row DataFrame with column
+    * `qvec`, codes are exploded to (id, grp, code) and broadcast-
+    * joined to the codebooks, and the per-id score is a map-side-
+    * combined sum of per-subspace squared distances. Same answer as
+    * [[searchAdc]]; use this form inside composed query plans, the
+    * literal-table form for interactive single queries.
+    */
+  def searchAdcJoin(model: Model, codes: DataFrame, query: DataFrame,
+      idCol: String, topK: Int, roundTo: Int = 4): DataFrame = {
+    val exploded = codes.select(col(idCol),
+      posexplode(col("codes")).as(Seq("grp", "code")))
+    // squared sub-distance as an in-index-order fold (mirrors the
+    // DuckDB oracle's list_sum(list_transform(...)) exactly)
+    val qsub = transform(
+      slice(col("qvec"), col("grp") * model.subDim + 1, lit(model.subDim)),
+      _.cast("double"))
+    val pd = aggregate(
+      zip_with(qsub, col("centroid"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    exploded
+      .join(broadcast(model.codebooks), Seq("grp", "code"))
+      .crossJoin(broadcast(query))
+      .withColumn("_pd", pd)
+      .groupBy(col(idCol))
+      .agg(sum(col("_pd")).as("_s"))
+      .select(col(idCol), round(sqrt(col("_s")), roundTo).as("score"))
       .orderBy(col("score"), col(idCol))
       .limit(topK)
   }

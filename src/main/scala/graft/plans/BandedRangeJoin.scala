@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types._
 
 /** Optimizer rule: turn a band-range join into an equi join.
   *
@@ -76,13 +76,31 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
       band match {
         case None => j
         case Some((lx, rx, w)) =>
-          val lBkt = Alias(
-            Cast(Floor(Divide(Cast(lx, DoubleType), Literal(w))), LongType),
-            s"${BktPrefix}_l")()
+          // Bucket function: any monotone f with f(x + w) <= f(x) + 1
+          // works (then bkt(rx) ∈ {bkt(lx), bkt(lx)+1} for the band).
+          // For integral keys and whole w use exact integer division —
+          // the double floor(x/w) can round to a DIFFERENT bucket on
+          // each side for |x| > 2^53 (or fp-boundary quotients), and a
+          // wrong equi conjunct silently drops true matches. Integer
+          // `div` truncates toward zero (not floor) but is still
+          // monotone with f(x+w) = f(x)+1, so the probe set is right.
+          def isIntegral(t: DataType): Boolean = t match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          }
+          val integralKeys =
+            isIntegral(lx.dataType) && isIntegral(rx.dataType) &&
+              w == math.floor(w) && w <= Long.MaxValue.toDouble
+          def bktOf(x: Expression): Expression =
+            if (integralKeys)
+              IntegralDivide(Cast(x, LongType), Literal(w.toLong))
+            else
+              Cast(Floor(Divide(Cast(x, DoubleType), Literal(w))), LongType)
+
+          val lBkt = Alias(bktOf(lx), s"${BktPrefix}_l")()
           val newLeft = Project(left.output :+ lBkt, left)
 
-          val rBktExpr =
-            Cast(Floor(Divide(Cast(rx, DoubleType), Literal(w))), LongType)
+          val rBktExpr = bktOf(rx)
           val probeArr = CreateArray(Seq(
             rBktExpr, Subtract(rBktExpr, Literal(1L))))
           val rBktAttr = AttributeReference(s"${BktPrefix}_r", LongType)()

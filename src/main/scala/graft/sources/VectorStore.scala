@@ -60,7 +60,17 @@ object VectorStore {
   def randomVectors(spark: SparkSession, n: Long, dim: Int, seed: Long = 42L): DataFrame =
     spark.range(n).select(
       col("id").as("vec_id"),
-      transform(sequence(lit(0), lit(dim - 1)), j =>
-        ((((col("id") * dim + j + seed) * 2654435761L) % 4294967296L) /
-          lit(4294967296.0) - 0.5).cast("float")).as("embedding"))
+      transform(sequence(lit(0), lit(dim - 1)), j => {
+        // Knuth hash mod 2^32 WITHOUT 64-bit overflow: a naive
+        // (x * 2654435761) overflows Long for x*dim ≳ 3.5e9 and the
+        // sign-preserving % would then emit components outside
+        // [-0.5, 0.5). Mask x to 32 bits, then multiply in two 16-bit
+        // halves (each product < 2^48) and recombine mod 2^32 —
+        // bit-identical to the naive form wherever it didn't overflow.
+        val x = (col("id") * dim + j + seed).bitwiseAND(lit(0xffffffffL))
+        val lo = x.bitwiseAND(lit(0xffffL)) * 2654435761L
+        val hi = shiftleft(
+          shiftright(x, 16) * 2654435761L, 16).bitwiseAND(lit(0xffffffffL))
+        (((lo + hi) % 4294967296L) / lit(4294967296.0) - 0.5).cast("float")
+      }).as("embedding"))
 }

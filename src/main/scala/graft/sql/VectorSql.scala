@@ -21,7 +21,10 @@ import org.apache.spark.sql.types._
   * cols: id | vector | dimension | distance | metadata.k | COUNT(*)
   *       (each optionally AS alias)
   * cond: (cond) | cond AND cond | cond OR cond |
-  *       field (=|!=|<>|LIKE) literal, field = id | metadata.k
+  *       field (=|!=|<>|<|>|<=|>=|LIKE) literal, field = id | metadata.k
+  *       (the reference PARSER accepts <,>,<=,>= — parser.go:716-748 —
+  *       even though its executor only evaluates =,!=,LIKE; we match
+  *       the parsed surface and evaluate them)
   *
   * Collections are DataFrames with (id string, vector array<float>,
   * metadata map<string,string>); a NEAREST TO plan compiles to the
@@ -86,6 +89,8 @@ object VectorSql {
         i = j
       } else if (c == '!' && i + 1 < n && sql(i + 1) == '=') { out += Sym("!="); i += 2 }
       else if (c == '<' && i + 1 < n && sql(i + 1) == '>') { out += Sym("!="); i += 2 }
+      else if (c == '<' && i + 1 < n && sql(i + 1) == '=') { out += Sym("<="); i += 2 }
+      else if (c == '>' && i + 1 < n && sql(i + 1) == '=') { out += Sym(">="); i += 2 }
       else { out += Sym(c.toString); i += 1 }
     }
     out.result()
@@ -265,6 +270,10 @@ object VectorSql {
         val op = next() match {
           case Sym("=") => "="
           case Sym("!=") => "!="
+          case Sym("<") => "<"
+          case Sym(">") => ">"
+          case Sym("<=") => "<="
+          case Sym(">=") => ">="
           case Kw("LIKE") => "LIKE"
           case t => throw new IllegalArgumentException(s"bad operator: $t")
         }
@@ -301,6 +310,10 @@ object VectorSql {
       op match {
         case "="    => target === litv
         case "!="   => target =!= litv
+        case "<"    => target < litv
+        case ">"    => target > litv
+        case "<="   => target <= litv
+        case ">="   => target >= litv
         case "LIKE" => target.like(value.left.getOrElse(
           throw new IllegalArgumentException("LIKE needs a string pattern")))
       }
@@ -384,7 +397,14 @@ object VectorSql {
           .orderBy(col("distance"), col("id"))
     }
 
-    val limited = s.limit.map(withDist.limit).getOrElse(withDist)
+    // non-NEAREST SELECT ... LIMIT: the reference's scan order is map
+    // iteration (arbitrary); a distributed LIMIT without ORDER BY is
+    // nondeterministic across runs, so collections being keyed frames
+    // lets us default to ORDER BY id and make the result stable
+    val ordered =
+      if (s.nearest.isEmpty && s.limit.isDefined) withDist.orderBy(col("id"))
+      else withDist
+    val limited = s.limit.map(ordered.limit).getOrElse(ordered)
 
     val projected = s.cols match {
       case Seq(("*", None)) => limited

@@ -75,6 +75,37 @@ class TextExprsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("whitespace edge cases: kernel == HOF on padded/empty/multi-space text") {
+    // leading/trailing/duplicated whitespace and whitespace-only text
+    // are where a bare split('\s+') and the trim+drop-empties kernel
+    // diverge; all three sides (kernel, HOF, DuckDB snippet) now share
+    // trim + split + drop-empties semantics (ADVICE r1)
+    val edge = Seq("  padded start", "padded end  ", " both  sides ",
+      "a  b\t c", "   ", "", "\t\n", "single", " the a the ")
+      .toDF("text")
+    val toks = TextFuncs.tokens(col("text"))
+    val rows = edge.select(
+        TextExprs.token_stats(col("text"), Seq("the", "a")).as("st"),
+        size(toks).as("n"),
+        TextExprs.char_fold(col("text")).as("cfk"),
+        TextFuncs.charFold(col("text")).as("cfh"),
+        TextExprs.simhash32(col("text")).as("shk"),
+        TextFuncs.simhash32(transform(toks, t => TextFuncs.charFold(t))).as("shh"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[org.apache.spark.sql.Row]("st").getAs[Int]("n_tokens") == r.getAs[Int]("n"))
+      assert(r.getAs[Long]("cfk") == r.getAs[Long]("cfh"))
+      assert(r.getAs[Long]("shk") == r.getAs[Long]("shh"))
+    }
+    // guard + kernel agree: whitespace-padded 3-token text passes the
+    // minhash guard AND gets a non-null signature
+    val g = Seq(" one two three ").toDF("text")
+      .where(size(TextFuncs.tokens(col("text"))) >= 3)
+      .select(TextExprs.minhash_sig(col("text"), 3, 8).as("sig"))
+      .collect()
+    assert(g.length == 1 && g(0).get(0) != null)
+  }
+
   test("kernels registered for SQL") {
     TextExprs.register(spark)
     val r = spark.sql(

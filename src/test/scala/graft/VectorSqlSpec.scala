@@ -110,6 +110,35 @@ class VectorSqlSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("range comparisons < > <= >= (reference parser.go:716-748 surface)") {
+    val cat = freshCat()
+    VectorSql.execute(cat,
+      "INSERT INTO vectors (id, vector, metadata.score) VALUES ('s1', [0.0, 0.0, 0.0], '5')")
+    VectorSql.execute(cat,
+      "INSERT INTO vectors (id, vector, metadata.score) VALUES ('s2', [0.0, 0.0, 0.0], '7')")
+    VectorSql.execute(cat,
+      "INSERT INTO vectors (id, vector, metadata.score) VALUES ('s3', [0.0, 0.0, 0.0], '9')")
+    def ids(sql: String): Seq[String] =
+      VectorSql.execute(cat, sql).collect().map(_.getString(0)).sorted.toSeq
+    assert(ids("SELECT id FROM vectors WHERE metadata.score > 5") == Seq("s2", "s3"))
+    assert(ids("SELECT id FROM vectors WHERE metadata.score >= 7") == Seq("s2", "s3"))
+    assert(ids("SELECT id FROM vectors WHERE metadata.score < 7") == Seq("s1"))
+    assert(ids("SELECT id FROM vectors WHERE metadata.score <= 7") == Seq("s1", "s2"))
+    assert(ids("SELECT id FROM vectors WHERE metadata.score >= 5 AND metadata.score < 9")
+      == Seq("s1", "s2"))
+    // id (string) range compare also parses + evaluates
+    assert(ids("SELECT id FROM vectors WHERE id >= 's2' AND id <= 's3'") == Seq("s2", "s3"))
+  }
+
+  test("non-NEAREST LIMIT is deterministic (ORDER BY id default)") {
+    val cat = freshCat()
+    val runs = (1 to 3).map(_ =>
+      VectorSql.execute(cat, "SELECT id FROM vectors LIMIT 2")
+        .collect().map(_.getString(0)).toSeq)
+    assert(runs.distinct.length == 1)
+    assert(runs.head == Seq("test1", "v1")) // string order, first 2 ids
+  }
+
   test("parse errors are explicit") {
     intercept[IllegalArgumentException] {
       VectorSql.parse("SELECT id FROM")
