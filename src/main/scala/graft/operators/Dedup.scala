@@ -36,12 +36,19 @@ object Dedup {
     // the guard and the kernel share one tokenization (trim + split +
     // drop empties); the null filter is belt-and-braces so a null sig
     // can never reach concat_ws (which skips nulls -> bogus shared keys)
+    //
+    // localCheckpoint materializes the signatures ONCE: a self-join
+    // re-executes each side's plan, so without it every doc is
+    // shingled + minhashed twice (the dominant cost). n rows × 8
+    // longs is small relative to the corpus; at rest you'd write the
+    // signature table to parquet instead — same idea.
     val sigs = df
       .where(size(TextFuncs.tokens(col(textCol))) >= shingleK)
       .select(
         col(idCol).as("doc"),
         TextExprs.minhash_sig(col(textCol), shingleK, numSeeds).as("sig"))
       .where(col("sig").isNotNull)
+      .localCheckpoint(eager = true)
     val bands = sigs.select(
       col("doc"),
       explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
