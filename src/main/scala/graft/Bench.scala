@@ -44,10 +44,16 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val failedNames = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = failedNames.mkString("[", ",", "]")
+    // a crashed query must NOT shrink the headline number into a fake
+    // speedup: with any failure the total is null + valid:false, so
+    // cross-round total comparisons can't silently improve via a crash
+    val total =
+      if (failedNames.nonEmpty) "null"
+      else results.values.filter(_ >= 0).sum.toString
+    val valid = failedNames.isEmpty
+    println(s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -160,8 +160,10 @@ object SparkEntry {
       val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
+      // customer grows with SF — no broadcast hint; AQE picks the join
+      // strategy from runtime sizes (broadcast at small SF, shuffle at 100×)
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -174,8 +176,10 @@ object SparkEntry {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
+      // hints only on bounded tables (nation=25, region=5 rows at any
+      // SF); customer scales linearly -> AQE decides its join strategy
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
@@ -191,15 +195,18 @@ object SparkEntry {
         .orderBy(col("total_value").desc, col("user_id"))
         .limit(20)),
 
-    // -- TPC-H Q9-style profit rollup: 5-table join, 2 broadcasts --
+    // -- TPC-H Q9-style profit rollup: 5-table join; only the bounded
+    //    nation table keeps a broadcast hint (part/supplier scale with
+    //    SF — forcing them broadcast would OOM the build side at 100×;
+    //    AQE still broadcasts them at small SF from runtime stats) --
     "q9_profit" -> ((s, dir) => {
       val p = t(s, dir, "part").where(col("p_name").like("%a%"))
       val sup = t(s, dir, "supplier")
       val n = t(s, dir, "nation")
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))

@@ -28,10 +28,20 @@ object TextKernels {
   def tokenize(s: UTF8String): Array[String] =
     s.toString.trim.split("\\s+").filterNot(_.isEmpty)
 
-  /** fold(acc*31 + codepoint) mod P over the chars of s. */
+  /** fold(acc*31 + codepoint) mod P over the CODE POINTS of s —
+    * matching the HOF spec (Spark split("")/ascii walks code points)
+    * and DuckDB `ascii(c)` (Unicode code point). Iterating UTF-16
+    * units instead would silently diverge on non-BMP text (surrogate
+    * pairs fold as two bogus values); equality is spec-pinned with a
+    * non-ASCII row in TextKernelSpec.
+    */
   def charFold(s: String): Long = {
     var acc = 0L; var i = 0
-    while (i < s.length) { acc = (acc * 31 + s.charAt(i).toLong) % P; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
     acc
   }
 

@@ -124,6 +124,14 @@ object Ann {
     * the exchange carries n rows — NOT the n×k candidate rows a
     * row_number() window would shuffle (the round-1 scale-killer).
     * Ties break like the old window did: (distance, cluster) ascending.
+    *
+    * Boundary contract: rows whose vector is null (or whose distance
+    * evaluates to null, e.g. a malformed/mismatched-length vector with
+    * null elements) are EXCLUDED from the output — `min_by` skips
+    * null ordering keys, so such rows vanish from kmeans/tagCorpus
+    * rather than surfacing. Callers feeding untrusted data should
+    * filter/assert non-null fixed-length vectors first (the parquet
+    * test tables guarantee this by schema).
     */
   private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(centroids))

@@ -82,8 +82,11 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
           // the double floor(x/w) can round to a DIFFERENT bucket on
           // each side for |x| > 2^53 (or fp-boundary quotients), and a
           // wrong equi conjunct silently drops true matches. Integer
-          // `div` truncates toward zero (not floor) but is still
-          // monotone with f(x+w) = f(x)+1, so the probe set is right.
+          // `div` truncates toward zero (not floor): across the
+          // negative-to-positive boundary f(x+w) = f(x) (e.g.
+          // trunc(-5/10) = trunc(5/10) = 0), elsewhere f(x+w) = f(x)+1.
+          // Only monotonicity plus f(x) <= f(x+w) <= f(x)+1 is needed
+          // for the two-bucket probe set, and truncation satisfies it.
           def isIntegral(t: DataType): Boolean = t match {
             case ByteType | ShortType | IntegerType | LongType => true
             case _ => false

@@ -106,6 +106,27 @@ class TextExprsSpec extends AnyFunSuite {
     assert(g.length == 1 && g(0).get(0) != null)
   }
 
+  test("char_fold folds CODE POINTS: kernel == HOF on non-ASCII / non-BMP text") {
+    // the HOF spec (split('')/ascii) and DuckDB (string_split/ascii)
+    // walk Unicode code points; a kernel iterating UTF-16 units would
+    // fold a surrogate pair as two bogus values. Rows: accented BMP,
+    // CJK, and non-BMP (musical symbol U+1D11E, emoji U+1F600) —
+    // the non-BMP rows are the ones that catch unit-vs-codepoint drift.
+    val rows = Seq("café crème", "你好 world",
+      "g-clef 𝄞 here", "mix 😀 é𝄞")
+      .toDF("text")
+      .select(
+        TextExprs.char_fold(col("text")).as("k"),
+        TextFuncs.charFold(col("text")).as("h"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // pin one value so BOTH sides drifting together would still fail:
+    // fold("aé") = (97*31 + 233) mod P = 3240
+    assert(graft.functions.TextKernels.charFold("aé") == 3240L)
+    // non-BMP pin: fold(U+1D11E) = 0x1D11E = 119070
+    assert(graft.functions.TextKernels.charFold("𝄞") == 119070L)
+  }
+
   test("kernels registered for SQL") {
     TextExprs.register(spark)
     val r = spark.sql(
