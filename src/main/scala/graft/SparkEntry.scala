@@ -360,12 +360,16 @@ object SparkEntry {
           "lang", idWindow = 25, minJaccard = 0.5)
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(100)),
 
-    // -- LSH-bucketed near-dup pairs: candidates share a 4-plane LSH
-    //    bucket (equi hash join, never an all-pairs product); oracle
-    //    mirrors the bucketing so semantics stay SQL-checkable --
+    // -- LSH-bucketed near-dup pairs: candidates share an LSH bucket
+    //    (equi hash join, never an all-pairs product). Plane count is
+    //    DERIVED from count(*) so expected bucket size stays ~32 as
+    //    the corpus grows (fixed planes = pinned quadratic constant);
+    //    the oracle computes the same integer formula. saltBuckets=4
+    //    splits each bucket's pair grid over 16 bounded tasks —
+    //    output-invariant, so the oracle doesn't see it --
     "dedup_embedding" -> ((s, dir) =>
       Dedup.lshClosestPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 20,
-        numPlanes = 4)),
+        targetBucket = 32, saltBuckets = 4)),
 
     "crud_insert" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
@@ -608,9 +612,15 @@ object SparkEntry {
            |  ON a.lang = b.lang AND a.doc < b.doc AND b.doc - a.doc <= 25)
            |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
            |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin.replaceAll("\n", " "),
+      // planes = min p in [1,30] with 2^p * 32 >= count(*) — the same
+      // integer-exact formula as Dedup.adaptivePlanes (no fp log2)
       "dedup_embedding" ->
-        """WITH sigs AS (SELECT vec_id, embedding,
-          |  list_sum(list_transform(range(0, 4), p -> CASE WHEN
+        """WITH params AS (SELECT min(p) AS planes
+          |  FROM (SELECT unnest(range(1, 31)) AS p) _p,
+          |       (SELECT count(*) AS n FROM embeddings) _n
+          |  WHERE (2 ** p) * 32 >= _n.n),
+          |sigs AS (SELECT vec_id, embedding,
+          |  list_sum(list_transform(range(0, (SELECT planes FROM params)), p -> CASE WHEN
           |    list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) *
           |      ((((p * 64 + i) * 2654435761) % 4294967296) / 4294967296.0 - 0.5))) > 0
           |    THEN CAST(2 ** p AS BIGINT) ELSE 0 END)) AS bucket

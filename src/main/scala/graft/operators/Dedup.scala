@@ -122,28 +122,76 @@ object Dedup {
       .limit(k)
   }
 
+  /** Smallest p in [1, 30] with 2^p * targetBucket >= n: the plane
+    * count that keeps the EXPECTED bucket size at `targetBucket`.
+    * Integer-exact on purpose (no floating log2, whose rounding at
+    * exact powers of two could disagree with the DuckDB oracle's
+    * equivalent `min p where 2**p * target >= n` computation).
+    */
+  def adaptivePlanes(n: Long, targetBucket: Int = 32): Int = {
+    require(targetBucket > 0, "targetBucket must be positive")
+    var p = 1
+    while (p < 30 && (1L << p) * targetBucket < n) p += 1
+    p
+  }
+
   /** Top-k closest embedding pairs at scale: candidates are generated
     * by LSH bucketing (random-hyperplane signature — the same
     * deterministic planes as Ann.lshSignature), cosine is computed
     * only WITHIN a bucket, and the global top-k pair stream is a
     * `TakeOrderedAndProject` (per-partition heap, no corpus shuffle
-    * beyond the bucket equi-join). Shuffle ∝ Σ bucket² not n²; at
-    * 100 TB `numPlanes` grows with corpus density so buckets stay
-    * partition-sized. Near-identical embeddings land in the same
-    * bucket with probability (1 - θ/π)^numPlanes ≈ 1 for θ→0, so
-    * near-dup recall stays high while far pairs are never compared.
+    * beyond the bucket equi-join). Shuffle ∝ Σ bucket² not n².
+    *
+    * Two scale knobs (both output-invariant except numPlanes):
+    *  - `numPlanes <= 0` (the default) DERIVES the plane count from
+    *    the corpus via [[adaptivePlanes]] — one count() job at build —
+    *    so the expected bucket size stays `targetBucket` as the corpus
+    *    grows instead of pinning a quadratic constant (n²/2^planes
+    *    with fixed planes is still quadratic). The plane count changes
+    *    which pairs are candidates, so the DuckDB oracle computes the
+    *    SAME integer formula from count(*).
+    *  - `saltBuckets = s > 1` splits each bucket's pair grid over s²
+    *    join cells ((id_a % s, id_b % s), each side replicated s ways)
+    *    so one dense bucket becomes s² bounded tasks instead of a
+    *    single straggler/OOM task. The candidate PAIR SET is identical
+    *    for any s — each pair meets in exactly one cell — so results
+    *    (and the oracle) don't change; spec-asserted.
+    *
+    * Near-identical embeddings land in the same bucket with
+    * probability (1 - θ/π)^numPlanes ≈ 1 for θ→0, so near-dup recall
+    * stays high while far pairs are never compared.
     */
   def lshClosestPairs(
       df: DataFrame, idCol: String, vecCol: String, k: Int,
-      numPlanes: Int = 4): DataFrame = {
+      numPlanes: Int = 0, targetBucket: Int = 32,
+      saltBuckets: Int = 1): DataFrame = {
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else adaptivePlanes(df.count(), targetBucket)
     val bucketed = df.select(
       col(idCol).as("_pid"), col(vecCol).as("_pv"),
-      Ann.lshSignature(col(vecCol), numPlanes).as("bucket"))
-    val a = bucketed.select(
-      col("bucket"), col("_pid").as("id_a"), col("_pv").as("va"))
-    val b = bucketed.select(
-      col("bucket"), col("_pid").as("id_b"), col("_pv").as("vb"))
-    a.join(b, Seq("bucket"))
+      Ann.lshSignature(col(vecCol), planes).as("bucket"))
+    val s = saltBuckets
+    val (a, b) =
+      if (s <= 1) (
+        bucketed.select(
+          col("bucket"), col("_pid").as("id_a"), col("_pv").as("va")),
+        bucketed.select(
+          col("bucket"), col("_pid").as("id_b"), col("_pv").as("vb")))
+      else (
+        // grid cell (ga, gb): the a-row owns ga = id_a % s and fans
+        // out over all gb; the b-row owns gb and fans out over all ga.
+        // Pair (x, y) meets at exactly (x%s, y%s).
+        bucketed.select(
+          col("bucket"), pmod(col("_pid"), lit(s.toLong)).as("ga"),
+          explode(sequence(lit(0L), lit(s.toLong - 1))).as("gb"),
+          col("_pid").as("id_a"), col("_pv").as("va")),
+        bucketed.select(
+          col("bucket"), explode(sequence(lit(0L), lit(s.toLong - 1))).as("ga"),
+          pmod(col("_pid"), lit(s.toLong)).as("gb"),
+          col("_pid").as("id_b"), col("_pv").as("vb")))
+    val joinKeys = if (s <= 1) Seq("bucket") else Seq("bucket", "ga", "gb")
+    a.join(b, joinKeys)
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(VectorFunctions.vec_cosine(col("va"), col("vb")), 4).as("dist"))
