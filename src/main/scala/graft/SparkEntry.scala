@@ -533,7 +533,23 @@ object SparkEntry {
     "events_by_type_salted" -> ((s, dir) =>
       Skew.saltedSumCount(t(s, dir, "events"), Seq("event_type"), "value", 16)
         .select(col("event_type"), col("n"), round(col("total"), 2).as("total"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // -- salted/replicated hot-key JOIN: event_type has 5 values over
+    //    the whole stream (a 5-reducer shuffle join without help);
+    //    the salt spreads each hot key over 16 reducers while the
+    //    replicated dim keeps results identical to the direct join
+    //    the oracle runs (see Skew.saltedJoin for the AQE contrast) --
+    "skew_join_salted" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = ev.groupBy(col("event_type"))
+        .agg(min(col("event_id")).as("first_id"))
+      Skew.saltedJoin(ev, dim, Seq("event_type"),
+          spread = hash(col("event_id")), saltBuckets = 16)
+        .groupBy(col("event_type"), col("first_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("event_type"))
+    })
   )
 
   /** Constant query string for the search_text end-to-end pipeline. */
@@ -747,6 +763,15 @@ object SparkEntry {
         """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
           | round(sum(value), 2) AS total
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
+      // direct (unsalted) join — the salted plan must be value-identical
+      "skew_join_salted" ->
+        """WITH d AS (SELECT event_type, min(event_id) AS first_id
+          |  FROM events GROUP BY event_type)
+          |SELECT e.event_type, d.first_id, CAST(count(*) AS BIGINT) AS n,
+          | round(sum(e.value), 2) AS total
+          |FROM events e JOIN d USING (event_type)
+          |GROUP BY e.event_type, d.first_id
+          |ORDER BY e.event_type""".stripMargin.replaceAll("\n", " "),
       "streaming_window" ->
         """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
           | event_type, CAST(count(*) AS BIGINT) AS n,
