@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pluggable batch-inference embedding seam.
+  *
+  * The reference embeds text through a remote model service
+  * (/root/reference/pkg/embedding/engine.go:65-95 batches texts and
+  * calls /root/reference/pkg/embedding/models/huggingface.go, MiniLM
+  * 384-dim). The Spark-native shape of that contract is:
+  *
+  *  - ONE model context per partition (not per row): `mapPartitions`,
+  *    with the model/weights shipped once per executor via a
+  *    broadcast variable, never re-serialized per task closure;
+  *  - texts buffered into fixed-size batches (`batchSize`), the unit
+  *    a real inference runtime (ONNX/Triton/HTTP service) wants;
+  *  - output is a plain `array<float>` column appended to the input
+  *    row — downstream kNN/ANN/dedup operators don't know or care
+  *    which embedder produced it.
+  *
+  * Swapping in a real model = implementing [[Embedder]] (load weights
+  * in a lazy field so they materialize per executor, talk to the
+  * runtime in `embedBatch`) — no query or pipeline changes. The
+  * default [[HashProjectionEmbedder]] is the deterministic,
+  * oracle-able stand-in, value-identical to the `text_embed` kernel
+  * expression (spec-pinned).
+  */
+trait Embedder extends Serializable {
+  def dim: Int
+
+  /** Embed one batch. Must return exactly `texts.length` vectors of
+    * length `dim`; called from executor tasks, so implementations
+    * must be thread-compatible per instance.
+    */
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]]
+}
+
+/** Deterministic hash-projection embedder (TextEmbed formula, same
+  * values as the `text_embed` codegen kernel and the DuckDB oracle).
+  */
+class HashProjectionEmbedder(val dim: Int = TextEmbed.Dim) extends Embedder {
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+    texts.map { t =>
+      TextKernels.embed(UTF8String.fromString(t), dim).map(_.toFloat)
+    }
+}
+
+object Embedder {
+
+  /** Append `outCol` = embedder(textCol) to every row. Null/absent
+    * text embeds as the zero vector (matching the kernel's behavior
+    * on empty token lists: downstream cosine treats it as distance 1).
+    *
+    * Batching contract (the part a real model needs): rows stream
+    * through `mapPartitions` in groups of `batchSize`; the embedder
+    * instance rides a broadcast variable so executor JVMs deserialize
+    * the weights once, not once per task.
+    */
+  def embedColumn(df: DataFrame, textCol: String, outCol: String,
+      embedder: Embedder, batchSize: Int = 64): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val bc = df.sparkSession.sparkContext.broadcast(embedder)
+    val idx = df.schema.fieldIndex(textCol)
+    val outSchema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
+    val out = df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val texts = batch.map(r => if (r.isNullAt(idx)) "" else r.getString(idx))
+        val vecs = bc.value.embedBatch(texts)
+        require(vecs.length == batch.length,
+          s"embedder returned ${vecs.length} vectors for ${batch.length} texts")
+        batch.zip(vecs).map { case (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
+      }
+    }(Encoders.row(outSchema))
+    out
+  }
+
+  /** search_text-shaped pipeline on a pluggable embedder: embed the
+    * corpus column, embed the query string (driver side, it's one
+    * batch of one), rank by cosine. The shipped `search_text` query
+    * keeps the codegen kernel; this is the seam a real model drops
+    * into.
+    */
+  def searchByText(df: DataFrame, textCol: String, idCol: String,
+      query: String, embedder: Embedder, k: Int,
+      batchSize: Int = 64): DataFrame = {
+    val qvec = embedder.embedBatch(Seq(query)).head
+    val embedded = embedColumn(df, textCol, "_emb", embedder, batchSize)
+    embedded
+      .select(col(idCol),
+        round(VectorFunctions.vec_cosine(col("_emb"), typedLit(qvec.toSeq)), 4)
+          .as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+}

@@ -46,9 +46,7 @@ object TextEmbed {
     */
   def embedLocal(text: String, dim: Int = Dim): Array[Double] = {
     val toks = text.trim.split("\\s+").filter(_.nonEmpty)
-    val hashes = toks.map { t =>
-      t.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % TextFuncs.P)
-    }
+    val hashes = toks.map(TextKernels.charFold) // codepoint fold, same as kernel
     val raw = Array.tabulate(dim) { j =>
       hashes.map(h => (h * (j + 1) + j * 37) % M).sum.toDouble / (hashes.length * M)
     }
