@@ -99,11 +99,21 @@ object Ann {
     val vecs =
       if (trainSampleMod > 1) all.where(col("_id") % trainSampleMod === 0)
       else all
-    var centroids = vecs.orderBy(col("_id")).limit(k)
+    val seed = vecs.orderBy(col("_id")).limit(k)
       .select(
         (row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("_id"))) - 1)
           .as("cluster"),
         col("_v").as("centroid"))
+    lloyd(vecs, seed, iters)
+  }
+
+  /** Lloyd's iterations from a given centroid seed (also the
+    * compaction path: re-seed from a live index's current centroids).
+    * Each iteration: map-side-combined assign + recenter; clusters
+    * with no members drop out.
+    */
+  private def lloyd(vecs: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    var centroids = init
     for (_ <- 0 until iters) {
       val assigned = assign(vecs, centroids)
       centroids = assigned
@@ -175,6 +185,54 @@ object Ann {
       tagged: DataFrame, centroids: DataFrame,
       newRows: DataFrame, idCol: String, vecCol: String): DataFrame =
     tagged.unionByName(tagCorpus(newRows, idCol, vecCol, centroids))
+
+  /** Delete ids from a live IVF index: a left-anti join against the
+    * doomed-id set (reference storage.go Delete; HNSW instead has to
+    * unlink graph nodes). No rebuild, no retag — remaining rows keep
+    * their cluster, so an at-rest partitionBy("cluster") layout stays
+    * valid and only rewritten partitions change.
+    */
+  def deleteFromIvf(
+      tagged: DataFrame, idCol: String, doomed: DataFrame): DataFrame =
+    tagged.join(doomed.select(col(idCol)), Seq(idCol), "left_anti")
+
+  /** Per-cluster occupancy: (cluster, n, share). k rows — the input
+    * to the retag-when-skewed decision and to at-rest partition-size
+    * monitoring (one map-side-combined count per cluster).
+    */
+  def ivfStats(tagged: DataFrame): DataFrame = {
+    val counts = tagged.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("_t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cluster"), col("n"),
+        round(col("n").cast("double") / col("_t"), 4).as("share"))
+  }
+
+  /** Compact / re-balance a live IVF index after churn: when the
+    * occupancy is skewed (max cluster share > `maxShare` — inserts
+    * and deletes concentrate in hot regions over time), re-run
+    * Lloyd's on the CURRENT members seeded from the CURRENT centroids
+    * and retag; otherwise return the index unchanged. The skew probe
+    * reads k stat rows on the driver — bounded by design.
+    *
+    * Clusters that lost all members drop out of the recentering
+    * (k may shrink); nprobe search semantics are unaffected. At rest,
+    * follow with a partitionBy("cluster") rewrite of the changed
+    * partitions.
+    */
+  def compactIvf(
+      tagged: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      maxShare: Double = 0.5, iters: Int = 2): (DataFrame, DataFrame) = {
+    val worst = ivfStats(tagged)
+      .agg(max(col("share"))).head().getDouble(0)
+    if (worst <= maxShare) (tagged, centroids)
+    else {
+      val vecs = tagged.select(col(idCol).as("_id"),
+        transform(col(vecCol), _.cast("double")).as("_v"))
+      val newCents = lloyd(vecs, centroids, iters)
+      (tagCorpus(tagged.drop("cluster"), idCol, vecCol, newCents), newCents)
+    }
+  }
 
   /** Search an IVF index: probe the `nprobe` nearest clusters only. */
   def searchIvf(

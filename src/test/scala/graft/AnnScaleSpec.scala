@@ -36,6 +36,87 @@ class AnnScaleSpec extends AnyFunSuite {
       .select("cluster").distinct().count() >= 1)
   }
 
+  test("IVF insert+delete round-trip == fresh build on the same data") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val (tagged, centroids) = Ann.buildIvf(e, "vec_id", "embedding", k = 4, iters = 2)
+    val fresh = tagged.select(col("vec_id"), col("cluster"))
+
+    val newRows = graft.sources.VectorStore.randomVectors(spark, 10, 64, seed = 9L)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val appended = Ann.appendToIvf(tagged, centroids, newRows, "vec_id", "embedding")
+    val afterDelete = Ann.deleteFromIvf(
+        appended, "vec_id", newRows.select(col("vec_id")))
+      .select(col("vec_id"), col("cluster"))
+
+    assert(afterDelete.count() == e.count())
+    assert(afterDelete.exceptAll(fresh).count() == 0)
+    assert(fresh.exceptAll(afterDelete).count() == 0)
+  }
+
+  test("deleteFromIvf is an anti-join: only doomed ids leave, tags untouched") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val (tagged, _) = Ann.buildIvf(e, "vec_id", "embedding", k = 4, iters = 1)
+    val doomed = e.where(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val after = Ann.deleteFromIvf(tagged, "vec_id", doomed)
+    assert(after.count() == tagged.count() - doomed.count())
+    assert(after.where(col("vec_id") % 7 === 0).count() == 0)
+    // surviving rows keep their cluster (at-rest partitions stay valid)
+    val before = tagged.where(col("vec_id") % 7 =!= 0)
+      .select(col("vec_id"), col("cluster"))
+    assert(after.select(col("vec_id"), col("cluster"))
+      .exceptAll(before).count() == 0)
+    val plan = after.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("ivfStats: per-cluster counts and shares account for every row") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val (tagged, _) = Ann.buildIvf(e, "vec_id", "embedding", k = 4, iters = 1)
+    val stats = Ann.ivfStats(tagged).collect()
+    assert(stats.map(_.getAs[Long]("n")).sum == e.count())
+    val shareSum = stats.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 0.01)
+  }
+
+  test("compactIvf: no-op when balanced, recenter+retag when skewed") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val (tagged, centroids) = Ann.buildIvf(e, "vec_id", "embedding", k = 4, iters = 2)
+    val tcached = tagged.localCheckpoint(true)
+
+    // balanced index (kmeans on this corpus stays under 0.9): no-op,
+    // same DataFrame objects back — zero jobs beyond the stats probe
+    val (t2, c2) = Ann.compactIvf(tcached, centroids, "vec_id", "embedding",
+      maxShare = 0.9)
+    assert((t2 eq tcached) && (c2 eq centroids))
+
+    // churn: delete 90% of every cluster except the largest -> skew
+    val sizes = Ann.ivfStats(tcached).collect()
+      .map(r => r.getAs[Int]("cluster") -> r.getAs[Long]("n")).toMap
+    val biggest = sizes.maxBy(_._2)._1
+    val doomed = tcached
+      .where(col("cluster") =!= biggest && col("vec_id") % 10 =!= 0)
+      .select(col("vec_id"))
+    val skewed = Ann.deleteFromIvf(tcached, "vec_id", doomed)
+      .localCheckpoint(true)
+    val shareBefore = Ann.ivfStats(skewed)
+      .agg(org.apache.spark.sql.functions.max(col("share"))).head().getDouble(0)
+    assert(shareBefore > 0.5, s"setup failed to skew: $shareBefore")
+
+    val (t3, c3) = Ann.compactIvf(skewed, centroids, "vec_id", "embedding",
+      maxShare = 0.5, iters = 2)
+    assert(t3.count() == skewed.count()) // rebalance loses no rows
+    // retag is consistent: every row sits in its argmin cluster
+    val expect = Ann.tagCorpus(
+      skewed.drop("cluster"), "vec_id", "embedding", c3)
+      .select(col("vec_id"), col("cluster"))
+    assert(t3.select(col("vec_id"), col("cluster"))
+      .exceptAll(expect).count() == 0)
+    val shareAfter = Ann.ivfStats(t3)
+      .agg(org.apache.spark.sql.functions.max(col("share"))).head().getDouble(0)
+    assert(shareAfter <= shareBefore,
+      s"compact made skew worse: $shareBefore -> $shareAfter")
+  }
+
   test("IVF written partitionBy(cluster): probe scans only nprobe partitions") {
     val e = Tables.load(spark, sf, "embeddings")
     val (tagged, centroids) = Ann.buildIvf(e, "vec_id", "embedding", k = 4, iters = 2)
