@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -108,6 +108,32 @@ object Pq {
       .select(col("grp"), col("_id").cast("int").as("code"),
         col("_v").as("centroid"))
     Model(m, k, subDim, cb)
+  }
+
+  /** Persist a PQ index to parquet: `path`/codes (the 8-byte-per-
+    * vector table — at 100 TB this is the ONLY full-corpus artifact a
+    * search scans, 32x smaller than the vectors), `path`/codebooks
+    * (m*k tiny rows) and `path`/params. The at-rest serving layout
+    * for [[searchAdc]]'s map-only scoring.
+    */
+  def writeIndex(model: Model, codes: DataFrame, path: String): Unit = {
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    model.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    Seq((model.m, model.k, model.subDim)).toDF("m", "k", "subDim")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a persisted PQ index: (model, codes). Codebooks stay a
+    * DataFrame (collected lazily by the serving path that needs the
+    * literal table).
+    */
+  def loadIndex(spark: SparkSession, path: String): (Model, DataFrame) = {
+    val p = spark.read.parquet(s"$path/params").head()
+    (Model(p.getAs[Int]("m"), p.getAs[Int]("k"), p.getAs[Int]("subDim"),
+      spark.read.parquet(s"$path/codebooks")),
+      spark.read.parquet(s"$path/codes"))
   }
 
   /** Encode: (id, codes array<int> of length m). */

@@ -46,6 +46,46 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("searchAdc (literal table) == searchAdcJoin (explode+join), incl. at rest") {
+    // static codebooks: both paths fully deterministic
+    val sm = Pq.staticCodebooks(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+    val sc = Pq.encode(sm, e, "vec_id", "embedding").localCheckpoint(true)
+    val qvec = e.where(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    val qdf = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+
+    val lit = Pq.searchAdc(sm, sc, qvec, "vec_id", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val join = Pq.searchAdcJoin(sm, sc, qdf, "vec_id", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(lit.sameElements(join),
+      s"literal=${lit.toSeq} join=${join.toSeq}")
+
+    // at-rest round trip: write codes+codebooks+params, load, same top-k
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    Pq.writeIndex(sm, sc, dir)
+    val (rm, rc) = Pq.loadIndex(spark, dir)
+    assert(rm.m == sm.m && rm.k == sm.k && rm.subDim == sm.subDim)
+    val rest = Pq.searchAdc(rm, rc, qvec, "vec_id", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rest.sameElements(lit))
+  }
+
+  test("searchAdc at rest is map-only: no exchange before TakeOrdered") {
+    val sm = Pq.staticCodebooks(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+    val sc = Pq.encode(sm, e, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_plan").toString
+    Pq.writeIndex(sm, sc, dir)
+    val (rm, rc) = Pq.loadIndex(spark, dir)
+    val qvec = e.where(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    val plan = Pq.searchAdc(rm, rc, qvec, "vec_id", topK = 10)
+      .queryExecution.executedPlan.toString
+    // the serving scan: parquet codes -> codegen'd literal-table score
+    // -> per-partition heap. Any Exchange here would be a full-corpus
+    // shuffle per query (what searchAdcJoin pays for composability).
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("ADC + exact re-rank recovers near-perfect recall") {
     val qvec = e.where(col("vec_id") === 0).head().getSeq[Float](1).toArray
     val reranked = Pq.searchWithRerank(model, codes, e, qvec,
