@@ -528,6 +528,20 @@ object SparkEntry {
           "WHERE metadata.label >= 3 AND metadata.label < 6 LIMIT 50")
     }),
 
+    // -- VectorSql arithmetic + NOT in WHERE: the reference parser's
+    //    parseTerm/parseFactor/parseUnary surface (parser.go:746-806),
+    //    parsed AND evaluated through the dialect front-end --
+    "vector_sql_arith" -> ((s, dir) => {
+      val cat = new graft.sql.VectorSql.Catalog(s)
+      cat.put("vectors", t(s, dir, "embeddings").select(
+        col("vec_id").cast("string").as("id"),
+        col("embedding").as("vector"),
+        map(lit("label"), col("label").cast("string")).as("metadata")))
+      graft.sql.VectorSql.execute(cat,
+        "SELECT id, metadata.label AS label FROM vectors " +
+          "WHERE NOT metadata.label < 2 AND metadata.label * 2 <= 3 + 7 LIMIT 50")
+    }),
+
     // -- salted two-phase aggregation (skewed-key pattern; results
     //    identical to the direct groupBy the oracle runs) --
     "events_by_type_salted" -> ((s, dir) =>
@@ -758,6 +772,10 @@ object SparkEntry {
       "vector_sql_range" ->
         """SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label
           |FROM embeddings WHERE label >= 3 AND label < 6
+          |ORDER BY id LIMIT 50""".stripMargin.replaceAll("\n", " "),
+      "vector_sql_arith" ->
+        """SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label
+          |FROM embeddings WHERE NOT (label < 2) AND label * 2 <= 3 + 7
           |ORDER BY id LIMIT 50""".stripMargin.replaceAll("\n", " "),
       "events_by_type_salted" ->
         """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -20,11 +20,14 @@ import org.apache.spark.sql.types._
   *
   * cols: id | vector | dimension | distance | metadata.k | COUNT(*)
   *       (each optionally AS alias)
-  * cond: (cond) | cond AND cond | cond OR cond |
-  *       field (=|!=|<>|<|>|<=|>=|LIKE) literal, field = id | metadata.k
-  *       (the reference PARSER accepts <,>,<=,>= — parser.go:716-748 —
-  *       even though its executor only evaluates =,!=,LIKE; we match
-  *       the parsed surface and evaluate them)
+  * cond: (cond) | NOT cond | !cond | cond AND cond | cond OR cond |
+  *       expr (=|!=|<>|<|>|<=|>=|LIKE) expr
+  * expr: field | number | 'string' | -expr | +expr | (expr) |
+  *       expr (+|-|*|/|%) expr   with the usual precedence
+  *       (the reference PARSER accepts comparisons, arithmetic and
+  *       unary ops — parser.go:716-806 — even though its executor
+  *       evaluates only =,!=,LIKE; we match the parsed surface and
+  *       evaluate all of it)
   *
   * Collections are DataFrames with (id string, vector array<float>,
   * metadata map<string,string>); a NEAREST TO plan compiles to the
@@ -98,10 +101,25 @@ object VectorSql {
 
   // ---- AST ---------------------------------------------------------------
 
+  /** Value expressions inside conditions. The reference parser builds
+    * the same tree (parser.go:746-806: parseTerm/parseFactor handle
+    * + - * / % and parseUnary handles -/+/!), so WHERE conditions may
+    * contain arithmetic (`WHERE metadata.n > 3 + 1`) — we parse AND
+    * evaluate that surface (the reference executor evaluates only a
+    * subset of what it parses; same argument as the range operators).
+    */
+  sealed trait Expr
+  case class FieldE(name: String) extends Expr
+  case class NumE(v: Double) extends Expr
+  case class StrE(s: String) extends Expr
+  case class BinE(op: String, l: Expr, r: Expr) extends Expr // + - * / %
+  case class NegE(e: Expr) extends Expr
+
   sealed trait Cond
-  case class Cmp(field: String, op: String, value: Either[String, Double]) extends Cond
+  case class Cmp(l: Expr, op: String, r: Expr) extends Cond
   case class AndC(l: Cond, r: Cond) extends Cond
   case class OrC(l: Cond, r: Cond) extends Cond
+  case class NotC(c: Cond) extends Cond
 
   sealed trait Stmt
   case class Select(cols: Seq[(String, Option[String])], table: String,
@@ -253,37 +271,85 @@ object VectorSql {
       case t => throw new IllegalArgumentException(s"expected number, got $t")
     }
 
+    // cond precedence (parser.go:651-744): OR < AND < NOT < comparison;
+    // inside a comparison, term/factor/unary arithmetic (:746-806)
     private def cond(): Cond = {
       var left = condAnd()
       while (accept(Kw("OR"))) left = OrC(left, condAnd())
       left
     }
     private def condAnd(): Cond = {
-      var left = condAtom()
-      while (accept(Kw("AND"))) left = AndC(left, condAtom())
+      var left = condNot()
+      while (accept(Kw("AND"))) left = AndC(left, condNot())
       left
     }
+    private def condNot(): Cond =
+      if (accept(Kw("NOT")) || accept(Sym("!"))) NotC(condNot())
+      else condAtom()
     private def condAtom(): Cond = {
-      if (accept(Sym("("))) { val c = cond(); expect(Sym(")")); c }
-      else {
-        val field = ident()
-        val op = next() match {
-          case Sym("=") => "="
-          case Sym("!=") => "!="
-          case Sym("<") => "<"
-          case Sym(">") => ">"
-          case Sym("<=") => "<="
-          case Sym(">=") => ">="
-          case Kw("LIKE") => "LIKE"
-          case t => throw new IllegalArgumentException(s"bad operator: $t")
+      if (peek.contains(Sym("("))) {
+        // '(' is ambiguous: a grouped condition ((a=1) OR b=2) or a
+        // grouped arithmetic operand ((n+1)*2 > 6). Try the condition
+        // parse; backtrack to a comparison-over-expressions on failure
+        // or when an operator continues the group as a value.
+        val save = pos
+        next()
+        try {
+          val c = cond(); expect(Sym(")"))
+          if (peekIsOperator) { pos = save; comparison() } else c
+        } catch {
+          case _: Exception => pos = save; comparison()
         }
-        val value = next() match {
-          case Str(s) => Left(s)
-          case Num(s) => Right(s.toDouble)
-          case t => throw new IllegalArgumentException(s"bad literal: $t")
-        }
-        Cmp(field, op, value)
+      } else comparison()
+    }
+    private def peekIsOperator: Boolean = peek match {
+      case Some(Sym("+" | "-" | "*" | "/" | "%" | "=" | "!=" | "<" | ">" | "<=" | ">=")) => true
+      case Some(Kw("LIKE")) => true
+      case _ => false
+    }
+    private def comparison(): Cond = {
+      val l = expr()
+      val op = next() match {
+        case Sym(s @ ("=" | "!=" | "<" | ">" | "<=" | ">=")) => s
+        case Kw("LIKE") => "LIKE"
+        case t => throw new IllegalArgumentException(s"bad operator: $t")
       }
+      val r = expr()
+      if (op == "LIKE" && !r.isInstanceOf[StrE])
+        throw new IllegalArgumentException("LIKE needs a string pattern")
+      Cmp(l, op, r)
+    }
+
+    // value-expression grammar: term (+|- term)*, factor (*|/|% factor)*,
+    // unary -/+ then primary
+    private def expr(): Expr = {
+      var left = term()
+      var go = true
+      while (go) peek match {
+        case Some(Sym(s @ ("+" | "-"))) => next(); left = BinE(s, left, term())
+        case _ => go = false
+      }
+      left
+    }
+    private def term(): Expr = {
+      var left = unary()
+      var go = true
+      while (go) peek match {
+        case Some(Sym(s @ ("*" | "/" | "%"))) => next(); left = BinE(s, left, unary())
+        case _ => go = false
+      }
+      left
+    }
+    private def unary(): Expr =
+      if (accept(Sym("-"))) NegE(unary())
+      else if (accept(Sym("+"))) unary()
+      else primary()
+    private def primary(): Expr = next() match {
+      case Sym("(") => val e = expr(); expect(Sym(")")); e
+      case Num(s)   => NumE(s.toDouble)
+      case Str(s)   => StrE(s)
+      case Ident(s) => FieldE(s)
+      case t => throw new IllegalArgumentException(s"bad expression atom: $t")
     }
   }
 
@@ -296,17 +362,36 @@ object VectorSql {
 
   // ---- planner / executor ------------------------------------------------
 
+  private def exprCol(e: Expr): Column = e match {
+    case FieldE(f) if f.startsWith("metadata.") =>
+      col("metadata")(f.stripPrefix("metadata."))
+    case FieldE(f) => col(f)
+    case NumE(d)   => lit(d)
+    case StrE(s)   => lit(s)
+    case NegE(x)   => -exprCol(x)
+    case BinE(op, l, r) =>
+      // metadata values are strings; Spark's numeric coercion on the
+      // arithmetic matches the reference's dynamically-typed evaluator.
+      // Literal-only subtrees constant-fold in Catalyst (3 + 1 never
+      // reaches the executor as an op).
+      val (a, b) = (exprCol(l), exprCol(r))
+      op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+        case "%" => a % b
+        case other => throw new IllegalArgumentException(s"bad arithmetic op: $other")
+      }
+  }
+
   private def condCol(c: Cond): Column = c match {
     case AndC(l, r) => condCol(l) && condCol(r)
     case OrC(l, r)  => condCol(l) || condCol(r)
-    case Cmp(field, op, value) =>
-      val target: Column =
-        if (field.startsWith("metadata.")) col("metadata")(field.stripPrefix("metadata."))
-        else col(field)
-      val litv: Column = value match {
-        case Left(s)  => lit(s)
-        case Right(d) => lit(d)
-      }
+    case NotC(x)    => !condCol(x)
+    case Cmp(l, op, r) =>
+      val target = exprCol(l)
+      val litv = exprCol(r)
       op match {
         case "="    => target === litv
         case "!="   => target =!= litv
@@ -314,8 +399,10 @@ object VectorSql {
         case ">"    => target > litv
         case "<="   => target <= litv
         case ">="   => target >= litv
-        case "LIKE" => target.like(value.left.getOrElse(
-          throw new IllegalArgumentException("LIKE needs a string pattern")))
+        case "LIKE" => r match {
+          case StrE(s) => target.like(s)
+          case _ => throw new IllegalArgumentException("LIKE needs a string pattern")
+        }
       }
   }
 

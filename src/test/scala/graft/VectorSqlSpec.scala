@@ -130,6 +130,61 @@ class VectorSqlSpec extends AnyFunSuite {
     assert(ids("SELECT id FROM vectors WHERE id >= 's2' AND id <= 's3'") == Seq("s2", "s3"))
   }
 
+  test("arithmetic in WHERE (reference parseTerm/parseFactor surface)") {
+    val cat = freshCat()
+    VectorSql.execute(cat,
+      "INSERT INTO vectors (id, vector, metadata.score) VALUES ('s1', [0.0, 0.0, 0.0], '5')")
+    VectorSql.execute(cat,
+      "INSERT INTO vectors (id, vector, metadata.score) VALUES ('s2', [0.0, 0.0, 0.0], '7')")
+    VectorSql.execute(cat,
+      "INSERT INTO vectors (id, vector, metadata.score) VALUES ('s3', [0.0, 0.0, 0.0], '9')")
+    def ids(sql: String): Seq[String] =
+      VectorSql.execute(cat, sql).collect().map(_.getString(0)).sorted.toSeq
+    // literal arithmetic on the comparison RHS
+    assert(ids("SELECT id FROM vectors WHERE metadata.score > 3 + 2") == Seq("s2", "s3"))
+    assert(ids("SELECT id FROM vectors WHERE metadata.score >= 2 * 3 + 1") == Seq("s2", "s3"))
+    // field arithmetic on the LHS, precedence * over +
+    assert(ids("SELECT id FROM vectors WHERE metadata.score * 2 > 15") == Seq("s3"))
+    assert(ids("SELECT id FROM vectors WHERE metadata.score + 1 = 8") == Seq("s2"))
+    assert(ids("SELECT id FROM vectors WHERE metadata.score % 2 = 1 AND metadata.score / 2 < 4")
+      == Seq("s1", "s2"))
+    // parenthesized arithmetic group where a condition group could start
+    assert(ids("SELECT id FROM vectors WHERE (metadata.score + 1) * 2 = 16") == Seq("s2"))
+    // unary minus
+    assert(ids("SELECT id FROM vectors WHERE metadata.score > -1 * -7") == Seq("s3"))
+  }
+
+  test("NOT / ! negation (reference parseUnary surface)") {
+    val cat = freshCat()
+    def ids(sql: String): Seq[String] =
+      VectorSql.execute(cat, sql).collect().map(_.getString(0)).sorted.toSeq
+    assert(ids("SELECT id FROM vectors WHERE NOT metadata.category = 'image'")
+      == Seq("v2")) // null metadata rows drop, like the != form
+    assert(ids("SELECT id FROM vectors WHERE ! metadata.category = 'image'")
+      == Seq("v2"))
+    assert(ids("SELECT id FROM vectors WHERE NOT (id = 'v1' OR id = 'v2')")
+      == Seq("test1", "v3"))
+    // NOT binds tighter than AND: NOT a=1 AND b=2 == (NOT a=1) AND b=2
+    assert(ids("SELECT id FROM vectors WHERE NOT id = 'v1' AND metadata.category = 'image'")
+      == Seq("v3"))
+    assert(ids("SELECT id FROM vectors WHERE NOT NOT id = 'v1'") == Seq("v1"))
+  }
+
+  test("arithmetic/NOT error paths are explicit") {
+    intercept[IllegalArgumentException] {
+      VectorSql.parse("SELECT id FROM vectors WHERE metadata.score + > 3")
+    }
+    intercept[IllegalArgumentException] {
+      VectorSql.parse("SELECT id FROM vectors WHERE NOT")
+    }
+    intercept[IllegalArgumentException] {
+      VectorSql.parse("SELECT id FROM vectors WHERE id LIKE 5")
+    }
+    intercept[IllegalArgumentException] {
+      VectorSql.parse("SELECT id FROM vectors WHERE (id = 'v1'") // unclosed
+    }
+  }
+
   test("non-NEAREST LIMIT is deterministic (ORDER BY id default)") {
     val cat = freshCat()
     val runs = (1 to 3).map(_ =>
