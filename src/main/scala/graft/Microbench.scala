@@ -117,6 +117,14 @@ object Microbench {
       (exact(qid) intersect got).size
     }.sum / (20.0 * 10)
 
+    // OR-amplified multi-table LSH: 4 tables x 4 planes
+    val lshTblRecall = qids.take(20).map { qid =>
+      val q = e.where(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val got = Ann.searchLshTables(e, q, "vec_id", "embedding", "cosine", 10,
+        planesPerTable = 4, numTables = 4).collect().map(_.getLong(0)).toSet
+      (exact(qid) intersect got).size
+    }.sum / (20.0 * 10)
+
     val (tagged, cents) = Ann.buildIvf(e, "vec_id", "embedding", k = 16, iters = 5)
     val taggedC = tagged.cache(); taggedC.count()
     val ivfRecall = qids.map { qid =>
@@ -166,6 +174,7 @@ object Microbench {
     sb ++= "\n## ANN recall@10 (50 queries vs exact cosine)\n\n"
     sb ++= f"- LSH (8 planes, 1 bucket probed): recall@10 = $lshRecall%.2f\n"
     sb ++= f"- LSH multi-probe (hamming<=1, 9 of 256 buckets): recall@10 = $lshMpRecall%.2f\n"
+    sb ++= f"- LSH multi-table (L=4 tables x 4 planes, OR-amplified): recall@10 = $lshTblRecall%.2f\n"
     sb ++= f"- IVF (k=16, nprobe=4): recall@10 = $ivfRecall%.2f\n"
     sb ++= f"- PQ-ADC (m=8, k=16 -> 8 bytes/vector, 32x compression): recall@10 vs exact l2 = $pqRecall%.2f\n"
     sb ++= "\nExact flat search stays the correctness baseline; LSH/IVF trade\n"

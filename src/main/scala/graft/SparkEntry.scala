@@ -424,6 +424,14 @@ object SparkEntry {
       Ann.searchLsh(t(s, dir, "embeddings"), queryVec(s, dir, 0),
         "vec_id", "embedding", "cosine", 10, probeHamming = 1)),
 
+    // -- OR-amplified multi-table LSH (L=4 tables of 4 planes):
+    //    candidate iff ANY table bucket matches — the recall lever
+    //    single-table LSH lacks --
+    "ann_lsh_tables" -> ((s, dir) =>
+      Ann.searchLshTables(t(s, dir, "embeddings"), queryVec(s, dir, 0),
+        "vec_id", "embedding", "cosine", 10,
+        planesPerTable = 4, numTables = 4)),
+
     // -- approximate NN: IVF coarse quantizer, nprobe=2 (kmeans is
     //    iterative -> no SQL oracle; driver records rows-only check) --
     "ann_ivf" -> ((s, dir) => {
@@ -725,6 +733,23 @@ object SparkEntry {
            |  UNION ALL SELECT qb FROM q)
            |SELECT e.vec_id AS vec_id, ${sqlDist("cosine")} AS dist
            |FROM sigs e, q WHERE e.bucket IN (SELECT pb FROM probes)
+           |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+      // one 16-plane signature; table t = bits [4t, 4t+4) (exact
+      // integer extraction, mirrors searchLshTables)
+      "ann_lsh_tables" ->
+        s"""WITH sigs AS (SELECT vec_id, embedding,
+           |  list_sum(list_transform(range(0, 16), p -> CASE WHEN
+           |    list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) *
+           |      ((((p * 64 + i) * 2654435761) % 4294967296) / 4294967296.0 - 0.5))) > 0
+           |    THEN CAST(2 ** p AS BIGINT) ELSE 0 END)) AS sig
+           |  FROM embeddings),
+           |q AS (SELECT embedding AS qvec, sig AS qsig FROM sigs WHERE vec_id = 0),
+           |cand AS (SELECT DISTINCT e.vec_id FROM sigs e, q,
+           |   (SELECT unnest(range(0, 4)) AS t) _t
+           |  WHERE CAST(floor(e.sig / (2 ** (t * 4))) AS BIGINT) % 16 =
+           |        CAST(floor(q.qsig / (2 ** (t * 4))) AS BIGINT) % 16)
+           |SELECT e.vec_id AS vec_id, ${sqlDist("cosine")} AS dist
+           |FROM sigs e, cand, q WHERE e.vec_id = cand.vec_id
            |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
       "ann_ivf_static" -> {
         val l2c = "sqrt(list_sum(list_transform(%s, (x, i) -> " +

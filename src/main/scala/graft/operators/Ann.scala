@@ -77,6 +77,55 @@ object Ann {
       .limit(k)
   }
 
+  /** OR-amplified multi-table LSH: `numTables` independent
+    * `planesPerTable`-bit signatures; a corpus row is a candidate if
+    * it shares ANY table's bucket with the query (the classic L-hash-
+    * tables construction — match probability 1-(1-(1-θ/π)^b)^L, far
+    * higher near-neighbor recall than one b*L-bit table at the same
+    * total plane count). All L buckets come from ONE kernel signature
+    * over b*L planes (table t = bits [t*b, (t+1)*b)), so the
+    * signature cost doesn't grow with L.
+    *
+    * Shape: explode (table, bucket) on both sides, equi-join, dedupe
+    * candidate ids, exact metric, TakeOrdered. This mirrors the
+    * at-rest layout (L hash tables = L× bucket-partitioned copies, or
+    * one copy partitionBy(tbl, bucket) with L× row duplication) where
+    * a probe reads L partitions instead of scanning the corpus —
+    * the storage-for-recall trade every multi-table LSH index makes.
+    */
+  def searchLshTables(
+      corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+      metric: String, k: Int, planesPerTable: Int = 4, numTables: Int = 4,
+      roundTo: Int = 4): DataFrame = {
+    require(planesPerTable * numTables <= 60, "signature must fit a long")
+    val buckets = 1L << planesPerTable
+    // table t's bucket = bits [t*b,(t+1)*b) of the combined signature;
+    // extracted with exact integer arithmetic (sig < 2^60, fp-safe
+    // division mirrors the DuckDB oracle's floor(sig / 2^(t*b)) % 2^b)
+    def tableBuckets(sig: Column): Column =
+      transform(sequence(lit(0), lit(numTables - 1)), t =>
+        struct(t.as("tbl"),
+          pmod(floor(sig / pow(lit(2.0), (t * planesPerTable).cast("double")))
+            .cast("long"), lit(buckets)).as("bucket")))
+    val sigAll = lshSignature(col(vecCol), planesPerTable * numTables)
+    val qsigAll = lshSignature(col("qvec"), planesPerTable * numTables)
+    val bucketed = corpus
+      .select(col(idCol), col(vecCol),
+        explode(tableBuckets(sigAll)).as("tb"))
+      .select(col(idCol), col(vecCol),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = query
+      .select(col("qvec"), explode(tableBuckets(qsigAll)).as("tb"))
+      .select(col("qvec"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val d = VectorFunctions.forMetric(metric)(col(vecCol), col("qvec"))
+    bucketed
+      .join(broadcast(q), Seq("tbl", "bucket"))
+      .dropDuplicates(idCol) // a pair can match in several tables
+      .select(col(idCol), round(d, roundTo).as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
   // ---- IVF ---------------------------------------------------------------
 
   /** Lloyd's k-means over DataFrames. Deterministic: seeded from the

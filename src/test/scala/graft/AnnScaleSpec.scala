@@ -25,6 +25,33 @@ class AnnScaleSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [lsh_signature"), plan)
   }
 
+  test("multi-table LSH with L=1 degenerates to single-table searchLsh") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val single = Ann.searchLsh(e, q, "vec_id", "embedding", "cosine", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val multi = Ann.searchLshTables(e, q, "vec_id", "embedding", "cosine", 10,
+      planesPerTable = 8, numTables = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(single.sameElements(multi))
+  }
+
+  test("multi-table LSH candidates are the union of per-table buckets") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    // k large enough to return every candidate: the result set must
+    // contain each single-table result set (OR-amplification)
+    val all = Ann.searchLshTables(e, q, "vec_id", "embedding", "cosine", 100000,
+      planesPerTable = 4, numTables = 4)
+      .collect().map(_.getLong(0)).toSet
+    // table 0 of the combined signature = plain 4-plane signature
+    val t0 = Ann.searchLshTables(e, q, "vec_id", "embedding", "cosine", 100000,
+      planesPerTable = 4, numTables = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(t0.subsetOf(all))
+    assert(all.contains(0L)) // the query vector always matches itself
+  }
+
   test("appendToIvf: new vectors land in their nearest cluster, no retrain") {
     val e = Tables.load(spark, sf, "embeddings")
     val (tagged, centroids) = Ann.buildIvf(e, "vec_id", "embedding", k = 4, iters = 2)
