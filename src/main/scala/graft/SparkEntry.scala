@@ -499,6 +499,12 @@ object SparkEntry {
     "streaming_window" -> ((s, dir) =>
       graft.streaming.EventStream.windowedCountsBatchDrain(s, dir)),
 
+    // -- dedup-on-arrival: streaming dropDuplicates over content
+    //    digests, oracle = batch DISTINCT (state/watermark notes in
+    //    EventStream.dedupDistinctBatchDrain) --
+    "streaming_dedup" -> ((s, dir) =>
+      graft.streaming.EventStream.dedupDistinctBatchDrain(s, dir)),
+
     // -- product quantization ANN (8 bytes/vector ADC search);
     //    k-means codebooks -> rows-only check like ann_ivf. Codebooks
     //    train on the id%2 sample; the query vector stays a broadcast
@@ -820,6 +826,8 @@ object SparkEntry {
           | event_type, CAST(count(*) AS BIGINT) AS n,
           | round(sum(value), 2) AS total
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+      "streaming_dedup" ->
+        "SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h",
       "corr_subquery" ->
         """SELECT o_orderkey, round(o_totalprice, 2) AS price
           |FROM orders o

@@ -56,6 +56,38 @@ object EventStream {
       .orderBy(col("hour_bucket"), col("event_type"))
   }
 
+  /** documents.parquet schema for the streaming dedup path. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming exact dedup: the ingest-side twin of Dedup.exactGroups.
+    * Documents stream in, each emits its content digest, and streaming
+    * `dropDuplicates` lets only first-seen digests through — the
+    * dedup-on-arrival pattern of a training-data ingest. Projecting to
+    * the digest BEFORE dropDuplicates keeps the emitted row
+    * deterministic (which duplicate arrives first is not).
+    *
+    * State note: keyed by digest with no watermark, state grows with
+    * distinct documents — correct for a bounded backfill; a 100 TB
+    * continuous ingest bounds it with `dropDuplicatesWithinWatermark`
+    * on an arrival-time column (spec-demonstrated on events) at the
+    * cost of only deduping within the watermark horizon.
+    */
+  def dedupDistinctBatchDrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_dedup_${memSinkId.incrementAndGet()}"
+    val q = spark.readStream.schema(docSchema).parquet(s"$sfDir/documents.*")
+      .select(md5(col("text")).as("h"))
+      .dropDuplicates("h")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy(col("h"))
+  }
+
   /** Exact nanos -> timestamp without a double round-trip ("/" would
     * promote to double; `div` stays integral). */
   def tsCol: org.apache.spark.sql.Column = expr("timestamp_micros(ts div 1000)")

@@ -181,6 +181,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup emits exactly the distinct digests") {
+    import org.apache.spark.sql.functions._
+    val got = EventStream.dedupDistinctBatchDrain(spark, "/root/testdata/sf0.001")
+    val batch = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(md5(col("text")).as("h")).distinct()
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).count() == 0)
+  }
+
+  test("dropDuplicatesWithinWatermark bounds dedup state on a live stream") {
+    import org.apache.spark.sql.functions._
+    // two identical streams unioned = every event arrives twice; the
+    // watermarked dedup must let each event_id through exactly once
+    // while keeping only watermark-deep state (the continuous-ingest
+    // form of the streaming_dedup query's unbounded-state dropDuplicates)
+    val s1 = EventStream.readStream(spark, "/root/testdata/sf0.001")
+    val s2 = EventStream.readStream(spark, "/root/testdata/sf0.001")
+    val deduped = s1.unionAll(s2)
+      .withColumn("event_ts", EventStream.tsCol)
+      .withWatermark("event_ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wm_out").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM dedup_wm_out").head().getLong(0)
+      val expect = Tables.load(spark, "/root/testdata/sf0.001", "events").count()
+      assert(n == expect, s"streamed $n != batch $expect")
+    } finally q.stop()
+  }
+
   test("sessionize groups events by gap") {
     import spark.implicits._
     val ev = Seq(
