@@ -527,6 +527,18 @@ object SparkEntry {
       Pq.searchAdcJoin(model, codes, queryVec(s, dir, 0), "vec_id", topK = 10)
     }),
 
+    // -- PQ shortlist + exact re-rank (the production serving pattern:
+    //    approximate 8-byte-code scan picks C=50 candidates, exact
+    //    cosine touches only those rows). Static codebooks -> fully
+    //    deterministic and oracled end to end --
+    "ann_pq_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = Pq.staticCodebooks(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+      val codes = Pq.encode(model, e, "vec_id", "embedding")
+      Pq.searchWithRerankJoin(model, codes, e, queryVec(s, dir, 0),
+        "vec_id", "embedding", "cosine", 10, candidates = 50)
+    }),
+
     // -- VectorSql range comparisons (< > <= >=): the reference PARSER
     //    accepts them (parser.go:716-748); the whole statement runs
     //    through the dialect front-end, incl. the deterministic
@@ -586,6 +598,29 @@ object SparkEntry {
   // ---- oracle SQL (DuckDB 1.0, bare table names per driver) ------------
 
   def oracleSql: Map[String, String] = coreOracles ++ pipelineOracles
+
+  /** Shared CTE chain for the static-codebook PQ oracles: codebooks
+    * from vectors 0..15, argmin-l2 encode, ADC scores vs the query's
+    * subvectors (ends with `adc(vec_id, score)`).
+    */
+  private val pqStaticCtes: String =
+    """g8 AS (SELECT unnest(range(0, 8)) AS grp),
+      |cb AS (SELECT g8.grp, CAST(e.vec_id AS INTEGER) AS code,
+      |  list_transform(e.embedding[(g8.grp*8+1):(g8.grp*8+8)], x -> CAST(x AS DOUBLE)) AS centroid
+      | FROM embeddings e, g8 WHERE e.vec_id < 16),
+      |sv AS (SELECT e.vec_id, g8.grp,
+      |  list_transform(e.embedding[(g8.grp*8+1):(g8.grp*8+8)], x -> CAST(x AS DOUBLE)) AS sv
+      | FROM embeddings e, g8),
+      |asgn AS (SELECT vec_id, grp, code FROM (
+      |  SELECT sv.vec_id, sv.grp, cb.code,
+      |    row_number() OVER (PARTITION BY sv.vec_id, sv.grp ORDER BY
+      |      sqrt(list_sum(list_transform(sv.sv, (x, i) -> (x - cb.centroid[i]) * (x - cb.centroid[i])))), cb.code) AS rn
+      |  FROM sv JOIN cb ON sv.grp = cb.grp) _r WHERE rn = 1),
+      |pq AS (SELECT grp, sv AS qsv FROM sv WHERE vec_id = 0),
+      |adc AS (SELECT a.vec_id AS vec_id,
+      |  round(sqrt(sum(list_sum(list_transform(pq.qsv, (x, i) -> (x - cb.centroid[i]) * (x - cb.centroid[i]))))), 4) AS score
+      | FROM asgn a JOIN cb ON a.grp = cb.grp AND a.code = cb.code JOIN pq ON pq.grp = a.grp
+      | GROUP BY a.vec_id)""".stripMargin.replaceAll("\n", " ")
 
   private def pipelineOracles: Map[String, String] = {
     val toks = SqlSnips.tokens("text")
@@ -781,23 +816,17 @@ object SparkEntry {
       // vectors 0..15; encode = argmin-l2 per (vec, subspace); score =
       // sqrt of the summed per-subspace squared distances to the query
       "ann_pq_static" ->
-        """WITH g8 AS (SELECT unnest(range(0, 8)) AS grp),
-          |cb AS (SELECT g8.grp, CAST(e.vec_id AS INTEGER) AS code,
-          |  list_transform(e.embedding[(g8.grp*8+1):(g8.grp*8+8)], x -> CAST(x AS DOUBLE)) AS centroid
-          | FROM embeddings e, g8 WHERE e.vec_id < 16),
-          |sv AS (SELECT e.vec_id, g8.grp,
-          |  list_transform(e.embedding[(g8.grp*8+1):(g8.grp*8+8)], x -> CAST(x AS DOUBLE)) AS sv
-          | FROM embeddings e, g8),
-          |asgn AS (SELECT vec_id, grp, code FROM (
-          |  SELECT sv.vec_id, sv.grp, cb.code,
-          |    row_number() OVER (PARTITION BY sv.vec_id, sv.grp ORDER BY
-          |      sqrt(list_sum(list_transform(sv.sv, (x, i) -> (x - cb.centroid[i]) * (x - cb.centroid[i])))), cb.code) AS rn
-          |  FROM sv JOIN cb ON sv.grp = cb.grp) _r WHERE rn = 1),
-          |q AS (SELECT grp, sv AS qsv FROM sv WHERE vec_id = 0)
-          |SELECT a.vec_id AS vec_id,
-          | round(sqrt(sum(list_sum(list_transform(q.qsv, (x, i) -> (x - cb.centroid[i]) * (x - cb.centroid[i]))))), 4) AS score
-          |FROM asgn a JOIN cb ON a.grp = cb.grp AND a.code = cb.code JOIN q ON q.grp = a.grp
-          |GROUP BY a.vec_id ORDER BY score, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+        s"""WITH $pqStaticCtes
+          |SELECT vec_id, score FROM adc
+          |ORDER BY score, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+      // shortlist C=50 by ADC score, exact cosine only on those rows
+      "ann_pq_rerank" ->
+        s"""WITH $pqStaticCtes,
+          |short AS (SELECT vec_id FROM adc ORDER BY score, vec_id LIMIT 50),
+          |qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+          |SELECT e.vec_id AS vec_id, ${sqlDist("cosine")} AS dist
+          |FROM embeddings e, short, qv q WHERE e.vec_id = short.vec_id
+          |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
       // string id ordering on purpose ("10" < "2"): the collection key
       // is a string, and both engines sort varchar byte-lexicographic
       "vector_sql_range" ->

@@ -226,4 +226,26 @@ object Pq {
       .orderBy(col("dist"), col(idCol))
       .limit(topK)
   }
+
+  /** Shortlist + re-rank with the query vector staying a (broadcast)
+    * one-row DataFrame — fully lazy, no driver-side action anywhere on
+    * the query path (the composed-plan twin of [[searchWithRerank]],
+    * same relationship searchAdcJoin has to searchAdc). With static
+    * codebooks the whole plan is deterministic and DuckDB-oracled
+    * (`ann_pq_rerank`).
+    */
+  def searchWithRerankJoin(
+      model: Model, codes: DataFrame, corpus: DataFrame,
+      query: DataFrame, idCol: String, vecCol: String,
+      metric: String, topK: Int, candidates: Int = 100): DataFrame = {
+    val shortlist = searchAdcJoin(model, codes, query, idCol, candidates)
+      .select(col(idCol))
+    val d = VectorFunctions.forMetric(metric)(col(vecCol), col("qvec"))
+    corpus
+      .join(broadcast(shortlist), Seq(idCol))
+      .crossJoin(broadcast(query))
+      .select(col(idCol), round(d, 4).as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(topK)
+  }
 }
