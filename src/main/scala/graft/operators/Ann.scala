@@ -283,6 +283,19 @@ object Ann {
     }
   }
 
+  /** Persist an IVF index: corpus partitionBy(cluster) — the at-rest
+    * layout where a probe is a partition-pruned scan of nprobe
+    * directories, not a corpus read — plus the k-row centroid table.
+    */
+  def writeIndex(tagged: DataFrame, centroids: DataFrame, path: String): Unit = {
+    tagged.write.mode("overwrite").partitionBy("cluster").parquet(s"$path/ivf")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted IVF index: (tagged, centroids). */
+  def loadIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/ivf"), spark.read.parquet(s"$path/centroids"))
+
   /** Search an IVF index: probe the `nprobe` nearest clusters only. */
   def searchIvf(
       tagged: DataFrame, centroids: DataFrame, query: DataFrame,

@@ -149,11 +149,8 @@ class AnnScaleSpec extends AnyFunSuite {
     val (tagged, centroids) = Ann.buildIvf(e, "vec_id", "embedding", k = 4, iters = 2)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     // the at-rest layout for 100 TB: one parquet partition per cluster
-    tagged.write.partitionBy("cluster").parquet(s"$dir/ivf")
-    centroids.write.parquet(s"$dir/centroids")
-
-    val back = spark.read.parquet(s"$dir/ivf")
-    val cents = spark.read.parquet(s"$dir/centroids")
+    Ann.writeIndex(tagged, centroids, dir)
+    val (back, cents) = Ann.loadIndex(spark, dir)
     val q = Tables.load(spark, sf, "embeddings")
       .where(col("vec_id") === 0).select(col("embedding").as("qvec"))
     val res = Ann.searchIvf(back, cents, q,
