@@ -432,6 +432,17 @@ object SparkEntry {
         "vec_id", "embedding", "cosine", 10,
         planesPerTable = 4, numTables = 4)),
 
+    // -- batch APPROXIMATE kNN join: both sides LSH-bucketed, pairs
+    //    from the (tbl, bucket) equi join — knn_join's scale form when
+    //    the query set itself is too big to broadcast --
+    "ann_knn_join" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.annJoinLsh(e, q, "vec_id", "embedding", "qid", "qvec",
+        "euclidean", 5, planesPerTable = 4, numTables = 4)
+    }),
+
     // -- approximate NN: IVF coarse quantizer, nprobe=2 (kmeans is
     //    iterative -> no SQL oracle; driver records rows-only check) --
     "ann_ivf" -> ((s, dir) => {
@@ -775,6 +786,32 @@ object SparkEntry {
            |SELECT e.vec_id AS vec_id, ${sqlDist("cosine")} AS dist
            |FROM sigs e, q WHERE e.bucket IN (SELECT pb FROM probes)
            |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+      // both sides share the 16-plane signature CTE; candidates =
+      // DISTINCT (qid, vec_id) bucket collisions over the 4 tables
+      "ann_knn_join" ->
+        """WITH sigs AS (SELECT vec_id, embedding,
+          |  list_sum(list_transform(range(0, 16), p -> CASE WHEN
+          |    list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) *
+          |      ((((p * 64 + i) * 2654435761) % 4294967296) / 4294967296.0 - 0.5))) > 0
+          |    THEN CAST(2 ** p AS BIGINT) ELSE 0 END)) AS sig
+          |  FROM embeddings),
+          |qs AS (SELECT vec_id AS qid, embedding AS qvec, sig AS qsig
+          |  FROM sigs WHERE vec_id < 5),
+          |cand AS (SELECT DISTINCT q.qid, e.vec_id FROM sigs e, qs q,
+          |   (SELECT unnest(range(0, 4)) AS t) _t
+          |  WHERE e.vec_id <> q.qid AND
+          |    CAST(floor(e.sig / (2 ** (t * 4))) AS BIGINT) % 16 =
+          |    CAST(floor(q.qsig / (2 ** (t * 4))) AS BIGINT) % 16),
+          |d AS (SELECT c.qid, c.vec_id,
+          |  round(sqrt(list_sum(list_transform(e.embedding, (x, i) ->
+          |    (CAST(x AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE)) *
+          |    (CAST(x AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE))))), 4) AS dist
+          |  FROM cand c JOIN sigs e ON e.vec_id = c.vec_id JOIN qs q ON q.qid = c.qid),
+          |ranked AS (SELECT qid, vec_id, dist,
+          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INTEGER) AS rank
+          |  FROM d)
+          |SELECT qid, vec_id, dist, rank FROM ranked WHERE rank <= 5
+          |ORDER BY qid, rank""".stripMargin.replaceAll("\n", " "),
       // one 16-plane signature; table t = bits [4t, 4t+4) (exact
       // integer extraction, mirrors searchLshTables)
       "ann_lsh_tables" ->

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.functions.{TopKAgg, VectorFunctions}
 
 /** Approximate nearest neighbour — the batch/scale replacement for the
   * reference's HNSW graph (/root/reference/pkg/index/hnsw/hnsw.go).
@@ -124,6 +124,53 @@ object Ann {
       .select(col(idCol), round(d, roundTo).as("dist"))
       .orderBy(col("dist"), col(idCol))
       .limit(k)
+  }
+
+  /** Batch APPROXIMATE kNN join — the many-queries scale pattern.
+    * Knn.knnJoin broadcasts the query set and scans q×|corpus| pairs;
+    * here BOTH sides get multi-table LSH buckets and candidates come
+    * from a (tbl, bucket) equi join, so the pair stream is only
+    * bucket-collisions — neither side needs to fit in a broadcast and
+    * corpus-vs-corpus joins (global near-dup, all-pairs ANN) stay
+    * shuffle-bounded. Per-query top-k is the TopKPairs bounded-heap
+    * aggregate (map-side partial, exchange carries <= q*k*partitions
+    * rows). Output (qid, id, dist, rank) matches Knn.knnJoin.
+    */
+  def annJoinLsh(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      qidCol: String, qvecCol: String, metric: String, k: Int,
+      planesPerTable: Int = 4, numTables: Int = 4,
+      excludeSelf: Boolean = true, roundTo: Int = 4): DataFrame = {
+    val total = planesPerTable * numTables
+    val buckets = 1L << planesPerTable
+    def tableBuckets(sig: Column): Column =
+      transform(sequence(lit(0), lit(numTables - 1)), t =>
+        struct(t.as("tbl"),
+          pmod(floor(sig / pow(lit(2.0), (t * planesPerTable).cast("double")))
+            .cast("long"), lit(buckets)).as("bucket")))
+    val c = corpus
+      .select(col(idCol), col(vecCol),
+        explode(tableBuckets(lshSignature(col(vecCol), total))).as("tb"))
+      .select(col(idCol), col(vecCol),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = queries
+      .select(col(qidCol), col(qvecCol),
+        explode(tableBuckets(lshSignature(col(qvecCol), total))).as("tb"))
+      .select(col(qidCol), col(qvecCol),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val d = VectorFunctions.forMetric(metric)(col(vecCol), col(qvecCol))
+    c.join(q, Seq("tbl", "bucket"))
+      .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
+      .select(col(qidCol), col(idCol), round(d, roundTo).as("dist"))
+      // a pair matching in several tables must not occupy two heap
+      // slots; the dedup shuffle is bounded by the candidate count
+      .dropDuplicates(qidCol, idCol)
+      .groupBy(col(qidCol))
+      .agg(TopKAgg.topk_pairs(col("dist"), col(idCol), k).as("topk"))
+      .select(col(qidCol), posexplode(col("topk")).as(Seq("pos", "pair")))
+      .select(col(qidCol), col("pair.id").as(idCol),
+        col("pair.dist").as("dist"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col(qidCol), col("rank"))
   }
 
   // ---- IVF ---------------------------------------------------------------

@@ -52,6 +52,30 @@ class AnnScaleSpec extends AnyFunSuite {
     assert(all.contains(0L)) // the query vector always matches itself
   }
 
+  test("annJoinLsh: equi-join candidates, partial topk before the exchange") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val res = Ann.annJoinLsh(e, q, "vec_id", "embedding", "qid", "qvec",
+      "euclidean", 5)
+    val plan = res.queryExecution.executedPlan.toString
+    // candidates must come from a hash join on (tbl, bucket), NOT the
+    // broadcast nested-loop cross join of the exact knnJoin
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_topk_pairs"), plan)
+
+    // every returned neighbor is a true bucket collision, ranked right
+    val rows = res.collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(3) <= 5))
+    // approximate recall vs the exact batch join on the same queries
+    val exact = graft.operators.Knn.knnJoin(e, q, "vec_id", "embedding",
+      "qid", "qvec", "euclidean", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.2, s"batch ANN recall $recall vs exact")
+  }
+
   test("appendToIvf: new vectors land in their nearest cluster, no retrain") {
     val e = Tables.load(spark, sf, "embeddings")
     val (tagged, centroids) = Ann.buildIvf(e, "vec_id", "embedding", k = 4, iters = 2)
