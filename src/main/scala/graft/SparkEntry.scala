@@ -260,6 +260,22 @@ object SparkEntry {
         .limit(500)
     }),
 
+    // -- native session_window gap sessionization (the operator form
+    //    of sessionize_sql; streaming-capable). Merge rule is STRICT
+    //    (event joins a session iff ts < last_ts + gap), so the
+    //    window-function oracle uses `<` where sessionize_sql's
+    //    hand-rolled form uses `<=` --
+    "events_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"), graft.streaming.EventStream.tsCol.as("ets"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .groupBy(col("user_id"), session_window(col("ets"), "1 hour"))
+        .agg(min(col("ts_us")).as("start_us"),
+          count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(col("user_id"), col("start_us"), col("n"), col("total"))
+        .orderBy(col("user_id"), col("start_us"))
+        .limit(500)),
+
     // -- tumbling 1h window over the event stream (batch form);
     //    ts is long nanos (see Tables.load) -> exact integer bucketing --
     "events_window" -> ((s, dir) =>
@@ -1027,6 +1043,17 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
         | event_type, CAST(count(*) AS BIGINT) AS n,
         | round(sum(value), 2) AS total
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " ")
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+    // strict-gap sessions (`<`, matching session_window's end-exclusive
+    // merge rule; sessionize_sql's variant uses `<=`)
+    "events_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+        |s AS (SELECT *, sum(CASE WHEN prev IS NOT NULL AND ts_us - prev < 3600000000 THEN 0 ELSE 1 END)
+        |  OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM l)
+        |SELECT user_id, CAST(min(ts_us) AS BIGINT) AS start_us,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, start_us LIMIT 500""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -58,7 +58,10 @@ object VectorWire {
       else if (c == delim) { out += cur.toString(); cur.clear() }
       else cur += c
     }
-    if (cur.nonEmpty || s.isEmpty) out += cur.toString()
+    // keep the trailing piece even when empty: "=" must split to
+    // ("", "") so an empty key/value round-trips (the reference drops
+    // trailing empties — same bug class as its backslash handling)
+    out += cur.toString()
     out.result()
   }
 

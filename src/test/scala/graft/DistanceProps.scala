@@ -90,6 +90,29 @@ object DistanceProps extends Properties("graft") {
 
   // the invariant partial aggregation rests on: any partitioning of
   // the input, merged in any order, equals global-sort-take-k
+  private val metaGen: Gen[Map[String, String]] = Gen.mapOf(Gen.zip(
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('=', ';', '\\', ' ')))
+      .map(_.mkString),
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('=', ';', '\\', ' ')))
+      .map(_.mkString)))
+
+  property("VectorWire decode(encode) == identity incl. hostile metadata") =
+    forAll(for {
+      id <- Gen.identifier
+      vec <- vecGen
+      meta <- metaGen
+    } yield (id, vec, meta)) { case (id, vec, meta) =>
+      // backslash itself is NOT escaped by the reference format, so a
+      // key/value ending in '\' or containing '\=' is ambiguous on the
+      // wire by design; restrict to the representable set
+      val clean = meta.filterNot { case (k, v) =>
+        k.contains('\\') || v.contains('\\') }
+      val r = graft.sources.VectorWire.decode(
+        graft.sources.VectorWire.encode(id, vec, clean))
+      Prop(r.id == id && r.vector.toSeq == vec.toSeq && r.metadata == clean) :|
+        s"got ${r.metadata} expected $clean"
+    }
+
   property("TopKBuffer merge == global top-k for any partitioning") =
     forAll(for {
       xs <- Gen.listOf(Gen.zip(Gen.chooseNum(0.0, 10.0), Gen.chooseNum(0L, 50L)))

@@ -38,6 +38,14 @@ class VectorWireSpec extends AnyFunSuite {
     assert(r.metadata == meta)
   }
 
+  test("metadata edge cases: empty keys/values, escape-only content") {
+    for (m <- Seq(Map("" -> ""), Map("" -> "x"), Map("a" -> ""),
+        Map(" " -> "="), Map(";" -> ";"), Map("=" -> "=="))) {
+      val r = VectorWire.decode(VectorWire.encode("i", Array(1f), m))
+      assert(r.metadata == m, s"$m decoded as ${r.metadata}")
+    }
+  }
+
   test("decode is lenient like the reference: missing/overrun metadata -> empty") {
     val full = VectorWire.encode("x", Array(1f), Map("a" -> "b"))
     // truncate right after the values: no metadata section at all
