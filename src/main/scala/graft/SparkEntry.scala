@@ -595,6 +595,20 @@ object SparkEntry {
           "WHERE NOT metadata.label < 2 AND metadata.label * 2 <= 3 + 7 LIMIT 50")
     }),
 
+    // -- VectorSql ORDER BY (tokenizer.go:39 declares ORDER/BY/ASC/
+    //    DESC): explicit multi-key sort through the dialect; trailing
+    //    implicit id keeps ties deterministic for the oracle --
+    "vector_sql_order" -> ((s, dir) => {
+      val cat = new graft.sql.VectorSql.Catalog(s)
+      cat.put("vectors", t(s, dir, "embeddings").select(
+        col("vec_id").cast("string").as("id"),
+        col("embedding").as("vector"),
+        map(lit("label"), col("label").cast("string")).as("metadata")))
+      graft.sql.VectorSql.execute(cat,
+        "SELECT id, metadata.label AS label FROM vectors " +
+          "WHERE metadata.label >= 5 ORDER BY metadata.label DESC, id ASC LIMIT 30")
+    }),
+
     // -- salted two-phase aggregation (skewed-key pattern; results
     //    identical to the direct groupBy the oracle runs) --
     "events_by_type_salted" -> ((s, dir) =>
@@ -890,6 +904,11 @@ object SparkEntry {
         """SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label
           |FROM embeddings WHERE NOT (label < 2) AND label * 2 <= 3 + 7
           |ORDER BY id LIMIT 50""".stripMargin.replaceAll("\n", " "),
+      // labels are single digits, so varchar DESC == numeric DESC
+      "vector_sql_order" ->
+        """SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label
+          |FROM embeddings WHERE label >= 5
+          |ORDER BY CAST(label AS VARCHAR) DESC, id ASC LIMIT 30""".stripMargin.replaceAll("\n", " "),
       "events_by_type_salted" ->
         """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
           | round(sum(value), 2) AS total

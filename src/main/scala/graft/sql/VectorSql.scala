@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
   *
   *   SELECT cols FROM table
   *     [NEAREST TO [v,...] | NEAREST TO (SELECT ... )] [USING metric]
-  *     [WHERE cond] [LIMIT n]
+  *     [WHERE cond] [ORDER BY field [ASC|DESC], ...] [LIMIT n]
   *   INSERT INTO table (id, vector) VALUES ('id', [v,...])
   *   DELETE FROM table WHERE cond
   *   UPDATE table SET metadata.key = 'v' WHERE cond
@@ -66,7 +66,8 @@ object VectorSql {
 
   private val keywords = Set("SELECT", "FROM", "WHERE", "NEAREST", "TO",
     "USING", "LIMIT", "AS", "AND", "OR", "LIKE", "INSERT", "INTO", "VALUES",
-    "DELETE", "UPDATE", "SET", "CREATE", "DROP", "COLLECTION", "COUNT", "NOT")
+    "DELETE", "UPDATE", "SET", "CREATE", "DROP", "COLLECTION", "COUNT", "NOT",
+    "ORDER", "BY", "ASC", "DESC")
 
   private def lex(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -124,7 +125,8 @@ object VectorSql {
   sealed trait Stmt
   case class Select(cols: Seq[(String, Option[String])], table: String,
       nearest: Option[Either[Seq[Float], Select]], metric: Option[String],
-      where: Option[Cond], limit: Option[Int], countStar: Boolean) extends Stmt
+      where: Option[Cond], limit: Option[Int], countStar: Boolean,
+      orderBy: Seq[(String, Boolean)] = Nil) extends Stmt // (field, desc)
   case class Insert(table: String, id: String, vector: Seq[Float],
       metadata: Map[String, String]) extends Stmt
   case class Delete(table: String, where: Option[Cond]) extends Stmt
@@ -198,8 +200,23 @@ object VectorSql {
         })
       }
       val where = if (accept(Kw("WHERE"))) Some(cond()) else None
+      // ORDER BY field [ASC|DESC], ... (tokenizer.go:39 declares the
+      // keywords; evaluated here like the other parsed-surface items)
+      val order = Vector.newBuilder[(String, Boolean)]
+      if (accept(Kw("ORDER"))) {
+        expect(Kw("BY"))
+        var more = true
+        while (more) {
+          val f = ident()
+          val desc = if (accept(Kw("DESC"))) true
+            else { accept(Kw("ASC")); false }
+          order += ((f, desc))
+          more = accept(Sym(","))
+        }
+      }
       val limit = if (accept(Kw("LIMIT"))) Some(num().toInt) else None
-      Select(cols.result(), table, nearest, metric, where, limit, countStar)
+      Select(cols.result(), table, nearest, metric, where, limit, countStar,
+        order.result())
     }
 
     private def insert(): Insert = {
@@ -484,12 +501,28 @@ object VectorSql {
           .orderBy(col("distance"), col("id"))
     }
 
+    // explicit ORDER BY wins over both implicit orders (distance for
+    // NEAREST TO, id for the deterministic-LIMIT default). Orderable
+    // fields resolve like projections: id/distance/dimension/metadata.k
+    def orderCol(f: String): Column = {
+      val base: Column = f match {
+        case "dimension" => size(col("vector"))
+        case m if m.startsWith("metadata.") =>
+          col("metadata")(m.stripPrefix("metadata."))
+        case other => col(other)
+      }
+      base
+    }
     // non-NEAREST SELECT ... LIMIT: the reference's scan order is map
     // iteration (arbitrary); a distributed LIMIT without ORDER BY is
     // nondeterministic across runs, so collections being keyed frames
     // lets us default to ORDER BY id and make the result stable
     val ordered =
-      if (s.nearest.isEmpty && s.limit.isDefined) withDist.orderBy(col("id"))
+      if (s.orderBy.nonEmpty)
+        withDist.orderBy(s.orderBy.map { case (f, desc) =>
+          if (desc) orderCol(f).desc else orderCol(f).asc
+        } :+ col("id").asc: _*) // trailing id keeps ties deterministic
+      else if (s.nearest.isEmpty && s.limit.isDefined) withDist.orderBy(col("id"))
       else withDist
     val limited = s.limit.map(ordered.limit).getOrElse(ordered)
 

@@ -185,6 +185,33 @@ class VectorSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("ORDER BY field ASC/DESC, multi-key, overrides implicit orders") {
+    val cat = freshCat()
+    def ids(sql: String): Seq[String] =
+      VectorSql.execute(cat, sql).collect().map(_.getString(0)).toSeq
+    // explicit DESC on id overrides the deterministic-LIMIT default
+    assert(ids("SELECT id FROM vectors ORDER BY id DESC LIMIT 2")
+      == Seq("v3", "v2"))
+    // metadata key ordering, ties broken by trailing implicit id
+    assert(ids("SELECT id FROM vectors ORDER BY metadata.category ASC, id ASC")
+      == Seq("test1", "v1", "v3", "v2")) // Spark ASC: nulls first, then image x2 (id tie), text
+    // ORDER BY distance under NEAREST TO == the implicit order
+    val near = VectorSql.execute(cat,
+      "SELECT id, distance FROM vectors NEAREST TO [1.0, 0.0, 0.0] LIMIT 2")
+      .collect().map(_.getString(0)).toSeq
+    val explicit = ids("SELECT id FROM vectors NEAREST TO [1.0, 0.0, 0.0] " +
+      "ORDER BY distance ASC LIMIT 2")
+    assert(explicit == near)
+    // DESC distance = farthest-first: v2 and test1 tie at sqrt(2),
+    // the trailing implicit id ASC breaks it deterministically
+    val far = ids("SELECT id FROM vectors NEAREST TO [1.0, 0.0, 0.0] " +
+      "ORDER BY distance DESC LIMIT 1")
+    assert(far == Seq("test1"))
+    // dimension is orderable like in projections
+    assert(ids("SELECT id FROM vectors ORDER BY dimension, id LIMIT 1")
+      == Seq("test1"))
+  }
+
   test("non-NEAREST LIMIT is deterministic (ORDER BY id default)") {
     val cat = freshCat()
     val runs = (1 to 3).map(_ =>
