@@ -609,6 +609,30 @@ object SparkEntry {
           "WHERE metadata.label >= 5 ORDER BY metadata.label DESC, id ASC LIMIT 30")
     }),
 
+    // -- VectorSql IN-list (incl. an arithmetic element) + DISTINCT
+    //    projection through the dialect --
+    "vector_sql_in" -> ((s, dir) => {
+      val cat = new graft.sql.VectorSql.Catalog(s)
+      cat.put("vectors", t(s, dir, "embeddings").select(
+        col("vec_id").cast("string").as("id"),
+        col("embedding").as("vector"),
+        map(lit("label"), col("label").cast("string")).as("metadata")))
+      graft.sql.VectorSql.execute(cat,
+        "SELECT id, metadata.label AS label FROM vectors " +
+          "WHERE metadata.label IN (2, 3 + 2, 7) LIMIT 40")
+    }),
+
+    "vector_sql_distinct" -> ((s, dir) => {
+      val cat = new graft.sql.VectorSql.Catalog(s)
+      cat.put("vectors", t(s, dir, "embeddings").select(
+        col("vec_id").cast("string").as("id"),
+        col("embedding").as("vector"),
+        map(lit("label"), col("label").cast("string")).as("metadata")))
+      graft.sql.VectorSql.execute(cat,
+        "SELECT DISTINCT metadata.label AS label FROM vectors " +
+          "WHERE NOT metadata.label IN (0, 1) ORDER BY label")
+    }),
+
     // -- salted two-phase aggregation (skewed-key pattern; results
     //    identical to the direct groupBy the oracle runs) --
     "events_by_type_salted" -> ((s, dir) =>
@@ -904,6 +928,14 @@ object SparkEntry {
         """SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label
           |FROM embeddings WHERE NOT (label < 2) AND label * 2 <= 3 + 7
           |ORDER BY id LIMIT 50""".stripMargin.replaceAll("\n", " "),
+      "vector_sql_in" ->
+        """SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label
+          |FROM embeddings WHERE label IN (2, 5, 7)
+          |ORDER BY id LIMIT 40""".stripMargin.replaceAll("\n", " "),
+      "vector_sql_distinct" ->
+        """SELECT DISTINCT CAST(label AS VARCHAR) AS label
+          |FROM embeddings WHERE label NOT IN (0, 1)
+          |ORDER BY label""".stripMargin.replaceAll("\n", " "),
       // labels are single digits, so varchar DESC == numeric DESC
       "vector_sql_order" ->
         """SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label

@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
   * parser/parser.go and README examples — the implementation below is
   * written from scratch against that grammar, not translated):
   *
-  *   SELECT cols FROM table
+  *   SELECT [DISTINCT] cols FROM table
   *     [NEAREST TO [v,...] | NEAREST TO (SELECT ... )] [USING metric]
   *     [WHERE cond] [ORDER BY field [ASC|DESC], ...] [LIMIT n]
   *   INSERT INTO table (id, vector) VALUES ('id', [v,...])
@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   * cols: id | vector | dimension | distance | metadata.k | COUNT(*)
   *       (each optionally AS alias)
   * cond: (cond) | NOT cond | !cond | cond AND cond | cond OR cond |
-  *       expr (=|!=|<>|<|>|<=|>=|LIKE) expr
+  *       expr (=|!=|<>|<|>|<=|>=|LIKE) expr | expr [NOT] IN (expr, ...)
   * expr: field | number | 'string' | -expr | +expr | (expr) |
   *       expr (+|-|*|/|%) expr   with the usual precedence
   *       (the reference PARSER accepts comparisons, arithmetic and
@@ -67,7 +67,7 @@ object VectorSql {
   private val keywords = Set("SELECT", "FROM", "WHERE", "NEAREST", "TO",
     "USING", "LIMIT", "AS", "AND", "OR", "LIKE", "INSERT", "INTO", "VALUES",
     "DELETE", "UPDATE", "SET", "CREATE", "DROP", "COLLECTION", "COUNT", "NOT",
-    "ORDER", "BY", "ASC", "DESC")
+    "ORDER", "BY", "ASC", "DESC", "IN", "DISTINCT")
 
   private def lex(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -118,6 +118,7 @@ object VectorSql {
 
   sealed trait Cond
   case class Cmp(l: Expr, op: String, r: Expr) extends Cond
+  case class InC(e: Expr, vals: Seq[Expr], negated: Boolean) extends Cond
   case class AndC(l: Cond, r: Cond) extends Cond
   case class OrC(l: Cond, r: Cond) extends Cond
   case class NotC(c: Cond) extends Cond
@@ -126,7 +127,8 @@ object VectorSql {
   case class Select(cols: Seq[(String, Option[String])], table: String,
       nearest: Option[Either[Seq[Float], Select]], metric: Option[String],
       where: Option[Cond], limit: Option[Int], countStar: Boolean,
-      orderBy: Seq[(String, Boolean)] = Nil) extends Stmt // (field, desc)
+      orderBy: Seq[(String, Boolean)] = Nil, // (field, desc)
+      distinct: Boolean = false) extends Stmt
   case class Insert(table: String, id: String, vector: Seq[Float],
       metadata: Map[String, String]) extends Stmt
   case class Delete(table: String, where: Option[Cond]) extends Stmt
@@ -166,6 +168,7 @@ object VectorSql {
     }
 
     private def select(): Select = {
+      val distinct = accept(Kw("DISTINCT")) // tokenizer.go:40 keyword
       var countStar = false
       val cols = Vector.newBuilder[(String, Option[String])]
       if (accept(Kw("COUNT"))) {
@@ -216,7 +219,7 @@ object VectorSql {
       }
       val limit = if (accept(Kw("LIMIT"))) Some(num().toInt) else None
       Select(cols.result(), table, nearest, metric, where, limit, countStar,
-        order.result())
+        order.result(), distinct)
     }
 
     private def insert(): Insert = {
@@ -326,15 +329,30 @@ object VectorSql {
     }
     private def comparison(): Cond = {
       val l = expr()
-      val op = next() match {
-        case Sym(s @ ("=" | "!=" | "<" | ">" | "<=" | ">=")) => s
-        case Kw("LIKE") => "LIKE"
-        case t => throw new IllegalArgumentException(s"bad operator: $t")
+      // IN / NOT IN value lists (tokenizer.go:40 declares IN)
+      val negatedIn =
+        if (accept(Kw("NOT"))) { expect(Kw("IN")); Some(true) }
+        else if (accept(Kw("IN"))) Some(false)
+        else None
+      negatedIn match {
+        case Some(neg) =>
+          expect(Sym("("))
+          val vs = Vector.newBuilder[Expr]
+          vs += expr()
+          while (accept(Sym(","))) vs += expr()
+          expect(Sym(")"))
+          InC(l, vs.result(), neg)
+        case None =>
+          val op = next() match {
+            case Sym(s @ ("=" | "!=" | "<" | ">" | "<=" | ">=")) => s
+            case Kw("LIKE") => "LIKE"
+            case t => throw new IllegalArgumentException(s"bad operator: $t")
+          }
+          val r = expr()
+          if (op == "LIKE" && !r.isInstanceOf[StrE])
+            throw new IllegalArgumentException("LIKE needs a string pattern")
+          Cmp(l, op, r)
       }
-      val r = expr()
-      if (op == "LIKE" && !r.isInstanceOf[StrE])
-        throw new IllegalArgumentException("LIKE needs a string pattern")
-      Cmp(l, op, r)
     }
 
     // value-expression grammar: term (+|- term)*, factor (*|/|% factor)*,
@@ -406,6 +424,12 @@ object VectorSql {
     case AndC(l, r) => condCol(l) && condCol(r)
     case OrC(l, r)  => condCol(l) || condCol(r)
     case NotC(x)    => !condCol(x)
+    case InC(e, vals, neg) =>
+      // OR chain rather than isin() so list elements may themselves be
+      // expressions (IN (2, 3+2, 7)); Catalyst folds literal chains
+      val t = exprCol(e)
+      val hit = vals.map(v => t === exprCol(v)).reduce(_ || _)
+      if (neg) !hit else hit
     case Cmp(l, op, r) =>
       val target = exprCol(l)
       val litv = exprCol(r)
@@ -513,6 +537,36 @@ object VectorSql {
       }
       base
     }
+    def project(df: DataFrame): DataFrame = s.cols match {
+      case Seq(("*", None)) => df
+      case cs => df.select(cs.map { case (c, alias) =>
+        val base: Column = c match {
+          case "dimension" => size(col("vector"))
+          case m if m.startsWith("metadata.") =>
+            col("metadata")(m.stripPrefix("metadata."))
+          case other => col(other)
+        }
+        alias.map(base.as).getOrElse(base.as(c.replace('.', '_')))
+      }: _*)
+    }
+
+    if (s.distinct) {
+      // SQL order of operations: project -> DISTINCT -> ORDER BY (over
+      // OUTPUT columns, standard DISTINCT restriction) -> LIMIT. With
+      // neither, a LIMIT still gets a deterministic default: sort by
+      // every output column.
+      val dd = project(withDist).dropDuplicates()
+      val ordered =
+        if (s.orderBy.nonEmpty)
+          dd.orderBy(s.orderBy.map { case (f, desc) =>
+            val name = if (dd.columns.contains(f)) f else f.replace('.', '_')
+            if (desc) col(name).desc else col(name).asc
+          }: _*)
+        else if (s.limit.isDefined) dd.orderBy(dd.columns.map(col).toSeq: _*)
+        else dd
+      return s.limit.map(ordered.limit).getOrElse(ordered)
+    }
+
     // non-NEAREST SELECT ... LIMIT: the reference's scan order is map
     // iteration (arbitrary); a distributed LIMIT without ORDER BY is
     // nondeterministic across runs, so collections being keyed frames
@@ -525,19 +579,6 @@ object VectorSql {
       else if (s.nearest.isEmpty && s.limit.isDefined) withDist.orderBy(col("id"))
       else withDist
     val limited = s.limit.map(ordered.limit).getOrElse(ordered)
-
-    val projected = s.cols match {
-      case Seq(("*", None)) => limited
-      case cs => limited.select(cs.map { case (c, alias) =>
-        val base: Column = c match {
-          case "dimension" => size(col("vector"))
-          case m if m.startsWith("metadata.") =>
-            col("metadata")(m.stripPrefix("metadata."))
-          case other => col(other)
-        }
-        alias.map(base.as).getOrElse(base.as(c.replace('.', '_')))
-      }: _*)
-    }
-    projected
+    project(limited)
   }
 }

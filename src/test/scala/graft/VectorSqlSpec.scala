@@ -212,6 +212,40 @@ class VectorSqlSpec extends AnyFunSuite {
       == Seq("test1"))
   }
 
+  test("IN / NOT IN lists, including expression elements") {
+    val cat = freshCat()
+    def ids(sql: String): Seq[String] =
+      VectorSql.execute(cat, sql).collect().map(_.getString(0)).sorted.toSeq
+    assert(ids("SELECT id FROM vectors WHERE id IN ('v1', 'v3')")
+      == Seq("v1", "v3"))
+    assert(ids("SELECT id FROM vectors WHERE metadata.category IN ('text')")
+      == Seq("v2"))
+    // NOT IN drops null-metadata rows too (SQL three-valued logic)
+    assert(ids("SELECT id FROM vectors WHERE metadata.category NOT IN ('text')")
+      == Seq("v1", "v3"))
+    // arithmetic inside the list
+    VectorSql.execute(cat,
+      "INSERT INTO vectors (id, vector, metadata.score) VALUES ('s5', [0.0, 0.0, 0.0], '5')")
+    assert(ids("SELECT id FROM vectors WHERE metadata.score IN (2 + 3, 9)")
+      == Seq("s5"))
+    intercept[IllegalArgumentException] {
+      VectorSql.parse("SELECT id FROM vectors WHERE id IN ()")
+    }
+  }
+
+  test("SELECT DISTINCT projects then dedupes, ORDER BY output column") {
+    val cat = freshCat()
+    val langs = VectorSql.execute(cat,
+      "SELECT DISTINCT metadata.category AS cat FROM vectors " +
+        "WHERE id LIKE 'v%' ORDER BY cat").collect().map(_.getString(0)).toSeq
+    assert(langs == Seq("image", "text")) // v1/v3 collapse to one row
+    // LIMIT without ORDER BY still deterministic (sorted by outputs)
+    val runs = (1 to 3).map(_ => VectorSql.execute(cat,
+      "SELECT DISTINCT metadata.category FROM vectors LIMIT 2")
+      .collect().map(_.getString(0)).toSeq)
+    assert(runs.distinct.length == 1)
+  }
+
   test("non-NEAREST LIMIT is deterministic (ORDER BY id default)") {
     val cat = freshCat()
     val runs = (1 to 3).map(_ =>
