@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SqlSnips, TextEmbed, TextExprs, TextFuncs, VectorFunctions}
-import graft.operators.{Ann, Dedup, Knn, Pq, Skew}
+import graft.operators.{Ann, Dedup, IvfPq, Knn, Pq, Skew}
 import graft.sources.VectorStore
 
 /** Driver contract — see SURVEY.md §2 (inventory) and §7 (plan).
@@ -554,6 +554,17 @@ object SparkEntry {
       Pq.searchAdcJoin(model, codes, queryVec(s, dir, 0), "vec_id", topK = 10)
     }),
 
+    // -- composed IVF-PQ (static centroids + static codebooks): coarse
+    //    quantizer routes to nprobe=2 clusters, ADC scores only their
+    //    8-byte codes — nprobe/k of the corpus at 1/32 the bytes.
+    //    Deterministic end to end, so the COMPOSED index is oracled --
+    "ann_ivfpq_static" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = IvfPq.staticIndex(e, "vec_id", "embedding", dim = 64,
+        kClusters = 8, m = 8, kCodes = 16)
+      IvfPq.search(idx, queryVec(s, dir, 0), "vec_id", topK = 10, nprobe = 2)
+    }),
+
     // -- PQ shortlist + exact re-rank (the production serving pattern:
     //    approximate 8-byte-code scan picks C=50 candidates, exact
     //    cosine touches only those rows). Static codebooks -> fully
@@ -910,6 +921,30 @@ object SparkEntry {
         s"""WITH $pqStaticCtes
           |SELECT vec_id, score FROM adc
           |ORDER BY score, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+      // composed index: the pq CTEs provide adc(vec_id, score); the
+      // IVF side (first-8 centroids) filters it to the probed clusters
+      "ann_ivfpq_static" -> {
+        val l2c = "sqrt(list_sum(list_transform(%s, (x, i) -> " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)) * " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)))))"
+        val l2e = l2c.format("e.embedding", "c.centroid", "c.centroid")
+        val l2q = l2c.format("q2.qvec", "c.centroid", "c.centroid")
+        s"""WITH $pqStaticCtes,
+           |icents AS (SELECT CAST(vec_id AS INTEGER) AS cluster,
+           |  embedding AS centroid FROM embeddings WHERE vec_id < 8),
+           |iasgn AS (SELECT vec_id, cluster FROM (
+           |  SELECT e.vec_id, c.cluster,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $l2e, c.cluster) AS rn
+           |  FROM embeddings e, icents c) _r WHERE rn = 1),
+           |q2 AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |iqc AS (SELECT cluster FROM (
+           |  SELECT c.cluster, $l2q AS d FROM icents c, q2) _q
+           |  ORDER BY d, cluster LIMIT 2)
+           |SELECT adc.vec_id AS vec_id, adc.score AS score
+           |FROM adc JOIN iasgn ON adc.vec_id = iasgn.vec_id
+           |JOIN iqc ON iasgn.cluster = iqc.cluster
+           |ORDER BY score, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
+      },
       // shortlist C=50 by ADC score, exact cosine only on those rows
       "ann_pq_rerank" ->
         s"""WITH $pqStaticCtes,

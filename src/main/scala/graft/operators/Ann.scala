@@ -343,17 +343,24 @@ object Ann {
   def loadIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/ivf"), spark.read.parquet(s"$path/centroids"))
 
-  /** Search an IVF index: probe the `nprobe` nearest clusters only. */
-  def searchIvf(
-      tagged: DataFrame, centroids: DataFrame, query: DataFrame,
-      idCol: String, vecCol: String, metric: String, k: Int,
-      nprobe: Int = 2, roundTo: Int = 4): DataFrame = {
-    val qc = query.crossJoin(broadcast(centroids))
+  /** The query's `nprobe` l2-nearest clusters (1-row query in `qvec`).
+    * Shared by IVF and IVF-PQ probing.
+    */
+  def nearestClusters(
+      centroids: DataFrame, query: DataFrame, nprobe: Int): DataFrame =
+    query.crossJoin(broadcast(centroids))
       .select(col("cluster"),
         VectorFunctions.vec_l2(
           transform(col("qvec"), _.cast("double")), col("centroid")).as("_d"))
       .orderBy(col("_d"), col("cluster")).limit(nprobe)
       .select(col("cluster"))
+
+  /** Search an IVF index: probe the `nprobe` nearest clusters only. */
+  def searchIvf(
+      tagged: DataFrame, centroids: DataFrame, query: DataFrame,
+      idCol: String, vecCol: String, metric: String, k: Int,
+      nprobe: Int = 2, roundTo: Int = 4): DataFrame = {
+    val qc = nearestClusters(centroids, query, nprobe)
     val d = VectorFunctions.forMetric(metric)(col(vecCol), col("qvec"))
     tagged
       .join(broadcast(qc), Seq("cluster")) // partition-prunes when bucketed at rest

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: the composed production vector index (Jégou et al. 2011,
+  * the FAISS `IVFx,PQy` family; the HNSW-replacement pairing of the
+  * reference's index surface at batch scale). A coarse k-means
+  * quantizer routes a query to `nprobe` clusters, and within those
+  * clusters the search scans only 8-byte PQ codes with ADC scoring —
+  * so a query touches nprobe/k of the corpus AND reads 32x fewer
+  * bytes per touched row. At rest the codes are partitioned by
+  * cluster: probing = partition-pruned scan of nprobe directories.
+  *
+  * This variant PQ-encodes the raw vectors (IVF-Flat-PQ). Classic
+  * IVF-PQ encodes residuals (x - centroid) for tighter quantization;
+  * that swaps one `transform` into the encode input and a query-side
+  * per-cluster ADC table, at the cost of SQL-oracle-ability — the
+  * raw-vector form keeps the whole composed pipeline DuckDB-checkable
+  * (`ann_ivfpq_static`).
+  */
+object IvfPq {
+
+  /** codes: (idCol, cluster, codes array<int>). */
+  case class Index(centroids: DataFrame, model: Pq.Model, codes: DataFrame)
+
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, kClusters: Int = 16, ivfIters: Int = 3,
+      m: Int = 8, kCodes: Int = 16, pqIters: Int = 2,
+      trainSampleMod: Long = 1): Index = {
+    val (tagged, centroids) = Ann.buildIvf(
+      corpus, idCol, vecCol, kClusters, ivfIters, trainSampleMod)
+    val model = Pq.train(corpus, idCol, vecCol, dim, m, kCodes, pqIters,
+      trainSampleMod)
+    Index(centroids, model,
+      Pq.encode(model, corpus, idCol, vecCol)
+        .join(tagged.select(col(idCol), col("cluster")), Seq(idCol)))
+  }
+
+  /** Deterministic variant for oracles/tests: centroids = first
+    * kClusters vectors, codebooks = subvectors of the first kCodes.
+    */
+  def staticIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, kClusters: Int = 8, m: Int = 8, kCodes: Int = 16): Index = {
+    val cents = corpus.where(col(idCol) < kClusters)
+      .select(col(idCol).cast("int").as("cluster"),
+        transform(col(vecCol), _.cast("double")).as("centroid"))
+    val tagged = Ann.tagCorpus(corpus, idCol, vecCol, cents)
+    val model = Pq.staticCodebooks(corpus, idCol, vecCol, dim, m, kCodes)
+    Index(cents, model,
+      Pq.encode(model, corpus, idCol, vecCol)
+        .join(tagged.select(col(idCol), col("cluster")), Seq(idCol)))
+  }
+
+  /** Probe nprobe clusters, ADC-score only their codes. Fully lazy
+    * (query stays a broadcast one-row frame with `qvec`).
+    */
+  def search(index: Index, query: DataFrame, idCol: String,
+      topK: Int, nprobe: Int = 2): DataFrame = {
+    val qc = Ann.nearestClusters(index.centroids, query, nprobe)
+    val cand = index.codes
+      .join(broadcast(qc), Seq("cluster")) // partition-prunes at rest
+      .select(col(idCol), col("codes"))
+    Pq.searchAdcJoin(index.model, cand, query, idCol, topK)
+  }
+
+  /** At-rest layout: codes partitionBy(cluster) + centroids +
+    * codebooks/params (reusing the PQ index layout for the latter).
+    */
+  def writeIndex(index: Index, path: String): Unit = {
+    index.codes.write.mode("overwrite")
+      .partitionBy("cluster").parquet(s"$path/codes")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.model.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    Seq((index.model.m, index.model.k, index.model.subDim))
+      .toDF("m", "k", "subDim")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  def loadIndex(spark: SparkSession, path: String): Index = {
+    val p = spark.read.parquet(s"$path/params").head()
+    Index(
+      spark.read.parquet(s"$path/centroids"),
+      Pq.Model(p.getAs[Int]("m"), p.getAs[Int]("k"), p.getAs[Int]("subDim"),
+        spark.read.parquet(s"$path/codebooks")),
+      spark.read.parquet(s"$path/codes"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IvfPq, Knn}
+
+class IvfPqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private lazy val e = Tables.load(spark, sf, "embeddings")
+  private def q(qid: Long) =
+    e.where(col("vec_id") === qid).select(col("embedding").as("qvec"))
+
+  test("trained IVF-PQ: self-query found, decent recall vs exact l2") {
+    val idx = IvfPq.build(e, "vec_id", "embedding", dim = 64,
+      kClusters = 8, ivfIters = 2, m = 8, kCodes = 16, pqIters = 2)
+    val got = IvfPq.search(idx, q(0), "vec_id", topK = 10, nprobe = 4)
+      .collect().map(_.getLong(0))
+    assert(got.take(5).contains(0L), s"self not in top-5: ${got.toSeq}")
+    val exact = Knn.topK(e, q(0), "vec_id", "embedding", "euclidean", 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect got.toSet).size / 10.0
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
+  test("at-rest IVF-PQ: write/load round trip, probe partition-prunes codes") {
+    val idx = IvfPq.staticIndex(e, "vec_id", "embedding", dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    IvfPq.writeIndex(idx, dir)
+    val back = IvfPq.loadIndex(spark, dir)
+    assert(back.model.m == idx.model.m && back.model.subDim == idx.model.subDim)
+
+    val mem = IvfPq.search(idx, q(0), "vec_id", 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val rest = IvfPq.search(back, q(0), "vec_id", 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(mem.sameElements(rest))
+
+    // scale proof: the codes scan reads only the probed cluster
+    // partitions (dynamic pruning via the broadcast cluster join)
+    val plan = IvfPq.search(back, q(0), "vec_id", 10, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") ||
+      plan.contains("PartitionFilters: [isnotnull(cluster"),
+      s"no partition pruning:\n$plan")
+  }
+
+  test("nprobe=k (probe everything) == plain PQ ADC over all codes") {
+    val idx = IvfPq.staticIndex(e, "vec_id", "embedding", dim = 64, kClusters = 8)
+    val all = IvfPq.search(idx, q(0), "vec_id", 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val pq = graft.operators.Pq.searchAdcJoin(idx.model,
+        idx.codes.select(col("vec_id"), col("codes")), q(0), "vec_id", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(all.sameElements(pq))
+  }
+}
