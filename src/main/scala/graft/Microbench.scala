@@ -146,6 +146,18 @@ object Microbench {
       dim = 64, m = 8, k = 16, iters = 3)
     val pqCodes = graft.operators.Pq.encode(pqModel, e, "vec_id", "embedding").cache()
     pqCodes.count()
+
+    // composed IVF-PQ: nprobe routing over the same trained PQ model
+    val ivfpq = graft.operators.IvfPq.Index(cents, pqModel,
+      pqCodes.join(taggedC.select(col("vec_id"), col("cluster")), Seq("vec_id")))
+    val ivfpqRecall = qids.take(20).map { qid =>
+      val q = e.where(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val got = graft.operators.IvfPq.search(ivfpq, q, "vec_id", 10, nprobe = 4)
+        .collect().map(_.getLong(0)).toSet
+      val ex = Knn.topK(e, q, "vec_id", "embedding", "euclidean", 10)
+        .collect().map(_.getLong(0)).toSet
+      (ex intersect got).size
+    }.sum / (20.0 * 10)
     val pqRecall = qids.take(20).map { qid =>
       val qv = e.where(col("vec_id") === qid).head().getSeq[Float](1).toArray
       val got = graft.operators.Pq.searchAdc(pqModel, pqCodes, qv, "vec_id", 10)
@@ -185,6 +197,7 @@ object Microbench {
     sb ++= f"- LSH multi-table (L=4 tables x 4 planes, OR-amplified): recall@10 = $lshTblRecall%.2f\n"
     sb ++= f"- IVF (k=16, nprobe=4): recall@10 = $ivfRecall%.2f\n"
     sb ++= f"- PQ-ADC (m=8, k=16 -> 8 bytes/vector, 32x compression): recall@10 vs exact l2 = $pqRecall%.2f\n"
+    sb ++= f"- IVF-PQ composed (k=16 clusters, nprobe=4, same codes): recall@10 vs exact l2 = $ivfpqRecall%.2f, touches 1/4 the codes\n"
     sb ++= "\nExact flat search stays the correctness baseline; LSH/IVF trade\n"
     sb ++= "recall for touching 1/buckets of the corpus — at 100 TB that is\n"
     sb ++= "the difference between scanning everything and a partition-pruned\n"
