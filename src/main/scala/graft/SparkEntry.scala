@@ -33,6 +33,18 @@ object SparkEntry {
     t(s, dir, "embeddings").where(col("vec_id") === id)
       .select(col("embedding").as("qvec"))
 
+  /** The embeddings table as a VectorSql collection (id string,
+    * vector, metadata.label) — shared by every vector_sql_* query.
+    */
+  private def vecSqlCatalog(s: SparkSession, dir: String): graft.sql.VectorSql.Catalog = {
+    val cat = new graft.sql.VectorSql.Catalog(s)
+    cat.put("vectors", t(s, dir, "embeddings").select(
+      col("vec_id").cast("string").as("id"),
+      col("embedding").as("vector"),
+      map(lit("label"), col("label").cast("string")).as("metadata")))
+    cat
+  }
+
   private def knnQuery(metric: String, qid: Long = 0L, k: Int = 10)(
       s: SparkSession, dir: String): DataFrame =
     Knn.topK(t(s, dir, "embeddings"), queryVec(s, dir, qid),
@@ -582,12 +594,7 @@ object SparkEntry {
     //    through the dialect front-end, incl. the deterministic
     //    ORDER-BY-id-on-LIMIT default --
     "vector_sql_range" -> ((s, dir) => {
-      val cat = new graft.sql.VectorSql.Catalog(s)
-      cat.put("vectors", t(s, dir, "embeddings").select(
-        col("vec_id").cast("string").as("id"),
-        col("embedding").as("vector"),
-        map(lit("label"), col("label").cast("string")).as("metadata")))
-      graft.sql.VectorSql.execute(cat,
+      graft.sql.VectorSql.execute(vecSqlCatalog(s, dir),
         "SELECT id, metadata.label AS label FROM vectors " +
           "WHERE metadata.label >= 3 AND metadata.label < 6 LIMIT 50")
     }),
@@ -596,12 +603,7 @@ object SparkEntry {
     //    parseTerm/parseFactor/parseUnary surface (parser.go:746-806),
     //    parsed AND evaluated through the dialect front-end --
     "vector_sql_arith" -> ((s, dir) => {
-      val cat = new graft.sql.VectorSql.Catalog(s)
-      cat.put("vectors", t(s, dir, "embeddings").select(
-        col("vec_id").cast("string").as("id"),
-        col("embedding").as("vector"),
-        map(lit("label"), col("label").cast("string")).as("metadata")))
-      graft.sql.VectorSql.execute(cat,
+      graft.sql.VectorSql.execute(vecSqlCatalog(s, dir),
         "SELECT id, metadata.label AS label FROM vectors " +
           "WHERE NOT metadata.label < 2 AND metadata.label * 2 <= 3 + 7 LIMIT 50")
     }),
@@ -610,12 +612,7 @@ object SparkEntry {
     //    DESC): explicit multi-key sort through the dialect; trailing
     //    implicit id keeps ties deterministic for the oracle --
     "vector_sql_order" -> ((s, dir) => {
-      val cat = new graft.sql.VectorSql.Catalog(s)
-      cat.put("vectors", t(s, dir, "embeddings").select(
-        col("vec_id").cast("string").as("id"),
-        col("embedding").as("vector"),
-        map(lit("label"), col("label").cast("string")).as("metadata")))
-      graft.sql.VectorSql.execute(cat,
+      graft.sql.VectorSql.execute(vecSqlCatalog(s, dir),
         "SELECT id, metadata.label AS label FROM vectors " +
           "WHERE metadata.label >= 5 ORDER BY metadata.label DESC, id ASC LIMIT 30")
     }),
@@ -623,23 +620,13 @@ object SparkEntry {
     // -- VectorSql IN-list (incl. an arithmetic element) + DISTINCT
     //    projection through the dialect --
     "vector_sql_in" -> ((s, dir) => {
-      val cat = new graft.sql.VectorSql.Catalog(s)
-      cat.put("vectors", t(s, dir, "embeddings").select(
-        col("vec_id").cast("string").as("id"),
-        col("embedding").as("vector"),
-        map(lit("label"), col("label").cast("string")).as("metadata")))
-      graft.sql.VectorSql.execute(cat,
+      graft.sql.VectorSql.execute(vecSqlCatalog(s, dir),
         "SELECT id, metadata.label AS label FROM vectors " +
           "WHERE metadata.label IN (2, 3 + 2, 7) LIMIT 40")
     }),
 
     "vector_sql_distinct" -> ((s, dir) => {
-      val cat = new graft.sql.VectorSql.Catalog(s)
-      cat.put("vectors", t(s, dir, "embeddings").select(
-        col("vec_id").cast("string").as("id"),
-        col("embedding").as("vector"),
-        map(lit("label"), col("label").cast("string")).as("metadata")))
-      graft.sql.VectorSql.execute(cat,
+      graft.sql.VectorSql.execute(vecSqlCatalog(s, dir),
         "SELECT DISTINCT metadata.label AS label FROM vectors " +
           "WHERE NOT metadata.label IN (0, 1) ORDER BY label")
     }),

@@ -47,6 +47,10 @@ object TextEmbed {
   def embedLocal(text: String, dim: Int = Dim): Array[Double] = {
     val toks = text.trim.split("\\s+").filter(_.nonEmpty)
     val hashes = toks.map(TextKernels.charFold) // codepoint fold, same as kernel
+    // empty text -> zero vector, matching TextKernels.embed (without
+    // this the 0/0 division yields an all-NaN vector and downstream
+    // cosine comparisons go silently all-false)
+    if (hashes.isEmpty) return Array.fill(dim)(0.0)
     val raw = Array.tabulate(dim) { j =>
       hashes.map(h => (h * (j + 1) + j * 37) % M).sum.toDouble / (hashes.length * M)
     }

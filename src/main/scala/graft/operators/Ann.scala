@@ -93,29 +93,37 @@ object Ann {
     * a probe reads L partitions instead of scanning the corpus —
     * the storage-for-recall trade every multi-table LSH index makes.
     */
+  /** (tbl, bucket) array for table t = bits [t*b, (t+1)*b) of a
+    * combined b*L-plane signature; extracted with exact arithmetic
+    * (sig < 2^52 keeps the fp floor-division exact, mirroring the
+    * DuckDB oracle's floor(sig / 2^(t*b)) % 2^b). Shared by the
+    * single-query and join forms so they can't diverge.
+    */
+  private def tableBuckets(
+      sig: Column, planesPerTable: Int, numTables: Int): Column = {
+    require(planesPerTable * numTables <= 52,
+      "combined signature must stay fp-exact (planesPerTable * numTables <= 52)")
+    val buckets = 1L << planesPerTable
+    transform(sequence(lit(0), lit(numTables - 1)), t =>
+      struct(t.as("tbl"),
+        pmod(floor(sig / pow(lit(2.0), (t * planesPerTable).cast("double")))
+          .cast("long"), lit(buckets)).as("bucket")))
+  }
+
   def searchLshTables(
       corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
       metric: String, k: Int, planesPerTable: Int = 4, numTables: Int = 4,
       roundTo: Int = 4): DataFrame = {
-    require(planesPerTable * numTables <= 60, "signature must fit a long")
-    val buckets = 1L << planesPerTable
-    // table t's bucket = bits [t*b,(t+1)*b) of the combined signature;
-    // extracted with exact integer arithmetic (sig < 2^60, fp-safe
-    // division mirrors the DuckDB oracle's floor(sig / 2^(t*b)) % 2^b)
-    def tableBuckets(sig: Column): Column =
-      transform(sequence(lit(0), lit(numTables - 1)), t =>
-        struct(t.as("tbl"),
-          pmod(floor(sig / pow(lit(2.0), (t * planesPerTable).cast("double")))
-            .cast("long"), lit(buckets)).as("bucket")))
+    def tb(sig: Column): Column = tableBuckets(sig, planesPerTable, numTables)
     val sigAll = lshSignature(col(vecCol), planesPerTable * numTables)
     val qsigAll = lshSignature(col("qvec"), planesPerTable * numTables)
     val bucketed = corpus
       .select(col(idCol), col(vecCol),
-        explode(tableBuckets(sigAll)).as("tb"))
+        explode(tb(sigAll)).as("tb"))
       .select(col(idCol), col(vecCol),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val q = query
-      .select(col("qvec"), explode(tableBuckets(qsigAll)).as("tb"))
+      .select(col("qvec"), explode(tb(qsigAll)).as("tb"))
       .select(col("qvec"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val d = VectorFunctions.forMetric(metric)(col(vecCol), col("qvec"))
     bucketed
@@ -142,20 +150,16 @@ object Ann {
       planesPerTable: Int = 4, numTables: Int = 4,
       excludeSelf: Boolean = true, roundTo: Int = 4): DataFrame = {
     val total = planesPerTable * numTables
-    val buckets = 1L << planesPerTable
-    def tableBuckets(sig: Column): Column =
-      transform(sequence(lit(0), lit(numTables - 1)), t =>
-        struct(t.as("tbl"),
-          pmod(floor(sig / pow(lit(2.0), (t * planesPerTable).cast("double")))
-            .cast("long"), lit(buckets)).as("bucket")))
     val c = corpus
       .select(col(idCol), col(vecCol),
-        explode(tableBuckets(lshSignature(col(vecCol), total))).as("tb"))
+        explode(tableBuckets(lshSignature(col(vecCol), total),
+          planesPerTable, numTables)).as("tb"))
       .select(col(idCol), col(vecCol),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val q = queries
       .select(col(qidCol), col(qvecCol),
-        explode(tableBuckets(lshSignature(col(qvecCol), total))).as("tb"))
+        explode(tableBuckets(lshSignature(col(qvecCol), total),
+          planesPerTable, numTables)).as("tb"))
       .select(col(qidCol), col(qvecCol),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val d = VectorFunctions.forMetric(metric)(col(vecCol), col(qvecCol))
@@ -319,8 +323,9 @@ object Ann {
   def compactIvf(
       tagged: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
       maxShare: Double = 0.5, iters: Int = 2): (DataFrame, DataFrame) = {
-    val worst = ivfStats(tagged)
-      .agg(max(col("share"))).head().getDouble(0)
+    val statRow = ivfStats(tagged).agg(max(col("share"))).head()
+    // empty index -> max(share) is null -> nothing to rebalance
+    val worst = if (statRow.isNullAt(0)) 0.0 else statRow.getDouble(0)
     if (worst <= maxShare) (tagged, centroids)
     else {
       val vecs = tagged.select(col(idCol).as("_id"),

@@ -71,20 +71,12 @@ object IvfPq {
     index.codes.write.mode("overwrite")
       .partitionBy("cluster").parquet(s"$path/codes")
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    index.model.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
-    val spark = index.codes.sparkSession
-    import spark.implicits._
-    Seq((index.model.m, index.model.k, index.model.subDim))
-      .toDF("m", "k", "subDim")
-      .write.mode("overwrite").parquet(s"$path/params")
+    Pq.writeModel(index.model, index.codes.sparkSession, path)
   }
 
-  def loadIndex(spark: SparkSession, path: String): Index = {
-    val p = spark.read.parquet(s"$path/params").head()
+  def loadIndex(spark: SparkSession, path: String): Index =
     Index(
       spark.read.parquet(s"$path/centroids"),
-      Pq.Model(p.getAs[Int]("m"), p.getAs[Int]("k"), p.getAs[Int]("subDim"),
-        spark.read.parquet(s"$path/codebooks")),
+      Pq.loadModel(spark, path),
       spark.read.parquet(s"$path/codes"))
-  }
 }

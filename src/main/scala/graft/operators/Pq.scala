@@ -118,23 +118,31 @@ object Pq {
     */
   def writeIndex(model: Model, codes: DataFrame, path: String): Unit = {
     codes.write.mode("overwrite").parquet(s"$path/codes")
+    writeModel(model, codes.sparkSession, path)
+  }
+
+  /** Codebooks + params persistence shared by the plain-PQ and IVF-PQ
+    * index layouts (one schema, one loader — they can't drift).
+    */
+  def writeModel(model: Model, spark: SparkSession, path: String): Unit = {
     model.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
-    val spark = codes.sparkSession
     import spark.implicits._
     Seq((model.m, model.k, model.subDim)).toDF("m", "k", "subDim")
       .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  def loadModel(spark: SparkSession, path: String): Model = {
+    val p = spark.read.parquet(s"$path/params").head()
+    Model(p.getAs[Int]("m"), p.getAs[Int]("k"), p.getAs[Int]("subDim"),
+      spark.read.parquet(s"$path/codebooks"))
   }
 
   /** Load a persisted PQ index: (model, codes). Codebooks stay a
     * DataFrame (collected lazily by the serving path that needs the
     * literal table).
     */
-  def loadIndex(spark: SparkSession, path: String): (Model, DataFrame) = {
-    val p = spark.read.parquet(s"$path/params").head()
-    (Model(p.getAs[Int]("m"), p.getAs[Int]("k"), p.getAs[Int]("subDim"),
-      spark.read.parquet(s"$path/codebooks")),
-      spark.read.parquet(s"$path/codes"))
-  }
+  def loadIndex(spark: SparkSession, path: String): (Model, DataFrame) =
+    (loadModel(spark, path), spark.read.parquet(s"$path/codes"))
 
   /** Encode: (id, codes array<int> of length m). */
   def encode(model: Model, corpus: DataFrame, idCol: String, vecCol: String): DataFrame =

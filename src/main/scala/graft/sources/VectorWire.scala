@@ -95,11 +95,15 @@ object VectorWire {
   def decode(bytes: Array[Byte]): VecRow = {
     require(bytes.length >= 8, "buffer too small to decode vector")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    // all length arithmetic in Long: a corrupt header (u32 read as a
+    // huge/negative Int) must fail the bound check, not overflow past
+    // it into a 2GB allocation or NegativeArraySizeException
     val idLen = buf.getInt
-    require(bytes.length >= 4 + idLen + 4, "buffer too small to decode vector")
+    require(idLen >= 0 && bytes.length >= 4L + idLen + 4L,
+      "buffer too small to decode vector")
     val idB = new Array[Byte](idLen); buf.get(idB)
     val dim = buf.getInt
-    require(bytes.length >= 4 + idLen + 4 + 4L * dim,
+    require(dim >= 0 && bytes.length >= 4L + idLen + 4L + 4L * dim,
       "buffer too small to decode vector values")
     val values = Array.fill(dim)(buf.getFloat)
     val meta =

@@ -80,9 +80,18 @@ object VectorSql {
         val j = sql.indexOf('\'', i + 1)
         require(j > 0, s"unterminated string at $i")
         out += Str(sql.substring(i + 1, j)); i = j + 1
-      } else if (c.isDigit || (c == '-' && i + 1 < n && sql(i + 1).isDigit)) {
-        val j = math.max(i + 1, i + sql.substring(i).takeWhile(
-          ch => ch.isDigit || ch == '.' || ch == '-' || ch == 'e' || ch == 'E').length)
+      } else if (c.isDigit) {
+        // digits + optional fraction + optional exponent. A leading
+        // '-' is NOT part of the token: lexing `7-2` as Num(7-2) or
+        // `10 -3` as Num(10) Num(-3) breaks binary minus — sign is
+        // the parser's job (unary minus in expr(), signed num())
+        var j = i
+        while (j < n && (sql(j).isDigit || sql(j) == '.')) j += 1
+        if (j < n && (sql(j) == 'e' || sql(j) == 'E')) {
+          j += 1
+          if (j < n && (sql(j) == '+' || sql(j) == '-')) j += 1
+          while (j < n && sql(j).isDigit) j += 1
+        }
         out += Num(sql.substring(i, j)); i = j
       } else if (c.isLetter || c == '_') {
         var j = i
@@ -241,9 +250,7 @@ object VectorSql {
             case Str(s) => s; case t => throw new IllegalArgumentException(s"id: $t") }
           case "vector" => vec = vectorLit()
           case m if m.startsWith("metadata.") =>
-            meta += (m.stripPrefix("metadata.") -> (next() match {
-              case Str(s) => s; case Num(s) => s
-              case t => throw new IllegalArgumentException(s"metadata: $t") }))
+            meta += (m.stripPrefix("metadata.") -> literal())
           case other => throw new IllegalArgumentException(s"unknown column $other")
         }
       }
@@ -265,10 +272,7 @@ object VectorSql {
       while (more) {
         val f = ident()
         expect(Sym("="))
-        val v = next() match {
-          case Str(s) => s; case Num(s) => s
-          case t => throw new IllegalArgumentException(s"bad SET value: $t") }
-        sets += (f -> v)
+        sets += (f -> literal())
         more = accept(Sym(","))
       }
       Update(table, sets.result(),
@@ -288,7 +292,22 @@ object VectorSql {
 
     private def num(): Double = next() match {
       case Num(s) => s.toDouble
+      case Sym("-") => next() match {
+        case Num(s) => -s.toDouble
+        case t => throw new IllegalArgumentException(s"expected number after -, got $t")
+      }
       case t => throw new IllegalArgumentException(s"expected number, got $t")
+    }
+
+    /** String-or-number literal for INSERT/SET values (sign-aware). */
+    private def literal(): String = next() match {
+      case Str(s) => s
+      case Num(s) => s
+      case Sym("-") => next() match {
+        case Num(s) => "-" + s
+        case t => throw new IllegalArgumentException(s"expected number after -, got $t")
+      }
+      case t => throw new IllegalArgumentException(s"expected literal, got $t")
     }
 
     // cond precedence (parser.go:651-744): OR < AND < NOT < comparison;
@@ -527,15 +546,19 @@ object VectorSql {
 
     // explicit ORDER BY wins over both implicit orders (distance for
     // NEAREST TO, id for the deterministic-LIMIT default). Orderable
-    // fields resolve like projections: id/distance/dimension/metadata.k
-    def orderCol(f: String): Column = {
-      val base: Column = f match {
+    // fields resolve like projections (id/distance/dimension/
+    // metadata.k), and select-list ALIASES resolve to their source
+    // expression (standard SQL: ORDER BY may name output columns)
+    val aliasTo: Map[String, String] =
+      s.cols.collect { case (c, Some(a)) => a -> c }.toMap
+    def orderCol(f0: String): Column = {
+      val f = aliasTo.getOrElse(f0, f0)
+      f match {
         case "dimension" => size(col("vector"))
         case m if m.startsWith("metadata.") =>
           col("metadata")(m.stripPrefix("metadata."))
         case other => col(other)
       }
-      base
     }
     def project(df: DataFrame): DataFrame = s.cols match {
       case Seq(("*", None)) => df
@@ -557,11 +580,18 @@ object VectorSql {
       // every output column.
       val dd = project(withDist).dropDuplicates()
       val ordered =
-        if (s.orderBy.nonEmpty)
-          dd.orderBy(s.orderBy.map { case (f, desc) =>
+        if (s.orderBy.nonEmpty) {
+          val keys = s.orderBy.map { case (f, desc) =>
             val name = if (dd.columns.contains(f)) f else f.replace('.', '_')
             if (desc) col(name).desc else col(name).asc
-          }: _*)
+          }
+          // ties on the explicit keys still cut deterministically at
+          // LIMIT: trail with every remaining output column
+          val keyNames = s.orderBy.map { case (f, _) =>
+            if (dd.columns.contains(f)) f else f.replace('.', '_') }.toSet
+          val trail = dd.columns.filterNot(keyNames).map(col(_).asc)
+          dd.orderBy(keys ++ trail: _*)
+        }
         else if (s.limit.isDefined) dd.orderBy(dd.columns.map(col).toSeq: _*)
         else dd
       return s.limit.map(ordered.limit).getOrElse(ordered)

@@ -96,6 +96,17 @@ class TextEmbedSpec extends AnyFunSuite {
     val norm = math.sqrt(local.map(x => x * x).sum)
     assert(math.abs(norm - 1.0) < 1e-9)
   }
+
+  test("embedLocal on empty/whitespace text is the zero vector, not NaN") {
+    for (t <- Seq("", "   ", "\t\n")) {
+      val v = TextEmbed.embedLocal(t)
+      assert(v.length == 64 && v.forall(_ == 0.0), s"'$t' -> ${v.take(3).toSeq}")
+    }
+    // matches the kernel's empty-token behavior exactly
+    val kernel = graft.functions.TextKernels
+      .embed(org.apache.spark.unsafe.types.UTF8String.fromString(""), 64)
+    assert(kernel.forall(_ == 0.0))
+  }
 }
 
 class CrudSpec extends AnyFunSuite {

@@ -246,6 +246,36 @@ class VectorSqlSpec extends AnyFunSuite {
     assert(runs.distinct.length == 1)
   }
 
+  test("binary minus works unspaced; negative literals still parse") {
+    val cat = freshCat()
+    VectorSql.execute(cat,
+      "INSERT INTO vectors (id, vector, metadata.score) VALUES ('s7', [0.0, 0.0, 0.0], '7')")
+    def ids(sql: String): Seq[String] =
+      VectorSql.execute(cat, sql).collect().map(_.getString(0)).sorted.toSeq
+    // `7-2` must lex as Num(7) Sym(-) Num(2), not Num("7-2")
+    assert(ids("SELECT id FROM vectors WHERE metadata.score = 9-2") == Seq("s7"))
+    assert(ids("SELECT id FROM vectors WHERE metadata.score = 10 -3") == Seq("s7"))
+    // negative vector components and SET values keep their sign
+    VectorSql.execute(cat,
+      "INSERT INTO vectors (id, vector, metadata.neg) VALUES ('sn', [-1.0, 0.0, 0.0], -5)")
+    assert(ids("SELECT id FROM vectors WHERE metadata.neg = -5") == Seq("sn"))
+    val v = VectorSql.execute(cat,
+      "SELECT id, distance FROM vectors NEAREST TO [-1.0, 0.0, 0.0] LIMIT 1").head()
+    assert(v.getString(0) == "sn" && v.getDouble(1) == 0.0)
+    // scientific notation survives the stricter number lexer
+    assert(ids("SELECT id FROM vectors WHERE metadata.score > 6.9e0 AND id = 's7'")
+      == Seq("s7"))
+  }
+
+  test("ORDER BY resolves select-list aliases (non-DISTINCT path)") {
+    val cat = freshCat()
+    val r = VectorSql.execute(cat,
+      "SELECT id, metadata.category AS cat FROM vectors " +
+        "WHERE id LIKE 'v%' ORDER BY cat DESC, id LIMIT 3")
+      .collect().map(_.getString(0)).toSeq
+    assert(r == Seq("v2", "v1", "v3")) // text, image (id ties asc)
+  }
+
   test("non-NEAREST LIMIT is deterministic (ORDER BY id default)") {
     val cat = freshCat()
     val runs = (1 to 3).map(_ =>

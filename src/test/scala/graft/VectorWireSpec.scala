@@ -57,6 +57,20 @@ class VectorWireSpec extends AnyFunSuite {
     assert(VectorWire.decode(overrun).metadata.isEmpty)
     // too-short buffers fail loudly
     intercept[IllegalArgumentException] { VectorWire.decode(Array[Byte](1, 2)) }
+    // corrupt headers must fail the bound check cleanly, not overflow
+    // Int arithmetic into a giant allocation / negative-size crash
+    val hugeId = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(0x7FFFFFF8).putInt(0).putInt(0).array()
+    intercept[IllegalArgumentException] { VectorWire.decode(hugeId) }
+    val negId = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(0x80000000).putInt(0).putInt(0).array()
+    intercept[IllegalArgumentException] { VectorWire.decode(negId) }
+    val hugeDim = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(1).put('x'.toByte).putInt(0x7FFFFFFF).array()
+    intercept[IllegalArgumentException] { VectorWire.decode(hugeDim) }
   }
 
   test("writeVecDir + readVecDir round-trip a collection (distributed read)") {
