@@ -198,6 +198,20 @@ object Microbench {
     sb ++= f"- IVF (k=16, nprobe=4): recall@10 = $ivfRecall%.2f\n"
     sb ++= f"- PQ-ADC (m=8, k=16 -> 8 bytes/vector, 32x compression): recall@10 vs exact l2 = $pqRecall%.2f\n"
     sb ++= f"- IVF-PQ composed (k=16 clusters, nprobe=4, same codes): recall@10 vs exact l2 = $ivfpqRecall%.2f, touches 1/4 the codes\n"
+
+    val residIdx = graft.operators.IvfPq.buildResidual(e, "vec_id", "embedding",
+      dim = 64, kClusters = 16, ivfIters = 3, m = 8, kCodes = 16, pqIters = 3)
+    val residCodes = residIdx.codes.cache(); residCodes.count()
+    val residRecall = qids.take(20).map { qid =>
+      val q = e.where(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val got = graft.operators.IvfPq.searchResidual(
+          residIdx.copy(codes = residCodes), q, "vec_id", 10, nprobe = 4)
+        .collect().map(_.getLong(0)).toSet
+      val ex = Knn.topK(e, q, "vec_id", "embedding", "euclidean", 10)
+        .collect().map(_.getLong(0)).toSet
+      (ex intersect got).size
+    }.sum / (20.0 * 10)
+    sb ++= f"- IVF-PQ residual-encoded (classic, same code budget): recall@10 vs exact l2 = $residRecall%.2f\n"
     sb ++= "\nExact flat search stays the correctness baseline; LSH/IVF trade\n"
     sb ++= "recall for touching 1/buckets of the corpus — at 100 TB that is\n"
     sb ++= "the difference between scanning everything and a partition-pruned\n"

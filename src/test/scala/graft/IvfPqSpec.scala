@@ -25,6 +25,32 @@ class IvfPqSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("residual IVF-PQ: self-query found, recall not worse than raw-vector PQ") {
+    val raw = IvfPq.build(e, "vec_id", "embedding", dim = 64,
+      kClusters = 8, ivfIters = 2, m = 8, kCodes = 16, pqIters = 2)
+    val res = IvfPq.buildResidual(e, "vec_id", "embedding", dim = 64,
+      kClusters = 8, ivfIters = 2, m = 8, kCodes = 16, pqIters = 2)
+    def recall(search: Long => Set[Long]): Double = (0L until 10L).map { qid =>
+      val exact = Knn.topK(e, q(qid), "vec_id", "embedding", "euclidean", 10)
+        .collect().map(_.getLong(0)).toSet
+      (exact intersect search(qid)).size
+    }.sum / 100.0
+    val rawRecall = recall(qid =>
+      IvfPq.search(raw, q(qid), "vec_id", 10, nprobe = 4)
+        .collect().map(_.getLong(0)).toSet)
+    val resRecall = recall(qid =>
+      IvfPq.searchResidual(res, q(qid), "vec_id", 10, nprobe = 4)
+        .collect().map(_.getLong(0)).toSet)
+    // residual quantization models within-cluster geometry: it must
+    // not lose to raw-vector encoding at the same code budget (allow
+    // one-neighbor noise across the 10-query sample)
+    assert(resRecall >= rawRecall - 0.01,
+      s"residual $resRecall < raw $rawRecall")
+    val top = IvfPq.searchResidual(res, q(0), "vec_id", 10, nprobe = 4)
+      .collect().map(_.getLong(0))
+    assert(top.take(5).contains(0L), s"self not in top-5: ${top.toSeq}")
+  }
+
   test("at-rest IVF-PQ: write/load round trip, probe partition-prunes codes") {
     val idx = IvfPq.staticIndex(e, "vec_id", "embedding", dim = 64)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
