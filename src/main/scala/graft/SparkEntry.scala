@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SqlSnips, TextEmbed, TextExprs, TextFuncs, VectorFunctions}
-import graft.operators.{Ann, Dedup, IvfPq, Knn, Pq, Skew}
+import graft.operators.{Ann, Corpus, Dedup, IvfPq, Knn, Pq, Skew}
 import graft.sources.VectorStore
 
 /** Driver contract — see SURVEY.md §2 (inventory) and §7 (plan).
@@ -388,6 +388,20 @@ object SparkEntry {
           "lang", idWindow = 25, minJaccard = 0.5)
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(100)),
 
+    // -- transitive closure of the minhash candidate pairs: which rows
+    //    form ONE duplicate group, and which id survives keep-one
+    //    dedup. Iterative min-label propagation (Dedup docstring has
+    //    the scale story); the oracle is the same fixpoint as a
+    //    recursive CTE. Output = the drop list (doc -> surviving rep) --
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
+      Dedup.connectedComponents(docs.select(col("doc_id")), pairs,
+          "doc_id", "doc_a", "doc_b")
+        .where(col("rep") =!= col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- LSH-bucketed near-dup pairs: candidates share an LSH bucket
     //    (equi hash join, never an all-pairs product). Plane count is
     //    DERIVED from count(*) so expected bucket size stays ~32 as
@@ -398,6 +412,48 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.lshClosestPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 20,
         targetBucket = 32, saltBuckets = 4)),
+
+    // -- sliding token-window chunking (map-only explode; the prep
+    //    step before embedding / context-length-bounded training) --
+    "docs_chunk" -> ((s, dir) =>
+      Corpus.chunkTokens(t(s, dir, "documents"), "text", "doc_id",
+          window = 40, stride = 30)
+        .orderBy(col("doc_id"), col("chunk_idx")).limit(300)),
+
+    // -- concat-and-split sequence packing: each source's docs laid
+    //    end to end in id order, cut every 256 tokens; one window
+    //    shuffle keyed by source --
+    "pack_sequences" -> ((s, dir) =>
+      Corpus.packSequences(t(s, dir, "documents"), "text", "doc_id",
+          "source", budget = 256L)
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy(col("source"), col("pack_id"))),
+
+    // -- deterministic stratified sampling: per-language keep rates
+    //    via an engine-portable multiplicative hash (NOT rand()), so
+    //    the mixture is reproducible bit-for-bit --
+    "sample_stratified" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val rate = when(col("lang") === "en", lit(37))
+        .when(col("lang") === "fr", lit(11))
+        .otherwise(lit(60))
+      Corpus.sampleByRate(d, "doc_id", rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
+    }),
+
+    // -- benchmark decontamination: training docs sharing any 3-token
+    //    shingle with the held-out set (doc_id % 97 == 0). Shingle
+    //    streams meet in an equi join — never |train|×|bench| pairs --
+    "decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.where(col("doc_id") % 97 === 0)
+      val train = d.where(col("doc_id") % 97 =!= 0)
+      Corpus.contaminatedIds(train, bench, "text", "doc_id", shingleK = 3)
+        .orderBy(col("doc_id")).limit(200)
+    }),
 
     "crud_insert" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
@@ -754,6 +810,65 @@ object SparkEntry {
            |  ON a.lang = b.lang AND a.doc < b.doc AND b.doc - a.doc <= 25)
            |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
            |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin.replaceAll("\n", " "),
+      // transitive closure as a recursive CTE: reach(n, r) holds when
+      // r can reach n along candidate-pair edges; min(r) per n is the
+      // component's canonical (smallest) id — the same fixpoint the
+      // Spark side's min-label propagation converges to
+      "dedup_clusters" -> {
+        val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+        s"""WITH RECURSIVE tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+           |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
+           |  FROM tk WHERE len(toks) >= 3),
+           |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
+           |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
+           |pairs AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+           |  FROM bands x JOIN bands y
+           |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc),
+           |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(n, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+           |  UNION SELECT e.d, reach.r FROM edges e JOIN reach ON reach.n = e.s)
+           |SELECT n AS doc_id, min(r) AS rep FROM reach GROUP BY n
+           |HAVING min(r) <> n ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+      },
+      "docs_chunk" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+           |n AS (SELECT doc_id, toks,
+           |  greatest(1, ((len(toks) - 40 + 29) // 30) + 1) AS nc
+           |  FROM tk WHERE len(toks) > 0),
+           |c AS (SELECT doc_id, toks, unnest(range(0, nc)) AS ci FROM n)
+           |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+           | array_to_string(toks[ci * 30 + 1 : ci * 30 + 40], ' ') AS chunk,
+           | CAST(len(toks[ci * 30 + 1 : ci * 30 + 40]) AS INTEGER) AS n_tokens
+           |FROM c ORDER BY doc_id, chunk_idx LIMIT 300""".stripMargin.replaceAll("\n", " "),
+      "pack_sequences" ->
+        s"""WITH tk AS (SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |st AS (SELECT source, doc_id, n_tokens,
+           |  coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+           |  FROM tk)
+           |SELECT source, start // 256 AS pack_id,
+           | CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+           |FROM st GROUP BY source, start // 256
+           |ORDER BY source, pack_id""".stripMargin.replaceAll("\n", " "),
+      "sample_stratified" ->
+        """SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+          | CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |FROM documents
+          |WHERE ((doc_id % 1000003) * 2654435761) % 4294967296 % 100 <
+          |  CASE lang WHEN 'en' THEN 37 WHEN 'fr' THEN 11 ELSE 60 END
+          |GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " "),
+      "decontaminate" -> {
+        val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+           |sh AS (SELECT doc_id, unnest($bases) AS sh FROM tk WHERE len(toks) >= 3),
+           |b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+           |SELECT DISTINCT s.doc_id AS doc_id FROM sh s JOIN b USING (sh)
+           |WHERE s.doc_id % 97 <> 0
+           |ORDER BY doc_id LIMIT 200""".stripMargin.replaceAll("\n", " ")
+      },
       // planes = min p in [1,30] with 2^p * 32 >= count(*) — the same
       // integer-exact formula as Dedup.adaptivePlanes (no fp log2)
       "dedup_embedding" ->

@@ -216,6 +216,26 @@ case class MinHashSigExpr(child: Expression, shingleK: Int, numSeeds: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** shingle_hashes(text, k): the k-token shingle base hashes — the
+  * minhash kernel's candidate stream exposed directly. Feeds
+  * n-gram-overlap operators (benchmark decontamination: explode +
+  * equi join on the hash). Empty array for docs with < k tokens
+  * (such docs have no n-grams to collide on).
+  */
+case class ShingleHashesExpr(child: Expression, shingleK: Int)
+    extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      TextKernels.shingleHashes(v.asInstanceOf[UTF8String], shingleK))
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"graft.functions.TextKernels.shingleHashes($c, $shingleK))"
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** token_stats(text, markers...): one tokenization pass producing
   * struct(n_tokens, sum_len, n_distinct, marker_counts) — feeds
   * text_stats / quality_score / lang_id without three interpreted
@@ -254,6 +274,8 @@ object TextExprs {
   def simhash32(c: Column): Column = Shims.column(SimHash32Expr(Shims.expression(c)))
   def minhash_sig(c: Column, shingleK: Int = 3, numSeeds: Int = 8): Column =
     Shims.column(MinHashSigExpr(Shims.expression(c), shingleK, numSeeds))
+  def shingle_hashes(c: Column, shingleK: Int = 3): Column =
+    Shims.column(ShingleHashesExpr(Shims.expression(c), shingleK))
   def token_stats(c: Column, markers: Seq[String]): Column =
     Shims.column(TokenStatsExpr(Shims.expression(c), markers))
 

@@ -107,6 +107,60 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over the near-dup pair graph by iterative
+    * min-label propagation: every node's label converges to the
+    * smallest id reachable from it — the canonical cluster
+    * representative for keep-one dedup (candidate pairs say "a ~ b";
+    * transitive closure says which rows form ONE duplicate group).
+    *
+    * Each round is one join + one aggregate; the label sum strictly
+    * decreases until fixpoint, so convergence is a single scalar
+    * aggregate per round (summed as decimal(38,0) — a LONG sum of
+    * n×max_id overflows at corpus scale), never a collect of the
+    * labels. Rounds needed = graph diameter: near-dup graphs are
+    * unions of quasi-cliques (bucket-mates all pair with each other),
+    * so the diameter is small; for adversarially chained graphs use
+    * O(log n)-round star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — this propagation form is
+    * kept because it is also expressible as the oracle's recursive
+    * CTE. localCheckpoint per round cuts the otherwise
+    * exponentially-growing join lineage.
+    *
+    * Output: (nodeCol, rep) for every node, rep = min id of its
+    * component (isolated nodes keep themselves).
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      nodeCol: String, aCol: String, bCol: String,
+      maxRounds: Int = 30): DataFrame = {
+    val edges = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
+      .union(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var labels = nodes.select(col(nodeCol).as("n"), col(nodeCol).as("lbl"))
+      .localCheckpoint(eager = true)
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prev = lblSum(labels)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val nbrMin = edges.join(labels, col("d") === col("n"))
+        .groupBy(col("s")).agg(min(col("lbl")).as("nbl"))
+      val next = labels.join(nbrMin, col("n") === col("s"), "left")
+        .select(col("n"),
+          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(eager = true)
+      val cur = lblSum(next)
+      done = cur.compareTo(prev) == 0
+      prev = cur
+      labels = next
+      round += 1
+    }
+    labels.select(col("n").as(nodeCol), col("lbl").as("rep"))
+  }
+
   /** Top-k closest pairs by embedding cosine distance, EXACT all-pairs
     * form: O(n²) candidates — only for small corpora / recall
     * measurement. The shipped query path is [[lshClosestPairs]].
