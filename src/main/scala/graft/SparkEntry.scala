@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SqlSnips, TextEmbed, TextExprs, TextFuncs, VectorFunctions}
-import graft.operators.{Ann, Corpus, Dedup, IvfPq, Knn, Pq, Skew}
+import graft.operators.{Ann, Corpus, Dedup, IvfPq, Knn, Pq, Skew, Sq}
 import graft.sources.VectorStore
 
 /** Driver contract — see SURVEY.md §2 (inventory) and §7 (plan).
@@ -622,6 +622,17 @@ object SparkEntry {
       Pq.searchAdcJoin(model, codes, queryVec(s, dir, 0), "vec_id", topK = 10)
     }),
 
+    // -- SQ8 scalar quantization: per-dimension min/max ranges are a
+    //    DETERMINISTIC training statistic (unlike k-means), so build +
+    //    encode + search oracle end to end with no static variant.
+    //    Train = one agg pass; encode/search = map-only kernel scans --
+    "ann_sq8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = Sq.train(e, "embedding", dim = 64)
+      val codes = Sq.encode(model, e, "vec_id", "embedding")
+      Sq.search(model, codes, queryVec(s, dir, 0), "vec_id", topK = 10)
+    }),
+
     // -- composed IVF-PQ (static centroids + static codebooks): coarse
     //    quantizer routes to nprobe=2 clusters, ADC scores only their
     //    8-byte codes — nprobe/k of the corpus at 1/32 the bytes.
@@ -1016,6 +1027,24 @@ object SparkEntry {
            |FROM asgn e, q, qc WHERE e.cluster = qc.cluster
            |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
       },
+      // SQ8: per-dim [min,max] via the range(1,65) explode; encode and
+      // dequantized-L2 formulas are textually identical to SqKernels
+      // (same double ops in the same order -> bit-identical results)
+      "ann_sq8" ->
+        """WITH mm AS (
+          |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM (
+          |    SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+          |           max(CAST(embedding[i] AS DOUBLE)) AS mx
+          |    FROM embeddings, range(1, 65) t(i) GROUP BY i)),
+          |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+          |codes AS (SELECT vec_id, list_transform(embedding, (x, i) ->
+          |  CASE WHEN mxs[i] = mns[i] THEN 0 ELSE
+          |    greatest(0, least(255, floor((CAST(x AS DOUBLE) - mns[i]) * 255.0 / (mxs[i] - mns[i]) + 0.5)))
+          |  END) AS cs FROM embeddings, mm)
+          |SELECT vec_id, round(sqrt(list_sum(list_transform(cs, (c, i) ->
+          |  (mns[i] + c * (mxs[i] - mns[i]) / 255.0 - CAST(qvec[i] AS DOUBLE)) *
+          |  (mns[i] + c * (mxs[i] - mns[i]) / 255.0 - CAST(qvec[i] AS DOUBLE))))), 4) AS dist
+          |FROM codes, mm, q ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
       // PQ with fixed codebooks: subspace g's codebook = subvectors of
       // vectors 0..15; encode = argmin-l2 per (vec, subspace); score =
       // sqrt of the summed per-subspace squared distances to the query

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sq
+
+class SqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  def corpus = Tables.load(spark, sf, "embeddings")
+
+  test("codes are bytes in [0,255]; extremes map to 0 and 255") {
+    val model = Sq.train(corpus, "embedding", 64)
+    val codes = Sq.encode(model, corpus, "vec_id", "embedding")
+    val bad = codes.select(explode(col("codes")).as("c"))
+      .where(col("c") < 0 || col("c") > 255).count()
+    assert(bad == 0)
+    // the row attaining dimension 1's min encodes dim 1 as 0, the max as 255
+    val lo = codes.join(corpus, "vec_id")
+      .where(element_at(col("embedding"), 1).cast("double") === model.mins(0))
+      .select(element_at(col("codes"), 1)).head.getInt(0)
+    val hi = codes.join(corpus, "vec_id")
+      .where(element_at(col("embedding"), 1).cast("double") === model.maxs(0))
+      .select(element_at(col("codes"), 1)).head.getInt(0)
+    assert(lo == 0 && hi == 255)
+  }
+
+  test("dequantized L2 approximates exact L2 within the step bound") {
+    val model = Sq.train(corpus, "embedding", 64)
+    val codes = Sq.encode(model, corpus, "vec_id", "embedding")
+    val q = corpus.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    // worst-case per-dim quantization error is step/2 = (mx-mn)/510;
+    // accumulated over 64 dims the L2 deviation is bounded by
+    // sqrt(sum(step_i^2))/2 — check against the exact distance
+    val maxErr = math.sqrt(model.mins.indices.map { i =>
+      val st = (model.maxs(i) - model.mins(i)) / 255.0; st * st
+    }.sum) / 2.0
+    val joined = Sq.search(model, codes, q, "vec_id", topK = 1000, roundTo = 8)
+      .join(corpus.crossJoin(q).select(col("vec_id"),
+        functions.VectorFunctions.vec_l2(col("embedding"), col("qvec")).as("exact")),
+        "vec_id")
+    val worst = joined.select(max(abs(col("dist") - col("exact")))).head.getDouble(0)
+    assert(worst <= maxErr, s"worst=$worst bound=$maxErr")
+  }
+
+  test("search plan is map-only: no exchange before TakeOrdered") {
+    val model = Sq.train(corpus, "embedding", 64)
+    val codes = Sq.encode(model, corpus, "vec_id", "embedding")
+    val q = corpus.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val plan = Sq.search(model, codes, q, "vec_id", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("write/load round trip reproduces search results") {
+    val model = Sq.train(corpus, "embedding", 64)
+    val codes = Sq.encode(model, corpus, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("sqidx").toString
+    Sq.writeIndex(model, codes, dir)
+    val (m2, c2) = Sq.loadIndex(spark, dir)
+    assert(m2.mins.sameElements(model.mins) && m2.maxs.sameElements(model.maxs))
+    val q = corpus.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val a = Sq.search(model, codes, q, "vec_id", 10).collect().toSeq
+    val b = Sq.search(m2, c2, q, "vec_id", 10).collect().toSeq
+    assert(a == b)
+  }
+
+  test("degenerate constant dimension encodes as 0 and round-trips") {
+    val df = Seq((0L, Array(1.0f, 5.0f)), (1L, Array(1.0f, 7.0f)))
+      .toDF("vec_id", "embedding")
+    val model = Sq.train(df, "embedding", 2)
+    assert(model.mins(0) == 1.0 && model.maxs(0) == 1.0)
+    val codes = Sq.encode(model, df, "vec_id", "embedding")
+      .orderBy("vec_id").collect().map(_.getSeq[Int](1))
+    assert(codes(0) == Seq(0, 0) && codes(1) == Seq(0, 255))
+  }
+}
