@@ -254,6 +254,27 @@ object SparkEntry {
 
     // -- gap-based sessionization, pure SQL-window form (exact integer
     //    microsecond arithmetic; streaming form lives in EventStream) --
+    // -- as-of (point-in-time) join, the trades-vs-quotes operator
+    //    Spark lacks natively: for each click, the latest purchase by
+    //    the same user at-or-before it. Union-merge form (AsOf.scala:
+    //    one sort-shuffle, no pair blow-up). The oracle is DuckDB's
+    //    NATIVE ASOF JOIN — two independent implementations agreeing,
+    //    not the same algorithm transcribed twice --
+    "asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          expr("ts div 1000").as("t"), col("value"))
+      graft.operators.AsOf.asofJoin(clicks, purchases,
+          "user_id", "t", "pid", Seq("pid", "value"))
+        .select(col("user_id"), col("event_id"),
+          col("pid_asof").as("purchase_id"),
+          round(col("value_asof"), 4).as("purchase_value"))
+        .orderBy(col("user_id"), col("event_id")).limit(500)
+    }),
+
     "sessionize_sql" -> ((s, dir) => {
       val byUser = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
@@ -496,6 +517,29 @@ object SparkEntry {
           round(VectorFunctions.vec_cosine(TextExprs.text_embed(col("text")), qvec), 4)
             .as("dist"))
         .orderBy(col("dist"), col("doc_id")).limit(10)
+    }),
+
+    // -- hybrid retrieval: lexical token-overlap top-100 + embedding
+    //    cosine top-100, fused by reciprocal rank (RRF, k0=60). Each
+    //    ranker is a TakeOrderedAndProject; ranking windows run over
+    //    the 100-row survivors, so nothing corpus-sized shuffles --
+    "search_hybrid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qts = typedLit(graft.functions.TextKernels.tokenHashSet(
+        org.apache.spark.unsafe.types.UTF8String.fromString(SearchTextQuery)).toSeq)
+      val qvec = typedLit(TextEmbed.embedLocal(SearchTextQuery).toSeq)
+      val lex = graft.operators.Hybrid.rankTopC(
+        docs.select(col("doc_id"),
+          graft.functions.SetExprs.sorted_intersect_size(
+            graft.functions.SetExprs.token_hash_set(col("text")), qts).as("lex")),
+        Seq(col("lex").desc, col("doc_id")), c = 100, rankName = "rank_lex")
+      val vec = graft.operators.Hybrid.rankTopC(
+        docs.select(col("doc_id"),
+          round(VectorFunctions.vec_cosine(TextExprs.text_embed(col("text")), qvec), 4)
+            .as("dist")),
+        Seq(col("dist"), col("doc_id")), c = 100, rankName = "rank_vec")
+      graft.operators.Hybrid.rrfFuse(lex, vec, "doc_id",
+        "rank_lex", "rank_vec", c = 100, topK = 10)
     }),
 
     // -- approximate NN: LSH bucket probe (HNSW's batch replacement) --
@@ -939,6 +983,40 @@ object SparkEntry {
            |   sqrt(list_sum(list_transform(qv, x -> x * x)))))) END, 4) AS dist
            |FROM docs, q ORDER BY dist, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
       },
+      // lexical rank: distinct-token-hash overlap with the query (the
+      // dedup_jaccard set form); vector rank: the search_text cosine
+      // at 4dp; both LIMIT 100 then RRF with rank C+1 for misses
+      "search_hybrid" -> {
+        val hashes = s"list_transform(toks, w -> ${SqlSnips.charFold("w")})"
+        val qhashes = s"list_transform(${SqlSnips.tokens("'" + SearchTextQuery + "'")}, w -> ${SqlSnips.charFold("w")})"
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+           |qt AS (SELECT list_sort(list_distinct($qhashes)) AS qts),
+           |lexall AS (SELECT doc_id,
+           |  CAST(len(list_intersect(list_sort(list_distinct($hashes)), qts)) AS INTEGER) AS lex
+           |  FROM tk, qt),
+           |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY lex DESC, doc_id) AS INTEGER) AS rank_lex
+           |  FROM lexall ORDER BY lex DESC, doc_id LIMIT 100),
+           |raw AS (SELECT doc_id, ${TextEmbed.sqlRawComponents(hashes)} AS r FROM tk),
+           |docs AS (SELECT doc_id, list_transform(r, x -> x / sqrt(list_sum(list_transform(r, y -> y * y)))) AS v FROM raw),
+           |qraw AS (SELECT ${TextEmbed.sqlRawComponents(qhashes)} AS r),
+           |q AS (SELECT list_transform(r, x -> x / sqrt(list_sum(list_transform(r, y -> y * y)))) AS qv FROM qraw),
+           |vecall AS (SELECT doc_id, round(CASE WHEN
+           |  list_sum(list_transform(v, x -> x * x)) = 0 OR
+           |  list_sum(list_transform(qv, x -> x * x)) = 0
+           | THEN 1.0 ELSE 1.0 - greatest(-1.0, least(1.0,
+           |  list_sum(list_transform(v, (x, i) -> x * qv[i])) /
+           |  (sqrt(list_sum(list_transform(v, x -> x * x))) *
+           |   sqrt(list_sum(list_transform(qv, x -> x * x)))))) END, 4) AS dist
+           |FROM docs, q),
+           |vec AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY dist, doc_id) AS INTEGER) AS rank_vec
+           |  FROM vecall ORDER BY dist, doc_id LIMIT 100),
+           |f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+           |  coalesce(rank_lex, 101) AS rank_lex, coalesce(rank_vec, 101) AS rank_vec
+           |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+           |SELECT doc_id, rank_lex, rank_vec,
+           | round(1.0 / (60 + rank_lex) + 1.0 / (60 + rank_vec), 6) AS rrf
+           |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
+      },
       "ann_lsh" ->
         s"""WITH sigs AS (SELECT vec_id, embedding,
            |  list_sum(list_transform(range(0, 8), p -> CASE WHEN
@@ -1248,6 +1326,13 @@ object SparkEntry {
         | FROM orders)
         |SELECT o_custkey, o_orderkey, price, rn FROM r WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin.replaceAll("\n", " "),
+    "asof_join" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS t, value FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id, p.pid AS purchase_id,
+        | round(p.value, 4) AS purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t >= p.t
+        |ORDER BY c.user_id, c.event_id LIMIT 500""".stripMargin.replaceAll("\n", " "),
     "sessionize_sql" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
         |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** As-of (point-in-time) join: for each left row, the most recent
+  * right row with `right.time <= left.time` on the same key — the
+  * trades-vs-quotes / feature-lookup operator Spark has no native
+  * form of.
+  *
+  * The naive formulations are a range join (Catalyst plans a
+  * nested-loop O(n*m) join) or a per-left-row LIMIT 1 subquery.
+  * This is the scalable union-merge form:
+  *
+  *   1. tag both sides and union them (schema-aligned),
+  *   2. ONE sort-shuffle by (key, time, side, tie),
+  *   3. carry the latest right payload forward with
+  *      last(ignoreNulls) over the preceding-rows frame,
+  *   4. keep the left rows.
+  *
+  * Cost = the sort-shuffle of both inputs — no pair blow-up, skew
+  * bounded by per-key row counts (the bound any per-key window op
+  * has). At 100 TB both sides shuffle once on the join key; there is
+  * no candidate-pair stream to explode.
+  *
+  * Determinism: at equal time, right rows sort BEFORE left rows
+  * (side 0 < 1) so `<=` semantics hold; equal-(key,time) right rows
+  * are ordered by `tieCol` ascending, so the carried payload is the
+  * one with the LARGEST tie value — the same row DuckDB's ASOF JOIN
+  * picks when (key, time) is unique, and a pinned choice when it
+  * is not.
+  */
+object AsOf {
+
+  /** @param payload right-side column names carried to the output as
+    *                `<name><suffix>` (null when no right row is at or
+    *                before the left row's time)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, timeCol: String, tieCol: String,
+      payload: Seq[String], suffix: String = "_asof"): DataFrame = {
+    require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    val lStruct = StructType(left.schema.fields)
+    val pFields = payload.map(p => right.schema(p))
+
+    val lSel: Seq[Column] =
+      Seq(col(keyCol).as("_k"), col(timeCol).cast(LongType).as("_t"),
+        lit(1).as("_side"), lit(Long.MaxValue).as("_tie"),
+        struct(left.columns.map(col).toIndexedSeq: _*).as("_lrow")) ++
+        pFields.map(f => lit(null).cast(f.dataType).as("_p_" + f.name))
+    val rSel: Seq[Column] =
+      Seq(col(keyCol).as("_k"), col(timeCol).cast(LongType).as("_t"),
+        lit(0).as("_side"), col(tieCol).cast(LongType).as("_tie"),
+        lit(null).cast(lStruct).as("_lrow")) ++
+        payload.map(p => col(p).as("_p_" + p))
+
+    val u = left.select(lSel: _*).union(right.select(rSel: _*))
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = payload.foldLeft(u)((df, p) =>
+      df.withColumn("_last_" + p, last(col("_p_" + p), ignoreNulls = true).over(w)))
+    carried.where(col("_side") === 1)
+      .select(col("_lrow.*") +:
+        payload.map(p => col("_last_" + p).as(p + suffix)): _*)
+  }
+}

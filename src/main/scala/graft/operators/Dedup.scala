@@ -136,7 +136,11 @@ object Dedup {
       .union(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
       .distinct()
       .localCheckpoint(eager = true)
-    var labels = nodes.select(col(nodeCol).as("n"), col(nodeCol).as("lbl"))
+    // only nodes WITH edges can ever change label: propagate over the
+    // edge subgraph (a small fraction of a 100 TB corpus — near-dup
+    // members only) and union the untouched singletons back at the end
+    val edgeNodes = edges.select(col("s").as("n")).distinct()
+    var labels = edgeNodes.select(col("n"), col("n").as("lbl"))
       .localCheckpoint(eager = true)
     def lblSum(df: DataFrame): java.math.BigDecimal = {
       val r = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
@@ -158,7 +162,11 @@ object Dedup {
       labels = next
       round += 1
     }
-    labels.select(col("n").as(nodeCol), col("lbl").as("rep"))
+    val singletons = nodes.select(col(nodeCol).as("n"))
+      .join(edgeNodes, Seq("n"), "left_anti")
+      .select(col("n"), col("n").as("lbl"))
+    labels.union(singletons)
+      .select(col("n").as(nodeCol), col("lbl").as("rep"))
   }
 
   /** Top-k closest pairs by embedding cosine distance, EXACT all-pairs

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOf
+
+class AsOfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def left = Seq(
+    (1L, 10L, "l1"), (1L, 20L, "l2"), (1L, 5L, "l0"),
+    (2L, 10L, "l3")
+  ).toDF("k", "t", "name")
+
+  def right = Seq(
+    (1L, 10L, 100L, 1.0), (1L, 15L, 101L, 2.0),
+    (3L, 1L, 102L, 3.0)
+  ).toDF("k", "t", "rid", "v")
+
+  test("latest right row at-or-before each left time; no match -> null") {
+    val got = AsOf.asofJoin(left, right, "k", "t", "rid", Seq("rid", "v"))
+      .orderBy("k", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 5L, -1L),    // before any purchase
+      (1L, 10L, 100L),  // equal time counts (<=)
+      (1L, 20L, 101L),  // latest of {10, 15}
+      (2L, 10L, -1L)))  // key with no right rows
+  }
+
+  test("equal-(key,time) right rows: the largest tie value wins") {
+    val r2 = Seq((1L, 10L, 7L, 7.0), (1L, 10L, 9L, 9.0), (1L, 10L, 8L, 8.0))
+      .toDF("k", "t", "rid", "v")
+    val l2 = Seq((1L, 10L, "x")).toDF("k", "t", "name")
+    val got = AsOf.asofJoin(l2, r2, "k", "t", "rid", Seq("rid"))
+      .select("rid_asof").head.getLong(0)
+    assert(got == 9L)
+  }
+
+  test("left columns pass through unchanged; payload suffixed") {
+    val out = AsOf.asofJoin(left, right, "k", "t", "rid", Seq("v"))
+    assert(out.columns.toSeq == Seq("k", "t", "name", "v_asof"))
+  }
+
+  test("plan: one exchange per side, no nested-loop join") {
+    val plan = AsOf.asofJoin(left, right, "k", "t", "rid", Seq("rid", "v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("matches per-row lookup on corpus data") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        expr("ts div 1000").as("t"), col("value"))
+    val got = AsOf.asofJoin(clicks, purchases, "user_id", "t", "pid", Seq("pid"))
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // driver-side oracle: brute-force max-t purchase <= click t per user
+    val ps = purchases.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    clicks.collect().foreach { c =>
+      val (u, eid, t) = (c.getLong(0), c.getLong(1), c.getLong(2))
+      val expect = ps.getOrElse(u, Array.empty)
+        .filter(_._3 <= t)
+        .sortBy(p => (p._3, p._2))
+        .lastOption.map(_._2).getOrElse(-1L)
+      assert(got(eid) == expect, s"click $eid")
+    }
+  }
+}
