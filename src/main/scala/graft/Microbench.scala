@@ -191,6 +191,57 @@ object Microbench {
     sb ++= "cost is one codes scan; the join form exists for composed plans\n"
     sb ++= "and the DuckDB-oracled queries.\n"
 
+    // 5. SQ8: recall + serving cost of the deterministic index family
+    val sqModel = graft.operators.Sq.train(e, "embedding", 64)
+    val sqCodes = graft.operators.Sq.encode(sqModel, e, "vec_id", "embedding").cache()
+    sqCodes.count()
+    val sqRecall = qids.take(20).map { qid =>
+      val q = e.where(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val got = graft.operators.Sq.search(sqModel, sqCodes, q, "vec_id", 10)
+        .collect().map(_.getLong(0)).toSet
+      val ex = Knn.topK(e, q, "vec_id", "embedding", "euclidean", 10)
+        .collect().map(_.getLong(0)).toSet
+      (ex intersect got).size
+    }.sum / (20.0 * 10)
+    val tSq = time() {
+      graft.operators.Sq.search(sqModel, sqCodes, qdf0, "vec_id", 10).collect()
+    }
+    val tFlat = time() {
+      Knn.topK(e, qdf0, "vec_id", "embedding", "euclidean", 10).collect()
+    }
+    sb ++= "\n## SQ8 scalar quantization (4x compression, deterministic train)\n\n"
+    sb ++= f"- recall@10 vs exact l2 (20 queries): $sqRecall%.2f\n"
+    sb ++= f"- sec/query map-only code scan: $tSq%.3f (exact float scan: $tFlat%.3f)\n"
+    sb ++= "- 64 B/vector vs 256 B raw; at 100 TB the scan reads 1/4 the bytes\n"
+    sb ++= "  at near-exact recall, and min/max training is ONE aggregate pass\n"
+    sb ++= "  (PQ needs Lloyd's iterations; SQ8 re-trains in one job).\n"
+
+    // 6. as-of join: union-merge vs naive range join + argmax
+    val ev = Tables.load(spark, sfDir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("event_id").as("pid"),
+        expr("ts div 1000").as("pt"), col("value"))
+    val tAsof = time() {
+      graft.operators.AsOf.asofJoin(clicks, purchases.withColumnRenamed("p_uid", "user_id")
+          .withColumnRenamed("pt", "t"), "user_id", "t", "pid", Seq("pid"))
+        .count()
+    }
+    val tNaive = time() {
+      clicks.join(purchases,
+          col("user_id") === col("p_uid") && col("pt") <= col("t"), "left")
+        .groupBy(col("user_id"), col("event_id"))
+        .agg(max_by(col("pid"), struct(col("pt"), col("pid"))).as("pid"))
+        .count()
+    }
+    sb ++= "\n## As-of join: union-merge vs naive range join + argmax\n\n"
+    sb ++= f"- AsOf.asofJoin (one sort-shuffle, no pair stream): $tAsof%.2f s\n"
+    sb ++= f"- naive theta-join + max_by (pairs = per-key prefix products): $tNaive%.2f s\n"
+    sb ++= "- the naive form materializes every (click, earlier purchase)\n"
+    sb ++= "  pair before aggregating — quadratic in per-key density; the\n"
+    sb ++= "  merge form's cost is the sort-shuffle of both inputs, full stop.\n"
+
     sb ++= "\n## ANN recall@10 (50 queries vs exact cosine)\n\n"
     sb ++= f"- LSH (8 planes, 1 bucket probed): recall@10 = $lshRecall%.2f\n"
     sb ++= f"- LSH multi-probe (hamming<=1, 9 of 256 buckets): recall@10 = $lshMpRecall%.2f\n"

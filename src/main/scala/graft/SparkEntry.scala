@@ -379,6 +379,54 @@ object SparkEntry {
         .orderBy(col("quality").desc, col("doc_id")).limit(50)
     }),
 
+    // -- TF-IDF top terms per doc: the inverted-index build shape
+    //    (explode -> map-side-combining tf agg -> vocab df agg ->
+    //    join -> per-doc window). Deterministic ln scoring, ties by
+    //    term --
+    "tfidf_terms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count()
+      val terms = docs.select(col("doc_id"),
+        explode(TextFuncs.tokens(col("text"))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(df, "term")
+        .withColumn("score", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
+        .withColumn("term_rank", row_number().over(w))
+        .where(col("term_rank") <= 3)
+        .select(col("doc_id"), col("term"), col("term_rank"), col("score"))
+        .orderBy(col("doc_id"), col("term_rank"))
+        .limit(300)
+    }),
+
+    // -- per-language quality-percentile filter: keep each language's
+    //    top quartile by quality (integer-exact ceil(n/4) cutoff, the
+    //    "drop low-quality docs per language" pipeline step) --
+    "quality_filter" -> ((s, dir) => {
+      val n = col("st.n_tokens").cast("double")
+      val stop = (col("st.marker_counts")(0) + col("st.marker_counts")(1))
+        .cast("double") / n
+      val q = least(lit(1.0), n / 100) * 0.4 +
+        (lit(1.0) - stop) * 0.3 +
+        (col("st.n_distinct") / n) * 0.3
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextExprs.token_stats(col("text"), Seq("the", "a")).as("st"))
+        .select(col("doc_id"), col("lang"), round(q, 4).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+      val cw = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      scored
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nl", count(lit(1)).over(cw))
+        .where(col("rn") <= expr("(nl + 3) div 4"))
+        .select(col("lang"), col("doc_id"), col("quality"))
+        .orderBy(col("lang"), col("quality").desc, col("doc_id"))
+        .limit(200)
+    }),
+
     "doc_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextExprs.char_fold(col("text")).as("fp"))
@@ -829,6 +877,27 @@ object SparkEntry {
       "doc_fingerprint" ->
         s"""SELECT doc_id, ${SqlSnips.charFold("text")} AS fp
            |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin.replaceAll("\n", " "),
+      "tfidf_terms" ->
+        s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+           |s AS (SELECT doc_id, term, round(tf * ln(n.n / df.df), 4) AS score
+           |  FROM tf JOIN df USING (term), n),
+           |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS term_rank FROM s)
+           |SELECT doc_id, term, term_rank, score FROM r WHERE term_rank <= 3
+           |ORDER BY doc_id, term_rank LIMIT 300""".stripMargin.replaceAll("\n", " "),
+      "quality_filter" ->
+        s"""WITH tk AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+           |q AS (SELECT doc_id, lang,
+           |  round(least(1.0, CAST(len(toks) AS DOUBLE) / 100) * 0.4 +
+           |   (1.0 - ${SqlSnips.stopRatio("toks", Seq("the", "a"))}) * 0.3 +
+           |   (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) * 0.3, 4) AS quality
+           |  FROM tk),
+           |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS INTEGER) AS rn,
+           |  count(*) OVER (PARTITION BY lang) AS nl FROM q)
+           |SELECT lang, doc_id, quality FROM r WHERE rn <= (nl + 3) // 4
+           |ORDER BY lang, quality DESC, doc_id LIMIT 200""".stripMargin.replaceAll("\n", " "),
       "json_flatten" ->
         """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
           | round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)), 4) AS avg_k
