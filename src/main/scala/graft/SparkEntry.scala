@@ -254,6 +254,13 @@ object SparkEntry {
 
     // -- gap-based sessionization, pure SQL-window form (exact integer
     //    microsecond arithmetic; streaming form lives in EventStream) --
+    // -- stream-STREAM interval join run as a real stream (memory
+    //    sink, append mode): clicks x same-user purchases within the
+    //    preceding 6h; watermarks on both sides bound the join state.
+    //    Oracle = the equivalent batch interval join in DuckDB --
+    "streaming_join" -> ((s, dir) =>
+      graft.streaming.EventStream.intervalJoinBatchDrain(s, dir)),
+
     // -- as-of (point-in-time) join, the trades-vs-quotes operator
     //    Spark lacks natively: for each click, the latest purchase by
     //    the same user at-or-before it. Union-merge form (AsOf.scala:
@@ -1395,6 +1402,13 @@ object SparkEntry {
         | FROM orders)
         |SELECT o_custkey, o_orderkey, price, rn FROM r WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin.replaceAll("\n", " "),
+    "streaming_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS t, value FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, p.purchase_id, round(p.value, 4) AS value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        | AND p.t >= c.t - 21600000000 AND p.t <= c.t
+        |ORDER BY click_id, purchase_id""".stripMargin.replaceAll("\n", " "),
     "asof_join" ->
       """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS t, value FROM events WHERE event_type = 'purchase')

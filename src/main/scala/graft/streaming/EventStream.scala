@@ -92,6 +92,45 @@ object EventStream {
     * promote to double; `div` stays integral). */
   def tsCol: org.apache.spark.sql.Column = expr("timestamp_micros(ts div 1000)")
 
+  /** Stream-STREAM interval join executed as a real stream: each
+    * click joined to the same user's purchases in the preceding
+    * `lookbackHours` — the two-stream correlation op (attribution
+    * joins, feature lookback). Both sides carry watermarks and the
+    * join condition bounds event time on BOTH ends, so Spark evicts
+    * join state once the watermark passes `lookbackHours + watermark`
+    * — state stays bounded on an unbounded stream, the property that
+    * makes this runnable on a 100 TB/day ingest. Inner join + append
+    * mode: rows emit exactly once.
+    *
+    * Timestamps are exact micros (timestamp_micros(ts div 1000)), so
+    * the interval arithmetic matches the DuckDB oracle's integer
+    * epoch_us comparison bit for bit.
+    */
+  def intervalJoinBatchDrain(spark: SparkSession, sfDir: String,
+      lookbackHours: Int = 6): DataFrame = {
+    val name = s"graft_stream_ij_${memSinkId.incrementAndGet()}"
+    val clicks = readStream(spark, sfDir)
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("event_id").as("click_id"),
+        tsCol.as("c_ts"))
+      .withWatermark("c_ts", "12 hours")
+    val purchases = readStream(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("event_id").as("purchase_id"),
+        tsCol.as("p_ts"), col("value"))
+      .withWatermark("p_ts", "12 hours")
+    val q = clicks.join(purchases,
+        col("c_uid") === col("p_uid") &&
+          col("p_ts") >= col("c_ts") - expr(s"INTERVAL $lookbackHours HOURS") &&
+          col("p_ts") <= col("c_ts"))
+      .select(col("click_id"), col("purchase_id"),
+        round(col("value"), 4).as("value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** Tumbling-window counts with a watermark: state for a window is
     * dropped once the watermark passes, so executor state stays
     * bounded no matter how long the stream runs.
