@@ -252,8 +252,6 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
-    // -- gap-based sessionization, pure SQL-window form (exact integer
-    //    microsecond arithmetic; streaming form lives in EventStream) --
     // -- stream-STREAM interval join run as a real stream (memory
     //    sink, append mode): clicks x same-user purchases within the
     //    preceding 6h; watermarks on both sides bound the join state.
@@ -270,10 +268,19 @@ object SparkEntry {
     "asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t"))
+        .select(col("user_id"), col("event_id"), col("ts").as("t"))
+      // DuckDB's ASOF JOIN picks an UNSPECIFIED row among equal-time
+      // matches; reduce to one purchase per (user, instant) — keeping
+      // the max event id — in BOTH engines, so tie handling is
+      // identical by construction (t is exact nanos, same as the
+      // oracle's epoch_ns)
+      val pw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("t")).orderBy(col("pid").desc)
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("pid"),
-          expr("ts div 1000").as("t"), col("value"))
+          col("ts").as("t"), col("value"))
+        .withColumn("_rn", row_number().over(pw))
+        .where(col("_rn") === 1).drop("_rn")
       graft.operators.AsOf.asofJoin(clicks, purchases,
           "user_id", "t", "pid", Seq("pid", "value"))
         .select(col("user_id"), col("event_id"),
@@ -282,6 +289,8 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id")).limit(500)
     }),
 
+    // -- gap-based sessionization, pure SQL-window form (exact integer
+    //    microsecond arithmetic; streaming form lives in EventStream) --
     "sessionize_sql" -> ((s, dir) => {
       val byUser = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
@@ -395,8 +404,13 @@ object SparkEntry {
       val nDocs = docs.count()
       val terms = docs.select(col("doc_id"),
         explode(TextFuncs.tokens(col("text"))).as("term"))
+      // materialize tf once: df derives from it (one row per
+      // (doc, term) -> count = distinct-doc frequency) and the join
+      // reuses it, so the corpus is tokenized+exploded exactly once
+      // (the minhashPairs localCheckpoint argument)
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        .localCheckpoint(true)
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
       tf.join(df, "term")
@@ -730,6 +744,17 @@ object SparkEntry {
       val model = Sq.train(e, "embedding", dim = 64)
       val codes = Sq.encode(model, e, "vec_id", "embedding")
       Sq.search(model, codes, queryVec(s, dir, 0), "vec_id", topK = 10)
+    }),
+
+    // -- SQ8 shortlist + exact re-rank: approximate 1/4-size code scan
+    //    picks 50 candidates, exact euclidean touches only those rows
+    //    (broadcast semi-join) — deterministic end to end, oracled --
+    "ann_sq8_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = Sq.train(e, "embedding", dim = 64)
+      val codes = Sq.encode(model, e, "vec_id", "embedding")
+      Sq.searchWithRerank(model, codes, e, queryVec(s, dir, 0),
+        "vec_id", "embedding", "euclidean", topK = 10, candidates = 50)
     }),
 
     // -- composed IVF-PQ (static centroids + static codebooks): coarse
@@ -1199,6 +1224,29 @@ object SparkEntry {
           |  (mns[i] + c * (mxs[i] - mns[i]) / 255.0 - CAST(qvec[i] AS DOUBLE)) *
           |  (mns[i] + c * (mxs[i] - mns[i]) / 255.0 - CAST(qvec[i] AS DOUBLE))))), 4) AS dist
           |FROM codes, mm, q ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+      // SQ8 shortlist (ADC scan, LIMIT 50) then exact euclidean on the
+      // survivors only — the rerank join mirrors the Spark semi-join
+      "ann_sq8_rerank" ->
+        """WITH mm AS (
+          |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM (
+          |    SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+          |           max(CAST(embedding[i] AS DOUBLE)) AS mx
+          |    FROM embeddings, range(1, 65) t(i) GROUP BY i)),
+          |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+          |codes AS (SELECT vec_id, list_transform(embedding, (x, i) ->
+          |  CASE WHEN mxs[i] = mns[i] THEN 0 ELSE
+          |    greatest(0, least(255, floor((CAST(x AS DOUBLE) - mns[i]) * 255.0 / (mxs[i] - mns[i]) + 0.5)))
+          |  END) AS cs FROM embeddings, mm),
+          |short AS (SELECT vec_id, round(sqrt(list_sum(list_transform(cs, (c, i) ->
+          |  (mns[i] + c * (mxs[i] - mns[i]) / 255.0 - CAST(qvec[i] AS DOUBLE)) *
+          |  (mns[i] + c * (mxs[i] - mns[i]) / 255.0 - CAST(qvec[i] AS DOUBLE))))), 4) AS sdist
+          |FROM codes, mm, q ORDER BY sdist, vec_id LIMIT 50)
+          |SELECT e.vec_id AS vec_id,
+          | round(sqrt(list_sum(list_transform(e.embedding, (x, i) ->
+          |  (CAST(x AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE)) *
+          |  (CAST(x AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE))))), 4) AS dist
+          |FROM embeddings e JOIN short USING (vec_id), q
+          |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
       // PQ with fixed codebooks: subspace g's codebook = subvectors of
       // vectors 0..15; encode = argmin-l2 per (vec, subspace); score =
       // sqrt of the summed per-subspace squared distances to the query
@@ -1410,8 +1458,9 @@ object SparkEntry {
         | AND p.t >= c.t - 21600000000 AND p.t <= c.t
         |ORDER BY click_id, purchase_id""".stripMargin.replaceAll("\n", " "),
     "asof_join" ->
-      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click'),
-        |p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS t, value FROM events WHERE event_type = 'purchase')
+      """WITH c AS (SELECT user_id, event_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'click'),
+        |p0 AS (SELECT user_id, event_id AS pid, epoch_ns(ts) AS t, value FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT * FROM p0 QUALIFY row_number() OVER (PARTITION BY user_id, t ORDER BY pid DESC) = 1)
         |SELECT c.user_id, c.event_id, p.pid AS purchase_id,
         | round(p.value, 4) AS purchase_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t >= p.t

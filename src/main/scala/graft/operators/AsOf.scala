@@ -37,33 +37,42 @@ object AsOf {
   /** @param payload right-side column names carried to the output as
     *                `<name><suffix>` (null when no right row is at or
     *                before the left row's time)
+    *
+    * The payload travels as ONE struct under last(ignoreNulls):
+    * per-column carries would resurrect an older row's value wherever
+    * the matched row has a NULL in that column — mixing fields of two
+    * different right rows. The struct is all-or-nothing, so every
+    * output payload column comes from the SAME matched row, NULL
+    * fields included. Right rows with a NULL time are dropped (there
+    * is no "at or before" for an unknown time; ascending-null-first
+    * ordering would otherwise treat them as earlier than everything).
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       keyCol: String, timeCol: String, tieCol: String,
       payload: Seq[String], suffix: String = "_asof"): DataFrame = {
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
     val lStruct = StructType(left.schema.fields)
-    val pFields = payload.map(p => right.schema(p))
+    val pStruct = StructType(payload.map(p => right.schema(p)))
 
     val lSel: Seq[Column] =
       Seq(col(keyCol).as("_k"), col(timeCol).cast(LongType).as("_t"),
         lit(1).as("_side"), lit(Long.MaxValue).as("_tie"),
-        struct(left.columns.map(col).toIndexedSeq: _*).as("_lrow")) ++
-        pFields.map(f => lit(null).cast(f.dataType).as("_p_" + f.name))
+        struct(left.columns.map(col).toIndexedSeq: _*).as("_lrow"),
+        lit(null).cast(pStruct).as("_p"))
     val rSel: Seq[Column] =
       Seq(col(keyCol).as("_k"), col(timeCol).cast(LongType).as("_t"),
         lit(0).as("_side"), col(tieCol).cast(LongType).as("_tie"),
-        lit(null).cast(lStruct).as("_lrow")) ++
-        payload.map(p => col(p).as("_p_" + p))
+        lit(null).cast(lStruct).as("_lrow"),
+        struct(payload.map(col): _*).as("_p"))
 
-    val u = left.select(lSel: _*).union(right.select(rSel: _*))
+    val u = left.select(lSel: _*)
+      .union(right.where(col(timeCol).isNotNull).select(rSel: _*))
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t"), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = payload.foldLeft(u)((df, p) =>
-      df.withColumn("_last_" + p, last(col("_p_" + p), ignoreNulls = true).over(w)))
-    carried.where(col("_side") === 1)
+    u.withColumn("_last", last(col("_p"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
       .select(col("_lrow.*") +:
-        payload.map(p => col("_last_" + p).as(p + suffix)): _*)
+        payload.map(p => col("_last." + p).as(p + suffix)): _*)
   }
 }

@@ -162,6 +162,13 @@ object Dedup {
       labels = next
       round += 1
     }
+    // a silent cap would return labels that are NOT component minima
+    // (keep-one dedup would keep several docs of one duplicate group
+    // with no sign anything went wrong) — fail loudly instead
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxRounds rounds — " +
+        "graph diameter exceeds the cap; raise maxRounds or use " +
+        "O(log n) star contraction for chain-shaped graphs")
     val singletons = nodes.select(col(nodeCol).as("n"))
       .join(edgeNodes, Seq("n"), "left_anti")
       .select(col("n"), col("n").as("lbl"))

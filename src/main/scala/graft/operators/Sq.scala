@@ -168,6 +168,25 @@ object Sq {
       .orderBy(col("dist"), col(idCol))
       .limit(topK)
 
+  /** SQ8 shortlist + exact re-rank — the production serving pattern:
+    * the 1/4-size code scan picks `candidates` ids, exact distance
+    * touches only those full-precision rows (broadcast semi-join of a
+    * C-row id list; corpus is never shuffled). Same shape as
+    * Pq.searchWithRerankJoin. */
+  def searchWithRerank(model: Model, codes: DataFrame, corpus: DataFrame,
+      query: DataFrame, idCol: String, vecCol: String, metric: String,
+      topK: Int, candidates: Int, roundTo: Int = 4): DataFrame = {
+    val short = search(model, codes, query, idCol, topK = candidates,
+      roundTo = roundTo)
+    corpus.join(broadcast(short.select(col(idCol))), Seq(idCol))
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(graft.functions.VectorFunctions.forMetric(metric)(
+          col(vecCol), col("qvec")), roundTo).as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(topK)
+  }
+
   /** Persist codes + ranges: the at-rest form is the 1-byte-per-dim
     * codes table plus a dim-row params table. */
   def writeIndex(model: Model, codes: DataFrame, dir: String): Unit = {

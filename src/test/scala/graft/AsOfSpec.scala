@@ -40,6 +40,25 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == 9L)
   }
 
+  test("matched row's NULL payload stays NULL (no resurrection from older rows)") {
+    // older purchase has value 2.0; the MATCHED (latest) one has NULL
+    // value — per-column carries would mix fields of both rows
+    val r = Seq((1L, 5L, 100L, Some(2.0)), (1L, 10L, 101L, None))
+      .toDF("k", "t", "rid", "v")
+    val l = Seq((1L, 20L, "x")).toDF("k", "t", "name")
+    val row = AsOf.asofJoin(l, r, "k", "t", "rid", Seq("rid", "v")).head()
+    assert(row.getLong(3) == 101L)
+    assert(row.isNullAt(4), "value must come from the matched row (NULL), not an older one")
+  }
+
+  test("right rows with NULL time are excluded, not treated as earliest") {
+    val r = Seq((Some(1L), None: Option[Long], Some(9L)), (Some(1L), Some(50L), Some(1L)))
+      .toDF("k", "t", "rid")
+    val l = Seq((1L, 10L, "x")).toDF("k", "t", "name")
+    val row = AsOf.asofJoin(l, r, "k", "t", "rid", Seq("rid")).head()
+    assert(row.isNullAt(3), "null-time right row must not match")
+  }
+
   test("left columns pass through unchanged; payload suffixed") {
     val out = AsOf.asofJoin(left, right, "k", "t", "rid", Seq("v"))
     assert(out.columns.toSeq == Seq("k", "t", "name", "v_asof"))
