@@ -69,6 +69,20 @@ class SqSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("rerank with corpus-sized candidate set equals exact flat kNN") {
+    val model = Sq.train(corpus, "embedding", 64)
+    val codes = Sq.encode(model, corpus, "vec_id", "embedding")
+    val q = corpus.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val n = corpus.count().toInt
+    val rr = Sq.searchWithRerank(model, codes, corpus, q,
+      "vec_id", "embedding", "euclidean", topK = 10, candidates = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = graft.operators.Knn.topK(corpus, q,
+      "vec_id", "embedding", "euclidean", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rr == exact)
+  }
+
   test("degenerate constant dimension encodes as 0 and round-trips") {
     val df = Seq((0L, Array(1.0f, 5.0f)), (1L, Array(1.0f, 7.0f)))
       .toDF("vec_id", "embedding")
