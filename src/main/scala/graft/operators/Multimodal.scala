@@ -1,5 +1,11 @@
 package graft.operators
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.AudioSystem
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -7,11 +13,15 @@ import org.apache.spark.sql.functions._
   *
   * Media travel as opaque `binary` columns plus typed metadata; the
   * Spark-side contract — schema, partition-sized batching, feature
-  * array shape — is real and tested. The codec calls themselves are
-  * STUBBED with a deterministic fake (this container has no image or
-  * audio libraries): every place a real decoder would go is marked
-  * `STUB:`. Swapping in a real codec changes only the inside of
-  * `decodeStub`, not the pipeline shape.
+  * array shape — is real and tested.
+  *
+  * Codecs: image decode/resize (PNG/JPEG/BMP/GIF) and WAV-PCM audio
+  * decode are REAL, via the JDK's own `javax.imageio` and
+  * `javax.sound.sampled` — no external dependency. Video keyframe
+  * extraction stays STUBBED (`sampleFrames`): the JDK ships no video
+  * codec, so only the explode/partition shape is real there, with the
+  * stub clearly marked. `decodeStub`/`resizePayload` remain as the
+  * deterministic byte-level fallbacks for arbitrary payloads.
   */
 object Multimodal {
 
@@ -53,8 +63,112 @@ object Multimodal {
     }
   }
 
-  /** "Resize": STUB for an image resize — here a truncation/pad of the
-    * payload, keeping the binary-in/binary-out column contract.
+  case class ImageFeatures(media_id: Long, width: Int, height: Int,
+      mean_r: Float, mean_g: Float, mean_b: Float)
+
+  /** REAL image decode + per-channel statistics via `javax.imageio`
+    * (PNG/JPEG/BMP/GIF — the JDK's own codecs, no external library).
+    * mapPartitions keeps the one-decoder-context-per-partition shape;
+    * rows whose payload does not decode (wrong mime, corrupt bytes)
+    * are dropped rather than poisoning the batch.
+    */
+  def featurizeImages(rows: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toFloat
+          Some(ImageFeatures(r.media_id, w, h, sr / n, sg / n, sb / n))
+        }
+      }
+    }
+  }
+
+  /** REAL image resize: bilinear Graphics2D scale, re-encoded as PNG —
+    * binary in, binary out, same column contract as [[resizePayload]].
+    * Undecodable payloads are dropped.
+    */
+  def resizeImage(rows: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        if (img == null) None
+        else {
+          val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+              RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(dst, "png", bos)
+          Some(MediaRow(r.media_id, "image/png", bos.toByteArray))
+        }
+      }
+    }
+  }
+
+  case class AudioFeatures(media_id: Long, frames: Long, sample_rate: Float,
+      rms: Float, zero_crossings: Int)
+
+  /** REAL WAV (16-bit PCM) decode via `javax.sound.sampled`: frame
+    * count, sample rate, RMS amplitude and zero-crossing count — the
+    * standard cheap audio-quality signals. Non-WAV / malformed
+    * payloads are dropped.
+    */
+  def featurizeWav(rows: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        try {
+          val ais = AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(r.payload))
+          try {
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16) None
+            else {
+              val bytes = ais.readAllBytes()
+              val n = bytes.length / 2
+              var i = 0; var sum = 0.0; var zc = 0; var prev = 0
+              while (i < n) {
+                val s =
+                  if (fmt.isBigEndian)
+                    (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
+                  else
+                    (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+                sum += s.toDouble * s
+                if (i > 0 && ((s < 0) != (prev < 0))) zc += 1
+                prev = s; i += 1
+              }
+              Some(AudioFeatures(r.media_id, ais.getFrameLength,
+                fmt.getSampleRate,
+                math.sqrt(sum / math.max(1, n)).toFloat, zc))
+            }
+          } finally ais.close()
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  /** "Resize": byte-level fallback for arbitrary payloads (see
+    * [[resizeImage]] for the real image path) — truncation/pad keeping
+    * the binary-in/binary-out column contract.
     */
   def resizePayload(df: DataFrame, payloadCol: String, target: Int): DataFrame = {
     val fn = udf { (b: Array[Byte]) =>

@@ -169,6 +169,72 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.columns.toSeq == Seq("media_id", "frame_no", "frame"))
     assert(frames.where($"media_id" === 1L).count() == 4) // 8 chunks, every 2nd
   }
+
+  // ---- REAL codecs (pure JDK: javax.imageio / javax.sound.sampled) ----
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("featurizeImages decodes real PNGs: dimensions + channel means") {
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", pngBytes(8, 4, 0xff0000)),  // red
+      Multimodal.MediaRow(2L, "image/png", pngBytes(3, 3, 0x102030)),
+      Multimodal.MediaRow(3L, "application/junk", Array[Byte](1, 2, 3))
+    ).toDS()
+    val f = Multimodal.featurizeImages(rows).collect().sortBy(_.media_id)
+    assert(f.length == 2, "undecodable payload must be dropped")
+    assert(f(0).width == 8 && f(0).height == 4)
+    assert(f(0).mean_r == 255f && f(0).mean_g == 0f && f(0).mean_b == 0f)
+    assert(f(1).mean_r == 0x10.toFloat && f(1).mean_g == 0x20.toFloat &&
+      f(1).mean_b == 0x30.toFloat)
+  }
+
+  test("resizeImage really resizes: output decodes at the target size") {
+    val rows = Seq(Multimodal.MediaRow(1L, "image/png",
+      pngBytes(8, 8, 0x00ff00))).toDS()
+    val out = Multimodal.resizeImage(rows, 4, 2).collect()
+    assert(out.length == 1)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).payload))
+    assert(img.getWidth == 4 && img.getHeight == 2)
+    // solid green stays solid green through a bilinear resize
+    assert((img.getRGB(1, 1) & 0xffffff) == 0x00ff00)
+  }
+
+  private def wavBytes(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("featurizeWav decodes real WAV PCM: frames, rate, rms, crossings") {
+    // a +1000/-1000 square wave: rms = 1000, one crossing per flip
+    val square = Array.tabulate[Short](100)(i => if ((i / 10) % 2 == 0) 1000 else -1000)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio/wav", wavBytes(square, 8000)),
+      Multimodal.MediaRow(2L, "application/junk", Array[Byte](9, 9, 9))
+    ).toDS()
+    val f = Multimodal.featurizeWav(rows).collect()
+    assert(f.length == 1, "non-WAV payload must be dropped")
+    assert(f(0).frames == 100L && f(0).sample_rate == 8000f)
+    assert(math.abs(f(0).rms - 1000f) < 0.5f)
+    assert(f(0).zero_crossings == 9) // 10 blocks -> 9 sign flips
+  }
 }
 
 class StreamingSpec extends AnyFunSuite {
