@@ -53,5 +53,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("lsh_signature",
       "lsh_signature(v) - 8-plane random-hyperplane LSH bucket",
       es => LshSignature(es.head, 8)))
+    e.injectFunction(fn("shingle_hashes",
+      "shingle_hashes(s) - 3-token shingle base hashes (decontamination stream)",
+      es => ShingleHashesExpr(es.head, 3)))
   }
 }

@@ -16,11 +16,13 @@ class ExtensionsSpec extends AnyFunSuite {
         |  lsh_signature(array(1.0F, 0.0F)) AS b,
         |  size(text_embed('a b c')) AS n,
         |  size(minhash_sig('one two three four')) AS m,
-        |  simhash32('x y z') AS sh""".stripMargin).head()
+        |  simhash32('x y z') AS sh,
+        |  size(shingle_hashes('one two three four')) AS sg""".stripMargin).head()
     assert(math.abs(r.getDouble(0) - 5.0) < 1e-12)
     assert(r.getLong(1) == 204910434L)
     assert(r.getInt(3) == 64)
     assert(r.getInt(4) == 8)
+    assert(r.getInt(6) == 2) // 4 tokens -> two 3-shingles
   }
 }
 
