@@ -252,6 +252,41 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // -- ordered funnel (signup -> later click -> later purchase):
+    //    each stage is a keyed min-aggregate joined forward, so the
+    //    ordering constraint never materializes event pairs --
+    "events_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("t"))
+      val s1 = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("t").as("t1"))
+      val s2 = ev.where(col("event_type") === "click").join(s1, "user_id")
+        .where(col("t") > col("t1"))
+        .groupBy("user_id").agg(min("t").as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase").join(s2, "user_id")
+        .where(col("t") > col("t2"))
+        .groupBy("user_id").agg(min("t").as("t3"))
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_click_after_signup")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after_click")))
+    }),
+
+    // -- cohort retention: cohort = first-activity day, cell (cohort,
+    //    age) = distinct users active `age` days after joining --
+    "events_retention" -> ((s, dir) => {
+      val days = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("ts div 1000000000 div 86400").as("day"))
+      val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+      days.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          (col("day") - col("cohort_day")).as("age"))
+        .groupBy("cohort_day", "age")
+        .agg(countDistinct("user_id").as("users"))
+        .orderBy(col("cohort_day"), col("age"))
+        .limit(300)
+    }),
+
     // -- stream-STREAM interval join run as a real stream (memory
     //    sink, append mode): clicks x same-user purchases within the
     //    preceding 6h; watermarks on both sides bound the join state.
@@ -1450,6 +1485,24 @@ object SparkEntry {
         | FROM orders)
         |SELECT o_custkey, o_orderkey, price, rn FROM r WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin.replaceAll("\n", " "),
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)
+        |SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
+        | CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click_after_signup,
+        | CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_after_click""".stripMargin.replaceAll("\n", " "),
+    "events_retention" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) // 1000000 // 86400 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS age,
+        | CAST(count(DISTINCT d.user_id) AS BIGINT) AS users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY cohort_day, day - cohort_day
+        |ORDER BY cohort_day, age LIMIT 300""".stripMargin.replaceAll("\n", " "),
     "streaming_join" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS t, value FROM events WHERE event_type = 'purchase')
