@@ -513,6 +513,19 @@ object SparkEntry {
           "lang", idWindow = 25, minJaccard = 0.5)
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(100)),
 
+    // -- incremental near-dup: the doc_id%10==0 batch arrives as "new"
+    //    against an at-rest signature store of the rest; only pairs
+    //    touching a new doc are (re)emitted, and only new docs are
+    //    minhashed. Oracle = full pair set filtered to new-touching --
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSigs = Dedup.minhashSigs(
+        docs.where(col("doc_id") % 10 =!= 0), "text", "doc_id")
+      val (_, pairs) = Dedup.incrementalMinhashPairs(oldSigs,
+        docs.where(col("doc_id") % 10 === 0), "text", "doc_id")
+      pairs.orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // -- transitive closure of the minhash candidate pairs: which rows
     //    form ONE duplicate group, and which id survives keep-one
     //    dedup. Iterative min-label propagation (Dedup docstring has
@@ -1001,6 +1014,22 @@ object SparkEntry {
            |  ON a.lang = b.lang AND a.doc < b.doc AND b.doc - a.doc <= 25)
            |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
            |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin.replaceAll("\n", " "),
+      // the full minhash pair set filtered to pairs touching the "new"
+      // batch — the incremental path must produce exactly these
+      "dedup_incremental" -> {
+        val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+        s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+           |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
+           |  FROM tk WHERE len(toks) >= 3),
+           |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
+           |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
+           |pairs AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+           |  FROM bands x JOIN bands y
+           |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc)
+           |SELECT doc_a, doc_b FROM pairs
+           |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
+           |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
+      },
       // transitive closure as a recursive CTE: reach(n, r) holds when
       // r can reach n along candidate-pair edges; min(r) per n is the
       // component's canonical (smallest) id — the same fixpoint the

@@ -33,21 +33,13 @@ object Dedup {
     val numBands = numSeeds / rowsPerBand
     // native kernel (TextExprs) — formula-identical to the TextFuncs
     // HOF composition, one tight-loop call per row
-    // the guard and the kernel share one tokenization (trim + split +
-    // drop empties); the null filter is belt-and-braces so a null sig
-    // can never reach concat_ws (which skips nulls -> bogus shared keys)
-    //
     // localCheckpoint materializes the signatures ONCE: a self-join
     // re-executes each side's plan, so without it every doc is
     // shingled + minhashed twice (the dominant cost). n rows × 8
     // longs is small relative to the corpus; at rest you'd write the
-    // signature table to parquet instead — same idea.
-    val sigs = df
-      .where(size(TextFuncs.tokens(col(textCol))) >= shingleK)
-      .select(
-        col(idCol).as("doc"),
-        TextExprs.minhash_sig(col(textCol), shingleK, numSeeds).as("sig"))
-      .where(col("sig").isNotNull)
+    // signature table to parquet instead — [[incrementalMinhashPairs]]
+    // is exactly that at-rest form.
+    val sigs = minhashSigs(df, textCol, idCol, shingleK, numSeeds)
       .localCheckpoint(eager = true)
     val bands = sigs.select(
       col("doc"),
@@ -63,6 +55,64 @@ object Dedup {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
+  }
+
+  /** Signature table for [[minhashPairs]] as a standalone, persistable
+    * artifact: (doc, sig). At rest this is the incremental-dedup
+    * state — write it once, and each increment only minhashes ITS OWN
+    * documents (map-only) instead of re-shingling the corpus.
+    */
+  def minhashSigs(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, numSeeds: Int = 8): DataFrame =
+    // the guard and the kernel share one tokenization (trim + split +
+    // drop empties); the null filter is belt-and-braces so a null sig
+    // can never reach concat_ws (which skips nulls -> bogus shared keys)
+    df.where(size(TextFuncs.tokens(col(textCol))) >= shingleK)
+      .select(
+        col(idCol).as("doc"),
+        TextExprs.minhash_sig(col(textCol), shingleK, numSeeds).as("sig"))
+      .where(col("sig").isNotNull)
+
+  /** Incremental near-dup maintenance: candidate pairs for a NEW batch
+    * of documents against an existing signature store, without
+    * re-pairing the whole corpus. The increment is shingled/minhashed
+    * map-only; the band join is (new bands) x (all bands), so pair
+    * generation costs |new| x bucket density — not |corpus|² and not
+    * even |corpus| x bands, since the old store is read at rest, not
+    * recomputed. Old-old pairs are NOT re-emitted (they were produced
+    * by earlier runs); the pair stream is exactly the pairs touching
+    * at least one new doc.
+    *
+    * Returns (allSigs, newPairs): persist `allSigs` as next
+    * increment's store; `newPairs` has the minhashPairs schema.
+    * Union-equivalence with a full recompute is spec-asserted.
+    */
+  def incrementalMinhashPairs(oldSigs: DataFrame, newDocs: DataFrame,
+      textCol: String, idCol: String,
+      shingleK: Int = 3, numSeeds: Int = 8, rowsPerBand: Int = 2)
+      : (DataFrame, DataFrame) = {
+    val numBands = numSeeds / rowsPerBand
+    val newSigs = minhashSigs(newDocs, textCol, idCol, shingleK, numSeeds)
+      .localCheckpoint(eager = true)
+    val all = oldSigs.select(col("doc"), col("sig"), lit(false).as("isNew"))
+      .union(newSigs.select(col("doc"), col("sig"), lit(true).as("isNew")))
+    def bandsOf(sigs: DataFrame): DataFrame = sigs.select(
+      col("doc"), col("isNew"),
+      explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+        struct(b.as("band"),
+          concat_ws("_", (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("key"))))
+        .as("bk"))
+      .select(col("doc"), col("isNew"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bandsOf(all).as("a"); val b = bandsOf(all).as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc") < col("b.doc") &&
+          (col("a.isNew") || col("b.isNew")))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    (oldSigs.select(col("doc"), col("sig")).union(newSigs), pairs)
   }
 
   /** Per-document 32-bit SimHash values (near-identical docs collide

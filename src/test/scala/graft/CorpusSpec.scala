@@ -116,6 +116,42 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.contaminatedIds(train, bench, "text", "doc_id", 3).count() == 0)
   }
 
+  // ---- incremental minhash ----------------------------------------------
+
+  test("incremental pairs + old-only pairs == full-recompute pairs") {
+    val docs = Tables.load(spark, sf, "documents")
+    val oldDocs = docs.where(col("doc_id") % 3 =!= 0)
+    val newDocs = docs.where(col("doc_id") % 3 === 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairSet(Dedup.minhashPairs(docs, "text", "doc_id"))
+    val oldOnly = pairSet(Dedup.minhashPairs(oldDocs, "text", "doc_id"))
+    val oldSigs = Dedup.minhashSigs(oldDocs, "text", "doc_id")
+    val (allSigs, incr) = Dedup.incrementalMinhashPairs(
+      oldSigs, newDocs, "text", "doc_id")
+    val incrSet = pairSet(incr)
+    assert(oldOnly ++ incrSet == full, "increment must complete the pair set")
+    assert(incrSet.intersect(oldOnly).isEmpty, "old-old pairs must not re-emit")
+    // the returned store is the full signature table for the next run
+    assert(allSigs.count() ==
+      Dedup.minhashSigs(docs, "text", "doc_id").count())
+  }
+
+  test("incremental signature store round-trips through parquet") {
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    Dedup.minhashSigs(docs.where(col("doc_id") % 3 =!= 0), "text", "doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val oldSigs = spark.read.parquet(dir)
+    val (_, incr) = Dedup.incrementalMinhashPairs(
+      oldSigs, docs.where(col("doc_id") % 3 === 0), "text", "doc_id")
+    val direct = Dedup.incrementalMinhashPairs(
+      Dedup.minhashSigs(docs.where(col("doc_id") % 3 =!= 0), "text", "doc_id"),
+      docs.where(col("doc_id") % 3 === 0), "text", "doc_id")._2
+    assert(incr.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      direct.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   // ---- connected components ---------------------------------------------
 
   test("connectedComponents: chain + clique + isolated node") {
