@@ -1068,7 +1068,7 @@ object SparkEntry {
            |  coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
            |  FROM tk)
-           |SELECT source, start // 256 AS pack_id,
+           |SELECT source, CAST(start // 256 AS BIGINT) AS pack_id,
            | CAST(count(*) AS BIGINT) AS n_docs,
            | CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
            |FROM st GROUP BY source, start // 256
