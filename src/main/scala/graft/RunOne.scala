@@ -1,12 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
-/** Dev tool: run a single SparkEntry query and dump it to parquet.
-  * Usage: runMain graft.RunOne <queryName> <sfDir> <outDir>
+/** Dev tool: run a subset of SparkEntry queries and dump results +
+  * oracle_sql.json, so tools/gate.py (SKIP_RUN=1) can compare just
+  * those without a full Verify pass.
+  * Usage: runMain graft.RunOne <name[,name...]> <sfDir> <outDir>
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
-    val Array(name, sfDir, outDir) = args
+    val Array(names, sfDir, outDir) = args
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -14,9 +17,22 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    df.coalesce(1).write.mode("overwrite").parquet(outDir)
-    println(s"[runone] $name rows=" + spark.read.parquet(outDir).count())
+    new java.io.File(outDir).mkdirs()
+    val sel = names.split(",").toSeq
+    sel.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      println(s"[runone] $name rows=" + spark.read.parquet(s"$outDir/$name").count())
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql.filter(kv => sel.contains(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SqlSnips, TextEmbed, TextExprs, TextFuncs, VectorFunctions}
-import graft.operators.{Ann, Corpus, Dedup, IvfPq, Knn, Pq, Skew, Sq}
+import graft.operators.{Ann, Corpus, Dedup, IvfPq, Knn, Pq, Profile, Skew, Sq}
 import graft.sources.VectorStore
 
 /** Driver contract — see SURVEY.md §2 (inventory) and §7 (plan).
@@ -481,6 +481,72 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("quality"))
         .orderBy(col("lang"), col("quality").desc, col("doc_id"))
         .limit(200)
+    }),
+
+    // -- corpus-wide top-k bigrams: explode -> map-side-combined hash
+    //    agg; shuffle is one row per distinct n-gram per partition --
+    "ngram_topk" -> ((s, dir) =>
+      Corpus.ngramTopK(t(s, dir, "documents"), "text", n = 2, k = 50)),
+
+    // -- Gopher-style repetition profile: docs dominated by a few
+    //    repeated bigrams (boilerplate/spam filter input) --
+    "quality_repetition" -> ((s, dir) =>
+      Corpus.repetitionStats(t(s, dir, "documents"), "text", "doc_id", n = 2)
+        .orderBy(col("dup_frac").desc, col("doc_id")).limit(100)),
+
+    // -- deterministic training-shard assignment + per-shard evenness
+    //    audit (the write.partitionBy("shard") layout is spec'd) --
+    "shard_assign" -> ((s, dir) =>
+      Corpus.shardAssign(t(s, dir, "documents"), "doc_id", numShards = 16)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("shard"))),
+
+    // -- token-budget mixture: cap every source at 1000 tokens via an
+    //    integer keep-rate + deterministic hash filter --
+    "mix_budget" -> ((s, dir) =>
+      Corpus.mixByTokenBudget(t(s, dir, "documents"), "text", "doc_id",
+          "source", budgetTokens = 1000L)
+        .groupBy(col("source"))
+        .agg(max(col("rate_pct")).as("rate_pct"),
+          count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
+        .orderBy(col("source"))),
+
+    // -- edit-distance verify pass over minhash-band candidate pairs:
+    //    O(len^2) Levenshtein runs ONLY on blocked candidates --
+    "dedup_edit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.editVerify(docs,
+          Dedup.minhashPairs(docs, "text", "doc_id"),
+          "text", "doc_id", maxDist = 50)
+        .orderBy(col("edit_dist"), col("doc_a"), col("doc_b"))
+        .limit(200)
+    }),
+
+    // -- cross-doc duplicated-span coverage (the exact-substring-dedup
+    //    statistic): shingle stream -> distinct-doc count by hash ->
+    //    join back; shuffles key on the uniform hash, never doc pairs --
+    "dup_spans" -> ((s, dir) =>
+      Corpus.dupSpanFrac(t(s, dir, "documents"), "text", "doc_id", shingleK = 5)
+        .orderBy(col("dup_frac").desc, col("doc_id")).limit(100)),
+
+    // -- per-dimension embedding distribution (drift / normalization
+    //    audit); reduce side sees |dims| rows regardless of corpus --
+    "embed_dim_stats" -> ((s, dir) =>
+      Profile.dimStats(t(s, dir, "embeddings"), "embedding")),
+
+    // -- per-label mean vectors (class centroids), array re-assembled
+    //    in dimension order --
+    "label_centroids" -> ((s, dir) =>
+      Profile.labelCentroids(t(s, dir, "embeddings"), "embedding", "label")),
+
+    // -- recall@10 audit of the LSH index vs exact top-10 on a query
+    //    sample — the post-build index-quality report --
+    "ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.lshRecallReport(e, e.where(col("vec_id") < 20),
+        "vec_id", "embedding", "cosine", k = 10, numPlanes = 8)
     }),
 
     "doc_fingerprint" -> ((s, dir) =>
@@ -982,6 +1048,102 @@ object SparkEntry {
         """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
           | round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)), 4) AS avg_k
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
+      "ngram_topk" ->
+        s"""WITH tk AS (SELECT $toks AS toks FROM documents),
+           |g AS (SELECT unnest(${SqlSnips.shingles("toks", 2)}) AS ngram FROM tk)
+           |SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM g
+           |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50""".stripMargin.replaceAll("\n", " "),
+      "quality_repetition" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+           |g AS (SELECT doc_id, unnest(${SqlSnips.shingles("toks", 2)}) AS ngram FROM tk),
+           |c AS (SELECT doc_id, ngram, count(*) AS c FROM g GROUP BY doc_id, ngram),
+           |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, max(c) AS top_c,
+           |  count(*) AS distinct_c FROM c GROUP BY doc_id)
+           |SELECT doc_id, n_grams,
+           | round(CAST(top_c AS DOUBLE) / n_grams, 4) AS top_frac,
+           | round(1.0 - CAST(distinct_c AS DOUBLE) / n_grams, 4) AS dup_frac
+           |FROM a ORDER BY dup_frac DESC, doc_id LIMIT 100""".stripMargin.replaceAll("\n", " "),
+      "shard_assign" ->
+        """SELECT ((doc_id % 1000003) * 2654435761) % 4294967296 % 16 AS shard,
+          | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          | min(doc_id) AS min_id, max(doc_id) AS max_id
+          |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin.replaceAll("\n", " "),
+      "mix_budget" ->
+        s"""WITH tk AS (SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS group_tokens
+           |  FROM tk GROUP BY source),
+           |r AS (SELECT source,
+           |  CAST(least(100, (100 * 1000) // group_tokens) AS BIGINT) AS rate_pct FROM tot),
+           |k AS (SELECT tk.source, tk.n_tokens, r.rate_pct
+           |  FROM tk JOIN r USING (source)
+           |  WHERE ((doc_id % 1000003) * 2654435761) % 4294967296 % 100 < r.rate_pct)
+           |SELECT source, max(rate_pct) AS rate_pct, CAST(count(*) AS BIGINT) AS n_kept,
+           | CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+           |FROM k GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " "),
+      "dedup_edit" -> {
+        val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+        s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks, text FROM documents),
+           |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
+           |  FROM tk WHERE len(toks) >= 3),
+           |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
+           |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
+           |pairs AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+           |  FROM bands x JOIN bands y
+           |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc)
+           |SELECT p.doc_a, p.doc_b,
+           | CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
+           |FROM pairs p JOIN tk a ON a.doc = p.doc_a JOIN tk b ON b.doc = p.doc_b
+           |WHERE levenshtein(a.text, b.text) <= 50
+           |ORDER BY edit_dist, doc_a, doc_b LIMIT 200""".stripMargin.replaceAll("\n", " ")
+      },
+      "dup_spans" -> {
+        val bases5 = s"list_transform(${SqlSnips.shingles("toks", 5)}, s -> ${SqlSnips.charFold("s")})"
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+           |sh AS (SELECT doc_id, unnest($bases5) AS sh FROM tk WHERE len(toks) >= 5),
+           |rep AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS nd
+           |  FROM sh GROUP BY sh) _r WHERE nd > 1),
+           |per AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           |  CAST(count(r.sh) AS BIGINT) AS dup_spans
+           |  FROM sh s LEFT JOIN rep r ON s.sh = r.sh GROUP BY s.doc_id)
+           |SELECT doc_id, n_spans, dup_spans,
+           | round(CAST(dup_spans AS DOUBLE) / n_spans, 4) AS dup_frac
+           |FROM per ORDER BY dup_frac DESC, doc_id LIMIT 100""".stripMargin.replaceAll("\n", " ")
+      },
+      "embed_dim_stats" ->
+        """SELECT CAST(i - 1 AS INTEGER) AS dim,
+          | round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS mean,
+          | round(stddev_pop(CAST(embedding[i] AS DOUBLE)), 4) AS std,
+          | round(CAST(min(embedding[i]) AS DOUBLE), 4) AS lo,
+          | round(CAST(max(embedding[i]) AS DOUBLE), 4) AS hi
+          |FROM embeddings, range(1, 65) x(i) GROUP BY i ORDER BY dim""".stripMargin.replaceAll("\n", " "),
+      "label_centroids" ->
+        """WITH de AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+          |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS m,
+          |  CAST(count(*) AS BIGINT) AS np
+          |  FROM embeddings, range(1, 65) x(i) GROUP BY label, i)
+          |SELECT label, max(np) AS n_vectors, list(m ORDER BY dim) AS centroid
+          |FROM de GROUP BY label ORDER BY label""".stripMargin.replaceAll("\n", " "),
+      "ann_recall" ->
+        s"""WITH sigs AS (SELECT vec_id, embedding,
+           |  list_sum(list_transform(range(0, 8), p -> CASE WHEN
+           |    list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) *
+           |      ((((p * 64 + i) * 2654435761) % 4294967296) / 4294967296.0 - 0.5))) > 0
+           |    THEN CAST(2 ** p AS BIGINT) ELSE 0 END)) AS bucket
+           |  FROM embeddings),
+           |qs AS (SELECT vec_id AS qid, embedding AS qvec, bucket AS qbucket
+           |  FROM sigs WHERE vec_id < 20),
+           |ex AS (SELECT qid, vec_id FROM (
+           |  SELECT q.qid, e.vec_id, row_number() OVER
+           |    (PARTITION BY q.qid ORDER BY ${sqlDist("cosine")}, e.vec_id) AS rn
+           |  FROM sigs e, qs q) _x WHERE rn <= 10),
+           |ap AS (SELECT qid, vec_id FROM (
+           |  SELECT q.qid, e.vec_id, row_number() OVER
+           |    (PARTITION BY q.qid ORDER BY ${sqlDist("cosine")}, e.vec_id) AS rn
+           |  FROM sigs e, qs q WHERE e.bucket = q.qbucket) _a WHERE rn <= 10)
+           |SELECT ex.qid AS qid, CAST(count(ap.vec_id) AS BIGINT) AS n_hit
+           |FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+           |GROUP BY ex.qid ORDER BY qid""".stripMargin.replaceAll("\n", " "),
       "dedup_exact" ->
         """SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keep_id
           |FROM documents GROUP BY md5(text) ORDER BY h LIMIT 100""".stripMargin.replaceAll("\n", " "),

@@ -374,4 +374,40 @@ object Ann {
       .orderBy(col("dist"), col(idCol))
       .limit(k)
   }
+
+  /** Recall@k self-report for the LSH index: for each query vector,
+    * how many of the exact top-k survive in the LSH-bucketed top-k
+    * (`n_hit` of `k`). This is the index-quality audit every ANN
+    * deployment runs after (re)build — recall is measured on a SAMPLE
+    * of queries, so the exact side's query×corpus scoring is bounded
+    * by the sample size, not the corpus; candidates on the LSH side
+    * stay bucket-bounded as in [[searchLsh]]. Both rankings round to
+    * 4 dp and tie-break by id, making the report deterministic and
+    * engine-portable.
+    */
+  def lshRecallReport(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      metric: String, k: Int, numPlanes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val d = VectorFunctions.forMetric(metric)(col(vecCol), col("qvec"))
+    val byQuery = Window.partitionBy(col("qid"))
+      .orderBy(col("dist"), col(idCol))
+    val exact = corpus.join(broadcast(q), lit(true))
+      .select(col("qid"), col(idCol), round(d, 4).as("dist"))
+      .withColumn("rn", row_number().over(byQuery))
+      .where(col("rn") <= k)
+      .select(col("qid"), col(idCol))
+    val bucketed = corpus.withColumn("bucket", lshSignature(col(vecCol), numPlanes))
+    val qb = q.withColumn("qbucket", lshSignature(col("qvec"), numPlanes))
+    val approx = bucketed.join(broadcast(qb), col("bucket") === col("qbucket"))
+      .select(col("qid"), col(idCol), round(d, 4).as("dist"))
+      .withColumn("rn", row_number().over(byQuery))
+      .where(col("rn") <= k)
+      .select(col("qid"), col(idCol), lit(1L).as("hit"))
+    exact.join(approx, Seq("qid", idCol), "left_outer")
+      .groupBy(col("qid"))
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .orderBy(col("qid"))
+  }
 }

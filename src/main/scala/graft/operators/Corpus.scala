@@ -111,4 +111,116 @@ object Corpus {
       textCol: String, idCol: String, shingleK: Int): DataFrame =
     train.join(contaminatedIds(train, bench, textCol, idCol, shingleK),
       Seq(idCol), "left_anti")
+
+  /** Word n-grams of a token array as strings (empty when the doc has
+    * fewer than `n` tokens — guarded, since Spark's `sequence(1, m)`
+    * DESCENDS for m < 1 instead of returning empty). */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Corpus-wide top-k n-grams — the classic corpus-stats build
+    * (vocab / phrase tables). Explode is map-only; the count is a
+    * hash aggregate with map-side partial combine, so the shuffle
+    * carries one row per DISTINCT n-gram per partition, never the
+    * token stream. Ties broken by the n-gram string.
+    */
+  def ngramTopK(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(explode(ngrams(TextFuncs.tokens(col(textCol)), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram")).limit(k)
+
+  /** Per-document n-gram repetition profile (the Gopher-style
+    * repetition filters: docs dominated by a few repeated n-grams are
+    * boilerplate/spam). For each doc:
+    *   - `n_grams`   total n-gram occurrences,
+    *   - `top_frac`  fraction taken by the single most frequent n-gram,
+    *   - `dup_frac`  fraction of occurrences beyond first-of-kind
+    *                 (1 - distinct/total).
+    * Two hash aggregates, both map-side combined; nothing is
+    * quadratic in document length.
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol),
+        explode(ngrams(TextFuncs.tokens(col(textCol)), n)).as("ngram"))
+      .groupBy(col(idCol), col("ngram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_grams"),
+        max(col("c")).as("top_c"),
+        count(lit(1)).as("distinct_c"))
+      .select(col(idCol), col("n_grams"),
+        round(col("top_c").cast("double") / col("n_grams"), 4).as("top_frac"),
+        round(lit(1.0) - col("distinct_c").cast("double") / col("n_grams"), 4)
+          .as("dup_frac"))
+
+  /** Deterministic shard id in [0, numShards) from the doc id — the
+    * final "write the corpus as N even training shards" step. Same
+    * multiplicative hash family as [[hashMod100]] (engine-portable,
+    * reproducible across runs — rand() or monotonically_increasing_id
+    * would not be). Map-only; the subsequent
+    * `write.partitionBy("shard")` gives one directory per shard with
+    * no shuffle beyond the write's own file fan-out.
+    */
+  def shardAssign(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    df.withColumn("shard",
+      pmod(pmod(pmod(col(idCol), lit(1000003L)) * lit(2654435761L),
+        lit(4294967296L)), lit(numShards.toLong)))
+  }
+
+  /** Cross-document duplicated-span coverage — the corpus statistic
+    * behind exact-substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): for each doc, the
+    * fraction of its k-token shingle occurrences whose shingle also
+    * appears in at least one OTHER document. Docs with high coverage
+    * are near-copies of corpus content even when no single pair-dedup
+    * fired.
+    *
+    * Distributed form of the suffix-array approach: the shingle-hash
+    * stream (∝ corpus tokens) is aggregated by hash with
+    * count(distinct doc) — map-side combined — and the >1-doc subset
+    * joins back onto the stream. Both shuffles key on the uniform
+    * 64-bit shingle hash: no skew, no doc×doc pairs at any point.
+    */
+  def dupSpanFrac(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(TextExprs.shingle_hashes(col(textCol), shingleK)).as("sh"))
+    val rep = sh.groupBy(col("sh"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") > 1)
+      .select(col("sh"), lit(1L).as("rep"))
+    sh.join(rep, Seq("sh"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        coalesce(sum(col("rep")), lit(0L)).as("dup_spans"))
+      .select(col(idCol), col("n_spans"), col("dup_spans"),
+        round(col("dup_spans").cast("double") / col("n_spans"), 4)
+          .as("dup_frac"))
+  }
+
+  /** Token-budget mixture sampling: per-group keep rate =
+    * min(100, (100 * budget) div group_tokens) percent, applied with
+    * the deterministic [[hashMod100]] filter — the "cap every source
+    * at B tokens" knob of corpus mixing. Integer arithmetic end to
+    * end so the rate (and therefore the exact kept set) is
+    * reproducible in any engine. Group totals are one tiny aggregate
+    * (|groups| rows) broadcast back onto the corpus: no corpus-sized
+    * shuffle at any step.
+    */
+  def mixByTokenBudget(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val tk = df.select(col(groupCol), col(idCol),
+      size(TextFuncs.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val rates = tk.groupBy(col(groupCol))
+      .agg(sum(col("n_tokens")).as("group_tokens"))
+      .withColumn("rate_pct",
+        least(lit(100L), expr(s"(100 * ${budgetTokens}L) div group_tokens")))
+    tk.join(broadcast(rates), Seq(groupCol))
+      .where(hashMod100(col(idCol)) < col("rate_pct"))
+  }
 }

@@ -94,8 +94,14 @@ object Dedup {
     val numBands = numSeeds / rowsPerBand
     val newSigs = minhashSigs(newDocs, textCol, idCol, shingleK, numSeeds)
       .localCheckpoint(eager = true)
+    // one materialization of store ∪ increment: the band self-join
+    // below reads each side from the checkpoint instead of re-running
+    // the store's lineage twice (a parquet-backed store would be
+    // re-SCANNED twice, a derived one re-COMPUTED twice — both worse
+    // than one n×(numSeeds+1)-long block)
     val all = oldSigs.select(col("doc"), col("sig"), lit(false).as("isNew"))
       .union(newSigs.select(col("doc"), col("sig"), lit(true).as("isNew")))
+      .localCheckpoint(eager = true)
     def bandsOf(sigs: DataFrame): DataFrame = sigs.select(
       col("doc"), col("isNew"),
       explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
@@ -112,7 +118,7 @@ object Dedup {
           (col("a.isNew") || col("b.isNew")))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
-    (oldSigs.select(col("doc"), col("sig")).union(newSigs), pairs)
+    (all.select(col("doc"), col("sig")), pairs)
   }
 
   /** Per-document 32-bit SimHash values (near-identical docs collide
@@ -316,5 +322,27 @@ object Dedup {
         round(VectorFunctions.vec_cosine(col("va"), col("vb")), 4).as("dist"))
       .orderBy(col("dist"), col("id_a"), col("id_b"))
       .limit(k)
+  }
+
+  /** Edit-distance verify pass over candidate pairs: joins the raw
+    * text back onto (doc_a, doc_b) pairs and keeps pairs whose
+    * Levenshtein distance is within `maxDist`. The expensive O(len²)
+    * comparison runs ONLY on pairs a cheap generator (minhash bands,
+    * simhash, LSH) already blocked — the standard two-phase
+    * candidate/verify shape; never call this on a raw cross join.
+    * Both join probes broadcast the (small) pair list against the
+    * at-rest corpus, so the corpus is read once per side with no
+    * shuffle of the text column.
+    */
+  def editVerify(df: DataFrame, pairs: DataFrame, textCol: String,
+      idCol: String, maxDist: Int): DataFrame = {
+    val txt = df.select(col(idCol).as("_eid"), col(textCol).as("_et"))
+    pairs
+      .join(txt, col("doc_a") === col("_eid"))
+      .withColumnRenamed("_et", "_ta").drop("_eid")
+      .join(txt, col("doc_b") === col("_eid"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("_ta"), col("_et")).as("edit_dist"))
+      .where(col("edit_dist") <= maxDist)
   }
 }

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ann, Corpus, Dedup, Profile}
+
+class CorpusStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "a b a b a b", "s0"),     // bigrams: "a b" x3, "b a" x2
+    (1L, "x y z", "s0"),           // bigrams: "x y", "y z"
+    (2L, "solo", "s1"),            // no bigrams
+    (3L, "p q p q", "s1")          // "p q" x2, "q p" x1
+  ).toDF("doc_id", "text", "source")
+
+  test("ngrams guards short docs (Spark sequence descends for m < 1)") {
+    val out = docs.select(col("doc_id"),
+        Corpus.ngrams(graft.functions.TextFuncs.tokens(col("text")), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(2L).isEmpty)
+    assert(out(1L) == Seq("x y", "y z"))
+    assert(out(0L) == Seq("a b", "b a", "a b", "b a", "a b"))
+  }
+
+  test("ngramTopK counts and tie-breaks deterministically") {
+    val top = Corpus.ngramTopK(docs, "text", 2, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.head == ("a b", 3L))
+    // count 2: "b a" and "p q" tie -> lexicographic
+    assert(top(1) == ("b a", 2L) && top(2) == ("p q", 2L))
+  }
+
+  test("repetitionStats computes top/dup fractions exactly") {
+    val st = Corpus.repetitionStats(docs, "text", "doc_id", 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(st(0L) == ((5L, 0.6, 0.6)))  // 3/5 top, 1 - 2/5 dup
+    assert(st(1L) == ((2L, 0.5, 0.0)))
+    assert(!st.contains(2L))            // no bigrams -> absent
+    assert(st(3L) == ((3L, round4(2.0 / 3), round4(1.0 - 2.0 / 3))))
+  }
+
+  private def round4(d: Double): Double =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("shardAssign is deterministic, in range, and partitionBy-writable") {
+    val n = 64
+    val df = spark.range(n).toDF("doc_id")
+    val sharded = Corpus.shardAssign(df, "doc_id", 8)
+    val shards = sharded.select("shard").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(shards.subsetOf((0L until 8L).toSet))
+    // same input -> same assignment (no rand())
+    val again = Corpus.shardAssign(df, "doc_id", 8)
+    assert(sharded.except(again).isEmpty && again.except(sharded).isEmpty)
+    // the at-rest layout: one directory per shard, pruned on read
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(dir)
+    val one = spark.read.parquet(dir).where(col("shard") === 3L)
+    val expected = sharded.where(col("shard") === 3L).count()
+    assert(one.count() == expected)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(!scan.contains("Filter ") || scan.contains("PartitionFilters"),
+      s"shard predicate should prune partitions, not row-filter:\n$scan")
+  }
+
+  test("mixByTokenBudget: integer rate, deterministic kept set") {
+    val kept = Corpus.mixByTokenBudget(docs, "text", "doc_id", "source", 6L)
+    val rows = kept.collect()
+    // s0 has 6+3=9 tokens -> rate = min(100, 600 div 9) = 66
+    // s1 has 1+4=5 tokens -> rate = 100 (budget covers it)
+    val rates = rows.map(r => r.getAs[String]("source") -> r.getAs[Long]("rate_pct")).toMap
+    assert(rates.get("s0").forall(_ == 66L))
+    assert(rates.get("s1").forall(_ == 100L))
+    // s1 fully kept at rate 100
+    assert(rows.count(_.getAs[String]("source") == "s1") == 2)
+    // kept set under rate 66 = ids whose hashMod100 < 66, exactly
+    val expect0 = docs.where(col("source") === "s0")
+      .select(col("doc_id")).where(Corpus.hashMod100(col("doc_id")) < 66)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.filter(_.getAs[String]("source") == "s0")
+      .map(_.getAs[Long]("doc_id")).toSet == expect0)
+  }
+
+  test("editVerify: zero distance for identical text, threshold filters") {
+    val d2 = Seq(
+      (0L, "same text entirely"), (1L, "same text entirely"),
+      (2L, "wholly different words here")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("doc_a", "doc_b")
+    val out = Dedup.editVerify(d2, pairs, "text", "doc_id", maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((0L, 1L, 0)))
+  }
+
+  test("dimStats: exact stats on a crafted corpus") {
+    val vs = Seq(
+      (0L, Array(1.0f, -2.0f)),
+      (1L, Array(3.0f, 2.0f))).toDF("vec_id", "embedding")
+    val st = Profile.dimStats(vs, "embedding")
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(st(0) == ((2.0, 1.0, 1.0, 3.0)))
+    assert(st(1) == ((0.0, 2.0, -2.0, 2.0)))
+  }
+
+  test("labelCentroids: mean vectors re-assembled in dim order") {
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (1L, Array(3.0f, 2.0f), 7),
+      (2L, Array(5.0f, 5.0f), 8)).toDF("vec_id", "embedding", "label")
+    val c = Profile.labelCentroids(vs, "embedding", "label")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getSeq[Double](2))).toMap
+    assert(c(7) == ((2L, Seq(2.0, 1.0))))
+    assert(c(8) == ((1L, Seq(5.0, 5.0))))
+  }
+
+  test("dupSpanFrac: shared spans counted cross-doc only") {
+    val d = Seq(
+      (0L, "one two three four five tail"),   // shares "one..five" with 1
+      (1L, "one two three four five other"),
+      (2L, "totally unrelated words in here x"), // repeated NOWHERE else
+      (3L, "zz zz zz zz zz zz")               // self-repeats only -> not dup
+    ).toDF("doc_id", "text")
+    val out = Corpus.dupSpanFrac(d, "text", "doc_id", 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // docs 0/1: 2 shingles each, exactly one ("one two three four five") shared
+    assert(out(0L) == ((2L, 1L, 0.5)))
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L)._2 == 0L)
+    // doc 3's repeated shingle lives in ONE doc -> not cross-doc dup
+    assert(out(3L)._2 == 0L)
+  }
+
+  test("lshRecallReport: every query finds at least itself; n_hit <= k") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val rep = Ann.lshRecallReport(e, e.where(col("vec_id") < 5),
+      "vec_id", "embedding", "cosine", k = 10, numPlanes = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep.keySet == (0L until 5L).toSet)
+    // a query shares its own bucket, and self is rank 1 of the exact
+    // top-k, so recall can never be 0
+    assert(rep.values.forall(h => h >= 1L && h <= 10L))
+  }
+}
