@@ -1055,7 +1055,8 @@ object SparkEntry {
            |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50""".stripMargin.replaceAll("\n", " "),
       "quality_repetition" ->
         s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
-           |g AS (SELECT doc_id, unnest(${SqlSnips.shingles("toks", 2)}) AS ngram FROM tk),
+           |g AS (SELECT doc_id, unnest(list_transform(${SqlSnips.shingles("toks", 2)},
+           |  s -> ${SqlSnips.charFold("s")})) AS ngram FROM tk),
            |c AS (SELECT doc_id, ngram, count(*) AS c FROM g GROUP BY doc_id, ngram),
            |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, max(c) AS top_c,
            |  count(*) AS distinct_c FROM c GROUP BY doc_id)

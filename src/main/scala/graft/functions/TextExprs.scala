@@ -56,6 +56,16 @@ object TextKernels {
     }
   }
 
+  /** Word k-shingles as strings — one tokenize pass, no per-element
+    * interpreted lambda (the HOF Corpus.ngrams form is the spec). */
+  def shingleStrings(s: UTF8String, k: Int): Array[UTF8String] = {
+    val toks = tokenize(s)
+    if (toks.length < k) return Array.empty
+    Array.tabulate(toks.length - k + 1) { i =>
+      UTF8String.fromString(toks.slice(i, i + k).mkString(" "))
+    }
+  }
+
   def minhashSig(bases: Array[Long], numSeeds: Int): Array[Long] =
     Array.tabulate(numSeeds) { s =>
       var mn = Long.MaxValue; var i = 0
@@ -236,6 +246,26 @@ case class ShingleHashesExpr(child: Expression, shingleK: Int)
     copy(child = c)
 }
 
+/** shingle_strings(text, k): k-token shingles as strings — the
+  * n-gram stream for vocab/phrase-table builds where the STRING is
+  * the output (use shingle_hashes when only identity matters; longs
+  * shuffle far cheaper than strings).
+  */
+case class ShingleStringsExpr(child: Expression, shingleK: Int)
+    extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_strings"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      TextKernels.shingleStrings(v.asInstanceOf[UTF8String], shingleK)
+        .asInstanceOf[Array[Any]])
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"(Object[]) graft.functions.TextKernels.shingleStrings($c, $shingleK))"
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** token_stats(text, markers...): one tokenization pass producing
   * struct(n_tokens, sum_len, n_distinct, marker_counts) — feeds
   * text_stats / quality_score / lang_id without three interpreted
@@ -276,6 +306,8 @@ object TextExprs {
     Shims.column(MinHashSigExpr(Shims.expression(c), shingleK, numSeeds))
   def shingle_hashes(c: Column, shingleK: Int = 3): Column =
     Shims.column(ShingleHashesExpr(Shims.expression(c), shingleK))
+  def shingle_strings(c: Column, shingleK: Int): Column =
+    Shims.column(ShingleStringsExpr(Shims.expression(c), shingleK))
   def token_stats(c: Column, markers: Seq[String]): Column =
     Shims.column(TokenStatsExpr(Shims.expression(c), markers))
 

@@ -122,13 +122,15 @@ object Corpus {
       .otherwise(array().cast("array<string>"))
 
   /** Corpus-wide top-k n-grams — the classic corpus-stats build
-    * (vocab / phrase tables). Explode is map-only; the count is a
-    * hash aggregate with map-side partial combine, so the shuffle
-    * carries one row per DISTINCT n-gram per partition, never the
-    * token stream. Ties broken by the n-gram string.
+    * (vocab / phrase tables). Explode is map-only (native
+    * shingle_strings kernel — the [[ngrams]] HOF is its executable
+    * spec); the count is a hash aggregate with map-side partial
+    * combine, so the shuffle carries one row per DISTINCT n-gram per
+    * partition, never the token stream. Ties broken by the n-gram
+    * string.
     */
   def ngramTopK(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
-    df.select(explode(ngrams(TextFuncs.tokens(col(textCol)), n)).as("ngram"))
+    df.select(explode(TextExprs.shingle_strings(col(textCol), n)).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram")).limit(k)
 
@@ -140,12 +142,16 @@ object Corpus {
     *   - `dup_frac`  fraction of occurrences beyond first-of-kind
     *                 (1 - distinct/total).
     * Two hash aggregates, both map-side combined; nothing is
-    * quadratic in document length.
+    * quadratic in document length. Only counts matter here, so the
+    * n-gram identity is its 64-bit shingle HASH — longs group and
+    * shuffle far cheaper than the n-gram strings (the oracle groups
+    * by the same polynomial hash, so both engines share even the
+    * theoretical collisions).
     */
   def repetitionStats(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame =
     df.select(col(idCol),
-        explode(ngrams(TextFuncs.tokens(col(textCol)), n)).as("ngram"))
+        explode(TextExprs.shingle_hashes(col(textCol), n)).as("ngram"))
       .groupBy(col(idCol), col("ngram")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
       .agg(sum(col("c")).as("n_grams"),

@@ -341,8 +341,11 @@ object Dedup {
       .join(txt, col("doc_a") === col("_eid"))
       .withColumnRenamed("_et", "_ta").drop("_eid")
       .join(txt, col("doc_b") === col("_eid"))
+      // threshold form: banded O(len·maxDist) DP with early exit
+      // (returns -1 past the band) instead of the full O(len²) matrix
+      // — the verify pass only ever needs distances <= maxDist
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("_ta"), col("_et")).as("edit_dist"))
-      .where(col("edit_dist") <= maxDist)
+        levenshtein(col("_ta"), col("_et"), maxDist).as("edit_dist"))
+      .where(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
   }
 }

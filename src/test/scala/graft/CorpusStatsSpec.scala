@@ -25,6 +25,14 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out(0L) == Seq("a b", "b a", "a b", "b a", "a b"))
   }
 
+  test("shingle_strings kernel equals the ngrams HOF spec") {
+    val docs2 = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val cmp = docs2.select(
+      graft.functions.TextExprs.shingle_strings(col("text"), 3).as("k"),
+      Corpus.ngrams(graft.functions.TextFuncs.tokens(col("text")), 3).as("h"))
+    assert(cmp.where(not(col("k") <=> col("h"))).count() == 0)
+  }
+
   test("ngramTopK counts and tie-breaks deterministically") {
     val top = Corpus.ngramTopK(docs, "text", 2, 3)
       .collect().map(r => (r.getString(0), r.getLong(1)))
