@@ -22,6 +22,39 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Unrolled Lloyd's k-means as a DuckDB CTE chain, replicating
+    * Ann.kmeans bit-for-bit (fixed iteration count, so no recursion
+    * needed): seed = first `k` sample vectors in id order; each
+    * iteration assigns by unrounded argmin-L2 with (dist, cluster)
+    * ties and recenters with round(avg, 6) — the same 1e-6 centroid
+    * snap Ann.lloyd applies, which is what keeps both engines in
+    * lockstep across iterations. Exposes `sv` (the training sample)
+    * and `c{iters}` (the final centroids).
+    */
+  private def kmeansCtes(k: Int, iters: Int, sampleMod: Int): String = {
+    def l2(vec: String, cent: String): String =
+      s"sqrt(list_sum(list_transform($vec, (x, j) -> (x - $cent[j]) * (x - $cent[j]))))"
+    val seed =
+      s"""sv AS (SELECT vec_id AS id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings WHERE vec_id % $sampleMod = 0),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster,
+         |  v AS centroid FROM (SELECT id, v FROM sv ORDER BY id LIMIT $k) _s)"""
+        .stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""a$i AS (SELECT id, v, cluster FROM (
+         |  SELECT sv.id, sv.v, c.cluster,
+         |    row_number() OVER (PARTITION BY sv.id
+         |      ORDER BY ${l2("sv.v", "c.centroid")}, c.cluster) AS rn
+         |  FROM sv, c${i - 1} c) _a$i WHERE rn = 1),
+         |c$i AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM (
+         |  SELECT cluster, j - 1 AS pos, round(avg(v[j]), 6) AS m
+         |  FROM a$i, range(1, 65) _r(j) GROUP BY cluster, j) _c$i
+         |  GROUP BY cluster)""".stripMargin
+    }
+    (seed +: steps).mkString(",\n")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("knn_cosine")(spark, "/root/testdata/sf0.001")
@@ -971,6 +1004,39 @@ object SparkEntry {
     * from vectors 0..15, argmin-l2 encode, ADC scores vs the query's
     * subvectors (ends with `adc(vec_id, score)`).
     */
+  /** Unrolled grouped Lloyd's (one k-means per PQ subspace) as a
+    * DuckDB CTE chain replicating Pq.train bit-for-bit — the same
+    * 1e-6 per-iteration centroid snap as [[kmeansCtes]], per (grp,
+    * code). Exposes `gm` (subspace ids), `tsv` (training subvectors)
+    * and `pc{iters}` (the final codebooks).
+    */
+  private def pqKmeansCtes(m: Int, subDim: Int, k: Int, iters: Int,
+      sampleMod: Int): String = {
+    def l2(vec: String, cent: String): String =
+      s"sqrt(list_sum(list_transform($vec, (x, j) -> (x - $cent[j]) * (x - $cent[j]))))"
+    val head =
+      s"""gm AS (SELECT unnest(range(0, $m)) AS grp),
+         |tsv AS (SELECT e.vec_id AS id, gm.grp,
+         |  list_transform(e.embedding[(gm.grp*$subDim+1):(gm.grp*$subDim+$subDim)],
+         |    x -> CAST(x AS DOUBLE)) AS sv
+         |  FROM embeddings e, gm WHERE e.vec_id % $sampleMod = 0),
+         |pc0 AS (SELECT grp, CAST(rn - 1 AS INTEGER) AS code, sv AS centroid FROM (
+         |  SELECT grp, sv, row_number() OVER (PARTITION BY grp ORDER BY id) AS rn
+         |  FROM tsv) _s WHERE rn <= $k)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""pa$i AS (SELECT id, grp, sv, code FROM (
+         |  SELECT t.id, t.grp, t.sv, c.code,
+         |    row_number() OVER (PARTITION BY t.id, t.grp
+         |      ORDER BY ${l2("t.sv", "c.centroid")}, c.code) AS rn
+         |  FROM tsv t JOIN pc${i - 1} c ON t.grp = c.grp) _p$i WHERE rn = 1),
+         |pc$i AS (SELECT grp, code, list(mv ORDER BY pos) AS centroid FROM (
+         |  SELECT grp, code, j - 1 AS pos, round(avg(sv[j]), 6) AS mv
+         |  FROM pa$i, range(1, ${subDim + 1}) _r(j) GROUP BY grp, code, j) _c$i
+         |  GROUP BY grp, code)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   private val pqStaticCtes: String =
     """g8 AS (SELECT unnest(range(0, 8)) AS grp),
       |cb AS (SELECT g8.grp, CAST(e.vec_id AS INTEGER) AS code,
@@ -1413,6 +1479,33 @@ object SparkEntry {
            |SELECT e.vec_id AS vec_id, ${sqlDist("cosine")} AS dist
            |FROM sigs e, cand, q WHERE e.vec_id = cand.vec_id
            |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+      // the ITERATIVE k-means IVF, fully oracled: kmeansCtes unrolls
+      // Lloyd's (k=8, 3 iters, id%2 training sample) with the same
+      // per-iteration 1e-6 centroid snap as Ann.lloyd, then tags the
+      // full corpus and probes the query's 2 nearest clusters
+      "ann_ivf" -> {
+        val l2d = "sqrt(list_sum(list_transform(%s, (x, j) -> " +
+          "(x - %s[j]) * (x - %s[j]))))"
+        val l2t = l2d.format("ev.v", "c.centroid", "c.centroid")
+        val l2q = l2d.format("q.qvec", "c.centroid", "c.centroid")
+        s"""WITH ${kmeansCtes(k = 8, iters = 3, sampleMod = 2)},
+           |ev AS (SELECT vec_id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |tag AS (SELECT vec_id, embedding, cluster FROM (
+           |  SELECT ev.vec_id, ev.v AS embedding, c.cluster,
+           |    row_number() OVER (PARTITION BY ev.vec_id
+           |      ORDER BY $l2t, c.cluster) AS rn
+           |  FROM ev, c3 c) _t WHERE rn = 1),
+           |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+           |  FROM embeddings WHERE vec_id = 0),
+           |qc AS (SELECT cluster FROM (
+           |  SELECT c.cluster, $l2q AS d FROM c3 c, q) _q
+           |  ORDER BY d, cluster LIMIT 2)
+           |SELECT e.vec_id AS vec_id, ${sqlDist("cosine")} AS dist
+           |FROM tag e, q, qc WHERE e.cluster = qc.cluster
+           |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
+      },
       "ann_ivf_static" -> {
         val l2c = "sqrt(list_sum(list_transform(%s, (x, i) -> " +
           "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)) * " +
@@ -1479,6 +1572,28 @@ object SparkEntry {
       // sqrt of the summed per-subspace squared distances to the query
       "ann_pq_static" ->
         s"""WITH $pqStaticCtes
+          |SELECT vec_id, score FROM adc
+          |ORDER BY score, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+      // the TRAINED-codebook PQ, fully oracled: pqKmeansCtes unrolls
+      // grouped Lloyd's (m=8, k=16, 2 iters, id%2 sample) with the
+      // 1e-6 per-iteration snap, then encodes the full corpus and
+      // ADC-scores the query — same encode/score CTE shape as
+      // pqStaticCtes with the trained pc2 in place of cb
+      "ann_pq" ->
+        s"""WITH ${pqKmeansCtes(m = 8, subDim = 8, k = 16, iters = 2, sampleMod = 2)},
+          |sv AS (SELECT e.vec_id, gm.grp,
+          |  list_transform(e.embedding[(gm.grp*8+1):(gm.grp*8+8)], x -> CAST(x AS DOUBLE)) AS sv
+          | FROM embeddings e, gm),
+          |asgn AS (SELECT vec_id, grp, code FROM (
+          |  SELECT sv.vec_id, sv.grp, cb.code,
+          |    row_number() OVER (PARTITION BY sv.vec_id, sv.grp ORDER BY
+          |      sqrt(list_sum(list_transform(sv.sv, (x, i) -> (x - cb.centroid[i]) * (x - cb.centroid[i])))), cb.code) AS rn
+          |  FROM sv JOIN pc2 cb ON sv.grp = cb.grp) _r WHERE rn = 1),
+          |pq AS (SELECT grp, sv AS qsv FROM sv WHERE vec_id = 0),
+          |adc AS (SELECT a.vec_id AS vec_id,
+          |  round(sqrt(sum(list_sum(list_transform(pq.qsv, (x, i) -> (x - cb.centroid[i]) * (x - cb.centroid[i]))))), 4) AS score
+          | FROM asgn a JOIN pc2 cb ON a.grp = cb.grp AND a.code = cb.code JOIN pq ON pq.grp = a.grp
+          | GROUP BY a.vec_id)
           |SELECT vec_id, score FROM adc
           |ORDER BY score, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
       // composed index: the pq CTEs provide adc(vec_id, score); the

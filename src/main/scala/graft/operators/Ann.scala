@@ -211,6 +211,16 @@ object Ann {
     * compaction path: re-seed from a live index's current centroids).
     * Each iteration: map-side-combined assign + recenter; clusters
     * with no members drop out.
+    *
+    * Centroid means round to 6 dp each iteration: partition-order fp
+    * drift in the mean (~1e-13) would otherwise accumulate across
+    * iterations and make the result engine-specific; snapped to the
+    * 1e-6 grid, any engine computing the same algorithm lands on
+    * bit-identical centroids, which is what lets the driver oracle
+    * the ITERATIVE ann_ivf/ann_pq queries (unrolled CTE chain in
+    * SparkEntry.kmeansCtes), not just their static-centroid variants.
+    * Quantizing a coarse quantizer at 1e-6 costs nothing: centroids
+    * are cluster means, not data.
     */
   private def lloyd(vecs: DataFrame, init: DataFrame, iters: Int): DataFrame = {
     var centroids = init
@@ -219,7 +229,7 @@ object Ann {
       centroids = assigned
         .select(col("cluster"), posexplode(col("_v")))
         .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .agg(round(avg(col("col")), 6).as("m"))
         .groupBy(col("cluster"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),

@@ -36,10 +36,14 @@ object Pq {
       .select(col("grp"), (col("_rn") - 1).as("code"), col("_v").as("centroid"))
     for (_ <- 0 until iters) {
       val assigned = assignCodes(vecs, centroids)
+      // round(…, 6) snaps codebook entries to the 1e-6 grid each
+      // iteration so partition-order fp drift can't accumulate — the
+      // same engine-portability contract as Ann.lloyd, which is what
+      // lets ann_pq be oracled via SparkEntry.pqKmeansCtes
       centroids = assigned
         .select(col("grp"), col("code"), posexplode(col("_v")))
         .groupBy(col("grp"), col("code"), col("pos"))
-        .agg(avg(col("col")).as("mval"))
+        .agg(round(avg(col("col")), 6).as("mval"))
         .groupBy(col("grp"), col("code"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("mval")))),
