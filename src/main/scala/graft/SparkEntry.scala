@@ -574,6 +574,12 @@ object SparkEntry {
     "label_centroids" -> ((s, dir) =>
       Profile.labelCentroids(t(s, dir, "embeddings"), "embedding", "label")),
 
+    // -- radius (epsilon-NN) search: everything within cosine 0.9 of
+    //    the query, nearest first; codegen filter at the scan --
+    "knn_radius" -> ((s, dir) =>
+      Knn.radiusSearch(t(s, dir, "embeddings"), queryVec(s, dir, 0),
+        "vec_id", "embedding", "cosine", radius = 0.9, maxRows = 500)),
+
     // -- recall@10 audit of the LSH index vs exact top-10 on a query
     //    sample — the post-build index-quality report --
     "ann_recall" -> ((s, dir) => {
@@ -1191,6 +1197,12 @@ object SparkEntry {
           |  FROM embeddings, range(1, 65) x(i) GROUP BY label, i)
           |SELECT label, max(np) AS n_vectors, list(m ORDER BY dim) AS centroid
           |FROM de GROUP BY label ORDER BY label""".stripMargin.replaceAll("\n", " "),
+      "knn_radius" ->
+        s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+           |SELECT e.vec_id AS vec_id, ${sqlDist("cosine")} AS dist
+           |FROM embeddings e, q
+           |WHERE ${sqlDist("cosine")} <= 0.9
+           |ORDER BY dist, vec_id LIMIT 500""".stripMargin.replaceAll("\n", " "),
       "ann_recall" ->
         s"""WITH sigs AS (SELECT vec_id, embedding,
            |  list_sum(list_transform(range(0, 8), p -> CASE WHEN

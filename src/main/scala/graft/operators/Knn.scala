@@ -45,6 +45,33 @@ object Knn {
       .limit(k)
   }
 
+  /** Radius (range) search: ALL corpus rows within `radius` of the
+    * query, nearest first — the "every vector closer than r" contract
+    * (ε-NN) that pairs with top-k in most vector stores. Map-only
+    * filter + TakeOrdered on the (small) survivor set; the predicate
+    * evaluates inside whole-stage codegen next to the scan, so at
+    * scale this reads the corpus once and shuffles only matches.
+    * `maxRows` bounds the result (a loose radius must not collect an
+    * unbounded set to the driver).
+    */
+  def radiusSearch(
+      corpus: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      metric: String,
+      radius: Double,
+      maxRows: Int = 1000,
+      roundTo: Int = DefaultRound): DataFrame = {
+    val d = VectorFunctions.forMetric(metric)(col(vecCol), col("qvec"))
+    corpus
+      .crossJoin(broadcast(query))
+      .select(col(idCol), round(d, roundTo).as("dist"))
+      .where(col("dist") <= radius)
+      .orderBy(col("dist"), col(idCol))
+      .limit(maxRows)
+  }
+
   /** Batch kNN: every row of `queries` gets its own top-k from `corpus`.
     *
     * The query set is broadcast (q << corpus); the corpus is scanned

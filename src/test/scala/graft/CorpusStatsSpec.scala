@@ -144,6 +144,23 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out(3L)._2 == 0L)
   }
 
+  test("radiusSearch returns exactly the within-radius set, nearest first") {
+    import graft.operators.Knn
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val r = Knn.radiusSearch(e, q, "vec_id", "embedding", "cosine", 0.9)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(r.nonEmpty && r.forall(_._2 <= 0.9))
+    assert(r.map(_._2).toSeq == r.map(_._2).sortBy(identity).toSeq)
+    // nothing within the radius is missing: recompute via topK
+    val all = Knn.topK(e, q, "vec_id", "embedding", "cosine", Int.MaxValue)
+      .collect().count(_.getDouble(1) <= 0.9)
+    assert(r.length == all)
+    // self at distance 0 leads
+    assert(r.head == ((0L, 0.0)))
+  }
+
   test("lshRecallReport: every query finds at least itself; n_hit <= k") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val rep = Ann.lshRecallReport(e, e.where(col("vec_id") < 5),
