@@ -325,7 +325,10 @@ object SparkEntry {
     //    preceding 6h; watermarks on both sides bound the join state.
     //    Oracle = the equivalent batch interval join in DuckDB --
     "streaming_join" -> ((s, dir) =>
-      graft.streaming.EventStream.intervalJoinBatchDrain(s, dir)),
+      // 8 state partitions: sized to the test stream's per-trigger
+      // volume (state partitioning can't be AQE-resized later)
+      graft.streaming.EventStream.intervalJoinBatchDrain(s, dir,
+        statePartitions = Some(8))),
 
     // -- as-of (point-in-time) join, the trades-vs-quotes operator
     //    Spark lacks natively: for each click, the latest purchase by

@@ -107,8 +107,22 @@ object EventStream {
     * epoch_us comparison bit for bit.
     */
   def intervalJoinBatchDrain(spark: SparkSession, sfDir: String,
-      lookbackHours: Int = 6): DataFrame = {
+      lookbackHours: Int = 6, statePartitions: Option[Int] = None): DataFrame = {
     val name = s"graft_stream_ij_${memSinkId.incrementAndGet()}"
+    // state-store partitioning is frozen into the checkpoint at first
+    // run, so unlike batch shuffles AQE can never re-size it — choose
+    // it from expected per-trigger volume up front (a few thousand
+    // rows/trigger does not need 32 stores x 2 join sides writing
+    // delta files every micro-batch; a 100 TB/day ingest does)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+    try intervalJoinBatchDrainImpl(spark, sfDir, lookbackHours, name)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def intervalJoinBatchDrainImpl(spark: SparkSession, sfDir: String,
+      lookbackHours: Int, name: String): DataFrame = {
     val clicks = readStream(spark, sfDir)
       .where(col("event_type") === "click")
       .select(col("user_id").as("c_uid"), col("event_id").as("click_id"),
