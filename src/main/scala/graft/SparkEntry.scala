@@ -924,6 +924,17 @@ object SparkEntry {
       IvfPq.search(idx, queryVec(s, dir, 0), "vec_id", topK = 10, nprobe = 2)
     }),
 
+    // -- the TRAINED composed index, end-to-end oracled (round 5):
+    //    both k-means chains are 1e-6-snapped, so coarse training +
+    //    codebook training + encode + routed ADC all replay in SQL --
+    "ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = IvfPq.build(e, "vec_id", "embedding", dim = 64,
+        kClusters = 8, ivfIters = 2, m = 8, kCodes = 16, pqIters = 2,
+        trainSampleMod = 2)
+      IvfPq.search(idx, queryVec(s, dir, 0), "vec_id", topK = 10, nprobe = 2)
+    }),
+
     // -- PQ shortlist + exact re-rank (the production serving pattern:
     //    approximate 8-byte-code scan picks C=50 candidates, exact
     //    cosine touches only those rows). Static codebooks -> fully
@@ -1634,6 +1645,45 @@ object SparkEntry {
            |FROM adc JOIN iasgn ON adc.vec_id = iasgn.vec_id
            |JOIN iqc ON iasgn.cluster = iqc.cluster
            |ORDER BY score, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
+      },
+      // the TRAINED composed index: coarse Lloyd's (kmeansCtes: sv,
+      // c0..c2) + grouped codebook Lloyd's (pqKmeansCtes: gm, tsv,
+      // pc0..pc2) in one WITH; encode the full corpus, route the
+      // query to 2 clusters, ADC-score only their members
+      "ann_ivfpq" -> {
+        val l2d = "sqrt(list_sum(list_transform(%s, (x, j) -> " +
+          "(x - %s[j]) * (x - %s[j]))))"
+        s"""WITH ${kmeansCtes(k = 8, iters = 2, sampleMod = 2)},
+          |${pqKmeansCtes(m = 8, subDim = 8, k = 16, iters = 2, sampleMod = 2)},
+          |ev AS (SELECT vec_id,
+          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |tag AS (SELECT vec_id, cluster FROM (
+          |  SELECT ev.vec_id, c.cluster,
+          |    row_number() OVER (PARTITION BY ev.vec_id
+          |      ORDER BY ${l2d.format("ev.v", "c.centroid", "c.centroid")}, c.cluster) AS rn
+          |  FROM ev, c2 c) _t WHERE rn = 1),
+          |csv AS (SELECT e.vec_id, gm.grp,
+          |  list_transform(e.embedding[(gm.grp*8+1):(gm.grp*8+8)], x -> CAST(x AS DOUBLE)) AS sv
+          | FROM embeddings e, gm),
+          |asgn AS (SELECT vec_id, grp, code FROM (
+          |  SELECT csv.vec_id, csv.grp, cb.code,
+          |    row_number() OVER (PARTITION BY csv.vec_id, csv.grp ORDER BY
+          |      ${l2d.format("csv.sv", "cb.centroid", "cb.centroid")}, cb.code) AS rn
+          |  FROM csv JOIN pc2 cb ON csv.grp = cb.grp) _r WHERE rn = 1),
+          |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          |  FROM embeddings WHERE vec_id = 0),
+          |qc AS (SELECT cluster FROM (
+          |  SELECT c.cluster, ${l2d.format("q.qv", "c.centroid", "c.centroid")} AS d
+          |  FROM c2 c, q) _q ORDER BY d, cluster LIMIT 2),
+          |pq AS (SELECT grp, sv AS qsv FROM csv WHERE vec_id = 0),
+          |adc AS (SELECT a.vec_id AS vec_id,
+          |  round(sqrt(sum(list_sum(list_transform(pq.qsv, (x, i) -> (x - cb.centroid[i]) * (x - cb.centroid[i]))))), 4) AS score
+          | FROM asgn a JOIN pc2 cb ON a.grp = cb.grp AND a.code = cb.code JOIN pq ON pq.grp = a.grp
+          | GROUP BY a.vec_id)
+          |SELECT adc.vec_id AS vec_id, adc.score AS score
+          |FROM adc JOIN tag ON adc.vec_id = tag.vec_id
+          |JOIN qc ON tag.cluster = qc.cluster
+          |ORDER BY score, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
       },
       // shortlist C=50 by ADC score, exact cosine only on those rows
       "ann_pq_rerank" ->
