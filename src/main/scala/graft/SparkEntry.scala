@@ -577,6 +577,48 @@ object SparkEntry {
     "label_centroids" -> ((s, dir) =>
       Profile.labelCentroids(t(s, dir, "embeddings"), "embedding", "label")),
 
+    // -- the composed corpus-prep pipeline as ONE lazy DAG (what a
+    //    real training-data build runs): exact-dedup keep-one ->
+    //    per-language top-quartile quality filter -> benchmark
+    //    decontamination -> sequence packing -> per-source audit.
+    //    Every stage is the already-oracled operator; Catalyst fuses
+    //    the stages (one scan feeds dedup+quality; nothing
+    //    materializes between stages) --
+    "pipeline_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val deduped = docs.join(
+        Dedup.exactGroups(docs, "text", "doc_id")
+          .select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val n = col("st.n_tokens").cast("double")
+      val stop = (col("st.marker_counts")(0) + col("st.marker_counts")(1))
+        .cast("double") / n
+      val q = least(lit(1.0), n / 100) * 0.4 +
+        (lit(1.0) - stop) * 0.3 + (col("st.n_distinct") / n) * 0.3
+      val scored = deduped.select(col("doc_id"), col("lang"), col("source"),
+        col("text"), TextExprs.token_stats(col("text"), Seq("the", "a")).as("st"))
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          round(q, 4).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+      val cw = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      val topQuartile = scored
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nl", count(lit(1)).over(cw))
+        .where(col("rn") <= expr("(nl + 3) div 4"))
+        .drop("rn", "nl", "quality")
+      val clean = Corpus.decontaminate(
+        topQuartile.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        "text", "doc_id", shingleK = 5)
+      Corpus.packSequences(clean, "text", "doc_id", "source", budget = 256L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("pack_id")).as("n_packs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // -- radius (epsilon-NN) search: everything within cosine 0.9 of
     //    the query, nearest first; codegen filter at the scan --
     "knn_radius" -> ((s, dir) =>
@@ -1211,6 +1253,36 @@ object SparkEntry {
           |  FROM embeddings, range(1, 65) x(i) GROUP BY label, i)
           |SELECT label, max(np) AS n_vectors, list(m ORDER BY dim) AS centroid
           |FROM de GROUP BY label ORDER BY label""".stripMargin.replaceAll("\n", " "),
+      "pipeline_corpus" -> {
+        val bases = s"list_transform(${SqlSnips.shingles("toks", 5)}, s -> ${SqlSnips.charFold("s")})"
+        s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+           |d1 AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+           |sc AS (SELECT doc_id, lang, source, text, $toks AS toks FROM d1),
+           |sq AS (SELECT doc_id, lang, source, text, toks,
+           |  round(least(1.0, CAST(len(toks) AS DOUBLE) / 100) * 0.4 +
+           |   (1.0 - ${SqlSnips.stopRatio("toks", Seq("the", "a"))}) * 0.3 +
+           |   (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) * 0.3, 4) AS quality
+           |  FROM sc),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn,
+           |  count(*) OVER (PARTITION BY lang) AS nl FROM sq),
+           |d2 AS (SELECT doc_id, lang, source, text, toks FROM rk
+           |  WHERE rn <= CAST((nl + 3) // 4 AS BIGINT)),
+           |btk AS (SELECT $toks AS toks FROM documents WHERE doc_id % 97 = 0),
+           |bsh AS (SELECT DISTINCT unnest($bases) AS sh FROM btk WHERE len(toks) >= 5),
+           |tsh AS (SELECT doc_id, unnest($bases) AS sh FROM d2
+           |  WHERE doc_id % 97 <> 0 AND len(toks) >= 5),
+           |contam AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh USING (sh)),
+           |d3 AS (SELECT * FROM d2 WHERE doc_id % 97 <> 0
+           |  AND doc_id NOT IN (SELECT doc_id FROM contam)),
+           |st AS (SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  coalesce(sum(CAST(len(toks) AS BIGINT)) OVER (PARTITION BY source
+           |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+           |  FROM d3)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(count(DISTINCT start // 256) AS BIGINT) AS n_packs,
+           | CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+           |FROM st GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " ")
+      },
       "knn_radius" ->
         s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
            |SELECT e.vec_id AS vec_id, ${sqlDist("cosine")} AS dist

@@ -16,6 +16,21 @@ class TextExprsSpec extends AnyFunSuite {
   private lazy val docs =
     Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(50)
 
+  test("shingle_strings kernel == ngrams HOF on adversarial whitespace/unicode") {
+    val rows = Seq(
+      "",                       // empty
+      "   ",                    // whitespace-only
+      "one",                    // below k
+      "  a\tb c  d  ",     // tabs; NBSP is NOT \s-split in either impl
+      "café naïve 😀 x", // accents + non-BMP emoji
+      "a b c d e f").toDF("text")
+    val diff = rows.select(
+        TextExprs.shingle_strings(col("text"), 2).as("k"),
+        graft.operators.Corpus.ngrams(TextFuncs.tokens(col("text")), 2).as("h"))
+      .where(not(col("k") <=> col("h"))).count()
+    assert(diff == 0)
+  }
+
   test("char_fold kernel == HOF charFold") {
     val diff = docs.select(
         TextExprs.char_fold(col("text")).as("k"),
