@@ -977,6 +977,18 @@ object SparkEntry {
       IvfPq.search(idx, queryVec(s, dir, 0), "vec_id", topK = 10, nprobe = 2)
     }),
 
+    // -- the classic residual-encoded variant, ALSO end-to-end
+    //    oracled: codebooks train on (x - coarse centroid), each
+    //    probed cluster scores against its own residual query --
+    "ann_ivfpq_residual" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = IvfPq.buildResidual(e, "vec_id", "embedding", dim = 64,
+        kClusters = 8, ivfIters = 2, m = 8, kCodes = 16, pqIters = 2,
+        trainSampleMod = 2)
+      IvfPq.searchResidual(idx, queryVec(s, dir, 0), "vec_id",
+        topK = 10, nprobe = 2)
+    }),
+
     // -- PQ shortlist + exact re-rank (the production serving pattern:
     //    approximate 8-byte-code scan picks C=50 candidates, exact
     //    cosine touches only those rows). Static codebooks -> fully
@@ -1073,15 +1085,20 @@ object SparkEntry {
     * and `pc{iters}` (the final codebooks).
     */
   private def pqKmeansCtes(m: Int, subDim: Int, k: Int, iters: Int,
-      sampleMod: Int): String = {
+      sampleMod: Int, tsvBody: Option[String] = None): String = {
     def l2(vec: String, cent: String): String =
       s"sqrt(list_sum(list_transform($vec, (x, j) -> (x - $cent[j]) * (x - $cent[j]))))"
-    val head =
-      s"""gm AS (SELECT unnest(range(0, $m)) AS grp),
-         |tsv AS (SELECT e.vec_id AS id, gm.grp,
+    // default training subvectors: raw embedding slices of the id-mod
+    // sample; the residual variant overrides this with slices of
+    // (x - coarse centroid) — same downstream chain either way
+    val tsv = tsvBody.getOrElse(
+      s"""SELECT e.vec_id AS id, gm.grp,
          |  list_transform(e.embedding[(gm.grp*$subDim+1):(gm.grp*$subDim+$subDim)],
          |    x -> CAST(x AS DOUBLE)) AS sv
-         |  FROM embeddings e, gm WHERE e.vec_id % $sampleMod = 0),
+         |  FROM embeddings e, gm WHERE e.vec_id % $sampleMod = 0""".stripMargin)
+    val head =
+      s"""gm AS (SELECT unnest(range(0, $m)) AS grp),
+         |tsv AS ($tsv),
          |pc0 AS (SELECT grp, CAST(rn - 1 AS INTEGER) AS code, sv AS centroid FROM (
          |  SELECT grp, sv, row_number() OVER (PARTITION BY grp ORDER BY id) AS rn
          |  FROM tsv) _s WHERE rn <= $k)""".stripMargin
@@ -1755,6 +1772,57 @@ object SparkEntry {
           |SELECT adc.vec_id AS vec_id, adc.score AS score
           |FROM adc JOIN tag ON adc.vec_id = tag.vec_id
           |JOIN qc ON tag.cluster = qc.cluster
+          |ORDER BY score, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
+      },
+      // residual variant: coarse chain -> full-corpus residuals
+      // (rfull = x - centroid) -> codebooks trained on residual
+      // subvector sample (tsv override) -> encode all residuals ->
+      // per-probed-cluster residual query scores its own members
+      "ann_ivfpq_residual" -> {
+        val l2d = "sqrt(list_sum(list_transform(%s, (x, j) -> " +
+          "(x - %s[j]) * (x - %s[j]))))"
+        val residTsv =
+          """SELECT r.vec_id AS id, gm.grp,
+            |  r.r[(gm.grp*8+1):(gm.grp*8+8)] AS sv
+            |  FROM rfull r, gm WHERE r.vec_id % 2 = 0""".stripMargin
+        s"""WITH ${kmeansCtes(k = 8, iters = 2, sampleMod = 2)},
+          |ev AS (SELECT vec_id,
+          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |tag AS (SELECT vec_id, cluster FROM (
+          |  SELECT ev.vec_id, c.cluster,
+          |    row_number() OVER (PARTITION BY ev.vec_id
+          |      ORDER BY ${l2d.format("ev.v", "c.centroid", "c.centroid")}, c.cluster) AS rn
+          |  FROM ev, c2 c) _t WHERE rn = 1),
+          |rfull AS (SELECT t.vec_id, t.cluster,
+          |  list_transform(ev.v, (x, j) -> x - c.centroid[j]) AS r
+          |  FROM tag t JOIN ev ON ev.vec_id = t.vec_id
+          |  JOIN c2 c ON c.cluster = t.cluster),
+          |${pqKmeansCtes(m = 8, subDim = 8, k = 16, iters = 2, sampleMod = 2,
+             tsvBody = Some(residTsv))},
+          |asv AS (SELECT r.vec_id, gm.grp,
+          |  r.r[(gm.grp*8+1):(gm.grp*8+8)] AS sv FROM rfull r, gm),
+          |easgn AS (SELECT vec_id, grp, code FROM (
+          |  SELECT asv.vec_id, asv.grp, cb.code,
+          |    row_number() OVER (PARTITION BY asv.vec_id, asv.grp ORDER BY
+          |      ${l2d.format("asv.sv", "cb.centroid", "cb.centroid")}, cb.code) AS rn
+          |  FROM asv JOIN pc2 cb ON asv.grp = cb.grp) _r WHERE rn = 1),
+          |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          |  FROM embeddings WHERE vec_id = 0),
+          |qc AS (SELECT cluster FROM (
+          |  SELECT c.cluster, ${l2d.format("q.qv", "c.centroid", "c.centroid")} AS d
+          |  FROM c2 c, q) _q ORDER BY d, cluster LIMIT 2),
+          |qres AS (SELECT qc.cluster,
+          |  list_transform(q.qv, (x, j) -> x - c.centroid[j]) AS qr
+          |  FROM qc JOIN c2 c ON c.cluster = qc.cluster, q),
+          |qsv AS (SELECT qres.cluster, gm.grp,
+          |  qres.qr[(gm.grp*8+1):(gm.grp*8+8)] AS sv FROM qres, gm),
+          |adc AS (SELECT a.vec_id AS vec_id,
+          |  round(sqrt(sum(list_sum(list_transform(qs.sv, (x, i) -> (x - cb.centroid[i]) * (x - cb.centroid[i]))))), 4) AS score
+          | FROM easgn a JOIN tag t ON t.vec_id = a.vec_id
+          | JOIN qsv qs ON qs.cluster = t.cluster AND qs.grp = a.grp
+          | JOIN pc2 cb ON cb.grp = a.grp AND cb.code = a.code
+          | GROUP BY a.vec_id)
+          |SELECT vec_id, score FROM adc
           |ORDER BY score, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
       },
       // shortlist C=50 by ADC score, exact cosine only on those rows
