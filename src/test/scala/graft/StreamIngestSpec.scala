@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Ann
+import graft.streaming.EventStream
+
+/** Streaming index maintenance: vectors arrive as a stream and each
+  * micro-batch is appended to a live at-rest IVF index by
+  * assignment-only insert (Ann.appendToIvf inside foreachBatch) — the
+  * ingest half of a continuously-updated vector store. The batch
+  * operators ARE the streaming operators; foreachBatch is just the
+  * delivery loop, so correctness reduces to "streamed ingest ==
+  * one-shot batch build with the same centroids", asserted here.
+  */
+class StreamIngestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("foreachBatch appendToIvf equals the one-shot batch tagging") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = e.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cluster"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+      .localCheckpoint(true)
+
+    // at-rest store starts with the first half of the corpus
+    val dir = java.nio.file.Files.createTempDirectory("ivf_ingest").toString
+    val store = s"$dir/tagged"
+    Ann.tagCorpus(e.where(col("vec_id") % 2 === 0), "vec_id", "embedding", cents)
+      .write.mode("overwrite").parquet(store)
+
+    // the other half arrives as a stream of parquet files
+    val incoming = s"$dir/incoming"
+    val half = e.where(col("vec_id") % 2 === 1)
+    half.write.mode("overwrite").parquet(incoming)
+
+    val q = spark.readStream
+      .schema(e.schema)
+      .option("maxFilesPerTrigger", "1") // several micro-batches
+      .parquet(s"$incoming/*.parquet")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val tagged = spark.read.parquet(store)
+        Ann.appendToIvf(tagged, cents, batch, "vec_id", "embedding")
+          .write.mode("overwrite").parquet(s"$store.next")
+        // atomic-ish swap for the test; production would write
+        // partitionBy(cluster) deltas instead of rewriting
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(store), true)
+        fs.rename(new org.apache.hadoop.fs.Path(s"$store.next"),
+          new org.apache.hadoop.fs.Path(store))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.parquet(store)
+    val oneShot = Ann.tagCorpus(e, "vec_id", "embedding", cents)
+    assert(streamed.count() == e.count())
+    assert(streamed.except(oneShot).isEmpty &&
+      oneShot.except(streamed).isEmpty,
+      "streamed ingest must equal the one-shot batch build")
+  }
+}
