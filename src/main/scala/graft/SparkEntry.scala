@@ -405,7 +405,31 @@ object SparkEntry {
           col("event_type"), col("value"))
         .groupBy(col("hour_bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
-        .orderBy(col("hour_bucket"), col("event_type")))
+        .orderBy(col("hour_bucket"), col("event_type"))),
+
+    // -- trailing-window anomaly score: each (event_type, hour)'s
+    //    count z-scored against that type's previous 6 observed hours
+    //    (ROWS frame; the monitoring query behind every ops
+    //    dashboard). The event-stream shuffle happens ONCE (the agg);
+    //    the window's re-exchange moves only the |hours|x|types|
+    //    aggregate, not events --
+    "events_zscore" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("hour_bucket"))
+        .rowsBetween(-6, -1)
+      t(s, dir, "events")
+        .select(expr("ts div 1000000000 div 3600").as("hour_bucket"),
+          col("event_type"))
+        .groupBy(col("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("mu", avg(col("n")).over(w))
+        .withColumn("sd", stddev_pop(col("n")).over(w))
+        .withColumn("n_prev", count(col("n")).over(w))
+        .where(col("n_prev") === 6 && col("sd") > 0)
+        .select(col("event_type"), col("hour_bucket"),
+          col("n"), round((col("n") - col("mu")) / col("sd"), 4).as("z"))
+        .orderBy(col("event_type"), col("hour_bucket"))
+    })
   )
 
   /** Text-analysis / dedup / CRUD / embedding layer (SURVEY.md §2
@@ -2043,6 +2067,18 @@ object SparkEntry {
         | event_type, CAST(count(*) AS BIGINT) AS n,
         | round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+    "events_zscore" ->
+      """WITH h AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+        |  event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hour_bucket, n,
+        |  avg(n) OVER tw AS mu, stddev_pop(n) OVER tw AS sd,
+        |  count(n) OVER tw AS n_prev
+        |  FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY hour_bucket
+        |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour_bucket, n, round((n - mu) / sd, 4) AS z
+        |FROM w WHERE n_prev = 6 AND sd > 0
+        |ORDER BY event_type, hour_bucket""".stripMargin.replaceAll("\n", " "),
     // strict-gap sessions (`<`, matching session_window's end-exclusive
     // merge rule; sessionize_sql's variant uses `<=`)
     "events_session_window" ->
