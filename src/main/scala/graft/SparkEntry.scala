@@ -31,9 +31,16 @@ object SparkEntry {
     * lockstep across iterations. Exposes `sv` (the training sample)
     * and `c{iters}` (the final centroids).
     */
+  /** Unrounded L2 over two double-list SQL expressions, elementwise in
+    * index order — the assignment/tie-break distance every k-means
+    * oracle CTE shares. ONE definition: the chains replay Ann.lloyd /
+    * Pq.groupedKmeans bit-for-bit only while every usage stays
+    * byte-identical, so never inline a copy.
+    */
+  private def sqlL2(vec: String, cent: String): String =
+    s"sqrt(list_sum(list_transform($vec, (x, j) -> (x - $cent[j]) * (x - $cent[j]))))"
+
   private def kmeansCtes(k: Int, iters: Int, sampleMod: Int): String = {
-    def l2(vec: String, cent: String): String =
-      s"sqrt(list_sum(list_transform($vec, (x, j) -> (x - $cent[j]) * (x - $cent[j]))))"
     val seed =
       s"""sv AS (SELECT vec_id AS id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -45,7 +52,7 @@ object SparkEntry {
       s"""a$i AS (SELECT id, v, cluster FROM (
          |  SELECT sv.id, sv.v, c.cluster,
          |    row_number() OVER (PARTITION BY sv.id
-         |      ORDER BY ${l2("sv.v", "c.centroid")}, c.cluster) AS rn
+         |      ORDER BY ${sqlL2("sv.v", "c.centroid")}, c.cluster) AS rn
          |  FROM sv, c${i - 1} c) _a$i WHERE rn = 1),
          |c$i AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM (
          |  SELECT cluster, j - 1 AS pos, round(avg(v[j]), 6) AS m
@@ -862,8 +869,9 @@ object SparkEntry {
         "euclidean", 5, planesPerTable = 4, numTables = 4)
     }),
 
-    // -- approximate NN: IVF coarse quantizer, nprobe=2 (kmeans is
-    //    iterative -> no SQL oracle; driver records rows-only check) --
+    // -- approximate NN: IVF coarse quantizer, nprobe=2. Fully
+    //    oracled: Lloyd's snaps centroids to 1e-6 per iteration, so
+    //    the kmeansCtes chain replays training in DuckDB --
     "ann_ivf" -> ((s, dir) => {
       // centroids train on the deterministic id%2 sample (the 100 TB
       // pattern: Lloyd's on a sample, tag the full corpus map-side)
@@ -936,7 +944,7 @@ object SparkEntry {
       graft.streaming.EventStream.dedupDistinctBatchDrain(s, dir)),
 
     // -- product quantization ANN (8 bytes/vector ADC search);
-    //    k-means codebooks -> rows-only check like ann_ivf. Codebooks
+    //    trained codebooks, fully oracled via pqKmeansCtes. Codebooks
     //    train on the id%2 sample; the query vector stays a broadcast
     //    one-row DataFrame (no driver-side head() on the query path) --
     "ann_pq" -> ((s, dir) => {
@@ -1110,8 +1118,6 @@ object SparkEntry {
     */
   private def pqKmeansCtes(m: Int, subDim: Int, k: Int, iters: Int,
       sampleMod: Int, tsvBody: Option[String] = None): String = {
-    def l2(vec: String, cent: String): String =
-      s"sqrt(list_sum(list_transform($vec, (x, j) -> (x - $cent[j]) * (x - $cent[j]))))"
     // default training subvectors: raw embedding slices of the id-mod
     // sample; the residual variant overrides this with slices of
     // (x - coarse centroid) — same downstream chain either way
@@ -1130,7 +1136,7 @@ object SparkEntry {
       s"""pa$i AS (SELECT id, grp, sv, code FROM (
          |  SELECT t.id, t.grp, t.sv, c.code,
          |    row_number() OVER (PARTITION BY t.id, t.grp
-         |      ORDER BY ${l2("t.sv", "c.centroid")}, c.code) AS rn
+         |      ORDER BY ${sqlL2("t.sv", "c.centroid")}, c.code) AS rn
          |  FROM tsv t JOIN pc${i - 1} c ON t.grp = c.grp) _p$i WHERE rn = 1),
          |pc$i AS (SELECT grp, code, list(mv ORDER BY pos) AS centroid FROM (
          |  SELECT grp, code, j - 1 AS pos, round(avg(sv[j]), 6) AS mv
@@ -1623,10 +1629,8 @@ object SparkEntry {
       // per-iteration 1e-6 centroid snap as Ann.lloyd, then tags the
       // full corpus and probes the query's 2 nearest clusters
       "ann_ivf" -> {
-        val l2d = "sqrt(list_sum(list_transform(%s, (x, j) -> " +
-          "(x - %s[j]) * (x - %s[j]))))"
-        val l2t = l2d.format("ev.v", "c.centroid", "c.centroid")
-        val l2q = l2d.format("q.qvec", "c.centroid", "c.centroid")
+        val l2t = sqlL2("ev.v", "c.centroid")
+        val l2q = sqlL2("q.qvec", "c.centroid")
         s"""WITH ${kmeansCtes(k = 8, iters = 3, sampleMod = 2)},
            |ev AS (SELECT vec_id,
            |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1764,8 +1768,6 @@ object SparkEntry {
       // pc0..pc2) in one WITH; encode the full corpus, route the
       // query to 2 clusters, ADC-score only their members
       "ann_ivfpq" -> {
-        val l2d = "sqrt(list_sum(list_transform(%s, (x, j) -> " +
-          "(x - %s[j]) * (x - %s[j]))))"
         s"""WITH ${kmeansCtes(k = 8, iters = 2, sampleMod = 2)},
           |${pqKmeansCtes(m = 8, subDim = 8, k = 16, iters = 2, sampleMod = 2)},
           |ev AS (SELECT vec_id,
@@ -1773,7 +1775,7 @@ object SparkEntry {
           |tag AS (SELECT vec_id, cluster FROM (
           |  SELECT ev.vec_id, c.cluster,
           |    row_number() OVER (PARTITION BY ev.vec_id
-          |      ORDER BY ${l2d.format("ev.v", "c.centroid", "c.centroid")}, c.cluster) AS rn
+          |      ORDER BY ${sqlL2("ev.v", "c.centroid")}, c.cluster) AS rn
           |  FROM ev, c2 c) _t WHERE rn = 1),
           |csv AS (SELECT e.vec_id, gm.grp,
           |  list_transform(e.embedding[(gm.grp*8+1):(gm.grp*8+8)], x -> CAST(x AS DOUBLE)) AS sv
@@ -1781,12 +1783,12 @@ object SparkEntry {
           |asgn AS (SELECT vec_id, grp, code FROM (
           |  SELECT csv.vec_id, csv.grp, cb.code,
           |    row_number() OVER (PARTITION BY csv.vec_id, csv.grp ORDER BY
-          |      ${l2d.format("csv.sv", "cb.centroid", "cb.centroid")}, cb.code) AS rn
+          |      ${sqlL2("csv.sv", "cb.centroid")}, cb.code) AS rn
           |  FROM csv JOIN pc2 cb ON csv.grp = cb.grp) _r WHERE rn = 1),
           |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
           |  FROM embeddings WHERE vec_id = 0),
           |qc AS (SELECT cluster FROM (
-          |  SELECT c.cluster, ${l2d.format("q.qv", "c.centroid", "c.centroid")} AS d
+          |  SELECT c.cluster, ${sqlL2("q.qv", "c.centroid")} AS d
           |  FROM c2 c, q) _q ORDER BY d, cluster LIMIT 2),
           |pq AS (SELECT grp, sv AS qsv FROM csv WHERE vec_id = 0),
           |adc AS (SELECT a.vec_id AS vec_id,
@@ -1803,8 +1805,6 @@ object SparkEntry {
       // subvector sample (tsv override) -> encode all residuals ->
       // per-probed-cluster residual query scores its own members
       "ann_ivfpq_residual" -> {
-        val l2d = "sqrt(list_sum(list_transform(%s, (x, j) -> " +
-          "(x - %s[j]) * (x - %s[j]))))"
         val residTsv =
           """SELECT r.vec_id AS id, gm.grp,
             |  r.r[(gm.grp*8+1):(gm.grp*8+8)] AS sv
@@ -1815,7 +1815,7 @@ object SparkEntry {
           |tag AS (SELECT vec_id, cluster FROM (
           |  SELECT ev.vec_id, c.cluster,
           |    row_number() OVER (PARTITION BY ev.vec_id
-          |      ORDER BY ${l2d.format("ev.v", "c.centroid", "c.centroid")}, c.cluster) AS rn
+          |      ORDER BY ${sqlL2("ev.v", "c.centroid")}, c.cluster) AS rn
           |  FROM ev, c2 c) _t WHERE rn = 1),
           |rfull AS (SELECT t.vec_id, t.cluster,
           |  list_transform(ev.v, (x, j) -> x - c.centroid[j]) AS r
@@ -1828,12 +1828,12 @@ object SparkEntry {
           |easgn AS (SELECT vec_id, grp, code FROM (
           |  SELECT asv.vec_id, asv.grp, cb.code,
           |    row_number() OVER (PARTITION BY asv.vec_id, asv.grp ORDER BY
-          |      ${l2d.format("asv.sv", "cb.centroid", "cb.centroid")}, cb.code) AS rn
+          |      ${sqlL2("asv.sv", "cb.centroid")}, cb.code) AS rn
           |  FROM asv JOIN pc2 cb ON asv.grp = cb.grp) _r WHERE rn = 1),
           |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
           |  FROM embeddings WHERE vec_id = 0),
           |qc AS (SELECT cluster FROM (
-          |  SELECT c.cluster, ${l2d.format("q.qv", "c.centroid", "c.centroid")} AS d
+          |  SELECT c.cluster, ${sqlL2("q.qv", "c.centroid")} AS d
           |  FROM c2 c, q) _q ORDER BY d, cluster LIMIT 2),
           |qres AS (SELECT qc.cluster,
           |  list_transform(q.qv, (x, j) -> x - c.centroid[j]) AS qr

@@ -114,12 +114,15 @@ object Corpus {
 
   /** Word n-grams of a token array as strings (empty when the doc has
     * fewer than `n` tokens — guarded, since Spark's `sequence(1, m)`
-    * DESCENDS for m < 1 instead of returning empty). */
+    * DESCENDS for m < 1 instead of returning empty; null tokens
+    * propagate null, matching the ShingleStringsExpr kernel's
+    * null-intolerant contract so the kernel==spec equality holds on
+    * nullable input). */
   def ngrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+      .when(toks.isNotNull, array().cast("array<string>"))
 
   /** Corpus-wide top-k n-grams — the classic corpus-stats build
     * (vocab / phrase tables). Explode is map-only (native

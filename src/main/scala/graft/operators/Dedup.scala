@@ -93,7 +93,6 @@ object Dedup {
       : (DataFrame, DataFrame) = {
     val numBands = numSeeds / rowsPerBand
     val newSigs = minhashSigs(newDocs, textCol, idCol, shingleK, numSeeds)
-      .localCheckpoint(eager = true)
     // one materialization of store ∪ increment: the band self-join
     // below reads each side from the checkpoint instead of re-running
     // the store's lineage twice (a parquet-backed store would be
@@ -337,9 +336,14 @@ object Dedup {
   def editVerify(df: DataFrame, pairs: DataFrame, textCol: String,
       idCol: String, maxDist: Int): DataFrame = {
     val txt = df.select(col(idCol).as("_eid"), col(textCol).as("_et"))
-    pairs
+    // the pair list is bounded by the candidate generator's contract —
+    // broadcast it (and the pair-sized first join result) so the
+    // corpus text column streams map-side through both probes instead
+    // of sort-merge-shuffling twice
+    val withA = broadcast(pairs)
       .join(txt, col("doc_a") === col("_eid"))
       .withColumnRenamed("_et", "_ta").drop("_eid")
+    broadcast(withA)
       .join(txt, col("doc_b") === col("_eid"))
       // threshold form: banded O(len·maxDist) DP with early exit
       // (returns -1 past the band) instead of the full O(len²) matrix

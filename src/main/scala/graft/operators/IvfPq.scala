@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   * This variant PQ-encodes the raw vectors (IVF-Flat-PQ). Classic
   * IVF-PQ encodes residuals (x - centroid) for tighter quantization;
   * that swaps one `transform` into the encode input and a query-side
-  * per-cluster ADC table, at the cost of SQL-oracle-ability — the
-  * raw-vector form keeps the whole composed pipeline DuckDB-checkable
-  * (`ann_ivfpq_static`).
+  * per-cluster ADC table. Both forms are DuckDB-oracled end to end —
+  * static centroids (`ann_ivfpq_static`) and TRAINED, raw
+  * (`ann_ivfpq`) and residual (`ann_ivfpq_residual`), via the
+  * 1e-6-snapped unrolled k-means chains.
   */
 object IvfPq {
 

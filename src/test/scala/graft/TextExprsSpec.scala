@@ -23,6 +23,7 @@ class TextExprsSpec extends AnyFunSuite {
       "one",                    // below k
       "  a\tb c  d  ",     // tabs; NBSP is NOT \s-split in either impl
       "café naïve 😀 x", // accents + non-BMP emoji
+      null,                     // null text -> null (both sides)
       "a b c d e f").toDF("text")
     val diff = rows.select(
         TextExprs.shingle_strings(col("text"), 2).as("k"),
