@@ -1075,6 +1075,16 @@ object SparkEntry {
           "WHERE NOT metadata.label IN (0, 1) ORDER BY label")
     }),
 
+    // -- VectorSql GROUP BY + aggregates (beyond the reference's lone
+    //    COUNT(*)): keys resolve like projections, plain select-list
+    //    cols must be grouped, deterministic default key order --
+    "vector_sql_group" -> ((s, dir) => {
+      graft.sql.VectorSql.execute(vecSqlCatalog(s, dir),
+        "SELECT metadata.label AS label, COUNT(*) AS n, MIN(id) AS min_id, " +
+          "MAX(id) AS max_id, SUM(dimension) AS dims FROM vectors " +
+          "WHERE NOT metadata.label IN (9) GROUP BY metadata.label ORDER BY label")
+    }),
+
     // -- salted two-phase aggregation (skewed-key pattern; results
     //    identical to the direct groupBy the oracle runs) --
     "events_by_type_salted" -> ((s, dir) =>
@@ -1875,6 +1885,16 @@ object SparkEntry {
         """SELECT DISTINCT CAST(label AS VARCHAR) AS label
           |FROM embeddings WHERE label NOT IN (0, 1)
           |ORDER BY label""".stripMargin.replaceAll("\n", " "),
+      // dims = sum(dimension) = 64 per row; min/max over the STRING
+      // ids (the dialect's id column is varchar -> lexicographic in
+      // both engines)
+      "vector_sql_group" ->
+        """SELECT CAST(label AS VARCHAR) AS label, CAST(count(*) AS BIGINT) AS n,
+          | min(CAST(vec_id AS VARCHAR)) AS min_id,
+          | max(CAST(vec_id AS VARCHAR)) AS max_id,
+          | CAST(sum(64) AS DOUBLE) AS dims
+          |FROM embeddings WHERE label NOT IN (9)
+          |GROUP BY label ORDER BY label""".stripMargin.replaceAll("\n", " "),
       // labels are single digits, so varchar DESC == numeric DESC
       "vector_sql_order" ->
         """SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label

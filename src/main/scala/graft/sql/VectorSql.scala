@@ -67,7 +67,7 @@ object VectorSql {
   private val keywords = Set("SELECT", "FROM", "WHERE", "NEAREST", "TO",
     "USING", "LIMIT", "AS", "AND", "OR", "LIKE", "INSERT", "INTO", "VALUES",
     "DELETE", "UPDATE", "SET", "CREATE", "DROP", "COLLECTION", "COUNT", "NOT",
-    "ORDER", "BY", "ASC", "DESC", "IN", "DISTINCT")
+    "ORDER", "BY", "ASC", "DESC", "IN", "DISTINCT", "GROUP")
 
   private def lex(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -137,7 +137,10 @@ object VectorSql {
       nearest: Option[Either[Seq[Float], Select]], metric: Option[String],
       where: Option[Cond], limit: Option[Int], countStar: Boolean,
       orderBy: Seq[(String, Boolean)] = Nil, // (field, desc)
-      distinct: Boolean = false) extends Stmt
+      distinct: Boolean = false,
+      groupBy: Seq[String] = Nil,
+      aggs: Seq[(String, String, Option[String])] = Nil // (fn, arg, alias)
+      ) extends Stmt
   case class Insert(table: String, id: String, vector: Seq[Float],
       metadata: Map[String, String]) extends Stmt
   case class Delete(table: String, where: Option[Cond]) extends Stmt
@@ -178,20 +181,28 @@ object VectorSql {
 
     private def select(): Select = {
       val distinct = accept(Kw("DISTINCT")) // tokenizer.go:40 keyword
-      var countStar = false
       val cols = Vector.newBuilder[(String, Option[String])]
-      if (accept(Kw("COUNT"))) {
-        expect(Sym("(")); expect(Sym("*")); expect(Sym(")"))
-        countStar = true
-        if (accept(Kw("AS"))) cols += (("count", Some(ident())))
-      } else if (accept(Sym("*"))) {
+      val aggs = Vector.newBuilder[(String, String, Option[String])]
+      if (accept(Sym("*"))) {
         cols += (("*", None))
       } else {
         var more = true
         while (more) {
           val c = ident()
-          val alias = if (accept(Kw("AS"))) Some(ident()) else None
-          cols += ((c, alias))
+          if (accept(Sym("("))) { // aggregate call: COUNT/SUM/AVG/MIN/MAX
+            val fn = c.toLowerCase
+            require(Set("count", "sum", "avg", "min", "max")(fn),
+              s"unknown aggregate function: $c")
+            val arg =
+              if (accept(Sym("*"))) { require(fn == "count", "* only in COUNT(*)"); "*" }
+              else ident()
+            expect(Sym(")"))
+            val alias = if (accept(Kw("AS"))) Some(ident()) else None
+            aggs += ((fn, arg, alias))
+          } else {
+            val alias = if (accept(Kw("AS"))) Some(ident()) else None
+            cols += ((c, alias))
+          }
           more = accept(Sym(","))
         }
       }
@@ -212,6 +223,12 @@ object VectorSql {
         })
       }
       val where = if (accept(Kw("WHERE"))) Some(cond()) else None
+      val groupBy = Vector.newBuilder[String]
+      if (accept(Kw("GROUP"))) {
+        expect(Kw("BY"))
+        groupBy += ident()
+        while (accept(Sym(","))) groupBy += ident()
+      }
       // ORDER BY field [ASC|DESC], ... (tokenizer.go:39 declares the
       // keywords; evaluated here like the other parsed-surface items)
       val order = Vector.newBuilder[(String, Boolean)]
@@ -227,8 +244,17 @@ object VectorSql {
         }
       }
       val limit = if (accept(Kw("LIMIT"))) Some(num().toInt) else None
-      Select(cols.result(), table, nearest, metric, where, limit, countStar,
-        order.result(), distinct)
+      val colsV = cols.result(); val aggsV = aggs.result()
+      val groupV = groupBy.result()
+      // bare `SELECT COUNT(*) FROM t` keeps its dedicated fast path;
+      // its alias rides in cols like before (runSelect reads it there)
+      val countStar = groupV.isEmpty && colsV.isEmpty &&
+        (aggsV.toList match { case List(("count", "*", _)) => true; case _ => false })
+      val colsOut =
+        if (countStar) aggsV.head._3.map(a => ("count", Some(a))).toVector
+        else colsV
+      Select(colsOut, table, nearest, metric, where, limit, countStar,
+        order.result(), distinct, groupV, if (countStar) Nil else aggsV)
     }
 
     private def insert(): Insert = {
@@ -519,9 +545,71 @@ object VectorSql {
       cat.spark.range(0).select(count(lit(1)).as("count"))
   }
 
+  /** GROUP BY execution: keys resolve like projections (id /
+    * dimension / metadata.k), every plain select-list column must be
+    * a grouping key (standard SQL restriction), SUM/AVG cast their
+    * argument to double (metadata values are strings), and the result
+    * gets a deterministic default order over the grouping keys —
+    * explicit ORDER BY names OUTPUT columns and still trails the
+    * remaining outputs so a LIMIT cuts deterministically.
+    */
+  private def runGroupBy(s: Select, df: DataFrame): DataFrame = {
+    require(s.nearest.isEmpty, "GROUP BY cannot be combined with NEAREST TO")
+    require(s.aggs.nonEmpty, "GROUP BY requires at least one aggregate")
+    require(!s.distinct, "DISTINCT is redundant with GROUP BY")
+    def resolve(f: String): Column = f match {
+      case "dimension" => size(col("vector"))
+      case m if m.startsWith("metadata.") =>
+        col("metadata")(m.stripPrefix("metadata."))
+      case other => col(other)
+    }
+    def outName(f: String): String = f.replace('.', '_')
+    s.cols.foreach { case (c, _) =>
+      require(s.groupBy.contains(c),
+        s"column $c must appear in GROUP BY (or be aggregated)")
+    }
+    val keyOut: Seq[(String, String)] = {
+      val projected = s.cols.map { case (g, al) =>
+        (outName(g), al.getOrElse(outName(g)))
+      }
+      if (projected.nonEmpty) projected
+      else s.groupBy.map(g => (outName(g), outName(g)))
+    }
+    val aggNamed: Seq[(Column, String)] = s.aggs.map { case (fn, arg, alias) =>
+      val c: Column = fn match {
+        case "count" => if (arg == "*") count(lit(1)) else count(resolve(arg))
+        case "sum"   => sum(resolve(arg).cast("double"))
+        case "avg"   => avg(resolve(arg).cast("double"))
+        case "min"   => min(resolve(arg))
+        case "max"   => max(resolve(arg))
+      }
+      val name = alias.getOrElse(if (arg == "*") fn else s"${fn}_${outName(arg)}")
+      (c.as(name), name)
+    }
+    val agged = df
+      .groupBy(s.groupBy.map(g => resolve(g).as(outName(g))): _*)
+      .agg(aggNamed.head._1, aggNamed.tail.map(_._1): _*)
+    val out = agged.select(
+      keyOut.map { case (src, o) => col(src).as(o) } ++
+        aggNamed.map { case (_, n) => col(n) }: _*)
+    val ordered =
+      if (s.orderBy.nonEmpty) {
+        val keys = s.orderBy.map { case (f, desc) =>
+          require(out.columns.contains(f), s"ORDER BY unknown output column $f")
+          if (desc) col(f).desc else col(f).asc
+        }
+        val named = s.orderBy.map(_._1).toSet
+        val trail = out.columns.filterNot(named).map(col(_).asc).toSeq
+        out.orderBy(keys ++ trail: _*)
+      } else out.orderBy(keyOut.map { case (_, o) => col(o).asc }: _*)
+    s.limit.map(ordered.limit).getOrElse(ordered)
+  }
+
   private def runSelect(cat: Catalog, s: Select): DataFrame = {
     var df = cat.get(s.table)
     s.where.foreach(w => df = df.where(condCol(w)))
+
+    if (s.groupBy.nonEmpty) return runGroupBy(s, df)
 
     if (s.countStar)
       return df.agg(count(lit(1)).as(

@@ -309,4 +309,53 @@ class VectorSqlSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("GROUP BY metadata key with COUNT/MIN/MAX") {
+    val r = VectorSql.execute(freshCat(),
+      "SELECT metadata.category AS cat, COUNT(*) AS n, MIN(id) AS lo, " +
+        "MAX(id) AS hi FROM vectors GROUP BY metadata.category ORDER BY cat")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getString(2), x.getString(3)))
+    // null category groups last under ASC NULLS FIRST? Spark default asc = nulls first
+    assert(r.contains(("image", 2L, "v1", "v3")))
+    assert(r.contains(("text", 1L, "v2", "v2")))
+    // the metadata-less row groups under null
+    assert(r.exists(t => t._1 == null && t._2 == 1L && t._3 == "test1"))
+  }
+
+  test("GROUP BY WHERE + aggregate alias defaults + LIMIT determinism") {
+    val r = VectorSql.execute(freshCat(),
+      "SELECT metadata.category, COUNT(*), SUM(dimension) FROM vectors " +
+        "WHERE metadata.category = 'image' OR metadata.category = 'text' " +
+        "GROUP BY metadata.category LIMIT 1")
+      .collect()
+    assert(r.length == 1)
+    // default order: grouping key asc -> 'image' first
+    assert(r(0).getString(0) == "image")
+    assert(r(0).getLong(1) == 2L && r(0).getDouble(2) == 6.0)
+  }
+
+  test("GROUP BY rejects non-grouped projections, NEAREST, zero aggregates") {
+    intercept[Exception] {
+      VectorSql.execute(freshCat(),
+        "SELECT id, COUNT(*) FROM vectors GROUP BY metadata.category").collect()
+    }
+    intercept[Exception] {
+      VectorSql.execute(freshCat(),
+        "SELECT metadata.category, COUNT(*) FROM vectors " +
+          "NEAREST TO [1.0, 0.0, 0.0] GROUP BY metadata.category").collect()
+    }
+    intercept[Exception] {
+      VectorSql.execute(freshCat(),
+        "SELECT metadata.category FROM vectors GROUP BY metadata.category").collect()
+    }
+  }
+
+  test("COUNT(field) skips null metadata values") {
+    // no plain projection -> grouping keys are still emitted (leading)
+    val r = VectorSql.execute(freshCat(),
+      "SELECT COUNT(metadata.category) AS with_cat, COUNT(*) AS all_rows " +
+        "FROM vectors GROUP BY dimension").head()
+    assert(r.getInt(0) == 3)                          // dimension key
+    assert(r.getLong(1) == 3L && r.getLong(2) == 4L)  // with_cat, all_rows
+  }
 }
