@@ -1085,6 +1085,25 @@ object SparkEntry {
           "WHERE NOT metadata.label IN (9) GROUP BY metadata.label ORDER BY label")
     }),
 
+    // -- HAVING: post-aggregation filter with a hidden HAVING-only
+    //    aggregate (MAX(id) never reaches the output) and arithmetic
+    //    over an aggregate (COUNT % 3) --
+    "vector_sql_having" -> ((s, dir) => {
+      graft.sql.VectorSql.execute(vecSqlCatalog(s, dir),
+        "SELECT metadata.label AS label, COUNT(*) AS n, MIN(id) AS min_id, " +
+          "AVG(dimension) AS avg_dim FROM vectors GROUP BY metadata.label " +
+          "HAVING COUNT(*) % 3 IN (0, 1) AND MAX(id) > MIN(id) ORDER BY label")
+    }),
+
+    // -- global aggregate (no GROUP BY): one-row summary, WHERE pushed
+    //    below the aggregation --
+    "vector_sql_global" -> ((s, dir) => {
+      graft.sql.VectorSql.execute(vecSqlCatalog(s, dir),
+        "SELECT COUNT(*) AS n, COUNT(metadata.label) AS labeled, " +
+          "MIN(id) AS lo, MAX(id) AS hi, SUM(dimension) AS dims " +
+          "FROM vectors WHERE NOT id LIKE '1%'")
+    }),
+
     // -- salted two-phase aggregation (skewed-key pattern; results
     //    identical to the direct groupBy the oracle runs) --
     "events_by_type_salted" -> ((s, dir) =>
@@ -1895,6 +1914,20 @@ object SparkEntry {
           | CAST(sum(64) AS DOUBLE) AS dims
           |FROM embeddings WHERE label NOT IN (9)
           |GROUP BY label ORDER BY label""".stripMargin.replaceAll("\n", " "),
+      "vector_sql_having" ->
+        """SELECT CAST(label AS VARCHAR) AS label, CAST(count(*) AS BIGINT) AS n,
+          | min(CAST(vec_id AS VARCHAR)) AS min_id, CAST(avg(64) AS DOUBLE) AS avg_dim
+          |FROM embeddings GROUP BY label
+          |HAVING count(*) % 3 IN (0, 1)
+          | AND max(CAST(vec_id AS VARCHAR)) > min(CAST(vec_id AS VARCHAR))
+          |ORDER BY label""".stripMargin.replaceAll("\n", " "),
+      "vector_sql_global" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n,
+          | CAST(count(label) AS BIGINT) AS labeled,
+          | min(CAST(vec_id AS VARCHAR)) AS lo, max(CAST(vec_id AS VARCHAR)) AS hi,
+          | CAST(sum(64) AS DOUBLE) AS dims
+          |FROM embeddings
+          |WHERE NOT CAST(vec_id AS VARCHAR) LIKE '1%'""".stripMargin.replaceAll("\n", " "),
       // labels are single digits, so varchar DESC == numeric DESC
       "vector_sql_order" ->
         """SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label

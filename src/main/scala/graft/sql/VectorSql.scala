@@ -12,7 +12,8 @@ import org.apache.spark.sql.types._
   *
   *   SELECT [DISTINCT] cols FROM table
   *     [NEAREST TO [v,...] | NEAREST TO (SELECT ... )] [USING metric]
-  *     [WHERE cond] [ORDER BY field [ASC|DESC], ...] [LIMIT n]
+  *     [WHERE cond] [GROUP BY field, ...] [HAVING cond]
+  *     [ORDER BY field [ASC|DESC], ...] [LIMIT n]
   *   INSERT INTO table (id, vector) VALUES ('id', [v,...])
   *   DELETE FROM table WHERE cond
   *   UPDATE table SET metadata.key = 'v' WHERE cond
@@ -67,7 +68,7 @@ object VectorSql {
   private val keywords = Set("SELECT", "FROM", "WHERE", "NEAREST", "TO",
     "USING", "LIMIT", "AS", "AND", "OR", "LIKE", "INSERT", "INTO", "VALUES",
     "DELETE", "UPDATE", "SET", "CREATE", "DROP", "COLLECTION", "COUNT", "NOT",
-    "ORDER", "BY", "ASC", "DESC", "IN", "DISTINCT", "GROUP")
+    "ORDER", "BY", "ASC", "DESC", "IN", "DISTINCT", "GROUP", "HAVING")
 
   private def lex(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -124,6 +125,7 @@ object VectorSql {
   case class StrE(s: String) extends Expr
   case class BinE(op: String, l: Expr, r: Expr) extends Expr // + - * / %
   case class NegE(e: Expr) extends Expr
+  case class AggE(fn: String, arg: String) extends Expr // HAVING COUNT(*) > n
 
   sealed trait Cond
   case class Cmp(l: Expr, op: String, r: Expr) extends Cond
@@ -139,7 +141,8 @@ object VectorSql {
       orderBy: Seq[(String, Boolean)] = Nil, // (field, desc)
       distinct: Boolean = false,
       groupBy: Seq[String] = Nil,
-      aggs: Seq[(String, String, Option[String])] = Nil // (fn, arg, alias)
+      aggs: Seq[(String, String, Option[String])] = Nil, // (fn, arg, alias)
+      having: Option[Cond] = None
       ) extends Stmt
   case class Insert(table: String, id: String, vector: Seq[Float],
       metadata: Map[String, String]) extends Stmt
@@ -229,6 +232,7 @@ object VectorSql {
         groupBy += ident()
         while (accept(Sym(","))) groupBy += ident()
       }
+      val having = if (accept(Kw("HAVING"))) Some(cond()) else None
       // ORDER BY field [ASC|DESC], ... (tokenizer.go:39 declares the
       // keywords; evaluated here like the other parsed-surface items)
       val order = Vector.newBuilder[(String, Boolean)]
@@ -248,13 +252,13 @@ object VectorSql {
       val groupV = groupBy.result()
       // bare `SELECT COUNT(*) FROM t` keeps its dedicated fast path;
       // its alias rides in cols like before (runSelect reads it there)
-      val countStar = groupV.isEmpty && colsV.isEmpty &&
+      val countStar = groupV.isEmpty && colsV.isEmpty && having.isEmpty &&
         (aggsV.toList match { case List(("count", "*", _)) => true; case _ => false })
       val colsOut =
         if (countStar) aggsV.head._3.map(a => ("count", Some(a))).toVector
         else colsV
       Select(colsOut, table, nearest, metric, where, limit, countStar,
-        order.result(), distinct, groupV, if (countStar) Nil else aggsV)
+        order.result(), distinct, groupV, if (countStar) Nil else aggsV, having)
     }
 
     private def insert(): Insert = {
@@ -428,6 +432,16 @@ object VectorSql {
       case Sym("(") => val e = expr(); expect(Sym(")")); e
       case Num(s)   => NumE(s.toDouble)
       case Str(s)   => StrE(s)
+      // aggregate call — legal only inside HAVING (exprCol rejects it
+      // elsewhere). COUNT arrives as a Kw; SUM/AVG/MIN/MAX as Idents.
+      case Kw("COUNT") =>
+        expect(Sym("("))
+        val arg = if (accept(Sym("*"))) "*" else ident()
+        expect(Sym(")")); AggE("count", arg)
+      case Ident(s) if peek.contains(Sym("(")) &&
+          Set("sum", "avg", "min", "max")(s.toLowerCase) =>
+        next(); val arg = ident(); expect(Sym(")"))
+        AggE(s.toLowerCase, arg)
       case Ident(s) => FieldE(s)
       case t => throw new IllegalArgumentException(s"bad expression atom: $t")
     }
@@ -443,6 +457,8 @@ object VectorSql {
   // ---- planner / executor ------------------------------------------------
 
   private def exprCol(e: Expr): Column = e match {
+    case AggE(fn, arg) => throw new IllegalArgumentException(
+      s"aggregate $fn($arg) is only allowed in HAVING")
     case FieldE(f) if f.startsWith("metadata.") =>
       col("metadata")(f.stripPrefix("metadata."))
     case FieldE(f) => col(f)
@@ -545,17 +561,21 @@ object VectorSql {
       cat.spark.range(0).select(count(lit(1)).as("count"))
   }
 
-  /** GROUP BY execution: keys resolve like projections (id /
-    * dimension / metadata.k), every plain select-list column must be
-    * a grouping key (standard SQL restriction), SUM/AVG cast their
-    * argument to double (metadata values are strings), and the result
-    * gets a deterministic default order over the grouping keys —
-    * explicit ORDER BY names OUTPUT columns and still trails the
-    * remaining outputs so a LIMIT cuts deterministically.
+  /** GROUP BY / global-aggregate execution: keys resolve like
+    * projections (id / dimension / metadata.k), every plain
+    * select-list column must be a grouping key (standard SQL
+    * restriction), SUM/AVG cast their argument to double (metadata
+    * values are strings), and the result gets a deterministic default
+    * order over the grouping keys — explicit ORDER BY names OUTPUT
+    * columns and still trails the remaining outputs so a LIMIT cuts
+    * deterministically. With no GROUP BY the aggregates run globally
+    * (one row). HAVING filters after aggregation; its conditions may
+    * name output columns or aggregate calls — a HAVING-only aggregate
+    * (e.g. HAVING COUNT(*) > 5 with no COUNT in the select list) is
+    * computed as a hidden column and dropped from the output.
     */
   private def runGroupBy(s: Select, df: DataFrame): DataFrame = {
     require(s.nearest.isEmpty, "GROUP BY cannot be combined with NEAREST TO")
-    require(s.aggs.nonEmpty, "GROUP BY requires at least one aggregate")
     require(!s.distinct, "DISTINCT is redundant with GROUP BY")
     def resolve(f: String): Column = f match {
       case "dimension" => size(col("vector"))
@@ -575,33 +595,123 @@ object VectorSql {
       if (projected.nonEmpty) projected
       else s.groupBy.map(g => (outName(g), outName(g)))
     }
-    val aggNamed: Seq[(Column, String)] = s.aggs.map { case (fn, arg, alias) =>
-      val c: Column = fn match {
-        case "count" => if (arg == "*") count(lit(1)) else count(resolve(arg))
-        case "sum"   => sum(resolve(arg).cast("double"))
-        case "avg"   => avg(resolve(arg).cast("double"))
-        case "min"   => min(resolve(arg))
-        case "max"   => max(resolve(arg))
-      }
-      val name = alias.getOrElse(if (arg == "*") fn else s"${fn}_${outName(arg)}")
-      (c.as(name), name)
+    def aggColumn(fn: String, arg: String): Column = fn match {
+      case "count" => if (arg == "*") count(lit(1)) else count(resolve(arg))
+      case "sum"   => sum(resolve(arg).cast("double"))
+      case "avg"   => avg(resolve(arg).cast("double"))
+      case "min"   => min(resolve(arg))
+      case "max"   => max(resolve(arg))
     }
-    val agged = df
-      .groupBy(s.groupBy.map(g => resolve(g).as(outName(g))): _*)
-      .agg(aggNamed.head._1, aggNamed.tail.map(_._1): _*)
-    val out = agged.select(
+    def defaultName(fn: String, arg: String): String =
+      if (arg == "*") fn else s"${fn}_${outName(arg)}"
+    // select-list aggregates keep one column each (duplicates with
+    // different aliases stay distinct); `named` maps (fn, arg) → the
+    // column HAVING's aggregate-call syntax resolves to, adding hidden
+    // columns for HAVING-only aggregates
+    val selectAggs: Seq[((String, String), String)] = s.aggs.map {
+      case (fn, arg, alias) => ((fn, arg), alias.getOrElse(defaultName(fn, arg)))
+    }
+    val visibleNames = selectAggs.map(_._2)
+    require(visibleNames.distinct.size == visibleNames.size,
+      s"duplicate aggregate output names: ${visibleNames.mkString(", ")} (use AS)")
+    val named = scala.collection.mutable.LinkedHashMap[(String, String), String]()
+    selectAggs.foreach { case (k, n) => named.getOrElseUpdate(k, n) }
+    def aggsInE(e: Expr): Seq[AggE] = e match {
+      case a: AggE => Seq(a)
+      case BinE(_, l, r) => aggsInE(l) ++ aggsInE(r)
+      case NegE(x) => aggsInE(x)
+      case _ => Nil
+    }
+    def aggsInC(c: Cond): Seq[AggE] = c match {
+      case AndC(l, r) => aggsInC(l) ++ aggsInC(r)
+      case OrC(l, r)  => aggsInC(l) ++ aggsInC(r)
+      case NotC(x)    => aggsInC(x)
+      case InC(e, vs, _) => aggsInE(e) ++ vs.flatMap(aggsInE)
+      case Cmp(l, _, r)  => aggsInE(l) ++ aggsInE(r)
+    }
+    s.having.toSeq.flatMap(aggsInC).foreach { case AggE(fn, arg) =>
+      named.getOrElseUpdate((fn, arg), s"__having_${defaultName(fn, arg)}")
+    }
+    val hiddenAggs = named.toSeq.collect {
+      case (k, name) if name.startsWith("__having_") => (k, name)
+    }
+    val aggNamed: Seq[(Column, String)] =
+      (selectAggs ++ hiddenAggs).map { case ((fn, arg), name) =>
+        (aggColumn(fn, arg).as(name), name)
+      }
+    // either the select list or HAVING must aggregate — a bare GROUP BY
+    // (the DISTINCT shape) is rejected like before
+    require(aggNamed.nonEmpty, "GROUP BY requires at least one aggregate")
+    val grouped =
+      if (s.groupBy.isEmpty) df.groupBy() // global aggregate: one row
+      else df.groupBy(s.groupBy.map(g => resolve(g).as(outName(g))): _*)
+    val agged = grouped.agg(aggNamed.head._1, aggNamed.tail.map(_._1): _*)
+    // output (aliased keys + select-list aggs) plus hidden HAVING aggs
+    val hidden = aggNamed.map(_._2).filterNot(visibleNames.contains)
+    val withHidden = agged.select(
       keyOut.map { case (src, o) => col(src).as(o) } ++
-        aggNamed.map { case (_, n) => col(n) }: _*)
+        visibleNames.map(col) ++ hidden.map(col): _*)
+    val filtered = s.having match {
+      case None => withHidden
+      case Some(h) =>
+        def hExpr(e: Expr): Column = e match {
+          case AggE(fn, arg) => col(named((fn, arg)))
+          case FieldE(f) =>
+            val o = if (withHidden.columns.contains(f)) f else outName(f)
+            require(withHidden.columns.contains(o),
+              s"HAVING references unknown column $f")
+            col(o)
+          case NumE(d) => lit(d)
+          case StrE(x) => lit(x)
+          case NegE(x) => -hExpr(x)
+          case BinE(op, l, r) =>
+            val (a, b) = (hExpr(l), hExpr(r))
+            op match {
+              case "+" => a + b
+              case "-" => a - b
+              case "*" => a * b
+              case "/" => a / b
+              case "%" => a % b
+            }
+        }
+        def hCond(c: Cond): Column = c match {
+          case AndC(l, r) => hCond(l) && hCond(r)
+          case OrC(l, r)  => hCond(l) || hCond(r)
+          case NotC(x)    => !hCond(x)
+          case InC(e, vs, neg) =>
+            val t = hExpr(e)
+            val hit = vs.map(v => t === hExpr(v)).reduce(_ || _)
+            if (neg) !hit else hit
+          case Cmp(l, op, r) =>
+            val (a, b) = (hExpr(l), hExpr(r))
+            op match {
+              case "="  => a === b
+              case "!=" => a =!= b
+              case "<"  => a < b
+              case ">"  => a > b
+              case "<=" => a <= b
+              case ">=" => a >= b
+              case "LIKE" => r match {
+                case StrE(p) => a.like(p)
+                case _ => throw new IllegalArgumentException("LIKE needs a string pattern")
+              }
+            }
+        }
+        withHidden.where(hCond(h))
+    }
+    val out =
+      if (hidden.isEmpty) filtered else filtered.drop(hidden: _*)
     val ordered =
       if (s.orderBy.nonEmpty) {
         val keys = s.orderBy.map { case (f, desc) =>
           require(out.columns.contains(f), s"ORDER BY unknown output column $f")
           if (desc) col(f).desc else col(f).asc
         }
-        val named = s.orderBy.map(_._1).toSet
-        val trail = out.columns.filterNot(named).map(col(_).asc).toSeq
+        val namedCols = s.orderBy.map(_._1).toSet
+        val trail = out.columns.filterNot(namedCols).map(col(_).asc).toSeq
         out.orderBy(keys ++ trail: _*)
-      } else out.orderBy(keyOut.map { case (_, o) => col(o).asc }: _*)
+      } else if (keyOut.isEmpty) out // global aggregate: single row
+      else out.orderBy(keyOut.map { case (_, o) => col(o).asc }: _*)
     s.limit.map(ordered.limit).getOrElse(ordered)
   }
 
@@ -609,7 +719,8 @@ object VectorSql {
     var df = cat.get(s.table)
     s.where.foreach(w => df = df.where(condCol(w)))
 
-    if (s.groupBy.nonEmpty) return runGroupBy(s, df)
+    if (s.groupBy.nonEmpty || s.aggs.nonEmpty || s.having.isDefined)
+      return runGroupBy(s, df)
 
     if (s.countStar)
       return df.agg(count(lit(1)).as(

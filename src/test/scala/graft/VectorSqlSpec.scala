@@ -358,4 +358,50 @@ class VectorSqlSpec extends AnyFunSuite {
     assert(r.getInt(0) == 3)                          // dimension key
     assert(r.getLong(1) == 3L && r.getLong(2) == 4L)  // with_cat, all_rows
   }
+
+  test("global aggregates without GROUP BY") {
+    val df = VectorSql.execute(freshCat(),
+      "SELECT COUNT(*) AS n, SUM(dimension) AS dims, MIN(id) AS lo, " +
+        "AVG(dimension) AS avg_dim FROM vectors")
+    assert(df.columns.toSeq == Seq("n", "dims", "lo", "avg_dim"))
+    val r = df.head()
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 12.0)
+    assert(r.getString(2) == "test1" && r.getDouble(3) == 3.0)
+  }
+
+  test("global aggregate respects WHERE") {
+    val r = VectorSql.execute(freshCat(),
+      "SELECT COUNT(*) AS n FROM vectors WHERE metadata.category = 'image'").head()
+    assert(r.getLong(0) == 2L)
+  }
+
+  test("HAVING on aggregate alias and on aggregate-call syntax") {
+    val byAlias = VectorSql.execute(freshCat(),
+      "SELECT metadata.category AS cat, COUNT(*) AS n FROM vectors " +
+        "GROUP BY metadata.category HAVING n > 1 ORDER BY cat").collect()
+    assert(byAlias.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("image", 2L)))
+    val byCall = VectorSql.execute(freshCat(),
+      "SELECT metadata.category AS cat, COUNT(*) AS n FROM vectors " +
+        "GROUP BY metadata.category HAVING COUNT(*) > 1 ORDER BY cat").collect()
+    assert(byCall.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("image", 2L)))
+  }
+
+  test("HAVING-only aggregate stays hidden from the output") {
+    val df = VectorSql.execute(freshCat(),
+      "SELECT metadata.category AS cat FROM vectors " +
+        "GROUP BY metadata.category HAVING COUNT(*) > 1 AND MIN(id) = 'v1'")
+    assert(df.columns.toSeq == Seq("cat"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("image"))
+  }
+
+  test("HAVING with arithmetic over aggregates; aggregates rejected in WHERE") {
+    val r = VectorSql.execute(freshCat(),
+      "SELECT metadata.category AS cat, COUNT(*) AS n FROM vectors " +
+        "GROUP BY metadata.category HAVING n * 2 >= 4").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("image"))
+    intercept[Exception] {
+      VectorSql.execute(freshCat(),
+        "SELECT id FROM vectors WHERE COUNT(*) > 1").collect()
+    }
+  }
 }
