@@ -774,6 +774,17 @@ object SparkEntry {
         .orderBy(col("doc_id")).limit(200)
     }),
 
+    // -- same contamination check through the broadcast-Bloom
+    //    prefilter (map-side shingle drop + exact verify join); the
+    //    output is bit-identical to `decontaminate`, same oracle --
+    "decontaminate_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.where(col("doc_id") % 97 === 0)
+      val train = d.where(col("doc_id") % 97 =!= 0)
+      Corpus.contaminatedIdsBloom(train, bench, "text", "doc_id", shingleK = 3)
+        .orderBy(col("doc_id")).limit(200)
+    }),
+
     "crud_insert" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
       val extra = s.range(1)
@@ -1196,6 +1207,15 @@ object SparkEntry {
 
   private def pipelineOracles: Map[String, String] = {
     val toks = SqlSnips.tokens("text")
+    val decontaminateOracle = {
+      val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest($bases) AS sh FROM tk WHERE len(toks) >= 3),
+         |b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+         |SELECT DISTINCT s.doc_id AS doc_id FROM sh s JOIN b USING (sh)
+         |WHERE s.doc_id % 97 <> 0
+         |ORDER BY doc_id LIMIT 200""".stripMargin.replaceAll("\n", " ")
+    }
     Map(
       "text_stats" ->
         s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents)
@@ -1483,15 +1503,9 @@ object SparkEntry {
           |WHERE ((doc_id % 1000003) * 2654435761) % 4294967296 % 100 <
           |  CASE lang WHEN 'en' THEN 37 WHEN 'fr' THEN 11 ELSE 60 END
           |GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " "),
-      "decontaminate" -> {
-        val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
-        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
-           |sh AS (SELECT doc_id, unnest($bases) AS sh FROM tk WHERE len(toks) >= 3),
-           |b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
-           |SELECT DISTINCT s.doc_id AS doc_id FROM sh s JOIN b USING (sh)
-           |WHERE s.doc_id % 97 <> 0
-           |ORDER BY doc_id LIMIT 200""".stripMargin.replaceAll("\n", " ")
-      },
+      "decontaminate" -> decontaminateOracle,
+      // Bloom prefilter + verify join == the exact join: same oracle
+      "decontaminate_bloom" -> decontaminateOracle,
       // planes = min p in [1,30] with 2^p * 32 >= count(*) — the same
       // integer-exact formula as Dedup.adaptivePlanes (no fp log2)
       "dedup_embedding" ->

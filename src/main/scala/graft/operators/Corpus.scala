@@ -112,6 +112,49 @@ object Corpus {
     train.join(contaminatedIds(train, bench, textCol, idCol, shingleK),
       Seq(idCol), "left_anti")
 
+  /** [[contaminatedIds]] with a broadcast Bloom prefilter — the
+    * 100 TB shape. The plain version shuffles the ENTIRE train
+    * shingle stream into the equi join (∝ corpus tokens); here a
+    * Bloom filter built over the benchmark's distinct shingles (the
+    * small side, ~1e6-1e9 items → MBs) ships to every task inside a
+    * literal, so the train scan drops non-matching shingles MAP-SIDE
+    * and only the survivor sliver reaches the shuffle. Bloom filters
+    * have no false negatives and the exact verify join removes the
+    * false positives, so the output is bit-identical to
+    * [[contaminatedIds]] — same oracle. Uses Catalyst's own
+    * BloomFilterAggregate / BloomFilterMightContain (the runtime-
+    * filter machinery, codegen-friendly), not a UDF.
+    */
+  def contaminatedIdsBloom(train: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, shingleK: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.Shims
+    import org.apache.spark.sql.types.BinaryType
+    val bSh = bench
+      .select(explode(TextExprs.shingle_hashes(col(textCol), shingleK)).as("sh"))
+      .distinct()
+    // one pass over the (small) bench side sizes and builds the filter
+    val agg = bSh.agg(
+      count(lit(1)).as("n"),
+      Shims.column(new BloomFilterAggregate(
+        Shims.expression(xxhash64(col("sh"))),
+        // sized to Spark's runtime-filter item cap in the same single
+        // pass that counts; over-estimating only costs bits, and the
+        // verify join absorbs any fpp degradation beyond it
+        4L * 1000 * 1000).toAggregateExpression()).as("bf")).head()
+    if (agg.getLong(0) == 0L)
+      return train.select(col(idCol)).where(lit(false))
+    val bloom = Shims.column(new BloomFilterMightContain(
+      Literal(agg.getAs[Array[Byte]](1), BinaryType),
+      Shims.expression(xxhash64(col("sh")))))
+    val tSh = train
+      .select(col(idCol),
+        explode(TextExprs.shingle_hashes(col(textCol), shingleK)).as("sh"))
+      .where(bloom) // map-side prefilter: only Bloom hits shuffle
+    tSh.join(bSh, "sh").select(col(idCol)).distinct()
+  }
+
   /** Word n-grams of a token array as strings (empty when the doc has
     * fewer than `n` tokens — guarded, since Spark's `sequence(1, m)`
     * DESCENDS for m < 1 instead of returning empty; null tokens

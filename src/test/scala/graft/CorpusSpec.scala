@@ -116,6 +116,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.contaminatedIds(train, bench, "text", "doc_id", 3).count() == 0)
   }
 
+  test("bloom-prefiltered contamination == exact, with the filter in the plan") {
+    val docs = Tables.load(spark, sf, "documents")
+    val bench = docs.where(col("doc_id") % 17 === 0)
+    val train = docs.where(col("doc_id") % 17 =!= 0)
+    val exact = Corpus.contaminatedIds(train, bench, "text", "doc_id", 3)
+      .as[Long].collect().sorted.toSeq
+    val bloom = Corpus.contaminatedIdsBloom(train, bench, "text", "doc_id", 3)
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+    assert(bloom.as[Long].collect().sorted.toSeq == exact)
+  }
+
+  test("bloom contamination with empty benchmark is empty") {
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val train = Seq((1L, "x y z w")).toDF("doc_id", "text")
+    assert(Corpus.contaminatedIdsBloom(train, bench, "text", "doc_id", 3).count() == 0)
+  }
+
   // ---- incremental minhash ----------------------------------------------
 
   test("incremental pairs + old-only pairs == full-recompute pairs") {
