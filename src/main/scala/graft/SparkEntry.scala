@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SqlSnips, TextEmbed, TextExprs, TextFuncs, VectorFunctions}
-import graft.operators.{Ann, Corpus, Dedup, IvfPq, Knn, Pq, Profile, Skew, Sq}
+import graft.operators.{Ann, Bm25, Corpus, Dedup, IvfPq, Knn, Pq, Profile, Skew, Sq}
 import graft.sources.VectorStore
 
 /** Driver contract — see SURVEY.md §2 (inventory) and §7 (plan).
@@ -501,6 +501,12 @@ object SparkEntry {
     //    (explode -> map-side-combining tf agg -> vocab df agg ->
     //    join -> per-doc window). Deterministic ln scoring, ties by
     //    term --
+    // -- BM25 ranked lexical retrieval (Okapi, Lucene +1 idf);
+    //    query-term isin filter drops the token stream map-side --
+    "bm25_search" -> ((s, dir) =>
+      Bm25.search(t(s, dir, "documents"), "text", "doc_id",
+        "vector hash join stream", k = 20)),
+
     "tfidf_terms" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val nDocs = docs.count()
@@ -849,6 +855,24 @@ object SparkEntry {
         Seq(col("dist"), col("doc_id")), c = 100, rankName = "rank_vec")
       graft.operators.Hybrid.rrfFuse(lex, vec, "doc_id",
         "rank_lex", "rank_vec", c = 100, topK = 10)
+    }),
+
+    // -- BM25 + embedding-cosine hybrid via RRF: the canonical RAG
+    //    retrieval stack (each side reduces to top-C with a heap;
+    //    fusion touches 2C rows) --
+    "hybrid_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qvec = typedLit(TextEmbed.embedLocal(SearchTextQuery).toSeq)
+      val lex = graft.operators.Hybrid.rankTopC(
+        Bm25.search(docs, "text", "doc_id", SearchTextQuery, k = 50),
+        Seq(col("score").desc, col("doc_id")), c = 50, rankName = "rank_lex")
+      val vec = graft.operators.Hybrid.rankTopC(
+        docs.select(col("doc_id"),
+          round(VectorFunctions.vec_cosine(TextExprs.text_embed(col("text")), qvec), 4)
+            .as("dist")),
+        Seq(col("dist"), col("doc_id")), c = 50, rankName = "rank_vec")
+      graft.operators.Hybrid.rrfFuse(lex, vec, "doc_id",
+        "rank_lex", "rank_vec", c = 50, topK = 10)
     }),
 
     // -- approximate NN: LSH bucket probe (HNSW's batch replacement) --
@@ -1247,6 +1271,55 @@ object SparkEntry {
       "doc_fingerprint" ->
         s"""SELECT doc_id, ${SqlSnips.charFold("text")} AS fp
            |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin.replaceAll("\n", " "),
+      "bm25_search" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(toks)) AS avgdl FROM tk),
+           |ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk),
+           |f AS (SELECT doc_id, dl, term, count(*) AS tf FROM ex
+           |  WHERE term IN ('vector', 'hash', 'join', 'stream') GROUP BY 1, 2, 3),
+           |d AS (SELECT term, count(*) AS df FROM f GROUP BY 1)
+           |SELECT f.doc_id AS doc_id,
+           | round(sum(ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))
+           |   * f.tf * 2.2 / (f.tf + 1.2 * (0.25 + 0.75 * f.dl / st.avgdl))), 4) AS score
+           |FROM f JOIN d USING (term), st
+           |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin.replaceAll("\n", " "),
+      "hybrid_bm25" -> {
+        val qhashes = s"list_transform(${SqlSnips.tokens("'" + SearchTextQuery + "'")}, w -> ${SqlSnips.charFold("w")})"
+        val hashes = s"list_transform(toks, w -> ${SqlSnips.charFold("w")})"
+        val qTerms = SearchTextQuery.split(" ").distinct.map(t => s"'$t'").mkString(", ")
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(toks)) AS avgdl FROM tk),
+           |ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk),
+           |f0 AS (SELECT doc_id, dl, term, count(*) AS tf FROM ex
+           |  WHERE term IN ($qTerms) GROUP BY 1, 2, 3),
+           |d AS (SELECT term, count(*) AS df FROM f0 GROUP BY 1),
+           |bm AS (SELECT f0.doc_id AS doc_id,
+           |  round(sum(ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))
+           |    * f0.tf * 2.2 / (f0.tf + 1.2 * (0.25 + 0.75 * f0.dl / st.avgdl))), 4) AS score
+           |  FROM f0 JOIN d USING (term), st GROUP BY 1),
+           |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank_lex
+           |  FROM bm ORDER BY score DESC, doc_id LIMIT 50),
+           |raw AS (SELECT doc_id, ${TextEmbed.sqlRawComponents(hashes)} AS r FROM tk),
+           |dv AS (SELECT doc_id, list_transform(r, x -> x / sqrt(list_sum(list_transform(r, y -> y * y)))) AS v FROM raw),
+           |qraw AS (SELECT ${TextEmbed.sqlRawComponents(qhashes)} AS r),
+           |q AS (SELECT list_transform(r, x -> x / sqrt(list_sum(list_transform(r, y -> y * y)))) AS qv FROM qraw),
+           |vecall AS (SELECT doc_id, round(CASE WHEN
+           |  list_sum(list_transform(v, x -> x * x)) = 0 OR
+           |  list_sum(list_transform(qv, x -> x * x)) = 0
+           | THEN 1.0 ELSE 1.0 - greatest(-1.0, least(1.0,
+           |  list_sum(list_transform(v, (x, i) -> x * qv[i])) /
+           |  (sqrt(list_sum(list_transform(v, x -> x * x))) *
+           |   sqrt(list_sum(list_transform(qv, x -> x * x)))))) END, 4) AS dist
+           |FROM dv, q),
+           |vec AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY dist, doc_id) AS INTEGER) AS rank_vec
+           |  FROM vecall ORDER BY dist, doc_id LIMIT 50),
+           |fz AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+           |  coalesce(rank_lex, 51) AS rank_lex, coalesce(rank_vec, 51) AS rank_vec
+           |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+           |SELECT doc_id, rank_lex, rank_vec,
+           | round(1.0 / (60 + rank_lex) + 1.0 / (60 + rank_vec), 6) AS rrf
+           |FROM fz ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
+      },
       "tfidf_terms" ->
         s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
            |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
