@@ -521,9 +521,17 @@ object VectorSql {
 
   /** Executes a statement. SELECT returns rows; DML mutates the
     * catalog and returns the post-image row count as a 1-row frame.
+    *
+    * `deterministicLimit` (default on) gives a bare `SELECT … LIMIT n`
+    * a stable ORDER BY id, which plans as a top-k heap — required for
+    * replayable results (the verify harness). Pass false for
+    * interactive previews on large collections: the plan becomes an
+    * early-exit CollectLimit that reads only the first partitions,
+    * at the cost of an arbitrary (reference-like) row choice.
     */
-  def execute(cat: Catalog, sql: String): DataFrame = parse(sql) match {
-    case s: Select => runSelect(cat, s)
+  def execute(cat: Catalog, sql: String,
+      deterministicLimit: Boolean = true): DataFrame = parse(sql) match {
+    case s: Select => runSelect(cat, s, deterministicLimit)
 
     case Insert(table, id, vec, meta) =>
       val spark = cat.spark
@@ -715,7 +723,8 @@ object VectorSql {
     s.limit.map(ordered.limit).getOrElse(ordered)
   }
 
-  private def runSelect(cat: Catalog, s: Select): DataFrame = {
+  private def runSelect(cat: Catalog, s: Select,
+      deterministicLimit: Boolean = true): DataFrame = {
     var df = cat.get(s.table)
     s.where.foreach(w => df = df.where(condCol(w)))
 
@@ -805,7 +814,8 @@ object VectorSql {
         withDist.orderBy(s.orderBy.map { case (f, desc) =>
           if (desc) orderCol(f).desc else orderCol(f).asc
         } :+ col("id").asc: _*) // trailing id keeps ties deterministic
-      else if (s.nearest.isEmpty && s.limit.isDefined) withDist.orderBy(col("id"))
+      else if (s.nearest.isEmpty && s.limit.isDefined && deterministicLimit)
+        withDist.orderBy(col("id"))
       else withDist
     val limited = s.limit.map(ordered.limit).getOrElse(ordered)
     project(limited)

@@ -359,6 +359,16 @@ class VectorSqlSpec extends AnyFunSuite {
     assert(r.getLong(1) == 3L && r.getLong(2) == 4L)  // with_cat, all_rows
   }
 
+  test("deterministicLimit=false plans a bare LIMIT as early-exit CollectLimit") {
+    val det = VectorSql.execute(freshCat(), "SELECT id FROM vectors LIMIT 2")
+    assert(det.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val fast = VectorSql.execute(freshCat(), "SELECT id FROM vectors LIMIT 2",
+      deterministicLimit = false)
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(plan.contains("CollectLimit"), plan.take(1500))
+    assert(fast.collect().length == 2)
+  }
+
   test("global aggregates without GROUP BY") {
     val df = VectorSql.execute(freshCat(),
       "SELECT COUNT(*) AS n, SUM(dimension) AS dims, MIN(id) AS lo, " +
