@@ -53,7 +53,14 @@ object Bench {
       if (failedNames.nonEmpty) "null"
       else results.values.filter(_ >= 0).sum.toString
     val valid = failedNames.isEmpty
-    println(s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // stdout gets wrapped in sbt chatter ("[success] ..." trails the
+    // JSON), so also drop the line where a consumer can read it clean
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_self.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
