@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SqlSnips, TextEmbed, TextExprs, TextFuncs, VectorFunctions}
-import graft.operators.{Ann, Bm25, Corpus, Dedup, IvfPq, Knn, Pq, Profile, Skew, Sq}
+import graft.operators.{Ann, Bm25, Bq, Corpus, Dedup, IvfPq, Knn, Pq, Profile, Skew, Sq}
 import graft.sources.VectorStore
 
 /** Driver contract — see SURVEY.md §2 (inventory) and §7 (plan).
@@ -929,6 +929,23 @@ object SparkEntry {
         "vec_id", "embedding", "cosine", 10, nprobe = 2)
     }),
 
+    // -- FILTERED ANN: metadata predicate applied INSIDE the probed
+    //    clusters (the hard case real vector stores special-case —
+    //    filter-then-search, not search-then-filter, so top-k is never
+    //    starved). The tagged index carries `label` via the min_by
+    //    payload, so serving needs no join back to the base table --
+    "ann_ivf_filtered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cluster"),
+          transform(col("embedding"), _.cast("double")).as("centroid"))
+      val tagged = Ann.tagCorpus(e, "vec_id", "embedding", cents,
+        metaCols = Seq("label"))
+      Ann.searchIvf(tagged.where(col("label") === 3).drop("label"),
+        cents, queryVec(s, dir, 0), "vec_id", "embedding", "cosine", 10,
+        nprobe = 4)
+    }),
+
     // -- typed flatMapGroupsWithState sessionization (batch drain):
     //    emits only CLOSED sessions (the open one stays in state), so
     //    the oracle is sessionize_sql minus each user's last session --
@@ -1009,6 +1026,29 @@ object SparkEntry {
       val model = Sq.train(e, "embedding", dim = 64)
       val codes = Sq.encode(model, e, "vec_id", "embedding")
       Sq.search(model, codes, queryVec(s, dir, 0), "vec_id", topK = 10)
+    }),
+
+    // -- binary quantization: sign bit per dimension vs the midrange
+    //    threshold, 64 dims packed into ONE long (32x smaller than
+    //    float32 at rest). Candidate scan = xor + popcount per row,
+    //    inside whole-stage codegen; midrange (min/max) training is
+    //    order-insensitive, so the whole index oracles end to end --
+    "ann_bq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = Bq.train(e, "embedding", dim = 64)
+      val codes = Bq.encode(model, e, "vec_id", "embedding")
+      Bq.search(model, codes, queryVec(s, dir, 0), "vec_id", topK = 10)
+        .select(col("vec_id"), col("ham").cast("long").as("ham"))
+    }),
+
+    // -- BQ shortlist + exact re-rank: the 8-byte hamming scan picks
+    //    50 candidates, exact euclidean touches only those rows --
+    "ann_bq_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = Bq.train(e, "embedding", dim = 64)
+      val codes = Bq.encode(model, e, "vec_id", "embedding")
+      Bq.searchWithRerank(model, codes, e, queryVec(s, dir, 0),
+        "vec_id", "embedding", "euclidean", topK = 10, candidates = 50)
     }),
 
     // -- SQ8 shortlist + exact re-rank: approximate 1/4-size code scan
@@ -1785,6 +1825,28 @@ object SparkEntry {
            |FROM asgn e, q, qc WHERE e.cluster = qc.cluster
            |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
       },
+      // filtered ANN: same static IVF, label predicate inside the
+      // probed clusters (nprobe=4), assignment still over ALL rows
+      "ann_ivf_filtered" -> {
+        val l2c = "sqrt(list_sum(list_transform(%s, (x, i) -> " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)) * " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)))))"
+        val l2e = l2c.format("e.embedding", "c.centroid", "c.centroid")
+        val l2q = l2c.format("q.qvec", "c.centroid", "c.centroid")
+        s"""WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cluster,
+           |  embedding AS centroid FROM embeddings WHERE vec_id < 8),
+           |asgn AS (SELECT vec_id, embedding, label, cluster FROM (
+           |  SELECT e.vec_id, e.embedding, e.label, c.cluster,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $l2e, c.cluster) AS rn
+           |  FROM embeddings e, cents c) _r WHERE rn = 1),
+           |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |qc AS (SELECT cluster FROM (
+           |  SELECT c.cluster, $l2q AS d FROM cents c, q) _q
+           |  ORDER BY d, cluster LIMIT 4)
+           |SELECT e.vec_id AS vec_id, ${sqlDist("cosine")} AS dist
+           |FROM asgn e, q, qc WHERE e.cluster = qc.cluster AND e.label = 3
+           |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
+      },
       // SQ8: per-dim [min,max] via the range(1,65) explode; encode and
       // dequantized-L2 formulas are textually identical to SqKernels
       // (same double ops in the same order -> bit-identical results)
@@ -1803,6 +1865,40 @@ object SparkEntry {
           |  (mns[i] + c * (mxs[i] - mns[i]) / 255.0 - CAST(qvec[i] AS DOUBLE)) *
           |  (mns[i] + c * (mxs[i] - mns[i]) / 255.0 - CAST(qvec[i] AS DOUBLE))))), 4) AS dist
           |FROM codes, mm, q ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+      // BQ: midrange thresholds via the same range(1,65) explode; the
+      // oracle never packs bits — the sum of per-dim sign-bit
+      // disagreements IS the popcount of the packed xor, and the
+      // x > thr predicate is bit-identical (same min/max, same /2.0)
+      "ann_bq" ->
+        """WITH mm AS (
+          |  SELECT list((mn + mx) / 2.0 ORDER BY i) AS thr FROM (
+          |    SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+          |           max(CAST(embedding[i] AS DOUBLE)) AS mx
+          |    FROM embeddings, range(1, 65) t(i) GROUP BY i)),
+          |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+          |SELECT vec_id, CAST(list_sum(list_transform(embedding, (x, i) ->
+          |  CASE WHEN (CAST(x AS DOUBLE) > thr[i]) != (CAST(qvec[i] AS DOUBLE) > thr[i])
+          |    THEN 1 ELSE 0 END)) AS BIGINT) AS ham
+          |FROM embeddings, mm, q ORDER BY ham, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+      // BQ shortlist (hamming scan, LIMIT 50) then exact euclidean on
+      // the survivors only — mirrors the Spark broadcast semi-join
+      "ann_bq_rerank" ->
+        """WITH mm AS (
+          |  SELECT list((mn + mx) / 2.0 ORDER BY i) AS thr FROM (
+          |    SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+          |           max(CAST(embedding[i] AS DOUBLE)) AS mx
+          |    FROM embeddings, range(1, 65) t(i) GROUP BY i)),
+          |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+          |short AS (SELECT vec_id, list_sum(list_transform(embedding, (x, i) ->
+          |  CASE WHEN (CAST(x AS DOUBLE) > thr[i]) != (CAST(qvec[i] AS DOUBLE) > thr[i])
+          |    THEN 1 ELSE 0 END)) AS ham
+          |FROM embeddings, mm, q ORDER BY ham, vec_id LIMIT 50)
+          |SELECT e.vec_id AS vec_id,
+          | round(sqrt(list_sum(list_transform(e.embedding, (x, i) ->
+          |  (CAST(x AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE)) *
+          |  (CAST(x AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE))))), 4) AS dist
+          |FROM embeddings e JOIN short USING (vec_id), q
+          |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
       // SQ8 shortlist (ADC scan, LIMIT 50) then exact euclidean on the
       // survivors only — the rerank join mirrors the Spark semi-join
       "ann_sq8_rerank" ->

@@ -253,14 +253,19 @@ object Ann {
     * filter/assert non-null fixed-length vectors first (the parquet
     * test tables guarantee this by schema).
     */
-  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+  private def assign(vecs: DataFrame, centroids: DataFrame,
+      metaCols: Seq[String] = Nil): DataFrame = {
+    val payload = struct(
+      (col("cluster") +: col("_v") +: metaCols.map(col)): _*)
     vecs.crossJoin(broadcast(centroids))
       .withColumn("_d", VectorFunctions.vec_l2(col("_v"), col("centroid")))
       .groupBy(col("_id"))
-      .agg(min_by(
-        struct(col("cluster"), col("_v")),
-        struct(col("_d"), col("cluster"))).as("_m"))
-      .select(col("_id"), col("_m.cluster").as("cluster"), col("_m._v").as("_v"))
+      .agg(min_by(payload, struct(col("_d"), col("cluster"))).as("_m"))
+      .select(
+        (col("_id") +: col("_m.cluster").as("cluster") +:
+          col("_m._v").as("_v") +:
+          metaCols.map(c => col(s"_m.$c").as(c))): _*)
+  }
 
   /** IVF index: corpus rows tagged with their cluster id. At scale,
     * write this `partitionBy("cluster")` (parquet) so search scans
@@ -277,14 +282,24 @@ object Ann {
     * centroid set (no k-means) the whole IVF path is deterministic and
     * SQL-expressible — the oracle-checked `ann_ivf_static` query uses
     * the first k corpus vectors as centroids.
+    *
+    * `metaCols` names extra corpus columns (labels, timestamps,
+    * tenant ids …) to carry through onto the tagged rows, so an
+    * at-rest index can serve FILTERED ANN — predicate applied inside
+    * the probed clusters — without a join back to the base table.
+    * They ride the min_by payload struct: no extra shuffle.
     */
   def tagCorpus(
       corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame = {
-    val vecs = corpus.select(col(idCol).as("_id"),
-      transform(col(vecCol), _.cast("double")).as("_v"))
-    assign(vecs, centroids)
-      .select(col("_id").as(idCol), col("_v").as(vecCol), col("cluster"))
+      centroids: DataFrame, metaCols: Seq[String] = Nil): DataFrame = {
+    val vecs = corpus.select(
+      (col(idCol).as("_id") +:
+        transform(col(vecCol), _.cast("double")).as("_v") +:
+        metaCols.map(col)): _*)
+    assign(vecs, centroids, metaCols)
+      .select(
+        (col("_id").as(idCol) +: col("_v").as(vecCol) +:
+          col("cluster") +: metaCols.map(col)): _*)
   }
 
   /** Incremental maintenance: new vectors join an existing IVF index

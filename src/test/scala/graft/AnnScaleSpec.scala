@@ -189,4 +189,26 @@ class AnnScaleSpec extends AnyFunSuite {
     assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(cluster"),
       s"no partition pruning in plan:\n$plan")
   }
+
+  test("tagCorpus metaCols ride the index; filtered probe == filter-then-search") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val cents = e.where(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cluster"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    val tagged = Ann.tagCorpus(e, "vec_id", "embedding", cents,
+      metaCols = Seq("label"))
+    // metadata survived the min_by payload unchanged
+    val drift = tagged.join(e.select(col("vec_id"), col("label").as("l0")), "vec_id")
+      .where(col("label") =!= col("l0")).count()
+    assert(drift == 0)
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    // filtering the tagged index inside the probe equals building the
+    // index over the pre-filtered corpus (assignment is per-row)
+    val a = Ann.searchIvf(tagged.where(col("label") === 3).drop("label"),
+      cents, q, "vec_id", "embedding", "cosine", 10, nprobe = 2).collect().toSeq
+    val b = Ann.searchIvf(
+      Ann.tagCorpus(e.where(col("label") === 3), "vec_id", "embedding", cents),
+      cents, q, "vec_id", "embedding", "cosine", 10, nprobe = 2).collect().toSeq
+    assert(a == b)
+  }
 }
