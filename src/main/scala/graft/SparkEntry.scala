@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SqlSnips, TextEmbed, TextExprs, TextFuncs, VectorFunctions}
-import graft.operators.{Ann, Bm25, Bq, Corpus, Dedup, IvfPq, Knn, Pq, Profile, Skew, Sq}
+import graft.operators.{Ann, Bm25, Bq, Corpus, Dedup, IvfPq, Knn, Mmr, Pq, Profile, Skew, Sq}
 import graft.sources.VectorStore
 
 /** Driver contract — see SURVEY.md §2 (inventory) and §7 (plan).
@@ -929,6 +929,15 @@ object SparkEntry {
         "vec_id", "embedding", "cosine", 10, nprobe = 2)
     }),
 
+    // -- MMR diversified top-k (Carbonell-Goldstein): one corpus-sized
+    //    map-only scan builds a 20-row pool; the greedy de-redundancy
+    //    loop runs on the pool only (bounded by poolSize, not data).
+    //    4-dp-rounded sims + id tie-breaks make the whole greedy
+    //    trajectory replayable as an unrolled CTE chain in DuckDB --
+    "search_mmr" -> ((s, dir) =>
+      Mmr.diversify(t(s, dir, "embeddings"), queryVec(s, dir, 0),
+        "vec_id", "embedding", k = 5, poolSize = 20)),
+
     // -- FILTERED ANN: metadata predicate applied INSIDE the probed
     //    clusters (the hard case real vector stores special-case —
     //    filter-then-search, not search-then-filter, so top-k is never
@@ -1269,6 +1278,41 @@ object SparkEntry {
       | FROM asgn a JOIN cb ON a.grp = cb.grp AND a.code = cb.code JOIN pq ON pq.grp = a.grp
       | GROUP BY a.vec_id)""".stripMargin.replaceAll("\n", " ")
 
+  /** search_mmr oracle: the k=5 greedy MMR trajectory unrolled as a
+    * CTE chain. Every sim mirrors the Spark kernel's exact op order —
+    * round(1.0 - (cosine DISTANCE incl. the zero-vector->1.0 and
+    * clamp branches), 4) — so the argmax at each step sees identical
+    * doubles and the selection path replays exactly.
+    */
+  private def mmrOracle(k: Int, poolSize: Int): String = {
+    def sim(a: String, b: String): String =
+      s"round(1.0 - (CASE WHEN " +
+        s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0 OR " +
+        s"list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0 " +
+        s"THEN 1.0 ELSE 1.0 - greatest(-1.0, least(1.0, " +
+        s"list_sum(list_transform($a, (x, i) -> CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
+        s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))) END), 4)"
+    val head =
+      s"WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0), " +
+        s"pool AS (SELECT vec_id, embedding, ${sim("e.embedding", "q.qvec")} AS rel " +
+        s"FROM embeddings e, q ORDER BY rel DESC, vec_id LIMIT $poolSize), " +
+        s"sel1 AS (SELECT vec_id, embedding, rel, CAST(1 AS INTEGER) AS rank " +
+        s"FROM pool ORDER BY rel DESC, vec_id LIMIT 1)"
+    val steps = (2 to k).map { j =>
+      val prev = s"sel${j - 1}"
+      s"c$j AS (SELECT p.vec_id, p.embedding, p.rel, " +
+        s"max(${sim("p.embedding", "s.embedding")}) AS ms " +
+        s"FROM pool p, $prev s WHERE p.vec_id NOT IN (SELECT vec_id FROM $prev) " +
+        s"GROUP BY p.vec_id, p.embedding, p.rel), " +
+        s"pick$j AS (SELECT vec_id, embedding, rel, CAST($j AS INTEGER) AS rank " +
+        s"FROM c$j ORDER BY CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * ms DESC, vec_id LIMIT 1), " +
+        s"sel$j AS (SELECT * FROM $prev UNION ALL SELECT * FROM pick$j)"
+    }
+    (head +: steps).mkString(", ") +
+      s" SELECT vec_id, rank, rel FROM sel$k ORDER BY rank"
+  }
+
   private def pipelineOracles: Map[String, String] = {
     val toks = SqlSnips.tokens("text")
     val decontaminateOracle = {
@@ -1281,6 +1325,7 @@ object SparkEntry {
          |ORDER BY doc_id LIMIT 200""".stripMargin.replaceAll("\n", " ")
     }
     Map(
+      "search_mmr" -> mmrOracle(k = 5, poolSize = 20),
       "text_stats" ->
         s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents)
            |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
