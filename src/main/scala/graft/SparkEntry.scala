@@ -875,6 +875,21 @@ object SparkEntry {
         "rank_lex", "rank_vec", c = 50, topK = 10)
     }),
 
+    // -- weighted min-max hybrid: the score-aware fusion next to RRF.
+    //    Same two top-C rankers as hybrid_bm25; scores normalize to
+    //    [0,1] over each list, fused = 0.6*lex + 0.4*vec --
+    "hybrid_weighted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qvec = typedLit(TextEmbed.embedLocal(SearchTextQuery).toSeq)
+      val lex = Bm25.search(docs, "text", "doc_id", SearchTextQuery, k = 50)
+      val vec = docs.select(col("doc_id"),
+          round(VectorFunctions.vec_cosine(TextExprs.text_embed(col("text")), qvec), 4)
+            .as("dist"))
+        .orderBy(col("dist"), col("doc_id")).limit(50)
+      graft.operators.Hybrid.minMaxFuse(lex, vec, "doc_id",
+        wLex = 0.6, wVec = 0.4, topK = 10)
+    }),
+
     // -- approximate NN: LSH bucket probe (HNSW's batch replacement) --
     "ann_lsh" -> ((s, dir) =>
       Ann.searchLsh(t(s, dir, "embeddings"), queryVec(s, dir, 0),
@@ -1404,6 +1419,49 @@ object SparkEntry {
            |SELECT doc_id, rank_lex, rank_vec,
            | round(1.0 / (60 + rank_lex) + 1.0 / (60 + rank_vec), 6) AS rrf
            |FROM fz ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
+      },
+      // weighted min-max fusion over the same two top-50 rankers:
+      // normalize each list's scores to [0,1] (6 dp), missing -> 0
+      "hybrid_weighted" -> {
+        val qhashes = s"list_transform(${SqlSnips.tokens("'" + SearchTextQuery + "'")}, w -> ${SqlSnips.charFold("w")})"
+        val hashes = s"list_transform(toks, w -> ${SqlSnips.charFold("w")})"
+        val qTerms = SearchTextQuery.split(" ").distinct.map(t => s"'$t'").mkString(", ")
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(toks)) AS avgdl FROM tk),
+           |ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk),
+           |f0 AS (SELECT doc_id, dl, term, count(*) AS tf FROM ex
+           |  WHERE term IN ($qTerms) GROUP BY 1, 2, 3),
+           |d AS (SELECT term, count(*) AS df FROM f0 GROUP BY 1),
+           |bm AS (SELECT f0.doc_id AS doc_id,
+           |  round(sum(ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))
+           |    * f0.tf * 2.2 / (f0.tf + 1.2 * (0.25 + 0.75 * f0.dl / st.avgdl))), 4) AS score
+           |  FROM f0 JOIN d USING (term), st GROUP BY 1),
+           |lex AS (SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 50),
+           |raw AS (SELECT doc_id, ${TextEmbed.sqlRawComponents(hashes)} AS r FROM tk),
+           |dv AS (SELECT doc_id, list_transform(r, x -> x / sqrt(list_sum(list_transform(r, y -> y * y)))) AS v FROM raw),
+           |qraw AS (SELECT ${TextEmbed.sqlRawComponents(qhashes)} AS r),
+           |q AS (SELECT list_transform(r, x -> x / sqrt(list_sum(list_transform(r, y -> y * y)))) AS qv FROM qraw),
+           |vecall AS (SELECT doc_id, round(CASE WHEN
+           |  list_sum(list_transform(v, x -> x * x)) = 0 OR
+           |  list_sum(list_transform(qv, x -> x * x)) = 0
+           | THEN 1.0 ELSE 1.0 - greatest(-1.0, least(1.0,
+           |  list_sum(list_transform(v, (x, i) -> x * qv[i])) /
+           |  (sqrt(list_sum(list_transform(v, x -> x * x))) *
+           |   sqrt(list_sum(list_transform(qv, x -> x * x)))))) END, 4) AS dist
+           |FROM dv, q),
+           |vec AS (SELECT doc_id, dist FROM vecall ORDER BY dist, doc_id LIMIT 50),
+           |lmm AS (SELECT min(score) AS mn, max(score) AS mx FROM lex),
+           |vmm AS (SELECT min(dist) AS mn, max(dist) AS mx FROM vec),
+           |nl AS (SELECT doc_id, round(CASE WHEN mx = mn THEN 1.0
+           |  ELSE (score - mn) / (mx - mn) END, 6) AS n_lex FROM lex, lmm),
+           |nv AS (SELECT doc_id, round(CASE WHEN mx = mn THEN 1.0
+           |  ELSE (mx - dist) / (mx - mn) END, 6) AS n_vec FROM vec, vmm),
+           |fz AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+           |  coalesce(l.n_lex, 0.0) AS n_lex, coalesce(v.n_vec, 0.0) AS n_vec
+           |  FROM nl l FULL OUTER JOIN nv v ON l.doc_id = v.doc_id)
+           |SELECT doc_id, n_lex, n_vec,
+           | round(CAST(0.6 AS DOUBLE) * n_lex + CAST(0.4 AS DOUBLE) * n_vec, 6) AS fused
+           |FROM fz ORDER BY fused DESC, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
       },
       "tfidf_terms" ->
         s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),

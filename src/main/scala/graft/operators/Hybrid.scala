@@ -24,6 +24,41 @@ object Hybrid {
       .withColumn(rankName,
         row_number().over(Window.orderBy(order: _*)))
 
+  /** Min-max weighted score fusion — the score-aware alternative to
+    * RRF: each ranker's top-C scores normalize to [0,1] over ITS OWN
+    * list (min-max), fused = wLex*n_lex + wVec*n_vec, docs missing
+    * from a ranker contribute 0 there. Unlike RRF this preserves
+    * score GAPS (a runaway best hit stays runaway), at the cost of
+    * sensitivity to each ranker's score distribution.
+    *
+    * `lex` is a (idCol, score) higher-is-better top-C list; `vec` a
+    * (idCol, dist) lower-is-better one. All normalized values round
+    * to 6 dp BEFORE weighting, so the fused ordering is replayable in
+    * the DuckDB oracle. Degenerate constant lists normalize to 1.0.
+    * Everything past the two top-C heaps touches <= 2C rows.
+    */
+  def minMaxFuse(lex: DataFrame, vec: DataFrame, idCol: String,
+      wLex: Double, wVec: Double, topK: Int, roundTo: Int = 6): DataFrame = {
+    val lmm = lex.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+    val vmm = vec.agg(min(col("dist")).as("mn"), max(col("dist")).as("mx"))
+    val nl = lex.crossJoin(broadcast(lmm)).select(col(idCol),
+      round(when(col("mx") === col("mn"), lit(1.0))
+        .otherwise((col("score") - col("mn")) / (col("mx") - col("mn"))),
+        roundTo).as("n_lex"))
+    val nv = vec.crossJoin(broadcast(vmm)).select(col(idCol),
+      round(when(col("mx") === col("mn"), lit(1.0))
+        .otherwise((col("mx") - col("dist")) / (col("mx") - col("mn"))),
+        roundTo).as("n_vec"))
+    nl.join(nv, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        coalesce(col("n_lex"), lit(0.0)).as("n_lex"),
+        coalesce(col("n_vec"), lit(0.0)).as("n_vec"))
+      .withColumn("fused",
+        round(lit(wLex) * col("n_lex") + lit(wVec) * col("n_vec"), roundTo))
+      .orderBy(col("fused").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Reciprocal-rank fusion: rrf(d) = sum_i 1/(k0 + rank_i(d)),
     * with docs missing from a ranker charged rank C+1. k0=60 is the
     * standard damping (Cormack et al.). Expects `a`/`b` as

@@ -32,6 +32,23 @@ class HybridSpec extends AnyFunSuite {
     assert(got(11L) > got(10L) && got(11L) > got(12L))
   }
 
+  test("minMaxFuse: normalizes per list, misses contribute 0, gaps survive") {
+    // lex: runaway best (10.0 vs 1.0/0.0); vec: lower-is-better dists
+    val lex = Seq((1L, 10.0), (2L, 1.0), (3L, 0.0)).toDF("id", "score")
+    val vec = Seq((2L, 0.1), (3L, 0.5), (4L, 0.9)).toDF("id", "dist")
+    val got = Hybrid.minMaxFuse(lex, vec, "id", wLex = 0.6, wVec = 0.4, topK = 4)
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((1.0, 0.0, 0.6)))        // lex best, absent in vec
+    assert(got(2L) == ((0.1, 1.0, 0.46)))       // lex gap PRESERVED (0.1 not rank-2/3)
+    assert(got(3L) == ((0.0, 0.5, 0.2)))
+    assert(got(4L) == ((0.0, 0.0, 0.0)))        // vec worst, absent in lex
+    // degenerate constant list normalizes to 1.0 everywhere
+    val const = Seq((1L, 5.0), (2L, 5.0)).toDF("id", "score")
+    val g2 = Hybrid.minMaxFuse(const, vec, "id", 0.5, 0.5, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(g2(1L) == 1.0 && g2(2L) == 1.0)
+  }
+
   test("search_hybrid surfaces docs ranked well by either signal") {
     val out = SparkEntry.queries("search_hybrid")(spark, "/root/testdata/sf0.001")
       .collect()
