@@ -567,6 +567,12 @@ object SparkEntry {
       Corpus.repetitionStats(t(s, dir, "documents"), "text", "doc_id", n = 2)
         .orderBy(col("dup_frac").desc, col("doc_id")).limit(100)),
 
+    // -- unigram-LM cross-entropy (the CCNet/Gopher perplexity filter
+    //    with the corpus as its own LM): one tokenize pass feeds both
+    //    the vocab count and the scoring join --
+    "quality_perplexity" -> ((s, dir) =>
+      Corpus.unigramCrossEntropy(t(s, dir, "documents"), "text", "doc_id")),
+
     // -- deterministic training-shard assignment + per-shard evenness
     //    audit (the write.partitionBy("shard") layout is spec'd) --
     "shard_assign" -> ((s, dir) =>
@@ -1493,6 +1499,16 @@ object SparkEntry {
            |g AS (SELECT unnest(${SqlSnips.shingles("toks", 2)}) AS ngram FROM tk)
            |SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM g
            |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50""".stripMargin.replaceAll("\n", " "),
+      // unigram xent: avg over token INSTANCES of -ln(c/N); the 4-dp
+      // round absorbs summation-order ulp noise (values ~3, err ~1e-13)
+      "quality_perplexity" ->
+        s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+           |tc AS (SELECT term, count(*) AS c FROM tk GROUP BY 1),
+           |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM tc)
+           |SELECT doc_id, count(*) AS n_tokens,
+           | round(avg(-ln(CAST(c AS DOUBLE) / n.n)), 4) AS xent
+           |FROM tk JOIN tc USING (term), n
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
       "quality_repetition" ->
         s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
            |g AS (SELECT doc_id, unnest(list_transform(${SqlSnips.shingles("toks", 2)},

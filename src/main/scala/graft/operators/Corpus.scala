@@ -275,4 +275,36 @@ object Corpus {
     tk.join(broadcast(rates), Seq(groupCol))
       .where(hashMod100(col(idCol)) < col("rate_pct"))
   }
+
+  /** Per-document unigram-LM cross-entropy — the classic
+    * "perplexity filter" of LLM data pipelines (CCNet/Gopher lineage)
+    * with the corpus itself as the language model:
+    *
+    *   xent(doc) = avg over token instances of -ln(count(w) / N)
+    *
+    * Low xent = repetitive/common-word text, high xent = rare-token
+    * soup; both tails get filtered in practice. Deterministic (count
+    * ratios + ln, 4-dp round), so it oracles directly.
+    *
+    * Scale shape: ONE tokenize+explode pass feeds both the vocab
+    * count (map-side-combined groupBy(term)) and the scoring join;
+    * the per-doc aggregate is map-side partial too. The vocab join is
+    * a shuffle on term — bounded by distinct tokens, and skew on
+    * stop-words is exactly what AQE skew-join handles; docs with zero
+    * tokens drop out (no explode rows), matching the SQL oracle.
+    */
+  def unigramCrossEntropy(df: DataFrame, textCol: String, idCol: String,
+      roundTo: Int = 4): DataFrame = {
+    val terms = df.select(col(idCol),
+      explode(TextFuncs.tokens(col(textCol))).as("term"))
+      .localCheckpoint(true) // tokenize once: vocab + scoring reuse it
+    val tc = terms.groupBy("term").agg(count(lit(1)).as("c"))
+    val tot = tc.agg(sum(col("c")).cast("double").as("n"))
+    terms.join(tc, "term")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("c").cast("double") / col("n"))), roundTo).as("xent"))
+      .orderBy(col(idCol))
+  }
 }

@@ -161,6 +161,23 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(r.head == ((0L, 0.0)))
   }
 
+  test("unigramCrossEntropy: hand-computed xent on a 2-doc corpus") {
+    import spark.implicits._
+    // vocab: a=2, b=2, c=1, N=5
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Corpus
+      .unigramCrossEntropy(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: three tokens all with c=2 -> -ln(2/5) each
+    // doc 2: avg(-ln(2/5), -ln(1/5)); doc 3: no tokens -> absent
+    assert(got.toSeq == Seq(
+      (1L, 3L, r4(-math.log(0.4))),
+      (2L, 2L, r4((-math.log(0.4) - math.log(0.2)) / 2))))
+  }
+
   test("lshRecallReport: every query finds at least itself; n_hit <= k") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val rep = Ann.lshRecallReport(e, e.where(col("vec_id") < 5),
