@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the box has 128 GiB; an 8g heap makes the ~100-query bench/verify
+  // runs GC-bound (broadcasts + localCheckpoint blocks accumulate),
+  // and ~200 codegen'd query DAGs overflow the default 240m JIT code
+  // cache (compilation stalls masquerade as slow queries)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:ReservedCodeCacheSize=512m",
 )

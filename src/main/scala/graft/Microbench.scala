@@ -216,6 +216,32 @@ object Microbench {
     sb ++= "  at near-exact recall, and min/max training is ONE aggregate pass\n"
     sb ++= "  (PQ needs Lloyd's iterations; SQ8 re-trains in one job).\n"
 
+    // 5b. BQ: the 1-bit family — recall via hamming shortlist + exact
+    //     re-rank at two shortlist sizes, plus the raw code-scan cost
+    val bqModel = graft.operators.Bq.train(e, "embedding", 64)
+    val bqCodes = graft.operators.Bq.encode(bqModel, e, "vec_id", "embedding").cache()
+    val bqN = bqCodes.count().toInt
+    def bqRecall(cands: Int): Double = qids.take(20).map { qid =>
+      val q = e.where(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val got = graft.operators.Bq.searchWithRerank(bqModel, bqCodes, e, q,
+        "vec_id", "embedding", "euclidean", 10, cands)
+        .collect().map(_.getLong(0)).toSet
+      val ex = Knn.topK(e, q, "vec_id", "embedding", "euclidean", 10)
+        .collect().map(_.getLong(0)).toSet
+      (ex intersect got).size
+    }.sum / (20.0 * 10)
+    val bqR50 = bqRecall(50); val bqR5pct = bqRecall(bqN / 20)
+    val tBq = time() {
+      graft.operators.Bq.search(bqModel, bqCodes, qdf0, "vec_id", 50).collect()
+    }
+    sb ++= "\n## BQ binary quantization (32x compression, deterministic train)\n\n"
+    sb ++= f"- recall@10 after exact re-rank: $bqR50%.2f (50-cand shortlist), $bqR5pct%.2f (5%% of corpus)\n"
+    sb ++= f"- sec/query 8-byte hamming scan (xor+popcount, map-only): $tBq%.3f\n"
+    sb ++= "- 8 B/vector vs 256 B raw: at 100 TB the shortlist pass reads 1/32\n"
+    sb ++= "  the bytes; 1-bit codes are coarser than SQ8, so the shortlist\n"
+    sb ++= "  multiplier (not code width) is the recall knob — size C per the\n"
+    sb ++= "  BqSpec monotone-recall contract, then re-rank exactly on C rows.\n"
+
     // 6. as-of join: union-merge vs naive range join + argmax
     val ev = Tables.load(spark, sfDir, "events")
     val clicks = ev.where(col("event_type") === "click")

@@ -20,9 +20,12 @@ object RunOne {
     new java.io.File(outDir).mkdirs()
     val sel = names.split(",").toSeq
     sel.foreach { name =>
+      val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      println(s"[runone] $name rows=" + spark.read.parquet(s"$outDir/$name").count())
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[runone] $name rows=" +
+        spark.read.parquet(s"$outDir/$name").count() + f" sec=$dt%.2f")
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

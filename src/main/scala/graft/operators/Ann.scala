@@ -234,7 +234,10 @@ object Ann {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centroid"))
-      centroids = centroids.localCheckpoint(eager = true) // cut lineage per iter
+      // cut lineage per iteration; the frame is k rows, so collapse to
+      // ONE partition first — a 32-partition checkpoint of 8 rows costs
+      // 32 scheduled tasks per iteration for nothing
+      centroids = centroids.coalesce(1).localCheckpoint(eager = true)
     }
     centroids
   }

@@ -47,10 +47,12 @@ object Mmr {
         round(cosSim(col(vecCol), col("qvec")), roundTo).as("_rel"))
       .orderBy(col("_rel").desc, col("_mid"))
       .limit(poolSize)
+      .coalesce(1) // <= poolSize rows: one checkpoint partition
       .localCheckpoint()
 
     var sel = pool.orderBy(col("_rel").desc, col("_mid")).limit(1)
       .withColumn("_rank", lit(1))
+      .coalesce(1)
       .localCheckpoint()
     var j = 2
     while (j <= k) {
@@ -65,7 +67,7 @@ object Mmr {
       val next = scored.orderBy(col("_score").desc, col("_mid")).limit(1)
         .select(col("_mid"), col("_mv"), col("_rel"))
         .withColumn("_rank", lit(j))
-      sel = sel.unionByName(next).localCheckpoint()
+      sel = sel.unionByName(next).coalesce(1).localCheckpoint()
       j += 1
     }
     sel.select(col("_mid").as(idCol), col("_rank").as("rank"), col("_rel").as("rel"))

@@ -48,7 +48,9 @@ object Pq {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("mval")))),
           s => s.getField("mval")).as("centroid"))
-      centroids = centroids.localCheckpoint(eager = true)
+      // m*k rows -> ONE partition before the per-iteration checkpoint
+      // (32 near-empty checkpoint tasks per iteration otherwise)
+      centroids = centroids.coalesce(1).localCheckpoint(eager = true)
     }
     centroids
   }
@@ -94,7 +96,7 @@ object Pq {
       if (trainSampleMod > 1) corpus.where(col(idCol) % trainSampleMod === 0)
       else corpus
     val cb = groupedKmeans(subvectors(sample, idCol, vecCol, m, subDim), k, iters)
-    Model(m, k, subDim, cb.localCheckpoint(eager = true))
+    Model(m, k, subDim, cb.coalesce(1).localCheckpoint(eager = true))
   }
 
   /** Codebooks WITHOUT k-means: entry (g, c) is subvector g of the
