@@ -136,6 +136,21 @@ object Bq {
       .limit(topK)
   }
 
+  /** Live-index insert: encode new rows with the FROZEN thresholds
+    * and union — map-only, no retrain (the storage-Insert path; same
+    * contract as Ann.appendToIvf / Sq.appendToIndex). Sign bits have
+    * no clamp regime, so staleness here is distributional: a corpus
+    * drifting off the trained midranges skews buckets toward all-0s/
+    * all-1s words rather than corrupting individual codes. */
+  def appendToIndex(model: Model, codes: DataFrame, newRows: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    codes.unionByName(encode(model, newRows, idCol, vecCol))
+
+  /** Live-index delete: anti-join the doomed ids out of the codes. */
+  def deleteFromIndex(codes: DataFrame, idCol: String,
+      doomed: DataFrame): DataFrame =
+    codes.join(doomed.select(col(idCol)), Seq(idCol), "left_anti")
+
   /** Persist the index: 8-byte codes table + dim-row threshold table. */
   def writeIndex(model: Model, codes: DataFrame, dir: String): Unit = {
     codes.write.mode("overwrite").parquet(s"$dir/codes")

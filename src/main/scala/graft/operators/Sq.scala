@@ -187,6 +187,40 @@ object Sq {
       .limit(topK)
   }
 
+  /** Live-index insert: encode new rows with the FROZEN model and
+    * union — map-only, no retrain, the storage-Insert path every
+    * index family needs (IVF has appendToIvf; same contract here).
+    * Values outside the trained [mn,mx] clamp to 0/255 — watch
+    * [[stalenessReport]] for when that calls for a retrain. */
+  def appendToIndex(model: Model, codes: DataFrame, newRows: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    codes.unionByName(encode(model, newRows, idCol, vecCol))
+
+  /** Live-index delete: anti-join the doomed ids out of the codes. */
+  def deleteFromIndex(codes: DataFrame, idCol: String,
+      doomed: DataFrame): DataFrame =
+    codes.join(doomed.select(col(idCol)), Seq(idCol), "left_anti")
+
+  /** Retrain trigger: fraction of vector components falling OUTSIDE
+    * the frozen per-dim [mn,mx] ranges (those clamp to 0/255 and
+    * their distances degrade silently). One map-side-combined
+    * aggregate over the candidate rows; returns a single
+    * (n_components, n_out_of_range, frac) row. Retrain when frac
+    * crosses the caller's tolerance. */
+  def stalenessReport(model: Model, rows: DataFrame, vecCol: String): DataFrame = {
+    val mns = model.mins; val mxs = model.maxs
+    val outs = (1 to model.dim).map { i =>
+      val x = element_at(col(vecCol), i).cast("double")
+      when(x < mns(i - 1) || x > mxs(i - 1), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    rows.agg(
+      (count(lit(1)) * model.dim).as("n_components"),
+      sum(outs).as("n_out_of_range"))
+      .select(col("n_components"), col("n_out_of_range"),
+        round(col("n_out_of_range").cast("double") / col("n_components"), 6)
+          .as("frac"))
+  }
+
   /** Persist codes + ranges: the at-rest form is the 1-byte-per-dim
     * codes table plus a dim-row params table. */
   def writeIndex(model: Model, codes: DataFrame, dir: String): Unit = {

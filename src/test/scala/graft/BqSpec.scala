@@ -84,6 +84,21 @@ class BqSpec extends AnyFunSuite {
     assert(rr == exact)
   }
 
+  test("append+delete round-trip equals a fresh encode on the same data") {
+    val model = Bq.train(corpus, "embedding", 64)
+    val old = corpus.where(col("vec_id") < 400)
+    val add = corpus.where(col("vec_id") >= 400)
+    val doomed = corpus.where(col("vec_id") % 7 === 0)
+    val live = Bq.deleteFromIndex(
+      Bq.appendToIndex(model, Bq.encode(model, old, "vec_id", "embedding"),
+        add, "vec_id", "embedding"),
+      "vec_id", doomed)
+    val fresh = Bq.encode(model,
+      corpus.where(col("vec_id") % 7 =!= 0), "vec_id", "embedding")
+    assert(live.orderBy("vec_id").collect().toSeq ==
+      fresh.orderBy("vec_id").collect().toSeq)
+  }
+
   test("recall@10 grows with the shortlist; 20% of corpus reaches 0.7") {
     // 1-bit codes are coarser than SQ8: the shortlist multiplier is
     // the quality knob. Pin the monotone contract and a usable floor

@@ -83,6 +83,32 @@ class SqSpec extends AnyFunSuite {
     assert(rr == exact)
   }
 
+  test("append+delete round-trip equals a fresh encode on the same data") {
+    val model = Sq.train(corpus, "embedding", 64)
+    val old = corpus.where(col("vec_id") < 400)
+    val add = corpus.where(col("vec_id") >= 400)
+    val doomed = corpus.where(col("vec_id") % 7 === 0)
+    val live = Sq.deleteFromIndex(
+      Sq.appendToIndex(model, Sq.encode(model, old, "vec_id", "embedding"),
+        add, "vec_id", "embedding"),
+      "vec_id", doomed)
+    val fresh = Sq.encode(model,
+      corpus.where(col("vec_id") % 7 =!= 0), "vec_id", "embedding")
+    assert(live.orderBy("vec_id").collect().toSeq ==
+      fresh.orderBy("vec_id").collect().toSeq)
+  }
+
+  test("stalenessReport: in-range corpus 0.0; shifted rows flagged") {
+    val model = Sq.train(corpus, "embedding", 64)
+    val clean = Sq.stalenessReport(model, corpus, "embedding").head
+    assert(clean.getLong(1) == 0L && clean.getDouble(2) == 0.0)
+    // shift every component above the trained max -> frac 1.0
+    val shifted = corpus.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(1000.0f)).as("embedding"))
+    val bad = Sq.stalenessReport(model, shifted, "embedding").head
+    assert(bad.getDouble(2) == 1.0)
+  }
+
   test("degenerate constant dimension encodes as 0 and round-trips") {
     val df = Seq((0L, Array(1.0f, 5.0f)), (1L, Array(1.0f, 7.0f)))
       .toDF("vec_id", "embedding")
