@@ -33,6 +33,21 @@ class MmrSpec extends AnyFunSuite {
     assert(mmr == flat)
   }
 
+  test("k exceeding the pool yields the whole pool, ranked, no error") {
+    // 3-row corpus, poolSize 3, k 5: steps 4..5 see an empty
+    // candidate set (limit(1) of empty stays empty; same in the
+    // oracle's pick_j CTE), so exactly 3 ranked rows come back
+    val df = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val qv = spark.range(1).select(array(lit(1f), lit(0f)).as("qvec"))
+    val res = Mmr.diversify(df, qv, "vec_id", "embedding",
+      k = 5, poolSize = 3).collect()
+    assert(res.length == 3)
+    assert(res.map(_.getInt(1)).toSeq == (1 to 3))
+    assert(res.map(_.getLong(0)).distinct.length == 3)
+  }
+
   test("an exact duplicate of the top hit is demoted below distinct results") {
     // query sits between two axis clusters; the best hit C has an
     // exact copy. Flat top-3 keeps the copy at rank 2; MMR replaces
