@@ -1081,6 +1081,22 @@ object SparkEntry {
         "vec_id", "embedding", "euclidean", topK = 10, candidates = 50)
     }),
 
+    // -- composed IVF-BQ (static centroids + midrange thresholds, so
+    //    fully deterministic WITHOUT k-means unrolling): coarse route
+    //    to nprobe=2 clusters, hamming over their 8-byte codes only,
+    //    exact re-rank on the 50 survivors --
+    "ann_ivfbq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cluster"),
+          transform(col("embedding"), _.cast("double")).as("centroid"))
+      val tagged = Ann.tagCorpus(e, "vec_id", "embedding", cents)
+      val model = Bq.train(e, "embedding", dim = 64)
+      val codes = Bq.encodeIvf(model, tagged, "vec_id", "embedding")
+      Bq.searchIvfBq(model, codes, cents, e, queryVec(s, dir, 0),
+        "vec_id", "embedding", "euclidean", topK = 10, candidates = 50)
+    }),
+
     // -- SQ8 shortlist + exact re-rank: approximate 1/4-size code scan
     //    picks 50 candidates, exact euclidean touches only those rows
     //    (broadcast semi-join) — deterministic end to end, oracled --
@@ -1964,6 +1980,43 @@ object SparkEntry {
            |  ORDER BY d, cluster LIMIT 4)
            |SELECT e.vec_id AS vec_id, ${sqlDist("cosine")} AS dist
            |FROM asgn e, q, qc WHERE e.cluster = qc.cluster AND e.label = 3
+           |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
+      },
+      // composed IVF-BQ: static-centroid assignment + routing CTEs as
+      // in ann_ivf_static, hamming shortlist within the probed
+      // clusters as in ann_bq, exact euclidean on the survivors
+      "ann_ivfbq" -> {
+        val l2c = "sqrt(list_sum(list_transform(%s, (x, i) -> " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)) * " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)))))"
+        val l2e = l2c.format("e.embedding", "c.centroid", "c.centroid")
+        val l2q = l2c.format("q.qvec", "c.centroid", "c.centroid")
+        s"""WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cluster,
+           |  embedding AS centroid FROM embeddings WHERE vec_id < 8),
+           |asgn AS (SELECT vec_id, embedding, cluster FROM (
+           |  SELECT e.vec_id, e.embedding, c.cluster,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $l2e, c.cluster) AS rn
+           |  FROM embeddings e, cents c) _r WHERE rn = 1),
+           |mm AS (
+           |  SELECT list((mn + mx) / 2.0 ORDER BY i) AS thr FROM (
+           |    SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+           |           max(CAST(embedding[i] AS DOUBLE)) AS mx
+           |    FROM embeddings, range(1, 65) t(i) GROUP BY i)),
+           |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |qc AS (SELECT cluster FROM (
+           |  SELECT c.cluster, $l2q AS d FROM cents c, q) _q
+           |  ORDER BY d, cluster LIMIT 2),
+           |short AS (SELECT a.vec_id AS vec_id,
+           |  list_sum(list_transform(a.embedding, (x, i) ->
+           |    CASE WHEN (CAST(x AS DOUBLE) > thr[i]) != (CAST(qvec[i] AS DOUBLE) > thr[i])
+           |      THEN 1 ELSE 0 END)) AS ham
+           |  FROM asgn a, mm, q, qc WHERE a.cluster = qc.cluster
+           |  ORDER BY ham, vec_id LIMIT 50)
+           |SELECT e.vec_id AS vec_id,
+           | round(sqrt(list_sum(list_transform(e.embedding, (x, i) ->
+           |  (CAST(x AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE)) *
+           |  (CAST(x AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE))))), 4) AS dist
+           |FROM embeddings e JOIN short USING (vec_id), q
            |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
       },
       // SQ8: per-dim [min,max] via the range(1,65) explode; encode and

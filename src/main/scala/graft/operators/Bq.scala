@@ -151,6 +151,40 @@ object Bq {
       doomed: DataFrame): DataFrame =
     codes.join(doomed.select(col(idCol)), Seq(idCol), "left_anti")
 
+  /** Composed IVF-BQ: coarse quantizer routes the query to `nprobe`
+    * clusters, the hamming scan touches only THEIR 8-byte codes, and
+    * exact re-rank touches only the C shortlisted full-precision
+    * rows. The deepest funnel in the index family: at rest
+    * (partitionBy("cluster")) a query reads nprobe/k of the corpus at
+    * 1/32 the bytes, then C rows exactly. `tagged` is
+    * Ann.tagCorpus output (id, vec, cluster); codes carry the
+    * cluster so serving never joins back for routing. */
+  def encodeIvf(model: Model, tagged: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    tagged.select(col(idCol), col("cluster"),
+      bq_encode(model, col(vecCol)).as("code"))
+
+  def searchIvfBq(model: Model, clusterCodes: DataFrame,
+      centroids: DataFrame, corpus: DataFrame, query: DataFrame,
+      idCol: String, vecCol: String, metric: String, topK: Int,
+      candidates: Int, nprobe: Int = 2, roundTo: Int = 4): DataFrame = {
+    val qc = Ann.nearestClusters(centroids, query, nprobe)
+    val short = clusterCodes
+      .join(broadcast(qc), Seq("cluster")) // partition-prunes at rest
+      .crossJoin(broadcast(
+        query.select(bq_encode(model, col("qvec")).as("qcode"))))
+      .select(col(idCol), hamming(col("code"), col("qcode")).as("ham"))
+      .orderBy(col("ham"), col(idCol))
+      .limit(candidates)
+    corpus.join(broadcast(short.select(col(idCol))), Seq(idCol))
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(graft.functions.VectorFunctions.forMetric(metric)(
+          col(vecCol), col("qvec")), roundTo).as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(topK)
+  }
+
   /** Persist the index: 8-byte codes table + dim-row threshold table. */
   def writeIndex(model: Model, codes: DataFrame, dir: String): Unit = {
     codes.write.mode("overwrite").parquet(s"$dir/codes")

@@ -99,6 +99,26 @@ class BqSpec extends AnyFunSuite {
       fresh.orderBy("vec_id").collect().toSeq)
   }
 
+  test("IVF-BQ with all clusters probed and corpus-sized shortlist == exact kNN") {
+    val e = corpus
+    val cents = e.where(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cluster"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    val tagged = graft.operators.Ann.tagCorpus(e, "vec_id", "embedding", cents)
+    val model = Bq.train(e, "embedding", 64)
+    val codes = Bq.encodeIvf(model, tagged, "vec_id", "embedding")
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val n = e.count().toInt
+    val got = Bq.searchIvfBq(model, codes, cents, e, q,
+      "vec_id", "embedding", "euclidean", topK = 10, candidates = n,
+      nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = graft.operators.Knn.topK(e, q, "vec_id", "embedding",
+      "euclidean", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exact)
+  }
+
   test("recall@10 grows with the shortlist; 20% of corpus reaches 0.7") {
     // 1-bit codes are coarser than SQ8: the shortlist multiplier is
     // the quality knob. Pin the monotone contract and a usable floor
