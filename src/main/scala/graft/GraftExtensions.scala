@@ -56,5 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("shingle_hashes",
       "shingle_hashes(s) - 3-token shingle base hashes (decontamination stream)",
       es => ShingleHashesExpr(es.head, 3)))
+    e.injectFunction(fn("heavy_hitters",
+      "heavy_hitters(item, m) - Space-Saving top items sketch (bounded memory)",
+      es => HeavyHittersAgg(es(0),
+        es(1).eval(null).asInstanceOf[Number].intValue())
+        .toAggregateExpression()))
   }
 }

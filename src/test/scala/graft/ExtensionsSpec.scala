@@ -24,6 +24,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(4) == 8)
     assert(r.getInt(6) == 2) // 4 tokens -> two 3-shingles
   }
+
+  test("heavy_hitters resolves in plain SQL as an aggregate") {
+    val s = SparkTestSession.spark
+    val rows = s.sql(
+      """SELECT heavy_hitters(t, 4) AS hh FROM
+        |  (SELECT explode(array('a','a','b','a','c')) AS t)""".stripMargin)
+      .selectExpr("inline(hh)").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("a", 3L, 0L), ("b", 1L, 0L), ("c", 1L, 0L)))
+  }
 }
 
 class ImportExportSpec extends AnyFunSuite {
