@@ -573,6 +573,17 @@ object SparkEntry {
     "quality_perplexity" -> ((s, dir) =>
       Corpus.unigramCrossEntropy(t(s, dir, "documents"), "text", "doc_id")),
 
+    // -- Z-order (Morton) layout key over two dimensions: rows
+    //    written sorted by zval cluster both columns into the same
+    //    row groups, so min/max stats prune scans on EITHER predicate
+    //    (OPTIMIZE ZORDER BY, as a deterministic codegen kernel) --
+    "docs_zorder" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.ZOrder.zorder(
+            col("n_chars"), pmod(col("doc_id"), lit(997L))).as("zval"))
+        .orderBy(col("zval"), col("doc_id")).limit(100)),
+
     // -- deterministic training-shard assignment + per-shard evenness
     //    audit (the write.partitionBy("shard") layout is spec'd) --
     "shard_assign" -> ((s, dir) =>
@@ -1515,6 +1526,14 @@ object SparkEntry {
            |g AS (SELECT unnest(${SqlSnips.shingles("toks", 2)}) AS ngram FROM tk)
            |SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM g
            |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50""".stripMargin.replaceAll("\n", " "),
+      // Morton interleave as integer arithmetic over range(0,31):
+      // bit i of x lands at 2i, bit i of y at 2i+1 — integer-exact
+      "docs_zorder" ->
+        """SELECT doc_id, CAST(list_sum(list_transform(range(0, 31), i ->
+          |  ((n_chars >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i)) +
+          |  (((doc_id % 997) >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))))
+          |  AS BIGINT) AS zval
+          |FROM documents ORDER BY zval, doc_id LIMIT 100""".stripMargin.replaceAll("\n", " "),
       // unigram xent: avg over token INSTANCES of -ln(c/N); the 4-dp
       // round absorbs summation-order ulp noise (values ~3, err ~1e-13)
       "quality_perplexity" ->
