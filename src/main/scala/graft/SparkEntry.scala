@@ -573,6 +573,19 @@ object SparkEntry {
     "quality_perplexity" -> ((s, dir) =>
       Corpus.unigramCrossEntropy(t(s, dir, "documents"), "text", "doc_id")),
 
+    // -- heavy_hitters in its EXACT regime (m=128 >= the 31 distinct
+    //    tokens): the sketch degenerates to exact counts with err 0,
+    //    so the distributed partial-agg + merge path itself gets a
+    //    hash oracle (the approximate regime is theorem-spec'd) --
+    "tokens_hh_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextFuncs.tokens(col("text"))).as("t"))
+        .agg(graft.functions.HeavyHitters.heavy_hitters(col("t"), 128).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.est").as("est"),
+          col("e.err").as("err"))
+        .orderBy(col("est").desc, col("item"))),
+
     // -- Z-order (Morton) layout key over two dimensions: rows
     //    written sorted by zval cluster both columns into the same
     //    row groups, so min/max stats prune scans on EITHER predicate
@@ -1526,6 +1539,11 @@ object SparkEntry {
            |g AS (SELECT unnest(${SqlSnips.shingles("toks", 2)}) AS ngram FROM tk)
            |SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM g
            |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50""".stripMargin.replaceAll("\n", " "),
+      // sketch in the exact regime == plain count; err pinned to 0
+      "tokens_hh_exact" ->
+        s"""WITH tk AS (SELECT unnest($toks) AS term FROM documents)
+           |SELECT term AS item, count(*) AS est, CAST(0 AS BIGINT) AS err
+           |FROM tk GROUP BY term ORDER BY est DESC, item""".stripMargin.replaceAll("\n", " "),
       // Morton interleave as integer arithmetic over range(0,31):
       // bit i of x lands at 2i, bit i of y at 2i+1 — integer-exact
       "docs_zorder" ->
