@@ -119,6 +119,31 @@ class BqSpec extends AnyFunSuite {
     assert(got == exact)
   }
 
+  test("IVF-BQ codes at rest: partitionBy(cluster) probe is partition-pruned") {
+    val e = corpus
+    val cents = e.where(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cluster"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    val tagged = graft.operators.Ann.tagCorpus(e, "vec_id", "embedding", cents)
+    val model = Bq.train(e, "embedding", 64)
+    val dir = java.nio.file.Files.createTempDirectory("ivfbq").toString
+    Bq.encodeIvf(model, tagged, "vec_id", "embedding")
+      .write.partitionBy("cluster").parquet(s"$dir/codes")
+    val atRest = spark.read.parquet(s"$dir/codes")
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val res = Bq.searchIvfBq(model, atRest, cents, e, q,
+      "vec_id", "embedding", "euclidean", topK = 10, candidates = 50)
+    // same answers as the in-memory composition
+    val mem = Bq.searchIvfBq(model,
+      Bq.encodeIvf(model, tagged, "vec_id", "embedding"), cents, e, q,
+      "vec_id", "embedding", "euclidean", topK = 10, candidates = 50)
+    assert(res.collect().toSeq == mem.collect().toSeq)
+    // scale proof: the code scan is pruned to the probed clusters
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") ||
+      plan.contains("PartitionFilters: [isnotnull(cluster"), plan)
+  }
+
   test("recall@10 grows with the shortlist; 20% of corpus reaches 0.7") {
     // 1-bit codes are coarser than SQ8: the shortlist multiplier is
     // the quality knob. Pin the monotone contract and a usable floor
