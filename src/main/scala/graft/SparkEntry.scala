@@ -586,6 +586,18 @@ object SparkEntry {
           col("e.err").as("err"))
         .orderBy(col("est").desc, col("item"))),
 
+    // -- the same sketch under groupBy (one m-counter sketch PER
+    //    GROUP, partial-agg'd map-side): per-language token counts,
+    //    still the exact regime so the grouped path hash-oracles --
+    "lang_tokens_hh" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), explode(TextFuncs.tokens(col("text"))).as("tk"))
+        .groupBy(col("lang"))
+        .agg(graft.functions.HeavyHitters.heavy_hitters(col("tk"), 128).as("hh"))
+        .select(col("lang"), explode(col("hh")).as("e"))
+        .select(col("lang"), col("e.item").as("item"), col("e.est").as("est"))
+        .orderBy(col("lang"), col("est").desc, col("item"))),
+
     // -- Z-order (Morton) layout key over two dimensions: rows
     //    written sorted by zval cluster both columns into the same
     //    row groups, so min/max stats prune scans on EITHER predicate
@@ -1544,6 +1556,12 @@ object SparkEntry {
         s"""WITH tk AS (SELECT unnest($toks) AS term FROM documents)
            |SELECT term AS item, count(*) AS est, CAST(0 AS BIGINT) AS err
            |FROM tk GROUP BY term ORDER BY est DESC, item""".stripMargin.replaceAll("\n", " "),
+      // grouped sketch, exact regime == per-group counts
+      "lang_tokens_hh" ->
+        s"""WITH tk AS (SELECT lang, unnest($toks) AS term FROM documents)
+           |SELECT lang, term AS item, count(*) AS est
+           |FROM tk GROUP BY lang, term
+           |ORDER BY lang, est DESC, item""".stripMargin.replaceAll("\n", " "),
       // Morton interleave as integer arithmetic over range(0,31):
       // bit i of x lands at 2i, bit i of y at 2i+1 — integer-exact
       "docs_zorder" ->
