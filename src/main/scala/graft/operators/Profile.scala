@@ -41,14 +41,27 @@ object Profile {
     */
   def labelCentroids(df: DataFrame, vecCol: String, labelCol: String)
       : DataFrame =
-    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
-      .groupBy(col(labelCol), col("dim"))
-      .agg(round(avg(col("v").cast("double")), 4).as("m"),
-        count(lit(1)).as("np"))
+    labelCentroidsLong(df, vecCol, labelCol)
+      .withColumnRenamed("n_vectors", "np")
       .groupBy(col(labelCol))
       .agg(max(col("np")).as("n_vectors"),
         transform(
           array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("centroid"))
       .orderBy(col(labelCol))
+
+  /** Long-form centroid rows: (label, dim, m, n_vectors), one row per
+    * (label, dim). Same two-level aggregate as [[labelCentroids]]
+    * minus the array re-assembly — all-scalar columns, so downstream
+    * tooling (and the driver's hash compare) can sort/hash it without
+    * special-casing arrays. `n_vectors` is the per-label row count
+    * (identical across the label's dims).
+    */
+  def labelCentroidsLong(df: DataFrame, vecCol: String, labelCol: String)
+      : DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(round(avg(col("v").cast("double")), 4).as("m"),
+        count(lit(1)).as("n_vectors"))
+      .orderBy(col(labelCol), col("dim"))
 }
