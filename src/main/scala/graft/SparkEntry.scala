@@ -651,10 +651,12 @@ object SparkEntry {
     "embed_dim_stats" -> ((s, dir) =>
       Profile.dimStats(t(s, dir, "embeddings"), "embedding")),
 
-    // -- per-label mean vectors (class centroids), array re-assembled
-    //    in dimension order --
+    // -- per-label mean vectors (class centroids) in long form: one
+    //    all-scalar row per (label, dim) so the result hash-compares
+    //    without array special-casing; the array-re-assembled form
+    //    stays available as the Profile.labelCentroids library API --
     "label_centroids" -> ((s, dir) =>
-      Profile.labelCentroids(t(s, dir, "embeddings"), "embedding", "label")),
+      Profile.labelCentroidsLong(t(s, dir, "embeddings"), "embedding", "label")),
 
     // -- the composed corpus-prep pipeline as ONE lazy DAG (what a
     //    real training-data build runs): exact-dedup keep-one ->
@@ -1646,12 +1648,11 @@ object SparkEntry {
           | round(CAST(max(embedding[i]) AS DOUBLE), 4) AS hi
           |FROM embeddings, range(1, 65) x(i) GROUP BY i ORDER BY dim""".stripMargin.replaceAll("\n", " "),
       "label_centroids" ->
-        """WITH de AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim,
-          |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS m,
-          |  CAST(count(*) AS BIGINT) AS np
-          |  FROM embeddings, range(1, 65) x(i) GROUP BY label, i)
-          |SELECT label, max(np) AS n_vectors, list(m ORDER BY dim) AS centroid
-          |FROM de GROUP BY label ORDER BY label""".stripMargin.replaceAll("\n", " "),
+        """SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+          | round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS m,
+          | CAST(count(*) AS BIGINT) AS n_vectors
+          |FROM embeddings, range(1, 65) x(i)
+          |GROUP BY label, i ORDER BY label, dim""".stripMargin.replaceAll("\n", " "),
       "pipeline_corpus" -> {
         val bases = s"list_transform(${SqlSnips.shingles("toks", 5)}, s -> ${SqlSnips.charFold("s")})"
         s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

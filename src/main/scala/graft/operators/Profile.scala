@@ -41,7 +41,7 @@ object Profile {
     */
   def labelCentroids(df: DataFrame, vecCol: String, labelCol: String)
       : DataFrame =
-    labelCentroidsLong(df, vecCol, labelCol)
+    labelDimAgg(df, vecCol, labelCol)
       .withColumnRenamed("n_vectors", "np")
       .groupBy(col(labelCol))
       .agg(max(col("np")).as("n_vectors"),
@@ -59,9 +59,18 @@ object Profile {
     */
   def labelCentroidsLong(df: DataFrame, vecCol: String, labelCol: String)
       : DataFrame =
+    labelDimAgg(df, vecCol, labelCol).orderBy(col(labelCol), col("dim"))
+
+  /** Unsorted (label, dim) aggregate shared by both public forms.
+    * Kept order-free so [[labelCentroids]]'s second-level aggregate
+    * doesn't inherit a sort Catalyst can't eliminate (array_sort on
+    * the collected structs already makes reassembly deterministic);
+    * the ordering guarantee lives only in [[labelCentroidsLong]].
+    */
+  private def labelDimAgg(df: DataFrame, vecCol: String, labelCol: String)
+      : DataFrame =
     df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy(col(labelCol), col("dim"))
       .agg(round(avg(col("v").cast("double")), 4).as("m"),
         count(lit(1)).as("n_vectors"))
-      .orderBy(col(labelCol), col("dim"))
 }

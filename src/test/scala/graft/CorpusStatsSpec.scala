@@ -126,6 +126,27 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(c(8) == ((1L, Seq(5.0, 5.0))))
   }
 
+  test("labelCentroidsLong: (label, dim, m, n_vectors) rows, ordered") {
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (1L, Array(3.0f, 2.0f), 7),
+      (2L, Array(5.0f, 5.0f), 8)).toDF("vec_id", "embedding", "label")
+    val long = Profile.labelCentroidsLong(vs, "embedding", "label")
+    assert(long.columns.toSeq == Seq("label", "dim", "m", "n_vectors"))
+    val rows = long.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    // output order is (label, dim), n_vectors repeats per label
+    assert(rows.toSeq == Seq(
+      (7, 0, 2.0, 2L), (7, 1, 1.0, 2L), (8, 0, 5.0, 1L), (8, 1, 5.0, 1L)))
+    // long form reassembles into exactly the array form
+    val rebuilt = rows.groupBy(_._1).map { case (lbl, rs) =>
+      lbl -> rs.sortBy(_._2).map(_._3).toSeq
+    }
+    val arr = Profile.labelCentroids(vs, "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](2)).toMap
+    assert(rebuilt == arr)
+  }
+
   test("dupSpanFrac: shared spans counted cross-doc only") {
     val d = Seq(
       (0L, "one two three four five tail"),   // shares "one..five" with 1
