@@ -1,9 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Seconds rounded to ms so the 106-entry JSON line stays compact
+    * enough for the driver's bounded tail capture (full-precision
+    * doubles overflowed it and left `parsed` null for six rounds).
+    */
+  private def ms3(v: Double): Double = math.round(v * 1000) / 1000.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,24 +33,59 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-    // a crashed query must be visible as such: sentinel -1 duration in
-    // the per-query map, a "failed" list, and NO contribution to the
-    // headline total (previously the failed attempt's elapsed time was
-    // summed in, making a crash indistinguishable from a fast success)
+    // median-of-`reps` per query: the shared-JVM single-shot numbers
+    // swung 3-15x run-to-run (GC + JIT noise), which made the bench
+    // unable to distinguish a real regression from scheduler luck.
+    // A crashed attempt aborts the query's remaining reps: sentinel -1
+    // in the per-query map, a "failed" list, and NO contribution to
+    // the headline total.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
-          false
+      var failed = false
+      val times = (1 to reps).flatMap { _ =>
+        if (failed) None
+        else {
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+              failed = true; false
+            }
+          val dt = (System.nanoTime() - t0) / 1e9
+          cleanup()
+          if (ok) Some(dt) else None
         }
-      val dt = (System.nanoTime() - t0) / 1e9
-      cleanup()
-      name -> (if (ok) dt else -1.0)
+      }
+      name -> (if (failed) -1.0 else times.sorted.apply(times.size / 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // build/search phase split for the trained-index families: build =
+    // train + encode + materialize codes (persist+count), search =
+    // probe over the materialized frame — the steady-state serving
+    // cost an at-rest index pays, with the one-shot training cost
+    // reported separately instead of smeared into every round's total
+    val splits = SparkEntry.benchSplits.flatMap { case (name, mk) =>
+      try {
+        val (build, search) = mk(spark, sfDir)
+        val t0 = System.nanoTime()
+        val codes = build().persist()
+        codes.count()
+        val tb = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        search(codes).count()
+        val ts = (System.nanoTime() - t1) / 1e9
+        codes.unpersist(false)
+        cleanup()
+        Some(name -> (tb, ts))
+      } catch { case e: Throwable =>
+        System.err.println(s"BENCH SPLIT FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+        None
+      }
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + (if (v < 0) "-1" else ms3(v).toString) }
       .mkString("{", ",", "}")
+    val sp = splits.map { case (k, (b, s)) =>
+      s"\"" + k + "\":{\"build\":" + ms3(b) + ",\"search\":" + ms3(s) + "}"
+    }.mkString("{", ",", "}")
     val failedNames = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val failed = failedNames.mkString("[", ",", "]")
     // a crashed query must NOT shrink the headline number into a fake
@@ -51,12 +93,15 @@ object Bench {
     // cross-round total comparisons can't silently improve via a crash
     val total =
       if (failedNames.nonEmpty) "null"
-      else results.values.filter(_ >= 0).sum.toString
+      else ms3(results.values.filter(_ >= 0).sum).toString
     val valid = failedNames.isEmpty
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"reps":$reps,"queries":$qs,"split":$sp,"failed":$failed,"sf":"$sfDir"}"""
+    // the JSON line is the FIRST and ONLY stdout line Bench prints, so
+    // the driver's tail capture holds it whole (only sbt's short
+    // "[success]" trailer follows)
     println(line)
-    // stdout gets wrapped in sbt chatter ("[success] ..." trails the
-    // JSON), so also drop the line where a consumer can read it clean
+    // stdout gets wrapped in sbt chatter, so also drop the line where
+    // a consumer can read it clean
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_self.json"),
       (line + "\n").getBytes("UTF-8"))

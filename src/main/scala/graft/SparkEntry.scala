@@ -1290,6 +1290,97 @@ object SparkEntry {
   /** Constant query string for the search_text end-to-end pipeline. */
   val SearchTextQuery = "spark join merge sort table scan"
 
+  /** Build/search phase split for the trained-index bench entries.
+    *
+    * The combined `queries` timings for these families are dominated
+    * by TRAINING (Lloyd's chains / codebook fitting) which at 100 TB
+    * is one-shot and amortized across every query served; timing
+    * build+search as one number misattributes that cost. Each entry
+    * yields (build, search): `build()` trains the model and returns
+    * the code/tagged frame to materialize (the bench persists+counts
+    * it), `search(codes)` probes the MATERIALIZED frame — so the
+    * search timing is the steady-state serving cost, exactly what a
+    * loaded at-rest index pays per query batch. Parameters mirror the
+    * corresponding `queries` entries one-for-one.
+    */
+  def benchSplits
+      : Map[String, (SparkSession, String) => (() => DataFrame, DataFrame => DataFrame)] = Map(
+    "ann_ivf" -> ((s, dir) => {
+      var cents: DataFrame = null
+      val build = () => {
+        val (tagged, c) = Ann.buildIvf(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 3,
+          trainSampleMod = 2)
+        cents = c
+        tagged
+      }
+      val search = (tagged: DataFrame) =>
+        Ann.searchIvf(tagged, cents, queryVec(s, dir, 0),
+          "vec_id", "embedding", "cosine", 10, nprobe = 2)
+      (build, search)
+    }),
+    "ann_pq" -> ((s, dir) => {
+      var model: Pq.Model = null
+      val build = () => {
+        val e = t(s, dir, "embeddings")
+        model = Pq.train(e, "vec_id", "embedding", dim = 64, m = 8, k = 16,
+          iters = 2, trainSampleMod = 2)
+        Pq.encode(model, e, "vec_id", "embedding")
+      }
+      val search = (codes: DataFrame) =>
+        Pq.searchAdcJoin(model, codes, queryVec(s, dir, 0), "vec_id", topK = 10)
+      (build, search)
+    }),
+    "ann_sq8" -> ((s, dir) => {
+      var model: Sq.Model = null
+      val build = () => {
+        val e = t(s, dir, "embeddings")
+        model = Sq.train(e, "embedding", dim = 64)
+        Sq.encode(model, e, "vec_id", "embedding")
+      }
+      val search = (codes: DataFrame) =>
+        Sq.search(model, codes, queryVec(s, dir, 0), "vec_id", topK = 10)
+      (build, search)
+    }),
+    "ann_bq" -> ((s, dir) => {
+      var model: Bq.Model = null
+      val build = () => {
+        val e = t(s, dir, "embeddings")
+        model = Bq.train(e, "embedding", dim = 64)
+        Bq.encode(model, e, "vec_id", "embedding")
+      }
+      val search = (codes: DataFrame) =>
+        Bq.search(model, codes, queryVec(s, dir, 0), "vec_id", topK = 10)
+      (build, search)
+    }),
+    "ann_ivfpq" -> ((s, dir) => {
+      var idx: IvfPq.Index = null
+      val build = () => {
+        idx = IvfPq.build(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, kClusters = 8, ivfIters = 2, m = 8, kCodes = 16,
+          pqIters = 2, trainSampleMod = 2)
+        idx.codes
+      }
+      val search = (codes: DataFrame) =>
+        IvfPq.search(IvfPq.Index(idx.centroids, idx.model, codes),
+          queryVec(s, dir, 0), "vec_id", topK = 10, nprobe = 2)
+      (build, search)
+    }),
+    "ann_ivfpq_residual" -> ((s, dir) => {
+      var idx: IvfPq.Index = null
+      val build = () => {
+        idx = IvfPq.buildResidual(t(s, dir, "embeddings"), "vec_id",
+          "embedding", dim = 64, kClusters = 8, ivfIters = 2, m = 8,
+          kCodes = 16, pqIters = 2, trainSampleMod = 2)
+        idx.codes
+      }
+      val search = (codes: DataFrame) =>
+        IvfPq.searchResidual(IvfPq.Index(idx.centroids, idx.model, codes),
+          queryVec(s, dir, 0), "vec_id", topK = 10, nprobe = 2)
+      (build, search)
+    })
+  )
+
   // ---- oracle SQL (DuckDB 1.0, bare table names per driver) ------------
 
   def oracleSql: Map[String, String] = coreOracles ++ pipelineOracles

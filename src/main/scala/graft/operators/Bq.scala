@@ -22,6 +22,10 @@ object BqKernels {
   def encode(vec: ArrayData, isFloat: Boolean, thr: Array[Double]): Long = {
     val n = vec.numElements()
     require(n == thr.length, s"bq: dim mismatch $n vs ${thr.length}")
+    // one packed word: beyond 64 dims `1L << i` wraps mod 64 and
+    // silently folds bits onto earlier positions — wrong hamming
+    // distances with no error, so refuse instead
+    require(n <= 64, s"bq: dim $n exceeds the 64-bit word (use PQ/SQ8)")
     var w = 0L; var i = 0
     while (i < n) {
       val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
@@ -88,6 +92,8 @@ object Bq {
 
   /** Per-dimension midrange threshold in ONE aggregation pass. */
   def train(corpus: DataFrame, vecCol: String, dim: Int): Model = {
+    require(1 <= dim && dim <= 64,
+      s"bq: dim $dim outside [1, 64] — codes pack into one long")
     val aggs = (1 to dim).flatMap(i => Seq(
       min(element_at(col(vecCol), i).cast("double")).as(s"mn$i"),
       max(element_at(col(vecCol), i).cast("double")).as(s"mx$i")))
@@ -163,6 +169,20 @@ object Bq {
       vecCol: String): DataFrame =
     tagged.select(col(idCol), col("cluster"),
       bq_encode(model, col(vecCol)).as("code"))
+
+  /** Live-index insert for the composed IVF-BQ index: route the new
+    * batch through the FROZEN coarse quantizer, sign-encode with the
+    * FROZEN thresholds, union — map-only plus one tiny centroid
+    * broadcast; existing cluster partitions are untouched.
+    * Deletes need no composed variant: [[deleteFromIndex]] anti-joins
+    * clusterCodes by id and rows keep their cluster.
+    */
+  def appendToIvfIndex(model: Model, clusterCodes: DataFrame,
+      centroids: DataFrame, newRows: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    clusterCodes.unionByName(
+      encodeIvf(model, Ann.tagCorpus(newRows, idCol, vecCol, centroids),
+        idCol, vecCol))
 
   def searchIvfBq(model: Model, clusterCodes: DataFrame,
       centroids: DataFrame, corpus: DataFrame, query: DataFrame,

@@ -124,6 +124,41 @@ object IvfPq {
       .limit(topK)
   }
 
+  /** Live-index insert for the composed index: route each new vector
+    * through the FROZEN coarse quantizer (argmin-l2 centroid), encode
+    * with the FROZEN codebooks, union — map-only against the new batch
+    * plus one tiny broadcast, no retrain, no touch of existing codes.
+    * `residual = true` encodes x - centroid(x) instead of x, matching
+    * a [[buildResidual]] index (the append must mirror the encode the
+    * index was built with or ADC scores are garbage).
+    */
+  def appendToIndex(index: Index, newRows: DataFrame, idCol: String,
+      vecCol: String, residual: Boolean = false): Index = {
+    val tagged = Ann.tagCorpus(newRows, idCol, vecCol, index.centroids)
+    val newCodes =
+      if (residual) {
+        val resid = tagged.join(broadcast(index.centroids), Seq("cluster"))
+          .select(col(idCol), col("cluster"),
+            zip_with(col(vecCol), col("centroid"),
+              (x, c) => x.cast("double") - c).as("_r"))
+        Pq.encode(index.model, resid, idCol, "_r")
+          .join(resid.select(col(idCol), col("cluster")), Seq(idCol))
+      } else
+        Pq.encode(index.model, newRows, idCol, vecCol)
+          .join(tagged.select(col(idCol), col("cluster")), Seq(idCol))
+    Index(index.centroids, index.model, index.codes.unionByName(newCodes))
+  }
+
+  /** Live-index delete: anti-join the doomed ids out of the codes.
+    * Remaining rows keep their cluster, so an at-rest
+    * partitionBy("cluster") layout stays valid (only rewritten
+    * partitions change) — same contract as Ann.deleteFromIvf.
+    */
+  def deleteFromIndex(index: Index, idCol: String,
+      doomed: DataFrame): Index =
+    Index(index.centroids, index.model,
+      index.codes.join(doomed.select(col(idCol)), Seq(idCol), "left_anti"))
+
   /** At-rest layout: codes partitionBy(cluster) + centroids +
     * codebooks/params (reusing the PQ index layout for the latter).
     */

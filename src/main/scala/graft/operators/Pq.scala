@@ -160,6 +160,24 @@ object Pq {
         s => s.getField("code")).as("codes"))
       .select(col("_id").as(idCol), col("codes"))
 
+  /** Live-index insert: encode new rows with the FROZEN codebooks and
+    * union — map-only, no retrain (the storage-Insert path; same
+    * contract as Ann.appendToIvf / Sq.appendToIndex / Bq.appendToIndex,
+    * closing the one family asymmetry). Codebooks fitted on the old
+    * distribution still quantize drifted vectors — they just land on
+    * farther centroids — so unlike SQ8 there's no clamp cliff, only a
+    * gradual recall fade; recall audits (ann_recall_matrix) are the
+    * retrain trigger here.
+    */
+  def appendToIndex(model: Model, codes: DataFrame, newRows: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    codes.unionByName(encode(model, newRows, idCol, vecCol))
+
+  /** Live-index delete: anti-join the doomed ids out of the codes. */
+  def deleteFromIndex(codes: DataFrame, idCol: String,
+      doomed: DataFrame): DataFrame =
+    codes.join(doomed.select(col(idCol)), Seq(idCol), "left_anti")
+
   /** ADC top-k: squared-l2 lookup table folded into a literal array;
     * score(row) = sum_g table[g*k + codes[g]]. Returns (id, score)
     * ascending — approximate distances, exact ordering by the codes.

@@ -99,6 +99,41 @@ class BqSpec extends AnyFunSuite {
       fresh.orderBy("vec_id").collect().toSeq)
   }
 
+  test("dims beyond the 64-bit word are refused, not silently folded") {
+    intercept[IllegalArgumentException] {
+      Bq.train(corpus, "embedding", 65)
+    }
+    // a hand-built over-wide model must fail at encode time too
+    // (1L << 65 would wrap mod 64 and corrupt bit 1)
+    val wide = Bq.Model(65, Array.fill(65)(0.0))
+    val vec65 = corpus.limit(1).select(col("vec_id"),
+      concat(col("embedding"), array(lit(1.0f))).as("embedding"))
+    val err = intercept[Throwable] {
+      Bq.encode(wide, vec65, "vec_id", "embedding").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(err).exists(_.getMessage != null) &&
+      chain(err).exists(t => t.getMessage != null &&
+        t.getMessage.contains("exceeds the 64-bit word")), err.toString)
+  }
+
+  test("composed IVF-BQ append equals a fresh encodeIvf of the union") {
+    val e = corpus
+    val cents = e.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cluster"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    val model = Bq.train(e, "embedding", 64)
+    val full = Bq.encodeIvf(model,
+      graft.operators.Ann.tagCorpus(e, "vec_id", "embedding", cents),
+      "vec_id", "embedding")
+    val oldCodes = full.where(col("vec_id") < 400)
+    val live = Bq.appendToIvfIndex(model, oldCodes, cents,
+      e.where(col("vec_id") >= 400), "vec_id", "embedding")
+    assert(live.orderBy("vec_id").collect().toSeq ==
+      full.orderBy("vec_id").collect().toSeq)
+  }
+
   test("IVF-BQ with all clusters probed and corpus-sized shortlist == exact kNN") {
     val e = corpus
     val cents = e.where(col("vec_id") < 4)

@@ -82,4 +82,27 @@ class IvfPqSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(all.sameElements(pq))
   }
+
+  test("composed append+delete equals the full build's codes (raw and residual)") {
+    for (residual <- Seq(false, true)) {
+      val full =
+        if (residual) IvfPq.buildResidual(e, "vec_id", "embedding", dim = 64,
+          kClusters = 8, ivfIters = 2, m = 8, kCodes = 16, pqIters = 2)
+        else IvfPq.build(e, "vec_id", "embedding", dim = 64,
+          kClusters = 8, ivfIters = 2, m = 8, kCodes = 16, pqIters = 2)
+      // same frozen models, codes restricted to the "old" half...
+      val oldIdx = IvfPq.Index(full.centroids, full.model,
+        full.codes.where(col("vec_id") < 400))
+      // ...then live-append the other half and delete every 7th id
+      val doomed = e.where(col("vec_id") % 7 === 0)
+      val live = IvfPq.deleteFromIndex(
+        IvfPq.appendToIndex(oldIdx, e.where(col("vec_id") >= 400),
+          "vec_id", "embedding", residual),
+        "vec_id", doomed)
+      val expect = full.codes.where(col("vec_id") % 7 =!= 0)
+      assert(live.codes.orderBy("vec_id").collect().toSeq ==
+        expect.orderBy("vec_id").collect().toSeq,
+        s"residual=$residual live codes != full-build codes")
+    }
+  }
 }

@@ -97,4 +97,18 @@ class PqSpec extends AnyFunSuite {
     val recall = (exact intersect reranked).size / 10.0
     assert(recall >= 0.7, s"rerank recall $recall")
   }
+
+  test("append+delete round-trip equals a fresh encode on the same data") {
+    val old = e.where(col("vec_id") < 400)
+    val add = e.where(col("vec_id") >= 400)
+    val doomed = e.where(col("vec_id") % 7 === 0)
+    val live = Pq.deleteFromIndex(
+      Pq.appendToIndex(model, Pq.encode(model, old, "vec_id", "embedding"),
+        add, "vec_id", "embedding"),
+      "vec_id", doomed)
+    val fresh = Pq.encode(model,
+      e.where(col("vec_id") % 7 =!= 0), "vec_id", "embedding")
+    assert(live.orderBy("vec_id").collect().toSeq ==
+      fresh.orderBy("vec_id").collect().toSeq)
+  }
 }
