@@ -294,6 +294,65 @@ object Microbench {
     sb ++= "the difference between scanning everything and a partition-pruned\n"
     sb ++= "probe (see AnnScaleSpec for the at-rest pruning proof).\n"
 
+    // 6. the cross-family recall matrix (the oracled ann_recall_matrix
+    // query verbatim — deterministic models, shared 10-query sample)
+    sb ++= "\n## Recall matrix: every family x probe budget (ann_recall_matrix)\n\n"
+    sb ++= "Recall@10 vs exact top-10 under each family's serving metric\n"
+    sb ++= "(cosine for lsh/ivf, euclidean for the code-scan families),\n"
+    sb ++= "10-query sample, deterministic static models — DuckDB-oracled:\n\n"
+    sb ++= "| family | budget | recall@10 |\n|---|---|---|\n"
+    graft.operators.Recall.matrix(e, "vec_id", "embedding").collect()
+      .foreach { r =>
+        sb ++= f"| ${r.getString(0)} | ${r.getString(1)} | ${r.getDouble(2)}%.2f |\n"
+      }
+    sb ++= "\nReading: sq8 is near-exact (dequantized l2 preserves ranking),\n"
+    sb ++= "ivf routing dominates single-bucket lsh at this corpus size, and\n"
+    sb ++= "the 8-byte code families (pq/bq) buy their 32x byte reduction\n"
+    sb ++= "with recall that exact re-rank partially restores — grow the\n"
+    sb ++= "shortlist (BqSpec's monotone-recall contract) to buy it back.\n"
+
+    // 7. decontamination: exact shingle equi join vs the Bloom
+    // prefilter — the crossover evidence. Same split as the oracled
+    // queries (bench = doc_id % 97 == 0).
+    sb ++= "\n## Decontamination: exact shuffle vs Bloom prefilter\n\n"
+    sb ++= "| sf | exact (s) | bloom (s) | train shingle rows | rows past Bloom | survivor frac |\n|---|---|---|---|---|---|\n"
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(dir).isDirectory) {
+        val d = Tables.load(spark, dir, "documents")
+        val bench = d.where(col("doc_id") % 97 === 0)
+        val train = d.where(col("doc_id") % 97 =!= 0)
+        val tEx = time() {
+          graft.operators.Corpus.contaminatedIds(
+            train, bench, "text", "doc_id", 3).count()
+        }
+        val tBl = time() {
+          graft.operators.Corpus.contaminatedIdsBloom(
+            train, bench, "text", "doc_id", 3).count()
+        }
+        // the quantity the Bloom actually changes: shingle rows that
+        // reach the shuffle (exact join shuffles ALL of them)
+        val tSh = train.select(col("doc_id"),
+          explode(TextExprs.shingle_hashes(col("text"), 3)).as("sh"))
+        val total = tSh.count()
+        val bSh = bench.select(
+          explode(TextExprs.shingle_hashes(col("text"), 3)).as("sh")).distinct()
+        val past = tSh.join(bSh.hint("broadcast"), Seq("sh"), "left_semi").count()
+        sb ++= f"| $sf | $tEx%.2f | $tBl%.2f | $total | $past | ${past.toDouble / total}%.4f |\n"
+      }
+    }
+    sb ++= "\nAt these SFs the exact join wins on wall-clock: the corpus is\n"
+    sb ++= "small enough that building + broadcasting the 4M-entry Bloom\n"
+    sb ++= "(a fixed ~MB-scale cost) exceeds the shuffle it saves. The\n"
+    sb ++= "survivor-fraction column is the scale story: the Bloom drops\n"
+    sb ++= "91-99% of train shingle rows MAP-SIDE, so shuffle bytes scale as\n"
+    sb ++= "survivor_frac x corpus instead of 1.0 x corpus. The exact join's\n"
+    sb ++= "shuffle grows linearly with train tokens (100 TB -> ~100 TB\n"
+    sb ++= "shuffled); the Bloom variant's shuffle stays proportional to the\n"
+    sb ++= "(tiny) contaminated sliver while its fixed cost is unchanged —\n"
+    sb ++= "the crossover lands as soon as the saved shuffle exceeds the\n"
+    sb ++= "seconds-scale filter build, i.e. a few GB of train text.\n"
+
     Files.createDirectories(Paths.get("docs"))
     Files.writeString(Paths.get("docs/PERF.md"), sb.toString)
     println("wrote docs/PERF.md")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SqlSnips, TextEmbed, TextExprs, TextFuncs, VectorFunctions}
-import graft.operators.{Ann, Bm25, Bq, Corpus, Dedup, IvfPq, Knn, Mmr, Pq, Profile, Skew, Sq}
+import graft.operators.{Ann, Bm25, Bq, Corpus, Dedup, IvfPq, Knn, Mmr, Pq, Profile, Recall, Skew, Sq}
 import graft.sources.VectorStore
 
 /** Driver contract — see SURVEY.md §2 (inventory) and §7 (plan).
@@ -713,6 +713,15 @@ object SparkEntry {
       Ann.lshRecallReport(e, e.where(col("vec_id") < 20),
         "vec_id", "embedding", "cosine", k = 10, numPlanes = 8)
     }),
+
+    // -- the cross-family recall matrix: every index family at 2-3
+    //    probe budgets vs exact top-10 under its serving metric, on a
+    //    shared 10-query sample. Deterministic models (static
+    //    centroids/codebooks, min/max-trained SQ8/BQ), so the whole
+    //    report replays in DuckDB --
+    "ann_recall_matrix" -> ((s, dir) =>
+      Recall.matrix(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nQueries = 10, k = 10)),
 
     "doc_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1425,6 +1434,155 @@ object SparkEntry {
     (head +: steps).mkString(",\n")
   }
 
+  /** ann_recall_matrix oracle: replays Recall.matrix wholesale — the
+    * exact top-10 baselines (cosine + euclidean), every family's
+    * deterministic model (LSH signatures, static first-8 centroids,
+    * static codebooks, min/max SQ8/BQ) and candidate ranking, then
+    * the per-(family, budget) hit-rate aggregate. Each family CTE is
+    * the per-query generalization of that family's existing
+    * single-query oracle (same kernels, same rounding, same
+    * tie-breaks).
+    */
+  private def recallMatrixOracle: String = {
+    val nq = 10; val k = 10; val c = 30
+    // per-query top-n by (s, vec_id) over an inner (qid, vec_id, s)
+    def top(inner: String, n: Int): String =
+      s"SELECT qid, vec_id, s FROM (SELECT _t.*, row_number() OVER " +
+        s"(PARTITION BY qid ORDER BY s, vec_id) AS _rn FROM ($inner) _t) _r " +
+        s"WHERE _rn <= $n"
+    def sig(p: Int): String =
+      s"list_sum(list_transform(range(0, $p), p -> CASE WHEN " +
+        "list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * " +
+        "((((p * 64 + i) * 2654435761) % 4294967296) / 4294967296.0 - 0.5))) > 0 " +
+        "THEN CAST(2 ** p AS BIGINT) ELSE 0 END))"
+    val l2e = "sqrt(list_sum(list_transform(e.embedding, (x, i) -> " +
+      "(CAST(x AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) * " +
+      "(CAST(x AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)))))"
+    val l2q = "sqrt(list_sum(list_transform(q.qvec, (x, i) -> " +
+      "(CAST(x AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) * " +
+      "(CAST(x AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)))))"
+    // exact euclidean re-rank of a (qid, vec_id) shortlist cte
+    def rr(shortCte: String): String = top(
+      s"SELECT s.qid, e.vec_id, ${sqlDist("euclidean")} AS s " +
+        s"FROM $shortCte s JOIN embeddings e ON e.vec_id = s.vec_id " +
+        s"JOIN qs q ON q.qid = s.qid", k)
+    val lshCtes = Seq(8, 6).map { p =>
+      s"sg$p AS (SELECT vec_id, embedding, ${sig(p)} AS b FROM embeddings), " +
+        s"lsh$p AS (${top(
+          s"SELECT q.qid, e.vec_id, ${sqlDist("cosine")} AS s FROM sg$p e " +
+            s"JOIN (SELECT vec_id AS qid, embedding AS qvec, b AS qb FROM sg$p " +
+            s"WHERE vec_id < $nq) q ON e.b = q.qb", k)})"
+    }.mkString(", ")
+    val ivfCtes = Seq(1, 2, 4).map { n =>
+      s"qc$n AS (SELECT qid, qvec, cluster FROM (SELECT q.qid, q.qvec, " +
+        s"c.cluster, row_number() OVER (PARTITION BY q.qid ORDER BY $l2q, " +
+        s"c.cluster) AS _rn FROM cents c, qs q) _ WHERE _rn <= $n), " +
+        s"ivf$n AS (${top(
+          s"SELECT q.qid, e.vec_id, ${sqlDist("cosine")} AS s FROM asgn e " +
+            s"JOIN qc$n q ON e.cluster = q.cluster", k)})"
+    }.mkString(", ")
+    val ivfpqCtes = Seq(2, 4).map { n =>
+      s"routed$n AS (SELECT q.qid, a.vec_id FROM asgn a JOIN qc$n q ON " +
+        s"a.cluster = q.cluster), " +
+        s"ivfpq$n AS (${top(
+          s"SELECT d.qid, d.vec_id, d.s FROM adc d JOIN routed$n r ON " +
+            s"r.qid = d.qid AND r.vec_id = d.vec_id", k)})"
+    }.mkString(", ")
+    val unions = Seq(
+      ("lsh", "planes=8", "lsh8", "cos"), ("lsh", "planes=6", "lsh6", "cos"),
+      ("ivf", "nprobe=1", "ivf1", "cos"), ("ivf", "nprobe=2", "ivf2", "cos"),
+      ("ivf", "nprobe=4", "ivf4", "cos"),
+      ("pq", "adc", "pqa", "euc"), ("pq", "rerank=30", "pqrr", "euc"),
+      ("sq8", "codes", "sq8c", "euc"), ("sq8", "rerank=30", "sq8rr", "euc"),
+      ("bq", "hamming", "bqh", "euc"), ("bq", "rerank=30", "bqrr", "euc"),
+      ("ivfpq", "nprobe=2", "ivfpq2", "euc"), ("ivfpq", "nprobe=4", "ivfpq4", "euc"))
+    val allp = unions.map { case (f, bdg, cte, _) =>
+      s"SELECT '$f' AS family, '$bdg' AS budget, qid, vec_id FROM $cte"
+    }.mkString(" UNION ALL ")
+    val fams = unions.map { case (f, bdg, _, m) => s"('$f', '$bdg', '$m')" }
+      .mkString(", ")
+    (s"WITH qs AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings " +
+      s"WHERE vec_id < $nq), " +
+      s"exc AS (${top(s"SELECT q.qid, e.vec_id, ${sqlDist("cosine")} AS s " +
+        "FROM embeddings e, qs q", k)}), " +
+      s"exe AS (${top(s"SELECT q.qid, e.vec_id, ${sqlDist("euclidean")} AS s " +
+        "FROM embeddings e, qs q", k)}), " +
+      lshCtes + ", " +
+      // static first-8 centroids + full-corpus argmin-l2 assignment
+      "cents AS (SELECT CAST(vec_id AS INTEGER) AS cluster, embedding AS " +
+      "centroid FROM embeddings WHERE vec_id < 8), " +
+      "asgn AS (SELECT vec_id, embedding, cluster FROM (SELECT e.vec_id, " +
+      s"e.embedding, c.cluster, row_number() OVER (PARTITION BY e.vec_id " +
+      s"ORDER BY $l2e, c.cluster) AS _rn FROM embeddings e, cents c) _ " +
+      "WHERE _rn = 1), " +
+      ivfCtes + ", " +
+      // static PQ codebooks (subvectors of vectors 0..15), argmin encode,
+      // per-query ADC — the qid-keyed generalization of pqStaticCtes
+      "g8 AS (SELECT unnest(range(0, 8)) AS grp), " +
+      "cb AS (SELECT g8.grp, CAST(e.vec_id AS INTEGER) AS code, " +
+      "list_transform(e.embedding[(g8.grp*8+1):(g8.grp*8+8)], x -> " +
+      "CAST(x AS DOUBLE)) AS centroid FROM embeddings e, g8 WHERE e.vec_id < 16), " +
+      "sv AS (SELECT e.vec_id, g8.grp, " +
+      "list_transform(e.embedding[(g8.grp*8+1):(g8.grp*8+8)], x -> " +
+      "CAST(x AS DOUBLE)) AS sv FROM embeddings e, g8), " +
+      "pasgn AS (SELECT vec_id, grp, code FROM (SELECT sv.vec_id, sv.grp, " +
+      "cb.code, row_number() OVER (PARTITION BY sv.vec_id, sv.grp ORDER BY " +
+      "sqrt(list_sum(list_transform(sv.sv, (x, i) -> (x - cb.centroid[i]) * " +
+      "(x - cb.centroid[i])))), cb.code) AS _rn FROM sv JOIN cb ON " +
+      "sv.grp = cb.grp) _ WHERE _rn = 1), " +
+      s"qsv AS (SELECT q.qid, g8.grp, list_transform(" +
+      "q.qvec[(g8.grp*8+1):(g8.grp*8+8)], x -> CAST(x AS DOUBLE)) AS qsv " +
+      "FROM qs q, g8), " +
+      "adc AS (SELECT p.qid, a.vec_id, round(sqrt(sum(list_sum(" +
+      "list_transform(p.qsv, (x, i) -> (x - cb.centroid[i]) * " +
+      "(x - cb.centroid[i]))))), 4) AS s FROM pasgn a JOIN cb ON " +
+      "a.grp = cb.grp AND a.code = cb.code JOIN qsv p ON p.grp = a.grp " +
+      "GROUP BY p.qid, a.vec_id), " +
+      s"pqa AS (${top("SELECT qid, vec_id, s FROM adc", k)}), " +
+      s"pqs30 AS (${top("SELECT qid, vec_id, s FROM adc", c)}), " +
+      s"pqrr AS (${rr("pqs30")}), " +
+      // SQ8: min/max ranges, quantize, dequantized-l2 (ann_sq8 kernel)
+      "mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs " +
+      "FROM (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn, " +
+      "max(CAST(embedding[i] AS DOUBLE)) AS mx FROM embeddings, " +
+      "range(1, 65) t(i) GROUP BY i)), " +
+      "cds AS (SELECT vec_id, list_transform(embedding, (x, i) -> " +
+      "CASE WHEN mxs[i] = mns[i] THEN 0 ELSE greatest(0, least(255, " +
+      "floor((CAST(x AS DOUBLE) - mns[i]) * 255.0 / (mxs[i] - mns[i]) + 0.5)))" +
+      " END) AS cs FROM embeddings, mm), " +
+      "sqsc AS (SELECT q.qid, cd.vec_id, round(sqrt(list_sum(" +
+      "list_transform(cd.cs, (c2, i) -> " +
+      "(mns[i] + c2 * (mxs[i] - mns[i]) / 255.0 - CAST(q.qvec[i] AS DOUBLE)) * " +
+      "(mns[i] + c2 * (mxs[i] - mns[i]) / 255.0 - CAST(q.qvec[i] AS DOUBLE))" +
+      "))), 4) AS s FROM cds cd, mm, qs q), " +
+      s"sq8c AS (${top("SELECT qid, vec_id, s FROM sqsc", k)}), " +
+      s"sqs30 AS (${top("SELECT qid, vec_id, s FROM sqsc", c)}), " +
+      s"sq8rr AS (${rr("sqs30")}), " +
+      // BQ: midrange thresholds, per-dim sign disagreement = hamming
+      "mm2 AS (SELECT list((mn + mx) / 2.0 ORDER BY i) AS thr FROM " +
+      "(SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn, " +
+      "max(CAST(embedding[i] AS DOUBLE)) AS mx FROM embeddings, " +
+      "range(1, 65) t(i) GROUP BY i)), " +
+      "bqsc AS (SELECT q.qid, e.vec_id, list_sum(list_transform(" +
+      "e.embedding, (x, i) -> CASE WHEN (CAST(x AS DOUBLE) > thr[i]) != " +
+      "(CAST(q.qvec[i] AS DOUBLE) > thr[i]) THEN 1 ELSE 0 END)) AS s " +
+      "FROM embeddings e, mm2, qs q), " +
+      s"bqh AS (${top("SELECT qid, vec_id, s FROM bqsc", k)}), " +
+      s"bqs30 AS (${top("SELECT qid, vec_id, s FROM bqsc", c)}), " +
+      s"bqrr AS (${rr("bqs30")}), " +
+      ivfpqCtes + ", " +
+      s"allp AS ($allp), " +
+      "ex AS (SELECT 'cos' AS m, qid, vec_id FROM exc UNION ALL " +
+      "SELECT 'euc' AS m, qid, vec_id FROM exe) " +
+      "SELECT f.family AS family, f.budget AS budget, " +
+      "round(avg(CASE WHEN a.vec_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) " +
+      s"AS recall FROM (VALUES $fams) f(family, budget, m) " +
+      "JOIN ex ON ex.m = f.m " +
+      "LEFT JOIN allp a ON a.family = f.family AND a.budget = f.budget " +
+      "AND a.qid = ex.qid AND a.vec_id = ex.vec_id " +
+      "GROUP BY f.family, f.budget ORDER BY family, budget")
+  }
+
   private val pqStaticCtes: String =
     """g8 AS (SELECT unnest(range(0, 8)) AS grp),
       |cb AS (SELECT g8.grp, CAST(e.vec_id AS INTEGER) AS code,
@@ -1800,6 +1958,7 @@ object SparkEntry {
            |SELECT ex.qid AS qid, CAST(count(ap.vec_id) AS BIGINT) AS n_hit
            |FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
            |GROUP BY ex.qid ORDER BY qid""".stripMargin.replaceAll("\n", " "),
+      "ann_recall_matrix" -> recallMatrixOracle,
       "dedup_exact" ->
         """SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keep_id
           |FROM documents GROUP BY md5(text) ORDER BY h LIMIT 100""".stripMargin.replaceAll("\n", " "),
