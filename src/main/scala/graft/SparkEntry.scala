@@ -1072,6 +1072,15 @@ object SparkEntry {
     "streaming_dedup" -> ((s, dir) =>
       graft.streaming.EventStream.dedupDistinctBatchDrain(s, dir)),
 
+    // -- streaming SEARCH over the loaded at-rest IVF index: queries
+    //    stream in, each micro-batch routes through the coarse
+    //    quantizer and probes only its clusters (one partition-pruned
+    //    job per batch, results written by executors). Static
+    //    centroids -> the whole serving path oracles in DuckDB --
+    "streaming_search" -> ((s, dir) =>
+      graft.streaming.SearchStream.searchBatchDrain(s, dir,
+        nQueries = 10, k = 10, nprobe = 2)),
+
     // -- product quantization ANN (8 bytes/vector ADC search);
     //    trained codebooks, fully oracled via pqKmeansCtes. Codebooks
     //    train on the id%2 sample; the query vector stays a broadcast
@@ -1432,6 +1441,37 @@ object SparkEntry {
          |  GROUP BY grp, code)""".stripMargin
     }
     (head +: steps).mkString(",\n")
+  }
+
+  /** streaming_search oracle: the per-query generalization of
+    * ann_ivf_static — each of the 10 streamed queries routes to its
+    * own nprobe=2 nearest static centroids and ranks its probed
+    * clusters' rows by rounded cosine; streaming drain order is
+    * (qid, dist, vec_id).
+    */
+  private def streamingSearchOracle: String = {
+    val l2e = "sqrt(list_sum(list_transform(e.embedding, (x, i) -> " +
+      "(CAST(x AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) * " +
+      "(CAST(x AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)))))"
+    val l2q = "sqrt(list_sum(list_transform(q.qvec, (x, i) -> " +
+      "(CAST(x AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) * " +
+      "(CAST(x AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)))))"
+    "WITH qs AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings " +
+      "WHERE vec_id < 10), " +
+      "cents AS (SELECT CAST(vec_id AS INTEGER) AS cluster, embedding AS " +
+      "centroid FROM embeddings WHERE vec_id < 8), " +
+      "asgn AS (SELECT vec_id, embedding, cluster FROM (SELECT e.vec_id, " +
+      "e.embedding, c.cluster, row_number() OVER (PARTITION BY e.vec_id " +
+      s"ORDER BY $l2e, c.cluster) AS _rn FROM embeddings e, cents c) _ " +
+      "WHERE _rn = 1), " +
+      "qc AS (SELECT qid, qvec, cluster FROM (SELECT q.qid, q.qvec, " +
+      "c.cluster, row_number() OVER (PARTITION BY q.qid ORDER BY " +
+      s"$l2q, c.cluster) AS _rn FROM cents c, qs q) _ WHERE _rn <= 2) " +
+      "SELECT qid, vec_id, dist FROM (SELECT q.qid, e.vec_id, " +
+      s"${sqlDist("cosine")} AS dist, row_number() OVER (PARTITION BY " +
+      s"q.qid ORDER BY ${sqlDist("cosine")}, e.vec_id) AS _rn " +
+      "FROM asgn e JOIN qc q ON e.cluster = q.cluster) _ WHERE _rn <= 10 " +
+      "ORDER BY qid, dist, vec_id"
   }
 
   /** ann_recall_matrix oracle: replays Recall.matrix wholesale — the
@@ -1959,6 +1999,7 @@ object SparkEntry {
            |FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
            |GROUP BY ex.qid ORDER BY qid""".stripMargin.replaceAll("\n", " "),
       "ann_recall_matrix" -> recallMatrixOracle,
+      "streaming_search" -> streamingSearchOracle,
       "dedup_exact" ->
         """SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keep_id
           |FROM documents GROUP BY md5(text) ORDER BY h LIMIT 100""".stripMargin.replaceAll("\n", " "),

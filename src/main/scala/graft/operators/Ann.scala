@@ -403,6 +403,38 @@ object Ann {
       .limit(k)
   }
 
+  /** Batch form of [[searchIvf]]: many queries at once, each routed
+    * to ITS `nprobe` nearest clusters and ranked independently —
+    * `queries` is a (qid, qvec) frame. One broadcast of the routed
+    * (qid, qvec, cluster) table replaces per-query driver loops, so a
+    * micro-batch of streamed queries costs ONE partition-pruned scan
+    * of the probed clusters' union, not |batch| jobs. Per-query
+    * results are identical to [[searchIvf]] (same routing ties, same
+    * rounded-distance + id ranking).
+    */
+  def searchIvfBatch(
+      tagged: DataFrame, centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, metric: String, k: Int,
+      nprobe: Int = 2, roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val routed = queries.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qvec"), col("cluster"),
+        VectorFunctions.vec_l2(
+          transform(col("qvec"), _.cast("double")), col("centroid")).as("_d"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("_d"), col("cluster"))))
+      .where(col("_rn") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cluster"))
+    val d = VectorFunctions.forMetric(metric)(col(vecCol), col("qvec"))
+    tagged
+      .join(broadcast(routed), Seq("cluster")) // partition-prunes at rest
+      .select(col("qid"), col(idCol), round(d, roundTo).as("dist"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))))
+      .where(col("_rn") <= k)
+      .select(col("qid"), col(idCol), col("dist"))
+  }
+
   /** Recall@k self-report for the LSH index: for each query vector,
     * how many of the exact top-k survive in the LSH-bucketed top-k
     * (`n_hit` of `k`). This is the index-quality audit every ANN

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Ann
+
+/** Streaming SEARCH over an at-rest index — the serving mirror of
+  * StreamIngestSpec's ingest direction (there: vectors stream INTO a
+  * live index via foreachBatch appendToIvf; here: QUERIES stream in
+  * and each micro-batch probes the loaded index). This is the batch
+  * idiom for the reference's online Search endpoint
+  * (pkg/index/hnsw/hnsw.go Search): a query firehose lands in
+  * micro-batches, each batch routes through the coarse quantizer and
+  * scans only its probed clusters — one partition-pruned job per
+  * batch via [[Ann.searchIvfBatch]], never per-query driver loops.
+  *
+  * State: none (the index is static within a serving generation), so
+  * there is no watermark to manage; restarts are safe because every
+  * batch's output is append-only and keyed by qid.
+  */
+object SearchStream {
+
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Run the query stream against a static IVF index (first-8
+    * centroids — deterministic, same as `ann_ivf_static`) and drain
+    * synchronously: queries = the first `nQueries` embedding rows
+    * streamed from parquet, each micro-batch probed with
+    * `nprobe`-cluster routing, results appended to `outDir` as
+    * parquet BY THE EXECUTORS (no driver-side result collection),
+    * then read back ordered. The oracle replays the same per-query
+    * routing + rounded-cosine ranking in DuckDB.
+    */
+  def searchBatchDrain(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val cents = e.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cluster"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    // the loaded serving generation: tag once, keep hot across batches
+    val tagged = Ann.tagCorpus(e, "vec_id", "embedding", cents).persist()
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_search").toString
+    try {
+      val q = spark.readStream.schema(embSchema).parquet(s"$sfDir/embeddings.*")
+        .where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            Ann.searchIvfBatch(tagged, cents, batch, "vec_id", "embedding",
+                "cosine", k, nprobe)
+              .write.mode("append").parquet(outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val spark2 = spark
+      import spark2.implicits._
+      // empty stream -> no parquet written; return an empty typed frame
+      if (!new java.io.File(outDir).listFiles().exists(_.getName.endsWith(".parquet")))
+        Seq.empty[(Long, Long, Double)].toDF("qid", "vec_id", "dist")
+      else
+        spark.read.parquet(outDir)
+          .orderBy(col("qid"), col("dist"), col("vec_id"))
+          .localCheckpoint(eager = true) // detach from the temp dir
+    } finally {
+      tagged.unpersist(false)
+      // best-effort temp cleanup; the checkpoint above owns the rows
+      try {
+        val d = new java.io.File(outDir)
+        Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+      } catch { case _: Throwable => () }
+    }
+  }
+}

@@ -64,4 +64,45 @@ class StreamIngestSpec extends AnyFunSuite {
       oneShot.except(streamed).isEmpty,
       "streamed ingest must equal the one-shot batch build")
   }
+
+  test("searchIvfBatch per-query results equal single-query searchIvf") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = e.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cluster"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    val tagged = Ann.tagCorpus(e, "vec_id", "embedding", cents)
+    val queries = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = Ann.searchIvfBatch(tagged, cents, queries,
+        "vec_id", "embedding", "cosine", k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    (0L until 5L).foreach { qid =>
+      val single = Ann.searchIvf(tagged, cents,
+          e.where(col("vec_id") === qid).select(col("embedding").as("qvec")),
+          "vec_id", "embedding", "cosine", 10, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid).sortBy(t => (t._2, t._1)) == single,
+        s"qid $qid batch != single")
+    }
+  }
+
+  test("streaming search drain equals the batch probe of the query set") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.SearchStream
+      .searchBatchDrain(spark, sf, nQueries = 10, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val e = Tables.load(spark, sf, "embeddings")
+    val cents = e.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cluster"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    val tagged = Ann.tagCorpus(e, "vec_id", "embedding", cents)
+    val batch = Ann.searchIvfBatch(tagged, cents,
+        e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "vec_id", "embedding", "cosine", k = 10, nprobe = 2)
+      .orderBy(col("qid"), col("dist"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed == batch)
+  }
 }
