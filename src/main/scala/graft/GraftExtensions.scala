@@ -58,8 +58,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => ShingleHashesExpr(es.head, 3)))
     e.injectFunction(fn("heavy_hitters",
       "heavy_hitters(item, m) - Space-Saving top items sketch (bounded memory)",
-      es => HeavyHittersAgg(es(0),
-        es(1).eval(null).asInstanceOf[Number].intValue())
-        .toAggregateExpression()))
+      es => {
+        // m parameterizes sketch MEMORY, so it must be a literal at
+        // plan time — reject column refs (eval(null) would crash
+        // opaquely) and non-positive sizes up front
+        if (!es(1).foldable) throw new IllegalArgumentException(
+          "heavy_hitters: m must be a foldable literal, got " + es(1).sql)
+        val m = es(1).eval(null) match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            "heavy_hitters: m must be numeric, got " + other)
+        }
+        if (m < 1) throw new IllegalArgumentException(
+          s"heavy_hitters: m must be >= 1, got $m")
+        HeavyHittersAgg(es(0), m).toAggregateExpression()
+      }))
   }
 }

@@ -780,6 +780,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // -- the composed NEAR-dup pipeline (round-7 sibling of
+    //    pipeline_corpus's exact-dedup stage): minhash band buckets ->
+    //    candidate pairs -> connected components -> keep one doc per
+    //    cluster (the component representative) -> per-source audit.
+    //    Every stage is the already-oracled operator; the only
+    //    non-lazy step is CC's bounded convergence scalar --
+    "pipeline_corpus_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
+      val dropped = Dedup.connectedComponents(
+          docs.select(col("doc_id")), pairs, "doc_id", "doc_a", "doc_b")
+        .where(col("rep") =!= col("doc_id"))
+        .select(col("doc_id"))
+      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy(col("source"))
+    }),
+
     // -- LSH-bucketed near-dup pairs: candidates share an LSH bucket
     //    (equi hash join, never an all-pairs product). Plane count is
     //    DERIVED from count(*) so expected bucket size stays ~32 as
@@ -2068,6 +2087,28 @@ object SparkEntry {
            |  UNION SELECT e.d, reach.r FROM edges e JOIN reach ON reach.n = e.s)
            |SELECT n AS doc_id, min(r) AS rep FROM reach GROUP BY n
            |HAVING min(r) <> n ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+      },
+      // same minhash->CC chain, then keep-one + per-source audit
+      "pipeline_corpus_neardup" -> {
+        val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+        s"""WITH RECURSIVE tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+           |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
+           |  FROM tk WHERE len(toks) >= 3),
+           |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
+           |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
+           |pairs AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+           |  FROM bands x JOIN bands y
+           |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc),
+           |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(n, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+           |  UNION SELECT e.d, reach.r FROM edges e JOIN reach ON reach.n = e.s),
+           |dropped AS (SELECT n AS doc_id FROM reach GROUP BY n HAVING min(r) <> n)
+           |SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(d.n_chars) AS BIGINT) AS n_chars
+           |FROM documents d LEFT JOIN dropped x ON d.doc_id = x.doc_id
+           |WHERE x.doc_id IS NULL
+           |GROUP BY d.source ORDER BY source""".stripMargin.replaceAll("\n", " ")
       },
       "docs_chunk" ->
         s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),

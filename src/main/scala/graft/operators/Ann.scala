@@ -291,6 +291,12 @@ object Ann {
     * at-rest index can serve FILTERED ANN — predicate applied inside
     * the probed clusters — without a join back to the base table.
     * They ride the min_by payload struct: no extra shuffle.
+    *
+    * Null contract (surfaced from the private assignment kernel):
+    * rows with a null vector — or one whose distance evaluates null,
+    * e.g. malformed length with null elements — are silently DROPPED
+    * from the tagged index, not errored. Filter/assert non-null
+    * fixed-length vectors first when the corpus is untrusted.
     */
   def tagCorpus(
       corpus: DataFrame, idCol: String, vecCol: String,

@@ -297,7 +297,10 @@ object Corpus {
       roundTo: Int = 4): DataFrame = {
     val terms = df.select(col(idCol),
       explode(TextFuncs.tokens(col(textCol))).as("term"))
-      .localCheckpoint(true) // tokenize once: vocab + scoring reuse it
+      // tokenize once: vocab + scoring reuse it. LAZY checkpoint —
+      // materializes on the first action, so plan-only callers
+      // (explain/dry-run) don't pay a full tokenize job
+      .localCheckpoint(eager = false)
     val tc = terms.groupBy("term").agg(count(lit(1)).as("c"))
     val tot = tc.agg(sum(col("c")).cast("double").as("n"))
     terms.join(tc, "term")

@@ -43,6 +43,41 @@ class HeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("tokens_hh_exact regime: distinct tokens <= m=128 at every SF") {
+    // the driver query's oracle (plain GROUP BY with err=0) is only
+    // equal to the sketch when capacity covers the whole domain; this
+    // pins that assumption on the actual test corpora so a testdata
+    // regeneration that widens the vocabulary fails HERE, not as an
+    // opaque hash mismatch in the gate
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(dir).isDirectory) {
+        val d = Tables.load(spark, dir, "documents")
+        val distinct = d.select(explode(TextFuncs.tokens(col("text"))).as("t"))
+          .agg(countDistinct(col("t"))).head().getLong(0)
+        assert(distinct <= 128, s"$sf: $distinct distinct tokens > m=128")
+      }
+    }
+  }
+
+  test("SQL heavy_hitters registration validates m") {
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    d.createOrReplaceTempView("hh_docs")
+    // valid literal m works through SQL
+    val ok = spark.sql(
+      "SELECT heavy_hitters(source, 4) AS hh FROM hh_docs").head()
+    assert(ok.getSeq[Any](0).nonEmpty)
+    // m = 0 and non-literal m are rejected with a clear message
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT heavy_hitters(source, 0) FROM hh_docs").head()
+    }
+    assert(e1.getMessage.contains("m must be >= 1"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT heavy_hitters(source, n_chars) FROM hh_docs").head()
+    }
+    assert(e2.getMessage.contains("foldable"), e2.getMessage)
+  }
+
   test("plan shape: partial heavy_hitters before the exchange") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val toks = docs.select(explode(TextFuncs.tokens(col("text"))).as("t"))
