@@ -41,7 +41,7 @@ object Bench {
     // the headline total.
     val results = SparkEntry.queries.map { case (name, fn) =>
       var failed = false
-      val times = (1 to reps).flatMap { _ =>
+      def run(): Option[Double] =
         if (failed) None
         else {
           val t0 = System.nanoTime()
@@ -55,7 +55,12 @@ object Bench {
           cleanup()
           if (ok) Some(dt) else None
         }
-      }
+      var times = (1 to reps).flatMap(_ => run())
+      // adaptive re-sample: when the spread still exceeds 2x (a GC /
+      // JIT straggler got through), two more reps tighten the median
+      // — only noisy queries pay the extra runs
+      if (!failed && times.nonEmpty && times.max / times.min > 2.0)
+        times = times ++ (1 to 2).flatMap(_ => run())
       name -> (if (failed) -1.0 else times.sorted.apply(times.size / 2))
     }
     // build/search phase split for the trained-index families: build =
