@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SqlSnips, TextEmbed, TextExprs, TextFuncs, VectorFunctions}
-import graft.operators.{Ann, Bm25, Bq, Corpus, Dedup, IvfPq, Knn, Mmr, Pq, Profile, Recall, Skew, Sq}
+import graft.operators.{Ann, Bm25, Bq, Corpus, Dedup, IvfPq, Knn, Mmr, Pq, Profile, Recall, Skew, Sq, TimeSeries}
 import graft.sources.VectorStore
 
 /** Driver contract — see SURVEY.md §2 (inventory) and §7 (plan).
@@ -268,6 +268,27 @@ object SparkEntry {
         .orderBy(col("n_name"), col("yr"))
     }),
 
+    // -- TPC-H Q10-style returned-item revenue: who cost us the most
+    //    in returns. lineitem is filtered BEFORE the joins (predicate
+    //    sits on the scan), orders->customer shuffle-joins on their
+    //    keys, bounded nation broadcasts, and the final top-20 is a
+    //    TakeOrderedAndProject (no full sort at 100 TB) --
+    "q10_returns" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) / 1000,
+          2).as("revenue_k"))
+        .orderBy(col("revenue_k").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // -- exact interpolated percentiles (reference has no aggs beyond
     //    COUNT; this is the analytics-side extension) --
     "events_quantiles" -> ((s, dir) =>
@@ -436,7 +457,30 @@ object SparkEntry {
         .select(col("event_type"), col("hour_bucket"),
           col("n"), round((col("n") - col("mu")) / col("sd"), 4).as("z"))
         .orderBy(col("event_type"), col("hour_bucket"))
-    })
+    }),
+
+    // -- multi-level rollup (per type×hour, per type, grand total) in
+    //    ONE pass: Expand feeds each input row to every grouping set
+    //    map-side, so the event stream is still shuffled exactly once
+    //    and the reduce side sees the union of the three aggregates.
+    //    NULL grouping labels are coalesced to sentinels so the result
+    //    is all-scalar and sorts deterministically --
+    "events_rollup" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 1000000000 div 3600").as("hour_bucket"), col("value"))
+        .rollup(col("event_type"), col("hour_bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("hour_bucket"), lit(-1L)).as("hour_bucket"),
+          col("n"), col("total"))
+        .orderBy(col("event_type"), col("hour_bucket"))),
+
+    // -- dense hourly series with forward-filled gaps (TimeSeries
+    //    docstring has the scale story: events shuffle once, the
+    //    grid/window stages run over the |keys|x|hours| aggregate) --
+    "events_gapfill" -> ((s, dir) =>
+      TimeSeries.gapFillHourly(t(s, dir, "events"), "event_type"))
   )
 
   /** Text-analysis / dedup / CRUD / embedding layer (SURVEY.md §2
@@ -2806,6 +2850,15 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE p_name LIKE '%a%'
         |GROUP BY n_name, year(o_orderdate) ORDER BY n_name, yr""".stripMargin.replaceAll("\n", " "),
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)) / 1000, 2) AS revenue_k
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_k DESC, c_custkey LIMIT 20""".stripMargin.replaceAll("\n", " "),
     "events_quantiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med,
         | round(quantile_cont(value, 0.9), 4) AS p90, round(avg(value), 4) AS mean
@@ -2875,6 +2928,30 @@ object SparkEntry {
         |SELECT event_type, hour_bucket, n, round((n - mu) / sd, 4) AS z
         |FROM w WHERE n_prev = 6 AND sd > 0
         |ORDER BY event_type, hour_bucket""".stripMargin.replaceAll("\n", " "),
+    "events_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        | coalesce(hour_bucket, -1) AS hour_bucket,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+        |FROM (SELECT event_type,
+        |  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, value
+        |  FROM events)
+        |GROUP BY ROLLUP (event_type, hour_bucket)
+        |ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+    "events_gapfill" ->
+      """WITH h AS (SELECT event_type,
+        |  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type,
+        |  unnest(generate_series(min(hour_bucket), max(hour_bucket))) AS hour_bucket
+        |  FROM h GROUP BY event_type),
+        |j AS (SELECT g.event_type, g.hour_bucket, h.n_obs
+        |  FROM g LEFT JOIN h USING (event_type, hour_bucket))
+        |SELECT event_type, hour_bucket,
+        | CAST(last_value(n_obs IGNORE NULLS) OVER (PARTITION BY event_type
+        |   ORDER BY hour_bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n,
+        | n_obs IS NULL AS is_gap
+        |FROM j ORDER BY event_type, hour_bucket""".stripMargin.replaceAll("\n", " "),
     // strict-gap sessions (`<`, matching session_window's end-exclusive
     // merge rule; sessionize_sql's variant uses `<=`)
     "events_session_window" ->

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series repair over the event stream: regularize an hourly
+  * per-key count series onto a dense grid and forward-fill the gaps —
+  * the preprocessing step in front of any anomaly detector or
+  * forecaster that assumes an evenly-spaced series (the reference
+  * stops at raw event storage; this is the shaping a monitoring
+  * pipeline does before it can z-score, cf. the `events_zscore`
+  * query's ROWS frame which silently misbehaves on gapped hours).
+  *
+  * Scale shape: the only shuffle that touches raw events is the first
+  * hash aggregate (map-side partial combine → |keys|×|hours| rows).
+  * The dense grid is generated FROM the aggregate (per-key min/max
+  * span + `sequence`/`explode`), so grid size is bounded by
+  * |keys| × span-hours regardless of event volume, and the
+  * forward-fill window runs over that small grid — never over events.
+  * At 100 TB of events with ~1e3 keys × ~1e4 hours the post-agg
+  * stages are ~1e7 rows: driver-free, broadcast-free, skew-free.
+  */
+object TimeSeries {
+
+  /** Hourly count series per `keyCol`, densified to every hour in the
+    * key's observed [min, max] span, with missing hours forward-filled
+    * from the most recent observed hour: (key, hour_bucket, n,
+    * is_gap). `ts` is long nanos (Tables.load). The first hour per
+    * key is observed by construction (the span starts at an observed
+    * min), so `n` is never null after the fill.
+    */
+  def gapFillHourly(events: DataFrame, keyCol: String): DataFrame = {
+    val hourly = events
+      .select(col(keyCol), expr("ts div 1000000000 div 3600").as("hour_bucket"))
+      .groupBy(col(keyCol), col("hour_bucket"))
+      .agg(count(lit(1)).as("n_obs"))
+    val grid = hourly.groupBy(col(keyCol))
+      .agg(min(col("hour_bucket")).as("lo"), max(col("hour_bucket")).as("hi"))
+      .select(col(keyCol),
+        explode(sequence(col("lo"), col("hi"))).as("hour_bucket"))
+    val fill = Window.partitionBy(keyCol).orderBy("hour_bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq(keyCol, "hour_bucket"), "left")
+      .select(col(keyCol), col("hour_bucket"),
+        last(col("n_obs"), ignoreNulls = true).over(fill).as("n"),
+        col("n_obs").isNull.as("is_gap"))
+      .orderBy(col(keyCol), col("hour_bucket"))
+  }
+}
