@@ -1144,6 +1144,14 @@ object SparkEntry {
       graft.streaming.SearchStream.searchBatchDrain(s, dir,
         nQueries = 10, k = 10, nprobe = 2)),
 
+    // -- documents stream through the incremental near-dup check in
+    //    disjoint micro-batches; the accumulated pair stream equals
+    //    the one-shot full-corpus minhash pair set (DedupStream
+    //    docstring has the disjoint-union argument), so the oracle is
+    //    dedup_minhash's SQL verbatim --
+    "streaming_neardup" -> ((s, dir) =>
+      graft.streaming.DedupStream.neardupBatchDrain(s, dir)),
+
     // -- product quantization ANN (8 bytes/vector ADC search);
     //    trained codebooks, fully oracled via pqKmeansCtes. Codebooks
     //    train on the id%2 sample; the query vector stays a broadcast
@@ -1742,6 +1750,18 @@ object SparkEntry {
 
   private def pipelineOracles: Map[String, String] = {
     val toks = SqlSnips.tokens("text")
+    val minhashPairsSql = {
+      val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+      s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+         |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
+         |  FROM tk WHERE len(toks) >= 3),
+         |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
+         |pairs AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+         |  FROM bands x JOIN bands y
+         |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc)
+         |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
+    }
     val decontaminateOracle = {
       val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
       s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
@@ -2066,18 +2086,10 @@ object SparkEntry {
       "dedup_exact" ->
         """SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keep_id
           |FROM documents GROUP BY md5(text) ORDER BY h LIMIT 100""".stripMargin.replaceAll("\n", " "),
-      "dedup_minhash" -> {
-        val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
-        s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
-           |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
-           |  FROM tk WHERE len(toks) >= 3),
-           |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
-           |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
-           |pairs AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
-           |  FROM bands x JOIN bands y
-           |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc)
-           |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
-      },
+      "dedup_minhash" -> minhashPairsSql,
+      // the streaming delivery of the same pair set (disjoint
+      // micro-batch union — see DedupStream): same oracle verbatim
+      "streaming_neardup" -> minhashPairsSql,
       "dedup_simhash" -> {
         val hashes = s"list_transform(toks, w -> ${SqlSnips.charFold("w")})"
         s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents)

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Streaming near-dup detection against an at-rest signature store —
+  * the third leg of the streaming story (StreamIngestSpec: vectors
+  * stream INTO an index; SearchStream: queries stream in; here:
+  * DOCUMENTS stream in and each micro-batch is checked for near-dups
+  * against everything ingested so far). This is the batch idiom for
+  * an online ingest endpoint that rejects/flags duplicates on the way
+  * in (the reference's Insert is CRUD-only; a training-data pipeline
+  * front door needs exactly this check).
+  *
+  * Per micro-batch, [[Dedup.incrementalMinhashPairs]] minhashes ONLY
+  * the increment (map-only over the batch), band-joins it against the
+  * store read at rest, and emits exactly the pairs touching a new
+  * doc. The store grows by |batch| signature rows per batch (n × 9
+  * longs — at 100 TB of text the store is ~0.1% of corpus bytes,
+  * parquet-partitioned by band prefix if bucket-pruned probes are
+  * needed). Because emitted pairs always touch the current batch and
+  * batches are disjoint, the pair stream over any arrival order is a
+  * disjoint union that reconstructs the full-corpus
+  * [[Dedup.minhashPairs]] result exactly — the property the
+  * `streaming_neardup` oracle (same SQL as `dedup_minhash`) checks.
+  *
+  * Restart semantics: foreachBatch is at-least-once, so a production
+  * pair sink must be idempotent on (doc_a, doc_b) — the read-back
+  * below applies that distinct; the store swap is atomic-ish per
+  * batch (write-next + rename, as in StreamIngestSpec).
+  */
+object DedupStream {
+
+  /** Stream the documents table in `nSplits` disjoint micro-batches
+    * through the incremental near-dup check and drain synchronously:
+    * returns the accumulated pair stream, which equals the one-shot
+    * [[Dedup.minhashPairs]] over the whole corpus.
+    */
+  def neardupBatchDrain(spark: SparkSession, sfDir: String,
+      nSplits: Int = 3): DataFrame = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_dedup").toString
+    val incoming = s"$tmp/incoming"
+    val store = s"$tmp/sigs"
+    val pairsDir = s"$tmp/pairs"
+    // arrival files: one per micro-batch (maxFilesPerTrigger=1),
+    // disjoint by doc_id residue
+    (0 until nSplits).foreach { i =>
+      docs.where(col("doc_id") % nSplits === i).coalesce(1)
+        .write.mode("append").parquet(incoming)
+    }
+    // the signature store starts empty (schema from a zero-row build)
+    Dedup.minhashSigs(docs.limit(0), "text", "doc_id")
+      .coalesce(1).write.parquet(store)
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$incoming/*.parquet")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val (allSigs, pairs) = Dedup.incrementalMinhashPairs(
+              spark.read.parquet(store), batch, "text", "doc_id")
+            pairs.write.mode("append").parquet(pairsDir)
+            // allSigs is checkpointed inside incrementalMinhashPairs,
+            // so the swap below can't invalidate its lineage
+            allSigs.write.mode("overwrite").parquet(s"$store.next")
+            fs.delete(new org.apache.hadoop.fs.Path(store), true)
+            fs.rename(new org.apache.hadoop.fs.Path(s"$store.next"),
+              new org.apache.hadoop.fs.Path(store))
+            ()
+          }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val spark2 = spark
+      import spark2.implicits._
+      if (!new java.io.File(pairsDir).exists())
+        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+      else
+        spark.read.parquet(pairsDir)
+          .distinct() // idempotence under at-least-once redelivery
+          .orderBy(col("doc_a"), col("doc_b"))
+          .localCheckpoint(eager = true) // detach from the temp dir
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      try rm(new java.io.File(tmp)) catch { case _: Throwable => () }
+    }
+  }
+}
