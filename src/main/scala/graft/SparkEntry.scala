@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SqlSnips, TextEmbed, TextExprs, TextFuncs, VectorFunctions}
-import graft.operators.{Ann, Bm25, Bq, Corpus, Dedup, IvfPq, Knn, Mmr, Pq, Profile, Recall, Skew, Sq, TimeSeries}
+import graft.operators.{Ann, Bm25, Bq, Corpus, Dedup, IvfPq, Knn, Mmr, Pq, Profile, Recall, Skew, Snapshot, Sq, TimeSeries}
 import graft.sources.VectorStore
 
 /** Driver contract — see SURVEY.md §2 (inventory) and §7 (plan).
@@ -841,6 +841,45 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
         .orderBy(col("source"))
+    }),
+
+    // -- deterministic stratified sampling: per-source keep rates
+    //    (bulk sources undersampled to 25%, rare sources kept whole)
+    //    decided by a portable multiplicative hash of the id — a
+    //    map-side codegen'd predicate, reproducible across engines
+    //    and runs (no RNG, no seed drift); the audit rollup is the
+    //    only shuffle (|sources| rows). At 100 TB the kept subset
+    //    writes out partitioned by source; this query IS the audit --
+    "sample_stratified" -> ((s, dir) => {
+      val ratePpm = when(
+        substring(col("source"), 4, 10).cast("int") < 5, 1000000L)
+        .otherwise(250000L)
+      val kept =
+        pmod(col("doc_id") * lit(2654435761L), lit(1000000L)) < ratePpm
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+          coalesce(sum(when(kept, col("n_chars"))), lit(0L)).as("kept_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // -- snapshot diff audit: crawl N vs a deterministic synthetic
+    //    crawl N+1 (drop id%13, edit id%17's text, add id%19 under
+    //    new ids) -> per-(source, status) counts. Snapshot.diff's
+    //    docstring has the scale story (md5 map-side, one id-keyed
+    //    full-outer join, |sources|x4 rollup) --
+    "corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val next = docs.where(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.where(col("doc_id") % 19 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+      Snapshot.diff(docs, next, "doc_id", "text", "source")
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("status"))
     }),
 
     // -- LSH-bucketed near-dup pairs: candidates share an LSH bucket
@@ -2166,6 +2205,32 @@ object SparkEntry {
            |WHERE x.doc_id IS NULL
            |GROUP BY d.source ORDER BY source""".stripMargin.replaceAll("\n", " ")
       },
+      "sample_stratified" ->
+        """WITH k AS (SELECT source, n_chars,
+          |  (doc_id * 2654435761) % 1000000 <
+          |    CASE WHEN CAST(substr(source, 4) AS INT) < 5
+          |      THEN 1000000 ELSE 250000 END AS kept
+          |  FROM documents)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          | CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          | CAST(coalesce(sum(CASE WHEN kept THEN n_chars END), 0) AS BIGINT) AS kept_chars
+          |FROM k GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " "),
+      "corpus_diff" ->
+        """WITH o AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+          |n AS (SELECT doc_id, source,
+          |  md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END) AS h
+          |  FROM documents WHERE doc_id % 13 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 10000000 AS doc_id, source, md5(text) AS h
+          |  FROM documents WHERE doc_id % 19 = 0),
+          |j AS (SELECT coalesce(n.source, o.source) AS source,
+          |  CASE WHEN o.doc_id IS NULL THEN 'added'
+          |    WHEN n.doc_id IS NULL THEN 'removed'
+          |    WHEN o.h <> n.h THEN 'changed'
+          |    ELSE 'unchanged' END AS status
+          |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+          |SELECT source, status, CAST(count(*) AS BIGINT) AS n
+          |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin.replaceAll("\n", " "),
       "docs_chunk" ->
         s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
            |n AS (SELECT doc_id, toks,

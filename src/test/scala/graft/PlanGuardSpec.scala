@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guard for headline queries: the scale claims
+  * in SURVEY §2 (one shuffle here, pushdown there, top-k never a full
+  * sort) are properties of the PHYSICAL PLAN, so they are asserted on
+  * the physical plan — a refactor that silently adds an exchange or
+  * drops a pushed filter fails here, not in a 100× production run.
+  * Counts use the pre-execution plan string; only
+  * "Exchange hashpartitioning" (a real shuffle) is counted — range
+  * exchanges for final presentation ordering and broadcast exchanges
+  * are allowed.
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+  private def hashExchanges(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  test("knn_cosine: top-k is TakeOrderedAndProject, zero shuffles") {
+    val p = plan("knn_cosine")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(hashExchanges(p) === 0, p)
+  }
+
+  test("q1_agg: exactly one hash shuffle (the aggregate)") {
+    assert(hashExchanges(plan("q1_agg")) === 1)
+  }
+
+  test("events_window: exactly one hash shuffle") {
+    assert(hashExchanges(plan("events_window")) === 1)
+  }
+
+  test("events_rollup: ROLLUP costs the same single shuffle") {
+    val p = plan("events_rollup")
+    assert(p.contains("Expand"), p)
+    assert(hashExchanges(p) === 1, p)
+  }
+
+  test("sample_stratified: map-side predicate, one audit shuffle") {
+    assert(hashExchanges(plan("sample_stratified")) === 1)
+  }
+
+  test("q10_returns: pushed returnflag filter + TakeOrderedAndProject") {
+    val p = plan("q10_returns")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("meta_filter: predicates reach the parquet scan") {
+    val p = plan("meta_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.replaceAll("\\s", "").contains("PushedFilters:[]"), p)
+  }
+
+  test("corpus_diff: bounded by join(2) + rollup(1) shuffles") {
+    assert(hashExchanges(plan("corpus_diff")) <= 3)
+  }
+}
