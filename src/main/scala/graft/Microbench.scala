@@ -353,6 +353,68 @@ object Microbench {
     sb ++= "the crossover lands as soon as the saved shuffle exceeds the\n"
     sb ++= "seconds-scale filter build, i.e. a few GB of train text.\n"
 
+    // snapshot diff: digest join vs body join. Wall-clock is noise at
+    // these SFs (the corpus fits in a few tasks); the honest metric is
+    // SHUFFLE BYTES, which is what grows 100x at 100x scale — the
+    // digest variant's join carries 32-hex md5s, the body variant
+    // carries document text.
+    sb ++= "\n## Snapshot diff: md5-digest join vs full-body join\n\n"
+    locally {
+      import graft.operators.Snapshot
+      def shuffleBytes(f: => Unit): Long = {
+        val acc = new java.util.concurrent.atomic.AtomicLong
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              acc.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+        spark.sparkContext.addSparkListener(l)
+        // no public listener-bus flush: give the async bus a beat to
+        // drain task-end events before reading the counter
+        try { f; Thread.sleep(1000) }
+        finally spark.sparkContext.removeSparkListener(l)
+        acc.get
+      }
+      val next = docs.where(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      def rollup(diff: DataFrame): Unit = {
+        diff.groupBy(col("source"), col("status"))
+          .agg(count(lit(1)).as("n")).count()
+        ()
+      }
+      def bodyDiff: DataFrame = {
+        def keyed(df: DataFrame, side: String) =
+          df.select(col("doc_id").as(s"${side}_id"),
+            col("source").as(s"${side}_src"), col("text").as(s"${side}_t"))
+        keyed(docs, "o").join(keyed(next, "n"),
+            col("o_id") === col("n_id"), "full_outer")
+          .select(coalesce(col("n_src"), col("o_src")).as("source"),
+            when(col("o_id").isNull, "added")
+              .when(col("n_id").isNull, "removed")
+              .when(col("o_t") =!= col("n_t"), "changed")
+              .otherwise("unchanged").as("status"))
+      }
+      val td = time() {
+        rollup(Snapshot.diff(docs, next, "doc_id", "text", "source"))
+      }
+      val tb = time() { rollup(bodyDiff) }
+      val bd = shuffleBytes {
+        rollup(Snapshot.diff(docs, next, "doc_id", "text", "source"))
+      }
+      val bb = shuffleBytes { rollup(bodyDiff) }
+      sb ++= "| variant | time (s) | shuffle bytes |\n|---|---|---|\n"
+      sb ++= f"| digest (md5 map-side) | $td%.2f | $bd%d |\n"
+      sb ++= f"| body (text through join) | $tb%.2f | $bb%d |\n"
+      sb ++= f"\nThe join itself is identical (one id-keyed full-outer SMJ);\n"
+      sb ++= f"the digest variant shuffles ${if (bd > 0) bb / math.max(bd, 1) else 0}x fewer bytes because each\n"
+      sb ++= "side reduces a document to 32 hex chars before the exchange.\n"
+      sb ++= "At 100 TB the body variant shuffles the corpus; the digest\n"
+      sb ++= "variant shuffles ~0.1% of it, at the cost of one map-side md5\n"
+      sb ++= "per row per side.\n"
+    }
+
     Files.createDirectories(Paths.get("docs"))
     Files.writeString(Paths.get("docs/PERF.md"), sb.toString)
     println("wrote docs/PERF.md")
