@@ -106,12 +106,19 @@ object Bench {
       else ms3(results.values.filter(_ >= 0).sum).toString
     val valid = failedNames.isEmpty
     val line = s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"reps":$reps,"queries":$qs,"split":$sp,"failed":$failed,"sf":"$sfDir"}"""
-    // the JSON line is the FIRST and ONLY stdout line Bench prints, so
-    // the driver's tail capture holds it whole (only sbt's short
-    // "[success]" trailer follows)
     println(line)
-    // stdout gets wrapped in sbt chatter, so also drop the line where
-    // a consumer can read it clean
+    // the driver keeps only the LAST ~2000 chars of stdout, and the
+    // full 114-query map no longer fits that window (round 6's parsed:
+    // null was exactly this) — so after the full line, print a short
+    // summary line that always survives the tail capture whole: total
+    // + the slowest queries (the ones a regression check cares about).
+    // A consumer that wants every query reads bench_self.json.
+    val slow = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(12)
+      .map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"reps":$reps,"n_queries":${results.size},"slowest":$slow,"failed":$failed,"sf":"$sfDir"}""")
+    // stdout gets wrapped in sbt chatter, so also drop the full line
+    // where a consumer can read it clean
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_self.json"),
       (line + "\n").getBytes("UTF-8"))
