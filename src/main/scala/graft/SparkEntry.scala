@@ -22,6 +22,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Deterministic synthetic "crawl N+1" of the documents table, used
+    * by the snapshot-versioning queries (corpus_diff,
+    * incremental_embed) and replayed verbatim by their oracles:
+    * drop doc_id%13 (deletions), append " v2" to doc_id%17's text
+    * (edits), re-add doc_id%19 under shifted ids (additions).
+    */
+  private def syntheticNextSnapshot(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 13 =!= 0)
+      .withColumn("text", when(col("doc_id") % 17 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(docs.where(col("doc_id") % 19 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+
   /** Unrolled Lloyd's k-means as a DuckDB CTE chain, replicating
     * Ann.kmeans bit-for-bit (fixed iteration count, so no recursion
     * needed): seed = first `k` sample vectors in id order; each
@@ -871,15 +884,30 @@ object SparkEntry {
     //    full-outer join, |sources|x4 rollup) --
     "corpus_diff" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val next = docs.where(col("doc_id") % 13 =!= 0)
-        .withColumn("text", when(col("doc_id") % 17 === 0,
-          concat(col("text"), lit(" v2"))).otherwise(col("text")))
-        .unionByName(docs.where(col("doc_id") % 19 === 0)
-          .withColumn("doc_id", col("doc_id") + lit(10000000L)))
-      Snapshot.diff(docs, next, "doc_id", "text", "source")
+      Snapshot.diff(docs, syntheticNextSnapshot(docs), "doc_id", "text", "source")
         .groupBy(col("source"), col("status"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("source"), col("status"))
+    }),
+
+    // -- incremental re-embedding: snapshot diff decides WHICH docs go
+    //    through the embedder — only added/changed rows pay the
+    //    (expensive) embedding stage, the unchanged bulk is never
+    //    touched. At 100 TB with a ~1% daily churn this is the
+    //    difference between re-embedding 1 TB and 100 TB; the diff
+    //    itself moves only md5 digests (Snapshot docstring) --
+    "incremental_embed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val next = syntheticNextSnapshot(docs)
+      val todo = Snapshot.diff(docs, next, "doc_id", "text", "source")
+        .where(col("status").isin("added", "changed"))
+        .select(col("doc_id"), col("status"))
+      val emb = TextExprs.text_embed(col("text"))
+      next.join(todo, Seq("doc_id"))
+        .select(col("doc_id"), col("status"),
+          round(element_at(emb, 1), 4).as("x0"),
+          round(element_at(emb, 2), 4).as("x1"))
+        .orderBy(col("doc_id"))
     }),
 
     // -- LSH-bucketed near-dup pairs: candidates share an LSH bucket
@@ -2231,6 +2259,26 @@ object SparkEntry {
           |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
           |SELECT source, status, CAST(count(*) AS BIGINT) AS n
           |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin.replaceAll("\n", " "),
+      "incremental_embed" -> {
+        val hashes = s"list_transform(toks, w -> ${SqlSnips.charFold("w")})"
+        s"""WITH nxt AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+           |  FROM documents WHERE doc_id % 13 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 10000000 AS doc_id, text AS text
+           |  FROM documents WHERE doc_id % 19 = 0),
+           |o AS (SELECT doc_id, md5(text) AS h FROM documents),
+           |td AS (SELECT n.doc_id, n.text,
+           |  CASE WHEN o.doc_id IS NULL THEN 'added' ELSE 'changed' END AS status
+           |  FROM nxt n LEFT JOIN o ON o.doc_id = n.doc_id
+           |  WHERE o.doc_id IS NULL OR o.h <> md5(n.text)),
+           |tk AS (SELECT doc_id, status, ${SqlSnips.tokens("text")} AS toks FROM td),
+           |raw AS (SELECT doc_id, status, ${TextEmbed.sqlRawComponents(hashes)} AS r FROM tk),
+           |nn AS (SELECT doc_id, status, r,
+           |  sqrt(list_sum(list_transform(r, y -> y * y))) AS nm FROM raw)
+           |SELECT doc_id, status, round(r[1] / nm, 4) AS x0, round(r[2] / nm, 4) AS x1
+           |FROM nn ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+      },
       "docs_chunk" ->
         s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
            |n AS (SELECT doc_id, toks,
