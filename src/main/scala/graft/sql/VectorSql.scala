@@ -723,19 +723,46 @@ object VectorSql {
     s.limit.map(ordered.limit).getOrElse(ordered)
   }
 
+  /** Does the condition reference the computed `distance` field?
+    * (design doc sql_interface_design.md:50-55 "WHERE distance < 0.5"
+    * — aspirational in the reference, whose executor only evaluates
+    * id/metadata in WHERE; implemented here.)
+    */
+  private def mentionsDistance(c: Cond): Boolean = {
+    def inExpr(e: Expr): Boolean = e match {
+      case FieldE("distance") => true
+      case BinE(_, l, r)      => inExpr(l) || inExpr(r)
+      case NegE(x)            => inExpr(x)
+      case _                  => false
+    }
+    c match {
+      case AndC(l, r)       => mentionsDistance(l) || mentionsDistance(r)
+      case OrC(l, r)        => mentionsDistance(l) || mentionsDistance(r)
+      case NotC(x)          => mentionsDistance(x)
+      case InC(e, vals, _)  => inExpr(e) || vals.exists(inExpr)
+      case Cmp(l, _, r)     => inExpr(l) || inExpr(r)
+    }
+  }
+
   private def runSelect(cat: Catalog, s: Select,
       deterministicLimit: Boolean = true): DataFrame = {
     var df = cat.get(s.table)
-    s.where.foreach(w => df = df.where(condCol(w)))
+    // a WHERE that references `distance` can only be evaluated once
+    // NEAREST TO has computed the column, so its application is
+    // deferred until after the search; filtering before or after the
+    // distance sort is row-equivalent, and it stays BEFORE the LIMIT,
+    // so this is radius-bounded top-k (flat.go's semantics would be
+    // the same: rank, then threshold, then cut)
+    val deferWhere = s.nearest.isDefined && s.where.exists(mentionsDistance)
+    if (!deferWhere) s.where.foreach(w => df = df.where(condCol(w)))
 
-    if (s.groupBy.nonEmpty || s.aggs.nonEmpty || s.having.isDefined)
+    if (s.groupBy.nonEmpty || s.aggs.nonEmpty || s.having.isDefined) {
+      require(!deferWhere,
+        "WHERE distance is not supported with GROUP BY/aggregates")
       return runGroupBy(s, df)
+    }
 
-    if (s.countStar)
-      return df.agg(count(lit(1)).as(
-        s.cols.headOption.flatMap(_._2).getOrElse("count")))
-
-    val withDist: DataFrame = s.nearest match {
+    val preDist: DataFrame = s.nearest match {
       case None => df
       case Some(q) =>
         val qvec: Seq[Float] = q match {
@@ -751,6 +778,12 @@ object VectorSql {
         df.withColumn("distance", d)
           .orderBy(col("distance"), col("id"))
     }
+    val withDist =
+      if (deferWhere) preDist.where(condCol(s.where.get)) else preDist
+
+    if (s.countStar)
+      return withDist.agg(count(lit(1)).as(
+        s.cols.headOption.flatMap(_._2).getOrElse("count")))
 
     // explicit ORDER BY wins over both implicit orders (distance for
     // NEAREST TO, id for the deterministic-LIMIT default). Orderable

@@ -71,6 +71,30 @@ class VectorSqlSpec extends AnyFunSuite {
     assert(r.map(_.getString(0)).toSeq == Seq("v1", "v3"))
   }
 
+  test("WHERE distance < r under NEAREST TO (radius-bounded top-k)") {
+    // v1 at 0.0, v3 at ~0.1414, v2/test1 at ~1.414 from the query
+    val r = VectorSql.execute(freshCat(),
+      "SELECT id, distance FROM vectors NEAREST TO [1.0, 0.0, 0.0] " +
+        "WHERE distance < 0.5 LIMIT 5").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("v1", "v3"))
+    // threshold composes with metadata filters (AND of both)
+    val both = VectorSql.execute(freshCat(),
+      "SELECT id FROM vectors NEAREST TO [1.0, 0.0, 0.0] " +
+        "WHERE distance < 0.5 AND metadata.category = 'image' LIMIT 5")
+      .collect()
+    assert(both.map(_.getString(0)).toSeq == Seq("v1", "v3"))
+    // the threshold bounds BEFORE the limit: limit 1 keeps the nearest
+    val one = VectorSql.execute(freshCat(),
+      "SELECT id FROM vectors NEAREST TO [1.0, 0.0, 0.0] " +
+        "WHERE distance > 0.1 LIMIT 1").collect()
+    assert(one.map(_.getString(0)).toSeq == Seq("v3"))
+    // COUNT(*) within a radius
+    val n = VectorSql.execute(freshCat(),
+      "SELECT COUNT(*) FROM vectors NEAREST TO [1.0, 0.0, 0.0] " +
+        "WHERE distance < 0.5").head()
+    assert(n.getLong(0) == 2L)
+  }
+
   test("NEAREST TO (subquery)") {
     val r = VectorSql.execute(freshCat(),
       "SELECT id, distance FROM vectors NEAREST TO " +
