@@ -115,16 +115,22 @@ object SparkEntry {
     case "dotproduct" =>
       "round(-list_sum(list_transform(e.embedding, (x, i) -> " +
         "CAST(x AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))), 4)"
-    case "cosine" =>
-      """round(CASE WHEN
-        | list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0 OR
-        | list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
-        |THEN 1.0 ELSE 1.0 - greatest(-1.0, least(1.0,
-        | list_sum(list_transform(e.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))) /
-        | (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-        |  sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))) END, 4)"""
-        .stripMargin.replaceAll("\n", " ")
+    case "cosine" => s"round($rawCosineSql, 4)"
   }
+
+  /** Unrounded cosine distance over e.embedding vs q.qvec — exposed
+    * separately so radius filters can compare the same full-precision
+    * value the Spark side filters on (rounding only the OUTPUT).
+    */
+  private val rawCosineSql: String =
+    """CASE WHEN
+      | list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0 OR
+      | list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+      |THEN 1.0 ELSE 1.0 - greatest(-1.0, least(1.0,
+      | list_sum(list_transform(e.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))) /
+      | (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |  sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))) END"""
+      .stripMargin.replaceAll("\n", " ")
 
   private def knnOracle(metric: String, qid: Long = 0L, k: Int = 10,
       where: String = "TRUE"): String =
@@ -1417,6 +1423,21 @@ object SparkEntry {
         "SELECT COUNT(*) AS n, COUNT(metadata.label) AS labeled, " +
           "MIN(id) AS lo, MAX(id) AS hi, SUM(dimension) AS dims " +
           "FROM vectors WHERE NOT id LIKE '1%'")
+    }),
+
+    // -- the design doc's radius form (sql_interface_design.md:50-55)
+    //    through the dialect: distance-threshold WHERE under NEAREST
+    //    TO. The dialect filters FULL-precision distance (threshold
+    //    0.95 sits >=5e-5 from the nearest data value at all test
+    //    SFs, so float association order can't flip membership);
+    //    output rounds to 4dp for the hash gate --
+    "vector_sql_radius" -> ((s, dir) => {
+      graft.sql.VectorSql.execute(vecSqlCatalog(s, dir),
+          "SELECT id, distance FROM vectors NEAREST TO " +
+            "(SELECT vector FROM vectors WHERE id = '0') USING cosine " +
+            "WHERE distance < 0.95")
+        .select(col("id"), round(col("distance"), 4).as("dist"))
+        .orderBy(col("dist"), col("id")).limit(100)
     }),
 
     // -- salted two-phase aggregation (skewed-key pattern; results
@@ -2840,6 +2861,14 @@ object SparkEntry {
           | CAST(sum(64) AS DOUBLE) AS dims
           |FROM embeddings
           |WHERE NOT CAST(vec_id AS VARCHAR) LIKE '1%'""".stripMargin.replaceAll("\n", " "),
+      // radius filter replays on the same full-precision value the
+      // dialect filters; only the emitted dist is rounded
+      "vector_sql_radius" ->
+        s"""WITH d AS (SELECT CAST(e.vec_id AS VARCHAR) AS id, $rawCosineSql AS rawd
+           |  FROM embeddings e,
+           |  (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q)
+           |SELECT id, round(rawd, 4) AS dist FROM d WHERE rawd < 0.95
+           |ORDER BY dist, id LIMIT 100""".stripMargin.replaceAll("\n", " "),
       // labels are single digits, so varchar DESC == numeric DESC
       "vector_sql_order" ->
         """SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label
