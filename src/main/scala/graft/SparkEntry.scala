@@ -500,6 +500,23 @@ object SparkEntry {
     //    grid/window stages run over the |keys|x|hours| aggregate) --
     "events_gapfill" -> ((s, dir) =>
       TimeSeries.gapFillHourly(t(s, dir, "events"), "event_type"))
+,
+    // -- explicit GROUPING SETS (per-type totals ∪ per-hour totals,
+    //    NO type×hour cells): same one-Expand-pass / one-shuffle shape
+    //    as events_rollup but with disjoint grouping keys, so each
+    //    output row nulls the OTHER key — both coalesced to sentinels --
+    "events_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 1000000000 div 3600").as("hour_bucket"), col("value"))
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("hour_bucket"))),
+          col("event_type"), col("hour_bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("hour_bucket"), lit(-1L)).as("hour_bucket"),
+          col("n"), col("total"))
+        .orderBy(col("event_type"), col("hour_bucket")))
   )
 
   /** Text-analysis / dedup / CRUD / embedding layer (SURVEY.md §2
@@ -3090,6 +3107,15 @@ object SparkEntry {
         |  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, value
         |  FROM events)
         |GROUP BY ROLLUP (event_type, hour_bucket)
+        |ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+    "events_grouping_sets" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        | coalesce(hour_bucket, -1) AS hour_bucket,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+        |FROM (SELECT event_type,
+        |  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, value
+        |  FROM events)
+        |GROUP BY GROUPING SETS ((event_type), (hour_bucket))
         |ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
     "events_gapfill" ->
       """WITH h AS (SELECT event_type,
