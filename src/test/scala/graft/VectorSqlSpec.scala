@@ -46,6 +46,10 @@ class VectorSqlSpec extends AnyFunSuite {
     val cos = VectorSql.execute(cat,
       "SELECT id, distance FROM vectors NEAREST TO [0.9, 0.1, 0.0] USING cosine LIMIT 1").head()
     assert(cos.getString(0) == "v3")
+    // parser.go:254-262 also accepts the metric as a string literal
+    val quoted = VectorSql.execute(cat,
+      "SELECT id FROM vectors NEAREST TO [0.9, 0.1, 0.0] USING 'cosine' LIMIT 1").head()
+    assert(quoted.getString(0) == "v3")
   }
 
   test("WHERE id LIKE and metadata filters, AND/OR") {
