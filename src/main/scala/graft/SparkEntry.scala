@@ -986,6 +986,13 @@ object SparkEntry {
         .orderBy(col("doc_id")).limit(200)
     }),
 
+    // -- cross-source shingle-leakage matrix (Corpus.sourceOverlap
+    //    docstring: DISTINCT bounds the self-join fan-out per shingle
+    //    at |sources|, not document frequency) --
+    "source_overlap" -> ((s, dir) =>
+      Corpus.sourceOverlap(t(s, dir, "documents"), "text", "source", 3)
+        .orderBy(col("src_a"), col("src_b"))),
+
     // -- same contamination check through the broadcast-Bloom
     //    prefilter (map-side shingle drop + exact verify join); the
     //    output is bit-identical to `decontaminate`, same oracle --
@@ -1867,6 +1874,16 @@ object SparkEntry {
          |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc)
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
     }
+    val sourceOverlapOracle = {
+      val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+      s"""WITH tk AS (SELECT source, $toks AS toks FROM documents),
+         |sh AS (SELECT DISTINCT source AS src, unnest($bases) AS sh
+         |  FROM tk WHERE len(toks) >= 3)
+         |SELECT a.src AS src_a, b.src AS src_b,
+         | CAST(count(*) AS BIGINT) AS n_shared
+         |FROM sh a JOIN sh b ON a.sh = b.sh AND a.src < b.src
+         |GROUP BY a.src, b.src ORDER BY src_a, src_b""".stripMargin.replaceAll("\n", " ")
+    }
     val decontaminateOracle = {
       val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
       s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
@@ -2347,6 +2364,7 @@ object SparkEntry {
           |  CASE lang WHEN 'en' THEN 37 WHEN 'fr' THEN 11 ELSE 60 END
           |GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " "),
       "decontaminate" -> decontaminateOracle,
+      "source_overlap" -> sourceOverlapOracle,
       // Bloom prefilter + verify join == the exact join: same oracle
       "decontaminate_bloom" -> decontaminateOracle,
       // planes = min p in [1,30] with 2^p * 32 >= count(*) — the same

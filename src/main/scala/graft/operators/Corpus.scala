@@ -95,6 +95,28 @@ object Corpus {
     * equi join: shuffle ∝ token streams, never |train|×|bench|
     * pairs. Returns the distinct contaminated id column.
     */
+  /** Cross-source leakage audit: for every source pair, how many
+    * distinct k-token shingles they share — the matrix that tells a
+    * corpus curator which "independent" sources are actually mirrors
+    * of each other before mixture weights get set. The (shingle, src)
+    * stream is DISTINCTed first (one hash-keyed shuffle, ∝ corpus
+    * tokens), so the self-join's fan-out per shingle is bounded by
+    * |sources| (not document frequency) — a hot shingle appearing in
+    * a billion docs still contributes ≤ |sources|² join rows. Output
+    * is |sources|²/2 rows.
+    */
+  def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
+      shingleK: Int): DataFrame = {
+    val sh = docs.select(col(srcCol).as("src"),
+        explode(TextExprs.shingle_hashes(col(textCol), shingleK)).as("sh"))
+      .distinct()
+    val a = sh.as("a"); val b = sh.as("b")
+    a.join(b, col("a.sh") === col("b.sh") && col("a.src") < col("b.src"))
+      .select(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   def contaminatedIds(train: DataFrame, bench: DataFrame,
       textCol: String, idCol: String, shingleK: Int): DataFrame = {
     val tSh = train.select(col(idCol),
