@@ -415,6 +415,34 @@ object Microbench {
       sb ++= "per row per side.\n"
     }
 
+    // cross-source overlap: the DISTINCT before the shingle self-join
+    // is the whole scale story — without it the join fans out by
+    // document frequency squared per shingle; with it, by at most
+    // |sources| per shingle. Counted, not timed (row counts are the
+    // quantity that explodes at 100x).
+    sb ++= "\n## Cross-source overlap: DISTINCT-bounded self-join vs naive\n\n"
+    locally {
+      val sh = docs.select(col("source").as("src"),
+        explode(TextExprs.shingle_hashes(col("text"), 3)).as("sh"))
+      val dsh = sh.distinct()
+      def selfJoinRows(side: DataFrame): Long = {
+        val a = side.as("a"); val b = side.as("b")
+        a.join(b, col("a.sh") === col("b.sh") && col("a.src") < col("b.src"))
+          .count()
+      }
+      val nNaive = selfJoinRows(sh)
+      val nBounded = selfJoinRows(dsh)
+      sb ++= "| variant | shingle rows in | join rows out |\n|---|---|---|\n"
+      sb ++= f"| naive (every occurrence) | ${sh.count()}%d | $nNaive%d |\n"
+      sb ++= f"| DISTINCT (shingle, src) first | ${dsh.count()}%d | $nBounded%d |\n"
+      val ratio = if (nBounded > 0) nNaive.toDouble / nBounded else 0.0
+      sb ++= f"\n$ratio%.1fx fewer join rows on this corpus (its word-salad text\n"
+      sb ++= "has little per-source repetition); the gap grows with document\n"
+      sb ++= "frequency squared — a shingle in 1e6 docs of two sources is\n"
+      sb ++= "1e12 naive join rows vs 1 bounded row — so the DISTINCT is\n"
+      sb ++= "what keeps the audit runnable at corpus scale.\n"
+    }
+
     Files.createDirectories(Paths.get("docs"))
     Files.writeString(Paths.get("docs/PERF.md"), sb.toString)
     println("wrote docs/PERF.md")
