@@ -993,6 +993,26 @@ object SparkEntry {
       Corpus.sourceOverlap(t(s, dir, "documents"), "text", "source", 3)
         .orderBy(col("src_a"), col("src_b"))),
 
+    // -- exact per-source quota (take exactly 10 docs per source,
+    //    chosen by the portable id-hash order): NOT a per-source
+    //    window — row_number would funnel each source through one
+    //    task — but the bounded-heap topk_pairs aggregate, which
+    //    partial-aggregates map-side so each source ships k rows per
+    //    partition to the reduce, regardless of source size --
+    "sample_quota" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          pmod(col("doc_id") * lit(2654435761L), lit(1000000L))
+            .cast("double").as("hk"),
+          col("doc_id"))
+        .groupBy(col("source"))
+        .agg(graft.functions.TopKAgg.topk_pairs(col("hk"), col("doc_id"), 10)
+          .as("topk"))
+        .select(col("source"), posexplode(col("topk")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rk"),
+          col("col.id").as("doc_id"))
+        .orderBy(col("source"), col("rk"))),
+
     // -- same contamination check through the broadcast-Bloom
     //    prefilter (map-side shingle drop + exact verify join); the
     //    output is bit-identical to `decontaminate`, same oracle --
@@ -2365,6 +2385,12 @@ object SparkEntry {
           |GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " "),
       "decontaminate" -> decontaminateOracle,
       "source_overlap" -> sourceOverlapOracle,
+      "sample_quota" ->
+        """SELECT source, CAST(rk AS INTEGER) AS rk, doc_id FROM (
+          |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+          |    ORDER BY (doc_id * 2654435761) % 1000000, doc_id) AS rk
+          |  FROM documents) _r
+          |WHERE rk <= 10 ORDER BY source, rk""".stripMargin.replaceAll("\n", " "),
       // Bloom prefilter + verify join == the exact join: same oracle
       "decontaminate_bloom" -> decontaminateOracle,
       // planes = min p in [1,30] with 2^p * 32 >= count(*) — the same
