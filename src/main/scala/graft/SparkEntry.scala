@@ -820,6 +820,27 @@ object SparkEntry {
       Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("h")).limit(100)),
 
+    // -- duplicate-group-size histogram: the one-number-per-bucket
+    //    dedup observability curve (how much of the corpus is 2x, 10x,
+    //    1000x duplicated). Two chained hash aggregates, both with
+    //    map-side partials; output is |distinct group sizes| rows --
+    "dedup_group_sizes" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("n_groups"))
+        .orderBy(col("n"))),
+
+    // -- token-length histogram in 16-token buckets: the seq-length
+    //    planning input for packing/truncation decisions. Map-side
+    //    tokenize + bucket, one aggregate shuffle, bounded output --
+    "doclen_hist" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select((floor(size(TextFuncs.tokens(col("text"))) / 16) * 16)
+          .cast("bigint").as("len_bucket"))
+        .groupBy(col("len_bucket")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("len_bucket"))),
+
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -2228,6 +2249,15 @@ object SparkEntry {
       "dedup_exact" ->
         """SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keep_id
           |FROM documents GROUP BY md5(text) ORDER BY h LIMIT 100""".stripMargin.replaceAll("\n", " "),
+      "dedup_group_sizes" ->
+        """SELECT n, CAST(count(*) AS BIGINT) AS n_groups FROM (
+          |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+          |  GROUP BY md5(text)) _g
+          |GROUP BY n ORDER BY n""".stripMargin.replaceAll("\n", " "),
+      "doclen_hist" ->
+        s"""SELECT (len($toks) // 16) * 16 AS len_bucket,
+           | CAST(count(*) AS BIGINT) AS n_docs
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
       "dedup_minhash" -> minhashPairsSql,
       // the streaming delivery of the same pair set (disjoint
       // micro-batch union — see DedupStream): same oracle verbatim
