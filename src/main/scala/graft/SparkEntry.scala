@@ -501,6 +501,26 @@ object SparkEntry {
     "events_gapfill" -> ((s, dir) =>
       TimeSeries.gapFillHourly(t(s, dir, "events"), "event_type"))
 ,
+    // -- lag/delta feature engineering over the hourly aggregate (the
+    //    forecasting-features query): the event stream shuffles ONCE
+    //    into the (type, hour) aggregate; the lag window re-exchanges
+    //    only |types|×|hours| rows. First-row NULL lags coalesce to
+    //    -1 sentinels for all-scalar deterministic output --
+    "events_lag_features" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("hour_bucket"))
+      t(s, dir, "events")
+        .select(expr("ts div 1000000000 div 3600").as("hour_bucket"),
+          col("event_type"))
+        .groupBy(col("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("hour_bucket"), col("n"),
+          coalesce(lag(col("n"), 1).over(w), lit(-1L)).as("lag1"),
+          coalesce(lag(col("n"), 2).over(w), lit(-1L)).as("lag2"),
+          coalesce(col("n") - lag(col("n"), 1).over(w), lit(0L)).as("delta"))
+        .orderBy(col("event_type"), col("hour_bucket"))
+    }),
+
     // -- explicit GROUPING SETS (per-type totals ∪ per-hour totals,
     //    NO type×hour cells): same one-Expand-pass / one-shuffle shape
     //    as events_rollup but with disjoint grouping keys, so each
@@ -3182,6 +3202,17 @@ object SparkEntry {
         |  FROM events)
         |GROUP BY ROLLUP (event_type, hour_bucket)
         |ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+    "events_lag_features" ->
+      """WITH h AS (SELECT event_type,
+        |  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, hour_bucket, n,
+        | coalesce(lag(n, 1) OVER tw, -1) AS lag1,
+        | coalesce(lag(n, 2) OVER tw, -1) AS lag2,
+        | coalesce(n - lag(n, 1) OVER tw, 0) AS delta
+        |FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY hour_bucket)
+        |ORDER BY event_type, hour_bucket""".stripMargin.replaceAll("\n", " "),
     "events_grouping_sets" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         | coalesce(hour_bucket, -1) AS hour_bucket,
