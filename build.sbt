@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route the forked run's stdout straight through (no `[info]` prefix)
+// and drop sbt's `[success] Total time` trailer, so the LAST stdout
+// line of `sbt "runMain graft.Bench"` is Bench's own JSON summary —
+// the driver tail-parses stdout and sbt chatter kept it `parsed: null`
+// for seven rounds.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess, outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -501,6 +501,26 @@ object SparkEntry {
     "events_gapfill" -> ((s, dir) =>
       TimeSeries.gapFillHourly(t(s, dir, "events"), "event_type"))
 ,
+    // -- z-score over the FILLED grid: events_zscore's trailing ROWS
+    //    frame silently spans gaps on a sparse series (the TimeSeries
+    //    docstring's sharp edge); composing gapFillHourly first makes
+    //    "previous 6 rows" mean "previous 6 wall-clock hours"
+    //    (forward-filled where unobserved). Same scale shape: events
+    //    shuffle once, grid+both windows run over |keys|×|hours| --
+    "events_zscore_gapfill" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("hour_bucket"))
+        .rowsBetween(-6, -1)
+      TimeSeries.gapFillHourly(t(s, dir, "events"), "event_type")
+        .withColumn("mu", avg(col("n")).over(w))
+        .withColumn("sd", stddev_pop(col("n")).over(w))
+        .withColumn("n_prev", count(col("n")).over(w))
+        .where(col("n_prev") === 6 && col("sd") > 0)
+        .select(col("event_type"), col("hour_bucket"), col("n"),
+          col("is_gap"),
+          round((col("n") - col("mu")) / col("sd"), 4).as("z"))
+        .orderBy(col("event_type"), col("hour_bucket"))
+    }),
     // -- lag/delta feature engineering over the hourly aggregate (the
     //    forecasting-features query): the event stream shuffles ONCE
     //    into the (type, hour) aggregate; the lag window re-exchanges
@@ -697,6 +717,33 @@ object SparkEntry {
         .select(col("lang"), explode(col("hh")).as("e"))
         .select(col("lang"), col("e.item").as("item"), col("e.est").as("est"))
         .orderBy(col("lang"), col("est").desc, col("item"))),
+
+    // -- heavy_hitters in its APPROXIMATE regime (m=4 < the 4-12
+    //    distinct tokens per bucket), hash-oracled: Space-Saving's
+    //    estimates depend on arrival order, so the trajectory is
+    //    PINNED — a portable bucket id (ascii of the leading byte
+    //    % 4), each bucket routed to one physical partition and
+    //    sorted, so the map-side partial builds each bucket's sketch
+    //    over a totally-ordered token stream and the reduce merges
+    //    exactly ONE partial per bucket (merge-with-empty =
+    //    identity). DuckDB replays the same sequential trajectory
+    //    with a recursive CTE over the sorted distinct tokens.
+    //    Eviction (est inflated by the evicted min, err carrying it)
+    //    is exercised in 3 of 4 buckets; the m >= distinct bucket
+    //    degenerates to exact — both regimes in one result --
+    "tokens_hh_approx" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextFuncs.tokens(col("text"))).as("t"))
+        .withColumn("pid",
+          pmod(ascii(substring(col("t"), 1, 1)), lit(4)).cast("long"))
+        .repartition(4, col("pid"))
+        .sortWithinPartitions("pid", "t")
+        .groupBy(col("pid"))
+        .agg(graft.functions.HeavyHitters.heavy_hitters(col("t"), 4).as("hh"))
+        .select(col("pid"), explode(col("hh")).as("e"))
+        .select(col("pid"), col("e.item").as("item"),
+          col("e.est").as("est"), col("e.err").as("err"))
+        .orderBy(col("pid"), col("est").desc, col("item"))),
 
     // -- Z-order (Morton) layout key over two dimensions: rows
     //    written sorted by zval cluster both columns into the same
@@ -926,10 +973,13 @@ object SparkEntry {
     //    map-side codegen'd predicate, reproducible across engines
     //    and runs (no RNG, no seed drift); the audit rollup is the
     //    only shuffle (|sources| rows). At 100 TB the kept subset
-    //    writes out partitioned by source; this query IS the audit --
-    "sample_stratified" -> ((s, dir) => {
+    //    writes out partitioned by source; this query IS the audit.
+    //    (To-end-of-string substring, matching the oracle's
+    //    substr(source, 4) — a fixed length-10 slice would diverge on
+    //    long numeric suffixes.) --
+    "sample_stratified_source" -> ((s, dir) => {
       val ratePpm = when(
-        substring(col("source"), 4, 10).cast("int") < 5, 1000000L)
+        expr("substring(source, 4)").cast("int") < 5, 1000000L)
         .otherwise(250000L)
       val kept =
         pmod(col("doc_id") * lit(2654435761L), lit(1000000L)) < ratePpm
@@ -2119,6 +2169,37 @@ object SparkEntry {
            |SELECT lang, term AS item, count(*) AS est
            |FROM tk GROUP BY lang, term
            |ORDER BY lang, est DESC, item""".stripMargin.replaceAll("\n", " "),
+      // approximate regime: replay the pinned Space-Saving trajectory
+      // (per bucket, distinct tokens in sorted order; full sketch →
+      // insert exact; else evict the (est, item)-min, charge its est
+      // as the newcomer's error) with a recursive CTE
+      "tokens_hh_approx" ->
+        s"""WITH RECURSIVE
+           |tk AS (SELECT unnest($toks) AS t FROM documents),
+           |tok AS (SELECT CAST(ascii(substr(t,1,1)) % 4 AS BIGINT) AS pid, t,
+           |  CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+           |ord AS (SELECT pid, t, c,
+           |  row_number() OVER (PARTITION BY pid ORDER BY t) AS rn,
+           |  count(*) OVER (PARTITION BY pid) AS nt FROM tok),
+           |sim AS (
+           |  SELECT pid, rn, nt,
+           |    [{'est': c, 'item': t, 'err': CAST(0 AS BIGINT)}] AS state
+           |  FROM ord WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.pid, o.rn, o.nt,
+           |    CASE WHEN len(s.state) < 4
+           |      THEN list_append(s.state,
+           |        {'est': o.c, 'item': o.t, 'err': CAST(0 AS BIGINT)})
+           |      ELSE list_append(
+           |        list_filter(s.state, x -> x.item <> list_sort(s.state)[1].item),
+           |        {'est': list_sort(s.state)[1].est + o.c, 'item': o.t,
+           |         'err': list_sort(s.state)[1].est})
+           |    END
+           |  FROM sim s JOIN ord o ON o.pid = s.pid AND o.rn = s.rn + 1),
+           |fin AS (SELECT pid, unnest(state, recursive := true)
+           |  FROM sim WHERE rn = nt)
+           |SELECT pid, item, est, err FROM fin
+           |ORDER BY pid, est DESC, item""".stripMargin.replaceAll("\n", " "),
       // Morton interleave as integer arithmetic over range(0,31):
       // bit i of x lands at 2i, bit i of y at 2i+1 — integer-exact
       "docs_zorder" ->
@@ -2358,7 +2439,7 @@ object SparkEntry {
            |WHERE x.doc_id IS NULL
            |GROUP BY d.source ORDER BY source""".stripMargin.replaceAll("\n", " ")
       },
-      "sample_stratified" ->
+      "sample_stratified_source" ->
         """WITH k AS (SELECT source, n_chars,
           |  (doc_id * 2654435761) % 1000000 <
           |    CASE WHEN CAST(substr(source, 4) AS INT) < 5
@@ -2379,7 +2460,7 @@ object SparkEntry {
           |j AS (SELECT coalesce(n.source, o.source) AS source,
           |  CASE WHEN o.doc_id IS NULL THEN 'added'
           |    WHEN n.doc_id IS NULL THEN 'removed'
-          |    WHEN o.h <> n.h THEN 'changed'
+          |    WHEN o.h IS DISTINCT FROM n.h THEN 'changed'
           |    ELSE 'unchanged' END AS status
           |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
           |SELECT source, status, CAST(count(*) AS BIGINT) AS n
@@ -3237,6 +3318,29 @@ object SparkEntry {
         |   ORDER BY hour_bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n,
         | n_obs IS NULL AS is_gap
         |FROM j ORDER BY event_type, hour_bucket""".stripMargin.replaceAll("\n", " "),
+    "events_zscore_gapfill" ->
+      """WITH h AS (SELECT event_type,
+        |  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type,
+        |  unnest(generate_series(min(hour_bucket), max(hour_bucket))) AS hour_bucket
+        |  FROM h GROUP BY event_type),
+        |j AS (SELECT g.event_type, g.hour_bucket, h.n_obs
+        |  FROM g LEFT JOIN h USING (event_type, hour_bucket)),
+        |f AS (SELECT event_type, hour_bucket,
+        |  CAST(last_value(n_obs IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY hour_bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n,
+        |  n_obs IS NULL AS is_gap FROM j),
+        |w AS (SELECT event_type, hour_bucket, n, is_gap,
+        |  avg(n) OVER tw AS mu, stddev_pop(n) OVER tw AS sd,
+        |  count(n) OVER tw AS n_prev
+        |  FROM f WINDOW tw AS (PARTITION BY event_type ORDER BY hour_bucket
+        |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour_bucket, n, is_gap,
+        | round((n - mu) / sd, 4) AS z
+        |FROM w WHERE n_prev = 6 AND sd > 0
+        |ORDER BY event_type, hour_bucket""".stripMargin.replaceAll("\n", " "),
     // strict-gap sessions (`<`, matching session_window's end-exclusive
     // merge rule; sessionize_sql's variant uses `<=`)
     "events_session_window" ->

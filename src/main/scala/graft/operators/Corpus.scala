@@ -156,19 +156,23 @@ object Corpus {
     val bSh = bench
       .select(explode(TextExprs.shingle_hashes(col(textCol), shingleK)).as("sh"))
       .distinct()
-    // one pass over the (small) bench side sizes and builds the filter
-    val agg = bSh.agg(
-      count(lit(1)).as("n"),
+      .persist() // read 3x below (count, filter build, verify join)
+    // two-phase sizing (count, then build at max(n, 1024)): a filter
+    // sized to a fixed 4M cap serialized a multi-MB Literal into
+    // EVERY task's plan regardless of the real item count (~26k at
+    // sf0.1 → ~24 KB when sized right) — plan (de)serialization, not
+    // the probe, dominated the runtime. The extra pass only scans the
+    // small bench side.
+    val n = bSh.count()
+    if (n == 0L)
+      return train.select(col(idCol)).where(lit(false))
+    val bf = bSh.agg(
       Shims.column(new BloomFilterAggregate(
         Shims.expression(xxhash64(col("sh"))),
-        // sized to Spark's runtime-filter item cap in the same single
-        // pass that counts; over-estimating only costs bits, and the
-        // verify join absorbs any fpp degradation beyond it
-        4L * 1000 * 1000).toAggregateExpression()).as("bf")).head()
-    if (agg.getLong(0) == 0L)
-      return train.select(col(idCol)).where(lit(false))
+        math.max(n, 1024L)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
     val bloom = Shims.column(new BloomFilterMightContain(
-      Literal(agg.getAs[Array[Byte]](1), BinaryType),
+      Literal(bf, BinaryType),
       Shims.expression(xxhash64(col("sh")))))
     val tSh = train
       .select(col(idCol),

@@ -37,7 +37,9 @@ object Snapshot {
         coalesce(col("n_src"), col("o_src")).as(srcCol),
         when(col("o_id").isNull, "added")
           .when(col("n_id").isNull, "removed")
-          .when(col("o_h") =!= col("n_h"), "changed")
+          // null-safe: md5(null) is null, so `=!=` would send a row
+          // whose text is NULL on exactly one side to 'unchanged'
+          .when(!(col("o_h") <=> col("n_h")), "changed")
           .otherwise("unchanged").as("status"))
   }
 }

@@ -70,9 +70,16 @@ object DedupStream {
             // allSigs is checkpointed inside incrementalMinhashPairs,
             // so the swap below can't invalidate its lineage
             allSigs.write.mode("overwrite").parquet(s"$store.next")
-            fs.delete(new org.apache.hadoop.fs.Path(store), true)
-            fs.rename(new org.apache.hadoop.fs.Path(s"$store.next"),
-              new org.apache.hadoop.fs.Path(store))
+            // crash-safe swap: park the live store aside before the
+            // rename so no window exists where NO copy is on disk —
+            // a restart finds either `store` or `store.old` intact
+            val p = new org.apache.hadoop.fs.Path(store)
+            val pOld = new org.apache.hadoop.fs.Path(s"$store.old")
+            val pNext = new org.apache.hadoop.fs.Path(s"$store.next")
+            fs.delete(pOld, true)
+            fs.rename(p, pOld)
+            fs.rename(pNext, p)
+            fs.delete(pOld, true)
             ()
           }
         }
