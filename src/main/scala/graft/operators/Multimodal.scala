@@ -15,13 +15,14 @@ import org.apache.spark.sql.functions._
   * Spark-side contract — schema, partition-sized batching, feature
   * array shape — is real and tested.
   *
-  * Codecs: image decode/resize (PNG/JPEG/BMP/GIF) and WAV-PCM audio
-  * decode are REAL, via the JDK's own `javax.imageio` and
-  * `javax.sound.sampled` — no external dependency. Video keyframe
-  * extraction stays STUBBED (`sampleFrames`): the JDK ships no video
-  * codec, so only the explode/partition shape is real there, with the
-  * stub clearly marked. `decodeStub`/`resizePayload` remain as the
-  * deterministic byte-level fallbacks for arbitrary payloads.
+  * Codecs: image decode/resize (PNG/JPEG/BMP/GIF), WAV-PCM audio
+  * decode, and MJPEG-in-AVI video keyframe extraction
+  * ([[extractMjpegFrames]]: RIFF walk + per-frame JPEG) are REAL, via
+  * the JDK's own `javax.imageio` / `javax.sound.sampled` — no
+  * external dependency. Other video codecs have no JVM decoder and
+  * yield no rows (honest failure); `decodeStub`/`resizePayload`/
+  * `sampleFrames` remain as deterministic byte-level fallbacks for
+  * arbitrary payloads.
   */
 object Multimodal {
 
@@ -180,16 +181,87 @@ object Multimodal {
   }
 
   /** "Frame sampling": every nth chunk of a binary payload as a frame
-    * row (media_id, frame_no, frame). STUB for video keyframe
-    * extraction; the explode/partition shape is the real contract.
+    * row (media_id, frame_no, frame). Byte-level fallback for codecs
+    * the JVM cannot decode (see [[extractMjpegFrames]] for the real
+    * MJPEG-in-AVI path); the explode/partition shape is the contract.
     */
   def sampleFrames(
       rows: Dataset[MediaRow], chunkBytes: Int, everyNth: Int): DataFrame = {
     import rows.sparkSession.implicits._
     rows.flatMap { r =>
       r.payload.grouped(chunkBytes).zipWithIndex
-        .filter(_._2 % everyNth == 0) // STUB: real impl decodes keyframes
+        .filter(_._2 % everyNth == 0) // fallback: real MJPEG path decodes
         .map { case (chunk, i) => (r.media_id, i, chunk) }
     }.toDF("media_id", "frame_no", "frame")
+  }
+
+  case class VideoFrame(media_id: Long, frame_no: Int, width: Int,
+      height: Int, jpeg: Array[Byte])
+
+  /** REAL video keyframe extraction for MJPEG-in-AVI, pure JVM: a
+    * RIFF container walk finds the `movi` list's video chunks
+    * (`##dc`/`##db`, including inside `rec ` sub-lists), each of which
+    * is a complete JPEG in Motion-JPEG — decoded through the same
+    * `javax.imageio` path as the image operators. Every `everyNth`
+    * frame is kept (MJPEG is all-intraframe, so every frame IS a
+    * keyframe). Non-AVI payloads and non-JPEG frame chunks (any other
+    * codec) yield no rows — the same honest drop contract as the
+    * image/audio paths, since the JDK ships no inter-frame codec.
+    */
+  def extractMjpegFrames(
+      rows: Dataset[MediaRow], everyNth: Int = 1): Dataset[VideoFrame] = {
+    import rows.sparkSession.implicits._
+    rows.flatMap { r =>
+      mjpegFrameChunks(r.payload).zipWithIndex
+        .filter(_._2 % everyNth == 0)
+        .flatMap { case (jpeg, i) =>
+          val img = ImageIO.read(new ByteArrayInputStream(jpeg))
+          if (img == null) None
+          else Some(VideoFrame(r.media_id, i, img.getWidth, img.getHeight, jpeg))
+        }
+    }
+  }
+
+  /** RIFF/AVI walk: the raw payloads of the `movi` list's video
+    * frame chunks in file order; empty for anything that is not a
+    * well-formed RIFF AVI. Truncated or over-running chunk sizes end
+    * the walk rather than throwing (corrupt tails are common in
+    * crawled video).
+    */
+  private[graft] def mjpegFrameChunks(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      return Seq.empty
+    val fileEnd = math.min(bytes.length.toLong, 8L + u32(4))
+    val out = Seq.newBuilder[Array[Byte]]
+    def walk(start: Long, end: Long, insideMovi: Boolean): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = fourcc(off.toInt)
+        val size = u32(off.toInt + 4)
+        val dataEnd = off + 8 + size
+        if (id == "LIST" && size >= 4 && off + 12 <= end) {
+          val listType = fourcc(off.toInt + 8)
+          // frames live in `movi`; `rec ` groups interleaved chunks.
+          // A truncated list is walked to the available end, so the
+          // complete frames before the cut still come out.
+          if (listType == "movi" || (insideMovi && listType == "rec "))
+            walk(off + 12, math.min(dataEnd, end), insideMovi = true)
+        } else if (dataEnd > end) {
+          return // truncated leaf chunk: stop cleanly
+        } else if (insideMovi && id.length == 4 &&
+            id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')) {
+          out += java.util.Arrays.copyOfRange(
+            bytes, (off + 8).toInt, dataEnd.toInt)
+        }
+        off = dataEnd + (size & 1L) // RIFF chunks are word-aligned
+      }
+    }
+    walk(12L, fileEnd, insideMovi = false)
+    out.result()
   }
 }

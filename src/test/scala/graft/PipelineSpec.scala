@@ -222,6 +222,74 @@ class MultimodalSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  private def jpegBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal-but-realistic MJPEG AVI: RIFF(AVI ) { LIST(hdrl){avih},
+    * JUNK, LIST(movi){ 00dc... } } with word-aligned chunks — enough
+    * structure that the parser must actually skip non-movi content.
+    */
+  private def mjpegAviBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("ISO-8859-1") ++ u32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(listType: String, inner: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("ISO-8859-1") ++ inner)
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val junk = chunk("JUNK", Array.fill[Byte](13)(0x5a))
+    val movi = list("movi",
+      frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ junk ++ movi
+    bos.write("RIFF".getBytes("ISO-8859-1")); bos.write(u32(body.length))
+    bos.write(body)
+    bos.toByteArray
+  }
+
+  test("extractMjpegFrames: real RIFF walk + JPEG decode, every-nth kept") {
+    val frames = Seq(jpegBytes(8, 6, 0xff0000), jpegBytes(8, 6, 0x00ff00),
+      jpegBytes(8, 6, 0x0000ff), jpegBytes(8, 6, 0x808080))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video/x-msvideo", mjpegAviBytes(frames)),
+      Multimodal.MediaRow(2L, "video/mp4", Array[Byte](0, 0, 0, 32, 'f', 't', 'y', 'p')),
+      Multimodal.MediaRow(3L, "application/junk", Array[Byte](1, 2))
+    ).toDS()
+    val all = Multimodal.extractMjpegFrames(rows).collect().sortBy(_.frame_no)
+    assert(all.map(_.media_id).distinct.toSeq == Seq(1L),
+      "non-AVI payloads must yield no rows")
+    assert(all.length == 4 && all.map(_.frame_no).toSeq == Seq(0, 1, 2, 3))
+    assert(all.forall(f => f.width == 8 && f.height == 6))
+    // frame payloads are the container's own JPEG bytes, byte-exact
+    assert(all.head.jpeg.sameElements(frames.head))
+    // a JPEG decoded from frame 0 is predominantly red (lossy codec:
+    // exact channel equality is not guaranteed, dominance is)
+    val img0 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(all.head.jpeg))
+    val p = img0.getRGB(4, 3)
+    assert(((p >> 16) & 0xff) > 200 && ((p >> 8) & 0xff) < 80 && (p & 0xff) < 80)
+    val sampled = Multimodal.extractMjpegFrames(rows, everyNth = 2).collect()
+    assert(sampled.map(_.frame_no).sorted.toSeq == Seq(0, 2))
+  }
+
+  test("mjpegFrameChunks: truncated tail ends the walk, no throw") {
+    val good = mjpegAviBytes(Seq(jpegBytes(4, 4, 0x123456), jpegBytes(4, 4, 0x654321)))
+    // chop mid-way through the second frame chunk
+    val truncated = good.take(good.length - 10)
+    val got = Multimodal.mjpegFrameChunks(truncated)
+    assert(got.length == 1, "the complete first frame survives")
+    assert(Multimodal.mjpegFrameChunks(Array[Byte]()).isEmpty)
+    assert(Multimodal.mjpegFrameChunks("RIFFxxxxWAVE".getBytes("ISO-8859-1")).isEmpty)
+  }
+
   test("featurizeWav decodes real WAV PCM: frames, rate, rms, crossings") {
     // a +1000/-1000 square wave: rms = 1000, one crossing per flip
     val square = Array.tabulate[Short](100)(i => if ((i / 10) % 2 == 0) 1000 else -1000)
