@@ -805,6 +805,18 @@ object SparkEntry {
     "label_centroids" -> ((s, dir) =>
       Profile.labelCentroidsLong(t(s, dir, "embeddings"), "embedding", "label")),
 
+    // -- column-level data-quality profile (deequ/TFDV-style corpus
+    //    audit): ONE explode-to-long-form pass + one aggregate —
+    //    never a scan per column (Profile.tableProfile docstring) --
+    "table_profile" -> ((s, dir) =>
+      Profile.tableProfile(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "n_chars", "source", "text"))),
+
+    // -- constraint validation (one row per check, zero violations =
+    //    healthy): row-local predicates fold map-side to one global
+    //    row; key uniqueness is the only check that pays a shuffle --
+    "data_checks" -> ((s, dir) => Profile.dataChecks(t(s, dir, "documents"))),
+
     // -- the composed corpus-prep pipeline as ONE lazy DAG (what a
     //    real training-data build runs): exact-dedup keep-one ->
     //    per-language top-quartile quality filter -> benchmark
@@ -2289,6 +2301,37 @@ object SparkEntry {
           | CAST(count(*) AS BIGINT) AS n_vectors
           |FROM embeddings, range(1, 65) x(i)
           |GROUP BY label, i ORDER BY label, dim""".stripMargin.replaceAll("\n", " "),
+      // per-column profile over the same (column, string-value) long
+      // form; min/max are lexicographic on the string form by design
+      "table_profile" ->
+        """WITH p AS (
+          |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+          |  UNION ALL SELECT 'lang', lang FROM documents
+          |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+          |  UNION ALL SELECT 'source', source FROM documents
+          |  UNION ALL SELECT 'text', text FROM documents)
+          |SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+          | CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+          | CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+          | min(v) AS vmin, max(v) AS vmax
+          |FROM p GROUP BY col_name ORDER BY col_name""".stripMargin.replaceAll("\n", " "),
+      "data_checks" ->
+        """WITH r AS (SELECT
+          |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS doc_id_null,
+          |  CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS text_empty,
+          |  CAST(sum(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) AS lang_unknown,
+          |  CAST(sum(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_negative,
+          |  CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_mismatch
+          |  FROM documents),
+          |d AS (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS doc_id_dup_rows
+          |  FROM (SELECT count(*) AS c FROM documents GROUP BY doc_id) _g WHERE c > 1)
+          |SELECT 'doc_id_dup_rows' AS check_name, doc_id_dup_rows AS n_violations FROM d
+          |UNION ALL SELECT 'doc_id_null', doc_id_null FROM r
+          |UNION ALL SELECT 'lang_unknown', lang_unknown FROM r
+          |UNION ALL SELECT 'n_chars_mismatch', n_chars_mismatch FROM r
+          |UNION ALL SELECT 'n_chars_negative', n_chars_negative FROM r
+          |UNION ALL SELECT 'text_empty', text_empty FROM r
+          |ORDER BY check_name""".stripMargin.replaceAll("\n", " "),
       "pipeline_corpus" -> {
         val bases = s"list_transform(${SqlSnips.shingles("toks", 5)}, s -> ${SqlSnips.charFold("s")})"
         s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

@@ -73,4 +73,60 @@ object Profile {
       .groupBy(col(labelCol), col("dim"))
       .agg(round(avg(col("v").cast("double")), 4).as("m"),
         count(lit(1)).as("n_vectors"))
+
+  /** Column-level data-quality profile — the deequ/TFDV-style audit a
+    * training pipeline runs on every new corpus drop: per column, row
+    * count, null count, EXACT distinct count, lexicographic min/max
+    * of the string form. One explode to (column, value) long form +
+    * ONE hash aggregate (count-distinct expands to the standard
+    * two-phase partial plan), so the pass over the table is single
+    * and map-side-combined — never a scan per column. Min/max compare
+    * the STRING form (uniform output schema; both engines order
+    * varchar lexicographically, so '10' < '9' — a profile convention,
+    * documented, not a bug).
+    */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
+        .as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .orderBy(col("col_name"))
+
+  /** Constraint validation over the documents table (deequ-style
+    * checks): one row per check with its violation count, zero =
+    * healthy. Two scans, each the minimal shape for its checks: the
+    * row-local predicates fold map-side into a single global
+    * aggregate (one row crosses the wire per partition); key
+    * uniqueness is the one check that genuinely needs a shuffle, and
+    * it shuffles the id-keyed partial counts only.
+    */
+  def dataChecks(df: DataFrame): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val rowChecks = df.agg(
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("doc_id_null"),
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L)).as("text_empty"),
+      sum(when(col("lang").isNull || !col("lang").isin(langs: _*), 1L)
+        .otherwise(0L)).as("lang_unknown"),
+      sum(when(col("n_chars") < 0, 1L).otherwise(0L)).as("n_chars_negative"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L)
+        .otherwise(0L)).as("n_chars_mismatch"))
+    val dup = df.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L))
+        .as("doc_id_dup_rows"))
+    rowChecks.crossJoin(dup) // both single-row
+      .selectExpr("""stack(6,
+        'doc_id_dup_rows', doc_id_dup_rows,
+        'doc_id_null', doc_id_null,
+        'lang_unknown', lang_unknown,
+        'n_chars_mismatch', n_chars_mismatch,
+        'n_chars_negative', n_chars_negative,
+        'text_empty', text_empty) AS (check_name, n_violations)""")
+      .orderBy(col("check_name"))
+  }
 }

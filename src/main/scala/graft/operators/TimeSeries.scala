@@ -26,11 +26,21 @@ object TimeSeries {
   /** Hourly count series per `keyCol`, densified to every hour in the
     * key's observed [min, max] span, with missing hours forward-filled
     * from the most recent observed hour: (key, hour_bucket, n,
-    * is_gap). `ts` is long nanos (Tables.load). The first hour per
-    * key is observed by construction (the span starts at an observed
-    * min), so `n` is never null after the fill.
+    * is_gap). `ts` is long nanos (Tables.load). For any key within
+    * the span cap, the first hour is observed by construction (the
+    * span starts at an observed min), so `n` is never null after the
+    * fill; a clamped key's leading unobserved hours keep null `n`.
+    *
+    * `maxSpanHours` bounds the generated grid per key: ONE corrupt
+    * timestamp (a year-30000 epoch from a bad parser) would otherwise
+    * make `sequence(lo, hi)` try to materialize a billions-element
+    * array and kill the job. Keys are clamped to the most recent
+    * `maxSpanHours` of their span (the default keeps >11 years, far
+    * beyond any honest event stream); observed-but-clamped hours are
+    * simply absent from the output, and the job survives.
     */
-  def gapFillHourly(events: DataFrame, keyCol: String): DataFrame = {
+  def gapFillHourly(events: DataFrame, keyCol: String,
+      maxSpanHours: Long = 100000L): DataFrame = {
     val hourly = events
       .select(col(keyCol), expr("ts div 1000000000 div 3600").as("hour_bucket"))
       .groupBy(col(keyCol), col("hour_bucket"))
@@ -38,7 +48,9 @@ object TimeSeries {
     val grid = hourly.groupBy(col(keyCol))
       .agg(min(col("hour_bucket")).as("lo"), max(col("hour_bucket")).as("hi"))
       .select(col(keyCol),
-        explode(sequence(col("lo"), col("hi"))).as("hour_bucket"))
+        explode(sequence(
+          greatest(col("lo"), col("hi") - lit(maxSpanHours - 1)),
+          col("hi"))).as("hour_bucket"))
     val fill = Window.partitionBy(keyCol).orderBy("hour_bucket")
       .rowsBetween(Window.unboundedPreceding, 0)
     grid.join(hourly, Seq(keyCol, "hour_bucket"), "left")

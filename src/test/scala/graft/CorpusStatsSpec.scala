@@ -209,4 +209,35 @@ class CorpusStatsSpec extends AnyFunSuite {
     // top-k, so recall can never be 0
     assert(rep.values.forall(h => h >= 1L && h <= 10L))
   }
+
+  test("dataChecks: injected violations are counted, healthy checks zero") {
+    // 3 rows sharing doc_id 1 (2 excess), one unknown lang, one
+    // n_chars lying about its text, one empty text
+    val bad = Seq(
+      (1L, "abc", "en", "s0", 3L),
+      (1L, "defg", "en", "s0", 4L),
+      (1L, "hi", "fr", "s0", 2L),
+      (2L, "jk", "xx", "s0", 2L),
+      (3L, "lmn", "de", "s1", 99L),
+      (4L, "", "zh", "s1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Profile.dataChecks(bad).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "doc_id_dup_rows" -> 2L, "doc_id_null" -> 0L, "lang_unknown" -> 1L,
+      "n_chars_mismatch" -> 1L, "n_chars_negative" -> 0L,
+      "text_empty" -> 1L))
+  }
+
+  test("tableProfile: one row per column with exact null/distinct counts") {
+    val df = Seq(
+      (Some(1L), Some("en")), (Some(2L), None), (Some(2L), Some("fr"))
+    ).toDF("doc_id", "lang")
+    val got = Profile.tableProfile(df, Seq("doc_id", "lang")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(got.toSeq == Seq(
+      ("doc_id", 3L, 0L, 2L, "1", "2"),
+      ("lang", 3L, 1L, 2L, "en", "fr")))
+  }
 }

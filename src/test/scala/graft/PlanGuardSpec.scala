@@ -60,4 +60,31 @@ class PlanGuardSpec extends AnyFunSuite {
   test("corpus_diff: bounded by join(2) + rollup(1) shuffles") {
     assert(hashExchanges(plan("corpus_diff")) <= 3)
   }
+
+  test("tokens_hh_approx: sketch built map-side after the pinned repartition") {
+    val p = plan("tokens_hh_approx")
+    // partial aggregation = the whole per-bucket sketch is built on
+    // the (sorted) map side; the reduce merge is identity
+    assert(p.contains("partial_heavy_hitters"), p)
+    // exactly the explicit 4-way repartition that pins the trajectory
+    // — the groupBy must NOT add a second data shuffle on top (the
+    // explicit hashpartitioning(pid) already satisfies it)
+    assert(hashExchanges(p) === 1, p)
+  }
+
+  test("events_zscore_gapfill: events shuffle once; windows run on the grid") {
+    val p = plan("events_zscore_gapfill")
+    // the hourly aggregate subtree appears twice pre-execution (grid
+    // span + fill join both read it); AQE's ReuseExchange collapses
+    // them at runtime (PLANS.md shows the final plan). Guard that no
+    // THIRD events read sneaks in and the shuffle budget stays at:
+    // hourly agg (x2 pre-reuse) + span agg + fill join + window
+    assert("FileScan parquet".r.findAllIn(p).length <= 2, p)
+    assert(hashExchanges(p) <= 5, p)
+  }
+
+  test("decontaminate_bloom: the Bloom probe filters the scan map-side") {
+    val p = plan("decontaminate_bloom")
+    assert(p.contains("might_contain"), p)
+  }
 }

@@ -32,4 +32,24 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.where(col("n").isNull).count() === 0)
     assert(out.count() === 3)
   }
+
+  test("gapFillHourly: one corrupt timestamp cannot explode the grid") {
+    // hour 10 plus a far-future outlier (a year-2198 epoch — the
+    // largest hour that still fits in long nanos): without the span
+    // cap, sequence(10, 2e6) materializes a two-million-element array
+    // per such key; a worse parser bug kills the job outright
+    val corrupt = 2_000_000L
+    val events = Seq(
+      ("a", 10 * H), ("a", corrupt * H),
+      ("b", 10 * H), ("b", 11 * H)).toDF("k", "ts")
+    val out = TimeSeries.gapFillHourly(events, "k", maxSpanHours = 1000L)
+      .collect()
+    // key a is clamped to the most recent 1000 hours of its span;
+    // key b (honest 2-hour span) is untouched
+    assert(out.count(_.getString(0) == "a") === 1000)
+    assert(out.count(_.getString(0) == "b") === 2)
+    // the clamped key's surviving observed hour is the outlier itself
+    val aObs = out.filter(r => r.getString(0) == "a" && !r.getBoolean(3))
+    assert(aObs.map(_.getLong(1)).toSeq === Seq(corrupt))
+  }
 }
