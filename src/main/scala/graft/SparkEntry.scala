@@ -933,6 +933,19 @@ object SparkEntry {
           "lang", idWindow = 25, minJaccard = 0.5)
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(100)),
 
+    // -- dedup index-quality audit: minhash band predictions scored
+    //    against exact shingle-Jaccard>=1/2 ground truth (integer
+    //    3i>=|A|+|B| cut — bit-portable); the number that validates a
+    //    band/seed config before a corpus-wide dedup run --
+    "dedup_recall" -> ((s, dir) =>
+      Dedup.minhashRecallReport(t(s, dir, "documents"), "text", "doc_id")),
+
+    // -- band/seed sweep over the SAME checkpointed truth: the
+    //    precision/recall frontier for picking an LSH config (more,
+    //    narrower bands -> recall; fewer, wider -> precision) --
+    "dedup_recall_matrix" -> ((s, dir) =>
+      Dedup.minhashRecallMatrix(t(s, dir, "documents"), "text", "doc_id")),
+
     // -- incremental near-dup: the doc_id%10==0 batch arrives as "new"
     //    against an at-rest signature store of the rest; only pairs
     //    touching a new doc are (re)emitted, and only new docs are
@@ -2403,6 +2416,84 @@ object SparkEntry {
            | CAST(count(*) AS BIGINT) AS n_docs
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
       "dedup_minhash" -> minhashPairsSql,
+      // truth = exact shingle-set Jaccard >= 1/2 (integer cut) over
+      // shared-shingle candidates; pred = the minhash band pairs CTE
+      "dedup_recall" -> {
+        val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+        s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+           |base AS (SELECT doc, list_sort(list_distinct($bases)) AS ss
+           |  FROM tk WHERE len(toks) >= 3),
+           |ex AS (SELECT doc, unnest(ss) AS sh FROM base),
+           |cand AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+           |  FROM ex x JOIN ex y ON x.sh = y.sh AND x.doc < y.doc),
+           |tr AS (SELECT doc_a, doc_b FROM cand
+           |  JOIN base a ON a.doc = cand.doc_a
+           |  JOIN base b ON b.doc = cand.doc_b
+           |  WHERE 3 * len(list_intersect(a.ss, b.ss)) >= len(a.ss) + len(b.ss)),
+           |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
+           |  FROM tk WHERE len(toks) >= 3),
+           |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
+           |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
+           |pr AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+           |  FROM bands x JOIN bands y
+           |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc),
+           |j AS (SELECT t, p FROM
+           |  (SELECT doc_a, doc_b, 1 AS t FROM tr) _t
+           |  FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS p FROM pr) _p
+           |  USING (doc_a, doc_b))
+           |SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n_true,
+           | CAST(coalesce(sum(p), 0) AS BIGINT) AS n_pred,
+           | CAST(coalesce(sum(t * p), 0) AS BIGINT) AS n_hit,
+           | CASE WHEN coalesce(sum(p), 0) > 0 THEN
+           |   round(CAST(coalesce(sum(t * p), 0) AS DOUBLE) / sum(p), 4) END AS precision,
+           | CASE WHEN coalesce(sum(t), 0) > 0 THEN
+           |   round(CAST(coalesce(sum(t * p), 0) AS DOUBLE) / sum(t), 4) END AS recall
+           |FROM j""".stripMargin.replaceAll("\n", " ")
+      },
+      // the sweep: same truth CTE, one band/pair/metric CTE chain per
+      // (seeds=8, rows_per_band) config, metric rows unioned
+      "dedup_recall_matrix" -> {
+        val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+        def cfg(rpb: Int): String = {
+          val nb = 8 / rpb
+          val key = (1 to rpb).map(r => s"sig[$rpb * bi + $r]").mkString(", ")
+          s"""bands$rpb AS (SELECT doc, bi, concat_ws('_', $key) AS key
+             |  FROM sigs, (SELECT unnest(range(0, $nb)) AS bi) _b),
+             |pr$rpb AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+             |  FROM bands$rpb x JOIN bands$rpb y
+             |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc),
+             |j$rpb AS (SELECT t, p FROM
+             |  (SELECT doc_a, doc_b, 1 AS t FROM tr) _t
+             |  FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS p FROM pr$rpb) _p
+             |  USING (doc_a, doc_b)),
+             |m$rpb AS (SELECT 'seeds=8,rows_per_band=$rpb' AS config,
+             | CAST(coalesce(sum(t), 0) AS BIGINT) AS n_true,
+             | CAST(coalesce(sum(p), 0) AS BIGINT) AS n_pred,
+             | CAST(coalesce(sum(t * p), 0) AS BIGINT) AS n_hit,
+             | CASE WHEN coalesce(sum(p), 0) > 0 THEN
+             |   round(CAST(coalesce(sum(t * p), 0) AS DOUBLE) / sum(p), 4) END AS precision,
+             | CASE WHEN coalesce(sum(t), 0) > 0 THEN
+             |   round(CAST(coalesce(sum(t * p), 0) AS DOUBLE) / sum(t), 4) END AS recall
+             | FROM j$rpb)""".stripMargin
+        }
+        s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+           |base AS (SELECT doc, list_sort(list_distinct($bases)) AS ss
+           |  FROM tk WHERE len(toks) >= 3),
+           |ex AS (SELECT doc, unnest(ss) AS sh FROM base),
+           |cand AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+           |  FROM ex x JOIN ex y ON x.sh = y.sh AND x.doc < y.doc),
+           |tr AS (SELECT doc_a, doc_b FROM cand
+           |  JOIN base a ON a.doc = cand.doc_a
+           |  JOIN base b ON b.doc = cand.doc_b
+           |  WHERE 3 * len(list_intersect(a.ss, b.ss)) >= len(a.ss) + len(b.ss)),
+           |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
+           |  FROM tk WHERE len(toks) >= 3),
+           |${cfg(1)},
+           |${cfg(2)},
+           |${cfg(4)}
+           |SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m4
+           |ORDER BY config""".stripMargin.replaceAll("\n", " ")
+      },
       // the streaming delivery of the same pair set (disjoint
       // micro-batch union — see DedupStream): same oracle verbatim
       "streaming_neardup" -> minhashPairsSql,

@@ -162,6 +162,85 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Dedup index-quality audit — the minhash analog of
+    * [[graft.operators.Ann.lshRecallReport]]: PREDICTED pairs (the
+    * minhash band buckets) scored against GROUND-TRUTH pairs (exact
+    * shingle-set Jaccard >= 1/2 over the SAME shingle universe the
+    * signatures hash). One row: (n_true, n_pred, n_hit, precision,
+    * recall) — the number every dedup deployment needs before
+    * trusting a band/seed configuration.
+    *
+    * Truth generation is complete by construction: J > 0 requires a
+    * shared shingle, so candidates come from the shingle equi join
+    * over the deduped (doc, shingle) stream; the 1/2 cut is evaluated
+    * in INTEGER arithmetic (3*inter >= |A|+|B|, since J >= 1/2 iff
+    * 3i >= |A|+|B|) so the threshold is bit-portable across engines.
+    * Scale note: candidate fan-out per shingle is document frequency;
+    * at 100 TB this audit runs on a sample or caps hot shingles — it
+    * is an offline index-quality job, not a serving path.
+    */
+  def minhashRecallReport(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3): DataFrame =
+    scorePairs(jaccardTruthPairs(df, textCol, idCol, shingleK),
+      minhashPairs(df, textCol, idCol, shingleK))
+
+  /** Band/seed parameter sweep — [[minhashRecallReport]] across
+    * configurations against ONE shared ground truth (checkpointed, so
+    * the exact-Jaccard join runs once): the precision/recall frontier
+    * a curator reads before picking an LSH configuration. More bands
+    * of fewer rows → higher recall, lower precision; fewer, wider
+    * bands → the reverse.
+    */
+  def minhashRecallMatrix(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3,
+      configs: Seq[(Int, Int)] = Seq((8, 1), (8, 2), (8, 4))): DataFrame = {
+    val truth = jaccardTruthPairs(df, textCol, idCol, shingleK)
+      .localCheckpoint(eager = true)
+    configs.map { case (seeds, rpb) =>
+      scorePairs(truth, minhashPairs(df, textCol, idCol, shingleK, seeds, rpb))
+        .select(lit(s"seeds=$seeds,rows_per_band=$rpb").as("config"),
+          col("n_true"), col("n_pred"), col("n_hit"),
+          col("precision"), col("recall"))
+    }.reduce(_ unionByName _).orderBy(col("config"))
+  }
+
+  /** Ground-truth near-dup pairs: exact shingle-set Jaccard >= 1/2
+    * via the integer cut (see [[minhashRecallReport]]'s doc). */
+  private def jaccardTruthPairs(df: DataFrame, textCol: String,
+      idCol: String, shingleK: Int): DataFrame = {
+    val sets = df.select(col(idCol).as("doc"),
+        array_sort(array_distinct(
+          TextExprs.shingle_hashes(col(textCol), shingleK))).as("ss"))
+      .where(size(col("ss")) > 0)
+      .localCheckpoint(eager = true) // read 3x: explode + both join sides
+    val ex = sets.select(col("doc"), explode(col("ss")).as("sh"))
+    val cand = ex.as("x").join(ex.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc").as("doc_a"), col("ss").as("sa")), Seq("doc_a"))
+      .join(sets.select(col("doc").as("doc_b"), col("ss").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        SetExprs.sorted_intersect_size(col("sa"), col("sb")).as("i"),
+        (size(col("sa")) + size(col("sb"))).as("s"))
+      .where(lit(3) * col("i") >= col("s"))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  private def scorePairs(truth: DataFrame, pred: DataFrame): DataFrame =
+    truth.withColumn("t", lit(1L))
+      .join(pred.withColumn("p", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        coalesce(sum(col("t")), lit(0L)).as("n_true"),
+        coalesce(sum(col("p")), lit(0L)).as("n_pred"),
+        coalesce(sum(col("t") * col("p")), lit(0L)).as("n_hit"))
+      .select(col("n_true"), col("n_pred"), col("n_hit"),
+        when(col("n_pred") > 0,
+          round(col("n_hit").cast("double") / col("n_pred"), 4)).as("precision"),
+        when(col("n_true") > 0,
+          round(col("n_hit").cast("double") / col("n_true"), 4)).as("recall"))
+
   /** Connected components over the near-dup pair graph by iterative
     * min-label propagation: every node's label converges to the
     * smallest id reachable from it — the canonical cluster

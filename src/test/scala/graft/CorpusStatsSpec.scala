@@ -210,6 +210,23 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(rep.values.forall(h => h >= 1L && h <= 10L))
   }
 
+  test("minhashRecallMatrix: narrower bands predict supersets (monotone frontier)") {
+    // a width-2 band collision implies both width-1 sub-bands collide,
+    // so predictions are nested: n_pred and recall are monotone in
+    // band count, and every config's hits are bounded by the truth
+    val docs2 = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val m = graft.operators.Dedup
+      .minhashRecallMatrix(docs2, "text", "doc_id").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val (t1, p1, h1) = m("seeds=8,rows_per_band=1")
+    val (t2, p2, h2) = m("seeds=8,rows_per_band=2")
+    val (t4, p4, h4) = m("seeds=8,rows_per_band=4")
+    assert(t1 == t2 && t2 == t4, "shared truth across configs")
+    assert(p1 >= p2 && p2 >= p4, "narrower bands cast a wider net")
+    assert(h1 >= h2 && h2 >= h4 && h1 <= t1)
+  }
+
   test("dataChecks: injected violations are counted, healthy checks zero") {
     // 3 rows sharing doc_id 1 (2 excess), one unknown lang, one
     // n_chars lying about its text, one empty text
