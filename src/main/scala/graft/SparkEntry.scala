@@ -873,6 +873,16 @@ object SparkEntry {
         "vec_id", "embedding", "cosine", k = 10, numPlanes = 8)
     }),
 
+    // -- ranking quality, not just survivor count: binary-relevance
+    //    nDCG@10 of the LSH ranking vs exact (position-weighted — a
+    //    survivor at approx rank 1 is worth more than one at rank 10);
+    //    same sample/bounds as ann_recall --
+    "search_ndcg" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.lshNdcgReport(e, e.where(col("vec_id") < 20),
+        "vec_id", "embedding", "cosine", k = 10, numPlanes = 8)
+    }),
+
     // -- the cross-family recall matrix: every index family at 2-3
     //    probe budgets vs exact top-10 under its serving metric, on a
     //    shared 10-query sample. Deterministic models (static
@@ -2402,6 +2412,30 @@ object SparkEntry {
            |FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
            |GROUP BY ex.qid ORDER BY qid""".stripMargin.replaceAll("\n", " "),
       "ann_recall_matrix" -> recallMatrixOracle,
+      // same exact/approx replay as ann_recall; DCG at the approx
+      // position, IDCG from the identical ascending fold
+      "search_ndcg" ->
+        s"""WITH sigs AS (SELECT vec_id, embedding,
+           |  list_sum(list_transform(range(0, 8), p -> CASE WHEN
+           |    list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) *
+           |      ((((p * 64 + i) * 2654435761) % 4294967296) / 4294967296.0 - 0.5))) > 0
+           |    THEN CAST(2 ** p AS BIGINT) ELSE 0 END)) AS bucket
+           |  FROM embeddings),
+           |qs AS (SELECT vec_id AS qid, embedding AS qvec, bucket AS qbucket
+           |  FROM sigs WHERE vec_id < 20),
+           |ex AS (SELECT qid, vec_id FROM (
+           |  SELECT q.qid, e.vec_id, row_number() OVER
+           |    (PARTITION BY q.qid ORDER BY ${sqlDist("cosine")}, e.vec_id) AS rn
+           |  FROM sigs e, qs q) _x WHERE rn <= 10),
+           |ap AS (SELECT qid, vec_id, rn FROM (
+           |  SELECT q.qid, e.vec_id, row_number() OVER
+           |    (PARTITION BY q.qid ORDER BY ${sqlDist("cosine")}, e.vec_id) AS rn
+           |  FROM sigs e, qs q WHERE e.bucket = q.qbucket) _a WHERE rn <= 10)
+           |SELECT ex.qid AS qid,
+           | round(coalesce(sum(1.0 / log2(ap.rn + 1)), 0) /
+           |   list_sum(list_transform(range(1, 11), i -> 1.0 / log2(i + 1))), 4) AS ndcg
+           |FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+           |GROUP BY ex.qid ORDER BY qid""".stripMargin.replaceAll("\n", " "),
       "streaming_search" -> streamingSearchOracle,
       "dedup_exact" ->
         """SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keep_id

@@ -476,4 +476,45 @@ object Ann {
       .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
       .orderBy(col("qid"))
   }
+
+  /** Ranking-quality audit for the LSH index: binary-relevance
+    * nDCG@k of the bucketed ranking vs the exact top-k (rel = 1 iff
+    * the doc is in the exact top-k; DCG sums 1/log2(pos+1) at each
+    * surviving doc's APPROX position; IDCG is the all-relevant
+    * prefix). Recall counts the survivors — nDCG also asks how HIGH
+    * they rank, which is what a retrieval eval set actually consumes.
+    * Same shapes and bounds as [[lshRecallReport]]: exact side
+    * bounded by the query sample, approx side bucket-bounded.
+    */
+  def lshNdcgReport(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      metric: String, k: Int, numPlanes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val d = VectorFunctions.forMetric(metric)(col(vecCol), col("qvec"))
+    val byQuery = Window.partitionBy(col("qid"))
+      .orderBy(col("dist"), col(idCol))
+    val exact = corpus.join(broadcast(q), lit(true))
+      .select(col("qid"), col(idCol), round(d, 4).as("dist"))
+      .withColumn("rn", row_number().over(byQuery))
+      .where(col("rn") <= k)
+      .select(col("qid"), col(idCol))
+    val bucketed = corpus.withColumn("bucket", lshSignature(col(vecCol), numPlanes))
+    val qb = q.withColumn("qbucket", lshSignature(col("qvec"), numPlanes))
+    val approx = bucketed.join(broadcast(qb), col("bucket") === col("qbucket"))
+      .select(col("qid"), col(idCol), round(d, 4).as("dist"))
+      .withColumn("rn", row_number().over(byQuery))
+      .where(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("rn"))
+    // both engines build IDCG from the same ascending fold, so the
+    // quotient's operands are op-for-op identical
+    val idcg = expr(
+      s"aggregate(sequence(1, $k), 0D, (a, i) -> a + 1.0 / log2(i + 1))")
+    exact.join(approx, Seq("qid", idCol), "left_outer")
+      .groupBy(col("qid"))
+      .agg(round(
+        coalesce(sum(lit(1.0) / log2(col("rn") + 1)), lit(0.0)) / idcg,
+        4).as("ndcg"))
+      .orderBy(col("qid"))
+  }
 }
