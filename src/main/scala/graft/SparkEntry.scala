@@ -1059,6 +1059,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // -- embedding-space drift report: per-dimension mean shift
+    //    between the at-rest embeddings and a synthetic re-embed
+    //    (drop %13, shift %17 by +0.25, add %19 — the vector-side
+    //    mirror of corpus_diff's crawl N+1). Two map-side dim
+    //    aggregates + a |dims|-row join: the re-embed monitoring
+    //    check a platform team runs before swapping generations --
+    "embed_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val next = e.where(col("vec_id") % 13 =!= 0)
+        .withColumn("embedding",
+          when(col("vec_id") % 17 === 0,
+            transform(col("embedding"), x => x.cast("double") + lit(0.25)))
+          .otherwise(transform(col("embedding"), _.cast("double"))))
+        .unionByName(e.where(col("vec_id") % 19 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("embedding"),
+            col("label")))
+      val o = Profile.dimStats(e, "embedding")
+        .select(col("dim"), col("mean").as("mean_old"))
+      val n = Profile.dimStats(next, "embedding")
+        .select(col("dim"), col("mean").as("mean_new"))
+      o.join(n, Seq("dim"))
+        .select(col("dim"), col("mean_old"), col("mean_new"),
+          round(col("mean_new") - col("mean_old"), 4).as("drift"))
+        .orderBy(col("dim"))
+    }),
+
     // -- LSH-bucketed near-dup pairs: candidates share an LSH bucket
     //    (equi hash join, never an all-pairs product). Plane count is
     //    DERIVED from count(*) so expected bucket size stays ~32 as
@@ -2653,6 +2680,26 @@ object SparkEntry {
            |SELECT doc_id, status, round(r[1] / nm, 4) AS x0, round(r[2] / nm, 4) AS x1
            |FROM nn ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
       },
+      // drift = difference of the two 4-dp-rounded per-dim means, so
+      // the subtraction sees identical operands in both engines
+      "embed_drift" ->
+        """WITH o AS (SELECT CAST(i - 1 AS INTEGER) AS dim,
+          |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS mean_old
+          |  FROM embeddings, range(1, 65) x(i) GROUP BY i),
+          |nx AS (SELECT vec_id,
+          |  CASE WHEN vec_id % 17 = 0
+          |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.25)
+          |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS embedding
+          |  FROM embeddings WHERE vec_id % 13 <> 0
+          |  UNION ALL
+          |  SELECT vec_id + 10000000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+          |  FROM embeddings WHERE vec_id % 19 = 0),
+          |n AS (SELECT CAST(i - 1 AS INTEGER) AS dim,
+          |  round(avg(embedding[i]), 4) AS mean_new
+          |  FROM nx, range(1, 65) x(i) GROUP BY i)
+          |SELECT o.dim AS dim, mean_old, mean_new,
+          | round(mean_new - mean_old, 4) AS drift
+          |FROM o JOIN n ON o.dim = n.dim ORDER BY dim""".stripMargin.replaceAll("\n", " "),
       "docs_chunk" ->
         s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
            |n AS (SELECT doc_id, toks,
