@@ -30,7 +30,6 @@ object Dedup {
   def minhashPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, numSeeds: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val numBands = numSeeds / rowsPerBand
     // native kernel (TextExprs) — formula-identical to the TextFuncs
     // HOF composition, one tight-loop call per row
     // localCheckpoint materializes the signatures ONCE: a self-join
@@ -39,8 +38,19 @@ object Dedup {
     // longs is small relative to the corpus; at rest you'd write the
     // signature table to parquet instead — [[incrementalMinhashPairs]]
     // is exactly that at-rest form.
-    val sigs = minhashSigs(df, textCol, idCol, shingleK, numSeeds)
-      .localCheckpoint(eager = true)
+    bandedPairs(
+      minhashSigs(df, textCol, idCol, shingleK, numSeeds)
+        .localCheckpoint(eager = true),
+      numSeeds, rowsPerBand)
+  }
+
+  /** Band + bucket-join step of [[minhashPairs]] over an existing
+    * (doc, sig) table — split out so a parameter sweep (or an at-rest
+    * signature store) bands the SAME signatures under several widths
+    * instead of re-minhashing the corpus per configuration.
+    */
+  def bandedPairs(sigs: DataFrame, numSeeds: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numSeeds / rowsPerBand
     val bands = sigs.select(
       col("doc"),
       explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
@@ -196,8 +206,14 @@ object Dedup {
       configs: Seq[(Int, Int)] = Seq((8, 1), (8, 2), (8, 4))): DataFrame = {
     val truth = jaccardTruthPairs(df, textCol, idCol, shingleK)
       .localCheckpoint(eager = true)
+    // one signature pass shared by every config — the sweep re-BANDS,
+    // it never re-minhashes (at 100 TB the sig table is the at-rest
+    // artifact; re-deriving it per config would triple the scan)
+    val numSeeds = configs.map(_._1).max
+    val sigs = minhashSigs(df, textCol, idCol, shingleK, numSeeds)
+      .localCheckpoint(eager = true)
     configs.map { case (seeds, rpb) =>
-      scorePairs(truth, minhashPairs(df, textCol, idCol, shingleK, seeds, rpb))
+      scorePairs(truth, bandedPairs(sigs, seeds, rpb))
         .select(lit(s"seeds=$seeds,rows_per_band=$rpb").as("config"),
           col("n_true"), col("n_pred"), col("n_hit"),
           col("precision"), col("recall"))
