@@ -1422,6 +1422,16 @@ object SparkEntry {
     "streaming_neardup" -> ((s, dir) =>
       graft.streaming.DedupStream.neardupBatchDrain(s, dir)),
 
+    // -- late-data loss report: events arrive in a deterministic
+    //    out-of-order simulation (range terciles, every 17th event one
+    //    batch late) through the watermarked append-mode hourly agg;
+    //    output joins the finalized stream counts against the batch
+    //    ground truth. The oracle replays the exact watermark
+    //    trajectory (max-ms-per-batch running max, drop iff window end
+    //    <= entering watermark — LateDataSpec pins the boundary) --
+    "streaming_late_audit" -> ((s, dir) =>
+      graft.streaming.EventStream.lateDataAuditBatchDrain(s, dir)),
+
     // -- product quantization ANN (8 bytes/vector ADC search);
     //    trained codebooks, fully oracled via pqKmeansCtes. Codebooks
     //    train on the id%2 sample; the query vector stays a broadcast
@@ -2464,6 +2474,36 @@ object SparkEntry {
            |FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
            |GROUP BY ex.qid ORDER BY qid""".stripMargin.replaceAll("\n", " "),
       "streaming_search" -> streamingSearchOracle,
+      // replays the watermark trajectory in integer micros: arrival
+      // batch = range tercile (every 17th event_id one batch late),
+      // watermark entering batch b = running max of per-batch max
+      // event-ms over batches < b minus 2h, row kept iff its hour-
+      // window END exceeds that watermark (boundary pinned by
+      // LateDataSpec: end == wm drops)
+      "streaming_late_audit" ->
+        """WITH ev AS (SELECT event_id, epoch_us(ts) AS us, event_type FROM events),
+          |mm AS (SELECT min(us) AS mn, max(us) - min(us) + 1 AS span FROM ev),
+          |evb AS (SELECT e.us, e.event_type,
+          |  CASE WHEN e.event_id % 17 = 0
+          |    THEN least(2, least(2, ((e.us - mm.mn) * 3) // mm.span) + 1)
+          |    ELSE least(2, ((e.us - mm.mn) * 3) // mm.span) END AS b
+          |  FROM ev e CROSS JOIN mm),
+          |mx AS (SELECT b, max(us // 1000) AS mxms FROM evb GROUP BY b),
+          |wm AS (SELECT b, max(mxms) OVER (ORDER BY b
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmx FROM mx),
+          |kept AS (SELECT e.us, e.event_type FROM evb e JOIN wm ON e.b = wm.b
+          |  WHERE wm.prevmx IS NULL
+          |     OR ((e.us // 3600000000) + 1) * 3600000000 > (wm.prevmx - 7200000) * 1000),
+          |s AS (SELECT us // 3600000000 AS hour_bucket, event_type,
+          |  CAST(count(*) AS BIGINT) AS n_stream FROM kept GROUP BY 1, 2),
+          |a AS (SELECT us // 3600000000 AS hour_bucket, event_type,
+          |  CAST(count(*) AS BIGINT) AS n_all FROM ev GROUP BY 1, 2)
+          |SELECT a.hour_bucket, a.event_type, a.n_all,
+          |  CAST(coalesce(s.n_stream, 0) AS BIGINT) AS n_stream,
+          |  CAST(a.n_all - coalesce(s.n_stream, 0) AS BIGINT) AS n_late
+          |FROM a LEFT JOIN s ON a.hour_bucket = s.hour_bucket
+          |  AND a.event_type = s.event_type
+          |ORDER BY a.hour_bucket, a.event_type""".stripMargin.replaceAll("\n", " "),
       "dedup_exact" ->
         """SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keep_id
           |FROM documents GROUP BY md5(text) ORDER BY h LIMIT 100""".stripMargin.replaceAll("\n", " "),

@@ -157,6 +157,113 @@ object EventStream {
       .groupBy(window(col("event_ts"), windowDur), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
 
+  /** Append-mode hourly counts driven by an EXPLICIT arrival order:
+    * each element of `batches` becomes exactly one micro-batch (its
+    * file is written to the source dir and drained before the next is
+    * written), so the watermark trajectory — and therefore which late
+    * rows get dropped — is a deterministic function of the data, not
+    * of scheduler timing. A sentinel row at `sentinelUs` (far past
+    * every real event) is fed last so the final watermark passes every
+    * real window end and append mode emits them all; Spark's no-data
+    * micro-batch (on by default) performs that final eviction inside
+    * `processAllAvailable`.
+    *
+    * Replayable semantics (pinned by LateDataSpec, including the
+    * window-end == watermark boundary): the watermark entering
+    * micro-batch b is `max(eventTimeMs over batches < b) - delayMs`
+    * (event times floored to whole ms), and an arriving row is dropped
+    * iff its window END is <= that watermark.
+    */
+  def lateWindowCountsDrain(spark: SparkSession, batches: Seq[DataFrame],
+      sentinelUs: Long, delay: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_late").toString
+    val incoming = s"$tmp/incoming"
+    val name = s"graft_stream_late_${memSinkId.incrementAndGet()}"
+    val cols = schema.fieldNames.map(col)
+    def feed(df: DataFrame): Unit =
+      df.select(cols: _*).coalesce(1).write.mode("append").parquet(incoming)
+    try {
+      // first batch lands before start() so the glob has files to list
+      feed(batches.head)
+      val q = spark.readStream.schema(schema).parquet(s"$incoming/*.parquet")
+        .withColumn("event_ts", tsCol)
+        .withWatermark("event_ts", delay)
+        .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_stream"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        batches.tail.foreach { b => feed(b); q.processAllAvailable() }
+        val spark2 = spark
+        import spark2.implicits._
+        feed(Seq((-1L, sentinelUs * 1000L, -1L, "__sentinel__", 0.0, ""))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name)
+        .select((unix_timestamp(col("window.start")) / 3600L).cast("long")
+            .as("hour_bucket"),
+          col("event_type"), col("n_stream"))
+        .where(col("event_type") =!= "__sentinel__")
+        .localCheckpoint(eager = true) // detach from the sink + temp dir
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      try rm(new java.io.File(tmp)) catch { case _: Throwable => () }
+    }
+  }
+
+  /** Late-data loss report for the watermarked hourly aggregate — the
+    * audit a 100 TB streaming ingest runs before trusting its windowed
+    * counts: how many rows did the watermark legitimately drop, and
+    * from which windows? Arrival is simulated deterministically so the
+    * DuckDB oracle can replay the exact watermark trajectory with
+    * integer arithmetic: arrival batch = tercile of the observed
+    * event-time RANGE, and every `lateResidue`-th event_id arrives one
+    * batch late (a bounded out-of-orderness injection).
+    *
+    * Output per (hour_bucket, event_type): `n_all` (ground truth),
+    * `n_stream` (what the finalized append-mode window reported) and
+    * `n_late = n_all - n_stream` (rows the watermark dropped). Only
+    * late rows whose event time trails the carrying batch's high
+    * watermark by more than `delay` are lost — the bounded-loss
+    * contract withWatermark sells.
+    */
+  def lateDataAuditBatchDrain(spark: SparkSession, sfDir: String,
+      nBatches: Int = 3, lateResidue: Int = 17,
+      delay: String = "2 hours"): DataFrame = {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val mm = ev.agg(min(expr("ts div 1000")).as("mn"),
+      max(expr("ts div 1000")).as("mx")).head()
+    val mn = mm.getLong(0); val mx = mm.getLong(1)
+    val span = mx - mn + 1
+    val last = lit((nBatches - 1).toLong)
+    val withB = ev
+      .withColumn("b0",
+        least(last, expr(s"((ts div 1000) - ${mn}L) * $nBatches div ${span}L")))
+      .withColumn("b",
+        when(pmod(col("event_id"), lit(lateResidue.toLong)) === 0L,
+          least(last, col("b0") + 1L)).otherwise(col("b0")))
+    val batches = (0 until nBatches).map(i => withB.where(col("b") === i.toLong))
+    // sentinel a full day past the last event: watermark ends past
+    // every real window no matter the delay parameter
+    val streamed =
+      lateWindowCountsDrain(spark, batches, mx + 24L * 3600L * 1000000L, delay)
+    val allCounts = ev
+      .groupBy(expr("(ts div 1000) div 3600000000").cast("long")
+          .as("hour_bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_all"))
+    allCounts.join(streamed, Seq("hour_bucket", "event_type"), "left")
+      .select(col("hour_bucket"), col("event_type"), col("n_all"),
+        coalesce(col("n_stream"), lit(0L)).as("n_stream"),
+        (col("n_all") - coalesce(col("n_stream"), lit(0L))).as("n_late"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+  }
+
   case class Event(user_id: Long, tsUs: Long, value: Double)
   case class Session(user_id: Long, nEvents: Long, totalValue: Double,
       startUs: Long, endUs: Long)
