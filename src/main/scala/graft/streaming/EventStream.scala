@@ -174,6 +174,46 @@ object EventStream {
     * (event times floored to whole ms), and an arriving row is dropped
     * iff its window END is <= that watermark.
     */
+  /** The watermarked hourly aggregation the late-audit stream runs per
+    * micro-batch — split out so Explain can dump its EXECUTED plan.
+    */
+  private def lateAgg(src: DataFrame, delay: String): DataFrame =
+    src.withColumn("event_ts", tsCol)
+      .withWatermark("event_ts", delay)
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_stream"))
+
+  /** Executed per-micro-batch plan of the late-audit stream (PLANS.md
+    * evidence): one real micro-batch through [[lateAgg]], then the
+    * engine's own explain — shows EventTimeWatermark and the
+    * StateStoreRestore/Save pair around the partial aggregation, i.e.
+    * state is keyed AFTER map-side partial aggregation, not per row.
+    */
+  def lateAuditPlanString(spark: SparkSession, sfDir: String): String = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_late_plan").toString
+    val name = s"graft_stream_lateplan_${memSinkId.incrementAndGet()}"
+    graft.Tables.load(spark, sfDir, "events").limit(1000)
+      .coalesce(1).write.parquet(s"$tmp/in")
+    val q = lateAgg(
+        spark.readStream.schema(schema).parquet(s"$tmp/in/*.parquet"),
+        "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos)) { q.explain() }
+      bos.toString("UTF-8")
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      try rm(new java.io.File(tmp)) catch { case _: Throwable => () }
+    }
+  }
+
   def lateWindowCountsDrain(spark: SparkSession, batches: Seq[DataFrame],
       sentinelUs: Long, delay: String): DataFrame = {
     val tmp = java.nio.file.Files
@@ -186,11 +226,9 @@ object EventStream {
     try {
       // first batch lands before start() so the glob has files to list
       feed(batches.head)
-      val q = spark.readStream.schema(schema).parquet(s"$incoming/*.parquet")
-        .withColumn("event_ts", tsCol)
-        .withWatermark("event_ts", delay)
-        .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n_stream"))
+      val q = lateAgg(
+          spark.readStream.schema(schema).parquet(s"$incoming/*.parquet"),
+          delay)
         .writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       try {
