@@ -177,7 +177,7 @@ object EventStream {
   /** The watermarked hourly aggregation the late-audit stream runs per
     * micro-batch — split out so Explain can dump its EXECUTED plan.
     */
-  private def lateAgg(src: DataFrame, delay: String): DataFrame =
+  private[graft] def lateAgg(src: DataFrame, delay: String): DataFrame =
     src.withColumn("event_ts", tsCol)
       .withWatermark("event_ts", delay)
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
