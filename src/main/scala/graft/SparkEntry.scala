@@ -653,6 +653,30 @@ object SparkEntry {
     // -- per-language quality-percentile filter: keep each language's
     //    top quartile by quality (integer-exact ceil(n/4) cutoff, the
     //    "drop low-quality docs per language" pipeline step) --
+    // -- PII scrub (Redact.scala): counts + typed-placeholder
+    //    redaction, all codegen'd regex expressions, map-only. The
+    //    synthetic corpus contains no PII, so the query plants
+    //    deterministic contact lines (every 3rd doc an email, 5th an
+    //    ipv4, 7th a phone) and the oracle replays synthesis + scrub
+    //    verbatim — patterns restricted to Java-regex/RE2-common
+    //    syntax so both engines match identically (RedactSpec) --
+    "pii_redact" -> ((s, dir) => {
+      val d = col("doc_id")
+      val aug = t(s, dir, "documents").withColumn("t2", concat(
+        col("text"),
+        when(d % 3 === 0, concat(lit(" contact user"), d.cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+        when(d % 5 === 0, concat(lit(" from 10."), (d % 256).cast("string"),
+          lit(".0."), (d % 100).cast("string"))).otherwise(lit("")),
+        when(d % 7 === 0, concat(lit(" call +1-555-"),
+          lpad((d % 1000).cast("string"), 3, "0"), lit("-0007")))
+          .otherwise(lit(""))))
+      graft.operators.Redact.scrub(aug, "t2")
+        .select(col("doc_id"), col("n_email"), col("n_phone"),
+          col("n_ipv4"), col("clean_text"))
+        .orderBy(col("doc_id")).limit(200)
+    }),
+
     "quality_filter" -> ((s, dir) => {
       val n = col("st.n_tokens").cast("double")
       val stop = (col("st.marker_counts")(0) + col("st.marker_counts")(1))
@@ -2221,6 +2245,25 @@ object SparkEntry {
            |  count(*) OVER (PARTITION BY lang) AS nl FROM q)
            |SELECT lang, doc_id, quality FROM r WHERE rn <= (nl + 3) // 4
            |ORDER BY lang, quality DESC, doc_id LIMIT 200""".stripMargin.replaceAll("\n", " "),
+      // replays the deterministic PII synthesis, then counts (group 0
+      // extract-all) and replaces in the same fixed order; DuckDB
+      // regexp_replace needs the explicit 'g' flag to mirror Spark's
+      // replace-all
+      "pii_redact" ->
+        """WITH aug AS (SELECT doc_id, text
+          | || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+          | || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+          | || CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0007' ELSE '' END AS t2
+          | FROM documents)
+          |SELECT doc_id,
+          | CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+          | CAST(len(regexp_extract_all(t2, '\+\d{1,3}-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+          | CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+          | regexp_replace(regexp_replace(regexp_replace(t2,
+          |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |  '\+\d{1,3}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+          |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
+          |FROM aug ORDER BY doc_id LIMIT 200""".stripMargin.replaceAll("\n", " "),
       "json_flatten" ->
         """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
           | round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)), 4) AS avg_k
