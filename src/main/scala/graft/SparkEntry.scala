@@ -829,6 +829,14 @@ object SparkEntry {
     "label_centroids" -> ((s, dir) =>
       Profile.labelCentroidsLong(t(s, dir, "embeddings"), "embedding", "label")),
 
+    // -- per-label embedding outliers: distance to the label's 4-dp
+    //    rounded centroid (the determinism anchor), codegen'd L2
+    //    kernel, broadcast centroid table, one window for the top-k
+    //    (Profile.labelOutliers docstring has the scale shape) --
+    "embed_outliers" -> ((s, dir) =>
+      Profile.labelOutliers(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label")),
+
     // -- column-level data-quality profile (deequ/TFDV-style corpus
     //    audit): ONE explode-to-long-form pass + one aggregate —
     //    never a scan per column (Profile.tableProfile docstring) --
@@ -2404,6 +2412,20 @@ object SparkEntry {
           | CAST(count(*) AS BIGINT) AS n_vectors
           |FROM embeddings, range(1, 65) x(i)
           |GROUP BY label, i ORDER BY label, dim""".stripMargin.replaceAll("\n", " "),
+      // re-derives the 4-dp rounded centroid, then the same
+      // left-to-right L2 fold as the knn oracles, top-3 per label
+      // with ties broken by vec_id
+      "embed_outliers" ->
+        """WITH c AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS m
+          |  FROM embeddings, range(1, 65) x(i) GROUP BY label, i),
+          |cl AS (SELECT label, list(m ORDER BY i) AS centroid FROM c GROUP BY label),
+          |d AS (SELECT e.label, e.vec_id,
+          |  round(sqrt(list_sum(list_transform(e.embedding, (x, i) ->
+          |    (CAST(x AS DOUBLE) - cl.centroid[i]) * (CAST(x AS DOUBLE) - cl.centroid[i])))), 4) AS dist
+          |  FROM embeddings e JOIN cl USING (label)),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rn FROM d)
+          |SELECT label, vec_id, dist FROM r WHERE rn <= 3
+          |ORDER BY label, dist DESC, vec_id""".stripMargin.replaceAll("\n", " "),
       // per-column profile over the same (column, string-value) long
       // form; min/max are lexicographic on the string form by design
       "table_profile" ->

@@ -61,6 +61,33 @@ object Profile {
       : DataFrame =
     labelDimAgg(df, vecCol, labelCol).orderBy(col(labelCol), col("dim"))
 
+  /** Per-label embedding outliers: each vector's L2 distance to its
+    * label's centroid, top `k` per label — the mislabeled/corrupt-
+    * vector sweep run before training on a labeled embedding corpus.
+    * The centroid is the 4-dp ROUNDED per-dim mean
+    * ([[labelCentroids]]): the rounding is the determinism anchor
+    * that lets an independent engine re-derive the identical
+    * reference point before measuring distances. Scale shape: the
+    * centroid table is |labels| rows (broadcast back onto the
+    * corpus), the distance is the codegen'd
+    * [[graft.functions.VectorFunctions]] kernel (map-only), and the
+    * per-label top-k is one window pass partitioned by label.
+    */
+  def labelOutliers(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int = 3): DataFrame = {
+    val cents = labelCentroids(df, vecCol, labelCol)
+      .select(col(labelCol), col("centroid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(labelCol).orderBy(col("dist").desc, col(idCol))
+    df.join(broadcast(cents), Seq(labelCol))
+      .withColumn("dist", round(
+        graft.functions.VectorFunctions.vec_l2(col(vecCol), col("centroid")), 4))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(labelCol), col(idCol), col("dist"))
+      .orderBy(col(labelCol), col("dist").desc, col(idCol))
+  }
+
   /** Unsorted (label, dim) aggregate shared by both public forms.
     * Kept order-free so [[labelCentroids]]'s second-level aggregate
     * doesn't inherit a sort Catalyst can't eliminate (array_sort on
