@@ -1464,6 +1464,26 @@ object SparkEntry {
     "streaming_late_audit" -> ((s, dir) =>
       graft.streaming.EventStream.lateDataAuditBatchDrain(s, dir)),
 
+    // -- the same audit as a watermark-horizon tuning curve: REAL
+    //    stream runs at 1h / 96h / 240h delays, each summarized to
+    //    one (delay, n_all, n_stream, n_late) row — the loss-vs-
+    //    latency tradeoff an operator reads before choosing
+    //    withWatermark. The tercile arrival simulation makes late
+    //    rows late by up to a third of the 30-day span, so the curve
+    //    runs from near-max loss (1h) through roughly half (96h) to
+    //    the lossless endpoint (240h >= max disorder — the watermark
+    //    bound shown TIGHT) --
+    "streaming_late_sweep" -> ((s, dir) =>
+      Seq(1, 96, 240).map { h =>
+        graft.streaming.EventStream
+          .lateDataAuditBatchDrain(s, dir, delayHours = h)
+          .agg(sum(col("n_all")).as("n_all"),
+            sum(col("n_stream")).as("n_stream"),
+            sum(col("n_late")).as("n_late"))
+          .select(lit(h.toLong).as("delay_hours"),
+            col("n_all"), col("n_stream"), col("n_late"))
+      }.reduce(_.unionByName(_)).orderBy(col("delay_hours"))),
+
     // -- product quantization ANN (8 bytes/vector ADC search);
     //    trained codebooks, fully oracled via pqKmeansCtes. Codebooks
     //    train on the id%2 sample; the query vector stays a broadcast
@@ -2569,6 +2589,30 @@ object SparkEntry {
           |FROM a LEFT JOIN s ON a.hour_bucket = s.hour_bucket
           |  AND a.event_type = s.event_type
           |ORDER BY a.hour_bucket, a.event_type""".stripMargin.replaceAll("\n", " "),
+      // same trajectory replay, parameterized by the delay via a
+      // cross join against the swept horizons; the kept-predicate is
+      // identical to streaming_late_audit's with delay_hours variable
+      "streaming_late_sweep" ->
+        """WITH ev AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+          |mm AS (SELECT min(us) AS mn, max(us) - min(us) + 1 AS span FROM ev),
+          |evb AS (SELECT e.us,
+          |  CASE WHEN e.event_id % 17 = 0
+          |    THEN least(2, least(2, ((e.us - mm.mn) * 3) // mm.span) + 1)
+          |    ELSE least(2, ((e.us - mm.mn) * 3) // mm.span) END AS b
+          |  FROM ev e CROSS JOIN mm),
+          |mx AS (SELECT b, max(us // 1000) AS mxms FROM evb GROUP BY b),
+          |wm AS (SELECT b, max(mxms) OVER (ORDER BY b
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmx FROM mx),
+          |j AS (SELECT e.us, w.prevmx FROM evb e JOIN wm w ON e.b = w.b),
+          |d AS (SELECT unnest([1, 96, 240]) AS delay_hours),
+          |k AS (SELECT d.delay_hours, CAST(count(*) AS BIGINT) AS n_all,
+          |  CAST(count(*) FILTER (j.prevmx IS NULL
+          |    OR ((j.us // 3600000000) + 1) * 3600000000
+          |       > (j.prevmx - d.delay_hours * 3600000) * 1000) AS BIGINT) AS n_stream
+          |  FROM j CROSS JOIN d GROUP BY d.delay_hours)
+          |SELECT CAST(delay_hours AS BIGINT) AS delay_hours, n_all, n_stream,
+          |  CAST(n_all - n_stream AS BIGINT) AS n_late
+          |FROM k ORDER BY delay_hours""".stripMargin.replaceAll("\n", " "),
       "dedup_exact" ->
         """SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keep_id
           |FROM documents GROUP BY md5(text) ORDER BY h LIMIT 100""".stripMargin.replaceAll("\n", " "),

@@ -272,7 +272,7 @@ object EventStream {
     */
   def lateDataAuditBatchDrain(spark: SparkSession, sfDir: String,
       nBatches: Int = 3, lateResidue: Int = 17,
-      delay: String = "2 hours"): DataFrame = {
+      delayHours: Int = 2): DataFrame = {
     val ev = graft.Tables.load(spark, sfDir, "events")
     val mm = ev.agg(min(expr("ts div 1000")).as("mn"),
       max(expr("ts div 1000")).as("mx")).head()
@@ -286,10 +286,12 @@ object EventStream {
         when(pmod(col("event_id"), lit(lateResidue.toLong)) === 0L,
           least(last, col("b0") + 1L)).otherwise(col("b0")))
     val batches = (0 until nBatches).map(i => withB.where(col("b") === i.toLong))
-    // sentinel a full day past the last event: watermark ends past
-    // every real window no matter the delay parameter
-    val streamed =
-      lateWindowCountsDrain(spark, batches, mx + 24L * 3600L * 1000000L, delay)
+    // the sentinel must outrun the DELAY, not just the data: the final
+    // watermark is sentinel - delay, and every real window end must
+    // sit below it or unfinalized windows masquerade as late loss
+    val sentinelUs = mx + (delayHours + 24L) * 3600L * 1000000L
+    val streamed = lateWindowCountsDrain(
+      spark, batches, sentinelUs, s"$delayHours hours")
     val allCounts = ev
       .groupBy(expr("(ts div 1000) div 3600000000").cast("long")
           .as("hour_bucket"),
