@@ -87,4 +87,20 @@ class PlanGuardSpec extends AnyFunSuite {
     val p = plan("decontaminate_bloom")
     assert(p.contains("might_contain"), p)
   }
+
+  test("pii_redact: map-only scrub — zero shuffles, pruned 2-column scan") {
+    val p = plan("pii_redact")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(hashExchanges(p) === 0, p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("embed_outliers: broadcast centroids + rank cut below the exchange") {
+    val p = plan("embed_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("vec_l2"), p)
+    // WindowGroupLimit Partial runs BEFORE the label exchange, so only
+    // k rows per partition per label reach the window sort
+    assert("WindowGroupLimit".r.findAllIn(p).length === 2, p)
+  }
 }
