@@ -897,6 +897,14 @@ object SparkEntry {
       Knn.radiusSearch(t(s, dir, "embeddings"), queryVec(s, dir, 0),
         "vec_id", "embedding", "cosine", radius = 0.9, maxRows = 500)),
 
+    // -- faceted retrieval: the query's top-3 within EVERY label (the
+    //    diversified-results contract a plain top-k can't give when
+    //    one dense group dominates); WindowGroupLimit cuts to k rows
+    //    per partition per label before the exchange --
+    "knn_grouped" -> ((s, dir) =>
+      Knn.topKPerGroup(t(s, dir, "embeddings"), queryVec(s, dir, 0),
+        "vec_id", "embedding", "label", "cosine", k = 3)),
+
     // -- recall@10 audit of the LSH index vs exact top-10 on a query
     //    sample — the post-build index-quality report --
     "ann_recall" -> ((s, dir) => {
@@ -2513,6 +2521,14 @@ object SparkEntry {
            |FROM embeddings e, q
            |WHERE ${sqlDist("cosine")} <= 0.9
            |ORDER BY dist, vec_id LIMIT 500""".stripMargin.replaceAll("\n", " "),
+      "knn_grouped" ->
+        s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |d AS (SELECT e.label, e.vec_id, ${sqlDist("cosine")} AS dist
+           |  FROM embeddings e, q),
+           |r AS (SELECT *, row_number() OVER
+           |  (PARTITION BY label ORDER BY dist, vec_id) AS rn FROM d)
+           |SELECT label, vec_id, dist FROM r WHERE rn <= 3
+           |ORDER BY label, dist, vec_id""".stripMargin.replaceAll("\n", " "),
       "ann_recall" ->
         s"""WITH sigs AS (SELECT vec_id, embedding,
            |  list_sum(list_transform(range(0, 8), p -> CASE WHEN

@@ -72,6 +72,35 @@ object Knn {
       .limit(maxRows)
   }
 
+  /** Faceted top-k: the query's nearest `k` within EACH value of
+    * `groupCol` (per-label / per-source retrieval — "best matches from
+    * every shard of the catalog", the diversified-results contract a
+    * plain top-k can't give when one dense group dominates). One
+    * corpus scan; the per-group cut runs as WindowGroupLimit partials
+    * BEFORE the group exchange, so only k rows per partition per
+    * group shuffle — the grouped twin of [[topK]]'s
+    * TakeOrderedAndProject (plan-guarded like embed_outliers).
+    */
+  def topKPerGroup(
+      corpus: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      groupCol: String,
+      metric: String,
+      k: Int,
+      roundTo: Int = DefaultRound): DataFrame = {
+    val d = VectorFunctions.forMetric(metric)(col(vecCol), col("qvec"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("dist"), col(idCol))
+    corpus
+      .crossJoin(broadcast(query))
+      .select(col(groupCol), col(idCol), round(d, roundTo).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(groupCol), col(idCol), col("dist"))
+      .orderBy(col(groupCol), col("dist"), col(idCol))
+  }
+
   /** Batch kNN: every row of `queries` gets its own top-k from `corpus`.
     *
     * The query set is broadcast (q << corpus); the corpus is scanned

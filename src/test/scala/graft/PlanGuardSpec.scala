@@ -103,4 +103,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // k rows per partition per label reach the window sort
     assert("WindowGroupLimit".r.findAllIn(p).length === 2, p)
   }
+
+  test("knn_grouped: faceted cut below the exchange, one group shuffle") {
+    val p = plan("knn_grouped")
+    assert("WindowGroupLimit".r.findAllIn(p).length === 2, p)
+    assert(hashExchanges(p) === 1, p)
+  }
 }
