@@ -905,6 +905,16 @@ object SparkEntry {
       Knn.topKPerGroup(t(s, dir, "embeddings"), queryVec(s, dir, 0),
         "vec_id", "embedding", "label", "cosine", k = 3)),
 
+    // -- kNN label purity@10 on a 100-vector sample: the index-free
+    //    embedding-quality audit (near-1 = classes separate; near
+    //    1/|labels| = noise), batch-kNN-join bounded by the sample,
+    //    neighbour table broadcast back for the label lookup --
+    "knn_label_purity" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Recall.labelPurity(e, e.where(col("vec_id") < 100),
+        "vec_id", "embedding", "label", "cosine", k = 10)
+    }),
+
     // -- recall@10 audit of the LSH index vs exact top-10 on a query
     //    sample — the post-build index-quality report --
     "ann_recall" -> ((s, dir) => {
@@ -2521,6 +2531,20 @@ object SparkEntry {
            |FROM embeddings e, q
            |WHERE ${sqlDist("cosine")} <= 0.9
            |ORDER BY dist, vec_id LIMIT 500""".stripMargin.replaceAll("\n", " "),
+      "knn_label_purity" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+           |  FROM embeddings WHERE vec_id < 100),
+           |d AS (SELECT q.qid, q.qlabel, e.vec_id, e.label AS nlabel,
+           |  ${sqlDist("cosine")} AS dist
+           |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+           |r AS (SELECT *, row_number() OVER
+           |  (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM d),
+           |f AS (SELECT qid, qlabel,
+           |  sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) / 10.0 AS frac
+           |  FROM r WHERE rn <= 10 GROUP BY qid, qlabel)
+           |SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_queries,
+           |  round(avg(frac), 4) AS purity
+           |FROM f GROUP BY qlabel ORDER BY label""".stripMargin.replaceAll("\n", " "),
       "knn_grouped" ->
         s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
            |d AS (SELECT e.label, e.vec_id, ${sqlDist("cosine")} AS dist

@@ -172,4 +172,36 @@ object Recall {
       .reduce(_.unionByName(_))
       .orderBy(col("family"), col("budget"))
   }
+
+  /** kNN label purity@k — the embedding-quality audit that needs no
+    * index: for each sampled vector, the fraction of its k exact
+    * nearest neighbours (self excluded) sharing its label, averaged
+    * per label. Near-1 purity means the space separates the classes;
+    * a label stuck near chance (1/|labels|) is noise or mislabeled —
+    * the metric read next to [[graft.operators.Profile.labelOutliers]]
+    * before trusting embeddings for retrieval or classification.
+    *
+    * Scale shape: cost is bounded by the QUERY SAMPLE — one batch kNN
+    * join (TopKPairs partial aggregate, k rows per query per
+    * partition pre-shuffle), then the bounded q×k neighbour table is
+    * BROADCAST back onto the corpus for the label lookup, so the
+    * corpus is scanned, never shuffled.
+    */
+  def labelPurity(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, metric: String, k: Int)
+      : DataFrame = {
+    val qs = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      col(labelCol).as("qlabel"))
+    val nn = Knn.knnJoin(corpus, qs.select(col("qid"), col("qvec")),
+      idCol, vecCol, "qid", "qvec", metric, k)
+    corpus.select(col(idCol), col(labelCol).as("nlabel"))
+      .join(broadcast(nn.select(col("qid"), col(idCol))), Seq(idCol))
+      .join(broadcast(qs.select(col("qid"), col("qlabel"))), Seq("qid"))
+      .groupBy(col("qid"), col("qlabel"))
+      .agg((sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
+        .cast("double") / k).as("frac"))
+      .groupBy(col("qlabel").as(labelCol))
+      .agg(count(lit(1)).as("n_queries"), round(avg(col("frac")), 4).as("purity"))
+      .orderBy(col(labelCol))
+  }
 }
