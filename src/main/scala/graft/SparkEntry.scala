@@ -705,6 +705,12 @@ object SparkEntry {
     "ngram_topk" -> ((s, dir) =>
       Corpus.ngramTopK(t(s, dir, "documents"), "text", n = 2, k = 50)),
 
+    // -- PMI collocations (Church & Hanks): top bigrams by pointwise
+    //    mutual information, min-count cut against hapax pairs;
+    //    all-count math so the oracle replays it exactly --
+    "collocations_pmi" -> ((s, dir) =>
+      Corpus.collocationsPmi(t(s, dir, "documents"), "text")),
+
     // -- Gopher-style repetition profile: docs dominated by a few
     //    repeated bigrams (boilerplate/spam filter input) --
     "quality_repetition" -> ((s, dir) =>
@@ -2319,6 +2325,24 @@ object SparkEntry {
            |g AS (SELECT unnest(${SqlSnips.shingles("toks", 2)}) AS ngram FROM tk)
            |SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM g
            |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50""".stripMargin.replaceAll("\n", " "),
+      // identical count plumbing and division order as the Spark
+      // side; the 4-dp round absorbs log2 last-ulp differences
+      "collocations_pmi" ->
+        s"""WITH tk AS (SELECT $toks AS toks FROM documents),
+           |u AS (SELECT unnest(toks) AS tok FROM tk),
+           |uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok FROM u GROUP BY tok),
+           |nt AS (SELECT sum(n_tok) AS n_t FROM uc),
+           |g AS (SELECT unnest(${SqlSnips.shingles("toks", 2)}) AS bigram FROM tk),
+           |gc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab FROM g GROUP BY bigram),
+           |nb AS (SELECT sum(n_ab) AS n_bt FROM gc),
+           |f AS (SELECT bigram, n_ab, split_part(bigram, ' ', 1) AS a,
+           |  split_part(bigram, ' ', 2) AS b FROM gc WHERE n_ab >= 5)
+           |SELECT f.bigram, f.n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
+           |  round(log2((CAST(f.n_ab AS DOUBLE) / n_bt) /
+           |    ((CAST(ua.n_tok AS DOUBLE) / n_t) * (CAST(ub.n_tok AS DOUBLE) / n_t))), 4) AS pmi
+           |FROM f JOIN uc ua ON f.a = ua.tok JOIN uc ub ON f.b = ub.tok
+           |CROSS JOIN nt CROSS JOIN nb
+           |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin.replaceAll("\n", " "),
       // sketch in the exact regime == plain count; err pinned to 0
       "tokens_hh_exact" ->
         s"""WITH tk AS (SELECT unnest($toks) AS term FROM documents)

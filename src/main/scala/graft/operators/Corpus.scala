@@ -206,6 +206,43 @@ object Corpus {
       .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram")).limit(k)
 
+  /** Top-k PMI collocations over adjacent token bigrams — the phrase
+    * extractor (Church & Hanks '90) a corpus-analysis pass runs to
+    * find multiword units worth keeping intact:
+    * pmi = log2( (n_ab/N_b) / ((n_a/N_t) * (n_b/N_t)) ), restricted
+    * to bigrams with n_ab >= `minCount` (raw PMI is top-heavy on
+    * hapax pairs). All-count math, so the oracle replays it exactly;
+    * the 4-dp round absorbs log2's last-ulp engine differences.
+    *
+    * Shapes: unigram + bigram counts are map-side-combined hash aggs;
+    * the filtered bigram table joins the vocab twice (both sides
+    * vocab-bounded, AQE sizes them); the two totals are one-row
+    * aggregates crossed in; TakeOrdered cuts to k.
+    */
+  def collocationsPmi(df: DataFrame, textCol: String,
+      k: Int = 20, minCount: Int = 5): DataFrame = {
+    val uni = df.select(explode(TextFuncs.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val nt = uni.agg(sum(col("n_tok")).as("n_t"))
+    val bigAll = df
+      .select(explode(TextExprs.shingle_strings(col(textCol), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_ab"))
+    val nb = bigAll.agg(sum(col("n_ab")).as("n_bt"))
+    bigAll.where(col("n_ab") >= minCount)
+      .withColumn("a", split(col("bigram"), " ").getItem(0))
+      .withColumn("b", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("tok").as("a"), col("n_tok").as("n_a")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("n_tok").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(nt))
+      .crossJoin(broadcast(nb))
+      .withColumn("pmi", round(log2(
+        (col("n_ab").cast("double") / col("n_bt")) /
+          ((col("n_a").cast("double") / col("n_t")) *
+            (col("n_b").cast("double") / col("n_t")))), 4))
+      .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram")).limit(k)
+  }
+
   /** Per-document n-gram repetition profile (the Gopher-style
     * repetition filters: docs dominated by a few repeated n-grams are
     * boilerplate/spam). For each doc:
