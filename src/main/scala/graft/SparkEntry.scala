@@ -1195,6 +1195,18 @@ object SparkEntry {
         .orderBy(col("doc_id")).limit(200)
     }),
 
+    // -- graded decontamination: per-doc contaminated-shingle
+    //    fraction + keep/flag/drop verdict via integer cuts (a stray
+    //    shared idiom shouldn't cost a whole document; a doc that IS
+    //    the benchmark must go) --
+    "decontaminate_frac" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Corpus.contaminationFraction(
+          d.where(col("doc_id") % 97 =!= 0), d.where(col("doc_id") % 97 === 0),
+          "text", "doc_id", shingleK = 3)
+        .orderBy(col("frac").desc, col("doc_id")).limit(200)
+    }),
+
     // -- cross-source shingle-leakage matrix (Corpus.sourceOverlap
     //    docstring: DISTINCT bounds the self-join fan-out per shingle
     //    at |sources|, not document frequency) --
@@ -2152,8 +2164,25 @@ object SparkEntry {
          |WHERE s.doc_id % 97 <> 0
          |ORDER BY doc_id LIMIT 200""".stripMargin.replaceAll("\n", " ")
     }
+    val decontaminateFracOracle = {
+      val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, unnest($bases) AS sh FROM tk WHERE len(toks) >= 3),
+         |b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+         |t AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(count(b.sh) AS BIGINT) AS n_hit
+         |  FROM sh s LEFT JOIN b ON s.sh = b.sh
+         |  WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id)
+         |SELECT doc_id, n_shingles, n_hit,
+         |  round(CAST(n_hit AS DOUBLE) / n_shingles, 4) AS frac,
+         |  CASE WHEN n_hit * 2 >= n_shingles THEN 'drop'
+         |       WHEN n_hit * 10 >= n_shingles THEN 'flag'
+         |       ELSE 'keep' END AS verdict
+         |FROM t ORDER BY frac DESC, doc_id LIMIT 200""".stripMargin.replaceAll("\n", " ")
+    }
     Map(
       "search_mmr" -> mmrOracle(k = 5, poolSize = 20),
+      "decontaminate_frac" -> decontaminateFracOracle,
       "text_stats" ->
         s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents)
            |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,

@@ -127,6 +127,37 @@ object Corpus {
     tSh.join(bSh, "sh").select(col(idCol)).distinct()
   }
 
+  /** Graded decontamination: per train doc, the fraction of its
+    * DISTINCT shingles found in the benchmark set, with a
+    * keep/flag/drop verdict — real pipelines don't drop on ANY
+    * overlap ([[decontaminate]]'s binary form): a stray idiom shared
+    * with a benchmark question shouldn't cost a whole document, while
+    * a doc that IS the benchmark must go. Distinct (doc, shingle)
+    * pairs meet the benchmark set in one left equi join (zero-overlap
+    * docs kept with n_hit = 0); the verdict cuts are integer
+    * cross-multiplications (2*hits >= total → drop, 10*hits >= total
+    * → flag), not float thresholds, so the oracle replays them
+    * exactly.
+    */
+  def contaminationFraction(train: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, shingleK: Int): DataFrame = {
+    val tSh = train.select(col(idCol),
+        explode(TextExprs.shingle_hashes(col(textCol), shingleK)).as("sh"))
+      .distinct()
+    val bSh = bench
+      .select(explode(TextExprs.shingle_hashes(col(textCol), shingleK)).as("sh"))
+      .distinct()
+    tSh.join(bSh.withColumn("hit", lit(1L)), Seq("sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col(idCol), col("n_shingles"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_shingles"), 4).as("frac"),
+        when(col("n_hit") * 2L >= col("n_shingles"), "drop")
+          .when(col("n_hit") * 10L >= col("n_shingles"), "flag")
+          .otherwise("keep").as("verdict"))
+  }
+
   /** Benchmark decontamination: `train` minus contaminated docs
     * (left_anti on the contaminated id set). */
   def decontaminate(train: DataFrame, bench: DataFrame,
