@@ -711,6 +711,13 @@ object SparkEntry {
     "collocations_pmi" -> ((s, dir) =>
       Corpus.collocationsPmi(t(s, dir, "documents"), "text")),
 
+    // -- near-dup provenance: the minhash pair set cross-tabbed by
+    //    canonical (source_a, source_b) — mirrors-in-one-crawl vs
+    //    cross-source syndication decide different remediations --
+    "dup_source_matrix" -> ((s, dir) =>
+      Dedup.dupSourceMatrix(t(s, dir, "documents"),
+        "text", "doc_id", "source")),
+
     // -- Gopher-style repetition profile: docs dominated by a few
     //    repeated bigrams (boilerplate/spam filter input) --
     "quality_repetition" -> ((s, dir) =>
@@ -2164,6 +2171,24 @@ object SparkEntry {
          |WHERE s.doc_id % 97 <> 0
          |ORDER BY doc_id LIMIT 200""".stripMargin.replaceAll("\n", " ")
     }
+    val dupSourceMatrixOracle = {
+      val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+      s"""WITH tk AS (SELECT doc_id AS doc, source, $toks AS toks FROM documents),
+         |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
+         |  FROM tk WHERE len(toks) >= 3),
+         |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
+         |pairs AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+         |  FROM bands x JOIN bands y
+         |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc),
+         |lab AS (SELECT least(sa.source, sb.source) AS src_a,
+         |  greatest(sa.source, sb.source) AS src_b
+         |  FROM pairs p JOIN tk sa ON p.doc_a = sa.doc
+         |  JOIN tk sb ON p.doc_b = sb.doc)
+         |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM lab GROUP BY src_a, src_b
+         |ORDER BY src_a, src_b""".stripMargin.replaceAll("\n", " ")
+    }
     val decontaminateFracOracle = {
       val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
       s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
@@ -2183,6 +2208,7 @@ object SparkEntry {
     Map(
       "search_mmr" -> mmrOracle(k = 5, poolSize = 20),
       "decontaminate_frac" -> decontaminateFracOracle,
+      "dup_source_matrix" -> dupSourceMatrixOracle,
       "text_stats" ->
         s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents)
            |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,

@@ -44,6 +44,32 @@ object Dedup {
       numSeeds, rowsPerBand)
   }
 
+  /** Near-dup provenance matrix: the minhash candidate pairs
+    * cross-tabbed by canonicalized (source_a, source_b) — tells you
+    * WHERE duplication comes from (mirrors inside one crawl vs
+    * cross-source syndication), which decides the remediation
+    * (drop a source vs keep-one across sources). Pair generation is
+    * the band-bucketed [[minhashPairs]]; the doc->source lookup joins
+    * the pair table against the two-column corpus projection
+    * (AQE-sized — the pair side is usually the broadcast side), and
+    * least/greatest canonicalize the unordered source pair.
+    */
+  def dupSourceMatrix(df: DataFrame, textCol: String, idCol: String,
+      srcCol: String): DataFrame = {
+    val pairs = minhashPairs(df, textCol, idCol)
+    val src = df.select(col(idCol), col(srcCol))
+    pairs
+      .join(src.withColumnRenamed(idCol, "doc_a")
+        .withColumnRenamed(srcCol, "sa"), "doc_a")
+      .join(src.withColumnRenamed(idCol, "doc_b")
+        .withColumnRenamed(srcCol, "sb"), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Band + bucket-join step of [[minhashPairs]] over an existing
     * (doc, sig) table — split out so a parameter sweep (or an at-rest
     * signature store) bands the SAME signatures under several widths
