@@ -602,6 +602,42 @@ object SparkEntry {
         .orderBy(col("lang"), col("guess"))
     }),
 
+    // -- per-source quality distribution (count, mean, NEAREST-RANK
+    //    quartiles of the per-doc score): the source-ranking report
+    //    read before allocating a token budget across sources.
+    //    Per-doc scores round FIRST (the anchor); quartiles SELECT an
+    //    existing 4-dp value by integer rank (idx = ceil(k*n), pure
+    //    integer arithmetic) instead of interpolating — interpolated
+    //    midpoints sit one ulp apart across engines at .xxxx5
+    //    boundaries and do not oracle --
+    "quality_by_source" -> ((s, dir) => {
+      val n = col("st.n_tokens").cast("double")
+      val stop = (col("st.marker_counts")(0) + col("st.marker_counts")(1))
+        .cast("double") / n
+      val q = least(lit(1.0), n / 100) * 0.4 +
+        (lit(1.0) - stop) * 0.3 +
+        (col("st.n_distinct") / n) * 0.3
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("quality")
+      val cw = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      t(s, dir, "documents")
+        .select(col("source"),
+          TextExprs.token_stats(col("text"), Seq("the", "a")).as("st"))
+        .select(col("source"), round(q, 4).as("quality"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(cw))
+        .groupBy(col("source"))
+        .agg(max(col("nn")).as("n_docs"),
+          round(avg(col("quality")), 4).as("mean_q"),
+          max(when(col("rn") === expr("(nn + 3) div 4"), col("quality")))
+            .as("p25"),
+          max(when(col("rn") === expr("(nn + 1) div 2"), col("quality")))
+            .as("p50"),
+          max(when(col("rn") === expr("(nn * 3 + 3) div 4"), col("quality")))
+            .as("p75"))
+        .orderBy(col("source"))
+    }),
+
     "quality_score" -> ((s, dir) => {
       val n = col("st.n_tokens").cast("double")
       val stop = (col("st.marker_counts")(0) + col("st.marker_counts")(1))
@@ -2341,6 +2377,27 @@ object SparkEntry {
            |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS term_rank FROM s)
            |SELECT doc_id, term, term_rank, score FROM r WHERE term_rank <= 3
            |ORDER BY doc_id, term_rank LIMIT 300""".stripMargin.replaceAll("\n", " "),
+      // same per-doc score as quality_filter (rounded first);
+      // quartiles are nearest-rank SELECTIONS (integer idx =
+      // ceil(k*n)) of the 4-dp values — bit-identical by
+      // construction, where interpolated midpoints are one ulp
+      // apart across engines
+      "quality_by_source" ->
+        s"""WITH tk AS (SELECT source, $toks AS toks FROM documents),
+           |q AS (SELECT source,
+           |  round(least(1.0, CAST(len(toks) AS DOUBLE) / 100) * 0.4 +
+           |   (1.0 - ${SqlSnips.stopRatio("toks", Seq("the", "a"))}) * 0.3 +
+           |   (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) * 0.3, 4) AS quality
+           |  FROM tk),
+           |r AS (SELECT source, quality,
+           |  row_number() OVER (PARTITION BY source ORDER BY quality) AS rn,
+           |  count(*) OVER (PARTITION BY source) AS nn FROM q)
+           |SELECT source, CAST(max(nn) AS BIGINT) AS n_docs,
+           | round(avg(quality), 4) AS mean_q,
+           | max(CASE WHEN rn = (nn + 3) // 4 THEN quality END) AS p25,
+           | max(CASE WHEN rn = (nn + 1) // 2 THEN quality END) AS p50,
+           | max(CASE WHEN rn = (nn * 3 + 3) // 4 THEN quality END) AS p75
+           |FROM r GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " "),
       "quality_filter" ->
         s"""WITH tk AS (SELECT doc_id, lang, $toks AS toks FROM documents),
            |q AS (SELECT doc_id, lang,
