@@ -15,8 +15,11 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet schema, with ts as raw TIMESTAMP(NANOS) long
-    * (see Tables.load) — readStream needs the schema up front.
+  /** Canonical events schema AFTER Tables.normalizeEventTs: ts is
+    * nanos-since-epoch (long). The on-disk file's own ts flavor
+    * (nanos long vs timestamp) varies across generator builds, so
+    * readStream sniffs it from the parquet footer (one batch-read of
+    * the schema — metadata only, no data scan) and normalizes.
     */
   val schema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -28,9 +31,12 @@ object EventStream {
 
   def readStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema =
+      spark.read.parquet(s"$sfDir/events.parquet").schema
     // glob, not bare file: FileStreamSource requires a directory-like
     // path for basePath inference
-    spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(fileSchema).parquet(s"$sfDir/events.*"))
   }
 
   private val memSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
