@@ -747,6 +747,25 @@ object SparkEntry {
     "collocations_pmi" -> ((s, dir) =>
       Corpus.collocationsPmi(t(s, dir, "documents"), "text")),
 
+    // -- Zipf power-law fit per source over the top-500 tokens:
+    //    slope(ln f ~ ln rank) near -1 is natural text; flat or
+    //    cliff-shaped sources are template/ID-soup screens --
+    "corpus_zipf" -> ((s, dir) =>
+      Corpus.zipfSlope(t(s, dir, "documents"), "text", "source")),
+
+    // -- per-source discriminative keywords: source-level TF-IDF
+    //    (tf x ln(n_sources/df)); each source's vocabulary
+    //    fingerprint before a token budget is allocated to it --
+    "keywords_by_source" -> ((s, dir) =>
+      Corpus.keywordsBySource(t(s, dir, "documents"), "text", "source")),
+
+    // -- referential integrity docs<->embeddings: coverage gaps,
+    //    orphans, and partial-re-embed dim mismatches as one
+    //    check_name/n frame --
+    "embed_integrity" -> ((s, dir) =>
+      Profile.integrityAudit(t(s, dir, "documents"),
+        t(s, dir, "embeddings"), "doc_id", "vec_id", "embedding")),
+
     // -- near-dup provenance: the minhash pair set cross-tabbed by
     //    canonical (source_a, source_b) — mirrors-in-one-crawl vs
     //    cross-source syndication decide different remediations --
@@ -1041,6 +1060,22 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, dir, "documents"), "text", "doc_id",
           "lang", idWindow = 25, minJaccard = 0.5)
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(100)),
+
+    // -- normalization-aware dedup report: distinct docs under raw vs
+    //    canonical (NFC+lower+ws-collapse, the codegen'd
+    //    normalize_text kernel) equality, per source; n_collapsed is
+    //    the duplicate mass raw exact-dedup misses --
+    "dedup_normalized" -> ((s, dir) =>
+      Dedup.normalizedDedupReport(t(s, dir, "documents"),
+        "text", "source")),
+
+    // -- asymmetric containment verify over minhash candidates:
+    //    C = |A∩B|/min(|A|,|B|) on token sets — the small-doc-inside-
+    //    big-doc signal that Jaccard structurally misses --
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
+          minContainment = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // -- dedup index-quality audit: minhash band predictions scored
     //    against exact shingle-Jaccard>=1/2 ground truth (integer
@@ -2455,6 +2490,30 @@ object SparkEntry {
            |FROM f JOIN uc ua ON f.a = ua.tok JOIN uc ub ON f.b = ub.tok
            |CROSS JOIN nt CROSS JOIN nb
            |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin.replaceAll("\n", " "),
+      // ln on both sides (Spark log = natural log); regr_slope is the
+      // same pop-covariance ratio in both engines; rank pairing is
+      // deterministic via (freq desc, term) row_number
+      "corpus_zipf" ->
+        s"""WITH u AS (SELECT source, unnest($toks) AS term FROM documents),
+           |c AS (SELECT source, term, count(*) AS c FROM u GROUP BY source, term),
+           |r AS (SELECT source, c,
+           |  row_number() OVER (PARTITION BY source ORDER BY c DESC, term) AS rank FROM c)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+           | round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS zipf_slope
+           |FROM r WHERE rank <= 500 GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " "),
+      // integer tf/df with one ln at the end (4-dp round BEFORE the
+      // rank window, so ties resolve identically in both engines)
+      "keywords_by_source" ->
+        s"""WITH u AS (SELECT source, unnest($toks) AS term FROM documents),
+           |tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf FROM u GROUP BY source, term),
+           |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df_src FROM tc GROUP BY term),
+           |ns AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n_src FROM tc),
+           |sc AS (SELECT tc.source, tc.term, tc.tf, dfs.df_src,
+           |  round(tf * ln(n_src / df_src), 4) AS score
+           |  FROM tc JOIN dfs USING (term) CROSS JOIN ns),
+           |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS INTEGER) AS rk FROM sc)
+           |SELECT source, rk, term, tf, df_src, score FROM r WHERE rk <= 5
+           |ORDER BY source, rk""".stripMargin.replaceAll("\n", " "),
       // sketch in the exact regime == plain count; err pinned to 0
       "tokens_hh_exact" ->
         s"""WITH tk AS (SELECT unnest($toks) AS term FROM documents)
@@ -2900,6 +2959,58 @@ object SparkEntry {
            |  ON a.lang = b.lang AND a.doc < b.doc AND b.doc - a.doc <= 25)
            |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
            |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin.replaceAll("\n", " "),
+      // canonical form mirrors TextKernels.normalizeText exactly:
+      // NFC FIRST, then lower, then ws-collapse + trim ('g' flag =
+      // Spark replaceAll)
+      "dedup_normalized" ->
+        """WITH n AS (SELECT source, text,
+          |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm
+           |  FROM documents)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(count(DISTINCT text) AS BIGINT) AS n_raw,
+           | CAST(count(DISTINCT norm) AS BIGINT) AS n_norm,
+           | CAST(count(DISTINCT text) - count(DISTINCT norm) AS BIGINT) AS n_collapsed
+           |FROM n GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " "),
+      // minhash band candidates (same replay as dedup_minhash), then
+      // exact token-set containment/jaccard on the pairs; the filter
+      // applies to the ROUNDED containment, as in the engine
+      "dedup_containment" -> {
+        val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+        s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+           |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
+           |  FROM tk WHERE len(toks) >= 3),
+           |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
+           |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
+           |pairs AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+           |  FROM bands x JOIN bands y
+           |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc),
+           |sets AS (SELECT doc,
+           |  list_sort(list_distinct(list_transform(toks, w -> ${SqlSnips.charFold("w")}))) AS ts
+           |  FROM tk),
+           |j AS (SELECT p.doc_a, p.doc_b,
+           |  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) AS i,
+           |  len(a.ts) AS la, len(b.ts) AS lb
+           |  FROM pairs p JOIN sets a ON p.doc_a = a.doc
+           |  JOIN sets b ON p.doc_b = b.doc)
+           |SELECT doc_a, doc_b, round(i / (la + lb - i), 4) AS jaccard,
+           | round(i / least(la, lb), 4) AS containment
+           |FROM j WHERE round(i / least(la, lb), 4) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
+      },
+      // five integrity checks as one check_name/n frame; dominant dim
+      // = most frequent len(embedding), ties to the smaller dim
+      "embed_integrity" ->
+        """WITH td AS (SELECT len(embedding) AS d FROM embeddings
+          |  GROUP BY 1 ORDER BY count(*) DESC, d LIMIT 1)
+          |SELECT 'dim_mismatch' AS check_name,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings, td WHERE len(embedding) <> td.d) AS n
+          |UNION ALL SELECT 'docs_total', CAST(count(*) AS BIGINT) FROM documents
+          |UNION ALL SELECT 'docs_without_embedding', CAST(count(*) AS BIGINT)
+          |  FROM documents d WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+          |UNION ALL SELECT 'embeddings_without_doc', CAST(count(*) AS BIGINT)
+          |  FROM embeddings e WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+          |UNION ALL SELECT 'embeds_total', CAST(count(*) AS BIGINT) FROM embeddings
+          |ORDER BY check_name""".stripMargin.replaceAll("\n", " "),
       // the full minhash pair set filtered to pairs touching the "new"
       // batch — the incremental path must produce exactly these
       "dedup_incremental" -> {

@@ -122,6 +122,20 @@ object TextKernels {
     InternalRow(toks.length, sumLen, seen.size, new GenericArrayData(mc))
   }
 
+  /** Canonical text form for normalization-aware dedup: Unicode NFC,
+    * then lowercase (root locale), then whitespace runs collapsed to
+    * one space and ends trimmed. Order is pinned (NFC BEFORE lower)
+    * and mirrored by the DuckDB oracle snippet
+    * `trim(regexp_replace(lower(nfc_normalize(t)), '\s+', ' ', 'g'))`.
+    */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC)
+    UTF8String.fromString(
+      nfc.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ").trim)
+  }
+
   /** L2-normalized hash-projection embedding (TextEmbed formula). */
   def embed(s: UTF8String, dim: Int): Array[Double] = {
     val hashes = tokenHashes(s)
@@ -296,6 +310,22 @@ case class TokenStatsExpr(child: Expression, markers: Seq[String])
     copy(child = c)
 }
 
+/** normalize_text(text): NFC + lowercase + whitespace collapse — the
+  * canonical form behind normalization-aware dedup. A single codegen'd
+  * kernel call per row (the interpreted alternative is three regex
+  * `Column` ops, each materializing an intermediate UTF8String).
+  */
+case class NormalizeTextExpr(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.normalizeText(v.asInstanceOf[UTF8String])
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.functions.TextKernels.normalizeText($c)"
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column API + SQL registration for the native text kernels. */
 object TextExprs {
   def char_fold(c: Column): Column = Shims.column(CharFold(Shims.expression(c)))
@@ -310,6 +340,8 @@ object TextExprs {
     Shims.column(ShingleStringsExpr(Shims.expression(c), shingleK))
   def token_stats(c: Column, markers: Seq[String]): Column =
     Shims.column(TokenStatsExpr(Shims.expression(c), markers))
+  def normalize_text(c: Column): Column =
+    Shims.column(NormalizeTextExpr(Shims.expression(c)))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = Shims.functionRegistry(spark)

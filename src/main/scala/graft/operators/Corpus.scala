@@ -404,4 +404,69 @@ object Corpus {
         round(avg(-log(col("c").cast("double") / col("n"))), roundTo).as("xent"))
       .orderBy(col(idCol))
   }
+
+  /** Zipf power-law fit per source: slope of ln(freq) on ln(rank)
+    * over the top-`topN` tokens (rank by freq desc, term asc for a
+    * deterministic rank<->freq pairing on ties). Natural text sits
+    * near -1; a slope far from it flags template/boilerplate sources
+    * (flat head) or ID-soup (no head at all) — a corpus-health
+    * screen that needs no labels.
+    *
+    * Scale shape: tokenize+explode -> map-side-combined count per
+    * (source, token) -> per-source top-N via row_number (bounded by
+    * distinct tokens per source, NOT corpus rows) -> 5-number
+    * regression aggregate. The only data-sized shuffle is the token
+    * count; everything after is |sources| x topN rows.
+    */
+  def zipfSlope(df: DataFrame, textCol: String, srcCol: String,
+      topN: Int = 500): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol)).orderBy(col("c").desc, col("term"))
+    df.select(col(srcCol), explode(TextFuncs.tokens(col(textCol))).as("term"))
+      .groupBy(col(srcCol), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topN)
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_terms"),
+        round(regr_slope(log(col("c").cast("double")),
+          log(col("rank").cast("double"))), 4).as("zipf_slope"))
+      .orderBy(col(srcCol))
+  }
+
+  /** Top-k discriminative keywords per source: source-level TF-IDF
+    * (occurrences of the term in the source x ln(n_sources /
+    * n_sources_containing_it)). Terms shared by every source score 0
+    * and drop out of the head; what survives is each source's
+    * vocabulary fingerprint — the quick answer to "what IS this
+    * source" before a token budget is allocated to it.
+    *
+    * Deterministic: integer tf/df, one ln at the end (4-dp round),
+    * ties broken by term. Scale shape mirrors [[zipfSlope]]: one
+    * (source, term) count shuffle, a |terms|-bounded df aggregate
+    * joined back on term (AQE picks broadcast when vocab is small),
+    * and a per-source top-k window over source-local rows.
+    */
+  def keywordsBySource(df: DataFrame, textCol: String, srcCol: String,
+      k: Int = 5): DataFrame = {
+    val tc = df.select(col(srcCol),
+        explode(TextFuncs.tokens(col(textCol))).as("term"))
+      .groupBy(col(srcCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val dfSrc = tc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_src"))
+    val nSrc = tc.agg(countDistinct(col(srcCol)).cast("double").as("n_src"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol)).orderBy(col("score").desc, col("term"))
+    tc.join(dfSrc, "term")
+      .crossJoin(broadcast(nSrc))
+      .withColumn("score",
+        round(col("tf") * log(col("n_src") / col("df_src")), 4))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col(srcCol), col("rk"), col("term"), col("tf"),
+        col("df_src"), col("score"))
+      .orderBy(col(srcCol), col("rk"))
+  }
 }

@@ -473,4 +473,66 @@ object Dedup {
         levenshtein(col("_ta"), col("_et"), maxDist).as("edit_dist"))
       .where(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
   }
+
+  /** Normalization-aware dedup report: per source, how many distinct
+    * documents survive under raw equality vs under the canonical form
+    * (NFC + lowercase + whitespace collapse — TextKernels
+    * .normalizeText). `n_raw - n_norm` is exactly the duplicate mass
+    * that raw exact-dedup MISSES because it treats case/whitespace
+    * variants as distinct — the number that decides whether the
+    * canonicalize pass is worth a second md5 at corpus scale.
+    *
+    * Scale shape: one map pass computes both digests, one groupBy
+    * (source) with approx-free exact distincts via two
+    * count(DISTINCT) — Spark expands to a single aggregate with
+    * two grouping-expression paths, still map-side partial.
+    */
+  def normalizedDedupReport(df: DataFrame, textCol: String,
+      srcCol: String): DataFrame =
+    df.select(col(srcCol),
+        md5(col(textCol)).as("h_raw"),
+        md5(TextExprs.normalize_text(col(textCol))).as("h_norm"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h_raw")).as("n_raw"),
+        countDistinct(col("h_norm")).as("n_norm"))
+      .withColumn("n_collapsed", col("n_raw") - col("n_norm"))
+      .orderBy(col(srcCol))
+
+  /** Asymmetric containment over minhash candidate pairs:
+    * C = |A ∩ B| / min(|A|, |B|) on token-hash SETS — catches a small
+    * document embedded inside a big one, which resemblance (Jaccard)
+    * structurally misses: a 100-token doc fully contained in a
+    * 10k-token doc has J ≈ 0.01 but C = 1.0. The candidate generator
+    * is the same band-bucketed [[minhashPairs]] (shingle minhash is a
+    * resemblance sketch, so recall for extreme containment needs the
+    * band config widened — this is the verify pass, not the sketch).
+    *
+    * Output: (doc_a, doc_b, jaccard, containment) for candidates with
+    * C >= minContainment; the interesting rows are high-C/low-J.
+    * Scale: token sets travel as sorted long arrays; the per-pair
+    * kernel is the codegen'd two-pointer merge, and both joins
+    * broadcast the bounded pair list against the corpus projection.
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      minContainment: Double = 0.5): DataFrame = {
+    val sets = df.select(col(idCol).as("_cid"),
+      SetExprs.token_hash_set(col(textCol)).as("_cs"))
+    val withA = broadcast(minhashPairs(df, textCol, idCol))
+      .join(sets, col("doc_a") === col("_cid"))
+      .withColumnRenamed("_cs", "_sa").drop("_cid")
+    broadcast(withA)
+      .join(sets, col("doc_b") === col("_cid"))
+      .withColumnRenamed("_cs", "_sb")
+      .withColumn("_i",
+        SetExprs.sorted_intersect_size(col("_sa"), col("_sb"))
+          .cast("double"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("_i") /
+          (size(col("_sa")) + size(col("_sb")) - col("_i")), 4)
+          .as("jaccard"),
+        round(col("_i") / least(size(col("_sa")), size(col("_sb"))), 4)
+          .as("containment"))
+      .where(col("containment") >= minContainment)
+  }
 }

@@ -156,4 +156,47 @@ object Profile {
         'text_empty', text_empty) AS (check_name, n_violations)""")
       .orderBy(col("check_name"))
   }
+
+  /** Referential-integrity audit between the documents table and its
+    * embedding table — the check every retrieval deployment runs
+    * before it trusts a joined serving path. One row per check:
+    * row counts on each side, docs with NO embedding row (training
+    * coverage gap), embedding rows with NO document (orphans that a
+    * delete pass missed), and embedding rows whose dimension differs
+    * from the table's dominant dim (a partial re-embed left behind).
+    *
+    * Scale shape: the two anti-join checks shuffle only the two ID
+    * projections (long columns, not payloads); the dominant dim is a
+    * |distinct dims|-sized aggregate (tiny) broadcast back over a
+    * map-side size() comparison. All five numbers union into one
+    * frame via single-row crossJoins, same as [[dataChecks]].
+    */
+  def integrityAudit(docs: DataFrame, embeds: DataFrame,
+      docIdCol: String, vecIdCol: String, vecCol: String): DataFrame = {
+    val dIds = docs.select(col(docIdCol).as("_id"))
+    val eIds = embeds.select(col(vecIdCol).as("_id"))
+    val nDocs = dIds.agg(count(lit(1)).as("docs_total"))
+    val nEmb = eIds.agg(count(lit(1)).as("embeds_total"))
+    val noEmb = dIds.join(eIds, Seq("_id"), "left_anti")
+      .agg(count(lit(1)).as("docs_without_embedding"))
+    val orphan = eIds.join(dIds, Seq("_id"), "left_anti")
+      .agg(count(lit(1)).as("embeddings_without_doc"))
+    // dominant dim = the most frequent size(vec) (ties: smaller dim)
+    val topDim = embeds.groupBy(size(col(vecCol)).as("_d"))
+      .agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("_d")).limit(1)
+      .select(col("_d"))
+    val badDim = embeds.crossJoin(broadcast(topDim))
+      .agg(sum(when(size(col(vecCol)) =!= col("_d"), 1L).otherwise(0L))
+        .as("dim_mismatch"))
+    nDocs.crossJoin(nEmb).crossJoin(noEmb).crossJoin(orphan)
+      .crossJoin(badDim) // all single-row
+      .selectExpr("""stack(5,
+        'dim_mismatch', dim_mismatch,
+        'docs_total', docs_total,
+        'docs_without_embedding', docs_without_embedding,
+        'embeddings_without_doc', embeddings_without_doc,
+        'embeds_total', embeds_total) AS (check_name, n)""")
+      .orderBy(col("check_name"))
+  }
 }

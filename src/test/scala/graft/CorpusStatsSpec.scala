@@ -257,4 +257,83 @@ class CorpusStatsSpec extends AnyFunSuite {
       ("doc_id", 3L, 0L, 2L, "1", "2"),
       ("lang", 3L, 1L, 2L, "en", "fr")))
   }
+
+  test("zipfSlope: exact power law fits slope -1; natural text is negative") {
+    // freq(rank r) = 2^(8-r) is an EXACT log-linear law with slope
+    // -ln2/ln? no — freq halves per rank STEP, not per rank ratio, so
+    // build the true power law instead: token t_r repeated 720/r
+    // times (720 divisible by 1..6 -> integer counts, no floor bias)
+    val text = (1 to 6).flatMap(r => Seq.fill(720 / r)(s"t$r")).mkString(" ")
+    val one = Seq((0L, text, "s0")).toDF("doc_id", "text", "source")
+    val slope = Corpus.zipfSlope(one, "text", "source", topN = 6)
+      .collect().head.getDouble(2)
+    assert(math.abs(slope - (-1.0)) < 0.01, s"slope $slope")
+    val real = Corpus.zipfSlope(
+        Tables.load(spark, "/root/testdata/sf0.001", "documents"),
+        "text", "source")
+      .collect()
+    assert(real.nonEmpty && real.forall(_.getDouble(2) < 0.0))
+  }
+
+  test("keywordsBySource: unique vocab ranks first, universal vocab scores 0") {
+    val df = Seq(
+      (0L, "common alpha alpha alpha", "sA"),
+      (1L, "common beta beta", "sB"),
+      (2L, "common gamma", "sC")
+    ).toDF("doc_id", "text", "source")
+    val rows = Corpus.keywordsBySource(df, "text", "source", k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(5)))
+    val first = rows.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    assert(first == Map("sA" -> "alpha", "sB" -> "beta", "sC" -> "gamma"))
+    // 'common' appears in every source -> ln(3/3) = 0 score wherever ranked
+    assert(rows.filter(_._3 == "common").forall(_._4 == 0.0))
+  }
+
+  test("integrityAudit: injected gap/orphan/dim-mismatch each counted once") {
+    val d = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("doc_id", "text")
+    val e = Seq(
+      (0L, Array(1.0f, 2.0f), 0),
+      (1L, Array(1.0f, 2.0f, 3.0f), 0),  // dim mismatch (dominant = 2)
+      (9L, Array(4.0f, 5.0f), 1)         // orphan (doc 9 absent)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Profile.integrityAudit(d, e, "doc_id", "vec_id", "embedding")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "dim_mismatch" -> 1L, "docs_total" -> 3L,
+      "docs_without_embedding" -> 1L,  // doc 2
+      "embeddings_without_doc" -> 1L, "embeds_total" -> 3L))
+  }
+
+  test("normalizedDedupReport: case/whitespace variants collapse, raw does not") {
+    val df = Seq(
+      (0L, "Hello  World", "s0"),
+      (1L, "hello world", "s0"),
+      (2L, " HELLO\tWORLD ", "s0"),
+      (3L, "unique text", "s0"),
+      (4L, "café", "s1"),          // é precomposed
+      (5L, "café", "s1")          // e + combining acute -> NFC é
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.normalizedDedupReport(df, "text", "source")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got("s0") == ((4L, 4L, 2L, 2L)))  // 3 variants -> 1, plus unique
+    assert(got("s1") == ((2L, 2L, 1L, 1L)))  // NFC unifies the two cafés
+  }
+
+  test("containmentPairs: contained doc scores C=1.0 with J<1 on a real candidate") {
+    val big = (1 to 30).map(i => s"w$i").mkString(" ")
+    // near-identical shingle profile (minhash candidate) but strict
+    // token subset: drop the last token only
+    val small = (1 to 29).map(i => s"w$i").mkString(" ")
+    val df = Seq((0L, small, "s"), (1L, big, "s"))
+      .toDF("doc_id", "text", "source")
+    val rows = Dedup.containmentPairs(df, "text", "doc_id").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(r.getDouble(3) == 1.0)            // containment
+    assert(r.getDouble(2) < 1.0)             // jaccard strictly below
+  }
 }

@@ -150,4 +150,29 @@ class TextExprsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 204910434L) // cross-checked vs DuckDB in SURVEY §6
     assert(r.getLong(1) != 0L)
   }
+
+  test("normalize_text: NFC + lower + ws-collapse, pinned cases") {
+    val rows = Seq(
+      "  Hello\t\n  WORLD  ",
+      "café CAFÉ",   // combining acute NFC-folds into é
+      "",
+      "   ",
+      null,
+      "already normal").toDF("text")
+    val got = rows.select(TextExprs.normalize_text(col("text")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(got.toSeq == Seq(
+      "hello world",
+      "café café",
+      "", "", null,
+      "already normal"))
+    // codegen and interpreted paths agree (null-safe eval covers the
+    // non-codegen path; this pins the generated one on corpus text)
+    val docs2 = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val n = docs2.select(TextExprs.normalize_text(col("text")).as("n"))
+      .where(col("n").rlike("\\s\\s") || col("n").startsWith(" ") ||
+        col("n").endsWith(" "))
+      .count()
+    assert(n == 0)
+  }
 }
