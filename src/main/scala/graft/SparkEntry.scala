@@ -1015,6 +1015,21 @@ object SparkEntry {
         .select(col("doc_id"), TextExprs.char_fold(col("text")).as("fp"))
         .orderBy(col("doc_id")).limit(200)),
 
+    // -- winnowing (MOSS) fingerprint summary: every w-window of the
+    //    shingle-hash stream selects its rightmost min; shared runs
+    //    of w+k-1 tokens are GUARANTEED a shared fingerprint (minhash
+    //    only shares in probability) at ~2/(w+1) density --
+    "fingerprint_winnow" -> ((s, dir) =>
+      Corpus.winnowSummary(t(s, dir, "documents"), "text", "doc_id")
+        .limit(200)),
+
+    // -- winnow-fingerprint near-dup pairs: equi join on fingerprint
+    //    hash with a df<=50 boilerplate cap first (fan-out bounded at
+    //    maxDf² per hash), >=2 shared fingerprints to pair --
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowPairs(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     "json_flatten" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"),
@@ -1567,6 +1582,13 @@ object SparkEntry {
     //    dedup_minhash's SQL verbatim --
     "streaming_neardup" -> ((s, dir) =>
       graft.streaming.DedupStream.neardupBatchDrain(s, dir)),
+
+    // -- exact dedup on the ingest stream via the BUILT-IN
+    //    dropDuplicatesWithinWatermark: engine state store keyed by
+    //    event_id, watermark-evicted (state bounded by rate x horizon,
+    //    not corpus) — a duplicated arrival must halve to DISTINCT --
+    "streaming_dedup_native" -> ((s, dir) =>
+      graft.streaming.DedupStream.dedupWithinWatermarkDrain(s, dir)),
 
     // -- late-data loss report: events arrive in a deterministic
     //    out-of-order simulation (range terciles, every 17th event one
@@ -2971,6 +2993,49 @@ object SparkEntry {
            | CAST(count(DISTINCT norm) AS BIGINT) AS n_norm,
            | CAST(count(DISTINCT text) - count(DISTINCT norm) AS BIGINT) AS n_collapsed
            |FROM n GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " "),
+      // winnowing replay: per-position min over the 4-row frame, the
+      // rightmost tie via max(pos) among in-window rows equal to the
+      // window min (the engine's struct(h,-pos) trick, spelled out),
+      // then the per-doc fingerprint count/density summary
+      "fingerprint_winnow" -> {
+        val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+        s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+           |hb AS (SELECT doc, $bases AS hs FROM tk WHERE len(toks) >= 3),
+           |g AS (SELECT doc, unnest(range(1, len(hs) + 1)) AS pos, unnest(hs) AS h FROM hb),
+           |win AS (SELECT doc, pos AS s,
+           |  min(h) OVER (PARTITION BY doc ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+           |  count(*) OVER (PARTITION BY doc) AS m FROM g),
+           |st AS (SELECT doc, s, wmin FROM win WHERE s <= m - 3),
+           |sel AS (SELECT st.doc, st.s, st.wmin AS h, max(g.pos) AS fp_pos
+           |  FROM st JOIN g ON g.doc = st.doc AND g.pos BETWEEN st.s AND st.s + 3 AND g.h = st.wmin
+           |  GROUP BY st.doc, st.s, st.wmin),
+           |fp AS (SELECT DISTINCT doc, h, fp_pos FROM sel),
+           |cnt AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_fp FROM fp GROUP BY doc)
+           |SELECT hb.doc AS doc_id, CAST(len(hb.hs) AS BIGINT) AS n_grams, cnt.n_fp,
+           | round(CAST(cnt.n_fp AS DOUBLE) / (len(hb.hs) - 3), 4) AS density
+           |FROM hb JOIN cnt ON hb.doc = cnt.doc
+           |WHERE len(hb.hs) >= 4
+           |ORDER BY doc_id LIMIT 200""".stripMargin.replaceAll("\n", " ")
+      },
+      // same winnow replay down to the distinct (doc, hash) set, then
+      // df<=50 cap and the hash equi self-join with >=2 shared cut
+      "dedup_winnow" -> {
+        val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+        s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+           |hb AS (SELECT doc, $bases AS hs FROM tk WHERE len(toks) >= 3),
+           |g AS (SELECT doc, unnest(range(1, len(hs) + 1)) AS pos, unnest(hs) AS h FROM hb),
+           |win AS (SELECT doc, pos AS s,
+           |  min(h) OVER (PARTITION BY doc ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+           |  count(*) OVER (PARTITION BY doc) AS m FROM g),
+           |st AS (SELECT doc, s, wmin FROM win WHERE s <= m - 3),
+           |d AS (SELECT DISTINCT doc, wmin AS h FROM st),
+           |keep AS (SELECT h FROM d GROUP BY h HAVING count(*) <= 50),
+           |dk AS (SELECT d.doc, d.h FROM d JOIN keep USING (h)),
+           |p AS (SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+           |  FROM dk a JOIN dk b ON a.h = b.h AND a.doc < b.doc GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2
+           |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
+      },
       // minhash band candidates (same replay as dedup_minhash), then
       // exact token-set containment/jaccard on the pairs; the filter
       // applies to the ROUNDED containment, as in the engine
@@ -3737,6 +3802,14 @@ object SparkEntry {
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
       "streaming_dedup" ->
         "SELECT DISTINCT md5(text) AS h FROM documents ORDER BY h",
+      // duplicated arrival (every id twice) must collapse to the
+      // batch DISTINCT: per-type counts over the unique id slice
+      "streaming_dedup_native" ->
+        """WITH e AS (SELECT DISTINCT event_id, event_type FROM events
+          |  WHERE event_id < 2000)
+          |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          | CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids
+          |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
       "corr_subquery" ->
         """SELECT o_orderkey, round(o_totalprice, 2) AS price
           |FROM orders o

@@ -405,6 +405,63 @@ object Corpus {
       .orderBy(col(idCol))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): over the doc's k-shingle hash sequence, every
+    * sliding window of `window` hashes selects its minimum (rightmost
+    * position on ties), and the distinct selected (hash, pos) pairs
+    * are the doc's fingerprints. Guarantees every shared run of
+    * window+k-1 tokens yields at least one shared fingerprint, at
+    * ~2/(window+1) the density of the full shingle stream — the
+    * positional, guarantee-carrying alternative to minhash sketches.
+    *
+    * Selection is ONE window pass: min over the ROWS frame of
+    * struct(h, -pos) — struct ordering gives (min hash, max pos)
+    * directly, no self-join. Docs with fewer than `window` shingles
+    * emit no fingerprints (no full window exists). Scale shape: the
+    * shuffle is the doc-keyed posexplode stream (same as any shingle
+    * op); the window sort is per-doc local.
+    *
+    * Returns (idCol, fp, fp_pos) distinct fingerprint rows.
+    */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, window: Int = 4): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+    val frame = byDoc.orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        window - 1)
+    df.select(col(idCol),
+        posexplode(graft.functions.TextExprs
+          .shingle_hashes(col(textCol), shingleK)))
+      .withColumnRenamed("col", "h")
+      .withColumn("m", count(lit(1)).over(byDoc))
+      .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np")))
+        .over(frame))
+      .where(col("pos") <= col("m") - window)
+      .select(col(idCol), col("sel.h").as("fp"),
+        (-col("sel.np")).as("fp_pos"))
+      .distinct()
+  }
+
+  /** Per-doc winnowing summary: shingle count, fingerprint count and
+    * observed density vs the n-w+1 window starts (the paper's bound
+    * is ~2/(w+1) of positions for random input).
+    */
+  def winnowSummary(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, window: Int = 4): DataFrame = {
+    val fp = winnowFingerprints(df, textCol, idCol, shingleK, window)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_fp"))
+    df.select(col(idCol),
+        size(graft.functions.TextExprs.shingle_hashes(col(textCol),
+          shingleK)).cast("long").as("n_grams"))
+      .where(col("n_grams") >= window)
+      .join(fp, Seq(idCol))
+      .withColumn("density",
+        round(col("n_fp").cast("double") /
+          (col("n_grams") - window + 1), 4))
+      .orderBy(col(idCol))
+  }
+
   /** Zipf power-law fit per source: slope of ln(freq) on ln(rank)
     * over the top-`topN` tokens (rank by freq desc, term asc for a
     * deterministic rank<->freq pairing on ties). Natural text sits

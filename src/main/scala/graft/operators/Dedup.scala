@@ -474,6 +474,34 @@ object Dedup {
       .where(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
   }
 
+  /** Near-dup candidate pairs from winnowing fingerprints — the
+    * guarantee-carrying alternative to [[minhashPairs]]: any shared
+    * token run of window+k-1 tokens is certain to share a
+    * fingerprint (minhash only shares in probability), at ~2/(w+1)
+    * of the shingle stream's volume. Pair generation is an equi join
+    * on the fingerprint hash with a document-frequency cap first:
+    * fingerprints in more than `maxDf` docs are boilerplate and
+    * dropped, bounding fan-out per hash at maxDf² instead of df² —
+    * the same DISTINCT-then-cap shape as Corpus.sourceOverlap.
+    */
+  def winnowPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, window: Int = 4, maxDf: Int = 50,
+      minShared: Int = 2): DataFrame = {
+    val fp = Corpus.winnowFingerprints(df, textCol, idCol,
+        shingleK, window)
+      .select(col(idCol).as("doc"), col("fp")).distinct()
+      .localCheckpoint(eager = true) // reused on both join sides
+    val keep = fp.groupBy(col("fp")).agg(count(lit(1)).as("df_docs"))
+      .where(col("df_docs") <= maxDf)
+    val pruned = fp.join(keep.select("fp"), "fp")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Normalization-aware dedup report: per source, how many distinct
     * documents survive under raw equality vs under the canonical form
     * (NFC + lowercase + whitespace collapse — TextKernels

@@ -101,4 +101,56 @@ object DedupStream {
       try rm(new java.io.File(tmp)) catch { case _: Throwable => () }
     }
   }
+
+  private val natSinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Exact streaming dedup via Spark's BUILT-IN
+    * `dropDuplicatesWithinWatermark` — the idiomatic counterpart to
+    * the custom signature store above for the exact-duplicate case:
+    * state lives in the engine's state store, keyed by the dedup
+    * column, and the watermark EVICTS keys older than the horizon, so
+    * state is bounded by (arrival rate × watermark) instead of
+    * growing with the corpus — the property that makes exact dedup
+    * deployable on an unbounded ingest stream. (The custom store
+    * remains the NEAR-dup path: minhash bands aren't expressible as
+    * an equality dedup key.)
+    *
+    * The drain harness materializes a duplicated arrival: the
+    * event_id<2000 slice written twice (two files, one micro-batch),
+    * so every id arrives exactly twice within the watermark window
+    * and the operator must drop exactly half the rows. Returns the
+    * per-type survivor counts, which equal the batch DISTINCT replay.
+    */
+  def dedupWithinWatermarkDrain(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_nat_dedup").toString
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .where(col("event_id") < 2000)
+    // same slice twice -> exact duplicates across files
+    ev.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    ev.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema // ts long (canonical)
+    val name = s"graft_nat_dedup_${natSinkId.incrementAndGet()}"
+    val q = spark.readStream.schema(schema).parquet(s"$tmp/in/*.parquet")
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    try {
+      spark.table(name)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_ids"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(eager = true) // detach from the temp dir
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      try rm(new java.io.File(tmp)) catch { case _: Throwable => () }
+    }
+  }
 }

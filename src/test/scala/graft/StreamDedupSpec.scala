@@ -27,4 +27,18 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(batch.nonEmpty) // the corpus does contain near-dups
     assert(streamed === batch)
   }
+
+  test("dropDuplicatesWithinWatermark halves a fully duplicated arrival") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = DedupStream.dedupWithinWatermarkDrain(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = Tables.load(spark, sfDir, "events")
+      .where(col("event_id") < 2000)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("event_id")).as("n"))
+      .orderBy(col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(1)))
+    assert(got.nonEmpty)
+    assert(got === want) // survivors == batch DISTINCT, ids unique
+  }
 }
