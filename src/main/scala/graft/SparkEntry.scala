@@ -478,6 +478,20 @@ object SparkEntry {
         .orderBy(col("event_type"), col("hour_bucket"))
     }),
 
+    // -- robust (median/MAD) anomaly detection on the hourly value
+    //    series: nearest-rank medians (selections, bit-portable),
+    //    |x-med| > 3*MAD flags — the spike-resistant complement to
+    //    the trailing z-score --
+    "events_anomaly_mad" -> ((s, dir) =>
+      TimeSeries.madAnomalies(
+        t(s, dir, "events")
+          .select(col("event_type"),
+            expr("ts div 1000000000 div 3600").as("hour_bucket"),
+            col("value"))
+          .groupBy(col("event_type"), col("hour_bucket"))
+          .agg(round(sum(col("value")), 2).as("total")),
+        "event_type", "hour_bucket", "total")),
+
     // -- multi-level rollup (per type×hour, per type, grand total) in
     //    ONE pass: Expand feeds each input row to every grouping set
     //    map-side, so the event stream is still shuffled exactly once
@@ -878,6 +892,18 @@ object SparkEntry {
         .limit(200)
     }),
 
+    // -- two-phase candidate/verify on the winnow generator: banded
+    //    Levenshtein runs ONLY on fingerprint-blocked pairs --
+    "dedup_winnow_verify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.editVerify(docs,
+          Dedup.winnowPairs(docs, "text", "doc_id")
+            .select(col("doc_a"), col("doc_b")),
+          "text", "doc_id", maxDist = 50)
+        .orderBy(col("edit_dist"), col("doc_a"), col("doc_b"))
+        .limit(200)
+    }),
+
     // -- cross-doc duplicated-span coverage (the exact-substring-dedup
     //    statistic): shingle stream -> distinct-doc count by hash ->
     //    join back; shuffles key on the uniform hash, never doc pairs --
@@ -957,6 +983,50 @@ object SparkEntry {
           countDistinct(col("pack_id")).as("n_packs"),
           sum(col("n_tokens")).as("total_tokens"))
         .orderBy(col("source"))
+    }),
+
+    // -- the full pretraining-mix pipeline: exact-dedup keep-one ->
+    //    decontaminate vs the doc_id%97 bench -> per-lang top-quality
+    //    quartile -> per-source token-budget mixture -> shard assign;
+    //    output is the per-shard manifest a training job reads. Every
+    //    stage is the already-oracled operator; the composition's
+    //    oracle chains the same CTEs --
+    "pipeline_pretrain_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val deduped = docs.join(
+        Dedup.exactGroups(docs, "text", "doc_id")
+          .select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val clean = Corpus.decontaminate(
+        deduped.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        "text", "doc_id", shingleK = 5)
+      val n = col("st.n_tokens").cast("double")
+      val stop = (col("st.marker_counts")(0) + col("st.marker_counts")(1))
+        .cast("double") / n
+      val q = least(lit(1.0), n / 100) * 0.4 +
+        (lit(1.0) - stop) * 0.3 + (col("st.n_distinct") / n) * 0.3
+      val scored = clean.select(col("doc_id"), col("lang"), col("source"),
+          col("text"),
+          TextExprs.token_stats(col("text"), Seq("the", "a")).as("st"))
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          round(q, 4).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+      val cw = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      val topQ = scored
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nl", count(lit(1)).over(cw))
+        .where(col("rn") <= expr("(nl + 3) div 4"))
+        .select(col("doc_id"), col("source"), col("text"))
+      val mixed = Corpus.mixByTokenBudget(topQ, "text", "doc_id",
+        "source", budgetTokens = 2000L)
+      Corpus.shardAssign(mixed, "doc_id", numShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("shard"))
     }),
 
     // -- radius (epsilon-NN) search: everything within cosine 0.9 of
@@ -2742,6 +2812,42 @@ object SparkEntry {
            | CAST(sum(n_tokens) AS BIGINT) AS total_tokens
            |FROM st GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " ")
       },
+      // the same already-oracled CTE pieces chained in the pipeline's
+      // order: keep-one -> decontaminate -> per-lang quality quartile
+      // -> per-source budget mixture -> multiplicative-hash shards
+      "pipeline_pretrain_mix" -> {
+        val bases = s"list_transform(${SqlSnips.shingles("toks", 5)}, s -> ${SqlSnips.charFold("s")})"
+        s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+           |d1 AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+           |t1 AS (SELECT doc_id, lang, source, $toks AS toks FROM d1 WHERE doc_id % 97 <> 0),
+           |btk AS (SELECT $toks AS toks FROM documents WHERE doc_id % 97 = 0),
+           |bsh AS (SELECT DISTINCT unnest($bases) AS sh FROM btk WHERE len(toks) >= 5),
+           |tsh AS (SELECT doc_id, unnest($bases) AS sh FROM t1 WHERE len(toks) >= 5),
+           |contam AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh USING (sh)),
+           |d2 AS (SELECT * FROM t1 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+           |sq AS (SELECT doc_id, lang, source, toks,
+           |  round(least(1.0, CAST(len(toks) AS DOUBLE) / 100) * 0.4 +
+           |   (1.0 - ${SqlSnips.stopRatio("toks", Seq("the", "a"))}) * 0.3 +
+           |   (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) * 0.3, 4) AS quality
+           |  FROM d2),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn,
+           |  count(*) OVER (PARTITION BY lang) AS nl FROM sq),
+           |d3 AS (SELECT doc_id, source, toks FROM rk
+           |  WHERE rn <= CAST((nl + 3) // 4 AS BIGINT)),
+           |tk2 AS (SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM d3),
+           |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS group_tokens
+           |  FROM tk2 GROUP BY source),
+           |r AS (SELECT source,
+           |  CAST(least(100, (100 * 2000) // group_tokens) AS BIGINT) AS rate_pct FROM tot),
+           |k AS (SELECT tk2.source, tk2.doc_id, tk2.n_tokens
+           |  FROM tk2 JOIN r USING (source)
+           |  WHERE ((doc_id % 1000003) * 2654435761) % 4294967296 % 100 < r.rate_pct)
+           |SELECT ((doc_id % 1000003) * 2654435761) % 4294967296 % 8 AS shard,
+           | CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           | CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+           |FROM k GROUP BY 1 ORDER BY shard""".stripMargin.replaceAll("\n", " ")
+      },
       "knn_radius" ->
         s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
            |SELECT e.vec_id AS vec_id, ${sqlDist("cosine")} AS dist
@@ -3035,6 +3141,30 @@ object SparkEntry {
            |  FROM dk a JOIN dk b ON a.h = b.h AND a.doc < b.doc GROUP BY 1, 2)
            |SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2
            |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
+      },
+      // winnow candidate replay + exact Levenshtein verify (the
+      // engine's banded form returns -1 past maxDist, filtered the
+      // same way the <=50 cut filters here)
+      "dedup_winnow_verify" -> {
+        val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+        s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks, text FROM documents),
+           |hb AS (SELECT doc, $bases AS hs FROM tk WHERE len(toks) >= 3),
+           |g AS (SELECT doc, unnest(range(1, len(hs) + 1)) AS pos, unnest(hs) AS h FROM hb),
+           |win AS (SELECT doc, pos AS s,
+           |  min(h) OVER (PARTITION BY doc ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+           |  count(*) OVER (PARTITION BY doc) AS m FROM g),
+           |st AS (SELECT doc, s, wmin FROM win WHERE s <= m - 3),
+           |d AS (SELECT DISTINCT doc, wmin AS h FROM st),
+           |keep AS (SELECT h FROM d GROUP BY h HAVING count(*) <= 50),
+           |dk AS (SELECT d.doc, d.h FROM d JOIN keep USING (h)),
+           |p AS (SELECT a.doc AS doc_a, b.doc AS doc_b
+           |  FROM dk a JOIN dk b ON a.h = b.h AND a.doc < b.doc
+           |  GROUP BY 1, 2 HAVING count(*) >= 2)
+           |SELECT p.doc_a, p.doc_b,
+           | CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
+           |FROM p JOIN tk a ON a.doc = p.doc_a JOIN tk b ON b.doc = p.doc_b
+           |WHERE levenshtein(a.text, b.text) <= 50
+           |ORDER BY edit_dist, doc_a, doc_b LIMIT 200""".stripMargin.replaceAll("\n", " ")
       },
       // minhash band candidates (same replay as dedup_minhash), then
       // exact token-set containment/jaccard on the pairs; the filter
@@ -3997,6 +4127,25 @@ object SparkEntry {
         |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, hour_bucket, n, round((n - mu) / sd, 4) AS z
         |FROM w WHERE n_prev = 6 AND sd > 0
+        |ORDER BY event_type, hour_bucket""".stripMargin.replaceAll("\n", " "),
+    // nearest-rank median + MAD, both SELECTIONS of existing 2-dp
+    // totals under a deterministic (value, hour) order — the flag
+    // compares the same doubles in both engines
+    "events_anomaly_mad" ->
+      """WITH h AS (SELECT event_type,
+        |  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+        |  round(sum(value), 2) AS total FROM events GROUP BY 1, 2),
+        |m AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY total, hour_bucket) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS nn FROM h),
+        |m2 AS (SELECT *, max(CASE WHEN rn = (nn + 1) // 2 THEN total END)
+        |  OVER (PARTITION BY event_type) AS med FROM m),
+        |d AS (SELECT *, abs(total - med) AS dev FROM m2),
+        |d2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev, hour_bucket) AS rd FROM d),
+        |d3 AS (SELECT *, max(CASE WHEN rd = (nn + 1) // 2 THEN dev END)
+        |  OVER (PARTITION BY event_type) AS mad FROM d2)
+        |SELECT event_type, hour_bucket, total, med,
+        | round(dev, 4) AS dev, round(mad, 4) AS mad
+        |FROM d3 WHERE dev > 3 * mad
         |ORDER BY event_type, hour_bucket""".stripMargin.replaceAll("\n", " "),
     "events_rollup" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,

@@ -59,4 +59,40 @@ object TimeSeries {
         col("n_obs").isNull.as("is_gap"))
       .orderBy(col(keyCol), col("hour_bucket"))
   }
+
+  /** Robust (median/MAD) anomaly detection over a per-key series —
+    * the outlier-resistant alternative to the z-score (one genuine
+    * spike inflates a stddev enough to mask a second spike; it moves
+    * a median almost not at all). Flags points with
+    * |x - median| > cut × MAD, where both medians are NEAREST-RANK
+    * selections (rank (n+1) div 2 under a deterministic (value, time)
+    * order) — selections of existing values, so the whole report is
+    * bit-portable across engines, unlike interpolated quantiles.
+    *
+    * Input is an already-aggregated series (key, time, value) — at
+    * 100 TB the only event-volume shuffle happened in that aggregate;
+    * this runs |keys|×|points| windows, per-key local sorts.
+    */
+  def madAnomalies(series: DataFrame, keyCol: String, timeCol: String,
+      valCol: String, cut: Double = 3.0): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol))
+    val byVal = byKey.orderBy(col(valCol), col(timeCol))
+    val withMed = series
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("nn", count(lit(1)).over(byKey))
+      .withColumn("med",
+        max(when(col("rn") === expr("(nn + 1) div 2"), col(valCol)))
+          .over(byKey))
+      .withColumn("dev", abs(col(valCol) - col("med")))
+    val byDev = byKey.orderBy(col("dev"), col(timeCol))
+    withMed
+      .withColumn("rd", row_number().over(byDev))
+      .withColumn("mad",
+        max(when(col("rd") === expr("(nn + 1) div 2"), col("dev")))
+          .over(byKey))
+      .where(col("dev") > lit(cut) * col("mad"))
+      .select(col(keyCol), col(timeCol), col(valCol), col("med"),
+        round(col("dev"), 4).as("dev"), round(col("mad"), 4).as("mad"))
+      .orderBy(col(keyCol), col(timeCol))
+  }
 }

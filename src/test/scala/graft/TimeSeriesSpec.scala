@@ -52,4 +52,29 @@ class TimeSeriesSpec extends AnyFunSuite {
     val aObs = out.filter(r => r.getString(0) == "a" && !r.getBoolean(3))
     assert(aObs.map(_.getLong(1)).toSeq === Seq(corrupt))
   }
+
+  test("madAnomalies: median/MAD flags the spike a z-score masks") {
+    // series: nine 10.0s, one 200.0 (hour 9) and one 60.0 (hour 10).
+    // med = 10, deviations = eight 0s + 190 + 50 -> MAD = 0 lower-
+    // median... use a wigglier base so MAD > 0:
+    // values 8,9,10,11,12 repeated twice + spikes 200, 60
+    val base = (0 until 10).map(i => ("a", i.toLong, (8 + i % 5).toDouble))
+    val rows = base :+ (("a", 10L, 200.0)) :+ (("a", 11L, 60.0))
+    val df = rows.toDF("k", "h", "v")
+    val out = TimeSeries.madAnomalies(df, "k", "h", "v")
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // n=12: sorted values 8,8,9,9,10,10,11,11,12,12,60,200 ->
+    // med = rank 6 = 10; devs 0,0,1,1,2,2,1,1,2,2,50,190 sorted
+    // 0,0,1,1,1,1,2,2,2,2,50,190 -> mad = rank 6 = 1
+    // flags: dev > 3 -> the two spikes only
+    assert(out.toSeq == Seq((10L, 200.0), (11L, 60.0)))
+    // a z-score would mask the 60: mean~28.3, sd~54 -> z(60) < 1
+  }
+
+  test("madAnomalies: constant series (MAD 0) flags any deviation, nothing else") {
+    val df = ((0 until 6).map(i => ("a", i.toLong, 5.0)) :+ (("a", 6L, 5.5)))
+      .toDF("k", "h", "v")
+    val out = TimeSeries.madAnomalies(df, "k", "h", "v").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(6L))
+  }
 }
