@@ -1169,6 +1169,12 @@ object SparkEntry {
     "dedup_recall" -> ((s, dir) =>
       Dedup.minhashRecallReport(t(s, dir, "documents"), "text", "doc_id")),
 
+    // -- the winnow generator scored against the SAME exact-Jaccard
+    //    truth: how the deterministic-span generator compares with
+    //    the probabilistic-resemblance one on equal footing --
+    "dedup_winnow_recall" -> ((s, dir) =>
+      Dedup.winnowRecallReport(t(s, dir, "documents"), "text", "doc_id")),
+
     // -- band/seed sweep over the SAME checkpointed truth: the
     //    precision/recall frontier for picking an LSH config (more,
     //    narrower bands -> recall; fewer, wider -> precision) --
@@ -3141,6 +3147,45 @@ object SparkEntry {
            |  FROM dk a JOIN dk b ON a.h = b.h AND a.doc < b.doc GROUP BY 1, 2)
            |SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2
            |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
+      },
+      // same truth CTE as dedup_recall; predictions swapped for the
+      // winnow chain (df cap + >=2 shared fingerprints)
+      "dedup_winnow_recall" -> {
+        val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+        s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+           |base AS (SELECT doc, list_sort(list_distinct($bases)) AS ss
+           |  FROM tk WHERE len(toks) >= 3),
+           |ex AS (SELECT doc, unnest(ss) AS sh FROM base),
+           |cand AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+           |  FROM ex x JOIN ex y ON x.sh = y.sh AND x.doc < y.doc),
+           |tr AS (SELECT doc_a, doc_b FROM cand
+           |  JOIN base a ON a.doc = cand.doc_a
+           |  JOIN base b ON b.doc = cand.doc_b
+           |  WHERE 3 * len(list_intersect(a.ss, b.ss)) >= len(a.ss) + len(b.ss)),
+           |hb AS (SELECT doc, $bases AS hs FROM tk WHERE len(toks) >= 3),
+           |g AS (SELECT doc, unnest(range(1, len(hs) + 1)) AS pos, unnest(hs) AS h FROM hb),
+           |win AS (SELECT doc, pos AS s,
+           |  min(h) OVER (PARTITION BY doc ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+           |  count(*) OVER (PARTITION BY doc) AS m FROM g),
+           |st AS (SELECT doc, s, wmin FROM win WHERE s <= m - 3),
+           |d AS (SELECT DISTINCT doc, wmin AS h FROM st),
+           |keep AS (SELECT h FROM d GROUP BY h HAVING count(*) <= 50),
+           |dk AS (SELECT d.doc, d.h FROM d JOIN keep USING (h)),
+           |pr AS (SELECT a.doc AS doc_a, b.doc AS doc_b
+           |  FROM dk a JOIN dk b ON a.h = b.h AND a.doc < b.doc
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |j AS (SELECT t, p FROM
+           |  (SELECT doc_a, doc_b, 1 AS t FROM tr) _t
+           |  FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS p FROM pr) _p
+           |  USING (doc_a, doc_b))
+           |SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n_true,
+           | CAST(coalesce(sum(p), 0) AS BIGINT) AS n_pred,
+           | CAST(coalesce(sum(t * p), 0) AS BIGINT) AS n_hit,
+           | CASE WHEN coalesce(sum(p), 0) > 0 THEN
+           |   round(CAST(coalesce(sum(t * p), 0) AS DOUBLE) / sum(p), 4) END AS precision,
+           | CASE WHEN coalesce(sum(t), 0) > 0 THEN
+           |   round(CAST(coalesce(sum(t * p), 0) AS DOUBLE) / sum(t), 4) END AS recall
+           |FROM j""".stripMargin.replaceAll("\n", " ")
       },
       // winnow candidate replay + exact Levenshtein verify (the
       // engine's banded form returns -1 past maxDist, filtered the

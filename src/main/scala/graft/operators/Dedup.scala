@@ -246,6 +246,19 @@ object Dedup {
     }.reduce(_ unionByName _).orderBy(col("config"))
   }
 
+  /** [[minhashRecallReport]] for the winnow generator: winnow-pair
+    * predictions scored against the same exact-Jaccard>=1/2 truth.
+    * Winnowing's guarantee is per shared RUN (w+k-1 tokens), not per
+    * Jaccard level, so this report is how the two generators compare
+    * on equal footing — minhash tracks resemblance in probability,
+    * winnowing tracks shared spans deterministically.
+    */
+  def winnowRecallReport(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, window: Int = 4, minShared: Int = 2): DataFrame =
+    scorePairs(jaccardTruthPairs(df, textCol, idCol, shingleK),
+      winnowPairs(df, textCol, idCol, shingleK, window,
+        minShared = minShared).select(col("doc_a"), col("doc_b")))
+
   /** Ground-truth near-dup pairs: exact shingle-set Jaccard >= 1/2
     * via the integer cut (see [[minhashRecallReport]]'s doc). */
   private def jaccardTruthPairs(df: DataFrame, textCol: String,
