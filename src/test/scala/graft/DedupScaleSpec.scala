@@ -66,4 +66,22 @@ class DedupScaleSpec extends AnyFunSuite {
     // that's what turns one dense bucket into s^2 bounded tasks
     assert(plan.contains("ga") && plan.contains("gb"), plan)
   }
+
+  test("winnowPairs df cap: fingerprints in >maxDf docs pair nobody") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 60 IDENTICAL docs: every fingerprint has df=60, so with the cap
+    // at 50 every hash is boilerplate-dropped and no pair survives;
+    // with the cap lifted the same hashes fan out to all 60C2 pairs —
+    // the exact df² blowup the cap bounds to maxDf²
+    val boiler = "terms of service apply to all content here and there"
+    val docs = (0 until 60).map(i => (i.toLong, boiler))
+      .toDF("doc_id", "text")
+    val capped = graft.operators.Dedup
+      .winnowPairs(docs, "text", "doc_id", maxDf = 50, minShared = 1)
+    assert(capped.count() == 0)
+    val uncapped = graft.operators.Dedup
+      .winnowPairs(docs, "text", "doc_id", maxDf = 1000, minShared = 1)
+    assert(uncapped.count() == 60L * 59 / 2)
+  }
 }

@@ -109,4 +109,36 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("WindowGroupLimit".r.findAllIn(p).length === 2, p)
     assert(hashExchanges(p) === 1, p)
   }
+
+  test("fingerprint_winnow: ONE window pass selects fingerprints — no self-join") {
+    val p = plan("fingerprint_winnow")
+    // the struct(h,-pos) min replaces the start×member range join: no
+    // SortMergeJoin/BNLJ anywhere in the selection subtree (the only
+    // join is the summary's count join)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_normalized: map-only digests, one source shuffle") {
+    val p = plan("dedup_normalized")
+    assert(p.contains("normalize_text"), p)
+    // count(DISTINCT x2) expands to the standard two-step aggregate:
+    // shuffle on (source, digests), then on source
+    assert(hashExchanges(p) <= 2, p)
+  }
+
+  test("events_anomaly_mad: one event-volume shuffle; windows on the hourly frame") {
+    val p = plan("events_anomaly_mad")
+    // hourly agg = 1 exchange; the two median selections re-shuffle
+    // |keys|x|hours| rows only
+    assert("FileScan parquet".r.findAllIn(p).length === 1, p)
+    assert(p.contains("ReadSchema: struct<ts:timestamp_ntz,event_type:string,value:double>")
+      || p.contains("ReadSchema: struct<ts:bigint,event_type:string,value:double>"), p)
+  }
+
+  test("dedup_containment: pair list broadcast against the corpus projection") {
+    val p = plan("dedup_containment")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("sorted_intersect_size"), p)
+  }
 }
