@@ -799,6 +799,23 @@ object SparkEntry {
     "quality_perplexity" -> ((s, dir) =>
       Corpus.unigramCrossEntropy(t(s, dir, "documents"), "text", "doc_id")),
 
+    // -- second-order perplexity: bigram conditional -ln p(w2|w1)
+    //    with the proper prefix denominator — flags common words in
+    //    uncommon ORDER, which the unigram filter passes --
+    "quality_perplexity2" -> ((s, dir) =>
+      Corpus.bigramCrossEntropy(t(s, dir, "documents"), "text", "doc_id")),
+
+    // -- contamination forensics: the actual leaked spans as strings,
+    //    ranked by train-doc reach — the evidence view behind the
+    //    decontaminate hit list --
+    "decontaminate_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.contaminationSpans(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        "text", "doc_id")
+    }),
+
     // -- heavy_hitters in its EXACT regime (m=128 >= the 31 distinct
     //    tokens): the sketch degenerates to exact counts with err 0,
     //    so the distributed partial-agg + merge path itself gets a
@@ -2672,6 +2689,34 @@ object SparkEntry {
            | round(avg(-ln(CAST(c AS DOUBLE) / n.n)), 4) AS xent
            |FROM tk JOIN tc USING (term), n
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+      // bigram conditional with the prefix-marginal denominator
+      // (sum of bigram counts per w1, NOT the unigram count — p
+      // sums to 1 and both engines fold the same integer table)
+      "quality_perplexity2" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+           |bg AS (SELECT doc_id, unnest(${SqlSnips.shingles("toks", 2)}) AS bg
+           |  FROM tk WHERE len(toks) >= 2),
+           |bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1),
+           |pc AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(cb) AS BIGINT) AS cw
+           |  FROM bc GROUP BY 1)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           | round(avg(-ln(CAST(cb AS DOUBLE) / cw)), 4) AS xent2
+           |FROM bg JOIN bc USING (bg)
+           |JOIN pc ON split_part(bg.bg, ' ', 1) = pc.w1
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+      // leaked spans as strings, DISTINCT (shingle, doc) bounded on
+      // both sides before the join
+      "decontaminate_spans" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+           |tsp AS (SELECT DISTINCT doc_id, unnest(${SqlSnips.shingles("toks", 5)}) AS shingle
+           |  FROM tk WHERE doc_id % 97 <> 0 AND len(toks) >= 5),
+           |bsp AS (SELECT DISTINCT doc_id, unnest(${SqlSnips.shingles("toks", 5)}) AS shingle
+           |  FROM tk WHERE doc_id % 97 = 0 AND len(toks) >= 5)
+           |SELECT t.shingle AS shingle, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs,
+           | CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+           |FROM tsp t JOIN bsp b ON t.shingle = b.shingle
+           |GROUP BY t.shingle
+           |ORDER BY n_train_docs DESC, t.shingle LIMIT 20""".stripMargin.replaceAll("\n", " "),
       "quality_repetition" ->
         s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
            |g AS (SELECT doc_id, unnest(list_transform(${SqlSnips.shingles("toks", 2)},

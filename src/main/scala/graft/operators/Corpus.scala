@@ -405,6 +405,67 @@ object Corpus {
       .orderBy(col(idCol))
   }
 
+  /** Per-document bigram-LM cross-entropy — the second-order
+    * [[unigramCrossEntropy]]: xent2(doc) = avg over bigram instances
+    * of -ln(c(w1 w2) / c(w1 ·)), with the corpus's own bigram table
+    * as the model and the proper conditional denominator (c(w1 ·) =
+    * total bigrams starting with w1, so p(·|w1) sums to 1). A doc of
+    * common words in UNCOMMON order scores high here while the
+    * unigram filter passes it — the word-salad detector.
+    *
+    * Same scale shape as the unigram form: one bigram explode feeds
+    * the count table and the scoring join; the prefix table folds the
+    * bigram table (|bigrams| rows, not corpus rows). Deterministic:
+    * integer counts, one ln, 4-dp round.
+    */
+  def bigramCrossEntropy(df: DataFrame, textCol: String, idCol: String,
+      roundTo: Int = 4): DataFrame = {
+    val bi = df.select(col(idCol),
+      explode(graft.functions.TextExprs.shingle_strings(col(textCol), 2))
+        .as("bg"))
+      .localCheckpoint(eager = false) // one bigram pass, three readers
+    val bc = bi.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val pc = bc
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+    bi.join(bc, "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(pc, "w1")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("cb").cast("double") / col("cw"))), roundTo)
+          .as("xent2"))
+      .orderBy(col(idCol))
+  }
+
+  /** Contamination forensics: the actual shared spans (shingle
+    * STRINGS) between a training corpus and a benchmark, ranked by
+    * how many train docs carry them — the human-readable evidence
+    * behind a [[contaminatedIds]] hit list ("which sentence leaked"),
+    * and the input to an allowlist (idioms that merely look shared).
+    *
+    * DISTINCT (shingle, doc) on each side first, so the join is
+    * bounded by distinct spans × containing docs, never occurrence
+    * counts; strings shuffle only for the top-k report (the detection
+    * path stays on hashes).
+    */
+  def contaminationSpans(train: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, shingleK: Int = 5,
+      k: Int = 20): DataFrame = {
+    def spans(df: DataFrame) = df.select(col(idCol).as("_d"),
+        explode(graft.functions.TextExprs
+          .shingle_strings(col(textCol), shingleK)).as("shingle"))
+      .distinct()
+    spans(train).as("t")
+      .join(spans(bench).select(col("shingle"), col("_d").as("_bd"))
+        .as("b"), "shingle")
+      .groupBy(col("shingle"))
+      .agg(countDistinct(col("_d")).as("n_train_docs"),
+        countDistinct(col("_bd")).as("n_bench_docs"))
+      .orderBy(col("n_train_docs").desc, col("shingle"))
+      .limit(k)
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     * algorithm): over the doc's k-shingle hash sequence, every
     * sliding window of `window` hashes selects its minimum (rightmost

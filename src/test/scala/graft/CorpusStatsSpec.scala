@@ -258,6 +258,30 @@ class CorpusStatsSpec extends AnyFunSuite {
       ("lang", 3L, 1L, 2L, "en", "fr")))
   }
 
+  test("bigramCrossEntropy: hand-computed conditional xent on a 2-doc corpus") {
+    val df = Seq((0L, "a b a c"), (1L, "a b")).toDF("doc_id", "text")
+    // bigram counts: "a b"->2, "b a"->1, "a c"->1; prefix marginals:
+    // a->3, b->1. doc0 = avg(-ln(2/3), -ln(1/1), -ln(1/3)) = 0.5014;
+    // doc1 = -ln(2/3) = 0.4055
+    val got = Corpus.bigramCrossEntropy(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0L, 3L, 0.5014), (1L, 1L, 0.4055)))
+  }
+
+  test("contaminationSpans: shared spans ranked by train reach, distinct-doc counts") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over things"),
+      (2L, "a the quick brown fox jumps too"),
+      (3L, "nothing shared here at all today")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val got = Corpus.contaminationSpans(train, bench, "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the 5-token span "the quick brown fox jumps" is in 2 train docs
+    assert(got.head == (("the quick brown fox jumps", 2L, 1L)))
+    assert(got.forall(_._2 <= 2))
+  }
+
   test("zipfSlope: exact power law fits slope -1; natural text is negative") {
     // freq(rank r) = 2^(8-r) is an EXACT log-linear law with slope
     // -ln2/ln? no — freq halves per rank STEP, not per rank ratio, so
