@@ -495,6 +495,37 @@ object Microbench {
     // never touching the test data. The headline bucketed shapes are
     // timed at 1x and 10x: near-linear observed growth is the direct
     // evidence behind the "bucketed, never all-pairs" claims.
+    // near-dup generators head-to-head: both scored against the same
+    // exact-Jaccard >= 1/2 truth (the dedup_recall oracles), computed
+    // live at this sfDir
+    sb ++= "\n## Near-dup generators: minhash bands vs winnowing fingerprints\n\n"
+    locally {
+      def report(name: String, df: DataFrame): String = {
+        val r = df.collect().head
+        f"| $name | ${r.getLong(0)}%d | ${r.getLong(1)}%d | ${r.getLong(2)}%d " +
+          f"| ${r.getDouble(3)}%.3f | ${r.getDouble(4)}%.3f |\n"
+      }
+      sb ++= "Both scored against the same exact shingle-Jaccard >= 1/2 truth\n"
+      sb ++= "(`dedup_recall` / `dedup_winnow_recall`):\n\n"
+      sb ++= "| generator | n_true | n_pred | n_hit | precision | recall |\n|---|---|---|---|---|---|\n"
+      sb ++= report("minhash 8 seeds, 4 bands",
+        graft.operators.Dedup.minhashRecallReport(docs, "text", "doc_id"))
+      sb ++= report("winnow w=4, >=2 shared",
+        graft.operators.Dedup.winnowRecallReport(docs, "text", "doc_id"))
+      sb ++= "\nReading: winnowing never misses (its guarantee is deterministic —\n"
+      sb ++= "any shared w+k-1-token run yields a shared fingerprint), but its\n"
+      sb ++= "predictions track SPAN sharing, not resemblance: on a small-\n"
+      sb ++= "vocabulary corpus short shared spans are everywhere, so precision\n"
+      sb ++= "decays with corpus size while minhash bands - which approximate\n"
+      sb ++= "Jaccard itself - stay calibrated. Operationally: winnowing is the\n"
+      sb ++= "candidate generator for plagiarism/contamination-style span\n"
+      sb ++= "detection (pair it with the edit/containment verify pass, which\n"
+      sb ++= "prunes its false candidates exactly); minhash is the generator\n"
+      sb ++= "for resemblance-level dedup. Both are bucketed equi joins with\n"
+      sb ++= "bounded fan-out (bands; df-capped fingerprints), so both scale\n"
+      sb ++= "identically - the choice is semantic, not computational.\n"
+    }
+
     sb ++= "\n## Scaling: documents x10 (synthetic, disjoint shingles per copy)\n\n"
     locally {
       // the sections above leave persisted blocks + GC debt behind;
@@ -540,6 +571,9 @@ object Microbench {
         op("dedup_minhash pairs") {
           graft.operators.Dedup.minhashPairs(docsDf, "text", "doc_id").count()
         }
+        op("dedup_winnow pairs") {
+          graft.operators.Dedup.winnowPairs(docsDf, "text", "doc_id").count()
+        }
         op("decontaminate exact") {
           graft.operators.Corpus.contaminatedIds(
             train, bench, "text", "doc_id", 3).count()
@@ -580,7 +614,8 @@ object Microbench {
       }
       sb ++= "\nEvery shape stays at-or-under linear (10x data -> <=10x time,\n"
       sb ++= "with fixed per-job overheads amortizing better at 10x): pair\n"
-      sb ++= "generation is band-bucketed, decontamination meets in an equi\n"
+      sb ++= "generation is band-bucketed (minhash) / df-capped (winnow),\n"
+      sb ++= "decontamination meets in an equi\n"
       sb ++= "join (bloom prunes map-side), the overlap matrix is DISTINCT-\n"
       sb ++= "bounded, and the IVF probe scans only nprobe/8 of the corpus.\n"
       sb ++= "Output rows track the 10x input (pairs/contamination scale\n"
