@@ -1192,6 +1192,12 @@ object SparkEntry {
     "dedup_winnow_recall" -> ((s, dir) =>
       Dedup.winnowRecallReport(t(s, dir, "documents"), "text", "doc_id")),
 
+    // -- winnow precision/recall frontier over the min-shared
+    //    threshold (winnowing's precision knob): every config derived
+    //    from ONE pair table by threshold filter --
+    "dedup_winnow_matrix" -> ((s, dir) =>
+      Dedup.winnowRecallMatrix(t(s, dir, "documents"), "text", "doc_id")),
+
     // -- band/seed sweep over the SAME checkpointed truth: the
     //    precision/recall frontier for picking an LSH config (more,
     //    narrower bands -> recall; fewer, wider -> precision) --
@@ -3231,6 +3237,48 @@ object SparkEntry {
            | CASE WHEN coalesce(sum(t), 0) > 0 THEN
            |   round(CAST(coalesce(sum(t * p), 0) AS DOUBLE) / sum(t), 4) END AS recall
            |FROM j""".stripMargin.replaceAll("\n", " ")
+      },
+      // the frontier sweep shares ONE pair table: configs are
+      // threshold filters over n_shared, scored against the same tr
+      "dedup_winnow_matrix" -> {
+        val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+        s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+           |base AS (SELECT doc, list_sort(list_distinct($bases)) AS ss
+           |  FROM tk WHERE len(toks) >= 3),
+           |ex AS (SELECT doc, unnest(ss) AS sh FROM base),
+           |cand AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+           |  FROM ex x JOIN ex y ON x.sh = y.sh AND x.doc < y.doc),
+           |tr AS (SELECT doc_a, doc_b FROM cand
+           |  JOIN base a ON a.doc = cand.doc_a
+           |  JOIN base b ON b.doc = cand.doc_b
+           |  WHERE 3 * len(list_intersect(a.ss, b.ss)) >= len(a.ss) + len(b.ss)),
+           |hb AS (SELECT doc, $bases AS hs FROM tk WHERE len(toks) >= 3),
+           |g AS (SELECT doc, unnest(range(1, len(hs) + 1)) AS pos, unnest(hs) AS h FROM hb),
+           |win AS (SELECT doc, pos AS s,
+           |  min(h) OVER (PARTITION BY doc ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+           |  count(*) OVER (PARTITION BY doc) AS m FROM g),
+           |st AS (SELECT doc, s, wmin FROM win WHERE s <= m - 3),
+           |d AS (SELECT DISTINCT doc, wmin AS h FROM st),
+           |keep AS (SELECT h FROM d GROUP BY h HAVING count(*) <= 50),
+           |dk AS (SELECT d.doc, d.h FROM d JOIN keep USING (h)),
+           |p AS (SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+           |  FROM dk a JOIN dk b ON a.h = b.h AND a.doc < b.doc GROUP BY 1, 2),
+           |cfg AS (SELECT unnest([1, 2, 3]) AS ms),
+           |pred AS (SELECT ms, doc_a, doc_b FROM p, cfg WHERE n_shared >= ms),
+           |np AS (SELECT ms, CAST(count(*) AS BIGINT) AS n_pred FROM pred GROUP BY ms),
+           |nh AS (SELECT ms, CAST(count(*) AS BIGINT) AS n_hit
+           |  FROM pred JOIN tr USING (doc_a, doc_b) GROUP BY ms),
+           |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tr)
+           |SELECT 'window=4,min_shared=' || cfg.ms AS config, nt.n_true,
+           | coalesce(np.n_pred, 0) AS n_pred, coalesce(nh.n_hit, 0) AS n_hit,
+           | CASE WHEN coalesce(np.n_pred, 0) > 0 THEN
+           |   round(CAST(coalesce(nh.n_hit, 0) AS DOUBLE) / np.n_pred, 4) END AS precision,
+           | CASE WHEN nt.n_true > 0 THEN
+           |   round(CAST(coalesce(nh.n_hit, 0) AS DOUBLE) / nt.n_true, 4) END AS recall
+           |FROM cfg CROSS JOIN nt
+           |LEFT JOIN np ON cfg.ms = np.ms
+           |LEFT JOIN nh ON cfg.ms = nh.ms
+           |ORDER BY config""".stripMargin.replaceAll("\n", " ")
       },
       // winnow candidate replay + exact Levenshtein verify (the
       // engine's banded form returns -1 past maxDist, filtered the

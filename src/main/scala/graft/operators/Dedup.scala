@@ -259,6 +259,31 @@ object Dedup {
       winnowPairs(df, textCol, idCol, shingleK, window,
         minShared = minShared).select(col("doc_a"), col("doc_b")))
 
+  /** [[minhashRecallMatrix]] for the winnow generator: the
+    * min-shared-fingerprints threshold IS winnowing's precision
+    * knob (window width trades density for guarantee length and is
+    * usually fixed), so the sweep derives every config from ONE pair
+    * table — winnowPairs at minShared=1 keeps the n_shared column,
+    * and each row of the frontier is a threshold filter over it. One
+    * fingerprint pass, one join, |configs| aggregates.
+    */
+  def winnowRecallMatrix(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, window: Int = 4,
+      minSharedConfigs: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    val truth = jaccardTruthPairs(df, textCol, idCol, shingleK)
+      .localCheckpoint(eager = true)
+    val pairs = winnowPairs(df, textCol, idCol, shingleK, window,
+        minShared = 1)
+      .localCheckpoint(eager = true)
+    minSharedConfigs.map { s =>
+      scorePairs(truth, pairs.where(col("n_shared") >= s)
+          .select(col("doc_a"), col("doc_b")))
+        .select(lit(s"window=$window,min_shared=$s").as("config"),
+          col("n_true"), col("n_pred"), col("n_hit"),
+          col("precision"), col("recall"))
+    }.reduce(_ unionByName _).orderBy(col("config"))
+  }
+
   /** Ground-truth near-dup pairs: exact shingle-set Jaccard >= 1/2
     * via the integer cut (see [[minhashRecallReport]]'s doc). */
   private def jaccardTruthPairs(df: DataFrame, textCol: String,

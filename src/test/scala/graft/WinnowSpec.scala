@@ -51,6 +51,22 @@ class WinnowSpec extends AnyFunSuite {
     assert(d > 0.25 && d < 0.6, s"mean density $d")
   }
 
+  test("winnowRecallMatrix: monotone frontier — higher min_shared never predicts more") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val rows = Dedup.winnowRecallMatrix(docs, "text", "doc_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 3)
+    // configs sort ascending by min_shared; n_pred and n_hit are
+    // non-increasing in the threshold, n_true constant
+    assert(rows.map(_._2).distinct.length == 1)
+    val preds = rows.map(_._3)
+    val hits = rows.map(_._4)
+    assert(preds.zip(preds.tail).forall { case (a, b) => a >= b })
+    assert(hits.zip(hits.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(r => r._4 <= r._3))
+  }
+
   test("short docs (< window shingles) emit no fingerprints, appear in no summary") {
     val df = Seq((0L, "a b c d e")).toDF("doc_id", "text") // 3 shingles < w=4
     assert(Corpus.winnowFingerprints(df, "text", "doc_id").count() == 0)
