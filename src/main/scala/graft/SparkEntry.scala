@@ -308,6 +308,36 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // -- TPC-H Q6 shape (forecast revenue change): all three
+    //    predicates push to the parquet scan, one partial-agg row per
+    //    partition crosses the wire --
+    "q6_forecast" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // -- TPC-H Q18 shape (large-volume orders): the HAVING subquery
+    //    becomes a pre-aggregated join side, so the order/customer
+    //    join fans in only qualified orders --
+    "q18_big_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .where(col("sum_qty") > 150)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("total_price"), col("sum_qty"))
+        .orderBy(col("total_price").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // -- exact interpolated percentiles (reference has no aggs beyond
     //    COUNT; this is the analytics-side extension) --
     "events_quantiles" -> ((s, dir) =>
@@ -4197,6 +4227,22 @@ object SparkEntry {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue_k DESC, c_custkey LIMIT 20""".stripMargin.replaceAll("\n", " "),
+    "q6_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin.replaceAll("\n", " "),
+    "q18_big_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        |SELECT c_name, c_custkey, o_orderkey,
+        | round(o_totalprice, 2) AS total_price, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_price DESC, o_orderkey LIMIT 100""".stripMargin.replaceAll("\n", " "),
     "events_quantiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med,
         | round(quantile_cont(value, 0.9), 4) AS p90, round(avg(value), 4) AS mean
