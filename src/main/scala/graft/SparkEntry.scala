@@ -918,6 +918,25 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("shard"))),
 
+    // -- temperature-scaled mixture weights (p^0.7 renormalized):
+    //    the standard multilingual up-weighting of small sources;
+    //    the table a mixture sampler consumes --
+    "mix_temperature" -> ((s, dir) =>
+      Corpus.temperatureMixture(t(s, dir, "documents"), "text", "source")),
+
+    // -- pack fill-rate histogram: tokens per (source, pack) bucketed
+    //    by decile of the 256-token budget — the padding-waste audit
+    //    behind a packing config --
+    "pack_efficiency" -> ((s, dir) =>
+      Corpus.packSequences(t(s, dir, "documents"), "text", "doc_id",
+          "source", budget = 256L)
+        .groupBy(col("source"), col("pack_id"))
+        .agg(sum(col("n_tokens")).as("tok"))
+        .select(expr("(tok * 10) div 256").as("fill_decile"))
+        .groupBy(col("fill_decile"))
+        .agg(count(lit(1)).as("n_packs"))
+        .orderBy(col("fill_decile"))),
+
     // -- token-budget mixture: cap every source at 1000 tokens via an
     //    integer keep-rate + deterministic hash filter --
     "mix_budget" -> ((s, dir) =>
@@ -3521,6 +3540,33 @@ object SparkEntry {
            | CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
            |FROM st GROUP BY source, start // 256
            |ORDER BY source, pack_id""".stripMargin.replaceAll("\n", " "),
+      // p^0.7 renormalized; one |sources|-row frame after the token
+      // fold, pow+ratio rounded 4-dp in both engines
+      "mix_temperature" ->
+        s"""WITH tk AS (SELECT source, CAST(len($toks) AS BIGINT) AS nt FROM documents),
+           |s AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens FROM tk GROUP BY source),
+           |t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total,
+           |  sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS ptot FROM s)
+           |SELECT source, n_tokens,
+           | round(n_tokens / total, 4) AS nat_share,
+           | round(pow(CAST(n_tokens AS DOUBLE), 0.7) / ptot, 4) AS temp_share,
+           | round((pow(CAST(n_tokens AS DOUBLE), 0.7) / ptot) / (n_tokens / total), 4) AS upweight
+           |FROM s, t ORDER BY source""".stripMargin.replaceAll("\n", " "),
+      // same running-start replay as pack_sequences, folded to the
+      // fill-decile histogram
+      "pack_efficiency" ->
+        s"""WITH tk AS (SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |st AS (SELECT source, doc_id, n_tokens,
+           |  coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+           |  FROM tk),
+           |p AS (SELECT source, start // 256 AS pack_id,
+           |  CAST(sum(n_tokens) AS BIGINT) AS tok
+           |  FROM st GROUP BY source, start // 256)
+           |SELECT CAST((tok * 10) // 256 AS BIGINT) AS fill_decile,
+           | CAST(count(*) AS BIGINT) AS n_packs
+           |FROM p GROUP BY 1 ORDER BY fill_decile""".stripMargin.replaceAll("\n", " "),
       "sample_stratified" ->
         """SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
           | CAST(sum(doc_id) AS BIGINT) AS id_sum

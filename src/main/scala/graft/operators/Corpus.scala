@@ -370,6 +370,37 @@ object Corpus {
       .where(hashMod100(col(idCol)) < col("rate_pct"))
   }
 
+  /** Temperature-scaled mixture weights over sources — the
+    * multilingual/multi-source sampling formula (mC4/XLM-R lineage):
+    * w_i = p_i^α / Σ p_j^α with p_i the source's natural token
+    * share. α=1 keeps natural proportions, α→0 approaches uniform;
+    * α≈0.7 is the standard compromise that up-weights small sources
+    * without flattening the head. Output per source: token count,
+    * natural share, temperature share, and the resulting up/down-
+    * weight factor — the table a mixture sampler consumes.
+    *
+    * Scale shape: one tokenize pass folds to |sources| rows map-side;
+    * everything after (pow, normalize) is arithmetic on that tiny
+    * frame via a broadcast one-row total.
+    */
+  def temperatureMixture(df: DataFrame, textCol: String, srcCol: String,
+      alpha: Double = 0.7): DataFrame = {
+    val tok = df.select(col(srcCol),
+        size(TextFuncs.tokens(col(textCol))).cast("long").as("nt"))
+      .groupBy(col(srcCol)).agg(sum(col("nt")).as("n_tokens"))
+    val tot = tok.agg(
+      sum(col("n_tokens")).cast("double").as("total"),
+      sum(pow(col("n_tokens").cast("double"), alpha)).as("ptot"))
+    tok.crossJoin(broadcast(tot))
+      .select(col(srcCol), col("n_tokens"),
+        round(col("n_tokens") / col("total"), 4).as("nat_share"),
+        round(pow(col("n_tokens").cast("double"), alpha) / col("ptot"), 4)
+          .as("temp_share"),
+        round((pow(col("n_tokens").cast("double"), alpha) / col("ptot")) /
+          (col("n_tokens") / col("total")), 4).as("upweight"))
+      .orderBy(col(srcCol))
+  }
+
   /** Per-document unigram-LM cross-entropy — the classic
     * "perplexity filter" of LLM data pipelines (CCNet/Gopher lineage)
     * with the corpus itself as the language model:

@@ -282,6 +282,23 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got.forall(_._2 <= 2))
   }
 
+  test("temperatureMixture: alpha=1 is natural; alpha<1 up-weights small sources") {
+    val df = Seq(
+      (0L, (1 to 90).map(_ => "w").mkString(" "), "big"),
+      (1L, (1 to 10).map(_ => "w").mkString(" "), "small")
+    ).toDF("doc_id", "text", "source")
+    val nat = Corpus.temperatureMixture(df, "text", "source", alpha = 1.0)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    assert(nat.forall { case (_, p, w) => math.abs(p - w) < 1e-9 })
+    val t = Corpus.temperatureMixture(df, "text", "source", alpha = 0.7)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(t("small") > 1.0 && t("big") < 1.0)
+    // shares still sum to ~1 after scaling
+    val shares = Corpus.temperatureMixture(df, "text", "source")
+      .agg(sum(col("temp_share"))).collect().head.getDouble(0)
+    assert(math.abs(shares - 1.0) < 1e-3)
+  }
+
   test("zipfSlope: exact power law fits slope -1; natural text is negative") {
     // freq(rank r) = 2^(8-r) is an EXACT log-linear law with slope
     // -ln2/ln? no — freq halves per rank STEP, not per rank ratio, so
