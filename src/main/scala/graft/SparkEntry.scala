@@ -1051,6 +1051,27 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // -- the RAG ingestion pipeline composed end to end: overlapping
+    //    chunking -> deterministic chunk embeddings -> static-IVF tag
+    //    -> partition-pruned probe (nprobe=2) for a text query's
+    //    embedding; top-10 chunks by cosine. Every stage is the
+    //    already-oracled operator; the oracle chains the same CTEs --
+    "pipeline_rag_index" -> ((s, dir) => {
+      val chunks = Corpus.chunkTokens(t(s, dir, "documents"), "text",
+          "doc_id", window = 40, stride = 30)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
+          TextExprs.text_embed(col("chunk")).as("emb"))
+        .localCheckpoint(eager = true) // embed once: cents + tag reuse
+      val cents = chunks.orderBy(col("chunk_id")).limit(8)
+        .select(col("chunk_id").cast("int").as("cluster"),
+          col("emb").as("centroid"))
+      val tagged = Ann.tagCorpus(chunks, "chunk_id", "emb", cents)
+      val q = s.range(1).select(
+        typedLit(TextEmbed.embedLocal(SearchTextQuery).toSeq).as("qvec"))
+      Ann.searchIvf(tagged, cents, q, "chunk_id", "emb", "cosine",
+        k = 10, nprobe = 2)
+    }),
+
     // -- the full pretraining-mix pipeline: exact-dedup keep-one ->
     //    decontaminate vs the doc_id%97 bench -> per-lang top-quality
     //    quartile -> per-source token-budget mixture -> shard assign;
@@ -2917,6 +2938,49 @@ object SparkEntry {
            | CAST(count(DISTINCT start // 256) AS BIGINT) AS n_packs,
            | CAST(sum(n_tokens) AS BIGINT) AS total_tokens
            |FROM st GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " ")
+      },
+      // chunk replay (same arithmetic as docs_chunk), chunk embeds
+      // via the embed_text formula, first-8 static centroids, argmin
+      // L2 tag, nprobe=2 probe, cosine top-10 — each piece is an
+      // existing oracle's CTE re-chained
+      "pipeline_rag_index" -> {
+        val chHashes = s"list_transform(ct, w -> ${SqlSnips.charFold("w")})"
+        val qHashes = s"list_transform(${SqlSnips.tokens("'" + SearchTextQuery + "'")}, w -> ${SqlSnips.charFold("w")})"
+        val l2 = "sqrt(list_sum(list_transform(%s, (x, i) -> " +
+          "(x - %s[i]) * (x - %s[i]))))"
+        val l2e = l2.format("e.v", "c.centroid", "c.centroid")
+        val l2q = l2.format("q.qv", "c.centroid", "c.centroid")
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+           |nc AS (SELECT doc_id, toks,
+           |  greatest(1, ((len(toks) - 40 + 29) // 30) + 1) AS n
+           |  FROM tk WHERE len(toks) > 0),
+           |cix AS (SELECT doc_id, toks, unnest(range(0, n)) AS ci FROM nc),
+           |ch AS (SELECT doc_id * 1000 + ci AS chunk_id,
+           |  toks[CAST(ci * 30 + 1 AS INTEGER):CAST(ci * 30 + 40 AS INTEGER)] AS ct FROM cix),
+           |raw AS (SELECT chunk_id, ${TextEmbed.sqlRawComponents(chHashes)} AS r FROM ch),
+           |emb AS (SELECT chunk_id,
+           |  list_transform(r, x -> x / sqrt(list_sum(list_transform(r, y -> y * y)))) AS v
+           |  FROM raw),
+           |cents AS (SELECT CAST(chunk_id AS INTEGER) AS cluster, v AS centroid
+           |  FROM emb ORDER BY chunk_id LIMIT 8),
+           |asgn AS (SELECT chunk_id, v, cluster FROM (
+           |  SELECT e.chunk_id, e.v, c.cluster,
+           |    row_number() OVER (PARTITION BY e.chunk_id ORDER BY $l2e, c.cluster) AS rn
+           |  FROM emb e, cents c) _r WHERE rn = 1),
+           |qraw AS (SELECT ${TextEmbed.sqlRawComponents(qHashes)} AS r),
+           |q AS (SELECT list_transform(r, x -> x / sqrt(list_sum(list_transform(r, y -> y * y)))) AS qv FROM qraw),
+           |qc AS (SELECT cluster FROM (
+           |  SELECT c.cluster, $l2q AS d FROM cents c, q) _q
+           |  ORDER BY d, cluster LIMIT 2)
+           |SELECT e.chunk_id, round(CASE WHEN
+           |  list_sum(list_transform(e.v, x -> x * x)) = 0 OR
+           |  list_sum(list_transform(qv, x -> x * x)) = 0
+           | THEN 1.0 ELSE 1.0 - greatest(-1.0, least(1.0,
+           |  list_sum(list_transform(e.v, (x, i) -> x * qv[i])) /
+           |  (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+           |   sqrt(list_sum(list_transform(qv, x -> x * x)))))) END, 4) AS dist
+           |FROM asgn e, q, qc WHERE e.cluster = qc.cluster
+           |ORDER BY dist, chunk_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
       },
       // the same already-oracled CTE pieces chained in the pipeline's
       // order: keep-one -> decontaminate -> per-lang quality quartile
