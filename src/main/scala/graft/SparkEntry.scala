@@ -508,6 +508,52 @@ object SparkEntry {
         .orderBy(col("event_type"), col("hour_bucket"))
     }),
 
+    // -- hour-of-day seasonal profile per event type (the seasonal
+    //    component of a naive decomposition) + the type's seasonality
+    //    strength (max/min hod mean) — what a forecaster subtracts
+    //    before looking for real anomalies --
+    "events_seasonality" -> ((s, dir) => {
+      val cw = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 1000000000 div 3600 % 24").as("hour_of_day"),
+          col("value"))
+        .groupBy(col("event_type"), col("hour_of_day"))
+        // the OUTPUT aggregate is the exact decimal sum (2-dp input
+        // -> 2-dp sum, round is the identity): a mean of 2-dp values
+        // lands on exact .xxxx5 midpoints, where Spark (decimal
+        // HALF_UP on the shortest repr) and DuckDB (binary-double
+        // nearest) round apart. Strength still compares means — as
+        // RAW doubles (exact sum / exact count is the same double in
+        // both engines), rounded only after the ratio
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("s"))
+        .withColumn("raw_mean", col("s").cast("double") / col("n"))
+        .withColumn("sum_v", round(col("s").cast("double"), 2))
+        .withColumn("strength",
+          round(max(col("raw_mean")).over(cw) /
+            min(col("raw_mean")).over(cw), 4))
+        .select(col("event_type"), col("hour_of_day"), col("n"),
+          col("sum_v"), col("strength"))
+        .orderBy(col("event_type"), col("hour_of_day"))
+    }),
+
+    // -- user-activity distribution: per-user event counts folded to
+    //    nearest-rank deciles — the engagement curve (how heavy is
+    //    the heavy tail) read before any per-user sampling decision --
+    "user_activity_deciles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(
+        col("n_events"), col("user_id"))
+      t(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"),
+          max(col("n_events")).as("max_events"))
+        .orderBy(col("decile"))
+    }),
+
     // -- robust (median/MAD) anomaly detection on the hourly value
     //    series: nearest-rank medians (selections, bit-portable),
     //    |x-med| > 3*MAD flags — the spike-resistant complement to
@@ -4422,6 +4468,30 @@ object SparkEntry {
         |SELECT event_type, hour_bucket, n, round((n - mu) / sd, 4) AS z
         |FROM w WHERE n_prev = 6 AND sd > 0
         |ORDER BY event_type, hour_bucket""".stripMargin.replaceAll("\n", " "),
+    // hour-of-day component + per-type max/min strength ratio; the
+    // output aggregate is the exact 2-dp sum (means round apart at
+    // .xxxx5 midpoints across engines), strength from raw means
+    "events_seasonality" ->
+      """WITH h AS (SELECT event_type,
+        |  CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hour_of_day,
+        |  value FROM events),
+        |a AS (SELECT event_type, hour_of_day, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+        |  FROM h GROUP BY 1, 2)
+        |SELECT event_type, hour_of_day, n, round(s, 2) AS sum_v,
+        | round(max(s / n) OVER (PARTITION BY event_type) /
+        |   min(s / n) OVER (PARTITION BY event_type), 4) AS strength
+        |FROM a ORDER BY event_type, hour_of_day""".stripMargin.replaceAll("\n", " "),
+    // ntile follows the SQL standard in both engines (larger buckets
+    // first); the window order is fully deterministic
+    "user_activity_deciles" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT n_events,
+        |  CAST(ntile(10) OVER (ORDER BY n_events, user_id) AS INTEGER) AS decile FROM c)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+        | max(n_events) AS max_events
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin.replaceAll("\n", " "),
     // nearest-rank median + MAD, both SELECTIONS of existing 2-dp
     // totals under a deterministic (value, hour) order — the flag
     // compares the same doubles in both engines
