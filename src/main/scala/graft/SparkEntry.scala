@@ -508,6 +508,52 @@ object SparkEntry {
         .orderBy(col("event_type"), col("hour_bucket"))
     }),
 
+    // -- event-type transition matrix (first-order Markov over each
+    //    user's time-ordered stream): P(next|prev) as counts + an
+    //    INTEGER-exact rate in 1e-5 units ((n*100000) div total —
+    //    float ratios round apart across engines at unrepresentable
+    //    .xxxx5 midpoints, integer division cannot) --
+    "events_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pw = org.apache.spark.sql.expressions.Window
+        .partitionBy("prev_type")
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(pw))
+        .withColumn("frac_e5", expr("(n * 100000) div total"))
+        .drop("total")
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
+    // -- RFM segmentation on orders: recency (epoch-day of last
+    //    order), frequency, monetary (EXACT decimal sum — float sums
+    //    would reorder ntile ties across engines); ntile(3) per axis
+    //    over deterministic orders, one row per segment --
+    "orders_rfm" -> ((s, dir) => {
+      val cust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long")).as("r_day"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+      def tile(c: String) = ntile(3).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col(c), col("o_custkey")))
+      cust
+        .withColumn("r_t", tile("r_day"))
+        .withColumn("f_t", tile("freq"))
+        .withColumn("m_t", tile("monetary"))
+        .groupBy(col("r_t"), col("f_t"), col("m_t"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("r_t"), col("f_t"), col("m_t"))
+    }),
+
     // -- hour-of-day seasonal profile per event type (the seasonal
     //    component of a naive decomposition) + the type's seasonality
     //    strength (max/min hod mean) — what a forecaster subtracts
@@ -4468,6 +4514,34 @@ object SparkEntry {
         |SELECT event_type, hour_bucket, n, round((n - mu) / sd, 4) AS z
         |FROM w WHERE n_prev = 6 AND sd > 0
         |ORDER BY event_type, hour_bucket""".stripMargin.replaceAll("\n", " "),
+    // lead() over the same (user, ts, event_id) order; the rate is
+    // integer division in 1e-5 units — bit-portable by construction
+    "events_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |l AS (SELECT event_type AS prev_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_type
+        |  FROM e),
+        |c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM l WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        | CAST((n * 100000) // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS frac_e5
+        |FROM c ORDER BY prev_type, next_type""".stripMargin.replaceAll("\n", " "),
+    // exact decimal monetary sum so ntile's order never depends on
+    // float sum association; day arithmetic on DATE casts (tz-free)
+    "orders_rfm" ->
+      """WITH c AS (SELECT o_custkey,
+        |  CAST(max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT) AS r_day,
+        |  CAST(count(*) AS BIGINT) AS freq,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (SELECT o_custkey,
+        |  CAST(ntile(3) OVER (ORDER BY r_day, o_custkey) AS INTEGER) AS r_t,
+        |  CAST(ntile(3) OVER (ORDER BY freq, o_custkey) AS INTEGER) AS f_t,
+        |  CAST(ntile(3) OVER (ORDER BY monetary, o_custkey) AS INTEGER) AS m_t
+        |  FROM c)
+        |SELECT r_t, f_t, m_t, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM t GROUP BY 1, 2, 3 ORDER BY r_t, f_t, m_t""".stripMargin.replaceAll("\n", " "),
     // hour-of-day component + per-type max/min strength ratio; the
     // output aggregate is the exact 2-dp sum (means round apart at
     // .xxxx5 midpoints across engines), strength from raw means
