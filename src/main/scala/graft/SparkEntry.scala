@@ -600,6 +600,17 @@ object SparkEntry {
         .orderBy(col("decile"))
     }),
 
+    // -- the same MAD operator reused across tables: per-nation
+    //    supplier account-balance outliers (finance-style audit) —
+    //    the operator takes any (key, tiebreak, value) frame --
+    "supplier_balance_outliers" -> ((s, dir) =>
+      TimeSeries.madAnomalies(
+        t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("s_suppkey"), col("s_acctbal")),
+        "n_name", "s_suppkey", "s_acctbal")),
+
     // -- robust (median/MAD) anomaly detection on the hourly value
     //    series: nearest-rank medians (selections, bit-portable),
     //    |x-med| > 3*MAD flags — the spike-resistant complement to
@@ -4566,6 +4577,22 @@ object SparkEntry {
         |SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
         | max(n_events) AS max_events
         |FROM d GROUP BY decile ORDER BY decile""".stripMargin.replaceAll("\n", " "),
+    // same med/MAD replay keyed by nation over supplier balances
+    "supplier_balance_outliers" ->
+      """WITH h AS (SELECT n_name, s_suppkey, s_acctbal
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        |m AS (SELECT *, row_number() OVER (PARTITION BY n_name ORDER BY s_acctbal, s_suppkey) AS rn,
+        |  count(*) OVER (PARTITION BY n_name) AS nn FROM h),
+        |m2 AS (SELECT *, max(CASE WHEN rn = (nn + 1) // 2 THEN s_acctbal END)
+        |  OVER (PARTITION BY n_name) AS med FROM m),
+        |d AS (SELECT *, abs(s_acctbal - med) AS dev FROM m2),
+        |d2 AS (SELECT *, row_number() OVER (PARTITION BY n_name ORDER BY dev, s_suppkey) AS rd FROM d),
+        |d3 AS (SELECT *, max(CASE WHEN rd = (nn + 1) // 2 THEN dev END)
+        |  OVER (PARTITION BY n_name) AS mad FROM d2)
+        |SELECT n_name, s_suppkey, s_acctbal, med,
+        | round(dev, 4) AS dev, round(mad, 4) AS mad
+        |FROM d3 WHERE dev > 3 * mad
+        |ORDER BY n_name, s_suppkey""".stripMargin.replaceAll("\n", " "),
     // nearest-rank median + MAD, both SELECTIONS of existing 2-dp
     // totals under a deterministic (value, hour) order — the flag
     // compares the same doubles in both engines
