@@ -299,6 +299,18 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(math.abs(shares - 1.0) < 1e-3)
   }
 
+  test("ntile follows the SQL standard (larger buckets first) — gate dependence") {
+    // user_activity_deciles and orders_rfm oracle against DuckDB's
+    // ntile; both engines must put the n mod b extra rows in the
+    // FIRST buckets. 7 rows into 3 tiles -> sizes 3,2,2.
+    val df = (1 to 7).map(i => (i.toLong, i)).toDF("id", "v")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("id"))
+    val sizes = df.withColumn("t", ntile(3).over(w))
+      .groupBy("t").count().orderBy("t")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(sizes.toSeq == Seq((1, 3L), (2, 2L), (3, 2L)))
+  }
+
   test("zipfSlope: exact power law fits slope -1; natural text is negative") {
     // freq(rank r) = 2^(8-r) is an EXACT log-linear law with slope
     // -ln2/ln? no — freq halves per rank STEP, not per rank ratio, so

@@ -77,4 +77,28 @@ class TimeSeriesSpec extends AnyFunSuite {
     val out = TimeSeries.madAnomalies(df, "k", "h", "v").collect()
     assert(out.map(_.getLong(1)).toSeq == Seq(6L))
   }
+
+  test("madAnomalies matches a brute-force model on random series") {
+    val rnd = new scala.util.Random(11)
+    def lowerMedian(xs: Seq[Double]): Double =
+      xs.sorted.apply((xs.size - 1) / 2)
+    (1 to 8).foreach { _ =>
+      val rows = (0 until 2).flatMap { k =>
+        val n = 3 + rnd.nextInt(15)
+        (0 until n).map(h =>
+          (s"k$k", h.toLong, (rnd.nextInt(2000) / 100.0)))
+      }
+      // NOTE: flatMap directly on the groupBy Map would rebuild a Map
+      // from the (k, h) tuples and silently keep ONE flag per key
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (k, xs) =>
+        val med = lowerMedian(xs.map(_._3))
+        val mad = lowerMedian(xs.map(x => math.abs(x._3 - med)))
+        xs.filter(x => math.abs(x._3 - med) > 3 * mad)
+          .map(x => (k, x._2))
+      }.toSet
+      val got = TimeSeries.madAnomalies(rows.toDF("k", "h", "v"), "k", "h", "v")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want, s"rows=$rows")
+    }
+  }
 }
