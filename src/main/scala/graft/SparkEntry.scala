@@ -1154,6 +1154,50 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // -- the corpus datasheet: the one-row summary a dataset card
+    //    leads with — sizes, duplication (exact, integer-scaled
+    //    rate), contamination vs the held-out bench, and the quality
+    //    mass (EXACT decimal sum of the 4-dp per-doc scores; a mean
+    //    would land on cross-engine rounding midpoints) --
+    "corpus_datasheet" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"))
+      val toks = docs.select(
+          size(TextFuncs.tokens(col("text"))).cast("long").as("nt"))
+        .agg(sum(col("nt")).as("n_tokens"))
+      val contam = Corpus.contaminatedIds(
+          docs.where(col("doc_id") % 97 =!= 0),
+          docs.where(col("doc_id") % 97 === 0),
+          "text", "doc_id", shingleK = 5)
+        .agg(count(lit(1)).as("n_contaminated"))
+      // quality mass in INTEGER 1e-4 units: the float score's 4-dp
+      // round lands on cross-engine midpoints somewhere in any large
+      // corpus (observed at sf0.1) — the summed form must be exact,
+      // so the datasheet uses the floor-div integer variant
+      // 40·min(n,100) + 3000·(n−stops) div n + 3000·distinct div n
+      val qual = docs.select(
+          TextExprs.token_stats(col("text"), Seq("the", "a")).as("st"))
+        .select(col("st.n_tokens").as("nt"),
+          (col("st.marker_counts")(0) + col("st.marker_counts")(1)).as("sp"),
+          col("st.n_distinct").as("nd"))
+        .select(when(col("nt") === 0, 0L).otherwise(
+          lit(40L) * least(col("nt"), lit(100)) +
+            expr("((nt - sp) * 3000) div nt") +
+            expr("(nd * 3000) div nt")).as("q_e4"))
+        .agg(sum(col("q_e4")).as("quality_mass_e4"))
+      base.crossJoin(toks).crossJoin(contam).crossJoin(qual) // all 1-row
+        .select(col("n_docs"), col("n_tokens"), col("n_sources"),
+          col("n_langs"),
+          (col("n_docs") - col("n_distinct_texts")).as("n_dup_docs"),
+          expr("((n_docs - n_distinct_texts) * 100000) div n_docs")
+            .as("dup_rate_e5"),
+          col("n_contaminated"), col("quality_mass_e4"))
+    }),
+
     // -- the RAG ingestion pipeline composed end to end: overlapping
     //    chunking -> deterministic chunk embeddings -> static-IVF tag
     //    -> partition-pruned probe (nprobe=2) for a text query's
@@ -3041,6 +3085,34 @@ object SparkEntry {
            | CAST(count(DISTINCT start // 256) AS BIGINT) AS n_packs,
            | CAST(sum(n_tokens) AS BIGINT) AS total_tokens
            |FROM st GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " ")
+      },
+      // one-row datasheet: integer-scaled dup rate, decontaminate
+      // count replay, exact-decimal quality mass
+      "corpus_datasheet" -> {
+        val bases = s"list_transform(${SqlSnips.shingles("toks", 5)}, s -> ${SqlSnips.charFold("s")})"
+        s"""WITH tk AS (SELECT doc_id, source, lang, $toks AS toks FROM documents),
+           |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+           |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM documents),
+           |tt AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM tk),
+           |bsh AS (SELECT DISTINCT unnest($bases) AS sh FROM tk
+           |  WHERE doc_id % 97 = 0 AND len(toks) >= 5),
+           |tsh AS (SELECT doc_id, unnest($bases) AS sh FROM tk
+           |  WHERE doc_id % 97 <> 0 AND len(toks) >= 5),
+           |cont AS (SELECT CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_contaminated
+           |  FROM tsh t JOIN bsh USING (sh)),
+           |qs AS (SELECT len(toks) AS nt,
+           |  len(list_filter(toks, t -> t IN ('the', 'a'))) AS sp,
+           |  len(list_distinct(toks)) AS nd FROM tk),
+           |qual AS (SELECT CAST(sum(CASE WHEN nt = 0 THEN 0 ELSE
+           |  40 * least(nt, 100) + ((nt - sp) * 3000) // nt + (nd * 3000) // nt
+           |  END) AS BIGINT) AS quality_mass_e4 FROM qs)
+           |SELECT n_docs, n_tokens, n_sources, n_langs,
+           | n_docs - n_distinct_texts AS n_dup_docs,
+           | CAST(((n_docs - n_distinct_texts) * 100000) // n_docs AS BIGINT) AS dup_rate_e5,
+           | n_contaminated, quality_mass_e4
+           |FROM base, tt, cont, qual""".stripMargin.replaceAll("\n", " ")
       },
       // chunk replay (same arithmetic as docs_chunk), chunk embeds
       // via the embed_text formula, first-8 static centroids, argmin
