@@ -534,7 +534,9 @@ object SparkEntry {
     // -- RFM segmentation on orders: recency (epoch-day of last
     //    order), frequency, monetary (EXACT decimal sum — float sums
     //    would reorder ntile ties across engines); ntile(3) per axis
-    //    over deterministic orders, one row per segment --
+    //    via Rank.globalNtile (range-partitioned rank — same bucket
+    //    fill rule as SQL ntile, but no single-task global window;
+    //    PlanGuardSpec asserts no partition-less WindowExec survives) --
     "orders_rfm" -> ((s, dir) => {
       val cust = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
@@ -542,13 +544,19 @@ object SparkEntry {
           lit("1970-01-01").cast("date")).cast("long")).as("r_day"),
           count(lit(1)).as("freq"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
-      def tile(c: String) = ntile(3).over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col(c), col("o_custkey")))
-      cust
-        .withColumn("r_t", tile("r_day"))
-        .withColumn("f_t", tile("freq"))
-        .withColumn("m_t", tile("monetary"))
+      // pin the entity aggregate ONCE; tile each axis on a 2-column
+      // projection of it (flat plans — chaining would nest the 4×
+      // plan fan-out of each tile inside the next), then join the
+      // per-axis tiles back on the entity key
+      val pinned = cust.localCheckpoint(true)
+      val tiled = Seq(("r_day", "r_t"), ("freq", "f_t"), ("monetary", "m_t"))
+        .map { case (axis, out) =>
+          graft.operators.Rank.globalNtile(
+            pinned.select(col("o_custkey"), col(axis)), 3, out, pin = false,
+            col(axis), col("o_custkey")).select(col("o_custkey"), col(out))
+        }
+        .reduce(_.join(_, "o_custkey"))
+      tiled
         .groupBy(col("r_t"), col("f_t"), col("m_t"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("r_t"), col("f_t"), col("m_t"))
@@ -589,11 +597,10 @@ object SparkEntry {
     //    nearest-rank deciles — the engagement curve (how heavy is
     //    the heavy tail) read before any per-user sampling decision --
     "user_activity_deciles" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window.orderBy(
-        col("n_events"), col("user_id"))
-      t(s, dir, "events")
+      val perUser = t(s, dir, "events")
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
-        .withColumn("decile", ntile(10).over(w))
+      graft.operators.Rank
+        .globalNtile(perUser, 10, "decile", col("n_events"), col("user_id"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_users"),
           max(col("n_events")).as("max_events"))

@@ -13,6 +13,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * are allowed.
   */
 class PlanGuardSpec extends AnyFunSuite {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.window.WindowExec
+
   lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
@@ -20,6 +24,14 @@ class PlanGuardSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
   private def hashExchanges(p: String): Int =
     "Exchange hashpartitioning".r.findAllIn(p).length
+
+  /** All WindowExec nodes, descending through the AQE wrapper (an
+    * AdaptiveSparkPlanExec is a leaf — collect() won't cross it). */
+  private def windows(p: SparkPlan): Seq[WindowExec] = p match {
+    case a: AdaptiveSparkPlanExec => windows(a.inputPlan)
+    case w: WindowExec => w +: p.children.flatMap(windows)
+    case _ => p.children.flatMap(windows)
+  }
 
   test("knn_cosine: top-k is TakeOrderedAndProject, zero shuffles") {
     val p = plan("knn_cosine")
@@ -140,5 +152,16 @@ class PlanGuardSpec extends AnyFunSuite {
     val p = plan("dedup_containment")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("sorted_intersect_size"), p)
+  }
+
+  test("orders_rfm / user_activity_deciles: no partition-less window anywhere") {
+    for (q <- Seq("orders_rfm", "user_activity_deciles")) {
+      val exec = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan
+      val bad = windows(exec).filter(_.partitionSpec.isEmpty)
+      assert(bad.isEmpty,
+        s"$q funnels an entity-scale frame through one task:\n" +
+          bad.mkString("\n"))
+    }
   }
 }
