@@ -16,17 +16,22 @@ import graft.functions.VectorFunctions
   *
   * Scale shape: the corpus-sized work is ONE map-only scan feeding a
   * TakeOrderedAndProject heap that produces the `poolSize`-row
-  * candidate pool; the greedy loop then runs entirely on that pool
-  * (bounded by poolSize, not data) as k chained lazy steps — each an
-  * anti-join + broadcast pairwise-sim + one-row TakeOrdered over
-  * <= poolSize rows. Pool and growing selection are
-  * localCheckpoint'ed, so the step DAG stays linear in k instead of
-  * doubling per step. No corpus shuffle anywhere.
+  * candidate pool; the greedy loop then runs DRIVER-SIDE on the
+  * collected pool (the collect is bounded by poolSize — an explicit
+  * parameter, never data-sized), k·poolSize pairwise sims over rows
+  * already in memory. The previous shape ran the same loop as k
+  * chained lazy Spark steps (anti-join + broadcast sim + one-row
+  * TakeOrdered, each localCheckpoint'ed): identical results, but k
+  * extra jobs of pure scheduling overhead for a frame that fits in a
+  * hand. No corpus shuffle anywhere either way.
   *
   * Determinism: both sims round to 4 dp BEFORE the greedy argmax and
   * every ordering tie-breaks by id, so the whole greedy trajectory is
   * replayable — the DuckDB oracle unrolls the same k steps as a CTE
-  * chain and hash-matches (same doubles, same ops, same order).
+  * chain and hash-matches. Zero cross-path drift by construction: the
+  * driver loop evaluates the SAME Catalyst kernel (`VectorDistance`,
+  * interpreted eval — spec-pinned equal to its codegen path) and the
+  * SAME HALF_UP rounding Spark's `round` applies to doubles.
   */
 object Mmr {
 
@@ -35,42 +40,80 @@ object Mmr {
   private def cosSim(a: Column, b: Column): Column =
     lit(1.0) - VectorFunctions.vec_cosine(a, b)
 
+  /** Spark `round(col, n)` on DoubleType: HALF_UP over
+    * BigDecimal.valueOf (shortest decimal repr) — replicated exactly
+    * so the driver-side greedy emits the bits the oracle expects. */
+  private def roundHalfUp(x: Double, n: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(n, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** Diversified top-k of `corpus` for the one-row `query` (qvec).
     * Returns (idCol, rank 1..k, rel) in selection order. */
   def diversify(corpus: DataFrame, query: DataFrame, idCol: String,
       vecCol: String, k: Int, poolSize: Int,
       lambdaRel: Double = 0.7, lambdaDiv: Double = 0.3,
       roundTo: Int = 4): DataFrame = {
-    // corpus-sized stage: top-poolSize by (rounded) query similarity
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    import graft.functions.VectorDistance
+
+    val spark = corpus.sparkSession
+    // corpus-sized stage: top-poolSize by (rounded) query similarity,
+    // a TakeOrderedAndProject heap — THE distributed work
     val pool = corpus.crossJoin(broadcast(query))
       .select(col(idCol).as("_mid"), col(vecCol).as("_mv"),
         round(cosSim(col(vecCol), col("qvec")), roundTo).as("_rel"))
       .orderBy(col("_rel").desc, col("_mid"))
       .limit(poolSize)
-      .coalesce(1) // <= poolSize rows: one checkpoint partition
-      .localCheckpoint()
+    val mvType = pool.schema("_mv").dataType
+    val idType = pool.schema("_mid").dataType
+    val rows = pool.collect() // bounded by poolSize, already ordered
 
-    var sel = pool.orderBy(col("_rel").desc, col("_mid")).limit(1)
-      .withColumn("_rank", lit(1))
-      .coalesce(1)
-      .localCheckpoint()
-    var j = 2
-    while (j <= k) {
-      val s = sel.select(col("_mid").as("_sid"), col("_mv").as("_sv"))
-      val scored = pool
-        .join(broadcast(sel.select(col("_mid"))), Seq("_mid"), "left_anti")
-        .crossJoin(broadcast(s))
-        .groupBy(col("_mid"), col("_mv"), col("_rel"))
-        .agg(max(round(cosSim(col("_mv"), col("_sv")), roundTo)).as("_ms"))
-        .select(col("_mid"), col("_mv"), col("_rel"),
-          (lit(lambdaRel) * col("_rel") - lit(lambdaDiv) * col("_ms")).as("_score"))
-      val next = scored.orderBy(col("_score").desc, col("_mid")).limit(1)
-        .select(col("_mid"), col("_mv"), col("_rel"))
-        .withColumn("_rank", lit(j))
-      sel = sel.unionByName(next).coalesce(1).localCheckpoint()
-      j += 1
+    def litVec(v: Any): Literal = {
+      val arr = v.asInstanceOf[scala.collection.Seq[Any]].toArray
+      Literal(ArrayData.toArrayData(arr), mvType)
     }
-    sel.select(col("_mid").as(idCol), col("_rank").as("rank"), col("_rel").as("rel"))
+    def sim(a: Any, b: Any): Double = roundHalfUp(
+      1.0 - VectorDistance(litVec(a), litVec(b), "cosine")
+        .eval(null).asInstanceOf[Double], roundTo)
+    def idLt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long)     => x < y
+      case (x: Int, y: Int)       => x < y
+      case (x: String, y: String) => x < y
+      case (x: Number, y: Number) => x.doubleValue() < y.doubleValue()
+      case _ => a.toString < b.toString
+    }
+
+    // greedy over the in-memory pool: pick argmax score, ties by id
+    val selected = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var remaining = rows.toVector
+    while (selected.size < k && remaining.nonEmpty) {
+      val best =
+        if (selected.isEmpty) remaining.head // pool pre-sorted (_rel desc, _mid)
+        else remaining
+          .map { r =>
+            val ms = selected.map(s => sim(r.get(1), s.get(1))).max
+            (r, lambdaRel * r.getDouble(2) - lambdaDiv * ms)
+          }
+          .reduceLeft { (p, q) =>
+            if (q._2 > p._2 ||
+              (q._2 == p._2 && idLt(q._1.get(0), p._1.get(0)))) q else p
+          }._1
+      selected += best
+      remaining = remaining.filterNot(_.get(0) == best.get(0))
+    }
+
+    val outSchema = StructType(Seq(
+      StructField(idCol, idType), StructField("rank", IntegerType, false),
+      StructField("rel", DoubleType)))
+    val out = selected.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(0), i + 1, r.getDouble(2))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.BufferHasAsJava(out).asJava),
+      outSchema)
       .orderBy(col("rank"))
   }
 }
