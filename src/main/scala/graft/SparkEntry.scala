@@ -2276,6 +2276,28 @@ object SparkEntry {
     })
   )
 
+  /** Streaming machinery attribution for Bench: each entry maps a
+    * streaming query to (harness kind, number of REAL stream
+    * start→drain cycles it pays). Bench measures each kind's
+    * pass-through constant (EventStream.harnessBaselineFed /
+    * harnessBaselineDirect) and reports
+    * `operator = max(0, raw − cycles × constant)` next to the raw
+    * time — the raw per-query map and total stay untouched for
+    * cross-round comparability. "fed" = temp-dir batch feeds +
+    * sentinel (the late-data family); "direct" = one drain over the
+    * at-rest source (every other streaming query — their operator
+    * residue is an upper bound since feed shapes differ slightly).
+    */
+  def streamHarness: Map[String, (String, Int)] = Map(
+    "streaming_late_sweep" -> ("fed", 3),
+    "streaming_late_audit" -> ("fed", 1),
+    "streaming_window" -> ("direct", 1),
+    "streaming_dedup" -> ("direct", 1),
+    "streaming_search" -> ("direct", 1),
+    "streaming_neardup" -> ("direct", 1),
+    "streaming_dedup_native" -> ("direct", 1),
+    "streaming_join" -> ("direct", 1))
+
   // ---- oracle SQL (DuckDB 1.0, bare table names per driver) ------------
 
   def oracleSql: Map[String, String] = coreOracles ++ pipelineOracles

@@ -310,6 +310,69 @@ object EventStream {
       .orderBy(col("hour_bucket"), col("event_type"))
   }
 
+  /** Machinery constants for Bench's streaming split: a REAL stream's
+    * wall time is dominated by start→drain harness cost (temp-dir
+    * parquet feeds, source file listing, micro-batch scheduling,
+    * stop, sink read) that is CONSTANT per drain, not operator work
+    * that scales with data. These run the same harness shapes with a
+    * pass-through pipeline (a never-true pushed predicate instead of
+    * a stateful operator — row groups are stat-skipped, so the
+    * constant slightly UNDERCOUNTS scan cost and the derived operator
+    * time is an upper bound). `fed` mirrors the late-data family:
+    * nBatches temp-dir feeds + a sentinel feed, one drain after each;
+    * `direct` mirrors the single-drain direct-source streams.
+    */
+  def harnessBaselineFed(spark: SparkSession, sfDir: String,
+      nBatches: Int = 3): Double = {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val batches = (0 until nBatches).map(i =>
+      ev.where(pmod(col("event_id"), lit(nBatches.toLong)) === i.toLong))
+    val t0 = System.nanoTime()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_base").toString
+    val incoming = s"$tmp/incoming"
+    val name = s"graft_stream_base_${memSinkId.incrementAndGet()}"
+    val cols = schema.fieldNames.map(col)
+    def feed(df: DataFrame): Unit =
+      df.select(cols: _*).coalesce(1).write.mode("append").parquet(incoming)
+    try {
+      feed(batches.head)
+      val q = spark.readStream.schema(schema)
+        .parquet(s"$incoming/*.parquet")
+        .where(col("event_id") === Long.MinValue)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        batches.tail.foreach { b => feed(b); q.processAllAvailable() }
+        val spark2 = spark
+        import spark2.implicits._
+        feed(Seq((-1L, 0L, -1L, "__sentinel__", 0.0, ""))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).count()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      try rm(new java.io.File(tmp)) catch { case _: Throwable => () }
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def harnessBaselineDirect(spark: SparkSession, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    val name = s"graft_stream_based_${memSinkId.incrementAndGet()}"
+    val q = readStream(spark, sfDir)
+      .where(col("event_id") === Long.MinValue)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   case class Event(user_id: Long, tsUs: Long, value: Double)
   case class Session(user_id: Long, nEvents: Long, totalValue: Double,
       startUs: Long, endUs: Long)

@@ -154,6 +154,44 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("sorted_intersect_size"), p)
   }
 
+  // Composed-pipeline fusion guards: these three queries CLAIM their
+  // stages fuse into one DAG (SURVEY §2), so the exchange/scan budget
+  // of the pre-execution plan is pinned EXACTLY. A refactor that
+  // materializes between stages moves work out of the plan (counts
+  // DROP — rag_index's intentional chunk-store checkpoint is why its
+  // serving plan legitimately shows zero file scans), and one that
+  // un-fuses or double-reads a stage adds exchanges/scans (counts
+  // RISE). Both directions should fail here, not in a 100× run.
+  private def scans(p: String): Int =
+    "FileScan parquet".r.findAllIn(p).length
+
+  test("pipeline_corpus: fused five-scan, seven-shuffle DAG") {
+    val p = plan("pipeline_corpus")
+    assert(hashExchanges(p) === 7, p.linesIterator.take(40).mkString("\n"))
+    assert(scans(p) === 5, p.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("pipeline_pretrain_mix: fused ten-scan, thirteen-shuffle DAG") {
+    val p = plan("pipeline_pretrain_mix")
+    assert(hashExchanges(p) === 13, p.linesIterator.take(40).mkString("\n"))
+    assert(scans(p) === 10, p.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("pipeline_rag_index: serving probe over the checkpointed chunk store") {
+    val p = plan("pipeline_rag_index")
+    // one exchange (the routed-probe aggregation), zero file scans:
+    // the chunk store is embedded once into an eager checkpoint and
+    // every downstream stage reads THAT, never the documents table
+    assert(hashExchanges(p) === 1, p.linesIterator.take(40).mkString("\n"))
+    assert(scans(p) === 0, p.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("pipeline_corpus_neardup: minhash keep-one fused into the corpus DAG") {
+    val p = plan("pipeline_corpus_neardup")
+    assert(hashExchanges(p) === 3, p.linesIterator.take(40).mkString("\n"))
+    assert(scans(p) === 1, p.linesIterator.take(40).mkString("\n"))
+  }
+
   test("orders_rfm / user_activity_deciles: no partition-less window anywhere") {
     for (q <- Seq("orders_rfm", "user_activity_deciles")) {
       val exec = SparkEntry.queries(q)(spark, dir)
