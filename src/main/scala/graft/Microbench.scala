@@ -502,8 +502,13 @@ object Microbench {
     locally {
       def report(name: String, df: DataFrame): String = {
         val r = df.collect().head
+        // scorePairs emits NULL precision/recall when n_pred or
+        // n_true is 0 (a corpus with no near-dup pairs) — print n/a
+        // instead of NPE-ing the whole report
+        def d(i: Int): String =
+          if (r.isNullAt(i)) "n/a" else f"${r.getDouble(i)}%.3f"
         f"| $name | ${r.getLong(0)}%d | ${r.getLong(1)}%d | ${r.getLong(2)}%d " +
-          f"| ${r.getDouble(3)}%.3f | ${r.getDouble(4)}%.3f |\n"
+          s"| ${d(3)} | ${d(4)} |\n"
       }
       sb ++= "Both scored against the same exact shingle-Jaccard >= 1/2 truth\n"
       sb ++= "(`dedup_recall` / `dedup_winnow_recall`):\n\n"

@@ -123,17 +123,31 @@ object TextKernels {
   }
 
   /** Canonical text form for normalization-aware dedup: Unicode NFC,
-    * then lowercase (root locale), then whitespace runs collapsed to
-    * one space and ends trimmed. Order is pinned (NFC BEFORE lower)
-    * and mirrored by the DuckDB oracle snippet
+    * then lowercase, then whitespace runs collapsed to one space and
+    * ends trimmed. Order is pinned (NFC BEFORE lower) and mirrored by
+    * the DuckDB oracle snippet
     * `trim(regexp_replace(lower(nfc_normalize(t)), '\s+', ' ', 'g'))`.
+    *
+    * Lowercasing is codepoint-wise SIMPLE case mapping
+    * (Character.toLowerCase on code points), NOT String.toLowerCase's
+    * full mapping: DuckDB's lower() is utf8proc's simple one-to-one
+    * mapping, while full mapping is length-changing on code points
+    * like U+0130 (İ → i + combining dot) — cross-engine digests would
+    * diverge exactly on those. Residual risk is limited to Unicode
+    * table-version skew between the JDK and utf8proc, not mapping
+    * strategy.
     */
   def normalizeText(s: UTF8String): UTF8String = {
     val nfc = java.text.Normalizer.normalize(
       s.toString, java.text.Normalizer.Form.NFC)
-    UTF8String.fromString(
-      nfc.toLowerCase(java.util.Locale.ROOT)
-        .replaceAll("\\s+", " ").trim)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var i = 0
+    while (i < nfc.length) {
+      val cp = nfc.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString.replaceAll("\\s+", " ").trim)
   }
 
   /** L2-normalized hash-projection embedding (TextEmbed formula). */

@@ -577,17 +577,22 @@ object Dedup {
     * Output: (doc_a, doc_b, jaccard, containment) for candidates with
     * C >= minContainment; the interesting rows are high-C/low-J.
     * Scale: token sets travel as sorted long arrays; the per-pair
-    * kernel is the codegen'd two-pointer merge, and both joins
-    * broadcast the bounded pair list against the corpus projection.
+    * kernel is the codegen'd two-pointer merge. Only the BARE
+    * (doc_a, doc_b) pair list is ever broadcast (once, into the
+    * doc_a set lookup); the second lookup is a plain shuffle join —
+    * after the first join each pair carries doc_a's full token-set
+    * array, and force-broadcasting THAT would put pairs × set-size
+    * bytes on the driver, bypassing AQE's sizing at corpus scale.
     */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
       minContainment: Double = 0.5): DataFrame = {
     val sets = df.select(col(idCol).as("_cid"),
       SetExprs.token_hash_set(col(textCol)).as("_cs"))
-    val withA = broadcast(minhashPairs(df, textCol, idCol))
-      .join(sets, col("doc_a") === col("_cid"))
+    val withA = sets
+      .join(broadcast(minhashPairs(df, textCol, idCol)),
+        col("_cid") === col("doc_a"))
       .withColumnRenamed("_cs", "_sa").drop("_cid")
-    broadcast(withA)
+    withA
       .join(sets, col("doc_b") === col("_cid"))
       .withColumnRenamed("_cs", "_sb")
       .withColumn("_i",

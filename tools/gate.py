@@ -30,6 +30,15 @@ if not SKIP_RUN:
 con = duckdb.connect()
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+# events.ts arrives in whatever flavor the generator build emits
+# (Tables.normalizeEventTs handles them all Spark-side). The oracles
+# call epoch_us(ts)/epoch(ts), which ERROR on a raw BIGINT column —
+# so mirror the Spark normalization here: int64 nanos -> timestamp.
+ts_type = str(pq.read_schema(f"{SF}/events.parquet").field("ts").type)
+if ts_type == "int64":
+    con.sql(f"""CREATE OR REPLACE VIEW events AS
+        SELECT * REPLACE (make_timestamp(ts // 1000) AS ts)
+        FROM read_parquet('{SF}/events.parquet')""")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 results = {}

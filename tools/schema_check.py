@@ -38,7 +38,11 @@ EXPECTED = {
                  "l_discount": "double", "l_tax": "double",
                  "l_returnflag": "string", "l_linestatus": "string",
                  "l_shipdate": {"timestamp[us]", "timestamp[ns]"}},
-    # ts accepted in every flavor Tables.normalizeEventTs handles
+    # ts accepted in every flavor Tables.normalizeEventTs handles.
+    # The int64 (raw nanos) flavor is ALSO oracle-compatible now:
+    # gate.py rewrites the DuckDB events view to
+    # make_timestamp(ts // 1000) when it sees int64, matching the
+    # Spark-side normalization (epoch_us/epoch would error on BIGINT)
     "events": {"event_id": "int64",
                "ts": {"timestamp[us]", "timestamp[ns]", "int64"},
                "user_id": "int64", "event_type": "string",
