@@ -1989,6 +1989,18 @@ object SparkEntry {
         .select(col("vec_id"), col("ham").cast("long").as("ham"))
     }),
 
+    // -- multi-word BQ (the dim>64 form: 384-dim MiniLM -> 6 words;
+    //    Dim384Spec pins the packing boundary) through the SAME
+    //    sign-disagreement oracle — on the 64-dim corpus the wide
+    //    code is one word, so packed hamming must equal ann_bq's --
+    "ann_bq_wide" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = Bq.trainWide(e, "embedding", dim = 64)
+      val codes = Bq.encodeWide(model, e, "vec_id", "embedding")
+      Bq.searchWide(model, codes, queryVec(s, dir, 0), "vec_id", topK = 10)
+        .select(col("vec_id"), col("ham").cast("long").as("ham"))
+    }),
+
     // -- BQ shortlist + exact re-rank: the 8-byte hamming scan picks
     //    50 candidates, exact euclidean touches only those rows --
     "ann_bq_rerank" -> ((s, dir) => {
@@ -4140,6 +4152,19 @@ object SparkEntry {
       // disagreements IS the popcount of the packed xor, and the
       // x > thr predicate is bit-identical (same min/max, same /2.0)
       "ann_bq" ->
+        """WITH mm AS (
+          |  SELECT list((mn + mx) / 2.0 ORDER BY i) AS thr FROM (
+          |    SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+          |           max(CAST(embedding[i] AS DOUBLE)) AS mx
+          |    FROM embeddings, range(1, 65) t(i) GROUP BY i)),
+          |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+          |SELECT vec_id, CAST(list_sum(list_transform(embedding, (x, i) ->
+          |  CASE WHEN (CAST(x AS DOUBLE) > thr[i]) != (CAST(qvec[i] AS DOUBLE) > thr[i])
+          |    THEN 1 ELSE 0 END)) AS BIGINT) AS ham
+          |FROM embeddings, mm, q ORDER BY ham, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+      // wide (multi-word) BQ: sign-bit disagreement count is
+      // packing-independent, so the oracle is ann_bq's verbatim
+      "ann_bq_wide" ->
         """WITH mm AS (
           |  SELECT list((mn + mx) / 2.0 ORDER BY i) AS thr FROM (
           |    SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,

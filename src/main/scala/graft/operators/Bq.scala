@@ -34,6 +34,33 @@ object BqKernels {
     }
     w
   }
+
+  /** Multi-word packing for dim > 64: bit i of word i/64 is set iff
+    * x_i > thr_i — 384-dim (the reference's MiniLM width) packs into
+    * exactly 6 words. */
+  def encodeWide(vec: ArrayData, isFloat: Boolean, thr: Array[Double]): Array[Long] = {
+    val n = vec.numElements()
+    require(n == thr.length, s"bq: dim mismatch $n vs ${thr.length}")
+    val words = new Array[Long]((n + 63) >> 6)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      if (x > thr(i)) words(i >> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    words
+  }
+
+  /** Hamming distance between two packed multi-word codes. */
+  def hammingWide(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    require(n == b.numElements(), s"bq: word count mismatch $n vs ${b.numElements()}")
+    var h = 0; var i = 0
+    while (i < n) {
+      h += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1
+    }
+    h
+  }
 }
 
 /** bq_encode(vec): float vector -> packed sign-bit word (LongType).
@@ -64,6 +91,62 @@ case class BqEncodeExpr(child: Expression, thr: Array[Double])
     copy(child = c)
 }
 
+/** bq_encode_wide(vec): float vector -> array of packed sign-bit
+  * words (ceil(dim/64) longs) — the dim>64 form of [[BqEncodeExpr]].
+  */
+case class BqEncodeWideExpr(child: Expression, thr: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bq_encode_wide"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got ${t.catalogString}")
+  }
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      BqKernels.encodeWide(v.asInstanceOf[ArrayData], isFloat, thr))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val thrRef = ctx.addReferenceObj("thr", thr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.operators.BqKernels.encodeWide($c, $isFloat, $thrRef))")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** bq_hamming_wide(a, b): xor + popcount across the packed words of
+  * two multi-word codes — stays codegen'd (static kernel call, no
+  * higher-order array functions in the hot scan).
+  */
+case class BqHammingWideExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bq_hamming_wide"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<bigint> codes, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BqKernels.hammingWide(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.operators.BqKernels.hammingWide($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** Binary-quantization index — the fourth index family next to
   * LSH/IVF+PQ and SQ8 (reference index surface: `pkg/index/flat/
   * flat.go`, `pkg/index/hnsw/hnsw.go`; this is the at-rest compression
@@ -91,16 +174,52 @@ object Bq {
   case class Model(dim: Int, thr: Array[Double])
 
   /** Per-dimension midrange threshold in ONE aggregation pass. */
-  def train(corpus: DataFrame, vecCol: String, dim: Int): Model = {
-    require(1 <= dim && dim <= 64,
-      s"bq: dim $dim outside [1, 64] — codes pack into one long")
+  private def midrange(corpus: DataFrame, vecCol: String, dim: Int): Array[Double] = {
     val aggs = (1 to dim).flatMap(i => Seq(
       min(element_at(col(vecCol), i).cast("double")).as(s"mn$i"),
       max(element_at(col(vecCol), i).cast("double")).as(s"mx$i")))
     val row = corpus.agg(aggs.head, aggs.tail: _*).head()
-    Model(dim,
-      Array.tabulate(dim)(i => (row.getDouble(2 * i) + row.getDouble(2 * i + 1)) / 2.0))
+    Array.tabulate(dim)(i => (row.getDouble(2 * i) + row.getDouble(2 * i + 1)) / 2.0)
   }
+
+  def train(corpus: DataFrame, vecCol: String, dim: Int): Model = {
+    require(1 <= dim && dim <= 64,
+      s"bq: dim $dim outside [1, 64] — codes pack into one long " +
+        "(trainWide packs dim > 64 into ceil(dim/64) words)")
+    Model(dim, midrange(corpus, vecCol, dim))
+  }
+
+  /** Multi-word BQ for dim > 64 — the reference corpus is 384-dim
+    * MiniLM (engine.go:65-95), which packs into exactly 6 words:
+    * 1536 B float32 → 48 B at rest. Same midrange thresholds, same
+    * one-pass train; codes are `array<bigint>` and the candidate
+    * scan is the codegen'd multi-word xor+popcount kernel.
+    */
+  def trainWide(corpus: DataFrame, vecCol: String, dim: Int): Model = {
+    require(dim >= 1, s"bq: dim $dim must be positive")
+    Model(dim, midrange(corpus, vecCol, dim))
+  }
+
+  def bq_encode_wide(model: Model, vec: Column): Column =
+    Shims.column(BqEncodeWideExpr(Shims.expression(vec), model.thr))
+
+  def hammingWide(a: Column, b: Column): Column =
+    Shims.column(BqHammingWideExpr(Shims.expression(a), Shims.expression(b)))
+
+  /** Map-only encode: (idCol, code array<bigint> of ceil(dim/64)). */
+  def encodeWide(model: Model, corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    corpus.select(col(idCol), bq_encode_wide(model, col(vecCol)).as("code"))
+
+  /** Top-k by Hamming over multi-word codes — same serving shape as
+    * [[search]]: map-only scan, TakeOrderedAndProject on (ham, id). */
+  def searchWide(model: Model, codes: DataFrame, query: DataFrame,
+      idCol: String, topK: Int): DataFrame =
+    codes.crossJoin(broadcast(
+        query.select(bq_encode_wide(model, col("qvec")).as("qcode"))))
+      .select(col(idCol), hammingWide(col("code"), col("qcode")).as("ham"))
+      .orderBy(col("ham"), col(idCol))
+      .limit(topK)
 
   def bq_encode(model: Model, vec: Column): Column =
     Shims.column(BqEncodeExpr(Shims.expression(vec), model.thr))
