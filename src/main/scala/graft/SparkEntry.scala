@@ -607,6 +607,47 @@ object SparkEntry {
         .orderBy(col("decile"))
     }),
 
+    // -- Efraimidis–Spirakis weighted sampling WITHOUT replacement,
+    //    k=5 per source, weight = n_chars: key = u^(1/w) with u a
+    //    portable-LCG uniform of doc_id, top-k per source by key.
+    //    One map-side key computation + the per-source top-k cut —
+    //    the char-mass-proportional doc sample a mixture builder
+    //    draws. 6-dp round absorbs pow() last-ulp engine skew; all
+    //    ties break on doc_id --
+    "sample_weighted" -> ((s, dir) => {
+      val u = (pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
+        lit(2147483647L)) + lit(1L)).cast("double") / lit(2147483648.0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("es_key").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          round(pow(u, lit(1.0) / col("n_chars").cast("double")), 6)
+            .as("es_key"))
+        .withColumn("pick", row_number().over(w))
+        .where(col("pick") <= 5)
+        .select(col("source"), col("pick"), col("doc_id"), col("es_key"))
+        .orderBy(col("source"), col("pick"))
+    }),
+
+    // -- deterministic hash-bucket train/val/test split + audit: the
+    //    assignment is a pure function of doc_id (portable Knuth
+    //    multiplicative bucket mod 100 -> 90/5/5), so any engine —
+    //    and any future rerun — derives the SAME split; output is
+    //    the per-(source, split) manifest row a training job checks
+    //    for leakage/balance before reading shards --
+    "split_train_val" -> ((s, dir) => {
+      val bucket = pmod(col("doc_id") * lit(2654435761L) + lit(1013904223L),
+        lit(100L))
+      t(s, dir, "documents")
+        .select(col("source"), col("n_chars"),
+          when(bucket < 90, lit("train"))
+            .when(bucket < 95, lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"))
+        .orderBy(col("source"), col("split"))
+    }),
+
     // -- the same MAD operator reused across tables: per-nation
     //    supplier account-balance outliers (finance-style audit) —
     //    the operator takes any (key, tiebreak, value) frame --
@@ -4703,6 +4744,28 @@ object SparkEntry {
         |SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
         | max(n_events) AS max_events
         |FROM d GROUP BY decile ORDER BY decile""".stripMargin.replaceAll("\n", " "),
+    // Efraimidis–Spirakis: same LCG uniform, same pow, same 6-dp
+    // round; ties on the rounded key break by doc_id in both engines
+    "sample_weighted" ->
+      """WITH b AS (SELECT source, doc_id,
+        |  round(pow(((doc_id * 1103515245 + 12345) % 2147483647 + 1)
+        |      / 2147483648.0, 1.0 / n_chars), 6) AS es_key
+        |  FROM documents),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |  PARTITION BY source ORDER BY es_key DESC, doc_id) AS INTEGER) AS pick
+        |  FROM b)
+        |SELECT source, pick, doc_id, es_key FROM r
+        |WHERE pick <= 5 ORDER BY source, pick""".stripMargin.replaceAll("\n", " "),
+    // pure integer bucket arithmetic — bit-identical by construction
+    "split_train_val" ->
+      """WITH b AS (SELECT source, n_chars,
+        |  CASE WHEN (doc_id * 2654435761 + 1013904223) % 100 < 90 THEN 'train'
+        |       WHEN (doc_id * 2654435761 + 1013904223) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+        | sum(n_chars) AS tot_chars
+        |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin.replaceAll("\n", " "),
     // same med/MAD replay keyed by nation over supplier balances
     "supplier_balance_outliers" ->
       """WITH h AS (SELECT n_name, s_suppkey, s_acctbal

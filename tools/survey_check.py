@@ -24,8 +24,15 @@ SURVEY = (ROOT / "SURVEY.md").read_text()
 # §2 body: from the §2 header to the next top-level section header
 sec2 = re.search(r"## §2.*?(?=\n## §)", SURVEY, re.S).group(0)
 
-# queries map entries: "key" -> ((s, dir) => ...
-qkeys = set(re.findall(r'"([a-z0-9_]+)"\s*->\s*\(\(s,\s*dir\)', ENTRY))
+# queries map entries: "key" -> ((s, dir) => ..., scoped to the
+# queries region — benchSplits legitimately reuses query names for
+# its build/search thunks and must not count
+q_start = ENTRY.index("def queries")
+q_end = min(i for i in (ENTRY.find("def benchSplits"),
+                        ENTRY.find("def oracleSql")) if i > q_start)
+qkey_list = re.findall(r'"([a-z0-9_]+)"\s*->\s*\(\(s,\s*dir\)',
+                       ENTRY[q_start:q_end])
+qkeys = set(qkey_list)
 
 # oracle entries: any "key" -> that is NOT a query lambda, in the
 # region after `def oracleSql` (the oracle maps are string-valued)
@@ -39,6 +46,18 @@ src_text = "\n".join(
 
 failures = []
 
+# a repeated map key silently SHADOWS the earlier entry (Scala Map
+# keeps the last) — the gated query is then not the one next to the
+# oracle the author wrote
+from collections import Counter
+dupes = sorted(k for k, c in Counter(qkey_list).items() if c > 1)
+if dupes:
+    failures.append(f"duplicate queries-map keys (later entry silently "
+                    f"wins): {dupes}")
+
+# benchSplits etc. also match the lambda pattern; only flag dupes
+# among keys that are real gated queries (have an oracle) — counted
+# within the queries region (before `def oracleSql`)
 missing = sorted(qkeys - backticked)
 if missing:
     failures.append(f"queries not named in SURVEY §2: {missing}")
