@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextEmbed, TextExprs, TextFuncs}
-import graft.operators.{Ann, Knn}
+import graft.operators.{Ann, Knn, Skew}
 
 /** Head-to-head timings + recall for the engine's design choices,
   * written to docs/PERF.md. Usage: runMain graft.Microbench [sfDir].
@@ -630,6 +630,128 @@ object Microbench {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
       try rm(new java.io.File(scaleDir)) catch { case _: Throwable => () }
+    }
+
+    // 9. AQE skew join vs salted join, measured (SURVEY §5 calls the
+    //    quality_perplexity vocab join "the canonical AQE skew case" —
+    //    this is the data behind that claim). Synthesized skewed fact
+    //    (50% of rows on ONE token, the Zipf head) joined to a
+    //    mid-size vocab, broadcast disabled so the join actually
+    //    sort-merges: (a) AQE skewJoin OFF — the hot key's whole mass
+    //    serializes into one reducer; (b) skewJoin ON — AQE re-splits
+    //    the oversized partition from shuffle stats; (c) the manual
+    //    Skew.saltedJoin — same spread, chosen a priori.
+    sb ++= "\n## AQE skew join vs salted join (measured three-way)\n\n"
+    locally {
+      val tmp = Files.createTempDirectory("graft_skew").toString
+      val nFact = 3000000L
+      val nVocab = 200000L
+      spark.range(nFact).select(
+          when(pmod(col("id"), lit(2)) === 0, lit(0L))
+            .otherwise(pmod(abs(hash(col("id"))), lit(nVocab))).as("tok"),
+          (col("id") % 1000).cast("double").as("w"))
+        .write.mode("overwrite").parquet(s"$tmp/fact")
+      spark.range(nVocab).select(col("id").as("tok"),
+          (col("id") % 97).cast("double").as("score"))
+        .write.mode("overwrite").parquet(s"$tmp/vocab")
+      val fact = spark.read.parquet(s"$tmp/fact")
+      val vocab = spark.read.parquet(s"$tmp/vocab")
+
+      // measured split sizes: rows per hash(tok) shuffle partition
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val hist = fact.groupBy(pmod(hash(col("tok")), lit(parts)).as("p"))
+        .count().select(col("count")).collect().map(_.getLong(0)).sorted
+      val saltHist = fact
+        .groupBy(pmod(hash(col("tok")), lit(parts)).as("p"),
+          pmod(hash(col("w")), lit(32)).as("s"))
+        .count().select(col("count")).collect().map(_.getLong(0)).sorted
+      sb ++= f"Fact ${nFact}%d rows, 50%% on one token; vocab ${nVocab}%d rows; "
+      sb ++= f"broadcast disabled (forced sort-merge), $parts shuffle partitions.\n\n"
+      sb ++= f"Measured hash(tok) partition rows: max ${hist.last}%d vs median "
+      sb ++= f"${hist(hist.length / 2)}%d (${hist.last.toDouble / hist(hist.length / 2)}%.0fx skew); "
+      sb ++= f"after 32-way salting: max ${saltHist.last}%d (${hist.last / saltHist.last}%dx flatter).\n\n"
+
+      def withConf[A](pairs: (String, String)*)(body: => A): A = {
+        val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+        pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try body finally prev.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
+      }
+      val agg = (j: DataFrame) =>
+        j.agg(sum(col("w") * col("score"))).collect()
+      val base = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+      // AQE's skew thresholds are tuned for CLUSTER-scale partitions
+      // (256 MB / 5x of the COMPRESSED shuffle bytes — and a
+      // constant-key hot partition LZ4-compresses to a few MB here),
+      // so the defaults correctly judge the bench-scale partition not
+      // worth splitting. Scale the thresholds to bench size so the
+      // SAME mechanism fires that a 100 TB partition trips on the
+      // defaults.
+      val skewConf = Seq(
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512k")
+      val tOff = withConf(base :+
+          ("spark.sql.adaptive.skewJoin.enabled" -> "false"): _*) {
+        time() { agg(fact.join(vocab, "tok")) }
+      }
+      val tOn = withConf(base ++ skewConf: _*) {
+        time() { agg(fact.join(vocab, "tok")) }
+      }
+      val tSalt = withConf(base :+
+          ("spark.sql.adaptive.skewJoin.enabled" -> "false"): _*) {
+        time() { agg(Skew.saltedJoin(fact, vocab, Seq("tok"),
+          hash(col("w")), saltBuckets = 32)) }
+      }
+      // evidence of the runtime re-split: the FINAL adaptive plan's
+      // skew markers + the skew reader's split metrics in run (b)
+      val (skewMarks, skewSplits) = withConf(base ++ skewConf: _*) {
+        val j = fact.join(vocab, "tok").agg(sum(col("w") * col("score")))
+        j.collect()
+        val exec = j.queryExecution.executedPlan
+        val marks = "skew=true".r.findAllIn(exec.toString).length
+        def reads(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec] =
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              reads(a.executedPlan)
+            // query stages are LEAF nodes — descend into their plan
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              reads(q.plan)
+            case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+              r +: p.children.flatMap(reads)
+            case _ => p.children.flatMap(reads)
+          }
+        val splits = reads(exec)
+          .flatMap(_.metrics.get("numSkewedSplits").map(_.value))
+          .sum
+        (marks, splits)
+      }
+      sb ++= "| strategy | wall (s) |\n|---|---|\n"
+      sb ++= f"| sort-merge, AQE skewJoin OFF | $tOff%.2f |\n"
+      sb ++= f"| sort-merge, AQE skewJoin ON (thresholds scaled to bench size) | $tOn%.2f |\n"
+      sb ++= f"| Skew.saltedJoin (32 buckets), skewJoin OFF | $tSalt%.2f |\n"
+      sb ++= f"\nFinal adaptive plan in run (b): $skewMarks%d `skew=true` join\n"
+      sb ++= f"marker(s), hot partition re-split into $skewSplits%d reader\n"
+      sb ++= "splits from runtime shuffle stats. The skew thresholds are\n"
+      sb ++= "scaled to bench size (1 MB/2x vs the 256 MB/5x defaults)\n"
+      sb ++= "because AQE measures COMPRESSED shuffle bytes sized for\n"
+      sb ++= "cluster-scale partitions — a constant-key hot partition\n"
+      sb ++= "LZ4-compresses to a few MB here, while a 100 TB corpus trips\n"
+      sb ++= "the defaults naturally. Reading: AQE subsumes the manual salt\n"
+      sb ++= "for plain sort-merge joins (and needs no dim-side\n"
+      sb ++= "replication); saltedJoin remains for a-priori-known skew,\n"
+      sb ++= "non-sort-merge joins, and deterministic at-rest layouts\n"
+      sb ++= "(Skew.scala scaladoc).\n"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      try rm(new java.io.File(tmp)) catch { case _: Throwable => () }
     }
 
     Files.createDirectories(Paths.get("docs"))
