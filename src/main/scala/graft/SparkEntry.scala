@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SqlSnips, TextEmbed, TextExprs, TextFuncs, VectorFunctions}
-import graft.operators.{Ann, Bm25, Bq, Corpus, Dedup, IvfPq, Knn, Mmr, Pq, Profile, Recall, Skew, Snapshot, Sq, TimeSeries}
+import graft.operators.{Ann, Bm25, Bq, Corpus, Dedup, IvfPq, Knn, Mmr, Pca, Pq, Profile, Recall, Skew, Snapshot, Sq, TimeSeries}
 import graft.sources.VectorStore
 
 /** Driver contract — see SURVEY.md §2 (inventory) and §7 (plan).
@@ -21,6 +21,16 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  /** EWMA lag weights alpha*(1-alpha)^j for alpha=0.3, written as
+    * exact decimal strings consumed VERBATIM by both the Spark query
+    * (`lit(w.toDouble)`) and the DuckDB oracle (literal text) — the
+    * same-decimal-string-parses-to-the-same-double guarantee is what
+    * makes events_ewma's float chain bit-identical cross-engine.
+    */
+  private val ewmaWeights: Seq[String] = Seq(
+    "0.3", "0.21", "0.147", "0.1029", "0.07203", "0.050421",
+    "0.0352947", "0.02470629", "0.017294403", "0.0121060821")
 
   /** Deterministic synthetic "crawl N+1" of the documents table, used
     * by the snapshot-versioning queries (corpus_diff,
@@ -508,6 +518,34 @@ object SparkEntry {
         .orderBy(col("event_type"), col("hour_bucket"))
     }),
 
+    // -- EWMA deviation screen (the other classic ops anomaly score,
+    //    recency-weighted where zscore is uniform): each event's value
+    //    against the exponentially-weighted mean of its user's 10
+    //    prior values. The truncated closed form (explicit lag chain,
+    //    identical left-assoc fold + identical decimal weight literals
+    //    on both engines) makes every double bit-identical cross-
+    //    engine — no float-order exposure. Window moves only the
+    //    already-shuffled per-user stream; no extra exchange --
+    "events_ewma" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val num = ewmaWeights.zipWithIndex
+        .map { case (wj, j) => lag(col("value"), j + 1).over(w) * lit(wj.toDouble) }
+        .reduceLeft(_ + _)
+      val wsum = ewmaWeights.map(_.toDouble).reduceLeft(_ + _)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+        .withColumn("ewma_raw", num / lit(wsum))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") > ewmaWeights.length)
+        .withColumn("dev_raw", col("value") - col("ewma_raw"))
+        .orderBy(abs(col("dev_raw")).desc, col("event_id"))
+        .limit(20)
+        .select(col("event_id"), col("user_id"), col("value"),
+          round(col("ewma_raw"), 4).as("ewma"),
+          round(col("dev_raw"), 4).as("dev"))
+    }),
+
     // -- event-type transition matrix (first-order Markov over each
     //    user's time-ordered stream): P(next|prev) as counts + an
     //    INTEGER-exact rate in 1e-5 units ((n*100000) div total —
@@ -942,6 +980,67 @@ object SparkEntry {
     "collocations_pmi" -> ((s, dir) =>
       Corpus.collocationsPmi(t(s, dir, "documents"), "text")),
 
+    // -- BPE merge learning (tokenizer training): corpus scanned ONCE
+    //    into the word-frequency table; every merge iteration runs on
+    //    the |vocab| frame (pair explode -> weighted argmax -> literal
+    //    merge), so iteration cost is corpus-size-independent — the
+    //    standard industrial BPE-trainer shape (Bpe.scala docstring
+    //    has the double-space-separator replacement-semantics proof) --
+    "bpe_merges" -> ((s, dir) =>
+      operators.Bpe.learnMerges(t(s, dir, "documents"), "text", iters = 4)),
+
+    // -- source redundancy matrix: cosine similarity of per-source
+    //    token-frequency profiles (which sources duplicate each
+    //    other's distribution — read before allocating mixture
+    //    weights). All sums are exact integer counts (decimal-safe at
+    //    100 TB); the only float ops are two sqrts and two divisions
+    //    on identical exact inputs, so the matrix is bit-portable.
+    //    Scale: the corpus collapses to |sources|x|vocab| profiles
+    //    map-side; the pair join moves profiles, never documents --
+    "source_similarity" -> ((s, dir) => {
+      val tc = t(s, dir, "documents")
+        .select(col("source"), explode(TextFuncs.tokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).cast("decimal(20,0)").as("c"))
+      val n2 = tc.groupBy(col("source"))
+        .agg(sum(col("c") * col("c")).as("n2"))
+      tc.as("a")
+        .join(tc.as("b"),
+          col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(sum(col("a.c") * col("b.c")).as("num"))
+        .join(n2.as("x"), col("src_a") === col("x.source"))
+        .join(n2.as("y"), col("src_b") === col("y.source"))
+        .select(col("src_a"), col("src_b"),
+          round(col("num").cast("double") / sqrt(col("x.n2").cast("double"))
+            / sqrt(col("y.n2").cast("double")), 4).as("cos"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // -- vocabulary coverage curve (tokenizer-budget eval, pairs with
+    //    bpe_merges): cumulative share of the token stream covered by
+    //    the top-k tokens, k = 1..64. The global window runs on the
+    //    post-TakeOrdered <=64-row frame (the Hybrid.rankTopC bounded-
+    //    window contract), never the corpus; coverage is integer-exact
+    //    in 1e-5 units --
+    "vocab_coverage" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(explode(TextFuncs.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum(col("c")).as("t"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("term"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      counts.orderBy(col("c").desc, col("term")).limit(64)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("term"))))
+        .withColumn("cum", sum(col("c")).over(w))
+        .crossJoin(broadcast(total))
+        .select(col("rank"), col("term"), col("c").as("n"),
+          expr("(cum * 100000) div t").as("coverage_e5"))
+        .orderBy(col("rank"))
+    }),
+
     // -- Zipf power-law fit per source over the top-500 tokens:
     //    slope(ln f ~ ln rank) near -1 is natural text; flat or
     //    cliff-shaped sources are template/ID-soup screens --
@@ -1147,6 +1246,15 @@ object SparkEntry {
     "embed_outliers" -> ((s, dir) =>
       Profile.labelOutliers(t(s, dir, "embeddings"),
         "vec_id", "embedding", "label")),
+
+    // -- top principal component of the embedding distribution (the
+    //    rogue-dimension / anisotropy audit): exact-integer Gram via
+    //    one mapPartitions pass (dim^2 longs per partition, shuffle
+    //    independent of corpus size), then a pinned 8-step power
+    //    iteration on the model-sized matrix — zero float-order
+    //    sensitivity anywhere (Pca.scala docstring has the proof) --
+    "embed_pca" -> ((s, dir) =>
+      Pca.topComponent(t(s, dir, "embeddings"), "embedding", dim = 64)),
 
     // -- column-level data-quality profile (deequ/TFDV-style corpus
     //    audit): ONE explode-to-long-form pass + one aggregate —
@@ -1494,6 +1602,40 @@ object SparkEntry {
           "doc_id", "doc_a", "doc_b")
         .where(col("rep") =!= col("doc_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // -- keep-BEST-per-cluster dedup policy: same minhash -> CC chain
+    //    as dedup_clusters, but the survivor is the member with the
+    //    highest quality score (ties: lowest doc_id) instead of the
+    //    min-id representative — the policy real corpus builds use
+    //    (keep the cleanest copy, not an arbitrary one). The quality
+    //    join touches only cluster members (a left-semi against the
+    //    label frame); one window pass over |members| rows --
+    "dedup_cluster_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
+      val labels = Dedup.connectedComponents(docs.select(col("doc_id")),
+        pairs, "doc_id", "doc_a", "doc_b")
+      val n = col("st.n_tokens").cast("double")
+      val stop = (col("st.marker_counts")(0) + col("st.marker_counts")(1))
+        .cast("double") / n
+      val q = least(lit(1.0), n / 100) * 0.4 +
+        (lit(1.0) - stop) * 0.3 + (col("st.n_distinct") / n) * 0.3
+      val sizeW = org.apache.spark.sql.expressions.Window.partitionBy("rep")
+      val rankW = org.apache.spark.sql.expressions.Window.partitionBy("rep")
+        .orderBy(col("quality").desc, col("doc_id"))
+      docs
+        .select(col("doc_id"),
+          TextExprs.token_stats(col("text"), Seq("the", "a")).as("st"))
+        .select(col("doc_id"), round(q, 4).as("quality"))
+        .join(labels, Seq("doc_id"))
+        .withColumn("n_members", count(lit(1)).over(sizeW))
+        .where(col("n_members") > 1)
+        .withColumn("rn", row_number().over(rankW))
+        .where(col("rn") === 1)
+        .select(col("rep"), col("doc_id").as("keep_id"),
+          col("n_members"), col("quality").as("best_q"))
+        .orderBy(col("rep"))
     }),
 
     // -- the composed NEAR-dup pipeline (round-7 sibling of
@@ -2913,6 +3055,38 @@ object SparkEntry {
       // ln on both sides (Spark log = natural log); regr_slope is the
       // same pop-covariance ratio in both engines; rank pairing is
       // deterministic via (freq desc, term) row_number
+      // unrolled merge-iteration replay assembled next to the Scala
+      // (Bpe.oracleSql) so the two sides cannot drift
+      "bpe_merges" ->
+        operators.Bpe.oracleSql("documents", "text", iters = 4),
+      // exact-integer dot/norms (HUGEINT = Spark's decimal(38,0));
+      // identical sqrt/division order on identical exact inputs
+      "source_similarity" ->
+        s"""WITH tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT source, unnest($toks) AS term FROM documents)
+           |  GROUP BY source, term),
+           |n2 AS (SELECT source, sum(c * c) AS n2 FROM tc GROUP BY source),
+           |p AS (SELECT a.source AS src_a, b.source AS src_b, sum(a.c * b.c) AS num
+           |  FROM tc a JOIN tc b ON a.term = b.term AND a.source < b.source
+           |  GROUP BY 1, 2)
+           |SELECT src_a, src_b,
+           | round(CAST(num AS DOUBLE) / sqrt(CAST(x.n2 AS DOUBLE))
+           |   / sqrt(CAST(y.n2 AS DOUBLE)), 4) AS cos
+           |FROM p JOIN n2 x ON x.source = p.src_a JOIN n2 y ON y.source = p.src_b
+           |ORDER BY src_a, src_b""".stripMargin.replaceAll("\n", " "),
+      // same (count desc, term) rank order; coverage integer-exact
+      "vocab_coverage" ->
+        s"""WITH c AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+           |  FROM (SELECT unnest($toks) AS term FROM documents) GROUP BY term),
+           |t AS (SELECT sum(n) AS t FROM c),
+           |top AS (SELECT term, n FROM c ORDER BY n DESC, term LIMIT 64),
+           |r AS (SELECT term, n,
+           |  CAST(row_number() OVER (ORDER BY n DESC, term) AS INTEGER) AS rank,
+           |  sum(n) OVER (ORDER BY n DESC, term
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM top)
+           |SELECT rank, term, n, CAST((cum * 100000) // t.t AS BIGINT) AS coverage_e5
+           |FROM r, t ORDER BY rank""".stripMargin.replaceAll("\n", " "),
       "corpus_zipf" ->
         s"""WITH u AS (SELECT source, unnest($toks) AS term FROM documents),
            |c AS (SELECT source, term, count(*) AS c FROM u GROUP BY source, term),
@@ -3107,6 +3281,10 @@ object SparkEntry {
           |r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rn FROM d)
           |SELECT label, vec_id, dist FROM r WHERE rn <= 3
           |ORDER BY label, dist DESC, vec_id""".stripMargin.replaceAll("\n", " "),
+      // unrolled 8-step power-iteration replay, assembled next to the
+      // Scala it mirrors (Pca.oracleSql) so the two sides can't drift
+      "embed_pca" ->
+        Pca.oracleSql("embeddings", "embedding", dim = 64),
       // per-column profile over the same (column, string-value) long
       // form; min/max are lexicographic on the string form by design
       "table_profile" ->
@@ -3750,6 +3928,38 @@ object SparkEntry {
            |  UNION SELECT e.d, reach.r FROM edges e JOIN reach ON reach.n = e.s)
            |SELECT n AS doc_id, min(r) AS rep FROM reach GROUP BY n
            |HAVING min(r) <> n ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+      },
+      // same minhash->CC chain as dedup_clusters, then the quality
+      // argmax per component (identical quality arithmetic to
+      // quality_score; ties by doc_id)
+      "dedup_cluster_best" -> {
+        val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+        s"""WITH RECURSIVE tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+           |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
+           |  FROM tk WHERE len(toks) >= 3),
+           |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
+           |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
+           |pairs AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+           |  FROM bands x JOIN bands y
+           |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc),
+           |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(n, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+           |  UNION SELECT e.d, reach.r FROM edges e JOIN reach ON reach.n = e.s),
+           |lbl AS (SELECT n AS doc_id, min(r) AS rep FROM reach GROUP BY n),
+           |q AS (SELECT doc_id,
+           |  round(least(1.0, CAST(len(toks) AS DOUBLE) / 100) * 0.4 +
+           |   (1.0 - ${SqlSnips.stopRatio("toks", Seq("the", "a"))}) * 0.3 +
+           |   (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) * 0.3, 4) AS quality
+           |  FROM (SELECT doc AS doc_id, toks FROM tk)),
+           |m AS (SELECT lbl.rep, lbl.doc_id, q.quality,
+           |  count(*) OVER (PARTITION BY lbl.rep) AS n_members,
+           |  row_number() OVER (PARTITION BY lbl.rep
+           |    ORDER BY q.quality DESC, lbl.doc_id) AS rn
+           |  FROM lbl JOIN q USING (doc_id))
+           |SELECT rep, doc_id AS keep_id, CAST(n_members AS BIGINT) AS n_members,
+           | quality AS best_q
+           |FROM m WHERE n_members > 1 AND rn = 1 ORDER BY rep""".stripMargin.replaceAll("\n", " ")
       },
       // same minhash->CC chain, then keep-one + per-source audit
       "pipeline_corpus_neardup" -> {
@@ -4692,6 +4902,26 @@ object SparkEntry {
         |SELECT event_type, hour_bucket, n, round((n - mu) / sd, 4) AS z
         |FROM w WHERE n_prev = 6 AND sd > 0
         |ORDER BY event_type, hour_bucket""".stripMargin.replaceAll("\n", " "),
+    // identical lag chain, weight literals, fold order and round
+    // points as the Spark side — every double is bit-identical
+    "events_ewma" -> {
+      val lags = (1 to ewmaWeights.length)
+        .map(j => s"lag(value, $j) OVER uw AS l$j").mkString(", ")
+      val chain = ewmaWeights.zipWithIndex
+        .map { case (w, j) => s"l${j + 1} * $w" }.mkString(" + ")
+      val wsum = ewmaWeights.map(_.toDouble).reduceLeft(_ + _).toString
+      s"""WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events),
+         |l AS (SELECT event_id, user_id, value, $lags,
+         |  row_number() OVER uw AS rn
+         |  FROM e WINDOW uw AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |f AS (SELECT event_id, user_id, value,
+         |  ($chain) / $wsum AS ewma_raw
+         |  FROM l WHERE rn > ${ewmaWeights.length})
+         |SELECT event_id, user_id, value, round(ewma_raw, 4) AS ewma,
+         | round(value - ewma_raw, 4) AS dev
+         |FROM f ORDER BY abs(value - ewma_raw) DESC, event_id
+         |LIMIT 20""".stripMargin.replaceAll("\n", " ")
+    },
     // lead() over the same (user, ts, event_id) order; the rate is
     // integer division in 1e-5 units — bit-portable by construction
     "events_transitions" ->
