@@ -989,6 +989,15 @@ object SparkEntry {
     "bpe_merges" -> ((s, dir) =>
       operators.Bpe.learnMerges(t(s, dir, "documents"), "text", iters = 4)),
 
+    // -- the APPLY side of the trainer: per-source whitespace-token vs
+    //    BPE-symbol counts and their integer-exact compression ratio —
+    //    the tokenizer-budget readout after bpe_merges learns the
+    //    vocab. Corpus contributes one (source, word) count agg; the
+    //    merge chain and the symbol-count join are vocab-sized --
+    "bpe_tokenize" -> ((s, dir) =>
+      operators.Bpe.tokenCompression(t(s, dir, "documents"), "text",
+        "source", iters = 4)),
+
     // -- source redundancy matrix: cosine similarity of per-source
     //    token-frequency profiles (which sources duplicate each
     //    other's distribution — read before allocating mixture
@@ -3059,6 +3068,9 @@ object SparkEntry {
       // (Bpe.oracleSql) so the two sides cannot drift
       "bpe_merges" ->
         operators.Bpe.oracleSql("documents", "text", iters = 4),
+      "bpe_tokenize" ->
+        operators.Bpe.compressionOracleSql("documents", "text",
+          "source", iters = 4),
       // exact-integer dot/norms (HUGEINT = Spark's decimal(38,0));
       // identical sqrt/division order on identical exact inputs
       "source_similarity" ->

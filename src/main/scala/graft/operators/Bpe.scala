@@ -48,14 +48,19 @@ object Bpe {
     * The per-iteration 1-row argmax collect is model training state
     * (the Ann.kmeans contract), not a data collect.
     */
-  def learnMerges(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
-    val spark = docs.sparkSession
+  /** Shared trainer core: runs the merge loop and returns both the
+    * learned merges and the final per-word symbol frame
+    * (w, n, pad) — the apply side ([[tokenCompression]]) reads the
+    * latter, the learn side ([[learnMerges]]) the former.
+    */
+  private def train(docs: DataFrame, textCol: String, iters: Int)
+      : (Seq[Row], DataFrame) = {
     val wc = docs
       .select(explode(TextFuncs.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
     // vocab-sized frame; checkpoint so the corpus tokenize+explode
     // runs once, not once per merge iteration
-    var cur = wc.select(col("n"), padExpr(col("w")).as("pad"))
+    var cur = wc.select(col("w"), col("n"), padExpr(col("w")).as("pad"))
       .localCheckpoint(eager = true)
 
     val merges = ArrayBuffer.empty[Row]
@@ -83,8 +88,14 @@ object Bpe {
         k += 1
       }
     }
+    (merges.toSeq, cur)
+  }
+
+  def learnMerges(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val (merges, _) = train(docs, textCol, iters)
     spark.createDataFrame(
-      spark.sparkContext.parallelize(merges.toSeq, 1),
+      spark.sparkContext.parallelize(merges, 1),
       StructType(Seq(
         StructField("merge_rank", IntegerType, nullable = false),
         StructField("pair", StringType, nullable = false),
@@ -93,37 +104,87 @@ object Bpe {
       .orderBy(col("merge_rank"))
   }
 
+  /** The APPLY side of the trainer: tokenize the corpus with the
+    * learned merges and report per-group compression — whitespace
+    * tokens vs BPE symbols and their integer-exact ratio (1e-5
+    * units). The merge chain runs on the |vocab| frame; the corpus
+    * contributes only the (group, word) count agg, and the symbol-
+    * count join touches vocab-sized frames on both sides.
+    */
+  def tokenCompression(docs: DataFrame, textCol: String,
+      groupCol: String, iters: Int): DataFrame = {
+    val (_, fin) = train(docs, textCol, iters)
+    val nSym = size(filter(split(col("pad"), "  "), s => length(s) > 0))
+    val sc = fin.select(col("w"), nSym.cast("long").as("n_sym"))
+    docs
+      .select(col(groupCol), explode(TextFuncs.tokens(col(textCol))).as("w"))
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("c"))
+      .join(sc, Seq("w"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("c")).as("ws_tokens"),
+        sum(col("c") * col("n_sym")).as("bpe_tokens"))
+      .withColumn("ratio_e5", expr("(bpe_tokens * 100000) div ws_tokens"))
+      .orderBy(col(groupCol))
+  }
+
+  /** The shared WITH-body prefix replaying [[train]]'s merge chain:
+    * wc → p0 → (s/pr/c/b/p)×iters, with `w` carried through so the
+    * apply oracle can join symbol counts back to words.
+    * MATERIALIZED throughout: default CTE inlining re-expands the
+    * upstream chain at every reference (b$k is referenced by both
+    * p$k and the learn oracle's output UNION), which compounds per
+    * iteration — the same blowup Pca.oracleSql measured.
+    */
+  private def chainSql(tbl: String, textCol: String, iters: Int): String = {
+    val toks = SqlSnips.tokens(textCol)
+    val its = (1 to iters).map { k =>
+      val prev = s"p${k - 1}"
+      s"""s$k AS MATERIALIZED (SELECT n, list_filter(string_split(pad, '  '), s -> s <> '') AS syms FROM $prev),
+         |pr$k AS MATERIALIZED (SELECT n, unnest(list_transform(range(1, len(syms)),
+         |  i -> syms[i] || ' ' || syms[i + 1])) AS pair FROM s$k WHERE len(syms) >= 2),
+         |c$k AS MATERIALIZED (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM pr$k GROUP BY pair),
+         |b$k AS MATERIALIZED (SELECT pair, cnt FROM c$k ORDER BY cnt DESC, pair LIMIT 1),
+         |p$k AS MATERIALIZED (SELECT w, n, replace(pad,
+         |    ' ' || split_part(b$k.pair, ' ', 1) || '  ' || split_part(b$k.pair, ' ', 2) || ' ',
+         |    ' ' || replace(b$k.pair, ' ', '') || ' ') AS pad
+         |  FROM p${k - 1}, b$k)""".stripMargin
+    }.mkString(",\n")
+    s"""tk AS (SELECT unnest($toks) AS w FROM $tbl),
+       |wc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY w),
+       |p0 AS MATERIALIZED (SELECT w, n, '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS pad FROM wc),
+       |$its""".stripMargin
+  }
+
   /** DuckDB replay of [[learnMerges]] as an unrolled CTE chain (the
     * kmeans-oracle idiom), assembled next to the Scala so the two
     * sides cannot drift. Assumes every iteration finds a pair (true
     * whenever the corpus has any multi-char token).
     */
   def oracleSql(tbl: String, textCol: String, iters: Int): String = {
-    val toks = SqlSnips.tokens(textCol)
-    val its = (1 to iters).map { k =>
-      val prev = s"p${k - 1}"
-      // MATERIALIZED throughout: default CTE inlining re-expands the
-      // upstream chain at every reference (b$k is referenced by both
-      // p$k and the output UNION), which compounds per iteration —
-      // the same blowup Pca.oracleSql measured
-      s"""s$k AS MATERIALIZED (SELECT n, list_filter(string_split(pad, '  '), s -> s <> '') AS syms FROM $prev),
-         |pr$k AS MATERIALIZED (SELECT n, unnest(list_transform(range(1, len(syms)),
-         |  i -> syms[i] || ' ' || syms[i + 1])) AS pair FROM s$k WHERE len(syms) >= 2),
-         |c$k AS MATERIALIZED (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM pr$k GROUP BY pair),
-         |b$k AS MATERIALIZED (SELECT pair, cnt FROM c$k ORDER BY cnt DESC, pair LIMIT 1),
-         |p$k AS MATERIALIZED (SELECT n, replace(pad,
-         |    ' ' || split_part(b$k.pair, ' ', 1) || '  ' || split_part(b$k.pair, ' ', 2) || ' ',
-         |    ' ' || replace(b$k.pair, ' ', '') || ' ') AS pad
-         |  FROM p${k - 1}, b$k)""".stripMargin
-    }.mkString(",\n")
     val out = (1 to iters).map { k =>
       s"""SELECT CAST($k AS INTEGER) AS merge_rank, pair,
          | replace(pair, ' ', '') AS merged, cnt AS n FROM b$k""".stripMargin
     }.mkString(" UNION ALL ")
-    s"""WITH tk AS (SELECT unnest($toks) AS w FROM $tbl),
-       |wc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY w),
-       |p0 AS MATERIALIZED (SELECT n, '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS pad FROM wc),
-       |$its
+    s"""WITH ${chainSql(tbl, textCol, iters)}
        |SELECT * FROM ($out) ORDER BY merge_rank""".stripMargin.replaceAll("\n", " ")
+  }
+
+  /** DuckDB replay of [[tokenCompression]]: same chain, then symbol
+    * counts joined back onto per-group word counts.
+    */
+  def compressionOracleSql(tbl: String, textCol: String,
+      groupCol: String, iters: Int): String = {
+    val toks = SqlSnips.tokens(textCol)
+    s"""WITH ${chainSql(tbl, textCol, iters)},
+       |sc AS MATERIALIZED (SELECT w,
+       |  CAST(len(list_filter(string_split(pad, '  '), s -> s <> '')) AS BIGINT) AS n_sym
+       |  FROM p$iters),
+       |gc AS (SELECT $groupCol, w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT $groupCol, unnest($toks) AS w FROM $tbl) GROUP BY 1, 2)
+       |SELECT $groupCol, CAST(sum(c) AS BIGINT) AS ws_tokens,
+       | CAST(sum(c * n_sym) AS BIGINT) AS bpe_tokens,
+       | CAST((sum(c * n_sym) * 100000) // sum(c) AS BIGINT) AS ratio_e5
+       |FROM gc JOIN sc USING (w)
+       |GROUP BY $groupCol ORDER BY $groupCol""".stripMargin.replaceAll("\n", " ")
   }
 }
