@@ -318,6 +318,35 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // -- TPC-H Q4 shape (order-priority checking): LEFT SEMI join —
+    //    the returned-lineitem filter pushes to the scan and the semi
+    //    join never duplicates orders, so the agg input is |orders|
+    //    rows max regardless of lineitem fan-out --
+    "q4_priority" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      t(s, dir, "orders")
+        .join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // -- TPC-H Q12 shape (shipping-lateness vs priority class): the
+    //    lateness predicate needs both sides so it runs post-join
+    //    (AQE picks the broadcast); CASE aggregation folds map-side
+    //    into two integer counts per group --
+    "q12_late_priority" -> ((s, dir) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .where(datediff(col("l_shipdate"), col("o_orderdate")) > 90)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // -- TPC-H Q6 shape (forecast revenue change): all three
     //    predicates push to the parquet scan, one partial-agg row per
     //    partition crosses the wire --
@@ -1264,6 +1293,14 @@ object SparkEntry {
     //    sensitivity anywhere (Pca.scala docstring has the proof) --
     "embed_pca" -> ((s, dir) =>
       Pca.topComponent(t(s, dir, "embeddings"), "embedding", dim = 64)),
+
+    // -- the APPLY side of embed_pca: histogram of every vector's
+    //    projection onto the learned component (bimodal or heavy-
+    //    tailed = "two corpora glued together"). Exact-integer dot
+    //    against the broadcast literal iterate, map-only at any
+    //    corpus size; double-floor buckets (< 2^53, exact) --
+    "embed_pca_hist" -> ((s, dir) =>
+      Pca.projectHistogram(t(s, dir, "embeddings"), "embedding", dim = 64)),
 
     // -- column-level data-quality profile (deequ/TFDV-style corpus
     //    audit): ONE explode-to-long-form pass + one aggregate —
@@ -3296,7 +3333,9 @@ object SparkEntry {
       // unrolled 8-step power-iteration replay, assembled next to the
       // Scala it mirrors (Pca.oracleSql) so the two sides can't drift
       "embed_pca" ->
-        Pca.oracleSql("embeddings", "embedding", dim = 64),
+        Pca.oracleSql("embeddings", "embedding", "vec_id", dim = 64),
+      "embed_pca_hist" ->
+        Pca.histOracleSql("embeddings", "embedding", "vec_id", dim = 64),
       // per-column profile over the same (column, string-value) long
       // form; min/max are lexicographic on the string form by design
       "table_profile" ->
@@ -4829,6 +4868,22 @@ object SparkEntry {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue_k DESC, c_custkey LIMIT 20""".stripMargin.replaceAll("\n", " "),
+    "q4_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin.replaceAll("\n", " "),
+    "q12_late_priority" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " "),
     "q6_forecast" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
         | CAST(count(*) AS BIGINT) AS n_items

@@ -100,20 +100,18 @@ object Pca {
   private def round4(x: Double): Double =
     new JBigDecimal(x).setScale(4, RoundingMode.HALF_UP).doubleValue()
 
-  /** Top principal component by `iters` pinned power-iteration steps.
-    * Returns one row per dimension: (dim, loading, eigval) where
-    * loading = v_dim / 1e6 for the final integer iterate v (so
-    * max|loading| == 1.0 by construction) and eigval is the Rayleigh
-    * quotient mapped back to covariance units, rounded to 4 dp.
+  /** Shared trainer core: exact-integer covariance numerators +
+    * pinned power iteration. Returns (v, cn, n) — the final integer
+    * iterate, the covariance numerator matrix and the row count.
     */
-  def topComponent(df: DataFrame, vecCol: String, dim: Int,
-      iters: Int = 8): DataFrame = {
+  private def powerIterate(df: DataFrame, vecCol: String, dim: Int,
+      iters: Int): (Array[BigInt], Array[Array[BigInt]], Long) = {
     val spark = df.sparkSession
     import spark.implicits._
     val q = df.select(quantize(col(vecCol)).as("q"))
 
     val n = q.count()
-    require(n > 0, "topComponent on an empty frame")
+    require(n > 0, "powerIterate on an empty frame")
 
     // per-dim exact sums: `dim` rows to the driver (model-sized)
     val sqRows = q.select(posexplode(col("q")).as(Seq("i", "qi")))
@@ -149,6 +147,19 @@ object Pca {
         else w.map(wi => BigInt(round0(wi.toDouble / mx.toDouble * 1e6)))
       step += 1
     }
+    (v, cn, n)
+  }
+
+  /** Top principal component by `iters` pinned power-iteration steps.
+    * Returns one row per dimension: (dim, loading, eigval) where
+    * loading = v_dim / 1e6 for the final integer iterate v (so
+    * max|loading| == 1.0 by construction) and eigval is the Rayleigh
+    * quotient mapped back to covariance units, rounded to 4 dp.
+    */
+  def topComponent(df: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val (v, cn, n) = powerIterate(df, vecCol, dim, iters)
 
     var num = BigInt(0); var den = BigInt(0)
     var i = 0
@@ -171,16 +182,40 @@ object Pca {
       .orderBy(col("dim"))
   }
 
-  /** DuckDB replay of [[topComponent]] as an unrolled CTE chain —
-    * assembled here (next to the Scala it mirrors) so the two sides
-    * cannot drift. `tbl` must expose `vecCol` as a float list.
+  /** The APPLY side of the trainer: project every vector onto the
+    * learned component and histogram the projections — the
+    * anisotropy-shape readout (a bimodal or heavy-tailed projection
+    * histogram is the "two corpora glued together" signature). The
+    * projection is an exact integer dot product (quantized coords ×
+    * the integer iterate, broadcast as a literal), map-only at any
+    * corpus size; buckets are floor(proj / width) with the division
+    * done in doubles (projections < 2^53, so exact) to get identical
+    * floor semantics on both engines.
     */
-  def oracleSql(tbl: String, vecCol: String, dim: Int, iters: Int = 8): String = {
+  def projectHistogram(df: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 8, bucketWidth: Long = 500000000L): DataFrame = {
+    val (v, _, _) = powerIterate(df, vecCol, dim, iters)
+    val vLong = v.map(_.bigInteger.longValueExact)
+    val proj = aggregate(
+      zip_with(quantize(col(vecCol)), typedLit(vLong.toSeq), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    df.select(proj.as("proj"))
+      .select(floor(col("proj").cast("double") / lit(bucketWidth.toDouble))
+        .cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Shared WITH-body prefix replaying [[powerIterate]] through the
+    * final iterate CTE `v{iters}`. Every CTE is MATERIALIZED:
+    * DuckDB's default CTE inlining re-expands the upstream chain at
+    * every reference, which is exponential in the iteration count
+    * (measured ~5x per step — 54 s for 8 steps vs 0.4 s
+    * materialized).
+    */
+  private def chainSql(tbl: String, vecCol: String, idCol: String,
+      dim: Int, iters: Int): String = {
     val d1 = dim + 1
-    // every CTE is MATERIALIZED: DuckDB's default CTE inlining
-    // re-expands the upstream chain at every reference, which is
-    // exponential in the iteration count (measured ~5x per step —
-    // 54 s for 8 steps vs 0.4 s materialized)
     val its = (1 to iters).map { k =>
       val pv = if (k == 1) "v0" else s"v${k - 1}"
       s"""w$k AS MATERIALIZED (SELECT c.i AS i, sum(c.cn * $pv.v) AS w FROM c JOIN $pv ON c.j = $pv.i GROUP BY c.i),
@@ -188,19 +223,42 @@ object Pca {
          |v$k AS MATERIALIZED (SELECT i, CAST(round(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE) * 1000000) AS HUGEINT) AS v FROM w$k, m$k)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH q AS MATERIALIZED (SELECT list_transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q FROM $tbl),
+    s"""q AS MATERIALIZED (SELECT $idCol AS rid, list_transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q FROM $tbl),
        |nn AS MATERIALIZED (SELECT count(*) AS n FROM q),
        |s1 AS MATERIALIZED (SELECT i, sum(q[i]) AS s FROM q, range(1, $d1) _(i) GROUP BY i),
        |s2 AS MATERIALIZED (SELECT i, j, sum(q[i] * q[j]) AS sqq FROM q, range(1, $d1) a(i), range(1, $d1) b(j) GROUP BY i, j),
        |c AS MATERIALIZED (SELECT s2.i AS i, s2.j AS j, nn.n * s2.sqq - sa.s * sb.s AS cn
        |  FROM s2 CROSS JOIN nn JOIN s1 sa ON s2.i = sa.i JOIN s1 sb ON s2.j = sb.i),
        |v0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM range(1, $d1) _(i)),
-       |$its,
+       |$its""".stripMargin
+  }
+
+  /** DuckDB replay of [[topComponent]] as an unrolled CTE chain —
+    * assembled here (next to the Scala it mirrors) so the two sides
+    * cannot drift. `tbl` must expose `vecCol` as a float list.
+    */
+  def oracleSql(tbl: String, vecCol: String, idCol: String, dim: Int,
+      iters: Int = 8): String =
+    s"""WITH ${chainSql(tbl, vecCol, idCol, dim, iters)},
        |num AS (SELECT sum(c.cn * va.v * vb.v) AS t FROM c JOIN v$iters va ON c.i = va.i JOIN v$iters vb ON c.j = vb.i),
        |den AS (SELECT sum(v * v) AS d FROM v$iters)
        |SELECT CAST(i - 1 AS INTEGER) AS dim, CAST(v AS DOUBLE) / 1000000 AS loading,
        | round(CAST(num.t AS DOUBLE) / CAST(den.d AS DOUBLE)
        |   / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) * 100000000.0), 4) AS eigval
        |FROM v$iters, num, den, nn ORDER BY dim""".stripMargin.replaceAll("\n", " ")
+
+  /** DuckDB replay of [[projectHistogram]]: same chain, then the
+    * exact-integer projection per row and the double-floor bucket.
+    */
+  def histOracleSql(tbl: String, vecCol: String, idCol: String, dim: Int,
+      iters: Int = 8, bucketWidth: Long = 500000000L): String = {
+    val d1 = dim + 1
+    s"""WITH ${chainSql(tbl, vecCol, idCol, dim, iters)},
+       |pr AS (SELECT rid, sum(q.q[_.i] * v.v) AS proj
+       |  FROM q, range(1, $d1) _(i) JOIN v$iters v ON v.i = _.i
+       |  GROUP BY rid)
+       |SELECT CAST(floor(CAST(proj AS DOUBLE) / $bucketWidth.0) AS BIGINT) AS bucket,
+       | CAST(count(*) AS BIGINT) AS n
+       |FROM pr GROUP BY bucket ORDER BY bucket""".stripMargin.replaceAll("\n", " ")
   }
 }
