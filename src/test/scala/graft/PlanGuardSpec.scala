@@ -202,4 +202,35 @@ class PlanGuardSpec extends AnyFunSuite {
           bad.mkString("\n"))
     }
   }
+
+  test("q4_priority: EXISTS stays a semi join (orders never duplicated)") {
+    val p = plan("q4_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("source_similarity: profile joins, no nested-loop anywhere") {
+    val p = plan("source_similarity")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("vocab_coverage: global window only after the top-64 cut") {
+    val df = SparkEntry.queries("vocab_coverage")(spark, dir)
+    df.collect() // final AQE plan
+    val exec = df.queryExecution.executedPlan
+    // the partition-less windows are INSIDE the post-TakeOrdered
+    // <=64-row frame: assert the cut exists in the same plan
+    assert(exec.toString.contains("TakeOrderedAndProject"), exec.toString)
+  }
+
+  test("embed_pca gram partials: one shuffle moves dim^2-per-partition rows") {
+    import graft.operators.Pca
+    val docs = graft.Tables.load(spark, dir, "embeddings")
+    val p = Pca.gramPartials(docs, "embedding", 64)
+      .queryExecution.executedPlan.toString
+    // mapPartitions accumulation -> ONE hash exchange for the (i,j)
+    // merge; anything more means the n-scaling stage re-shuffled
+    assert(hashExchanges(p) === 1, p)
+  }
 }
