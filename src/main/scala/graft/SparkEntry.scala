@@ -1079,6 +1079,34 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // -- per-source token-distribution entropy + effective vocabulary
+    //    (exp(H)): the diversity screen that separates template/ID
+    //    soup (low H) from natural text at equal vocab size —
+    //    complements corpus_zipf's slope. The float fold runs in
+    //    SORTED term order on both engines (sort_array struct fold =
+    //    DuckDB list(... ORDER BY term) reduce), so the H doubles are
+    //    sequence-identical; corpus collapses to |sources|x|vocab|
+    //    counts map-side before any float math --
+    "quality_entropy" -> ((s, dir) => {
+      val tc = t(s, dir, "documents")
+        .select(col("source"), explode(TextFuncs.tokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      val h = aggregate(
+        transform(sort_array(collect_list(struct(col("term"), col("c")))),
+          s0 => {
+            val p = s0.getField("c").cast("double") / col("n_tokens")
+            -p * log(p)
+          }),
+        lit(0.0), (acc, x) => acc + x)
+      tc.groupBy(col("source"))
+        .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"))
+        .join(tc, Seq("source"))
+        .groupBy(col("source"), col("vocab"), col("n_tokens"))
+        .agg(round(h, 4).as("entropy"),
+          round(exp(h), 2).as("eff_vocab"))
+        .orderBy(col("source"))
+    }),
+
     // -- Zipf power-law fit per source over the top-500 tokens:
     //    slope(ln f ~ ln rank) near -1 is natural text; flat or
     //    cliff-shaped sources are template/ID-soup screens --
@@ -3136,6 +3164,24 @@ object SparkEntry {
            |  FROM top)
            |SELECT rank, term, n, CAST((cum * 100000) // t.t AS BIGINT) AS coverage_e5
            |FROM r, t ORDER BY rank""".stripMargin.replaceAll("\n", " "),
+      // the float fold is sequence-identical to the Spark side:
+      // term-sorted transform, zero-seeded left reduce
+      "quality_entropy" ->
+        s"""WITH tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT source, unnest($toks) AS term FROM documents)
+           |  GROUP BY source, term),
+           |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+           |  CAST(sum(c) AS BIGINT) AS n_tokens FROM tc GROUP BY source),
+           |h AS (SELECT tc.source, t.vocab, t.n_tokens,
+           |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list_transform(list(tc.c ORDER BY tc.term),
+           |      c -> -(CAST(c AS DOUBLE) / t.n_tokens) * ln(CAST(c AS DOUBLE) / t.n_tokens))),
+           |    (a, b) -> a + b) AS hh
+           |  FROM tc JOIN tot t USING (source)
+           |  GROUP BY tc.source, t.vocab, t.n_tokens)
+           |SELECT source, vocab, n_tokens, round(hh, 4) AS entropy,
+           | round(exp(hh), 2) AS eff_vocab
+           |FROM h ORDER BY source""".stripMargin.replaceAll("\n", " "),
       "corpus_zipf" ->
         s"""WITH u AS (SELECT source, unnest($toks) AS term FROM documents),
            |c AS (SELECT source, term, count(*) AS c FROM u GROUP BY source, term),
