@@ -1833,6 +1833,34 @@ object SparkEntry {
           window = 40, stride = 30)
         .orderBy(col("doc_id"), col("chunk_idx")).limit(300)),
 
+    // -- RAG chunk-store dedup audit: disjoint 40-token chunks hashed
+    //    (portable charFold), a chunk is a dup if its hash appears in
+    //    >= 2 distinct docs; per-source totals + integer-exact dup
+    //    fraction. One shuffle keyed by chunk hash (distinct-doc
+    //    count), one semi join back — never pairwise. The chunk-
+    //    granularity sibling of dup_spans (disjoint windows vs
+    //    overlapping shingles): this is what you run before paying
+    //    for embeddings on a chunk store --
+    "chunks_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ch = Corpus.chunkTokens(docs, "text", "doc_id",
+          window = 40, stride = 40)
+        .select(col("doc_id"), TextFuncs.charFold(col("chunk")).as("h"))
+      val dup = ch.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") > 1).select(col("h"))
+      val withSrc = ch.join(docs.select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      val dups = withSrc.join(dup, Seq("h"), "left_semi")
+        .groupBy(col("source")).agg(count(lit(1)).as("dup_chunks"))
+      withSrc.groupBy(col("source")).agg(count(lit(1)).as("n_chunks"))
+        .join(dups, Seq("source"), "left")
+        .select(col("source"), col("n_chunks"),
+          coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"))
+        .withColumn("dup_e5", expr("(dup_chunks * 100000) div n_chunks"))
+        .orderBy(col("source"))
+    }),
+
     // -- concat-and-split sequence packing: each source's docs laid
     //    end to end in id order, cut every 256 tokens; one window
     //    shuffle keyed by source --
@@ -4156,6 +4184,25 @@ object SparkEntry {
            | array_to_string(toks[ci * 30 + 1 : ci * 30 + 40], ' ') AS chunk,
            | CAST(len(toks[ci * 30 + 1 : ci * 30 + 40]) AS INTEGER) AS n_tokens
            |FROM c ORDER BY doc_id, chunk_idx LIMIT 300""".stripMargin.replaceAll("\n", " "),
+      // same disjoint-chunk + charFold + distinct-doc-count chain
+      "chunks_dedup" -> {
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+           |n AS (SELECT doc_id, toks,
+           |  greatest(1, ((len(toks) - 40 + 39) // 40) + 1) AS nc
+           |  FROM tk WHERE len(toks) > 0),
+           |c AS (SELECT doc_id, toks, unnest(range(0, nc)) AS ci FROM n),
+           |ch AS (SELECT doc_id,
+           |  ${SqlSnips.charFold("array_to_string(toks[ci * 40 + 1 : ci * 40 + 40], ' ')")} AS h
+           |  FROM c),
+           |d AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+           |  FROM ch GROUP BY h) _x WHERE nd > 1),
+           |j AS (SELECT s.source, ch.h FROM ch JOIN documents s USING (doc_id))
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+           | CAST(count(d.h) AS BIGINT) AS dup_chunks,
+           | CAST((count(d.h) * 100000) // count(*) AS BIGINT) AS dup_e5
+           |FROM j LEFT JOIN d ON j.h = d.h
+           |GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " ")
+      },
       "pack_sequences" ->
         s"""WITH tk AS (SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
            |  FROM documents),
