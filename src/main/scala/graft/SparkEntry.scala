@@ -1107,6 +1107,69 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // -- cross-document n-gram diversity per source: repeated-trigram
+    //    mass ((total - distinct) / total, integer-exact in 1e-5
+    //    units). The self-BLEU-style redundancy screen — a source
+    //    whose trigram stream is mostly repeats is template soup even
+    //    when its per-doc repetition (quality_repetition) looks fine.
+    //    Corpus collapses to |sources|x|trigrams| counts map-side --
+    "ngram_diversity" -> ((s, dir) => {
+      val tk = TextFuncs.tokens(col("text"))
+      t(s, dir, "documents")
+        .where(size(tk) >= 3)
+        .select(col("source"), explode(TextFuncs.shingles(tk, 3)).as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("g")).as("n_distinct"))
+        .withColumn("rep_e5",
+          expr("((n_grams - n_distinct) * 100000) div n_grams"))
+        .orderBy(col("source"))
+    }),
+
+    // -- templated-document detection: docs grouped by the portable
+    //    hash of their first-8-token prefix; per source report the
+    //    prefix-group landscape (distinct prefixes, largest group,
+    //    docs sitting in a >=2 group). Catches boilerplate families
+    //    near-dup misses: shared headers with divergent bodies fail
+    //    Jaccard but collapse to one prefix bucket. One hash-keyed
+    //    shuffle over |docs| rows; never pairwise --
+    "template_prefixes" -> ((s, dir) => {
+      val pref = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFuncs.charFold(
+            array_join(slice(TextFuncs.tokens(col("text")), 1, 8), " "))
+            .as("h"))
+      pref.groupBy(col("source"), col("h"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_prefixes"),
+          max(col("n")).as("max_group"),
+          sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("templated"))
+        .orderBy(col("source"))
+    }),
+
+    // -- hashed linear quality scorer (the fastText-style seam): each
+    //    token maps to a deterministic hash-derived weight in
+    //    [0, 2000] 1e-3 units (placeholder for a learned table — at
+    //    scale the table is a broadcast join, here it is a pure
+    //    expression); doc score = integer mean weight; output is the
+    //    per-source score histogram. All-integer end to end, and the
+    //    corpus collapses to |docs| scores map-side before the tiny
+    //    histogram shuffle --
+    "quality_classifier" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(TextFuncs.tokens(col("text"))).as("tm"))
+        .select(col("doc_id"), col("source"),
+          (TextFuncs.charFold(col("tm")) % 2001).as("w"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(expr("sum(w) div count(1)").as("score_e3"))
+      scored.groupBy(col("source"), expr("score_e3 div 10").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("bucket"))
+    }),
+
     // -- Zipf power-law fit per source over the top-500 tokens:
     //    slope(ln f ~ ln rank) near -1 is natural text; flat or
     //    cliff-shaped sources are template/ID-soup screens --
@@ -3210,6 +3273,38 @@ object SparkEntry {
            |SELECT source, vocab, n_tokens, round(hh, 4) AS entropy,
            | round(exp(hh), 2) AS eff_vocab
            |FROM h ORDER BY source""".stripMargin.replaceAll("\n", " "),
+      // integer trigram counts; repeated mass exact in 1e-5 units
+      "ngram_diversity" ->
+        s"""WITH d AS (SELECT source, $toks AS tk FROM documents),
+           |u AS (SELECT source, unnest(${SqlSnips.shingles("tk", 3)}) AS g
+           |  FROM d WHERE len(tk) >= 3)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+           | CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+           | CAST(((count(*) - count(DISTINCT g)) * 100000) // count(*) AS BIGINT) AS rep_e5
+           |FROM u GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " "),
+      // same first-8-token prefix hash (charFold of the joined slice)
+      "template_prefixes" ->
+        s"""WITH d AS (SELECT doc_id, source, $toks AS tk FROM documents),
+           |p AS (SELECT doc_id, source,
+           |  ${SqlSnips.charFold("array_to_string(tk[1:8], ' ')")} AS h FROM d),
+           |g AS (SELECT source, h, CAST(count(*) AS BIGINT) AS n
+           |  FROM p GROUP BY source, h)
+           |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+           | CAST(count(*) AS BIGINT) AS n_prefixes,
+           | CAST(max(n) AS BIGINT) AS max_group,
+           | CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) AS templated
+           |FROM g GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " "),
+      // non-negative weights, so integer floor-div == Spark's div
+      "quality_classifier" ->
+        s"""WITH tok AS (SELECT doc_id, source, unnest($toks) AS tm FROM documents),
+           |w AS (SELECT doc_id, source, ${SqlSnips.charFold("tm")} % 2001 AS w FROM tok),
+           |sc AS (SELECT doc_id, source,
+           |  CAST(sum(w) // count(*) AS BIGINT) AS score_e3
+           |  FROM w GROUP BY doc_id, source)
+           |SELECT source, CAST(score_e3 // 10 AS BIGINT) AS bucket,
+           | CAST(count(*) AS BIGINT) AS n_docs
+           |FROM sc GROUP BY source, bucket
+           |ORDER BY source, bucket""".stripMargin.replaceAll("\n", " "),
       "corpus_zipf" ->
         s"""WITH u AS (SELECT source, unnest($toks) AS term FROM documents),
            |c AS (SELECT source, term, count(*) AS c FROM u GROUP BY source, term),
