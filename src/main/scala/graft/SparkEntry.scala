@@ -1170,6 +1170,66 @@ object SparkEntry {
         .orderBy(col("source"), col("bucket"))
     }),
 
+    // -- KL(source || corpus) over the token vocabulary: how far each
+    //    source's token distribution sits from the global mix — the
+    //    quantitative input to mixture re-weighting (pairs with
+    //    source_similarity's pairwise view). Per-term doubles are
+    //    computed identically on both engines and folded in SORTED
+    //    term order (the quality_entropy contract), so the sum is
+    //    sequence-identical; corpus collapses to |sources|x|vocab|
+    //    counts map-side --
+    "source_kl" -> ((s, dir) => {
+      val tc = t(s, dir, "documents")
+        .select(col("source"), explode(TextFuncs.tokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      val g = tc.groupBy(col("term")).agg(sum(col("c")).as("cg"))
+      val ns = tc.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val ng = tc.agg(sum(col("c")).as("n_g"))
+      val p = col("c").cast("double") / col("n_s")
+      val q = col("cg").cast("double") / col("n_g")
+      tc.join(g, Seq("term")).join(ns, Seq("source"))
+        .crossJoin(broadcast(ng))
+        .select(col("source"), col("n_s"), col("term"),
+          (p * log(p / q)).as("x"))
+        .groupBy(col("source"), col("n_s"))
+        .agg(round(
+          aggregate(
+            transform(sort_array(collect_list(struct(col("term"), col("x")))),
+              s0 => s0.getField("x")),
+            lit(0.0), (a, b) => a + b), 4).as("kl"))
+        .select(col("source"), col("n_s").as("n_tokens"), col("kl"))
+        .orderBy(col("source"))
+    }),
+
+    // -- count-min sketch token frequencies (depth 3 x width 64,
+    //    seeded-hash buckets): est = min over rows, err = est - true.
+    //    The mergeable fixed-size counter sibling of tokens_hh_approx
+    //    (Space-Saving): counters are d x W integers combined
+    //    map-side, the estimate join broadcasts the 192-row counter
+    //    table — the sketch the corpus collapses into regardless of
+    //    scale. Exact-integer end to end, so the oracle replays the
+    //    same buckets bit-for-bit --
+    "tokens_cms" -> ((s, dir) => {
+      val tc = t(s, dir, "documents")
+        .select(explode(TextFuncs.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val rows = tc
+        .withColumn("b", TextFuncs.charFold(col("term")))
+        .select(col("term"), col("c"), col("b"),
+          explode(sequence(lit(0), lit(2))).as("j"))
+        .withColumn("bucket",
+          (col("b") * (col("j") * 2 + 1) + (col("j") * 131 + 7))
+            % TextFuncs.P % 64)
+      val counters = rows.groupBy(col("j"), col("bucket"))
+        .agg(sum(col("c")).as("cnt"))
+      rows.join(broadcast(counters), Seq("j", "bucket"))
+        .groupBy(col("term"), col("c"))
+        .agg(min(col("cnt")).as("est"))
+        .select(col("term").as("item"), col("est"),
+          (col("est") - col("c")).as("err"))
+        .orderBy(col("est").desc, col("item")).limit(20)
+    }),
+
     // -- Zipf power-law fit per source over the top-500 tokens:
     //    slope(ln f ~ ln rank) near -1 is natural text; flat or
     //    cliff-shaped sources are template/ID-soup screens --
@@ -3305,6 +3365,37 @@ object SparkEntry {
            | CAST(count(*) AS BIGINT) AS n_docs
            |FROM sc GROUP BY source, bucket
            |ORDER BY source, bucket""".stripMargin.replaceAll("\n", " "),
+      // per-term doubles identical both engines; term-sorted fold
+      "source_kl" ->
+        s"""WITH tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT source, unnest($toks) AS term FROM documents)
+           |  GROUP BY source, term),
+           |g AS (SELECT term, CAST(sum(c) AS BIGINT) AS cg FROM tc GROUP BY term),
+           |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM tc GROUP BY source),
+           |ng AS (SELECT CAST(sum(c) AS BIGINT) AS n_g FROM tc),
+           |x AS (SELECT tc.source, ns.n_s, tc.term,
+           |  (CAST(c AS DOUBLE) / n_s)
+           |    * ln((CAST(c AS DOUBLE) / n_s) / (CAST(cg AS DOUBLE) / n_g)) AS x
+           |  FROM tc JOIN g USING (term) JOIN ns USING (source) CROSS JOIN ng)
+           |SELECT source, n_s AS n_tokens,
+           | round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |   list_transform(list(x ORDER BY term), v -> v)), (a, b) -> a + b), 4) AS kl
+           |FROM x GROUP BY source, n_s ORDER BY source""".stripMargin.replaceAll("\n", " "),
+      // same seeded-hash buckets; counters and min are exact integers
+      "tokens_cms" ->
+        s"""WITH tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT unnest($toks) AS term FROM documents) GROUP BY term),
+           |r AS (SELECT term, c, j,
+           |  (${SqlSnips.charFold("term")} * (j * 2 + 1) + (j * 131 + 7))
+           |    % ${SqlSnips.P} % 64 AS bucket
+           |  FROM tc, range(0, 3) AS t(j)),
+           |cnt AS (SELECT j, bucket, CAST(sum(c) AS BIGINT) AS cnt
+           |  FROM r GROUP BY j, bucket),
+           |est AS (SELECT term, c, min(cnt) AS est
+           |  FROM r JOIN cnt USING (j, bucket) GROUP BY term, c)
+           |SELECT term AS item, CAST(est AS BIGINT) AS est,
+           | CAST(est - c AS BIGINT) AS err
+           |FROM est ORDER BY est DESC, item LIMIT 20""".stripMargin.replaceAll("\n", " "),
       "corpus_zipf" ->
         s"""WITH u AS (SELECT source, unnest($toks) AS term FROM documents),
            |c AS (SELECT source, term, count(*) AS c FROM u GROUP BY source, term),
