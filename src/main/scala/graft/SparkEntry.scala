@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SqlSnips, TextEmbed, TextExprs, TextFuncs, VectorFunctions}
-import graft.operators.{Ann, Bm25, Bq, Corpus, Dedup, IvfPq, Knn, Mmr, Pca, Pq, Profile, Recall, Skew, Snapshot, Sq, TimeSeries}
+import graft.operators.{Ann, Bm25, Bq, Corpus, Dedup, Graph, IvfPq, Knn, Mmr, Pca, Pq, Profile, Recall, Skew, Snapshot, Sq, TimeSeries}
 import graft.sources.VectorStore
 
 /** Driver contract — see SURVEY.md §2 (inventory) and §7 (plan).
@@ -1724,6 +1724,18 @@ object SparkEntry {
       Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // -- exact-integer PageRank over the minhash dup graph: which
+    //    documents sit at the CENTER of duplication clusters (hub
+    //    mirrors / canonical sources) vs the periphery — ranks in
+    //    1e-12 fixed-point units so the 5-iteration trajectory is
+    //    bit-portable (no float accumulation order). One rank-frame
+    //    equi-join shuffle per iteration, edge SUBGRAPH only --
+    "graph_pagerank" -> ((s, dir) =>
+      Graph.pagerank(
+          Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id"),
+          iters = 5)
+        .orderBy(col("rank_e12").desc, col("doc")).limit(15)),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDocs(t(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("doc")).limit(200)),
@@ -3010,6 +3022,19 @@ object SparkEntry {
          |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc)
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
     }
+    val pagerankOracle = {
+      val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+      val pairsCtes =
+        s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+           |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
+           |  FROM tk WHERE len(toks) >= 3),
+           |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
+           |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
+           |pairs AS MATERIALIZED (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+           |  FROM bands x JOIN bands y
+           |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc)""".stripMargin
+      operators.Graph.oracleSql(pairsCtes, iters = 5, limit = 15)
+    }
     val sourceOverlapOracle = {
       val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
       s"""WITH tk AS (SELECT source, $toks AS toks FROM documents),
@@ -3905,6 +3930,8 @@ object SparkEntry {
            | CAST(count(*) AS BIGINT) AS n_docs
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
       "dedup_minhash" -> minhashPairsSql,
+      // same integer fixed-point iterations, unrolled + MATERIALIZED
+      "graph_pagerank" -> pagerankOracle,
       // truth = exact shingle-set Jaccard >= 1/2 (integer cut) over
       // shared-shingle candidates; pred = the minhash band pairs CTE
       "dedup_recall" -> {

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("star graph: hub outranks leaves, ranks conserve mass") {
+    // hub 0 connected to leaves 1..4, plus an isolated pair (10, 11)
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val r = Graph.pagerank(pairs, iters = 5).collect()
+      .map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2))).toMap
+    assert(r.size == 7)
+    assert(r(0L)._1 == 4) // hub degree
+    // the hub accumulates the leaves' mass
+    assert(r(0L)._2 > r(1L)._2 * 2)
+    // symmetric leaves get identical ranks (determinism across keys)
+    assert(Set(1L, 2L, 3L, 4L).map(r(_)._2).size == 1)
+    // the isolated pair swaps mass with itself -> stays near 1/N
+    assert(r(10L)._2 == r(11L)._2)
+    // integer mass is conserved up to div truncation: each of the 5
+    // iterations can shed < 100 units per node to the two divs
+    val total = r.values.map(_._2).sum
+    assert(total <= Graph.Scale && total > Graph.Scale - 7 * 5 * 200)
+  }
+
+  test("two-node path equals closed form") {
+    // single edge: both nodes have deg 1; fixpoint r = 0.15/2 + 0.85*r
+    // -> r = 1/2 exactly; integer trajectory stays at Scale/2 - eps
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = Graph.pagerank(pairs, iters = 5).collect()
+      .map(row => row.getLong(0) -> row.getLong(2)).toMap
+    assert(r(1L) == r(2L))
+    assert(math.abs(r(1L) - Graph.Scale / 2) < 10)
+  }
+}
