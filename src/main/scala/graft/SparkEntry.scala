@@ -1961,6 +1961,38 @@ object SparkEntry {
       Dedup.lshClosestPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 20,
         targetBucket = 32, saltBuckets = 4)),
 
+    // -- SemDeDup-style semantic dedup: Lloyd's clusters the
+    //    embedding space (trained on the id%2 sample, full corpus
+    //    tagged map-side — the ann_ivf machinery), then candidate
+    //    pairs are generated WITHIN clusters only and any member
+    //    within 4-dp cosine-sim >= 0.40 of a lower id is dropped.
+    //    Cluster size is the quadratic knob: at 100 TB k grows with
+    //    the corpus so |cluster| stays ~constant (the SemDeDup
+    //    design point); dedup_embedding is the fully-bounded LSH
+    //    alternative when even cluster-local pairs are too many.
+    //    The 0.40 threshold is corpus-specific (this synthetic
+    //    embedding space tops out at ~0.55 pairwise sim) --
+    "dedup_semantic" -> ((s, dir) => {
+      val (tagged, _) = Ann.buildIvf(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 3,
+        trainSampleMod = 2)
+      val a = tagged.select(col("cluster"), col("vec_id").as("id_a"),
+        col("embedding").as("va"))
+      val b = tagged.select(col("cluster"), col("vec_id").as("id_b"),
+        col("embedding").as("vb"))
+      val drops = a.join(b, Seq("cluster"))
+        .where(col("id_a") < col("id_b"))
+        .where(round(lit(1.0) - VectorFunctions.vec_cosine(col("va"), col("vb")), 4)
+          >= 0.40)
+        .select(col("cluster"), col("id_b").as("vec_id")).distinct()
+        .withColumn("dropped", lit(1L))
+      tagged.join(drops, Seq("cluster", "vec_id"), "left")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"))
+        .orderBy(col("cluster"))
+    }),
+
     // -- sliding token-window chunking (map-only explode; the prep
     //    step before embedding / context-length-bounded training) --
     "docs_chunk" -> ((s, dir) =>
@@ -3035,6 +3067,37 @@ object SparkEntry {
            |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc)""".stripMargin
       operators.Graph.oracleSql(pairsCtes, iters = 5, limit = 15)
     }
+    val semanticDedupOracle = {
+      // cosine DISTANCE over two double lists (same op sequence as
+      // VectorDistance: zero-norm -> 1.0, clamp, 1 - sim)
+      def cosDist(a: String, b: String): String =
+        s"""CASE WHEN list_sum(list_transform($a, x -> x * x)) = 0 OR
+           | list_sum(list_transform($b, x -> x * x)) = 0
+           |THEN 1.0 ELSE 1.0 - greatest(-1.0, least(1.0,
+           | list_sum(list_transform($a, (x, i) -> x * $b[i])) /
+           | (sqrt(list_sum(list_transform($a, x -> x * x))) *
+           |  sqrt(list_sum(list_transform($b, x -> x * x)))))) END"""
+          .stripMargin.replaceAll("\n", " ")
+      val l2t = sqlL2("ev.v", "c.centroid")
+      s"""WITH ${kmeansCtes(k = 8, iters = 3, sampleMod = 2)},
+         |ev AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |tag AS MATERIALIZED (SELECT vec_id, v, cluster FROM (
+         |  SELECT ev.vec_id, ev.v, c.cluster,
+         |    row_number() OVER (PARTITION BY ev.vec_id
+         |      ORDER BY $l2t, c.cluster) AS rn
+         |  FROM ev, c3 c) _t WHERE rn = 1),
+         |drops AS (SELECT DISTINCT a.cluster, b.vec_id AS dv
+         |  FROM tag a JOIN tag b
+         |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE round(1.0 - (${cosDist("a.v", "b.v")}), 4) >= 0.40)
+         |SELECT t.cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+         | CAST(count(d.dv) AS BIGINT) AS n_dropped
+         |FROM tag t LEFT JOIN drops d
+         |ON d.cluster = t.cluster AND d.dv = t.vec_id
+         |GROUP BY t.cluster ORDER BY t.cluster""".stripMargin.replaceAll("\n", " ")
+    }
     val sourceOverlapOracle = {
       val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
       s"""WITH tk AS (SELECT source, $toks AS toks FROM documents),
@@ -3932,6 +3995,8 @@ object SparkEntry {
       "dedup_minhash" -> minhashPairsSql,
       // same integer fixed-point iterations, unrolled + MATERIALIZED
       "graph_pagerank" -> pagerankOracle,
+      // kmeans replay (1e-6 snap) + cluster-local pair sweep
+      "dedup_semantic" -> semanticDedupOracle,
       // truth = exact shingle-set Jaccard >= 1/2 (integer cut) over
       // shared-shingle candidates; pred = the minhash band pairs CTE
       "dedup_recall" -> {
