@@ -2417,6 +2417,60 @@ object SparkEntry {
       Pq.searchAdcJoin(model, codes, queryVec(s, dir, 0), "vec_id", topK = 10)
     }),
 
+    // -- PQ distortion audit: per-subspace reconstruction error of the
+    //    quantizer (err^2 = min over codewords of squared L2 — the
+    //    assigned codeword IS the argmin, so no code join needed).
+    //    Per-element squared errors quantize to the 1e-12 integer grid
+    //    BEFORE the corpus-wide sum, so the SSE/MSE totals are exact
+    //    integers with zero accumulation-order exposure — the audit
+    //    that decides m/k budgets before an index build. Broadcast
+    //    codebooks, one map-side pass; at 100 TB run on a sample like
+    //    the recall audits --
+    "pq_distortion" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = Pq.staticCodebooks(e, "vec_id", "embedding",
+        dim = 64, m = 8, k = 16)
+      val sub = e.select(col("vec_id"),
+          explode(transform(sequence(lit(0), lit(7)), g =>
+            struct(g.as("grp"),
+              transform(slice(col("embedding"), g * 8 + 1, lit(8)),
+                _.cast("double")).as("sv")))).as("x"))
+        .select(col("x.grp").as("grp"), col("vec_id"), col("x.sv").as("sv"))
+      val sq = aggregate(
+        zip_with(col("sv"), col("centroid"), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (a, b) => a + b)
+      sub.join(broadcast(model.codebooks), Seq("grp"))
+        .select(col("grp"), col("vec_id"), sq.as("d2"))
+        .groupBy(col("grp"), col("vec_id"))
+        .agg(min(col("d2")).as("err2"))
+        .withColumn("e", expr("CAST(round(err2 * 1000000000000) AS BIGINT)"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("e")).as("sse_e12"),
+          expr("sum(e) div count(1)").as("mse_e12"),
+          max(col("e")).as("max_e12"))
+        .orderBy(col("grp"))
+    }),
+
+    // -- MinHash-LSH banding planner: the s-curve P(candidate | sim=s)
+    //    = 1-(1-s^r)^b for every (bands, rows) split of the 8-seed
+    //    signature — the table read BEFORE choosing dedup_minhash's
+    //    banding. Pure planner math (no corpus input); powers are
+    //    explicit left-assoc multiply chains, not pow(), so the
+    //    doubles are engine-identical --
+    "lsh_plan" -> ((s, dir) => {
+      val grid = s.range(1, 20)
+        .select((col("id") * lit(5L)).cast("bigint").as("s_e2"))
+      def cfg(b: Int, r: Int): DataFrame = {
+        val sv = col("s_e2").cast("double") / 100.0
+        val sr = List.fill(r)(sv).reduce(_ * _)
+        val tb = List.fill(b)(lit(1.0) - sr).reduce(_ * _)
+        grid.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("s_e2"), round(lit(1.0) - tb, 4).as("p_candidate"))
+      }
+      cfg(8, 1).union(cfg(4, 2)).union(cfg(2, 4)).union(cfg(1, 8))
+        .orderBy(col("bands").desc, col("s_e2"))
+    }),
+
     // -- SQ8 scalar quantization: per-dimension min/max ranges are a
     //    DETERMINISTIC training statistic (unlike k-means), so build +
     //    encode + search oracle end to end with no static variant.
@@ -3097,6 +3151,44 @@ object SparkEntry {
          |FROM tag t LEFT JOIN drops d
          |ON d.cluster = t.cluster AND d.dv = t.vec_id
          |GROUP BY t.cluster ORDER BY t.cluster""".stripMargin.replaceAll("\n", " ")
+    }
+    val pqDistortionOracle = {
+      // same static codebooks as ann_pq_static; per-element squared
+      // errors hit the 1e-12 integer grid BEFORE any corpus-wide sum
+      s"""WITH cb AS (SELECT g.grp, CAST(e.vec_id AS INTEGER) AS code,
+         |  list_transform(e.embedding[g.grp * 8 + 1 : g.grp * 8 + 8],
+         |    x -> CAST(x AS DOUBLE)) AS centroid
+         |  FROM embeddings e, range(0, 8) g(grp) WHERE e.vec_id < 16),
+         |sub AS (SELECT v.vec_id, g.grp,
+         |  list_transform(v.embedding[g.grp * 8 + 1 : g.grp * 8 + 8],
+         |    x -> CAST(x AS DOUBLE)) AS sv
+         |  FROM embeddings v, range(0, 8) g(grp)),
+         |d AS (SELECT sub.vec_id, sub.grp,
+         |  min(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(sv, (x, i) ->
+         |      (x - cb.centroid[i]) * (x - cb.centroid[i]))),
+         |    (a, b) -> a + b)) AS err2
+         |  FROM sub JOIN cb USING (grp) GROUP BY sub.vec_id, sub.grp),
+         |e12 AS (SELECT grp, CAST(round(err2 * 1000000000000) AS BIGINT) AS e
+         |  FROM d)
+         |SELECT grp, CAST(count(*) AS BIGINT) AS n_vecs,
+         | CAST(sum(e) AS BIGINT) AS sse_e12,
+         | CAST(sum(e) // count(*) AS BIGINT) AS mse_e12,
+         | CAST(max(e) AS BIGINT) AS max_e12
+         |FROM e12 GROUP BY grp ORDER BY grp""".stripMargin.replaceAll("\n", " ")
+    }
+    val lshPlanOracle = {
+      def cfgSql(b: Int, r: Int): String = {
+        val sv = "(CAST(s_e2 AS DOUBLE) / 100.0)"
+        val sr = List.fill(r)(sv).mkString(" * ")
+        val tb = List.fill(b)(s"(1.0 - ($sr))").mkString(" * ")
+        s"SELECT $b AS bands, $r AS rows_per_band, s_e2, " +
+          s"round(1.0 - ($tb), 4) AS p_candidate FROM g"
+      }
+      "WITH g AS (SELECT i * 5 AS s_e2 FROM range(1, 20) t(i)) " +
+        Seq((8, 1), (4, 2), (2, 4), (1, 8)).map((cfgSql _).tupled)
+          .mkString(" UNION ALL ") +
+        " ORDER BY bands DESC, s_e2"
     }
     val sourceOverlapOracle = {
       val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
@@ -3997,6 +4089,9 @@ object SparkEntry {
       "graph_pagerank" -> pagerankOracle,
       // kmeans replay (1e-6 snap) + cluster-local pair sweep
       "dedup_semantic" -> semanticDedupOracle,
+      "pq_distortion" -> pqDistortionOracle,
+      // explicit multiply chains, no pow(): engine-identical doubles
+      "lsh_plan" -> lshPlanOracle,
       // truth = exact shingle-set Jaccard >= 1/2 (integer cut) over
       // shared-shingle candidates; pred = the minhash band pairs CTE
       "dedup_recall" -> {
