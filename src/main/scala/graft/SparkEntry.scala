@@ -377,6 +377,71 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // -- TPC-H Q14 shape (promotion effect): one month of lineitem
+    //    joins part (date predicate on the scan; part scales with SF
+    //    so AQE picks the join side), CASE-split revenue folds
+    //    map-side into two partial sums; the ratio is computed from
+    //    the two ROUNDED sums so it is deterministic --
+    "q14_promo" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-02-01"))
+      l.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(0.0)), 2).as("promo_revenue"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 2)
+            .as("promo_pct"))
+    }),
+
+    // -- TPC-H Q17 shape (small-quantity revenue): the correlated
+    //    avg-quantity subquery DEcorrelates into one partkey-grouped
+    //    aggregate joined back (the 100 TB plan: aggregate once, not
+    //    per probe row); the threshold compare is the exact-integer
+    //    cross-multiplication qty_c * 5n < sum_c in cents, so no
+    //    float-avg boundary exposure --
+    "q17_small_qty" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .withColumn("qty_c", expr("CAST(round(l_quantity * 100) AS BIGINT)"))
+      val p = t(s, dir, "part")
+        .where(col("p_brand") === "Brand#13" && col("p_size") < 15)
+      val th = l.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("qty_c")).as("sum_c"), count(lit(1)).as("n"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(th, col("l_partkey") === col("pk"))
+        .where(col("qty_c") * 5 * col("n") < col("sum_c"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // -- TPC-H Q22 shape (lapsed wealthy customers): above-average
+    //    positive balance AND no orders since 2000 (every customer in
+    //    this corpus has SOME order, so the classic no-orders form is
+    //    vacuous — the windowed anti join keeps the Q22 plan shape
+    //    AND a non-trivial answer). The avg is a 1-row broadcast
+    //    compared by exact-integer cross-multiplication (bal_c * n >
+    //    sum_c in cents); NOT EXISTS becomes a left_anti join on
+    //    custkey — no correlated per-row probe anywhere --
+    "q22_idle_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("bal_c", expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+      val avgBal = c.where(col("bal_c") > 0)
+        .agg(sum(col("bal_c")).as("sum_c"), count(lit(1)).as("n"))
+      c.crossJoin(broadcast(avgBal))
+        .where(col("bal_c") * col("n") > col("sum_c"))
+        .join(t(s, dir, "orders")
+            .where(col("o_orderdate") >= lit("2000-01-01"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_c"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // -- exact interpolated percentiles (reference has no aggs beyond
     //    COUNT; this is the analytics-side extension) --
     "events_quantiles" -> ((s, dir) =>
@@ -5366,6 +5431,44 @@ object SparkEntry {
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_price DESC, o_orderkey LIMIT 100""".stripMargin.replaceAll("\n", " "),
+    // ratio computed from the two ROUNDED sums on both sides
+    "q14_promo" ->
+      """WITH j AS (SELECT p_type, l_extendedprice, l_discount
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-02-01'),
+        |a AS (SELECT
+        |  round(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS promo_revenue,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM j)
+        |SELECT promo_revenue, total_revenue,
+        | round(100.0 * promo_revenue / total_revenue, 2) AS promo_pct
+        |FROM a""".stripMargin.replaceAll("\n", " "),
+    // exact-integer cross-multiplied threshold (cents), no float avg
+    "q17_small_qty" ->
+      """WITH lq AS (SELECT l_partkey, l_extendedprice,
+        |  CAST(round(l_quantity * 100) AS BIGINT) AS qty_c FROM lineitem),
+        |th AS (SELECT l_partkey AS pk, CAST(sum(qty_c) AS BIGINT) AS sum_c,
+        |  CAST(count(*) AS BIGINT) AS n FROM lq GROUP BY l_partkey),
+        |f AS (SELECT lq.l_extendedprice FROM lq
+        |  JOIN part p ON lq.l_partkey = p.p_partkey
+        |    AND p.p_brand = 'Brand#13' AND p.p_size < 15
+        |  JOIN th ON lq.l_partkey = th.pk
+        |  WHERE lq.qty_c * 5 * th.n < th.sum_c)
+        |SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        | CAST(count(*) AS BIGINT) AS n_items FROM f""".stripMargin.replaceAll("\n", " "),
+    "q22_idle_customers" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
+        |a AS (SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c,
+        |  CAST(count(*) AS BIGINT) AS n FROM c WHERE bal_c > 0),
+        |f AS (SELECT c.c_nationkey, c.bal_c FROM c, a
+        |  WHERE c.bal_c * a.n > a.sum_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= '2000-01-01'))
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        | CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+        |FROM f GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin.replaceAll("\n", " "),
     "events_quantiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med,
         | round(quantile_cont(value, 0.9), 4) AS p90, round(avg(value), 4) AS mean
