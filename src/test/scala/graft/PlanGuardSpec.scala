@@ -224,6 +224,46 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(exec.toString.contains("TakeOrderedAndProject"), exec.toString)
   }
 
+  test("q17_small_qty: decorrelated threshold joins, no nested loop") {
+    val p = plan("q17_small_qty")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the part predicate reaches the scan
+    assert(p.contains("EqualTo(p_brand,Brand#13)"), p)
+  }
+
+  test("q22_idle_customers: windowed NOT EXISTS stays a left anti join") {
+    val p = plan("q22_idle_customers")
+    assert(p.contains("LeftAnti"), p)
+    // the order-date window pushes to the orders scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("dedup_semantic: cluster-equi pair join, no cartesian") {
+    val p = plan("dedup_semantic")
+    // the centroid assignment crossJoins a broadcast k-row table by
+    // design (the ann_ivf shape); what must NOT appear is an
+    // unbounded cartesian, and the PAIR stage must join ON cluster
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Join \\[cluster#".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("tokens_cms: counter table is broadcast, vocab aggregated map-side") {
+    val p = plan("tokens_cms")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("quality_classifier / ngram_diversity: corpus collapses map-side") {
+    // partial aggregation before each query's only corpus-sized
+    // exchange: the explode feeds partial_count, never raw rows
+    for (q <- Seq("quality_classifier", "ngram_diversity")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
   test("embed_pca gram partials: one shuffle moves dim^2-per-partition rows") {
     import graft.operators.Pca
     val docs = graft.Tables.load(spark, dir, "embeddings")
