@@ -1144,6 +1144,42 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // -- per-source OOV rate under the top-256 global vocabulary: the
+    //    other face of vocab_coverage — which sources pay the
+    //    unknown-token tax under a fixed tokenizer budget. The vocab
+    //    is budget-sized (broadcast) regardless of corpus scale; the
+    //    token stream joins it map-side and collapses to per-source
+    //    counts before the only shuffle --
+    "vocab_oov" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("source"), explode(TextFuncs.tokens(col("text"))).as("term"))
+      val top = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(256)
+        .select(col("term"), lit(1L).as("in_vocab"))
+      tok.join(broadcast(top), Seq("term"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov"))
+        .withColumn("oov_e5", expr("(oov * 100000) div n_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // -- tokenizer fertility proxy per language: chars-per-whitespace-
+    //    token (the screen that predicts how hard a BPE budget will
+    //    split each language; pairs with bpe_tokenize's measured
+    //    compression). Integer-exact in 1e-3 units; one partial-agg
+    //    shuffle over |langs| rows --
+    "token_fertility" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          size(TextFuncs.tokens(col("text"))).cast("bigint").as("n_toks"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("chars_per_token_e3",
+          expr("(sum_chars * 1000) div n_tokens"))
+        .orderBy(col("lang"))),
+
     // -- per-source token-distribution entropy + effective vocabulary
     //    (exp(H)): the diversity screen that separates template/ID
     //    soup (low H) from natural text at equal vocab size —
@@ -3560,6 +3596,25 @@ object SparkEntry {
            |  FROM top)
            |SELECT rank, term, n, CAST((cum * 100000) // t.t AS BIGINT) AS coverage_e5
            |FROM r, t ORDER BY rank""".stripMargin.replaceAll("\n", " "),
+      // same (count desc, term) top-256 cut as vocab_coverage
+      "vocab_oov" ->
+        s"""WITH tok AS (SELECT source, unnest($toks) AS term FROM documents),
+           |top AS (SELECT term FROM (SELECT term, count(*) AS c FROM tok
+           |  GROUP BY term ORDER BY c DESC, term LIMIT 256) _t)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+           | CAST(sum(CASE WHEN top.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov,
+           | CAST((sum(CASE WHEN top.term IS NULL THEN 1 ELSE 0 END) * 100000)
+           |   // count(*) AS BIGINT) AS oov_e5
+           |FROM tok LEFT JOIN top USING (term)
+           |GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " "),
+      "token_fertility" ->
+        s"""WITH d AS (SELECT lang, n_chars,
+           |  CAST(len($toks) AS BIGINT) AS n_toks FROM documents)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           | CAST((sum(n_chars) * 1000) // sum(n_toks) AS BIGINT) AS chars_per_token_e3
+           |FROM d GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " "),
       // the float fold is sequence-identical to the Spark side:
       // term-sorted transform, zero-seeded left reduce
       "quality_entropy" ->
