@@ -442,6 +442,34 @@ object SparkEntry {
         .orderBy(col("c_nationkey"))
     }),
 
+    // -- Pareto / ABC revenue concentration: customers ranked by
+    //    descending revenue, classed A/B/C at the exact 80%/95%
+    //    cumulative-share cuts. The running sum uses
+    //    Rank.globalCumSum (value-bucketed distributed prefix sum) —
+    //    a plain `sum() OVER (ORDER BY ...)` would funnel every
+    //    customer through ONE task; here the only windows are
+    //    bucket-partitioned. All arithmetic in integer cents with
+    //    cross-multiplied class cuts --
+    "orders_pareto" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_c"))
+        .withColumn("neg_c", -col("rev_c"))
+      graft.operators.Rank
+        .globalCumSum(rev, "rev_c", "cum_c", "tot_c",
+          col("neg_c"), col("o_custkey"))
+        .withColumn("cls",
+          when(col("cum_c") * 100 <= col("tot_c") * 80, "A")
+            .when(col("cum_c") * 100 <= col("tot_c") * 95, "B")
+            .otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("rev_c")).as("class_rev_c"),
+          max(col("tot_c")).as("t"))
+        .withColumn("share_e5", expr("(class_rev_c * 100000) div t"))
+        .drop("t")
+        .orderBy(col("cls"))
+    }),
+
     // -- exact interpolated percentiles (reference has no aggs beyond
     //    COUNT; this is the analytics-side extension) --
     "events_quantiles" -> ((s, dir) =>
@@ -5524,6 +5552,23 @@ object SparkEntry {
         |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
         | CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
         |FROM f GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin.replaceAll("\n", " "),
+    // oracle uses the plain global window (single-node engine);
+    // integer cents + cross-multiplied cuts match bit-for-bit
+    "orders_pareto" ->
+      """WITH rev AS (SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY o_custkey),
+        |c AS (SELECT o_custkey, rev_c,
+        |  CAST(sum(rev_c) OVER (ORDER BY -rev_c, o_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c,
+        |  CAST(sum(rev_c) OVER () AS BIGINT) AS tot_c FROM rev),
+        |cl AS (SELECT CASE WHEN cum_c * 100 <= tot_c * 80 THEN 'A'
+        |  WHEN cum_c * 100 <= tot_c * 95 THEN 'B' ELSE 'C' END AS cls,
+        |  rev_c, tot_c FROM c)
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n_customers,
+        | CAST(sum(rev_c) AS BIGINT) AS class_rev_c,
+        | CAST((sum(rev_c) * 100000) // max(tot_c) AS BIGINT) AS share_e5
+        |FROM cl GROUP BY cls ORDER BY cls""".stripMargin.replaceAll("\n", " "),
     "events_quantiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med,
         | round(quantile_cont(value, 0.9), 4) AS p90, round(avg(value), 4) AS mean

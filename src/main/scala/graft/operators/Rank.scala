@@ -113,4 +113,47 @@ object Rank {
            |end as int)""".stripMargin))
       .drop("__pid", "__off", "__n", "__rank")
   }
+
+  /** Exact running sum of `valueCol` (an exact-integer column — cents
+    * / e-units, never raw doubles) in the caller's total order, plus
+    * the grand total, with NO single-task stage — the same
+    * value-bucket strategy as [[globalNtile]]: literal boundaries
+    * from approxQuantile on the leading order column, per-bucket
+    * VALUE sums prefix-summed through the broadcast triangle join,
+    * and a bucket-partitioned running-sum window. Backs Pareto/ABC
+    * concentration analyses where `sum(x) OVER (ORDER BY ...)` — an
+    * empty-partition window — would funnel the entity frame through
+    * one task. Order must be total (include a unique tiebreak);
+    * leading column non-null numeric. Adds `out` (cumulative sum
+    * including the current row) and `outTotal` (grand total).
+    */
+  def globalCumSum(df0: DataFrame, valueCol: String, out: String,
+      outTotal: String, order: Column*): DataFrame = {
+    val df = df0.localCheckpoint(true)
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val vd = order.head.cast("double")
+    val cuts = df.select(vd.as("__v"))
+      .stat.approxQuantile("__v",
+        (1 until parts).map(_.toDouble / parts).toArray, 0.001)
+      .distinct.sorted
+    val bucketed =
+      if (cuts.isEmpty) df.withColumn("__pid", lit(0))
+      else df.withColumn("__pid",
+        size(filter(array(cuts.map(c => lit(c)): _*), c => c <= vd)))
+    val sums = bucketed.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__bsum"))
+    val offsets = sums.as("a")
+      .crossJoin(broadcast(sums.as("b")))
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(
+        sum(when(col("b.__pid") < col("a.__pid"), col("b.__bsum"))
+          .otherwise(lit(0L))).as("__off"),
+        sum(col("b.__bsum")).as(outTotal))
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(offsets), "__pid")
+      .withColumn(out, col("__off") + sum(col(valueCol)).over(w))
+      .drop("__pid", "__off")
+  }
 }

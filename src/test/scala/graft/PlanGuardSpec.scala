@@ -193,7 +193,7 @@ class PlanGuardSpec extends AnyFunSuite {
   }
 
   test("orders_rfm / user_activity_deciles: no partition-less window anywhere") {
-    for (q <- Seq("orders_rfm", "user_activity_deciles")) {
+    for (q <- Seq("orders_rfm", "user_activity_deciles", "orders_pareto")) {
       val exec = SparkEntry.queries(q)(spark, dir)
         .queryExecution.executedPlan
       val bad = windows(exec).filter(_.partitionSpec.isEmpty)

@@ -34,4 +34,21 @@ class RankSpec extends AnyFunSuite {
   test("n < k: one row per tile, like SQL ntile") { check(5, 10) }
 
   test("exact divisibility: equal buckets") { check(90, 9) }
+
+  test("globalCumSum matches the global running-sum window") {
+    // heavy ties + negatives (the descending-Pareto usage negates)
+    val df = (1 to 200)
+      .map(i => (i.toLong, (i * 37 % 13).toLong - 6))
+      .toDF("id", "v")
+    val w = Window.orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("cum", sum(col("v")).over(w))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val got = Rank.globalCumSum(df, "v", "cum", "tot", col("v"), col("id"))
+    val gotMap = got.select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(gotMap === expected)
+    val tots = got.select("tot").as[Long].collect().toSet
+    assert(tots === Set(df.agg(sum(col("v"))).as[Long].head))
+  }
 }
