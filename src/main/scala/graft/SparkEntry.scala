@@ -515,6 +515,29 @@ object SparkEntry {
 
     // -- cohort retention: cohort = first-activity day, cell (cohort,
     //    age) = distinct users active `age` days after joining --
+    // -- DAU/WAU stickiness: the engagement ratio per day. WAU comes
+    //    from a CONSTANT-7 explode of the distinct (user, day) frame
+    //    (each active day covers targets day..day+6) — never a range
+    //    join or a per-day 7-day rescan; everything downstream of the
+    //    first distinct is |users x active-days| bounded --
+    "events_stickiness" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+        .distinct()
+      val dayList = ud.select(col("day")).distinct()
+      val dau = ud.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = ud.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .distinct()
+        .join(dayList, Seq("day"), "left_semi")
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, Seq("day"))
+        .withColumn("stickiness_e5", expr("(dau * 100000) div wau"))
+        .orderBy(col("day"))
+        .limit(100)
+    }),
+
     "events_retention" -> ((s, dir) => {
       val days = t(s, dir, "events")
         .select(col("user_id"),
@@ -1853,6 +1876,37 @@ object SparkEntry {
       Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // -- dedup quality-cost audit: what the keep-lowest-id near-dup
+    //    policy actually deletes, per source — drop counts and the
+    //    high-quality casualties (4-dp score >= 0.7). The decision
+    //    input for switching a source to dedup_cluster_best
+    //    (keep-BEST) instead: high hiq_dropped = the arbitrary-min-id
+    //    policy is burning good documents. Pair generation is the
+    //    banded minhash path; the score join touches each doc once --
+    "dedup_quality_cost" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val drops = Dedup.minhashPairs(docs, "text", "doc_id")
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("dropped", lit(1L))
+      val n = col("st.n_tokens").cast("double")
+      val stop = (col("st.marker_counts")(0) + col("st.marker_counts")(1))
+        .cast("double") / n
+      val q = least(lit(1.0), n / 100) * 0.4 +
+        (lit(1.0) - stop) * 0.3 +
+        (col("st.n_distinct") / n) * 0.3
+      docs.select(col("doc_id"), col("source"),
+          TextExprs.token_stats(col("text"), Seq("the", "a")).as("st"))
+        .select(col("doc_id"), col("source"), round(q, 4).as("quality"))
+        .join(drops, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"),
+          sum(when(col("dropped").isNotNull && col("quality") >= 0.7, 1L)
+            .otherwise(0L)).as("hiq_dropped"))
+        .withColumn("dropped_e5", expr("(n_dropped * 100000) div n_docs"))
+        .orderBy(col("source"))
+    }),
+
     // -- exact-integer PageRank over the minhash dup graph: which
     //    documents sit at the CENTER of duplication clusters (hub
     //    mirrors / canonical sources) vs the periphery — ranks in
@@ -2393,6 +2447,27 @@ object SparkEntry {
       val tagged = Ann.tagCorpus(e, "vec_id", "embedding", cents)
       Ann.searchIvf(tagged, cents, queryVec(s, dir, 0),
         "vec_id", "embedding", "cosine", 10, nprobe = 2)
+    }),
+
+    // -- IVF cluster-balance audit: the index-health readout (skewed
+    //    clusters = skewed probe latency + wasted scan budget at
+    //    serving time). Per-cluster member counts plus the imbalance
+    //    ratio vs the ideal n/k in 1e-3 units — integer-exact; one
+    //    tag pass + a k-row aggregate. Run after every
+    //    append/compact cycle; the retrain trigger alongside
+    //    ann_recall_matrix --
+    "ivf_balance" -> ((s, dir) => {
+      val (tagged, _) = Ann.buildIvf(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 3,
+        trainSampleMod = 2)
+      val counts = tagged.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+      val tot = counts.agg(sum(col("n_members")).as("n"),
+        count(lit(1)).as("k"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("cluster"), col("n_members"),
+          expr("(n_members * k * 1000) div n").as("load_e3"))
+        .orderBy(col("cluster"))
     }),
 
     // -- MMR diversified top-k (Carbonell-Goldstein): one corpus-sized
@@ -3319,6 +3394,50 @@ object SparkEntry {
           .mkString(" UNION ALL ") +
         " ORDER BY bands DESC, s_e2"
     }
+    val ivfBalanceOracle = {
+      val l2t = sqlL2("ev.v", "c.centroid")
+      s"""WITH ${kmeansCtes(k = 8, iters = 3, sampleMod = 2)},
+         |ev AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |tag AS (SELECT vec_id, cluster FROM (
+         |  SELECT ev.vec_id, c.cluster,
+         |    row_number() OVER (PARTITION BY ev.vec_id
+         |      ORDER BY $l2t, c.cluster) AS rn
+         |  FROM ev, c3 c) _t WHERE rn = 1),
+         |cnt AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM tag GROUP BY cluster),
+         |tot AS (SELECT CAST(sum(n_members) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS k FROM cnt)
+         |SELECT cluster, n_members,
+         | CAST((n_members * k * 1000) // n AS BIGINT) AS load_e3
+         |FROM cnt, tot ORDER BY cluster""".stripMargin.replaceAll("\n", " ")
+    }
+    val dedupQualityCostOracle = {
+      val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+      s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+         |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
+         |  FROM tk WHERE len(toks) >= 3),
+         |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
+         |drops AS (SELECT DISTINCT y.doc AS doc_id
+         |  FROM bands x JOIN bands y
+         |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc),
+         |sc AS (SELECT d.doc_id, d.source,
+         |  round(least(1.0, CAST(len(t2.toks) AS DOUBLE) / 100) * 0.4 +
+         |   (1.0 - ${SqlSnips.stopRatio("t2.toks", Seq("the", "a"))}) * 0.3 +
+         |   (len(list_distinct(t2.toks)) / CAST(len(t2.toks) AS DOUBLE)) * 0.3, 4)
+         |    AS quality
+         |  FROM documents d JOIN (SELECT doc_id, $toks AS toks FROM documents) t2
+         |  USING (doc_id))
+         |SELECT sc.source, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(count(dr.doc_id) AS BIGINT) AS n_dropped,
+         | CAST(sum(CASE WHEN dr.doc_id IS NOT NULL AND sc.quality >= 0.7
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS hiq_dropped,
+         | CAST((count(dr.doc_id) * 100000) // count(*) AS BIGINT) AS dropped_e5
+         |FROM sc LEFT JOIN drops dr ON dr.doc_id = sc.doc_id
+         |GROUP BY sc.source ORDER BY sc.source""".stripMargin.replaceAll("\n", " ")
+    }
     val sourceOverlapOracle = {
       val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
       s"""WITH tk AS (SELECT source, $toks AS toks FROM documents),
@@ -4238,6 +4357,8 @@ object SparkEntry {
       // kmeans replay (1e-6 snap) + cluster-local pair sweep
       "dedup_semantic" -> semanticDedupOracle,
       "pq_distortion" -> pqDistortionOracle,
+      "ivf_balance" -> ivfBalanceOracle,
+      "dedup_quality_cost" -> dedupQualityCostOracle,
       // explicit multiply chains, no pow(): engine-identical doubles
       "lsh_plan" -> lshPlanOracle,
       // truth = exact shingle-set Jaccard >= 1/2 (integer cut) over
@@ -5590,6 +5711,21 @@ object SparkEntry {
         |SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
         | CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click_after_signup,
         | CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_after_click""".stripMargin.replaceAll("\n", " "),
+    // constant-7 explode mirrors the Spark WAU derivation exactly
+    "events_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // 1000000 // 86400 AS day FROM events),
+        |dl AS (SELECT DISTINCT day FROM ud),
+        |dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM ud GROUP BY day),
+        |w0 AS (SELECT DISTINCT user_id, day + j AS day
+        |  FROM ud, range(0, 7) t(j)),
+        |wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM w0 WHERE day IN (SELECT day FROM dl) GROUP BY day)
+        |SELECT dau.day, dau.dau, wau.wau,
+        | CAST((dau.dau * 100000) // wau.wau AS BIGINT) AS stickiness_e5
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY dau.day LIMIT 100""".stripMargin.replaceAll("\n", " "),
     "events_retention" ->
       """WITH d AS (SELECT user_id, epoch_us(ts) // 1000000 // 86400 AS day FROM events),
         |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
