@@ -442,6 +442,25 @@ object SparkEntry {
         .orderBy(col("c_nationkey"))
     }),
 
+    // -- inter-order cadence: day gaps between consecutive orders per
+    //    customer (lag window PARTITIONED by custkey — never global),
+    //    bucketed to a 30-day histogram. The purchase-rhythm
+    //    distribution behind RFM's recency axis; integer day math end
+    //    to end --
+    "orders_gap" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("day"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+        .withColumn("prev", lag(col("day"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(expr("(day - prev) div 30").as("gap_bucket"))
+        .groupBy(col("gap_bucket")).agg(count(lit(1)).as("n_gaps"))
+        .orderBy(col("gap_bucket"))
+    }),
+
     // -- Pareto / ABC revenue concentration: customers ranked by
     //    descending revenue, classed A/B/C at the exact 80%/95%
     //    cumulative-share cuts. The running sum uses
@@ -968,6 +987,35 @@ object SparkEntry {
         .select(col("total_tokens"), col("distinct_tokens"), col("regex_tokens"))
     }),
 
+    // -- Gopher-style multi-rule quality screen, per source: how many
+    //    docs fail each structural rule (too short/long, mean word
+    //    length out of band, zero stopwords, >10% repeated tokens).
+    //    Unlike quality_score's blended scalar this keeps rules
+    //    SEPARATE — the remediation differs per rule (truncation vs
+    //    drop vs lang reroute). All thresholds are integer
+    //    cross-multiplications; one map-side pass collapses each doc
+    //    to five longs before the |sources| aggregate --
+    "quality_rules" -> ((s, dir) => {
+      val toks = TextFuncs.tokens(col("text"))
+      t(s, dir, "documents").select(col("source"),
+          size(toks).cast("long").as("n"),
+          aggregate(transform(toks, tk => length(tk).cast("long")),
+            lit(0L), (a, b) => a + b).as("sum_len"),
+          size(array_distinct(toks)).cast("long").as("n_dist"),
+          (size(filter(toks, tk => tk === "the")) +
+            size(filter(toks, tk => tk === "a"))).cast("long").as("markers"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n") < 20, 1L).otherwise(0L)).as("short_fail"),
+          sum(when(col("n") > 88, 1L).otherwise(0L)).as("long_fail"),
+          sum(when(col("sum_len") < col("n") * 4 ||
+            col("sum_len") > col("n") * 5, 1L).otherwise(0L)).as("meanlen_fail"),
+          sum(when(col("markers") === 0, 1L).otherwise(0L)).as("stop_fail"),
+          sum(when(col("n_dist") * 10 < col("n") * 9, 1L).otherwise(0L))
+            .as("rep_fail"))
+        .orderBy(col("source"))
+    }),
+
     "lang_id" -> ((s, dir) => {
       val nThe = col("st.marker_counts")(0)
       val nA = col("st.marker_counts")(1)
@@ -1264,15 +1312,20 @@ object SparkEntry {
     //    units). The self-BLEU-style redundancy screen — a source
     //    whose trigram stream is mostly repeats is template soup even
     //    when its per-doc repetition (quality_repetition) looks fine.
-    //    Corpus collapses to |sources|x|trigrams| counts map-side --
+    //    Distinctness is counted over the PORTABLE HASH of the
+    //    trigram (the codegen'd shingle_hashes kernel — the minhash
+    //    candidate stream), not the string: the distinct shuffle then
+    //    moves 8 bytes per gram instead of the ~50-char text, and
+    //    because both engines apply the identical hash, the count
+    //    matches bit-for-bit even at a collision. Corpus collapses
+    //    to |sources|x|trigram-hashes| counts map-side --
     "ngram_diversity" -> ((s, dir) => {
-      val tk = TextFuncs.tokens(col("text"))
       t(s, dir, "documents")
-        .where(size(tk) >= 3)
-        .select(col("source"), explode(TextFuncs.shingles(tk, 3)).as("g"))
+        .select(col("source"),
+          explode(TextExprs.shingle_hashes(col("text"), 3)).as("h"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_grams"),
-          countDistinct(col("g")).as("n_distinct"))
+          countDistinct(col("h")).as("n_distinct"))
         .withColumn("rep_e5",
           expr("((n_grams - n_distinct) * 100000) div n_grams"))
         .orderBy(col("source"))
@@ -3743,6 +3796,25 @@ object SparkEntry {
            |  FROM top)
            |SELECT rank, term, n, CAST((cum * 100000) // t.t AS BIGINT) AS coverage_e5
            |FROM r, t ORDER BY rank""".stripMargin.replaceAll("\n", " "),
+      // integer cross-multiplied rule thresholds, one pass per doc
+      "quality_rules" ->
+        s"""WITH d AS (SELECT source, $toks AS tk FROM documents),
+           |m AS (SELECT source, CAST(len(tk) AS BIGINT) AS n,
+           |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(tk, t -> CAST(length(t) AS BIGINT))),
+           |    (a, b) -> a + b) AS BIGINT) AS sum_len,
+           |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_dist,
+           |  CAST(len(list_filter(tk, t -> t = 'the'))
+           |    + len(list_filter(tk, t -> t = 'a')) AS BIGINT) AS markers
+           |  FROM d)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(CASE WHEN n < 20 THEN 1 ELSE 0 END) AS BIGINT) AS short_fail,
+           | CAST(sum(CASE WHEN n > 88 THEN 1 ELSE 0 END) AS BIGINT) AS long_fail,
+           | CAST(sum(CASE WHEN sum_len < n * 4 OR sum_len > n * 5
+           |   THEN 1 ELSE 0 END) AS BIGINT) AS meanlen_fail,
+           | CAST(sum(CASE WHEN markers = 0 THEN 1 ELSE 0 END) AS BIGINT) AS stop_fail,
+           | CAST(sum(CASE WHEN n_dist * 10 < n * 9 THEN 1 ELSE 0 END) AS BIGINT) AS rep_fail
+           |FROM m GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " "),
       // same (count desc, term) top-256 cut as vocab_coverage
       "vocab_oov" ->
         s"""WITH tok AS (SELECT source, unnest($toks) AS term FROM documents),
@@ -3780,10 +3852,14 @@ object SparkEntry {
            |SELECT source, vocab, n_tokens, round(hh, 4) AS entropy,
            | round(exp(hh), 2) AS eff_vocab
            |FROM h ORDER BY source""".stripMargin.replaceAll("\n", " "),
-      // integer trigram counts; repeated mass exact in 1e-5 units
+      // integer trigram-hash counts; repeated mass exact in 1e-5
+      // units (same portable charFold over each shingle as the
+      // Spark-side shingle_hashes kernel)
       "ngram_diversity" ->
         s"""WITH d AS (SELECT source, $toks AS tk FROM documents),
-           |u AS (SELECT source, unnest(${SqlSnips.shingles("tk", 3)}) AS g
+           |u AS (SELECT source,
+           |  unnest(list_transform(${SqlSnips.shingles("tk", 3)},
+           |    g -> ${SqlSnips.charFold("g")})) AS g
            |  FROM d WHERE len(tk) >= 3)
            |SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
            | CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
@@ -5673,6 +5749,17 @@ object SparkEntry {
         |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
         | CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
         |FROM f GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin.replaceAll("\n", " "),
+    // customer-partitioned lag, integer day arithmetic
+    "orders_gap" ->
+      """WITH d AS (SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        |  FROM orders),
+        |g AS (SELECT day - lag(day) OVER (PARTITION BY o_custkey
+        |  ORDER BY day, o_orderkey) AS gap FROM d)
+        |SELECT CAST(gap // 30 AS BIGINT) AS gap_bucket,
+        | CAST(count(*) AS BIGINT) AS n_gaps
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY gap_bucket ORDER BY gap_bucket""".stripMargin.replaceAll("\n", " "),
     // oracle uses the plain global window (single-node engine);
     // integer cents + cross-multiplied cuts match bit-for-bit
     "orders_pareto" ->
