@@ -850,6 +850,33 @@ object SparkEntry {
         .orderBy(col("source"), col("split"))
     }),
 
+    // -- split leakage audit: near-dup pairs whose endpoints landed in
+    //    DIFFERENT train/val/test splits — the eval-integrity check a
+    //    random doc-level split always needs (a val doc with a train
+    //    near-twin inflates eval). Banded minhash pairs joined twice
+    //    against the pure-integer split assignment, cross-tabbed by
+    //    canonical split pair; off-diagonal rows are the leaks and
+    //    the input to a group-level re-split --
+    "split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = pmod(col("doc_id") * lit(2654435761L) + lit(1013904223L),
+        lit(100L))
+      val split = docs.select(col("doc_id"),
+        when(bucket < 90, lit("train"))
+          .when(bucket < 95, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      Dedup.minhashPairs(docs, "text", "doc_id")
+        .join(split.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("split", "sa"), "doc_a")
+        .join(split.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("split", "sb"), "doc_b")
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("split_a"), col("split_b"))
+    }),
+
     // -- the same MAD operator reused across tables: per-nation
     //    supplier account-balance outliers (finance-style audit) —
     //    the operator takes any (key, tiebreak, value) frame --
@@ -2502,6 +2529,23 @@ object SparkEntry {
         "vec_id", "embedding", "cosine", 10, nprobe = 2)
     }),
 
+    // -- embedding norm histogram (0.1-wide buckets): the
+    //    pre-normalization audit run before any cosine index build —
+    //    zero/tiny norms poison cosine (the kernel's zero->1.0 guard
+    //    fires) and a bimodal histogram means mixed embedding
+    //    versions. Map-only fold per vector, |buckets| aggregate;
+    //    the fold is seed+left-reduce, sequence-identical to the
+    //    oracle's list_reduce --
+    "embed_norm_hist" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(expr(
+          """CAST(floor(sqrt(aggregate(
+            |  transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+            |  CAST(0.0 AS DOUBLE), (a, x) -> a + x)) * 10) AS BIGINT)"""
+            .stripMargin.replaceAll("\n", " ")).as("norm_d1"))
+        .groupBy(col("norm_d1")).agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("norm_d1"))),
+
     // -- IVF cluster-balance audit: the index-health readout (skewed
     //    clusters = skewed probe latency + wasted scan budget at
     //    serving time). Per-cluster member counts plus the imbalance
@@ -3465,6 +3509,27 @@ object SparkEntry {
          |SELECT cluster, n_members,
          | CAST((n_members * k * 1000) // n AS BIGINT) AS load_e3
          |FROM cnt, tot ORDER BY cluster""".stripMargin.replaceAll("\n", " ")
+    }
+    val splitLeakageOracle = {
+      val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+      s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+         |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
+         |  FROM tk WHERE len(toks) >= 3),
+         |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
+         |pairs AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+         |  FROM bands x JOIN bands y
+         |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN (doc_id * 2654435761 + 1013904223) % 100 < 90 THEN 'train'
+         |       WHEN (doc_id * 2654435761 + 1013904223) % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS split FROM documents)
+         |SELECT least(a.split, b.split) AS split_a,
+         | greatest(a.split, b.split) AS split_b,
+         | CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs JOIN sp a ON pairs.doc_a = a.doc_id
+         |JOIN sp b ON pairs.doc_b = b.doc_id
+         |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin.replaceAll("\n", " ")
     }
     val dedupQualityCostOracle = {
       val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
@@ -4435,6 +4500,15 @@ object SparkEntry {
       "pq_distortion" -> pqDistortionOracle,
       "ivf_balance" -> ivfBalanceOracle,
       "dedup_quality_cost" -> dedupQualityCostOracle,
+      "split_leakage" -> splitLeakageOracle,
+      // seed+left-reduce fold, floor to the 0.1 grid
+      "embed_norm_hist" ->
+        """SELECT CAST(floor(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |  list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+          |  (a, x) -> a + x)) * 10) AS BIGINT) AS norm_d1,
+          | CAST(count(*) AS BIGINT) AS n_vecs
+          |FROM embeddings GROUP BY norm_d1 ORDER BY norm_d1"""
+          .stripMargin.replaceAll("\n", " "),
       // explicit multiply chains, no pow(): engine-identical doubles
       "lsh_plan" -> lshPlanOracle,
       // truth = exact shingle-set Jaccard >= 1/2 (integer cut) over
