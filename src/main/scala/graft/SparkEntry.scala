@@ -442,6 +442,33 @@ object SparkEntry {
         .orderBy(col("c_nationkey"))
     }),
 
+    // -- join-key skew profile for lineitem.l_partkey: exact
+    //    multiplicity quantiles (nearest-rank selections) + the
+    //    max/median skew ratio — the number that says whether a join
+    //    on this key needs AQE skew handling or salting BEFORE you
+    //    run it at 100 TB. Per-key counts collapse map-side; the
+    //    quantile window runs on the |distinct multiplicities|
+    //    histogram (bounded by the multiplicity RANGE, not by keys —
+    //    the vocab_coverage bounded-window contract) --
+    "join_skew_profile" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val hist = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("cnt")).agg(count(lit(1)).as("n_keys"))
+      val tot = hist.agg(sum(col("n_keys")).as("n"))
+      hist.withColumn("cum", sum(col("n_keys")).over(w))
+        .crossJoin(broadcast(tot))
+        .agg(
+          max(col("n")).as("n_keys"),
+          min(col("cnt")).as("min_mult"),
+          max(col("cnt")).as("max_mult"),
+          min(when(col("cum") * 2 >= col("n"), col("cnt"))).as("p50_mult"),
+          min(when(col("cum") * 100 >= col("n") * 99, col("cnt"))).as("p99_mult"))
+        .withColumn("skew_ratio_e2", expr("(max_mult * 100) div p50_mult"))
+    }),
+
     // -- inter-order cadence: day gaps between consecutive orders per
     //    customer (lag window PARTITIONED by custkey — never global),
     //    bucketed to a 30-day histogram. The purchase-rhythm
@@ -1985,6 +2012,27 @@ object SparkEntry {
             .otherwise(0L)).as("hiq_dropped"))
         .withColumn("dropped_e5", expr("(n_dropped * 100000) div n_docs"))
         .orderBy(col("source"))
+    }),
+
+    // -- simhash hamming-distance histogram over the minhash
+    //    candidate pairs: where do real near-dups sit on the 0..32
+    //    hamming scale — the calibration read BEFORE picking a
+    //    simhash cut (a threshold chosen blind is the classic
+    //    near-dup false-negative source). Candidates come from the
+    //    banded pair path (never all-pairs); the simhash join is two
+    //    id-keyed lookups; xor+bit_count is exact integer on both
+    //    engines --
+    "simhash_hamming" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = Dedup.simhashDocs(docs, "text", "doc_id")
+      Dedup.minhashPairs(docs, "text", "doc_id")
+        .join(sh.withColumnRenamed("doc", "doc_a")
+          .withColumnRenamed("simhash", "ha"), "doc_a")
+        .join(sh.withColumnRenamed("doc", "doc_b")
+          .withColumnRenamed("simhash", "hb"), "doc_b")
+        .select(expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+        .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("hamming"))
     }),
 
     // -- exact-integer PageRank over the minhash dup graph: which
@@ -4501,6 +4549,40 @@ object SparkEntry {
       "ivf_balance" -> ivfBalanceOracle,
       "dedup_quality_cost" -> dedupQualityCostOracle,
       "split_leakage" -> splitLeakageOracle,
+      "simhash_hamming" -> {
+        val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+        val hashes = s"list_transform(toks, w -> ${SqlSnips.charFold("w")})"
+        s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+           |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
+           |  FROM tk WHERE len(toks) >= 3),
+           |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
+           |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
+           |pairs AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+           |  FROM bands x JOIN bands y
+           |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc),
+           |sh AS (SELECT doc, CAST(${SqlSnips.simhash32(hashes)} AS BIGINT) AS h
+           |  FROM tk)
+           |SELECT CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming,
+           | CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM pairs JOIN sh a ON pairs.doc_a = a.doc
+           |JOIN sh b ON pairs.doc_b = b.doc
+           |GROUP BY hamming ORDER BY hamming""".stripMargin.replaceAll("\n", " ")
+      },
+      "join_skew_profile" ->
+        """WITH c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM lineitem GROUP BY l_partkey),
+          |h AS (SELECT cnt, CAST(count(*) AS BIGINT) AS n_keys FROM c GROUP BY cnt),
+          |t AS (SELECT CAST(sum(n_keys) AS BIGINT) AS n FROM h),
+          |cu AS (SELECT cnt, n_keys,
+          |  CAST(sum(n_keys) OVER (ORDER BY cnt
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          |  FROM h)
+          |SELECT max(t.n) AS n_keys, min(cnt) AS min_mult, max(cnt) AS max_mult,
+          | min(CASE WHEN cum * 2 >= t.n THEN cnt END) AS p50_mult,
+          | min(CASE WHEN cum * 100 >= t.n * 99 THEN cnt END) AS p99_mult,
+          | CAST((max(cnt) * 100) // min(CASE WHEN cum * 2 >= t.n THEN cnt END)
+          |   AS BIGINT) AS skew_ratio_e2
+          |FROM cu, t""".stripMargin.replaceAll("\n", " "),
       // seed+left-reduce fold, floor to the 0.1 grid
       "embed_norm_hist" ->
         """SELECT CAST(floor(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
