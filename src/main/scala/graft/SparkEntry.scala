@@ -1831,6 +1831,54 @@ object SparkEntry {
         k = 10, nprobe = 2)
     }),
 
+    // -- composed eval-prep pipeline: hash-bucket split -> near-dup
+    //    leak removal (train docs with a test near-twin, via the
+    //    banded pair path) -> shingle decontamination vs the test
+    //    split -> per-source survivor manifest with both drop
+    //    reasons counted independently. The split/leakage/decontam
+    //    operators are each already oracled; the composition is ONE
+    //    lazy DAG (pairs and shingle streams each built once) — the
+    //    hygiene pass every eval suite needs before trusting its
+    //    numbers --
+    "pipeline_eval_prep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bucket = pmod(col("doc_id") * lit(2654435761L) + lit(1013904223L),
+        lit(100L))
+      val split = docs.select(col("doc_id"), col("source"),
+        when(bucket < 90, lit("train"))
+          .when(bucket < 95, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      val train = docs.join(split.where(col("split") === "train")
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val test = docs.join(split.where(col("split") === "test")
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
+      val sp = split.select(col("doc_id"), col("split"))
+      val near = pairs
+        .join(sp.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("split", "sa"), "doc_a")
+        .join(sp.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("split", "sb"), "doc_b")
+        .where((col("sa") === "train" && col("sb") === "test") ||
+          (col("sa") === "test" && col("sb") === "train"))
+        .select(when(col("sa") === "train", col("doc_a"))
+          .otherwise(col("doc_b")).as("doc_id"))
+        .distinct().withColumn("near", lit(1L))
+      val contam = Corpus.contaminatedIds(train, test, "text", "doc_id",
+          shingleK = 3)
+        .withColumn("contam", lit(1L))
+      split.where(col("split") === "train")
+        .join(near, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_train"),
+          sum(coalesce(col("near"), lit(0L))).as("drop_neardup"),
+          sum(coalesce(col("contam"), lit(0L))).as("drop_contam"),
+          sum(when(col("near").isNull && col("contam").isNull, 1L)
+            .otherwise(0L)).as("survivors"))
+        .orderBy(col("source"))
+    }),
+
     // -- the full pretraining-mix pipeline: exact-dedup keep-one ->
     //    decontaminate vs the doc_id%97 bench -> per-lang top-quality
     //    quartile -> per-source token-budget mixture -> shard assign;
@@ -3579,6 +3627,42 @@ object SparkEntry {
          |JOIN sp b ON pairs.doc_b = b.doc_id
          |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin.replaceAll("\n", " ")
     }
+    val evalPrepOracle = {
+      val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+      s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+         |sp AS (SELECT doc_id, source,
+         |  CASE WHEN (doc_id * 2654435761 + 1013904223) % 100 < 90 THEN 'train'
+         |       WHEN (doc_id * 2654435761 + 1013904223) % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS split FROM documents),
+         |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
+         |  FROM tk WHERE len(toks) >= 3),
+         |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
+         |pairs AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+         |  FROM bands x JOIN bands y
+         |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc),
+         |near AS (SELECT DISTINCT
+         |  CASE WHEN a.split = 'train' THEN p.doc_a ELSE p.doc_b END AS doc_id
+         |  FROM pairs p JOIN sp a ON p.doc_a = a.doc_id
+         |  JOIN sp b ON p.doc_b = b.doc_id
+         |  WHERE (a.split = 'train' AND b.split = 'test')
+         |     OR (a.split = 'test' AND b.split = 'train')),
+         |sh AS (SELECT doc, unnest($bases) AS sh FROM tk WHERE len(toks) >= 3),
+         |bsh AS (SELECT DISTINCT s.sh FROM sh s JOIN sp ON s.doc = sp.doc_id
+         |  WHERE sp.split = 'test'),
+         |contam AS (SELECT DISTINCT s.doc AS doc_id FROM sh s
+         |  JOIN sp ON s.doc = sp.doc_id JOIN bsh USING (sh)
+         |  WHERE sp.split = 'train')
+         |SELECT sp.source, CAST(count(*) AS BIGINT) AS n_train,
+         | CAST(count(n.doc_id) AS BIGINT) AS drop_neardup,
+         | CAST(count(c.doc_id) AS BIGINT) AS drop_contam,
+         | CAST(sum(CASE WHEN n.doc_id IS NULL AND c.doc_id IS NULL
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS survivors
+         |FROM sp LEFT JOIN near n ON sp.doc_id = n.doc_id
+         |LEFT JOIN contam c ON sp.doc_id = c.doc_id
+         |WHERE sp.split = 'train'
+         |GROUP BY sp.source ORDER BY sp.source""".stripMargin.replaceAll("\n", " ")
+    }
     val dedupQualityCostOracle = {
       val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
       s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
@@ -4549,6 +4633,7 @@ object SparkEntry {
       "ivf_balance" -> ivfBalanceOracle,
       "dedup_quality_cost" -> dedupQualityCostOracle,
       "split_leakage" -> splitLeakageOracle,
+      "pipeline_eval_prep" -> evalPrepOracle,
       "simhash_hamming" -> {
         val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
         val hashes = s"list_transform(toks, w -> ${SqlSnips.charFold("w")})"
