@@ -264,6 +264,20 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_eval_prep: fused hygiene DAG, no cartesian, anti-leak joins equi") {
+    val p = plan("pipeline_eval_prep")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("orders_gap / simhash_hamming: windows partitioned, joins equi") {
+    val exec = SparkEntry.queries("orders_gap")(spark, dir)
+      .queryExecution.executedPlan
+    assert(windows(exec).forall(_.partitionSpec.nonEmpty), exec.toString)
+    val p = plan("simhash_hamming")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("embed_pca gram partials: one shuffle moves dim^2-per-partition rows") {
     import graft.operators.Pca
     val docs = graft.Tables.load(spark, dir, "embeddings")
