@@ -488,6 +488,25 @@ object SparkEntry {
         .orderBy(col("gap_bucket"))
     }),
 
+    // -- market-basket co-occurrence: part pairs bought together, by
+    //    order. The pair fan-out is PER BASKET (bounded by basket
+    //    size, ~7 lineitems — the winnow df-cap argument), the join
+    //    is orderkey-equi, support folds map-side, and top-20 is a
+    //    TakeOrdered — the association-mining support table at any
+    //    corpus size --
+    "orders_basket_pairs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"),
+          col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    }),
+
     // -- Pareto / ABC revenue concentration: customers ranked by
     //    descending revenue, classed A/B/C at the exact 80%/95%
     //    cumulative-share cuts. The running sum uses
@@ -1487,6 +1506,38 @@ object SparkEntry {
         .select(col("term").as("item"), col("est"),
           (col("est") - col("c")).as("err"))
         .orderBy(col("est").desc, col("item")).limit(20)
+    }),
+
+    // -- CMS width sweep: exact error profile (n_terms, max, mean) of
+    //    the depth-3 sketch at widths 16/64/256 — the sizing table
+    //    read before committing sketch memory (pairs with tokens_cms
+    //    the way lsh_plan pairs with dedup_minhash, but MEASURED on
+    //    this corpus, not analytic). One vocab pass fans out to
+    //    3 widths x 3 rows map-side; counters are <=3x3x256 rows --
+    "tokens_cms_sweep" -> ((s, dir) => {
+      val tc = t(s, dir, "documents")
+        .select(explode(TextFuncs.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .withColumn("b", TextFuncs.charFold(col("term")))
+      val rows = tc
+        .select(col("term"), col("c"), col("b"),
+          explode(sequence(lit(0), lit(2))).as("j"))
+        .select(col("term"), col("c"), col("b"), col("j"),
+          explode(array(lit(16), lit(64), lit(256))).as("w"))
+        .withColumn("bucket",
+          (col("b") * (col("j") * 2 + 1) + (col("j") * 131 + 7))
+            % TextFuncs.P % col("w"))
+      val counters = rows.groupBy(col("w"), col("j"), col("bucket"))
+        .agg(sum(col("c")).as("cnt"))
+      rows.join(broadcast(counters), Seq("w", "j", "bucket"))
+        .groupBy(col("w"), col("term"), col("c"))
+        .agg(min(col("cnt")).as("est"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_terms"),
+          max(col("est") - col("c")).as("max_err"),
+          sum(col("est") - col("c")).as("sum_err"))
+        .withColumn("mean_err_e3", expr("(sum_err * 1000) div n_terms"))
+        .orderBy(col("w"))
     }),
 
     // -- Zipf power-law fit per source over the top-500 tokens:
@@ -4116,6 +4167,32 @@ object SparkEntry {
            |SELECT term AS item, CAST(est AS BIGINT) AS est,
            | CAST(est - c AS BIGINT) AS err
            |FROM est ORDER BY est DESC, item LIMIT 20""".stripMargin.replaceAll("\n", " "),
+      // same seeded buckets per width; exact integer error profile
+      "tokens_cms_sweep" ->
+        s"""WITH tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c,
+           |  ${SqlSnips.charFold("term")} AS b
+           |  FROM (SELECT unnest($toks) AS term FROM documents) GROUP BY term),
+           |r AS (SELECT term, c, j, w,
+           |  (b * (j * 2 + 1) + (j * 131 + 7)) % ${SqlSnips.P} % w AS bucket
+           |  FROM tc, range(0, 3) t(j), (VALUES (16), (64), (256)) ws(w)),
+           |cnt AS (SELECT w, j, bucket, CAST(sum(c) AS BIGINT) AS cnt
+           |  FROM r GROUP BY w, j, bucket),
+           |est AS (SELECT w, term, c, min(cnt) AS est
+           |  FROM r JOIN cnt USING (w, j, bucket) GROUP BY w, term, c)
+           |SELECT w, CAST(count(*) AS BIGINT) AS n_terms,
+           | CAST(max(est - c) AS BIGINT) AS max_err,
+           | CAST(sum(est - c) AS BIGINT) AS sum_err,
+           | CAST((sum(est - c) * 1000) // count(*) AS BIGINT) AS mean_err_e3
+           |FROM est GROUP BY w ORDER BY w""".stripMargin.replaceAll("\n", " "),
+      "orders_basket_pairs" ->
+        """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+          |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+          | CAST(count(*) AS BIGINT) AS support
+          |FROM li a JOIN li b
+          |ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |GROUP BY part_a, part_b
+          |ORDER BY support DESC, part_a, part_b LIMIT 20"""
+          .stripMargin.replaceAll("\n", " "),
       "corpus_zipf" ->
         s"""WITH u AS (SELECT source, unnest($toks) AS term FROM documents),
            |c AS (SELECT source, term, count(*) AS c FROM u GROUP BY source, term),
