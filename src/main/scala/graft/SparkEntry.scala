@@ -488,6 +488,33 @@ object SparkEntry {
         .orderBy(col("gap_bucket"))
     }),
 
+    // -- nation trade matrix: supplier-nation x customer-nation
+    //    revenue flows (integer cents, exact) — the 6-table TPC-H
+    //    Q7-style shape with BOTH nation lookups broadcast (25 rows
+    //    at any SF) while lineitem/orders/customer/supplier shuffle
+    //    on their keys; output is at most 25x25 rows --
+    "trade_matrix" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+            .as("rev_c"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("snk"))
+        .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+        .groupBy(col("supp_nation"), col("cust_nation"))
+        .agg(count(lit(1)).as("n_items"), sum(col("rev_c")).as("rev_c"))
+        .orderBy(col("supp_nation"), col("cust_nation"))
+    }),
+
     // -- market-basket co-occurrence: part pairs bought together, by
     //    order. The pair fan-out is PER BASKET (bounded by basket
     //    size, ~7 lineitems — the winnow df-cap argument), the join
@@ -1538,6 +1565,37 @@ object SparkEntry {
           sum(col("est") - col("c")).as("sum_err"))
         .withColumn("mean_err_e3", expr("(sum_err * 1000) div n_terms"))
         .orderBy(col("w"))
+    }),
+
+    // -- Heaps-law vocabulary growth: cumulative distinct vocab vs
+    //    cumulative tokens over doc_id-ordered corpus deciles. Each
+    //    term contributes only its FIRST decile (min over docs — one
+    //    vocab-keyed agg); deciles come from Rank.globalNtile so no
+    //    entity-scale frame crosses one task; the cumulative windows
+    //    run on the 10-row decile frame. Read next to corpus_zipf:
+    //    sublinear growth = natural text, linear = ID soup --
+    "corpus_heaps" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tiled = graft.operators.Rank.globalNtile(
+        docs.select(col("doc_id"), col("text")), 10, "decile",
+        col("doc_id"))
+      val toks = tiled.select(col("decile"),
+        explode(TextFuncs.tokens(col("text"))).as("term"))
+      val perDecile = toks.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val firstSeen = toks.groupBy(col("term"))
+        .agg(min(col("decile")).as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("new_terms"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("decile"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      perDecile.join(firstSeen, Seq("decile"), "left")
+        .select(col("decile"), col("n_tokens"),
+          coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("cum_vocab", sum(col("new_terms")).over(w))
+        .select(col("decile"), col("cum_tokens"), col("cum_vocab"))
+        .orderBy(col("decile"))
     }),
 
     // -- Zipf power-law fit per source over the top-500 tokens:
@@ -4167,6 +4225,38 @@ object SparkEntry {
            |SELECT term AS item, CAST(est AS BIGINT) AS est,
            | CAST(est - c AS BIGINT) AS err
            |FROM est ORDER BY est DESC, item LIMIT 20""".stripMargin.replaceAll("\n", " "),
+      // plain ntile(10) on the single-node side == globalNtile
+      "corpus_heaps" ->
+        s"""WITH t AS (SELECT CAST(ntile(10) OVER (ORDER BY doc_id) AS INTEGER)
+           |  AS decile, $toks AS tk FROM documents),
+           |tok AS (SELECT decile, unnest(tk) AS term FROM t),
+           |pd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_tokens
+           |  FROM tok GROUP BY decile),
+           |fs AS (SELECT decile, CAST(count(*) AS BIGINT) AS new_terms FROM
+           |  (SELECT term, min(decile) AS decile FROM tok GROUP BY term) _f
+           |  GROUP BY decile)
+           |SELECT pd.decile,
+           | CAST(sum(pd.n_tokens) OVER (ORDER BY pd.decile
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+           | CAST(sum(coalesce(fs.new_terms, 0)) OVER (ORDER BY pd.decile
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+           |FROM pd LEFT JOIN fs USING (decile)
+           |ORDER BY pd.decile""".stripMargin.replaceAll("\n", " "),
+      // per-row cents rounding, then exact integer sums
+      "trade_matrix" ->
+        """WITH l AS (SELECT l_orderkey, l_suppkey,
+          |  CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_c
+          |  FROM lineitem)
+          |SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          | CAST(count(*) AS BIGINT) AS n_items,
+          | CAST(sum(rev_c) AS BIGINT) AS rev_c
+          |FROM l JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          |GROUP BY supp_nation, cust_nation
+          |ORDER BY supp_nation, cust_nation""".stripMargin.replaceAll("\n", " "),
       // same seeded buckets per width; exact integer error profile
       "tokens_cms_sweep" ->
         s"""WITH tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c,
