@@ -607,6 +607,19 @@ object SparkEntry {
 
     // -- cohort retention: cohort = first-activity day, cell (cohort,
     //    age) = distinct users active `age` days after joining --
+    // -- user active-lifespan histogram: days between first and last
+    //    event per user, bucketed by week — the churn-shape read
+    //    behind retention curves. One user-keyed min/max agg
+    //    (map-side partial), |weeks| output rows --
+    "events_lifespan" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+        .groupBy(col("user_id"))
+        .agg((max(col("day")) - min(col("day"))).as("span"))
+        .select(expr("span div 7").as("span_weeks"))
+        .groupBy(col("span_weeks")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("span_weeks"))),
+
     // -- DAU/WAU stickiness: the engagement ratio per day. WAU comes
     //    from a CONSTANT-7 explode of the distinct (user, day) frame
     //    (each active day covers targets day..day+6) — never a range
@@ -2734,6 +2747,26 @@ object SparkEntry {
         "vec_id", "embedding", "cosine", 10, nprobe = 2)
     }),
 
+    // -- pairwise cosine-distance histogram on the deterministic
+    //    id%7 sample (0.05-wide buckets): the threshold-sanity read
+    //    for dedup_semantic / dedup_embedding — where does the
+    //    near-dup mass actually sit. Sampled both sides, so pairs are
+    //    (n/7)^2 / 2 regardless of corpus shape; at 100 TB tighten
+    //    the mod. Bucket = floor(dist*20), exact on both engines
+    //    since the distance doubles are kernel-identical --
+    "embed_dist_hist" -> ((s, dir) => {
+      val sample = t(s, dir, "embeddings")
+        .where(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), col("embedding"))
+      sample.as("a").join(sample.as("b"),
+          col("a.vec_id") < col("b.vec_id"))
+        .select(floor(VectorFunctions.vec_cosine(
+            col("a.embedding"), col("b.embedding")) * 20)
+          .cast("bigint").as("dist_b"))
+        .groupBy(col("dist_b")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("dist_b"))
+    }),
+
     // -- embedding norm histogram (0.1-wide buckets): the
     //    pre-normalization audit run before any cosine index build —
     //    zero/tiny norms poison cosine (the kernel's zero->1.0 guard
@@ -4835,6 +4868,32 @@ object SparkEntry {
           | CAST((max(cnt) * 100) // min(CASE WHEN cum * 2 >= t.n THEN cnt END)
           |   AS BIGINT) AS skew_ratio_e2
           |FROM cu, t""".stripMargin.replaceAll("\n", " "),
+      // kernel-identical cosine doubles, floor to the 0.05 grid
+      "embed_dist_hist" ->
+        """WITH s AS (SELECT vec_id,
+          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings WHERE vec_id % 7 = 0),
+          |p AS (SELECT CAST(floor((CASE WHEN
+          |  list_sum(list_transform(a.v, x -> x * x)) = 0 OR
+          |  list_sum(list_transform(b.v, x -> x * x)) = 0
+          | THEN 1.0 ELSE 1.0 - greatest(-1.0, least(1.0,
+          |  list_sum(list_transform(a.v, (x, i) -> x * b.v[i])) /
+          |  (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+          |   sqrt(list_sum(list_transform(b.v, x -> x * x)))))) END) * 20)
+          |  AS BIGINT) AS dist_b
+          |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
+          |SELECT dist_b, CAST(count(*) AS BIGINT) AS n_pairs
+          |FROM p GROUP BY dist_b ORDER BY dist_b"""
+          .stripMargin.replaceAll("\n", " "),
+      "events_lifespan" ->
+        """WITH d AS (SELECT user_id, epoch_us(ts) // 1000000 // 86400 AS day
+          |  FROM events),
+          |s AS (SELECT user_id, max(day) - min(day) AS span FROM d
+          |  GROUP BY user_id)
+          |SELECT CAST(span // 7 AS BIGINT) AS span_weeks,
+          | CAST(count(*) AS BIGINT) AS n_users
+          |FROM s GROUP BY span_weeks ORDER BY span_weeks"""
+          .stripMargin.replaceAll("\n", " "),
       // seed+left-reduce fold, floor to the 0.1 grid
       "embed_norm_hist" ->
         """SELECT CAST(floor(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
