@@ -3215,6 +3215,26 @@ object SparkEntry {
         .orderBy(col("dist"), col("id")).limit(100)
     }),
 
+    // -- BETWEEN / NOT BETWEEN through the dialect: desugared at
+    //    parse time to the range conjunction (the AND is consumed
+    //    inside the BETWEEN parse, keeping the grammar unambiguous) --
+    "vector_sql_between" -> ((s, dir) =>
+      graft.sql.VectorSql.execute(vecSqlCatalog(s, dir),
+        "SELECT id, metadata.label AS label FROM vectors " +
+          "WHERE metadata.label BETWEEN 2 AND 4 " +
+          "AND metadata.label NOT BETWEEN 3 AND 3 LIMIT 50")),
+
+    // -- LIMIT/OFFSET search pagination through the dialect: page 2
+    //    of a NEAREST TO result — the vector-store pagination form;
+    //    offset applies after the (distance, id) order, before the
+    //    cut, exactly like standard SQL --
+    "vector_sql_offset" -> ((s, dir) =>
+      graft.sql.VectorSql.execute(vecSqlCatalog(s, dir),
+          "SELECT id, distance FROM vectors NEAREST TO " +
+            "(SELECT vector FROM vectors WHERE id = '0') USING cosine " +
+            "LIMIT 10 OFFSET 5")
+        .select(col("id"), round(col("distance"), 4).as("dist"))),
+
     // -- salted two-phase aggregation (skewed-key pattern; results
     //    identical to the direct groupBy the oracle runs) --
     "events_by_type_salted" -> ((s, dir) =>
@@ -5994,6 +6014,18 @@ object SparkEntry {
            |  (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q)
            |SELECT id, round(rawd, 4) AS dist FROM d WHERE rawd < 0.95
            |ORDER BY dist, id LIMIT 100""".stripMargin.replaceAll("\n", " "),
+      "vector_sql_between" ->
+        """SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label
+          |FROM embeddings
+          |WHERE (label >= 2 AND label <= 4) AND NOT (label >= 3 AND label <= 3)
+          |ORDER BY id LIMIT 50""".stripMargin.replaceAll("\n", " "),
+      // page 2 of the (full-precision distance, id) order
+      "vector_sql_offset" ->
+        s"""WITH d AS (SELECT CAST(e.vec_id AS VARCHAR) AS id, $rawCosineSql AS rawd
+           |  FROM embeddings e,
+           |  (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q)
+           |SELECT id, round(rawd, 4) AS dist FROM d
+           |ORDER BY rawd, id LIMIT 10 OFFSET 5""".stripMargin.replaceAll("\n", " "),
       // labels are single digits, so varchar DESC == numeric DESC
       "vector_sql_order" ->
         """SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label

@@ -68,7 +68,8 @@ object VectorSql {
   private val keywords = Set("SELECT", "FROM", "WHERE", "NEAREST", "TO",
     "USING", "LIMIT", "AS", "AND", "OR", "LIKE", "INSERT", "INTO", "VALUES",
     "DELETE", "UPDATE", "SET", "CREATE", "DROP", "COLLECTION", "COUNT", "NOT",
-    "ORDER", "BY", "ASC", "DESC", "IN", "DISTINCT", "GROUP", "HAVING")
+    "ORDER", "BY", "ASC", "DESC", "IN", "DISTINCT", "GROUP", "HAVING",
+    "BETWEEN", "OFFSET")
 
   private def lex(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -142,7 +143,8 @@ object VectorSql {
       distinct: Boolean = false,
       groupBy: Seq[String] = Nil,
       aggs: Seq[(String, String, Option[String])] = Nil, // (fn, arg, alias)
-      having: Option[Cond] = None
+      having: Option[Cond] = None,
+      offset: Option[Int] = None
       ) extends Stmt
   case class Insert(table: String, id: String, vector: Seq[Float],
       metadata: Map[String, String]) extends Stmt
@@ -248,6 +250,9 @@ object VectorSql {
         }
       }
       val limit = if (accept(Kw("LIMIT"))) Some(num().toInt) else None
+      // LIMIT n OFFSET m (also bare OFFSET m): skip-m-take-n, applied
+      // after ordering like standard SQL
+      val offset = if (accept(Kw("OFFSET"))) Some(num().toInt) else None
       val colsV = cols.result(); val aggsV = aggs.result()
       val groupV = groupBy.result()
       // bare `SELECT COUNT(*) FROM t` keeps its dedicated fast path;
@@ -258,7 +263,8 @@ object VectorSql {
         if (countStar) aggsV.head._3.map(a => ("count", Some(a))).toVector
         else colsV
       Select(colsOut, table, nearest, metric, where, limit, countStar,
-        order.result(), distinct, groupV, if (countStar) Nil else aggsV, having)
+        order.result(), distinct, groupV, if (countStar) Nil else aggsV,
+        having, offset)
     }
 
     private def insert(): Insert = {
@@ -378,9 +384,20 @@ object VectorSql {
     }
     private def comparison(): Cond = {
       val l = expr()
+      // BETWEEN lo AND hi desugars to (l >= lo AND l <= hi); the AND
+      // is consumed HERE, before condAnd ever sees it, so the grammar
+      // stays unambiguous (standard BETWEEN parse)
+      def between(): Cond = {
+        val lo = expr(); expect(Kw("AND")); val hi = expr()
+        AndC(Cmp(l, ">=", lo), Cmp(l, "<=", hi))
+      }
+      if (accept(Kw("BETWEEN"))) return between()
       // IN / NOT IN value lists (tokenizer.go:40 declares IN)
       val negatedIn =
-        if (accept(Kw("NOT"))) { expect(Kw("IN")); Some(true) }
+        if (accept(Kw("NOT"))) {
+          if (accept(Kw("BETWEEN"))) return NotC(between())
+          expect(Kw("IN")); Some(true)
+        }
         else if (accept(Kw("IN"))) Some(false)
         else None
       negatedIn match {
@@ -833,9 +850,11 @@ object VectorSql {
           val trail = dd.columns.filterNot(keyNames).map(col(_).asc)
           dd.orderBy(keys ++ trail: _*)
         }
-        else if (s.limit.isDefined) dd.orderBy(dd.columns.map(col).toSeq: _*)
+        else if (s.limit.isDefined || s.offset.isDefined)
+          dd.orderBy(dd.columns.map(col).toSeq: _*)
         else dd
-      return s.limit.map(ordered.limit).getOrElse(ordered)
+      val off = s.offset.map(ordered.offset).getOrElse(ordered)
+      return s.limit.map(off.limit).getOrElse(off)
     }
 
     // non-NEAREST SELECT ... LIMIT: the reference's scan order is map
@@ -847,10 +866,12 @@ object VectorSql {
         withDist.orderBy(s.orderBy.map { case (f, desc) =>
           if (desc) orderCol(f).desc else orderCol(f).asc
         } :+ col("id").asc: _*) // trailing id keeps ties deterministic
-      else if (s.nearest.isEmpty && s.limit.isDefined && deterministicLimit)
+      else if (s.nearest.isEmpty && (s.limit.isDefined || s.offset.isDefined)
+          && deterministicLimit)
         withDist.orderBy(col("id"))
       else withDist
-    val limited = s.limit.map(ordered.limit).getOrElse(ordered)
+    val off = s.offset.map(ordered.offset).getOrElse(ordered)
+    val limited = s.limit.map(off.limit).getOrElse(off)
     project(limited)
   }
 }

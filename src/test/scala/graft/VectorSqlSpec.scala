@@ -442,4 +442,34 @@ class VectorSqlSpec extends AnyFunSuite {
         "SELECT id FROM vectors WHERE COUNT(*) > 1").collect()
     }
   }
+
+  test("BETWEEN / NOT BETWEEN desugar to the range conjunction") {
+    val cat = freshCat()
+    val r = VectorSql.execute(cat,
+      "SELECT id FROM vectors WHERE id BETWEEN 'v1' AND 'v3'").collect()
+    assert(r.map(_.getString(0)).sorted.toSeq == Seq("v1", "v2", "v3"))
+    val n = VectorSql.execute(cat,
+      "SELECT id FROM vectors WHERE id NOT BETWEEN 'v1' AND 'v3'").collect()
+    assert(n.map(_.getString(0)).toSeq == Seq("test1"))
+    // BETWEEN's AND binds to the range, outer AND still parses
+    val both = VectorSql.execute(cat,
+      "SELECT id FROM vectors WHERE id BETWEEN 'v1' AND 'v3' " +
+        "AND metadata.category = 'image'").collect()
+    assert(both.map(_.getString(0)).sorted.toSeq == Seq("v1", "v3"))
+  }
+
+  test("LIMIT/OFFSET paginate the deterministic order") {
+    val cat = freshCat()
+    val all = VectorSql.execute(cat,
+      "SELECT id FROM vectors LIMIT 10").collect().map(_.getString(0)).toSeq
+    val page2 = VectorSql.execute(cat,
+      "SELECT id FROM vectors LIMIT 2 OFFSET 2").collect().map(_.getString(0)).toSeq
+    assert(page2 == all.slice(2, 4))
+    // NEAREST TO pagination: offset skips the closest hits
+    val top = VectorSql.execute(cat,
+      "SELECT id FROM vectors NEAREST TO [1.0, 0.0, 0.0] LIMIT 2").collect()
+    val page = VectorSql.execute(cat,
+      "SELECT id FROM vectors NEAREST TO [1.0, 0.0, 0.0] LIMIT 2 OFFSET 2").collect()
+    assert((top.map(_.getString(0)) ++ page.map(_.getString(0))).distinct.length == 4)
+  }
 }
