@@ -3072,6 +3072,23 @@ object SparkEntry {
         "vec_id", "embedding", "euclidean", topK = 10, candidates = 50)
     }),
 
+    // -- composed IVF-SQ8 (static centroids + deterministic min/max
+    //    ranges, fully oracled): coarse route to nprobe=2 clusters,
+    //    dequantized-L2 over their 1/4-size codes only, exact re-rank
+    //    on the 50 survivors — completes the composed-family matrix
+    //    (IVF-PQ raw+residual, IVF-BQ, IVF-SQ8) --
+    "ann_ivfsq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cluster"),
+          transform(col("embedding"), _.cast("double")).as("centroid"))
+      val tagged = Ann.tagCorpus(e, "vec_id", "embedding", cents)
+      val model = Sq.train(e, "embedding", dim = 64)
+      val codes = Sq.encodeIvf(model, tagged, "vec_id", "embedding")
+      Sq.searchIvfSq(model, codes, cents, e, queryVec(s, dir, 0),
+        "vec_id", "embedding", "euclidean", topK = 10, candidates = 50)
+    }),
+
     // -- SQ8 shortlist + exact re-rank: approximate 1/4-size code scan
     //    picks 50 candidates, exact euclidean touches only those rows
     //    (broadcast semi-join) — deterministic end to end, oracled --
@@ -5722,6 +5739,45 @@ object SparkEntry {
            |      THEN 1 ELSE 0 END)) AS ham
            |  FROM asgn a, mm, q, qc WHERE a.cluster = qc.cluster
            |  ORDER BY ham, vec_id LIMIT 50)
+           |SELECT e.vec_id AS vec_id,
+           | round(sqrt(list_sum(list_transform(e.embedding, (x, i) ->
+           |  (CAST(x AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE)) *
+           |  (CAST(x AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE))))), 4) AS dist
+           |FROM embeddings e JOIN short USING (vec_id), q
+           |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
+      },
+      // composed IVF-SQ8: same static route as ann_ivfbq, SQ8 ADC
+      // shortlist (rounded, like ann_sq8) inside the probed clusters
+      "ann_ivfsq" -> {
+        val l2c = "sqrt(list_sum(list_transform(%s, (x, i) -> " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)) * " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)))))"
+        val l2e = l2c.format("e.embedding", "c.centroid", "c.centroid")
+        val l2q = l2c.format("q.qvec", "c.centroid", "c.centroid")
+        s"""WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cluster,
+           |  embedding AS centroid FROM embeddings WHERE vec_id < 8),
+           |asgn AS (SELECT vec_id, embedding, cluster FROM (
+           |  SELECT e.vec_id, e.embedding, c.cluster,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $l2e, c.cluster) AS rn
+           |  FROM embeddings e, cents c) _r WHERE rn = 1),
+           |mm AS (
+           |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM (
+           |    SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+           |           max(CAST(embedding[i] AS DOUBLE)) AS mx
+           |    FROM embeddings, range(1, 65) t(i) GROUP BY i)),
+           |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |qc AS (SELECT cluster FROM (
+           |  SELECT c.cluster, $l2q AS d FROM cents c, q) _q
+           |  ORDER BY d, cluster LIMIT 2),
+           |codes AS (SELECT a.vec_id, a.cluster, list_transform(a.embedding, (x, i) ->
+           |  CASE WHEN mxs[i] = mns[i] THEN 0 ELSE
+           |    greatest(0, least(255, floor((CAST(x AS DOUBLE) - mns[i]) * 255.0 / (mxs[i] - mns[i]) + 0.5)))
+           |  END) AS cs FROM asgn a, mm),
+           |short AS (SELECT vec_id, round(sqrt(list_sum(list_transform(cs, (c, i) ->
+           |  (mns[i] + c * (mxs[i] - mns[i]) / 255.0 - CAST(qvec[i] AS DOUBLE)) *
+           |  (mns[i] + c * (mxs[i] - mns[i]) / 255.0 - CAST(qvec[i] AS DOUBLE))))), 4) AS ad
+           |  FROM codes, mm, q, qc WHERE codes.cluster = qc.cluster
+           |  ORDER BY ad, vec_id LIMIT 50)
            |SELECT e.vec_id AS vec_id,
            | round(sqrt(list_sum(list_transform(e.embedding, (x, i) ->
            |  (CAST(x AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE)) *

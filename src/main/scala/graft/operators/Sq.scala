@@ -187,6 +187,40 @@ object Sq {
       .limit(topK)
   }
 
+  /** Cluster-tagged encode for the composed IVF-SQ8 index: same
+    * map-only kernel, cluster column carried for at-rest
+    * partitionBy(cluster) pruning. */
+  def encodeIvf(model: Model, tagged: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    tagged.select(col(idCol), col("cluster"),
+      sq8_encode(model, col(vecCol)).as("codes"))
+
+  /** Composed IVF-SQ8 serving — completes the composed-family matrix
+    * next to IVF-PQ and IVF-BQ: coarse route to nprobe clusters,
+    * dequantized-L2 scan over their 1/4-size codes ONLY (at rest the
+    * join is a partition prune), exact re-rank touches just the
+    * `candidates` survivors via a broadcast semi-join. */
+  def searchIvfSq(model: Model, clusterCodes: DataFrame,
+      centroids: DataFrame, corpus: DataFrame, query: DataFrame,
+      idCol: String, vecCol: String, metric: String, topK: Int,
+      candidates: Int, nprobe: Int = 2, roundTo: Int = 4): DataFrame = {
+    val qc = Ann.nearestClusters(centroids, query, nprobe)
+    val short = clusterCodes
+      .join(broadcast(qc), Seq("cluster"))
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(sq8_l2(model, col("codes"), col("qvec")), roundTo).as("ad"))
+      .orderBy(col("ad"), col(idCol))
+      .limit(candidates)
+    corpus.join(broadcast(short.select(col(idCol))), Seq(idCol))
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(graft.functions.VectorFunctions.forMetric(metric)(
+          col(vecCol), col("qvec")), roundTo).as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(topK)
+  }
+
   /** Live-index insert: encode new rows with the FROZEN model and
     * union — map-only, no retrain, the storage-Insert path every
     * index family needs (IVF has appendToIvf; same contract here).
