@@ -109,6 +109,27 @@ class SqSpec extends AnyFunSuite {
     assert(bad.getDouble(2) == 1.0)
   }
 
+  test("IVF-SQ8 with all clusters probed equals the flat SQ8 rerank") {
+    import graft.operators.Ann
+    val e = corpus
+    val cents = e.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cluster"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    val tagged = Ann.tagCorpus(e, "vec_id", "embedding", cents)
+    val model = Sq.train(e, "embedding", 64)
+    val q = e.where(col("vec_id") === 3).select(col("embedding").as("qvec"))
+    val flat = Sq.searchWithRerank(model,
+        Sq.encode(model, e, "vec_id", "embedding"), e, q,
+        "vec_id", "embedding", "euclidean", topK = 10, candidates = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = Sq.searchIvfSq(model,
+        Sq.encodeIvf(model, tagged, "vec_id", "embedding"), cents, e, q,
+        "vec_id", "embedding", "euclidean", topK = 10, candidates = 50,
+        nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == flat)
+  }
+
   test("degenerate constant dimension encodes as 0 and round-trips") {
     val df = Seq((0L, Array(1.0f, 5.0f)), (1L, Array(1.0f, 7.0f)))
       .toDF("vec_id", "embedding")
