@@ -515,6 +515,27 @@ object SparkEntry {
         .orderBy(col("supp_nation"), col("cust_nation"))
     }),
 
+    // -- repeat-purchase rate per part: distinct buyers vs buyers
+    //    with >= 2 separate orders of the same part — the
+    //    consumable-vs-durable read next to the basket pairs. The
+    //    (part, customer) aggregate collapses lineitem map-side
+    //    after one orders join; top-20 by repeat rate, integer-exact
+    //    in 1e-5 units --
+    "part_repeat_buyers" -> ((s, dir) => {
+      val pc = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_partkey"), col("o_custkey"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      pc.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_buyers"),
+          sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("repeat_buyers"))
+        .where(col("repeat_buyers") > 0)
+        .withColumn("repeat_e5", expr("(repeat_buyers * 100000) div n_buyers"))
+        .orderBy(col("repeat_e5").desc, col("l_partkey"))
+        .limit(20)
+    }),
+
     // -- market-basket co-occurrence: part pairs bought together, by
     //    order. The pair fan-out is PER BASKET (bounded by basket
     //    size, ~7 lineitems — the winnow df-cap argument), the join
@@ -4344,6 +4365,20 @@ object SparkEntry {
            | CAST(sum(est - c) AS BIGINT) AS sum_err,
            | CAST((sum(est - c) * 1000) // count(*) AS BIGINT) AS mean_err_e3
            |FROM est GROUP BY w ORDER BY w""".stripMargin.replaceAll("\n", " "),
+      "part_repeat_buyers" ->
+        """WITH pc AS (SELECT l_partkey, o_custkey,
+          |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  GROUP BY l_partkey, o_custkey),
+          |p AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_buyers,
+          |  CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS repeat_buyers
+          |  FROM pc GROUP BY l_partkey)
+          |SELECT l_partkey, n_buyers, repeat_buyers,
+          | CAST((repeat_buyers * 100000) // n_buyers AS BIGINT) AS repeat_e5
+          |FROM p WHERE repeat_buyers > 0
+          |ORDER BY repeat_e5 DESC, l_partkey LIMIT 20"""
+          .stripMargin.replaceAll("\n", " "),
       "orders_basket_pairs" ->
         """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
           |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
