@@ -96,6 +96,15 @@ object SparkEntry {
     t(s, dir, "embeddings").where(col("vec_id") === id)
       .select(col("embedding").as("qvec"))
 
+  /** Vector width read from the data (one-row job) — queries that
+    * size an index model (SQ ranges, BQ words, PQ subvectors) derive
+    * dim instead of hardcoding it, so the same registry runs the
+    * 64-dim test corpus and the reference-width 384-dim corpus
+    * (tools/gen_dim384.py) unchanged.
+    */
+  private def vecDim(e: DataFrame): Int =
+    e.select(size(col("embedding")).as("d")).head().getInt(0)
+
   /** The embeddings table as a VectorSql collection (id string,
     * vector, metadata.label) — shared by every vector_sql_* query.
     */
@@ -380,21 +389,26 @@ object SparkEntry {
     // -- TPC-H Q14 shape (promotion effect): one month of lineitem
     //    joins part (date predicate on the scan; part scales with SF
     //    so AQE picks the join side), CASE-split revenue folds
-    //    map-side into two partial sums; the ratio is computed from
-    //    the two ROUNDED sums so it is deterministic --
+    //    map-side into two partial sums. Revenue is summed in EXACT
+    //    integer 1e-4 units (price has 2dp, discount 2dp, so
+    //    price*(1-disc) is exact at 4dp) — the trade_matrix/q22
+    //    integer-cents convention — so the sums are order-independent
+    //    and the display rounding deterministic --
     "q14_promo" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
         .where(col("l_shipdate") >= lit("1996-01-01") &&
           col("l_shipdate") < lit("1996-02-01"))
+      val rev = expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)")
       l.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .agg(
-          round(sum(when(col("p_type") === "PROMO",
-            col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .otherwise(0.0)), 2).as("promo_revenue"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("total_revenue"))
-        .select(col("promo_revenue"), col("total_revenue"),
-          round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 2)
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L)))
+            .as("promo_c"),
+          sum(rev).as("total_c"))
+        .select(
+          round(col("promo_c") / 10000.0, 2).as("promo_revenue"),
+          round(col("total_c") / 10000.0, 2).as("total_revenue"),
+          round(lit(100.0) * col("promo_c") / col("total_c"), 2)
             .as("promo_pct"))
     }),
 
@@ -407,6 +421,8 @@ object SparkEntry {
     "q17_small_qty" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
         .withColumn("qty_c", expr("CAST(round(l_quantity * 100) AS BIGINT)"))
+        .withColumn("price_c",
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
       val p = t(s, dir, "part")
         .where(col("p_brand") === "Brand#13" && col("p_size") < 15)
       val th = l.groupBy(col("l_partkey").as("pk"))
@@ -414,7 +430,7 @@ object SparkEntry {
       l.join(p, col("l_partkey") === col("p_partkey"))
         .join(th, col("l_partkey") === col("pk"))
         .where(col("qty_c") * 5 * col("n") < col("sum_c"))
-        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        .agg(round(sum(col("price_c")) / 700.0, 2).as("avg_yearly"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -2768,16 +2784,20 @@ object SparkEntry {
         "vec_id", "embedding", "cosine", 10, nprobe = 2)
     }),
 
-    // -- pairwise cosine-distance histogram on the deterministic
-    //    id%7 sample (0.05-wide buckets): the threshold-sanity read
+    // -- pairwise cosine-distance histogram on a deterministic
+    //    id-mod sample (0.05-wide buckets): the threshold-sanity read
     //    for dedup_semantic / dedup_embedding — where does the
-    //    near-dup mass actually sit. Sampled both sides, so pairs are
-    //    (n/7)^2 / 2 regardless of corpus shape; at 100 TB tighten
-    //    the mod. Bucket = floor(dist*20), exact on both engines
-    //    since the distance doubles are kernel-identical --
+    //    near-dup mass actually sit. The sample mod is DERIVED from
+    //    count(*) (the dedup_embedding plane-count pattern), so the
+    //    sample stays ~256 vectors and the pair count ~32k at ANY
+    //    corpus size — constant work at 100 TB, no manual knob.
+    //    Bucket = floor(dist*20), exact on both engines since the
+    //    distance doubles are kernel-identical --
     "embed_dist_hist" -> ((s, dir) => {
-      val sample = t(s, dir, "embeddings")
-        .where(col("vec_id") % 7 === 0)
+      val e = t(s, dir, "embeddings")
+      val mod = math.max(1L, (e.count() + 255L) / 256L)
+      val sample = e
+        .where(pmod(col("vec_id"), lit(mod)) === 0)
         .select(col("vec_id"), col("embedding"))
       sample.as("a").join(sample.as("b"),
           col("a.vec_id") < col("b.vec_id"))
@@ -2943,17 +2963,14 @@ object SparkEntry {
     //    rows late by up to a third of the 30-day span, so the curve
     //    runs from near-max loss (1h) through roughly half (96h) to
     //    the lossless endpoint (240h >= max disorder — the watermark
-    //    bound shown TIGHT) --
+    //    bound shown TIGHT). The three delays share ONE ingest: the
+    //    feeds are written once and three concurrently-drained
+    //    queries (one per delay) read the same file sequence, so the
+    //    per-delay watermark trajectories are unchanged while the
+    //    harness constant is paid once, not three times --
     "streaming_late_sweep" -> ((s, dir) =>
-      Seq(1, 96, 240).map { h =>
-        graft.streaming.EventStream
-          .lateDataAuditBatchDrain(s, dir, delayHours = h)
-          .agg(sum(col("n_all")).as("n_all"),
-            sum(col("n_stream")).as("n_stream"),
-            sum(col("n_late")).as("n_late"))
-          .select(lit(h.toLong).as("delay_hours"),
-            col("n_all"), col("n_stream"), col("n_late"))
-      }.reduce(_.unionByName(_)).orderBy(col("delay_hours"))),
+      graft.streaming.EventStream
+        .lateDataAuditSweepDrain(s, dir, Seq(1, 96, 240))),
 
     // -- product quantization ANN (8 bytes/vector ADC search);
     //    trained codebooks, fully oracled via pqKmeansCtes. Codebooks
@@ -2972,7 +2989,7 @@ object SparkEntry {
     //    same trick as ann_ivf_static; only Lloyd's stays rows-only --
     "ann_pq_static" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val model = Pq.staticCodebooks(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+      val model = Pq.staticCodebooks(e, "vec_id", "embedding", dim = vecDim(e), m = 8, k = 16)
       val codes = Pq.encode(model, e, "vec_id", "embedding")
       Pq.searchAdcJoin(model, codes, queryVec(s, dir, 0), "vec_id", topK = 10)
     }),
@@ -3037,7 +3054,7 @@ object SparkEntry {
     //    Train = one agg pass; encode/search = map-only kernel scans --
     "ann_sq8" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val model = Sq.train(e, "embedding", dim = 64)
+      val model = Sq.train(e, "embedding", dim = vecDim(e))
       val codes = Sq.encode(model, e, "vec_id", "embedding")
       Sq.search(model, codes, queryVec(s, dir, 0), "vec_id", topK = 10)
     }),
@@ -3061,7 +3078,7 @@ object SparkEntry {
     //    code is one word, so packed hamming must equal ann_bq's --
     "ann_bq_wide" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val model = Bq.trainWide(e, "embedding", dim = 64)
+      val model = Bq.trainWide(e, "embedding", dim = vecDim(e))
       val codes = Bq.encodeWide(model, e, "vec_id", "embedding")
       Bq.searchWide(model, codes, queryVec(s, dir, 0), "vec_id", topK = 10)
         .select(col("vec_id"), col("ham").cast("long").as("ham"))
@@ -3127,7 +3144,7 @@ object SparkEntry {
     //    Deterministic end to end, so the COMPOSED index is oracled --
     "ann_ivfpq_static" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val idx = IvfPq.staticIndex(e, "vec_id", "embedding", dim = 64,
+      val idx = IvfPq.staticIndex(e, "vec_id", "embedding", dim = vecDim(e),
         kClusters = 8, m = 8, kCodes = 16)
       IvfPq.search(idx, queryVec(s, dir, 0), "vec_id", topK = 10, nprobe = 2)
     }),
@@ -3161,7 +3178,7 @@ object SparkEntry {
     //    deterministic and oracled end to end --
     "ann_pq_rerank" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val model = Pq.staticCodebooks(e, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+      val model = Pq.staticCodebooks(e, "vec_id", "embedding", dim = vecDim(e), m = 8, k = 16)
       val codes = Pq.encode(model, e, "vec_id", "embedding")
       Pq.searchWithRerankJoin(model, codes, e, queryVec(s, dir, 0),
         "vec_id", "embedding", "cosine", 10, candidates = 50)
@@ -3404,7 +3421,9 @@ object SparkEntry {
     * residue is an upper bound since feed shapes differ slightly).
     */
   def streamHarness: Map[String, (String, Int)] = Map(
-    "streaming_late_sweep" -> ("fed", 3),
+    // the sweep's three delay queries share ONE fed ingest (r10):
+    // feeds are written once, drains overlap on threads
+    "streaming_late_sweep" -> ("fed", 1),
     "streaming_late_audit" -> ("fed", 1),
     "streaming_window" -> ("direct", 1),
     "streaming_dedup" -> ("direct", 1),
@@ -3638,13 +3657,14 @@ object SparkEntry {
   }
 
   private val pqStaticCtes: String =
-    """g8 AS (SELECT unnest(range(0, 8)) AS grp),
+    """sd AS (SELECT len(embedding) // 8 AS v FROM embeddings LIMIT 1),
+      |g8 AS (SELECT unnest(range(0, 8)) AS grp),
       |cb AS (SELECT g8.grp, CAST(e.vec_id AS INTEGER) AS code,
-      |  list_transform(e.embedding[(g8.grp*8+1):(g8.grp*8+8)], x -> CAST(x AS DOUBLE)) AS centroid
-      | FROM embeddings e, g8 WHERE e.vec_id < 16),
+      |  list_transform(e.embedding[(g8.grp*sd.v+1):(g8.grp*sd.v+sd.v)], x -> CAST(x AS DOUBLE)) AS centroid
+      | FROM embeddings e, g8, sd WHERE e.vec_id < 16),
       |sv AS (SELECT e.vec_id, g8.grp,
-      |  list_transform(e.embedding[(g8.grp*8+1):(g8.grp*8+8)], x -> CAST(x AS DOUBLE)) AS sv
-      | FROM embeddings e, g8),
+      |  list_transform(e.embedding[(g8.grp*sd.v+1):(g8.grp*sd.v+sd.v)], x -> CAST(x AS DOUBLE)) AS sv
+      | FROM embeddings e, g8, sd),
       |asgn AS (SELECT vec_id, grp, code FROM (
       |  SELECT sv.vec_id, sv.grp, cb.code,
       |    row_number() OVER (PARTITION BY sv.vec_id, sv.grp ORDER BY
@@ -3768,7 +3788,7 @@ object SparkEntry {
          |  FROM sub JOIN cb USING (grp) GROUP BY sub.vec_id, sub.grp),
          |e12 AS (SELECT grp, CAST(round(err2 * 1000000000000) AS BIGINT) AS e
          |  FROM d)
-         |SELECT grp, CAST(count(*) AS BIGINT) AS n_vecs,
+         |SELECT CAST(grp AS INTEGER) AS grp, CAST(count(*) AS BIGINT) AS n_vecs,
          | CAST(sum(e) AS BIGINT) AS sse_e12,
          | CAST(sum(e) // count(*) AS BIGINT) AS mse_e12,
          | CAST(max(e) AS BIGINT) AS max_e12
@@ -3817,8 +3837,8 @@ object SparkEntry {
          |  FROM bands x JOIN bands y
          |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc),
          |sp AS (SELECT doc_id,
-         |  CASE WHEN (doc_id * 2654435761 + 1013904223) % 100 < 90 THEN 'train'
-         |       WHEN (doc_id * 2654435761 + 1013904223) % 100 < 95 THEN 'val'
+         |  CASE WHEN (((doc_id * 2654435761 + 1013904223) % 100) + 100) % 100 < 90 THEN 'train'
+         |       WHEN (((doc_id * 2654435761 + 1013904223) % 100) + 100) % 100 < 95 THEN 'val'
          |       ELSE 'test' END AS split FROM documents)
          |SELECT least(a.split, b.split) AS split_a,
          | greatest(a.split, b.split) AS split_b,
@@ -3831,8 +3851,8 @@ object SparkEntry {
       val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
       s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
          |sp AS (SELECT doc_id, source,
-         |  CASE WHEN (doc_id * 2654435761 + 1013904223) % 100 < 90 THEN 'train'
-         |       WHEN (doc_id * 2654435761 + 1013904223) % 100 < 95 THEN 'val'
+         |  CASE WHEN (((doc_id * 2654435761 + 1013904223) % 100) + 100) % 100 < 90 THEN 'train'
+         |       WHEN (((doc_id * 2654435761 + 1013904223) % 100) + 100) % 100 < 95 THEN 'val'
          |       ELSE 'test' END AS split FROM documents),
          |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
          |  FROM tk WHERE len(toks) >= 3),
@@ -4942,9 +4962,12 @@ object SparkEntry {
           |FROM cu, t""".stripMargin.replaceAll("\n", " "),
       // kernel-identical cosine doubles, floor to the 0.05 grid
       "embed_dist_hist" ->
-        """WITH s AS (SELECT vec_id,
+        """WITH m AS (SELECT greatest(1, (count(*) + 255) // 256) AS md
+          |  FROM embeddings),
+          |s AS (SELECT vec_id,
           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          |  FROM embeddings WHERE vec_id % 7 = 0),
+          |  FROM embeddings, m
+          |  WHERE ((vec_id % m.md) + m.md) % m.md = 0),
           |p AS (SELECT CAST(floor((CASE WHEN
           |  list_sum(list_transform(a.v, x -> x * x)) = 0 OR
           |  list_sum(list_transform(b.v, x -> x * x)) = 0
@@ -5826,9 +5849,10 @@ object SparkEntry {
       "ann_sq8" ->
         """WITH mm AS (
           |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM (
-          |    SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
-          |           max(CAST(embedding[i] AS DOUBLE)) AS mx
-          |    FROM embeddings, range(1, 65) t(i) GROUP BY i)),
+          |    SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+          |    FROM (SELECT unnest(embedding) AS x,
+          |      unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+          |    GROUP BY i)),
           |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
           |codes AS (SELECT vec_id, list_transform(embedding, (x, i) ->
           |  CASE WHEN mxs[i] = mns[i] THEN 0 ELSE
@@ -5854,13 +5878,16 @@ object SparkEntry {
           |    THEN 1 ELSE 0 END)) AS BIGINT) AS ham
           |FROM embeddings, mm, q ORDER BY ham, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
       // wide (multi-word) BQ: sign-bit disagreement count is
-      // packing-independent, so the oracle is ann_bq's verbatim
+      // packing-independent, so the oracle is ann_bq's — written
+      // dim-generically (zip-unnest instead of range(1,65)) so the
+      // SAME oracle gates the 384-dim corpus (tools/gen_dim384.py)
       "ann_bq_wide" ->
         """WITH mm AS (
           |  SELECT list((mn + mx) / 2.0 ORDER BY i) AS thr FROM (
-          |    SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
-          |           max(CAST(embedding[i] AS DOUBLE)) AS mx
-          |    FROM embeddings, range(1, 65) t(i) GROUP BY i)),
+          |    SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+          |    FROM (SELECT unnest(embedding) AS x,
+          |      unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+          |    GROUP BY i)),
           |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
           |SELECT vec_id, CAST(list_sum(list_transform(embedding, (x, i) ->
           |  CASE WHEN (CAST(x AS DOUBLE) > thr[i]) != (CAST(qvec[i] AS DOUBLE) > thr[i])
@@ -6301,31 +6328,35 @@ object SparkEntry {
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_price DESC, o_orderkey LIMIT 100""".stripMargin.replaceAll("\n", " "),
-    // ratio computed from the two ROUNDED sums on both sides
+    // revenue summed in exact integer 1e-4 units on both sides; the
+    // ratio/display values derive from the exact integer sums
     "q14_promo" ->
-      """WITH j AS (SELECT p_type, l_extendedprice, l_discount
+      """WITH j AS (SELECT p_type,
+        |  CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev_c
         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-02-01'),
         |a AS (SELECT
-        |  round(sum(CASE WHEN p_type = 'PROMO'
-        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS promo_revenue,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) AS BIGINT) AS promo_c,
+        |  CAST(sum(rev_c) AS BIGINT) AS total_c
         |  FROM j)
-        |SELECT promo_revenue, total_revenue,
-        | round(100.0 * promo_revenue / total_revenue, 2) AS promo_pct
+        |SELECT round(promo_c / 10000.0, 2) AS promo_revenue,
+        | round(total_c / 10000.0, 2) AS total_revenue,
+        | round(100.0 * promo_c / total_c, 2) AS promo_pct
         |FROM a""".stripMargin.replaceAll("\n", " "),
-    // exact-integer cross-multiplied threshold (cents), no float avg
+    // exact-integer cross-multiplied threshold (cents), no float avg;
+    // avg_yearly likewise derived from the exact cents sum
     "q17_small_qty" ->
-      """WITH lq AS (SELECT l_partkey, l_extendedprice,
+      """WITH lq AS (SELECT l_partkey,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
         |  CAST(round(l_quantity * 100) AS BIGINT) AS qty_c FROM lineitem),
         |th AS (SELECT l_partkey AS pk, CAST(sum(qty_c) AS BIGINT) AS sum_c,
         |  CAST(count(*) AS BIGINT) AS n FROM lq GROUP BY l_partkey),
-        |f AS (SELECT lq.l_extendedprice FROM lq
+        |f AS (SELECT lq.price_c FROM lq
         |  JOIN part p ON lq.l_partkey = p.p_partkey
         |    AND p.p_brand = 'Brand#13' AND p.p_size < 15
         |  JOIN th ON lq.l_partkey = th.pk
         |  WHERE lq.qty_c * 5 * th.n < th.sum_c)
-        |SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |SELECT round(sum(price_c) / 700.0, 2) AS avg_yearly,
         | CAST(count(*) AS BIGINT) AS n_items FROM f""".stripMargin.replaceAll("\n", " "),
     "q22_idle_customers" ->
       """WITH c AS (SELECT c_custkey, c_nationkey,
@@ -6538,12 +6569,12 @@ object SparkEntry {
     // pure integer bucket arithmetic — bit-identical by construction
     "split_train_val" ->
       """WITH b AS (SELECT source, n_chars,
-        |  CASE WHEN (doc_id * 2654435761 + 1013904223) % 100 < 90 THEN 'train'
-        |       WHEN (doc_id * 2654435761 + 1013904223) % 100 < 95 THEN 'val'
+        |  CASE WHEN (((doc_id * 2654435761 + 1013904223) % 100) + 100) % 100 < 90 THEN 'train'
+        |       WHEN (((doc_id * 2654435761 + 1013904223) % 100) + 100) % 100 < 95 THEN 'val'
         |       ELSE 'test' END AS split
         |  FROM documents)
         |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
-        | sum(n_chars) AS tot_chars
+        | CAST(sum(n_chars) AS BIGINT) AS tot_chars
         |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin.replaceAll("\n", " "),
     // same med/MAD replay keyed by nation over supplier balances
     "supplier_balance_outliers" ->

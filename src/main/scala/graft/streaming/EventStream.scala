@@ -310,6 +310,111 @@ object EventStream {
       .orderBy(col("hour_bucket"), col("event_type"))
   }
 
+  /** [[lateWindowCountsDrain]] for SEVERAL watermark delays over ONE
+    * shared ingest: the temp-dir feeds are written once and a
+    * streaming query PER delay reads the same incoming glob. Each
+    * query tracks its own watermark over the identical one-file-per-
+    * drain sequence, so every per-delay trajectory — and output — is
+    * the same as a solo drain with that delay would produce; drains
+    * run on one thread per query so the schedulers' constant costs
+    * overlap instead of adding.
+    */
+  def lateWindowCountsSweepDrain(spark: SparkSession,
+      batches: Seq[DataFrame], sentinelUs: Long,
+      delays: Seq[String]): Seq[DataFrame] = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_sweep").toString
+    val incoming = s"$tmp/incoming"
+    val cols = schema.fieldNames.map(col)
+    def feed(df: DataFrame): Unit =
+      df.select(cols: _*).coalesce(1).write.mode("append").parquet(incoming)
+    try {
+      feed(batches.head)
+      val named = delays.map { d =>
+        val name = s"graft_stream_sweep_${memSinkId.incrementAndGet()}"
+        val q = lateAgg(
+            spark.readStream.schema(schema).parquet(s"$incoming/*.parquet"),
+            d)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        (name, q)
+      }
+      try {
+        def drainAll(): Unit = {
+          val ts = named.map { case (_, q) =>
+            new Thread(() => q.processAllAvailable())
+          }
+          ts.foreach(_.start()); ts.foreach(_.join())
+        }
+        drainAll()
+        batches.tail.foreach { b => feed(b); drainAll() }
+        val spark2 = spark
+        import spark2.implicits._
+        feed(Seq((-1L, sentinelUs * 1000L, -1L, "__sentinel__", 0.0, ""))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+        drainAll()
+      } finally named.foreach(_._2.stop())
+      named.map { case (name, _) =>
+        spark.table(name)
+          .select((unix_timestamp(col("window.start")) / 3600L).cast("long")
+              .as("hour_bucket"),
+            col("event_type"), col("n_stream"))
+          .where(col("event_type") =!= "__sentinel__")
+          .localCheckpoint(eager = true) // detach from the sink + temp dir
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      try rm(new java.io.File(tmp)) catch { case _: Throwable => () }
+    }
+  }
+
+  /** The [[lateDataAuditBatchDrain]] loss report swept over several
+    * watermark delays with the ingest SHARED: arrival simulation,
+    * feeds and the batch ground truth are computed once, and the
+    * shared sentinel outruns the LARGEST delay (which finalizes the
+    * smaller-delay windows just the same — rows are dropped on
+    * arrival against the watermark entering their batch, which only
+    * the data batches determine, so the per-delay outputs are
+    * sentinel-size-invariant). One summary row per delay.
+    */
+  def lateDataAuditSweepDrain(spark: SparkSession, sfDir: String,
+      delaysHours: Seq[Int], nBatches: Int = 3,
+      lateResidue: Int = 17): DataFrame = {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val mm = ev.agg(min(expr("ts div 1000")).as("mn"),
+      max(expr("ts div 1000")).as("mx")).head()
+    val mn = mm.getLong(0); val mx = mm.getLong(1)
+    val span = mx - mn + 1
+    val last = lit((nBatches - 1).toLong)
+    val withB = ev
+      .withColumn("b0",
+        least(last, expr(s"((ts div 1000) - ${mn}L) * $nBatches div ${span}L")))
+      .withColumn("b",
+        when(pmod(col("event_id"), lit(lateResidue.toLong)) === 0L,
+          least(last, col("b0") + 1L)).otherwise(col("b0")))
+    val batches = (0 until nBatches).map(i => withB.where(col("b") === i.toLong))
+    val sentinelUs = mx + (delaysHours.max + 24L) * 3600L * 1000000L
+    val streamedPerDelay = lateWindowCountsSweepDrain(spark, batches,
+      sentinelUs, delaysHours.map(h => s"$h hours"))
+    val allCounts = ev
+      .groupBy(expr("(ts div 1000) div 3600000000").cast("long")
+          .as("hour_bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_all"))
+      .localCheckpoint(eager = true) // ground truth computed ONCE
+    delaysHours.zip(streamedPerDelay).map { case (h, streamed) =>
+      allCounts.join(streamed, Seq("hour_bucket", "event_type"), "left")
+        .select(col("n_all"),
+          coalesce(col("n_stream"), lit(0L)).as("n_stream"))
+        .agg(sum(col("n_all")).as("n_all"),
+          sum(col("n_stream")).as("n_stream"))
+        .select(lit(h.toLong).as("delay_hours"), col("n_all"),
+          col("n_stream"), (col("n_all") - col("n_stream")).as("n_late"))
+    }.reduce(_.unionByName(_)).orderBy(col("delay_hours"))
+  }
+
   /** Machinery constants for Bench's streaming split: a REAL stream's
     * wall time is dominated by start→drain harness cost (temp-dir
     * parquet feeds, source file listing, micro-batch scheduling,

@@ -61,4 +61,27 @@ class LateDataSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(
       (0L, 1L), (1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L), (5L, 1L), (6L, 1L)))
   }
+
+  test("shared-ingest sweep matches a solo drain per delay") {
+    // the sweep's concurrently-drained queries see the SAME one-file-
+    // per-drain sequence, so each delay's output must be bit-equal to
+    // lateWindowCountsDrain run alone with that delay — including the
+    // 2h config whose boundary drops the first test pins
+    val b0 = evDf(Seq((1L, H / 2), (2L, 5 * H / 2), (3L, 5 * H)))
+    val b1 = evDf(Seq((4L, 5 * H / 2), (5L, 3 * H / 2), (6L, 7 * H / 2),
+      (7L, 6 * H + 1)))
+    val b2 = evDf(Seq((8L, 7 * H / 2), (9L, 9 * H / 2)))
+    val delays = Seq("2 hours", "10 hours")
+    val swept = EventStream.lateWindowCountsSweepDrain(
+      spark, Seq(b0, b1, b2), 1000L * H, delays)
+    delays.zip(swept).foreach { case (d, df) =>
+      val got = df.orderBy(col("hour_bucket"))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      val solo = EventStream
+        .lateWindowCountsDrain(spark, Seq(b0, b1, b2), 1000L * H, d)
+        .orderBy(col("hour_bucket"))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      assert(got === solo, s"delay $d")
+    }
+  }
 }

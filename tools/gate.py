@@ -48,12 +48,35 @@ if ts_type == "int64":
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 if ONLY:
     oracle = {k: v for k, v in oracle.items() if k in ONLY}
+
+
+def canon_type(t):
+    """Canonical type label for the typed compare. The driver hashes
+    TYPED results, so DuckDB sum(BIGINT)->HUGEINT (arrow decimal128)
+    vs Spark BIGINT (arrow int64) must FAIL here even though the
+    untyped Python values compare equal (the r9 split_train_val
+    incident). Only cosmetic encodings are collapsed."""
+    import pyarrow as pa
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        return "timestamp"  # tz/unit flavors are writer artifacts
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    return str(t)
+
+
 results = {}
 for name, sql in sorted(oracle.items()):
     entry = {"match": False}
     try:
-        exp = con.sql(sql).fetchall()
-        expcols = [d[0] for d in con.sql(sql).description]
+        dtb = con.sql(sql).arrow()
+        expcols = dtb.column_names
+        exp = [tuple(row[c] for c in expcols) for row in dtb.to_pylist()]
     except Exception as e:
         results[name] = {"match": False, "error": f"oracle: {e}"}
         continue
@@ -65,8 +88,15 @@ for name, sql in sorted(oracle.items()):
     tb = pq.read_table(pdir)
     gotcols = tb.column_names
     got = [tuple(row[c] for c in gotcols) for row in tb.to_pylist()]
+    gtypes = {c: canon_type(tb.schema.field(c).type) for c in gotcols}
+    etypes = {c: canon_type(dtb.schema.field(c).type) for c in expcols}
+    badtypes = [f"{c}: spark={gtypes[c]} duck={etypes[c]}"
+                for c in sorted(set(gotcols) & set(expcols))
+                if gtypes[c] != etypes[c]]
     if sorted(gotcols) != sorted(expcols):
         entry["error"] = f"cols: spark={gotcols} duck={expcols}"
+    elif badtypes:
+        entry["error"] = f"types: {'; '.join(badtypes)}"
     elif len(got) != len(exp):
         entry["error"] = f"rows: spark={len(got)} duck={len(exp)}"
     else:

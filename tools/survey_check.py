@@ -89,6 +89,81 @@ if dead_oracle:
     failures.append(f"oracleSql entries with no matching query: "
                     f"{dead_oracle}")
 
+# --- uncast-aggregate lint over the oracle SQL (the r9
+# split_train_val incident class): DuckDB sum(BIGINT) returns
+# HUGEINT while Spark emits BIGINT, so any sum/avg that reaches an
+# oracle's FINAL select list uncast breaks the driver's TYPED hash
+# even when every value compares equal. Flag bare sum(/avg( in the
+# final (depth-0) SELECT list of every oracle string unless wrapped
+# in CAST/round/floor/ceil or sitting in a WHEN-condition
+# (comparisons never surface a type).
+
+
+def _normalize_sql(b):
+    b = re.sub(r"\n\s*\|", " ", b)
+    return re.sub(r"\s+", " ", b).strip()
+
+
+def _final_select(sql):
+    u = sql.upper()
+    depth, last = 0, None
+    for i, c in enumerate(sql):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and u.startswith("SELECT ", i):
+            last = i
+    if last is None:
+        return None
+    depth = 0
+    for j in range(last + 7, len(sql)):
+        c = sql[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and u.startswith(" FROM ", j - 1):
+            return sql[last + 7:j]
+    return sql[last + 7:]
+
+
+def _agg_is_safe(seg):
+    # wrapped: a CAST/round/floor/ceil opened before the agg and not
+    # yet closed
+    for wm in re.finditer(r"(CAST|ROUND|FLOOR|CEIL)\s*\(", seg, re.I):
+        d, closed = 0, False
+        for ch in seg[wm.end() - 1:]:
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+                if d == 0:
+                    closed = True
+                    break
+        if not closed:
+            return True
+    # condition context: nearest CASE keyword before the agg is WHEN
+    kw = [(m.start(), m.group(0).upper())
+          for m in re.finditer(r"\b(WHEN|THEN|ELSE|END)\b", seg, re.I)]
+    return bool(kw) and kw[-1][1] == "WHEN"
+
+
+uncast = []
+for b in re.findall(r'"""(.*?)"""', oracle_region, re.S):
+    sql = _normalize_sql(b)
+    if "SELECT" not in sql.upper():
+        continue
+    fs = _final_select(sql)
+    if not fs:
+        continue
+    for m in re.finditer(r"(?<![A-Za-z_])(sum|avg)\s*\(", fs, re.I):
+        if not _agg_is_safe(fs[:m.start()]):
+            uncast.append(f"...{fs[max(0, m.start() - 30):m.start() + 40]}...")
+if uncast:
+    failures.append(f"uncast sum/avg in an oracle's FINAL select "
+                    f"(HUGEINT-vs-BIGINT typed-hash breaker): {uncast}")
+
 checked = len(re.findall(r"^- \[x\]", sec2, re.M))
 print(f"survey_check: {len(qkeys)} query keys, {len(okeys)} oracles, "
       f"{checked} [x] rows in §2")
