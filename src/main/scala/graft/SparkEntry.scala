@@ -1000,6 +1000,247 @@ object SparkEntry {
         .orderBy(col("split_a"), col("split_b"))
     }),
 
+    // -- GROUP-aware split: the remedy for what split_leakage finds.
+    //    Every doc is assigned the split of its near-dup component's
+    //    REPRESENTATIVE (min doc_id under the minhash-pair connected
+    //    components), so near-twins can never straddle splits — the
+    //    leakage-free-by-construction doc split an eval suite should
+    //    actually train against. Same hash-bucket arithmetic as
+    //    split_train_val, applied to rep instead of doc_id; CC runs
+    //    on the edge SUBGRAPH only (near-dup members), singletons
+    //    stay map-side --
+    "split_group_aware" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
+      val reps = Dedup.connectedComponents(docs.select(col("doc_id")),
+        pairs, "doc_id", "doc_a", "doc_b")
+      val bucket = pmod(col("rep") * lit(2654435761L) + lit(1013904223L),
+        lit(100L))
+      docs.join(reps, "doc_id")
+        .select(col("source"), col("n_chars"),
+          when(bucket < 90, lit("train"))
+            .when(bucket < 95, lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"))
+        .orderBy(col("source"), col("split"))
+    }),
+
+    // -- the audit closing the loop: re-run split_leakage's pair
+    //    cross-tab against the GROUP-aware assignment. Both endpoints
+    //    of every near-dup pair share a component, hence a rep, hence
+    //    a split — so the cross-tab must be purely diagonal (zero
+    //    leaked pairs by construction), and this query proves it on
+    //    the same pair stream the leakage audit flagged --
+    "split_group_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
+      val reps = Dedup.connectedComponents(docs.select(col("doc_id")),
+        pairs, "doc_id", "doc_a", "doc_b")
+      val bucket = pmod(col("rep") * lit(2654435761L) + lit(1013904223L),
+        lit(100L))
+      val split = reps.select(col("doc_id"),
+        when(bucket < 90, lit("train"))
+          .when(bucket < 95, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      pairs
+        .join(split.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("split", "sa"), "doc_a")
+        .join(split.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("split", "sb"), "doc_b")
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("split_a"), col("split_b"))
+    }),
+
+    // -- HyperLogLog distinct-user sketch per event type (Flajolet et
+    //    al.; m=64 registers, p=6): the third mergeable sketch next to
+    //    count-min and Space-Saving. The register update is map-side
+    //    max over integer rho values (two portable LCG rounds, top-6
+    //    bits route, 26 - msb(low-25-bits) rho), so the shuffle
+    //    carries <= |types| x 64 rows no matter the corpus; the
+    //    harmonic sum runs over EXACT integers (sum of 2^(26-rho)
+    //    longs), so the estimate doubles are one division on both
+    //    engines — order-independent by construction, fully oracled
+    //    next to the exact distinct for the error readout --
+    "users_hll" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val h1 = pmod(col("user_id") * lit(1103515245L) + lit(12345L),
+        lit(2147483648L))
+      val h2 = pmod(h1 * lit(1103515245L) + lit(12345L), lit(2147483648L))
+      val regs = ev
+        .select(col("event_type"), (h2 / lit(33554432L)).cast("long").as("reg"),
+          pmod(h2, lit(33554432L)).as("w"))
+        .select(col("event_type"), col("reg"),
+          when(col("w") === 0, lit(26L)).otherwise(
+            lit(26L) - length(conv(col("w").cast("string"), 10, 2))
+              .cast("long")).as("rho"))
+        .groupBy(col("event_type"), col("reg"))
+        .agg(max(col("rho")).as("mx"))
+      val agg = regs.groupBy(col("event_type"))
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(26 - mx AS INT))"))
+            .as("s_present"),
+          count(lit(1)).as("n_present"))
+        .select(col("event_type"),
+          (col("s_present") + (lit(64L) - col("n_present")) * lit(67108864L))
+            .as("s_int"),
+          (lit(64L) - col("n_present")).as("v"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      val estRaw = lit(0.709) * lit(4096) * lit(67108864.0) / col("s_int")
+      exact.join(agg, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          when(estRaw <= 160.0 && col("v") > 0,
+            lit(64.0) * log(lit(64.0) / col("v"))).otherwise(estRaw)
+            .as("est"))
+        .select(col("event_type"), col("n_exact"),
+          round(col("est"), 4).as("hll_est"),
+          round((col("est") - col("n_exact")) / col("n_exact") * 100, 2)
+            .as("err_pct"))
+        .orderBy(col("event_type"))
+    }),
+
+    // -- contrastive hard-negative mining: for each anchor in a
+    //    count-derived deterministic sample (~20 anchors at ANY
+    //    corpus size — the embed_dist_hist rule), the 3 nearest
+    //    embeddings with a DIFFERENT label. The pair stream is
+    //    anchors-broadcast x one corpus scan with the per-anchor cut
+    //    in the TopKPairs aggregate (partials BEFORE the exchange,
+    //    so the shuffle carries anchors x k x partitions rows) —
+    //    the batch that feeds a triplet/contrastive fine-tune --
+    "mine_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val mod = math.max(1L, (e.count() + 19L) / 20L)
+      val anchors = e.where(pmod(col("vec_id"), lit(mod)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      e.crossJoin(broadcast(anchors))
+        .where(col("label") =!= col("qlabel"))
+        .select(col("qid"),
+          round(VectorFunctions.vec_cosine(col("embedding"), col("qvec")), 4)
+            .as("dist"),
+          col("vec_id"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg.topk_pairs(col("dist"), col("vec_id"), 3)
+          .as("topk"))
+        .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "pair")))
+        .select(col("qid"), col("pair.id").as("vec_id"),
+          col("pair.dist").as("dist"),
+          (col("pos") + 1).cast("int").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // -- triplet mining on the same anchor sample: nearest same-label
+    //    neighbor (positive), nearest different-label (negative) and
+    //    the cosine margin between them — the per-anchor (a, p, n)
+    //    row a triplet-loss epoch consumes, plus the margin histogram
+    //    input for curriculum ordering. One broadcast pair stream,
+    //    two k=1 TopKPairs cuts --
+    "mine_triplets" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val mod = math.max(1L, (e.count() + 19L) / 20L)
+      val anchors = e.where(pmod(col("vec_id"), lit(mod)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      val base = e.crossJoin(broadcast(anchors))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+          round(VectorFunctions.vec_cosine(col("embedding"), col("qvec")), 4)
+            .as("dist"))
+      def top1(df: DataFrame, idName: String, dName: String): DataFrame =
+        df.groupBy(col("qid"))
+          .agg(graft.functions.TopKAgg.topk_pairs(col("dist"), col("vec_id"), 1)
+            .as("tp"))
+          .select(col("qid"), col("tp").getItem(0).getField("id").as(idName),
+            col("tp").getItem(0).getField("dist").as(dName))
+      top1(base.where(col("label") === col("qlabel")), "pos_id", "pos_dist")
+        .join(top1(base.where(col("label") =!= col("qlabel")),
+          "neg_id", "neg_dist"), "qid")
+        .select(col("qid"), col("pos_id"), col("pos_dist"),
+          col("neg_id"), col("neg_dist"),
+          round(col("neg_dist") - col("pos_dist"), 4).as("margin"))
+        .orderBy(col("qid"))
+    }),
+
+    // -- DSIR-style importance weights (Xie et al.): score every doc
+    //    by the log-likelihood ratio of a TARGET domain (source src0)
+    //    over the full corpus, features = charFold-hashed unigram
+    //    buckets (4096, Laplace-smoothed). The bucket frame is
+    //    model-sized (4096 rows, broadcast); per-doc scores fold the
+    //    doc's own bucket counts in canonical bucket order (the
+    //    source_kl discipline), so the double chain replays exactly.
+    //    Output: the top-30 most target-like docs — the resampling
+    //    priority a domain-targeted pretraining mix reads --
+    "importance_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), col("source"),
+        explode(TextFuncs.tokens(col("text"))).as("term"))
+      val b = toks.select(col("doc_id"), col("source"),
+        pmod(TextFuncs.charFold(col("term")), lit(4096L)).as("bkt"))
+      val tgt = b.where(col("source") === "src0")
+        .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
+      val all = b.groupBy(col("bkt")).agg(count(lit(1)).as("ca"))
+      val totals = b.agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("t_tot"),
+        count(lit(1)).as("a_tot"))
+      val ratio = all.join(tgt, Seq("bkt"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("bkt"),
+          log(((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+               (col("t_tot") + lit(4096L))) /
+              ((col("ca") + lit(1L)).cast("double") /
+               (col("a_tot") + lit(4096L)))).as("lr"))
+      val db = b.groupBy(col("doc_id"), col("bkt"))
+        .agg(count(lit(1)).as("cd"))
+      db.join(broadcast(ratio), "bkt")
+        .select(col("doc_id"), col("bkt"),
+          (col("cd").cast("double") * col("lr")).as("x"))
+        .groupBy(col("doc_id"))
+        .agg(round(
+          aggregate(
+            transform(sort_array(collect_list(struct(col("bkt"), col("x")))),
+              p => p.getField("x")),
+            lit(0.0), (a, v) => a + v), 4).as("imp"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("imp"))
+        .orderBy(col("imp").desc, col("doc_id"))
+        .limit(30)
+    }),
+
+    // -- IVF index APPEND audit: assign an incoming batch (odd ids)
+    //    to the EXISTING static centroids the base index (even ids)
+    //    was built with, and report the per-cluster growth + the
+    //    post-append load factor (ivf_balance's integer e3 ratio).
+    //    The maintenance readout an at-rest index runs after every
+    //    ingest cycle: appends are map-only (assignment against 8
+    //    broadcast centroids — no rebuild, no shuffle of the base),
+    //    and a drifting load_e3 is the retrain trigger --
+    "ivf_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cluster"),
+          transform(col("embedding"), _.cast("double")).as("centroid"))
+      def counts(part: DataFrame, name: String): DataFrame =
+        Ann.tagCorpus(part, "vec_id", "embedding", cents)
+          .groupBy(col("cluster")).agg(count(lit(1)).as(name))
+      val before = counts(e.where(pmod(col("vec_id"), lit(2L)) === 0),
+        "n_before")
+      val after = counts(e.where(pmod(col("vec_id"), lit(2L)) === 1), "n_new")
+      val joined = before.join(after, Seq("cluster"), "full")
+        .select(col("cluster"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("n_after", col("n_before") + col("n_new"))
+      val tot = joined.agg(sum(col("n_after")).as("n"),
+        count(lit(1)).as("k"))
+      joined.crossJoin(broadcast(tot))
+        .select(col("cluster"), col("n_before"), col("n_new"),
+          col("n_after"), expr("(n_after * k * 1000) div n").as("load_e3"))
+        .orderBy(col("cluster"))
+    }),
+
     // -- the same MAD operator reused across tables: per-nation
     //    supplier account-balance outliers (finance-style audit) —
     //    the operator takes any (key, tiebreak, value) frame --
@@ -3847,6 +4088,159 @@ object SparkEntry {
          |JOIN sp b ON pairs.doc_b = b.doc_id
          |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin.replaceAll("\n", " ")
     }
+    // shared by the group-aware split oracles: minhash pairs ->
+    // recursive-CTE connected components -> per-doc representative
+    // (the dedup_clusters chain) -> split derived from rep
+    val groupSplitCtes = {
+      val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+      s"""tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+         |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
+         |  FROM tk WHERE len(toks) >= 3),
+         |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
+         |pairs AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+         |  FROM bands x JOIN bands y
+         |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(n, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+         |  UNION SELECT e.d, reach.r FROM edges e JOIN reach ON reach.n = e.s),
+         |lbl AS (SELECT n AS doc_id, min(r) AS rep FROM reach GROUP BY n),
+         |reps AS (SELECT d.doc_id, d.source, d.n_chars,
+         |  coalesce(l.rep, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+         |gsp AS (SELECT doc_id, source, n_chars,
+         |  CASE WHEN (((rep * 2654435761 + 1013904223) % 100) + 100) % 100 < 90 THEN 'train'
+         |       WHEN (((rep * 2654435761 + 1013904223) % 100) + 100) % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS split FROM reps)""".stripMargin.replaceAll("\n", " ")
+    }
+    val splitGroupAwareOracle =
+      s"""WITH RECURSIVE $groupSplitCtes
+         |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_chars) AS BIGINT) AS tot_chars
+         |FROM gsp GROUP BY source, split ORDER BY source, split""".stripMargin.replaceAll("\n", " ")
+    val splitGroupAuditOracle =
+      s"""WITH RECURSIVE $groupSplitCtes
+         |SELECT least(a.split, b.split) AS split_a,
+         | greatest(a.split, b.split) AS split_b,
+         | CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs JOIN gsp a ON pairs.doc_a = a.doc_id
+         |JOIN gsp b ON pairs.doc_b = b.doc_id
+         |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin.replaceAll("\n", " ")
+    // cosine distance of e.embedding vs an arbitrary query-vector
+    // alias — the rawCosineSql kernel with substitutable operands
+    def cosSql(v: String, q: String): String =
+      s"""CASE WHEN
+         | list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0 OR
+         | list_sum(list_transform($q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+         |THEN 1.0 ELSE 1.0 - greatest(-1.0, least(1.0,
+         | list_sum(list_transform($v, (x, i) -> CAST(x AS DOUBLE) * CAST($q[i] AS DOUBLE))) /
+         | (sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |  sqrt(list_sum(list_transform($q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))) END"""
+        .stripMargin.replaceAll("\n", " ")
+    val mineHardNegativesOracle =
+      s"""WITH m AS (SELECT greatest(1, (count(*) + 19) // 20) AS md FROM embeddings),
+         |a AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+         |  FROM embeddings, m WHERE ((vec_id % m.md) + m.md) % m.md = 0),
+         |p AS (SELECT a.qid, e.vec_id,
+         |  round(${cosSql("e.embedding", "a.qvec")}, 4) AS dist
+         |  FROM embeddings e, a WHERE e.label <> a.qlabel),
+         |r AS (SELECT qid, vec_id, dist,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INTEGER) AS rank
+         |  FROM p)
+         |SELECT qid, vec_id, dist, rank FROM r WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin.replaceAll("\n", " ")
+    val mineTripletsOracle =
+      s"""WITH m AS (SELECT greatest(1, (count(*) + 19) // 20) AS md FROM embeddings),
+         |a AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+         |  FROM embeddings, m WHERE ((vec_id % m.md) + m.md) % m.md = 0),
+         |b AS (SELECT a.qid, a.qlabel, e.vec_id, e.label,
+         |  round(${cosSql("e.embedding", "a.qvec")}, 4) AS dist
+         |  FROM embeddings e, a WHERE e.vec_id <> a.qid),
+         |pos AS (SELECT qid, vec_id AS pos_id, dist AS pos_dist FROM (
+         |  SELECT qid, vec_id, dist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+         |  FROM b WHERE label = qlabel) _p WHERE rn = 1),
+         |neg AS (SELECT qid, vec_id AS neg_id, dist AS neg_dist FROM (
+         |  SELECT qid, vec_id, dist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+         |  FROM b WHERE label <> qlabel) _n WHERE rn = 1)
+         |SELECT qid, pos_id, pos_dist, neg_id, neg_dist,
+         | round(neg_dist - pos_dist, 4) AS margin
+         |FROM pos JOIN neg USING (qid) ORDER BY qid""".stripMargin.replaceAll("\n", " ")
+    val usersHllOracle =
+      """WITH h AS (SELECT event_type, user_id,
+        |  (((((((user_id * 1103515245 + 12345) % 2147483648) + 2147483648) % 2147483648)
+        |    * 1103515245 + 12345) % 2147483648) + 2147483648) % 2147483648 AS h2
+        |  FROM events),
+        |r AS (SELECT event_type, h2 // 33554432 AS reg,
+        |  ((h2 % 33554432) + 33554432) % 33554432 AS w FROM h),
+        |r2 AS (SELECT event_type, reg,
+        |  CASE WHEN w = 0 THEN 26 ELSE 26 - length(bin(w)) END AS rho FROM r),
+        |rr AS (SELECT event_type, reg, max(rho) AS mx FROM r2
+        |  GROUP BY event_type, reg),
+        |ag AS (SELECT event_type,
+        |  CAST(sum(CAST(1 AS BIGINT) << CAST(26 - mx AS INTEGER)) AS BIGINT)
+        |    + (64 - CAST(count(*) AS BIGINT)) * 67108864 AS s_int,
+        |  64 - CAST(count(*) AS BIGINT) AS v FROM rr GROUP BY event_type),
+        |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY event_type),
+        |e2 AS (SELECT ex.event_type, n_exact,
+        |  CASE WHEN CAST(0.709 AS DOUBLE) * 4096 * 67108864.0 / s_int <= 160.0 AND v > 0
+        |    THEN 64.0 * ln(64.0 / v)
+        |    ELSE CAST(0.709 AS DOUBLE) * 4096 * 67108864.0 / s_int END AS est
+        |  FROM ex JOIN ag USING (event_type))
+        |SELECT event_type, n_exact, round(est, 4) AS hll_est,
+        | round((est - n_exact) / n_exact * 100, 2) AS err_pct
+        |FROM e2 ORDER BY event_type""".stripMargin.replaceAll("\n", " ")
+    val importanceWeightsOracle = {
+      val fold = SqlSnips.charFold("term")
+      s"""WITH tk AS (SELECT doc_id, source, unnest($toks) AS term FROM documents),
+         |b AS (SELECT doc_id, source,
+         |  ((($fold) % 4096) + 4096) % 4096 AS bkt FROM tk),
+         |tg AS (SELECT bkt, CAST(count(*) AS BIGINT) AS ct FROM b
+         |  WHERE source = 'src0' GROUP BY bkt),
+         |al AS (SELECT bkt, CAST(count(*) AS BIGINT) AS ca FROM b GROUP BY bkt),
+         |tot AS (SELECT CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS t_tot,
+         |  CAST(count(*) AS BIGINT) AS a_tot FROM b),
+         |ratio AS (SELECT al.bkt,
+         |  ln((CAST(coalesce(tg.ct, 0) + 1 AS DOUBLE) / (t_tot + 4096)) /
+         |     (CAST(al.ca + 1 AS DOUBLE) / (a_tot + 4096))) AS lr
+         |  FROM al LEFT JOIN tg USING (bkt) CROSS JOIN tot),
+         |db AS (SELECT doc_id, bkt, CAST(count(*) AS BIGINT) AS cd FROM b
+         |  GROUP BY doc_id, bkt),
+         |x AS (SELECT doc_id, bkt, CAST(cd AS DOUBLE) * lr AS x
+         |  FROM db JOIN ratio USING (bkt)),
+         |imp AS (SELECT doc_id, round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(list(x ORDER BY bkt), v -> v)), (a, b) -> a + b), 4) AS imp
+         |  FROM x GROUP BY doc_id)
+         |SELECT imp.doc_id AS doc_id, d.source AS source, imp.imp AS imp
+         |FROM imp JOIN documents d ON imp.doc_id = d.doc_id
+         |ORDER BY imp DESC, doc_id LIMIT 30""".stripMargin.replaceAll("\n", " ")
+    }
+    val ivfAppendOracle = {
+      val l2 = "sqrt(list_sum(list_transform(e.embedding, (x, i) -> " +
+        "(CAST(x AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) * " +
+        "(CAST(x AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)))))"
+      s"""WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cluster,
+         |  embedding AS centroid FROM embeddings WHERE vec_id < 8),
+         |asgn AS (SELECT vec_id, cluster FROM (
+         |  SELECT e.vec_id, c.cluster,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $l2, c.cluster) AS rn
+         |  FROM embeddings e, cents c) _r WHERE rn = 1),
+         |par AS (SELECT cluster, ((vec_id % 2) + 2) % 2 AS par FROM asgn),
+         |g AS (SELECT cluster,
+         |  CAST(sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+         |  CAST(sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+         |  FROM par GROUP BY cluster),
+         |g2 AS (SELECT cluster, n_before, n_new,
+         |  CAST(n_before + n_new AS BIGINT) AS n_after FROM g),
+         |tot AS (SELECT CAST(sum(n_after) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS k FROM g2)
+         |SELECT cluster, n_before, n_new, n_after,
+         | CAST((n_after * k * 1000) // n AS BIGINT) AS load_e3
+         |FROM g2, tot ORDER BY cluster""".stripMargin.replaceAll("\n", " ")
+    }
     val evalPrepOracle = {
       val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
       s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
@@ -4925,6 +5319,13 @@ object SparkEntry {
       "ivf_balance" -> ivfBalanceOracle,
       "dedup_quality_cost" -> dedupQualityCostOracle,
       "split_leakage" -> splitLeakageOracle,
+      "split_group_aware" -> splitGroupAwareOracle,
+      "split_group_audit" -> splitGroupAuditOracle,
+      "mine_hard_negatives" -> mineHardNegativesOracle,
+      "mine_triplets" -> mineTripletsOracle,
+      "users_hll" -> usersHllOracle,
+      "importance_weights" -> importanceWeightsOracle,
+      "ivf_append" -> ivfAppendOracle,
       "pipeline_eval_prep" -> evalPrepOracle,
       "simhash_hamming" -> {
         val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
