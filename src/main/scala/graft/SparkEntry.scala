@@ -1067,39 +1067,106 @@ object SparkEntry {
     //    next to the exact distinct for the error readout --
     "users_hll" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val h1 = pmod(col("user_id") * lit(1103515245L) + lit(12345L),
-        lit(2147483648L))
-      val h2 = pmod(h1 * lit(1103515245L) + lit(12345L), lit(2147483648L))
-      val regs = ev
-        .select(col("event_type"), (h2 / lit(33554432L)).cast("long").as("reg"),
-          pmod(h2, lit(33554432L)).as("w"))
-        .select(col("event_type"), col("reg"),
-          when(col("w") === 0, lit(26L)).otherwise(
-            lit(26L) - length(conv(col("w").cast("string"), 10, 2))
-              .cast("long")).as("rho"))
-        .groupBy(col("event_type"), col("reg"))
-        .agg(max(col("rho")).as("mx"))
-      val agg = regs.groupBy(col("event_type"))
-        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(26 - mx AS INT))"))
-            .as("s_present"),
-          count(lit(1)).as("n_present"))
-        .select(col("event_type"),
-          (col("s_present") + (lit(64L) - col("n_present")) * lit(67108864L))
-            .as("s_int"),
-          (lit(64L) - col("n_present")).as("v"))
+      val regs = graft.functions.Hll.registers(ev, "user_id",
+        Seq("event_type"))
+      val est = graft.functions.Hll.estimate(regs, Seq("event_type"))
       val exact = ev.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_exact"))
-      val estRaw = lit(0.709) * lit(4096) * lit(67108864.0) / col("s_int")
-      exact.join(agg, "event_type")
+      exact.join(est, "event_type")
         .select(col("event_type"), col("n_exact"),
-          when(estRaw <= 160.0 && col("v") > 0,
-            lit(64.0) * log(lit(64.0) / col("v"))).otherwise(estRaw)
-            .as("est"))
-        .select(col("event_type"), col("n_exact"),
-          round(col("est"), 4).as("hll_est"),
-          round((col("est") - col("n_exact")) / col("n_exact") * 100, 2)
+          round(col("hll_est"), 4).as("hll_est"),
+          round((col("hll_est") - col("n_exact")) / col("n_exact") * 100, 2)
             .as("err_pct"))
         .orderBy(col("event_type"))
+    }),
+
+    // -- the SAME sketch at streaming ingest: complete-mode stateful
+    //    register-max over the event stream (state = |types| x 64
+    //    rows, bounded forever — the way a 100 TB ingest counts
+    //    distinct users without keying state by user), finished to
+    //    estimates AFTER the drain. Register math is Hll's, so the
+    //    batch oracle replays it exactly; the sketch's merge form IS
+    //    its state, which is what makes the streaming agg legal --
+    "streaming_hll" -> ((s, dir) =>
+      graft.streaming.EventStream.hllDistinctUsersBatchDrain(s, dir)),
+
+    // -- n-gram NOVELTY by source: per doc, the fraction of its
+    //    distinct 3-gram shingles whose FIRST corpus occurrence (min
+    //    doc_id over the shingle hash) is earlier — the memorization/
+    //    redundancy curve dataset-ordering work reads (high
+    //    seen-before = the source re-treads corpus content even when
+    //    no doc-pair dedup fires). One shuffle keyed by shingle hash
+    //    (linear in corpus, the dedup_minhash shape), exact integer
+    //    e4 ratios --
+    "ngram_novelty" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(TextExprs.shingle_hashes(col("text"), 3)))
+            .as("h"))
+      val fo = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(fo, "h")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+            .as("n_seen"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_sh")).as("n_shingles"),
+          sum(col("n_seen")).as("n_seen_before"))
+        .select(col("source"), col("n_docs"), col("n_shingles"),
+          col("n_seen_before"),
+          expr("(n_seen_before * 10000) div n_shingles").as("seen_e4"))
+        .orderBy(col("source"))
+    }),
+
+    // -- Bloom filter sizing planner (the decontaminate_bloom design
+    //    table, lsh_plan's sibling): for corpus sizes 10^6..10^9 and
+    //    target fpp 10^-2..10^-4, the standard m = -n ln p / ln^2 2
+    //    bits and k = (m/n) ln 2 hashes, plus bits/key and MiB —
+    //    the capacity-vs-fpp grid read before shipping a prefilter
+    //    to 1000 executors. Pure closed-form doubles finished to
+    //    integers, 12 rows, no data scan --
+    "bloom_plan" -> ((s, dir) => {
+      val grid = s.range(6, 10).select(col("id").cast("int").as("n_exp"))
+        .crossJoin(s.range(2, 5).select(col("id").cast("int").as("p_exp")))
+        // integer 10^n_exp (rounded through double, exact well past
+        // 10^9) so -n ln p folds to n * p_exp * ln(10) — no pow(x, -y)
+        // libm call whose last ulp could differ across engines
+        .withColumn("n_keys", expr("CAST(round(pow(10, n_exp)) AS BIGINT)"))
+      val nD = col("n_keys").cast("double")
+      val mBits = ceil(nD * col("p_exp") * log(lit(10.0))
+        / (log(lit(2.0)) * log(lit(2.0)))).cast("long")
+      grid.select(col("n_exp"), col("p_exp"), col("n_keys"),
+          mBits.as("m_bits"))
+        .select(col("n_exp"), col("p_exp"), col("n_keys"), col("m_bits"),
+          round(col("m_bits") / nD * log(lit(2.0)))
+            .cast("int").as("k_hashes"),
+          expr("(m_bits * 100) div n_keys").as("bits_per_key_e2"),
+          round(col("m_bits") / 8.0 / 1048576.0, 2).as("mib"))
+        .orderBy(col("n_exp"), col("p_exp"))
+    }),
+
+    // -- shard REBALANCE plan: current per-shard doc counts (the
+    //    shard_assign hash) vs the balanced target (n div 16 with the
+    //    remainder spread over the first n mod 16 shards) and the
+    //    per-shard surplus/deficit — the move plan a storage
+    //    compactor executes; all-integer, 16 rows, one count pass --
+    "shard_rebalance" -> ((s, dir) => {
+      val assigned = Corpus
+        .shardAssign(t(s, dir, "documents"), "doc_id", numShards = 16)
+        .groupBy(col("shard")).agg(count(lit(1)).as("c"))
+      val counts = s.range(0, 16).select(col("id").as("shard"))
+        .join(assigned, Seq("shard"), "left")
+        .select(col("shard"), coalesce(col("c"), lit(0L)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("n"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"),
+          (expr("n div 16") +
+            when(col("shard") < pmod(col("n"), lit(16L)), 1L).otherwise(0L))
+            .as("target"))
+        .select(col("shard"), col("n_docs"), col("target"),
+          (col("n_docs") - col("target")).as("delta"))
+        .orderBy(col("shard"))
     }),
 
     // -- contrastive hard-negative mining: for each anchor in a
@@ -3671,6 +3738,7 @@ object SparkEntry {
     "streaming_search" -> ("direct", 1),
     "streaming_neardup" -> ("direct", 1),
     "streaming_dedup_native" -> ("direct", 1),
+    "streaming_hll" -> ("direct", 1),
     "streaming_join" -> ("direct", 1))
 
   // ---- oracle SQL (DuckDB 1.0, bare table names per driver) ------------
@@ -4170,8 +4238,8 @@ object SparkEntry {
          |FROM pos JOIN neg USING (qid) ORDER BY qid""".stripMargin.replaceAll("\n", " ")
     val usersHllOracle =
       """WITH h AS (SELECT event_type, user_id,
-        |  (((((((user_id * 1103515245 + 12345) % 2147483648) + 2147483648) % 2147483648)
-        |    * 1103515245 + 12345) % 2147483648) + 2147483648) % 2147483648 AS h2
+        |  ((CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % 2147483648) + 2147483648) % 2147483648 AS h2
         |  FROM events),
         |r AS (SELECT event_type, h2 // 33554432 AS reg,
         |  ((h2 % 33554432) + 33554432) % 33554432 AS w FROM h),
@@ -4193,6 +4261,73 @@ object SparkEntry {
         |SELECT event_type, n_exact, round(est, 4) AS hll_est,
         | round((est - n_exact) / n_exact * 100, 2) AS err_pct
         |FROM e2 ORDER BY event_type""".stripMargin.replaceAll("\n", " ")
+    // streaming_hll: the same register/estimate arithmetic with no
+    // exact-count companion — the stream's complete-mode register
+    // table equals the batch groupBy, so one oracle covers both
+    val streamingHllOracle =
+      """WITH h AS (SELECT event_type, user_id,
+        |  ((CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % 2147483648) + 2147483648) % 2147483648 AS h2
+        |  FROM events),
+        |r AS (SELECT event_type, h2 // 33554432 AS reg,
+        |  ((h2 % 33554432) + 33554432) % 33554432 AS w FROM h),
+        |r2 AS (SELECT event_type, reg,
+        |  CASE WHEN w = 0 THEN 26 ELSE 26 - length(bin(w)) END AS rho FROM r),
+        |rr AS (SELECT event_type, reg, max(rho) AS mx FROM r2
+        |  GROUP BY event_type, reg),
+        |ag AS (SELECT event_type,
+        |  CAST(sum(CAST(1 AS BIGINT) << CAST(26 - mx AS INTEGER)) AS BIGINT)
+        |    + (64 - CAST(count(*) AS BIGINT)) * 67108864 AS s_int,
+        |  64 - CAST(count(*) AS BIGINT) AS v FROM rr GROUP BY event_type)
+        |SELECT event_type,
+        | round(CASE WHEN CAST(0.709 AS DOUBLE) * 4096 * 67108864.0 / s_int <= 160.0 AND v > 0
+        |   THEN 64.0 * ln(64.0 / v)
+        |   ELSE CAST(0.709 AS DOUBLE) * 4096 * 67108864.0 / s_int END, 4) AS hll_est
+        |FROM ag ORDER BY event_type""".stripMargin.replaceAll("\n", " ")
+    val ngramNoveltyOracle = {
+      val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+      s"""WITH tk AS (SELECT doc_id, source, $toks AS toks FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source, h FROM (
+         |  SELECT doc_id, source, unnest($bases) AS h
+         |  FROM tk WHERE len(toks) >= 3) _u),
+         |fo AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h),
+         |pd AS (SELECT sh.doc_id, sh.source,
+         |  CAST(count(*) AS BIGINT) AS n_sh,
+         |  CAST(sum(CASE WHEN fo.first_doc < sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+         |  FROM sh JOIN fo USING (h) GROUP BY sh.doc_id, sh.source)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+         | CAST(sum(n_seen) AS BIGINT) AS n_seen_before,
+         | CAST((sum(n_seen) * 10000) // sum(n_sh) AS BIGINT) AS seen_e4
+         |FROM pd GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " ")
+    }
+    val bloomPlanOracle =
+      """WITH g AS (SELECT n_exp, p_exp,
+        |  CAST(round(pow(10, n_exp)) AS BIGINT) AS n_keys
+        |  FROM (SELECT unnest(range(6, 10)) AS n_exp) _n,
+        |       (SELECT unnest(range(2, 5)) AS p_exp) _p),
+        |m AS (SELECT CAST(n_exp AS INTEGER) AS n_exp,
+        |  CAST(p_exp AS INTEGER) AS p_exp, n_keys,
+        |  CAST(ceil(CAST(n_keys AS DOUBLE) * p_exp * ln(10.0)
+        |    / (ln(2.0) * ln(2.0))) AS BIGINT) AS m_bits FROM g)
+        |SELECT n_exp, p_exp, n_keys, m_bits,
+        | CAST(round(m_bits / CAST(n_keys AS DOUBLE) * ln(2.0)) AS INTEGER) AS k_hashes,
+        | CAST((m_bits * 100) // n_keys AS BIGINT) AS bits_per_key_e2,
+        | round(m_bits / 8.0 / 1048576.0, 2) AS mib
+        |FROM m ORDER BY n_exp, p_exp""".stripMargin.replaceAll("\n", " ")
+    val shardRebalanceOracle =
+      """WITH a AS (SELECT ((((doc_id % 1000003) * 2654435761) % 4294967296) + 4294967296)
+        |  % 4294967296 % 16 AS shard FROM documents),
+        |c AS (SELECT r.sh AS shard, CAST(count(a.shard) AS BIGINT) AS n_docs
+        |  FROM (SELECT unnest(range(0, 16)) AS sh) r
+        |  LEFT JOIN a ON a.shard = r.sh GROUP BY r.sh),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM c),
+        |p AS (SELECT shard, n_docs,
+        |  CAST(n // 16 + CASE WHEN shard < ((n % 16) + 16) % 16 THEN 1 ELSE 0 END AS BIGINT) AS target
+        |  FROM c, t)
+        |SELECT shard, n_docs, target,
+        | CAST(n_docs - target AS BIGINT) AS delta
+        |FROM p ORDER BY shard""".stripMargin.replaceAll("\n", " ")
     val importanceWeightsOracle = {
       val fold = SqlSnips.charFold("term")
       s"""WITH tk AS (SELECT doc_id, source, unnest($toks) AS term FROM documents),
@@ -5324,6 +5459,10 @@ object SparkEntry {
       "mine_hard_negatives" -> mineHardNegativesOracle,
       "mine_triplets" -> mineTripletsOracle,
       "users_hll" -> usersHllOracle,
+      "streaming_hll" -> streamingHllOracle,
+      "ngram_novelty" -> ngramNoveltyOracle,
+      "bloom_plan" -> bloomPlanOracle,
+      "shard_rebalance" -> shardRebalanceOracle,
       "importance_weights" -> importanceWeightsOracle,
       "ivf_append" -> ivfAppendOracle,
       "pipeline_eval_prep" -> evalPrepOracle,

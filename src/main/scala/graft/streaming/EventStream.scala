@@ -62,6 +62,29 @@ object EventStream {
       .orderBy(col("hour_bucket"), col("event_type"))
   }
 
+  /** HyperLogLog distinct-user registers maintained by the STREAM
+    * (graft.functions.Hll's portable register math as a complete-mode
+    * stateful aggregation — state is |event_types| x 64 register
+    * rows, bounded no matter how long the stream runs; contrast the
+    * unbounded per-user state an exact streaming distinct would
+    * need), finished to per-type estimates after the drain. The
+    * register table is the sketch's MERGE form, which is exactly why
+    * the incremental max-per-micro-batch aggregation is legal.
+    */
+  def hllDistinctUsersBatchDrain(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val name = s"graft_stream_hll_${memSinkId.incrementAndGet()}"
+    val q = graft.functions.Hll
+      .registers(readStream(spark, sfDir), "user_id", Seq("event_type"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    graft.functions.Hll.estimate(spark.table(name), Seq("event_type"))
+      .select(col("event_type"), round(col("hll_est"), 4).as("hll_est"))
+      .orderBy(col("event_type"))
+  }
+
   /** documents.parquet schema for the streaming dedup path. */
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
