@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SqlSnips, TextEmbed, TextExprs, TextFuncs, VectorFunctions}
@@ -1167,6 +1167,83 @@ object SparkEntry {
         .select(col("shard"), col("n_docs"), col("target"),
           (col("n_docs") - col("target")).as("delta"))
         .orderBy(col("shard"))
+    }),
+
+    // -- matryoshka dimension-budget recall curve: top-10 cosine over
+    //    the FIRST d dims (d = 8/16/32/64) scored against the
+    //    full-width exact top-10 on a 20-query sample — the
+    //    truncation-budget table an MRL-style serving tier reads
+    //    before choosing how many dims to keep hot. Each budget is
+    //    one broadcast knnJoin (TopKPairs partials, no all-pairs
+    //    shuffle); recall reported as exact integer e4 --
+    "recall_dim_budget" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      def top10(d: Option[Int]): DataFrame = {
+        def v(c: Column): Column = d.map(slice(c, 1, _)).getOrElse(c)
+        Knn.knnJoin(
+          e.select(col("vec_id"), v(col("embedding")).as("embedding")),
+          e.where(col("vec_id") < 20)
+            .select(col("vec_id").as("qid"), v(col("embedding")).as("qvec")),
+          "vec_id", "embedding", "qid", "qvec", "cosine", 10)
+          .select(col("qid"), col("vec_id"))
+      }
+      val exact = top10(None)
+      Seq(8, 16, 32, 64).map { d =>
+        top10(Some(d)).join(exact, Seq("qid", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(d).as("dim_budget"), col("n_hits"),
+            expr("(n_hits * 10000) div 200").as("recall_e4"))
+      }.reduce(_.unionByName(_)).orderBy(col("dim_budget"))
+    }),
+
+    // -- KMV (k-minimum-values) distinct sketch with SET OPERATIONS —
+    //    what HLL cannot do: per-type 64-smallest md5 hashes of the
+    //    distinct users, then pairwise union/intersection estimates
+    //    (audience overlap between event types). Sketch state is 64
+    //    longs per type (TopKPairs partials bound the cut map-side);
+    //    when the union sketch is not full both sets are COMPLETE and
+    //    the estimate degrades to the exact count by construction.
+    //    Exact intersections joined alongside for the error readout --
+    "users_kmv_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val du = ev.select(col("event_type"),
+        graft.functions.Hll.hash(col("user_id")).as("h")).distinct()
+      val ks = du.groupBy(col("event_type"))
+        // dist is the hash itself (< 2^31, exact as double)
+        .agg(graft.functions.TopKAgg
+          .topk_pairs(col("h").cast("double"), col("h"), 64).as("tk"))
+        .select(col("event_type"),
+          transform(col("tk"), p => p.getField("id")).as("hs"))
+      val p = ks.select(col("event_type").as("type_a"), col("hs").as("ha"))
+        .crossJoin(ks.select(col("event_type").as("type_b"),
+          col("hs").as("hb")))
+        .where(col("type_a") < col("type_b"))
+        .withColumn("u",
+          slice(array_sort(array_union(col("ha"), col("hb"))), 1, 64))
+        .withColumn("ku_raw", size(col("u")).cast("long"))
+        .withColumn("k_u", least(lit(64L), col("ku_raw")))
+        .withColumn("uk", expr("element_at(u, CAST(k_u AS INT))"))
+        .withColumn("c", size(filter(col("u"),
+          x => array_contains(col("ha"), x) && array_contains(col("hb"), x)))
+          .cast("long"))
+      val est = when(col("ku_raw") < 64, col("ku_raw").cast("double"))
+        .otherwise(lit(63.0) * lit(2147483648.0) / col("uk"))
+      val distinctUsers = ev.select(col("event_type"), col("user_id")).distinct()
+      val exact = distinctUsers.as("x")
+        .join(distinctUsers.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_exact"))
+      p.select(col("type_a"), col("type_b"), col("c").as("n_common_sketch"),
+          round(col("c") * est / col("k_u"), 2).as("kmv_inter"))
+        .join(exact, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("n_exact"),
+          col("n_common_sketch"), col("kmv_inter"),
+          round((col("kmv_inter") - col("n_exact")) / col("n_exact") * 100, 2)
+            .as("err_pct"))
+        .orderBy(col("type_a"), col("type_b"))
     }),
 
     // -- contrastive hard-negative mining: for each anchor in a
@@ -4328,6 +4405,65 @@ object SparkEntry {
         |SELECT shard, n_docs, target,
         | CAST(n_docs - target AS BIGINT) AS delta
         |FROM p ORDER BY shard""".stripMargin.replaceAll("\n", " ")
+    // recall_dim_budget: per budget d, top-10 by cosine over the
+    // first d dims vs the full-width exact top-10 (both excludeSelf,
+    // ties by id — the knn_join discipline)
+    val recallDimBudgetOracle =
+      s"""WITH ex AS (SELECT qid, vec_id FROM (
+         |  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      round(${cosSql("e.embedding", "q.embedding")}, 4), e.vec_id) AS rn
+         |  FROM embeddings e, embeddings q
+         |  WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id) _e
+         |  WHERE rn <= 10),
+         |d AS (SELECT unnest([8, 16, 32, 64]) AS dim_budget),
+         |tv AS (SELECT d.dim_budget, q.vec_id AS qid, e.vec_id AS vec_id,
+         |    row_number() OVER (PARTITION BY d.dim_budget, q.vec_id ORDER BY
+         |      round(${cosSql("(e.embedding[1:d.dim_budget])", "(q.embedding[1:d.dim_budget])")}, 4), e.vec_id) AS rn
+         |  FROM d, embeddings e, embeddings q
+         |  WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id),
+         |ap AS (SELECT dim_budget, qid, vec_id FROM tv WHERE rn <= 10),
+         |h AS (SELECT ap.dim_budget, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM ap JOIN ex ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+         |  GROUP BY ap.dim_budget)
+         |SELECT CAST(dim_budget AS INTEGER) AS dim_budget, n_hits,
+         | CAST((n_hits * 10000) // 200 AS BIGINT) AS recall_e4
+         |FROM h ORDER BY dim_budget""".stripMargin.replaceAll("\n", " ")
+    val usersKmvOverlapOracle =
+      """WITH du AS (SELECT DISTINCT event_type,
+        |  ((CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % 2147483648) + 2147483648) % 2147483648 AS h FROM events),
+        |r AS (SELECT event_type, h,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM du),
+        |ks AS (SELECT event_type, list(h ORDER BY h) AS hs FROM r
+        |  WHERE rn <= 64 GROUP BY event_type),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  a.hs AS ha, b.hs AS hb
+        |  FROM ks a JOIN ks b ON a.event_type < b.event_type),
+        |u1 AS (SELECT type_a, type_b, ha, hb,
+        |  list_sort(list_distinct(list_concat(ha, hb)))[1:64] AS u FROM p),
+        |m AS (SELECT type_a, type_b,
+        |  CAST(len(u) AS BIGINT) AS ku_raw,
+        |  least(64, CAST(len(u) AS BIGINT)) AS k_u,
+        |  u[CAST(least(64, len(u)) AS INTEGER)] AS uk,
+        |  CAST(len(list_filter(u, x -> list_contains(ha, x)
+        |    AND list_contains(hb, x))) AS BIGINT) AS c
+        |  FROM u1),
+        |s AS (SELECT type_a, type_b, c AS n_common_sketch,
+        |  round(c * (CASE WHEN ku_raw < 64 THEN CAST(ku_raw AS DOUBLE)
+        |    ELSE 63.0 * 2147483648.0 / uk END) / k_u, 2) AS kmv_inter
+        |  FROM m),
+        |dx AS (SELECT DISTINCT event_type, user_id FROM events),
+        |ex AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM dx x JOIN dx y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT s.type_a AS type_a, s.type_b AS type_b, n_exact,
+        | n_common_sketch, kmv_inter,
+        | round((kmv_inter - n_exact) / n_exact * 100, 2) AS err_pct
+        |FROM s JOIN ex ON s.type_a = ex.type_a AND s.type_b = ex.type_b
+        |ORDER BY type_a, type_b""".stripMargin.replaceAll("\n", " ")
     val importanceWeightsOracle = {
       val fold = SqlSnips.charFold("term")
       s"""WITH tk AS (SELECT doc_id, source, unnest($toks) AS term FROM documents),
@@ -5460,6 +5596,8 @@ object SparkEntry {
       "mine_triplets" -> mineTripletsOracle,
       "users_hll" -> usersHllOracle,
       "streaming_hll" -> streamingHllOracle,
+      "recall_dim_budget" -> recallDimBudgetOracle,
+      "users_kmv_overlap" -> usersKmvOverlapOracle,
       "ngram_novelty" -> ngramNoveltyOracle,
       "bloom_plan" -> bloomPlanOracle,
       "shard_rebalance" -> shardRebalanceOracle,
