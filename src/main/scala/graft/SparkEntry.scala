@@ -1169,6 +1169,82 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    // -- HLL ROLLUP over time partitions — the way a 100 TB ingest
+    //    actually uses the sketch: per-DAY register tables (what each
+    //    ingest cycle persists, 64 rows/day) merged by elementwise
+    //    max into the global estimate, which must equal the direct
+    //    whole-corpus sketch EXACTLY (the merge law HllSpec pins,
+    //    here driver-gated). Output: day count, both estimates, and
+    //    the equality flag a rollup job asserts --
+    "users_hll_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val withDay = ev.withColumn("day",
+        expr("(ts div 1000) div 86400000000"))
+      val daily = graft.functions.Hll.registers(withDay, "user_id",
+        Seq("day"))
+      val merged = daily.groupBy(col("reg")).agg(max(col("mx")).as("mx"))
+      val mergedEst = graft.functions.Hll.estimate(merged, Seq())
+        .select(round(col("hll_est"), 4).as("merged_hll"))
+      val directEst = graft.functions.Hll.estimate(
+        graft.functions.Hll.registers(ev, "user_id", Seq()), Seq())
+        .select(round(col("hll_est"), 4).as("direct_hll"))
+      val nDays = daily.select(col("day")).distinct()
+        .agg(count(lit(1)).as("n_days"))
+      nDays.crossJoin(mergedEst).crossJoin(directEst)
+        .select(col("n_days"), col("merged_hll"), col("direct_hll"),
+          (col("merged_hll") === col("direct_hll")).as("sketch_merge_ok"))
+    }),
+
+    // -- KMV Jaccard between source VOCABULARIES: 64 smallest md5
+    //    hashes of each source's distinct tokens (Hll.hash folds the
+    //    term string directly), pairwise c/k vs the exact
+    //    |A∩B|/|A∪B| — vocabulary similarity at sketch cost, the
+    //    companion to source_similarity's count-vector cosine. At
+    //    100 TB the exact side is the expensive one; the sketch is
+    //    64 longs per source forever --
+    "vocab_kmv_jaccard" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("source"), explode(TextFuncs.tokens(col("text")))
+          .as("term"))
+      val du = tok.select(col("source"),
+        graft.functions.Hll.hash(col("term")).as("h")).distinct()
+      val ks = du.groupBy(col("source"))
+        .agg(graft.functions.TopKAgg
+          .topk_pairs(col("h").cast("double"), col("h"), 64).as("tk"))
+        .select(col("source"),
+          transform(col("tk"), p => p.getField("id")).as("hs"))
+      val p = ks.select(col("source").as("src_a"), col("hs").as("ha"))
+        .crossJoin(ks.select(col("source").as("src_b"), col("hs").as("hb")))
+        .where(col("src_a") < col("src_b"))
+        .withColumn("u",
+          slice(array_sort(array_union(col("ha"), col("hb"))), 1, 64))
+        .withColumn("k_u", least(lit(64L), size(col("u")).cast("long")))
+        .withColumn("c", size(filter(col("u"),
+          x => array_contains(col("ha"), x) && array_contains(col("hb"), x)))
+          .cast("long"))
+        .select(col("src_a"), col("src_b"),
+          round(col("c").cast("double") / col("k_u"), 4).as("kmv_jaccard"))
+      val dv = tok.select(col("source"), col("term")).distinct()
+      val inter = dv.as("x").join(dv.as("y"),
+          col("x.term") === col("y.term") &&
+            col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val sizes = dv.groupBy(col("source")).agg(count(lit(1)).as("n_terms"))
+      val exact = inter
+        .join(sizes.select(col("source").as("src_a"),
+          col("n_terms").as("na")), "src_a")
+        .join(sizes.select(col("source").as("src_b"),
+          col("n_terms").as("nb")), "src_b")
+        .select(col("src_a"), col("src_b"),
+          expr("(n_inter * 10000) div (na + nb - n_inter)")
+            .as("exact_j_e4"))
+      p.join(exact, Seq("src_a", "src_b"))
+        .select(col("src_a"), col("src_b"), col("exact_j_e4"),
+          col("kmv_jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // -- matryoshka dimension-budget recall curve: top-10 cosine over
     //    the FIRST d dims (d = 8/16/32/64) scored against the
     //    full-width exact top-10 on a 20-query sample — the
@@ -4464,6 +4540,68 @@ object SparkEntry {
         | round((kmv_inter - n_exact) / n_exact * 100, 2) AS err_pct
         |FROM s JOIN ex ON s.type_a = ex.type_a AND s.type_b = ex.type_b
         |ORDER BY type_a, type_b""".stripMargin.replaceAll("\n", " ")
+    // harmonic finish over a (reg, mx) register table — the
+    // users_hll estimator as a scalar subquery, reused by the rollup
+    def hllEstSql(tbl: String): String =
+      s"""(SELECT CASE WHEN CAST(0.709 AS DOUBLE) * 4096 * 67108864.0 / s_int <= 160.0 AND v > 0
+         |  THEN 64.0 * ln(64.0 / v)
+         |  ELSE CAST(0.709 AS DOUBLE) * 4096 * 67108864.0 / s_int END
+         |FROM (SELECT CAST(sum(CAST(1 AS BIGINT) << CAST(26 - mx AS INTEGER)) AS BIGINT)
+         |    + (64 - CAST(count(*) AS BIGINT)) * 67108864 AS s_int,
+         |  64 - CAST(count(*) AS BIGINT) AS v FROM $tbl) _est)"""
+        .stripMargin.replaceAll("\n", " ")
+    val usersHllRollupOracle =
+      s"""WITH h AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |  ((CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % 2147483648) + 2147483648) % 2147483648 AS h2
+        |  FROM events),
+        |r2 AS (SELECT day, h2 // 33554432 AS reg,
+        |  CASE WHEN ((h2 % 33554432) + 33554432) % 33554432 = 0 THEN 26
+        |    ELSE 26 - length(bin(((h2 % 33554432) + 33554432) % 33554432)) END AS rho
+        |  FROM h),
+        |daily AS (SELECT day, reg, max(rho) AS mx FROM r2 GROUP BY day, reg),
+        |merged AS (SELECT reg, max(mx) AS mx FROM daily GROUP BY reg),
+        |direct AS (SELECT reg, max(rho) AS mx FROM r2 GROUP BY reg)
+        |SELECT (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM daily) AS n_days,
+        | round(${hllEstSql("merged")}, 4) AS merged_hll,
+        | round(${hllEstSql("direct")}, 4) AS direct_hll,
+        | round(${hllEstSql("merged")}, 4) = round(${hllEstSql("direct")}, 4)
+        |   AS sketch_merge_ok""".stripMargin.replaceAll("\n", " ")
+    val vocabKmvJaccardOracle = {
+      s"""WITH tk AS (SELECT source, unnest($toks) AS term FROM documents),
+         |du AS (SELECT DISTINCT source,
+         |  ((CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+         |    % 2147483648) + 2147483648) % 2147483648 AS h FROM tk),
+         |r AS (SELECT source, h,
+         |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM du),
+         |ks AS (SELECT source, list(h ORDER BY h) AS hs FROM r
+         |  WHERE rn <= 64 GROUP BY source),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b,
+         |  a.hs AS ha, b.hs AS hb
+         |  FROM ks a JOIN ks b ON a.source < b.source),
+         |u1 AS (SELECT src_a, src_b, ha, hb,
+         |  list_sort(list_distinct(list_concat(ha, hb)))[1:64] AS u FROM p),
+         |m AS (SELECT src_a, src_b,
+         |  least(64, CAST(len(u) AS BIGINT)) AS k_u,
+         |  CAST(len(list_filter(u, x -> list_contains(ha, x)
+         |    AND list_contains(hb, x))) AS BIGINT) AS c FROM u1),
+         |s AS (SELECT src_a, src_b,
+         |  round(CAST(c AS DOUBLE) / k_u, 4) AS kmv_jaccard FROM m),
+         |dv AS (SELECT DISTINCT source, term FROM tk),
+         |inter AS (SELECT x.source AS src_a, y.source AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM dv x JOIN dv y ON x.term = y.term AND x.source < y.source
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms
+         |  FROM dv GROUP BY source),
+         |ex AS (SELECT inter.src_a, inter.src_b,
+         |  CAST((n_inter * 10000) // (za.n_terms + zb.n_terms - n_inter) AS BIGINT) AS exact_j_e4
+         |  FROM inter JOIN sz za ON inter.src_a = za.source
+         |  JOIN sz zb ON inter.src_b = zb.source)
+         |SELECT s.src_a AS src_a, s.src_b AS src_b, exact_j_e4, kmv_jaccard
+         |FROM s JOIN ex ON s.src_a = ex.src_a AND s.src_b = ex.src_b
+         |ORDER BY src_a, src_b""".stripMargin.replaceAll("\n", " ")
+    }
     val importanceWeightsOracle = {
       val fold = SqlSnips.charFold("term")
       s"""WITH tk AS (SELECT doc_id, source, unnest($toks) AS term FROM documents),
@@ -5598,6 +5736,8 @@ object SparkEntry {
       "streaming_hll" -> streamingHllOracle,
       "recall_dim_budget" -> recallDimBudgetOracle,
       "users_kmv_overlap" -> usersKmvOverlapOracle,
+      "users_hll_rollup" -> usersHllRollupOracle,
+      "vocab_kmv_jaccard" -> vocabKmvJaccardOracle,
       "ngram_novelty" -> ngramNoveltyOracle,
       "bloom_plan" -> bloomPlanOracle,
       "shard_rebalance" -> shardRebalanceOracle,

@@ -287,4 +287,36 @@ class PlanGuardSpec extends AnyFunSuite {
     // merge; anything more means the n-scaling stage re-shuffled
     assert(hashExchanges(p) === 1, p)
   }
+
+  test("mine_hard_negatives: anchors broadcast, TopKPairs partials, no cartesian") {
+    val p = plan("mine_hard_negatives")
+    assert(p.contains("BroadcastExchange"), p)
+    // the per-anchor cut must partial-aggregate BEFORE the qid
+    // exchange — the shuffle carries anchors x k x partitions rows,
+    // never the anchors x corpus pair stream
+    assert(p.contains("partial_topk_pairs"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("users_hll: register table shuffles (type, reg) partials, never users") {
+    val p = plan("users_hll")
+    // the sketch's only corpus-sized stage is map-side: both the
+    // register max and the exact-distinct companion partial-aggregate
+    // before their exchanges
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("recall_dim_budget: every budget is a broadcast scan + TopKPairs partials") {
+    val p = plan("recall_dim_budget")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_topk_pairs"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("split_group_aware: no cartesian anywhere in the pairs->CC->split chain") {
+    val p = plan("split_group_aware")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
