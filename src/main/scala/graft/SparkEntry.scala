@@ -1245,6 +1245,27 @@ object SparkEntry {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // -- bitmap-index activity masks: each user's 30-day activity as
+    //    ONE long (bit per day since corpus start, bit_or aggregate,
+    //    bit_count popcount — all codegen'd integer ops), then the
+    //    active-days histogram. The roaring-bitmap pattern at its
+    //    word-sized core: per-(user, day) state collapses to 8 bytes
+    //    per user, and cohort/retention readouts become popcounts —
+    //    the cheapest engagement-shape scan a 100 TB event store has --
+    "activity_bitmap" -> ((s, dir) => {
+      val days = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      val base = days.agg(min(col("day")).as("d0"))
+      days.crossJoin(broadcast(base))
+        .select(col("user_id"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(day - d0 AS INT))")
+            .as("bit"))
+        .groupBy(col("user_id")).agg(expr("bit_or(bit)").as("mask"))
+        .select(expr("CAST(bit_count(mask) AS INT)").as("n_active_days"))
+        .groupBy(col("n_active_days")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_active_days"))
+    }),
+
     // -- matryoshka dimension-budget recall curve: top-10 cosine over
     //    the FIRST d dims (d = 8/16/32/64) scored against the
     //    full-width exact top-10 on a 20-query sample — the
@@ -5738,6 +5759,16 @@ object SparkEntry {
       "users_kmv_overlap" -> usersKmvOverlapOracle,
       "users_hll_rollup" -> usersHllRollupOracle,
       "vocab_kmv_jaccard" -> vocabKmvJaccardOracle,
+      "activity_bitmap" ->
+        """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+          |  FROM events),
+          |b AS (SELECT CAST(min(day) AS BIGINT) AS d0 FROM d),
+          |m AS (SELECT user_id,
+          |  bit_or(CAST(1 AS BIGINT) << CAST(day - d0 AS INTEGER)) AS mask
+          |  FROM d, b GROUP BY user_id)
+          |SELECT CAST(bit_count(mask) AS INTEGER) AS n_active_days,
+          | CAST(count(*) AS BIGINT) AS n_users
+          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
       "ngram_novelty" -> ngramNoveltyOracle,
       "bloom_plan" -> bloomPlanOracle,
       "shard_rebalance" -> shardRebalanceOracle,
