@@ -1245,6 +1245,83 @@ object SparkEntry {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // -- shingle-size calibration sweep for decontamination: the
+    //    contaminated-doc count at k = 3/5/8 word shingles — the
+    //    precision/recall dial (GPT-3 used 13-grams; short corpora
+    //    need shorter) read BEFORE committing a filter. Each k is the
+    //    decontaminate chain verbatim; the benchmark shingle set
+    //    stays the broadcast side --
+    "decontaminate_sweep" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.where(col("doc_id") % 97 === 0)
+      val train = d.where(col("doc_id") % 97 =!= 0)
+      Seq(3, 5, 8).map { k =>
+        Corpus.contaminatedIds(train, bench, "text", "doc_id", shingleK = k)
+          .agg(count(lit(1)).as("n_contaminated"))
+          .select(lit(k).as("shingle_k"), col("n_contaminated"))
+      }.reduce(_.unionByName(_)).orderBy(col("shingle_k"))
+    }),
+
+    // -- crawl-over-crawl near-dup audit: the synthetic crawl N+1's
+    //    CHANGED docs (edits + adds) banded against crawl N — how
+    //    many incoming docs are near-dups of content already held
+    //    (the re-crawl dedup decision an incremental ingest makes
+    //    before embedding anything). Banded minhash only — the union
+    //    frame never pairs all-vs-all --
+    "snapshot_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val next = syntheticNextSnapshot(docs)
+      val changed = next.where(
+          (pmod(col("doc_id"), lit(17L)) === 0 && col("doc_id") < 10000000L)
+            || col("doc_id") >= 10000000L)
+        .withColumn("doc_id", col("doc_id") + lit(20000000L))
+      val u = docs.select(col("doc_id"), col("text"))
+        .unionByName(changed.select(col("doc_id"), col("text")))
+      val matched = Dedup.minhashPairs(u, "text", "doc_id")
+        .where(col("doc_a") < 20000000L && col("doc_b") >= 20000000L)
+        .select((col("doc_b") - lit(20000000L)).as("doc_id")).distinct()
+        .withColumn("m", lit(1L))
+      changed.select((col("doc_id") - lit(20000000L)).as("doc_id"))
+        .withColumn("change_type",
+          when(col("doc_id") >= 10000000L, lit("added"))
+            .otherwise(lit("edited")))
+        .join(matched, Seq("doc_id"), "left")
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("m"), lit(0L))).as("n_with_old_neardup"))
+        .orderBy(col("change_type"))
+    }),
+
+    // -- bigram conditional entropy rate H(w2|w1) per source: the
+    //    language-model-ish predictability read (low rate = templated
+    //    or repetitive text, high = diverse) next to quality_entropy's
+    //    unigram H. Integer bigram/prefix counts; the p*ln chain
+    //    folds in canonical bigram order (the source_kl discipline) --
+    "tokens_entropy_rate" -> ((s, dir) => {
+      val bg = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextFuncs.shingles(TextFuncs.tokens(col("text")), 2))
+            .as("bg"))
+      val c2 = bg.groupBy(col("source"), col("bg"))
+        .agg(count(lit(1)).as("c2"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      val c1 = c2.groupBy(col("source"), col("w1"))
+        .agg(sum(col("c2")).as("c1"))
+      val n2 = c2.groupBy(col("source")).agg(sum(col("c2")).as("n2"))
+      c2.join(c1, Seq("source", "w1")).join(n2, Seq("source"))
+        .select(col("source"), col("n2"), col("bg"),
+          (lit(0.0) - (col("c2").cast("double") / col("n2")) *
+            log(col("c2").cast("double") / col("c1"))).as("x"))
+        .groupBy(col("source"), col("n2"))
+        .agg(round(
+          aggregate(
+            transform(sort_array(collect_list(struct(col("bg"), col("x")))),
+              p => p.getField("x")),
+            lit(0.0), (a, v) => a + v), 4).as("h_rate"))
+        .select(col("source"), col("n2").as("n_bigrams"), col("h_rate"))
+        .orderBy(col("source"))
+    }),
+
     // -- bitmap-index activity masks: each user's 30-day activity as
     //    ONE long (bit per day since corpus start, bit_or aggregate,
     //    bit_count popcount — all codegen'd integer ops), then the
@@ -4751,6 +4828,72 @@ object SparkEntry {
          |WHERE s.doc_id % 97 <> 0
          |ORDER BY doc_id LIMIT 200""".stripMargin.replaceAll("\n", " ")
     }
+    val decontaminateSweepOracle = {
+      def arm(k: Int): String = {
+        val bases =
+          s"list_transform(${SqlSnips.shingles("toks", k)}, s -> ${SqlSnips.charFold("s")})"
+        s"""(SELECT $k AS shingle_k, CAST(count(*) AS BIGINT) AS n_contaminated
+           |FROM (SELECT DISTINCT s.doc_id FROM
+           |  (SELECT doc_id, unnest($bases) AS sh FROM tk
+           |     WHERE len(toks) >= $k AND doc_id % 97 <> 0) s
+           |  JOIN (SELECT DISTINCT unnest($bases) AS sh FROM tk
+           |     WHERE len(toks) >= $k AND doc_id % 97 = 0) _b(sh) USING (sh)
+           |) _c)""".stripMargin.replaceAll("\n", " ")
+      }
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents)
+         |${arm(3)} UNION ALL ${arm(5)} UNION ALL ${arm(8)}
+         |ORDER BY shingle_k""".stripMargin.replaceAll("\n", " ")
+    }
+    val snapshotNeardupOracle = {
+      val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 20000000 AS doc_id, text || ' v2' AS text
+         |    FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 30000000 AS doc_id, text
+         |    FROM documents WHERE doc_id % 19 = 0),
+         |tk AS (SELECT doc_id AS doc, $toks AS toks FROM u),
+         |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
+         |  FROM tk WHERE len(toks) >= 3),
+         |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
+         |pairs AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+         |  FROM bands x JOIN bands y
+         |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc),
+         |matched AS (SELECT DISTINCT doc_b - 20000000 AS doc_id, 1 AS m
+         |  FROM pairs WHERE doc_a < 20000000 AND doc_b >= 20000000),
+         |chg AS (
+         |  SELECT doc_id, 'edited' AS change_type FROM documents
+         |    WHERE doc_id % 13 <> 0 AND doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000 AS doc_id, 'added' AS change_type
+         |    FROM documents WHERE doc_id % 19 = 0)
+         |SELECT change_type, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(coalesce(m, 0)) AS BIGINT) AS n_with_old_neardup
+         |FROM chg LEFT JOIN matched USING (doc_id)
+         |GROUP BY change_type ORDER BY change_type""".stripMargin.replaceAll("\n", " ")
+    }
+    val tokensEntropyRateOracle =
+      s"""WITH bg AS (SELECT source, unnest(${SqlSnips.shingles("toks", 2)}) AS bg
+         |  FROM (SELECT source, $toks AS toks FROM documents) _t
+         |  WHERE len(toks) >= 2),
+         |c2 AS (SELECT source, bg, CAST(count(*) AS BIGINT) AS c2,
+         |  split_part(bg, ' ', 1) AS w1 FROM bg GROUP BY source, bg),
+         |c1 AS (SELECT source, w1, CAST(sum(c2) AS BIGINT) AS c1
+         |  FROM c2 GROUP BY source, w1),
+         |n2 AS (SELECT source, CAST(sum(c2) AS BIGINT) AS n2
+         |  FROM c2 GROUP BY source),
+         |x AS (SELECT c2.source, n2.n2, c2.bg,
+         |  0.0 - (CAST(c2.c2 AS DOUBLE) / n2.n2)
+         |    * ln(CAST(c2.c2 AS DOUBLE) / c1.c1) AS x
+         |  FROM c2 JOIN c1 ON c2.source = c1.source AND c2.w1 = c1.w1
+         |  JOIN n2 ON c2.source = n2.source)
+         |SELECT source, n2 AS n_bigrams,
+         | round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |   list_transform(list(x ORDER BY bg), v -> v)), (a, b) -> a + b), 4) AS h_rate
+         |FROM x GROUP BY source, n2 ORDER BY source""".stripMargin.replaceAll("\n", " ")
     val dupSourceMatrixOracle = {
       val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
       s"""WITH tk AS (SELECT doc_id AS doc, source, $toks AS toks FROM documents),
@@ -6379,6 +6522,9 @@ object SparkEntry {
           |  CASE lang WHEN 'en' THEN 37 WHEN 'fr' THEN 11 ELSE 60 END
           |GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " "),
       "decontaminate" -> decontaminateOracle,
+      "decontaminate_sweep" -> decontaminateSweepOracle,
+      "snapshot_neardup" -> snapshotNeardupOracle,
+      "tokens_entropy_rate" -> tokensEntropyRateOracle,
       "source_overlap" -> sourceOverlapOracle,
       "sample_quota" ->
         """SELECT source, CAST(rk AS INTEGER) AS rk, doc_id FROM (
