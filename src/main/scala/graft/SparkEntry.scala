@@ -1322,6 +1322,51 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // -- multimodal manifest through the REAL plumbing: documents'
+    //    text bytes stand in as deterministic payloads (binary
+    //    column + mime), pushed through Multimodal.featurize — the
+    //    mapPartitions one-decoder-per-partition batch shape with the
+    //    clearly-marked decodeStub byte-fold in the decode slot (the
+    //    JDK-codec paths are spec-covered; the stub is what makes the
+    //    feature math engine-replayable). Output: per-media byte
+    //    length + e6-scaled features, the manifest a media ingest
+    //    writes before any GPU featurization --
+    "multimodal_manifest" -> ((s, dir) => {
+      val rows = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id").as("media_id"),
+          element_at(
+            array(lit("image/jpeg"), lit("audio/wav"), lit("video/avi")),
+            (pmod(col("doc_id"), lit(3L)) + 1).cast("int")).as("mime"),
+          col("text").cast("binary").as("payload"))
+        .as(org.apache.spark.sql.Encoders.product[
+          graft.operators.Multimodal.MediaRow])
+      graft.operators.Multimodal.featurize(rows, dim = 4).toDF()
+        .select(col("media_id"), col("mime"), col("byte_len"),
+          transform(col("features"),
+            f => round(f.cast("double") * 1000000).cast("long")).as("f_e6"))
+        .orderBy(col("media_id")).limit(50)
+    }),
+
+    // -- byte-level frame sampling over the same payloads: every 2nd
+    //    32-byte chunk as a frame row (the explode/partition contract
+    //    of the real MJPEG keyframe path, which ExtractFramesSpec
+    //    covers with synthesized AVIs) — frame manifests are
+    //    (media_id, frame_no, bytes, digest), the shape a frame
+    //    store ingests --
+    "multimodal_frames" -> ((s, dir) => {
+      val rows = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id").as("media_id"), lit("video/avi").as("mime"),
+          col("text").cast("binary").as("payload"))
+        .as(org.apache.spark.sql.Encoders.product[
+          graft.operators.Multimodal.MediaRow])
+      graft.operators.Multimodal.sampleFrames(rows, chunkBytes = 32,
+          everyNth = 2)
+        .select(col("media_id"), col("frame_no"),
+          length(col("frame")).cast("int").as("n_bytes"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy(col("media_id"), col("frame_no")).limit(100)
+    }),
+
     // -- bitmap-index activity masks: each user's 30-day activity as
     //    ONE long (bit per day since corpus start, bit_or aggregate,
     //    bit_count popcount — all codegen'd integer ops), then the
@@ -6523,6 +6568,32 @@ object SparkEntry {
           |GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " "),
       "decontaminate" -> decontaminateOracle,
       "decontaminate_sweep" -> decontaminateSweepOracle,
+      // the decodeStub fold replayed: feature j folds every 4th byte
+      // starting at j ((acc*31+b) % 1000003), FLOAT-divides by
+      // 1000003, then e6-rounds — text is ASCII so bytes = ascii()
+      "multimodal_manifest" ->
+        """WITH m AS (SELECT doc_id AS media_id,
+          |  ['image/jpeg', 'audio/wav', 'video/avi'][CAST(doc_id % 3 AS INTEGER) + 1] AS mime,
+          |  text FROM documents WHERE doc_id < 200)
+          |SELECT media_id, mime, CAST(length(text) AS INTEGER) AS byte_len,
+          | list_transform(range(0, 4), j ->
+          |  CAST(round(CAST(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(range(j + 1, len(text) + 1, 4),
+          |      i -> CAST(ascii(text[i]) AS BIGINT))),
+          |    (a, c) -> (a * 31 + c) % 1000003) AS REAL)
+          |    / CAST(1000003 AS REAL) AS DOUBLE) * 1000000) AS BIGINT)) AS f_e6
+          |FROM m ORDER BY media_id LIMIT 50""".stripMargin.replaceAll("\n", " "),
+      "multimodal_frames" ->
+        """WITH m AS (SELECT doc_id AS media_id, text FROM documents
+          |  WHERE doc_id < 200),
+          |f AS (SELECT media_id, CAST(ci AS INTEGER) AS frame_no,
+          |  substr(text, CAST(ci AS INTEGER) * 32 + 1, 32) AS chunk
+          |  FROM m, range(0, 1024) t(ci)
+          |  WHERE ci % 2 = 0 AND ci * 32 < len(text))
+          |SELECT media_id, frame_no,
+          | CAST(length(chunk) AS INTEGER) AS n_bytes,
+          | md5(chunk) AS frame_md5
+          |FROM f ORDER BY media_id, frame_no LIMIT 100""".stripMargin.replaceAll("\n", " "),
       "snapshot_neardup" -> snapshotNeardupOracle,
       "tokens_entropy_rate" -> tokensEntropyRateOracle,
       "source_overlap" -> sourceOverlapOracle,
