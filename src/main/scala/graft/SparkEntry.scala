@@ -1322,6 +1322,69 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // -- SCD2 (slowly-changing-dimension) corpus history: crawl N
+    //    and crawl N+1 folded into the warehouse-standard versioned
+    //    row set — unchanged docs keep their open v1 row, edits
+    //    close v1 (valid_to = 2) and open a current v2, deletions
+    //    close v1, additions open at v2. Change detection is the
+    //    corpus_diff digest join (md5 both engines); one full outer
+    //    join, no text comparison ever shuffles full bodies --
+    "docs_scd2" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val next = syntheticNextSnapshot(docs)
+      val a = docs.select(col("doc_id"), md5(col("text")).as("h1"))
+      val b = next.select(col("doc_id"), md5(col("text")).as("h2"))
+      val j = a.join(b, Seq("doc_id"), "full")
+      val unchanged = j.where(col("h1") === col("h2"))
+        .select(col("doc_id"), lit(1).as("from_v"),
+          lit(null).cast("int").as("to_v"), lit(true).as("is_current"),
+          col("h1").as("digest"))
+      val editedOld = j.where(col("h1").isNotNull && col("h2").isNotNull &&
+          col("h1") =!= col("h2"))
+        .select(col("doc_id"), lit(1).as("from_v"), lit(2).cast("int").as("to_v"),
+          lit(false).as("is_current"), col("h1").as("digest"))
+      val editedNew = j.where(col("h1").isNotNull && col("h2").isNotNull &&
+          col("h1") =!= col("h2"))
+        .select(col("doc_id"), lit(2).as("from_v"),
+          lit(null).cast("int").as("to_v"), lit(true).as("is_current"),
+          col("h2").as("digest"))
+      val deleted = j.where(col("h2").isNull)
+        .select(col("doc_id"), lit(1).as("from_v"), lit(2).cast("int").as("to_v"),
+          lit(false).as("is_current"), col("h1").as("digest"))
+      val added = j.where(col("h1").isNull)
+        .select(col("doc_id"), lit(2).as("from_v"),
+          lit(null).cast("int").as("to_v"), lit(true).as("is_current"),
+          col("h2").as("digest"))
+      unchanged.unionByName(editedOld).unionByName(editedNew)
+        .unionByName(deleted).unionByName(added)
+        .orderBy(col("doc_id"), col("from_v")).limit(300)
+    }),
+
+    // -- near-dup cluster DENSITY audit: per connected component,
+    //    members vs banded edges and the 2E/(n(n-1)) density — a
+    //    low-density (chain-shaped) cluster is keep-one dedup's risk
+    //    case (endpoints may not resemble each other), a clique is
+    //    safe; the read that decides verify-before-drop. Edges are
+    //    the banded pairs only; per-cluster integers --
+    "dedup_cluster_density" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
+      val labels = Dedup.connectedComponents(docs.select(col("doc_id")),
+        pairs, "doc_id", "doc_a", "doc_b")
+      val members = labels.groupBy(col("rep"))
+        .agg(count(lit(1)).as("n_members"))
+        .where(col("n_members") > 1)
+      val edges = pairs
+        .join(labels.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .groupBy(col("rep")).agg(count(lit(1)).as("n_edges"))
+      members.join(edges, Seq("rep"))
+        .select(col("rep"), col("n_members"), col("n_edges"),
+          expr("(n_edges * 2 * 10000) div (n_members * (n_members - 1))")
+            .as("density_e4"))
+        .withColumn("is_clique", col("density_e4") === 10000L)
+        .orderBy(col("rep")).limit(100)
+    }),
+
     // -- multimodal manifest through the REAL plumbing: documents'
     //    text bytes stand in as deterministic payloads (binary
     //    column + mime), pushed through Multimodal.featurize — the
@@ -4939,6 +5002,43 @@ object SparkEntry {
          | round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |   list_transform(list(x ORDER BY bg), v -> v)), (a, b) -> a + b), 4) AS h_rate
          |FROM x GROUP BY source, n2 ORDER BY source""".stripMargin.replaceAll("\n", " ")
+    val docsScd2Oracle =
+      """WITH nx AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN text || ' v2'
+        |    ELSE text END AS text FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+        |    WHERE doc_id % 19 = 0),
+        |a AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+        |b AS (SELECT doc_id, md5(text) AS h2 FROM nx),
+        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, h1, h2
+        |  FROM a FULL JOIN b ON a.doc_id = b.doc_id),
+        |u AS (
+        |  SELECT doc_id, 1 AS from_v, CAST(NULL AS INTEGER) AS to_v,
+        |    TRUE AS is_current, h1 AS digest FROM j WHERE h1 = h2
+        |  UNION ALL SELECT doc_id, 1, 2, FALSE, h1 FROM j
+        |    WHERE h1 IS NOT NULL AND h2 IS NOT NULL AND h1 <> h2
+        |  UNION ALL SELECT doc_id, 2, CAST(NULL AS INTEGER), TRUE, h2 FROM j
+        |    WHERE h1 IS NOT NULL AND h2 IS NOT NULL AND h1 <> h2
+        |  UNION ALL SELECT doc_id, 1, 2, FALSE, h1 FROM j WHERE h2 IS NULL
+        |  UNION ALL SELECT doc_id, 2, CAST(NULL AS INTEGER), TRUE, h2
+        |    FROM j WHERE h1 IS NULL)
+        |SELECT doc_id, CAST(from_v AS INTEGER) AS from_v, to_v, is_current,
+        | digest
+        |FROM u ORDER BY doc_id, from_v LIMIT 300""".stripMargin.replaceAll("\n", " ")
+    val dedupClusterDensityOracle =
+      s"""WITH RECURSIVE $groupSplitCtes,
+         |m AS (SELECT rep, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM lbl GROUP BY rep),
+         |e AS (SELECT l.rep, CAST(count(*) AS BIGINT) AS n_edges
+         |  FROM pairs p JOIN lbl l ON p.doc_a = l.doc_id GROUP BY l.rep)
+         |SELECT m.rep AS rep, n_members, n_edges,
+         | CAST((n_edges * 2 * 10000) // (n_members * (n_members - 1)) AS BIGINT)
+         |   AS density_e4,
+         | (n_edges * 2 * 10000) // (n_members * (n_members - 1)) = 10000
+         |   AS is_clique
+         |FROM m JOIN e ON m.rep = e.rep
+         |ORDER BY rep LIMIT 100""".stripMargin.replaceAll("\n", " ")
     val dupSourceMatrixOracle = {
       val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
       s"""WITH tk AS (SELECT doc_id AS doc, source, $toks AS toks FROM documents),
@@ -6596,6 +6696,8 @@ object SparkEntry {
           |FROM f ORDER BY media_id, frame_no LIMIT 100""".stripMargin.replaceAll("\n", " "),
       "snapshot_neardup" -> snapshotNeardupOracle,
       "tokens_entropy_rate" -> tokensEntropyRateOracle,
+      "docs_scd2" -> docsScd2Oracle,
+      "dedup_cluster_density" -> dedupClusterDensityOracle,
       "source_overlap" -> sourceOverlapOracle,
       "sample_quota" ->
         """SELECT source, CAST(rk AS INTEGER) AS rk, doc_id FROM (
