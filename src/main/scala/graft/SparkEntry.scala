@@ -1322,6 +1322,78 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // -- association rules over order baskets: support / directional
+    //    confidence / lift from EXACT integer counts (pair support,
+    //    per-item basket counts, total baskets — e6 fixed-point, no
+    //    float probability chain). The market-basket readout on top
+    //    of orders_basket_pairs' co-occurrence counts; pair stream is
+    //    the same within-basket self-join, never cross-basket --
+    "basket_rules" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val itemN = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+      val nb = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"),
+          col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("support"))
+      pairs
+        .join(itemN.select(col("l_partkey").as("part_a"),
+          col("n_item").as("n_a")), "part_a")
+        .join(itemN.select(col("l_partkey").as("part_b"),
+          col("n_item").as("n_b")), "part_b")
+        .crossJoin(broadcast(nb))
+        .select(col("part_a"), col("part_b"), col("support"),
+          expr("(support * 1000000) div n_a").as("conf_ab_e6"),
+          expr("(support * 1000000) div n_b").as("conf_ba_e6"),
+          expr("(support * n_baskets * 1000000) div (n_a * n_b)")
+            .as("lift_e6"))
+        .orderBy(col("support").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    }),
+
+    // -- exact-integer least squares: qty-on-price regression per
+    //    brand with every moment (n, Σx, Σy, Σxy, Σx², Σy²)
+    //    accumulated as DECIMAL(38,0) over integer cents — the sums
+    //    are order-independent EXACT integers at any scale (the
+    //    overflow-proof form of a distributed regression; Spark's
+    //    float covar/corr would be partition-order-dependent), and
+    //    slope/intercept/r² are single double expressions over them --
+    "price_qty_regression" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          expr("CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))").as("x"),
+          expr("CAST(round(l_quantity * 100) AS DECIMAL(38,0))").as("y"))
+      val m = l.groupBy(col("p_brand")).agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double")
+      val den = (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val deny = (col("n") * col("syy") - col("sy") * col("sy"))
+        .cast("double")
+      m.select(col("p_brand"), col("n").cast("bigint").as("n_rows"),
+          (num / den).as("slope_raw"),
+          col("sx").cast("double").as("sxd"),
+          col("sy").cast("double").as("syd"),
+          col("n").cast("double").as("nd"),
+          (num * num / (den * deny)).as("r2_raw"))
+        .select(col("p_brand"), col("n_rows"),
+          round(col("slope_raw"), 6).as("slope"),
+          round((col("syd") - col("slope_raw") * col("sxd")) / col("nd"), 4)
+            .as("intercept_c"),
+          round(col("r2_raw"), 6).as("r2"))
+        .orderBy(col("p_brand"))
+    }),
+
     // -- SCD2 (slowly-changing-dimension) corpus history: crawl N
     //    and crawl N+1 folded into the warehouse-standard versioned
     //    row set — unchanged docs keep their open v1 row, edits
@@ -5002,6 +5074,45 @@ object SparkEntry {
          | round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |   list_transform(list(x ORDER BY bg), v -> v)), (a, b) -> a + b), 4) AS h_rate
          |FROM x GROUP BY source, n2 ORDER BY source""".stripMargin.replaceAll("\n", " ")
+    val basketRulesOracle =
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |it AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+        |  FROM li GROUP BY l_partkey),
+        |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+        |  FROM li),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  CAST(count(*) AS BIGINT) AS support
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b, support,
+        | CAST((support * 1000000) // na.n_item AS BIGINT) AS conf_ab_e6,
+        | CAST((support * 1000000) // nbv.n_item AS BIGINT) AS conf_ba_e6,
+        | CAST((support * n_baskets * 1000000) // (na.n_item * nbv.n_item) AS BIGINT) AS lift_e6
+        |FROM p JOIN it na ON p.part_a = na.l_partkey
+        |JOIN it nbv ON p.part_b = nbv.l_partkey, nb
+        |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin.replaceAll("\n", " ")
+    val priceQtyRegressionOracle =
+      """WITH l AS (SELECT p_brand,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+        |  CAST(round(l_quantity * 100) AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |  sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM l GROUP BY p_brand),
+        |d AS (SELECT p_brand, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |  CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+        |  CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+        |  CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |  CAST(n AS DOUBLE) AS nd
+        |  FROM m)
+        |SELECT p_brand, n AS n_rows,
+        | round(num / den, 6) AS slope,
+        | round((syd - (num / den) * sxd) / nd, 4) AS intercept_c,
+        | round(num * num / (den * deny), 6) AS r2
+        |FROM d ORDER BY p_brand""".stripMargin.replaceAll("\n", " ")
     val docsScd2Oracle =
       """WITH nx AS (
         |  SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN text || ' v2'
@@ -6698,6 +6809,8 @@ object SparkEntry {
       "tokens_entropy_rate" -> tokensEntropyRateOracle,
       "docs_scd2" -> docsScd2Oracle,
       "dedup_cluster_density" -> dedupClusterDensityOracle,
+      "basket_rules" -> basketRulesOracle,
+      "price_qty_regression" -> priceQtyRegressionOracle,
       "source_overlap" -> sourceOverlapOracle,
       "sample_quota" ->
         """SELECT source, CAST(rk AS INTEGER) AS rk, doc_id FROM (
