@@ -1322,6 +1322,58 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // -- monthly revenue seasonal decomposition: exact-cents monthly
+    //    revenue, 3-month centered moving average (bounded window per
+    //    month key — months are FEW, so the window frame is tiny by
+    //    construction), and the seasonal index rev/MA in e4 — the
+    //    classical decomposition read, integer-exact end to end --
+    "orders_seasonality" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("month")).rowsBetween(-1, 1)
+      val monthly = t(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("rev_c"))
+        .groupBy(col("month")).agg(sum(col("rev_c")).as("rev_c"))
+      // the frame runs over the |months| aggregate only (tens of
+      // rows), so the single-partition window is model-sized — not a
+      // corpus-sized global window
+      monthly
+        .withColumn("n_w", count(lit(1)).over(w))
+        .withColumn("ma_c", expr("sum(rev_c) OVER (ORDER BY month " +
+          "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)"))
+        .where(col("n_w") === 3) // edges have no centered MA
+        .select(col("month"), col("rev_c"),
+          expr("ma_c div 3").as("ma3_c"),
+          expr("(rev_c * 30000) div ma_c").as("seasonal_e4"))
+        .orderBy(col("month"))
+    }),
+
+    // -- cross-crawl quality drift: the hashed-token integer quality
+    //    score (quality_classifier's e3 mean) per source on crawl N
+    //    vs crawl N+1, with the per-source delta — the data-quality
+    //    monitor an ingest alerts on (a souring source shows before
+    //    any model does); all-integer, two token passes --
+    "quality_drift" -> ((s, dir) => {
+      def scoreBySrc(df: DataFrame, qName: String, nName: String): DataFrame =
+        df.select(col("source"), col("doc_id"),
+            explode(TextFuncs.tokens(col("text"))).as("tm"))
+          .select(col("source"), col("doc_id"),
+            (TextFuncs.charFold(col("tm")) % 2001).as("w"))
+          .groupBy(col("source"), col("doc_id"))
+          .agg(expr("sum(w) div count(1)").as("s_e3"))
+          .groupBy(col("source"))
+          .agg(expr("sum(s_e3) div count(1)").as(qName),
+            count(lit(1)).as(nName))
+      val docs = t(s, dir, "documents")
+      scoreBySrc(docs, "q1_e3", "n_docs_v1")
+        .join(scoreBySrc(syntheticNextSnapshot(docs), "q2_e3", "n_docs_v2"),
+          "source")
+        .select(col("source"), col("n_docs_v1"), col("n_docs_v2"),
+          col("q1_e3"), col("q2_e3"),
+          (col("q2_e3") - col("q1_e3")).as("drift_e3"))
+        .orderBy(col("source"))
+    }),
+
     // -- association rules over order baskets: support / directional
     //    confidence / lift from EXACT integer counts (pair support,
     //    per-item basket counts, total baskets — e6 fixed-point, no
@@ -5074,6 +5126,40 @@ object SparkEntry {
          | round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |   list_transform(list(x ORDER BY bg), v -> v)), (a, b) -> a + b), 4) AS h_rate
          |FROM x GROUP BY source, n2 ORDER BY source""".stripMargin.replaceAll("\n", " ")
+    val ordersSeasonalityOracle =
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT month, rev_c,
+        |  count(*) OVER (ORDER BY month ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS n_w,
+        |  CAST(sum(rev_c) OVER (ORDER BY month
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS ma_c
+        |  FROM m)
+        |SELECT month, rev_c, CAST(ma_c // 3 AS BIGINT) AS ma3_c,
+        | CAST((rev_c * 30000) // ma_c AS BIGINT) AS seasonal_e4
+        |FROM w WHERE n_w = 3 ORDER BY month""".stripMargin.replaceAll("\n", " ")
+    val qualityDriftOracle = {
+      def arm(src: String, q: String, n: String): String =
+        s"""(SELECT source, CAST(sum(s_e3) // count(*) AS BIGINT) AS $q,
+           |  CAST(count(*) AS BIGINT) AS $n FROM (
+           |  SELECT source, doc_id, sum(w) // count(*) AS s_e3 FROM (
+           |    SELECT source, doc_id, ${SqlSnips.charFold("tm")} % 2001 AS w
+           |    FROM (SELECT source, doc_id, unnest($toks) AS tm FROM $src) _t) _w
+           |  GROUP BY source, doc_id) _s GROUP BY source)""".stripMargin.replaceAll("\n", " ")
+      s"""WITH nx AS (
+         |  SELECT doc_id, source, CASE WHEN doc_id % 17 = 0
+         |    THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000 AS doc_id, source, text FROM documents
+         |    WHERE doc_id % 19 = 0),
+         |s1 AS ${arm("documents", "q1_e3", "n_docs_v1")},
+         |s2 AS ${arm("nx", "q2_e3", "n_docs_v2")}
+         |SELECT s1.source AS source, n_docs_v1, n_docs_v2, q1_e3, q2_e3,
+         | CAST(q2_e3 - q1_e3 AS BIGINT) AS drift_e3
+         |FROM s1 JOIN s2 ON s1.source = s2.source
+         |ORDER BY source""".stripMargin.replaceAll("\n", " ")
+    }
     val basketRulesOracle =
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |it AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
@@ -6811,6 +6897,8 @@ object SparkEntry {
       "dedup_cluster_density" -> dedupClusterDensityOracle,
       "basket_rules" -> basketRulesOracle,
       "price_qty_regression" -> priceQtyRegressionOracle,
+      "orders_seasonality" -> ordersSeasonalityOracle,
+      "quality_drift" -> qualityDriftOracle,
       "source_overlap" -> sourceOverlapOracle,
       "sample_quota" ->
         """SELECT source, CAST(rk AS INTEGER) AS rk, doc_id FROM (
