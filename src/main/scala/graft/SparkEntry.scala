@@ -1322,6 +1322,115 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // -- TPC-H Q7 shape (volume shipping between two nations): both
+    //    dimension sides are PRUNED FIRST by the broadcast 2-row
+    //    nation subset (supplier and customer shrink before the big
+    //    lineitem join — the 100 TB join order), revenue in exact
+    //    1e-4 integers per (supp_nation, cust_nation, year) --
+    "q7_volume" -> ((s, dir) => {
+      val nsub = t(s, dir, "nation")
+        .where(col("n_name").isin("NATION_3", "NATION_7"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(nsub.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(nsub.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .select(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("int").as("l_year"),
+          expr("CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)")
+            .as("rev"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("rev")).as("rev_e4"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          round(col("rev_e4") / 10000.0, 2).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // -- TPC-H Q8 shape (market share): NATION_5's share of PROMO
+    //    revenue sold into ASIA by year — the share is an exact
+    //    integer e6 ratio of two 1e-4-unit sums, no float division
+    //    until display --
+    "q8_market_share" -> ((s, dir) => {
+      val asiaKeys = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("ank"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(asiaKeys), col("c_nationkey") === col("ank"))
+        .select(col("c_custkey"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("snk"), col("n_name"))),
+          col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").where(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .select(year(col("l_shipdate")).cast("int").as("o_year"),
+          col("supp_nation"),
+          expr("CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)")
+            .as("rev"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_5", col("rev"))
+            .otherwise(lit(0L))).as("nat_c"),
+          sum(col("rev")).as("tot_c"))
+        .select(col("o_year"),
+          expr("(nat_c * 1000000) div tot_c").as("share_e6"),
+          round(col("tot_c") / 10000.0, 2).as("total_revenue"))
+        .orderBy(col("o_year"))
+    }),
+
+    // -- TPC-H Q13 shape (customer order-count distribution): LEFT
+    //    join keeps the zero-order customers (the row a plain join
+    //    silently drops), priority filter stands in for the comment
+    //    NOT LIKE; two aggregations, both map-side partial --
+    "q13_custdist" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // -- TPC-H Q19 shape (disjunctive brand/size/qty predicate): the
+    //    three OR-arms evaluate INSIDE the join (one pass, no union
+    //    of three scans); revenue exact 1e-4 integers, zero-match
+    //    arms cost nothing --
+    "q19_disjunct" -> ((s, dir) => {
+      val arm = (brand: String, szHi: Int, qLo: Int, qHi: Int) =>
+        col("p_brand") === brand &&
+          col("p_size").between(1, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .where(arm("Brand#12", 5, 1, 11) || arm("Brand#23", 10, 10, 20) ||
+          arm("Brand#34", 15, 20, 30))
+        .agg(count(lit(1)).as("n_items"),
+          coalesce(sum(expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)")),
+            lit(0L)).as("rev_e4"))
+        .select(col("n_items"), round(col("rev_e4") / 10000.0, 2).as("revenue"))
+    }),
+
     // -- monthly revenue seasonal decomposition: exact-cents monthly
     //    revenue, 3-month centered moving average (bounded window per
     //    month key — months are FEW, so the window frame is tiny by
@@ -5126,6 +5235,66 @@ object SparkEntry {
          | round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |   list_transform(list(x ORDER BY bg), v -> v)), (a, b) -> a + b), 4) AS h_rate
          |FROM x GROUP BY source, n2 ORDER BY source""".stripMargin.replaceAll("\n", " ")
+    val q7VolumeOracle =
+      """WITH j AS (SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1997-01-01'
+        |    AND sn.n_name IN ('NATION_3', 'NATION_7')
+        |    AND cn.n_name IN ('NATION_3', 'NATION_7')
+        |    AND sn.n_name <> cn.n_name)
+        |SELECT supp_nation, cust_nation, l_year,
+        | round(CAST(sum(rev) AS BIGINT) / 10000.0, 2) AS revenue
+        |FROM j GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin.replaceAll("\n", " ")
+    val q8MarketShareOracle =
+      """WITH asia AS (SELECT n_nationkey FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+        |j AS (SELECT CAST(year(l_shipdate) AS INTEGER) AS o_year,
+        |  sn.n_name AS supp_nation,
+        |  CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE c_nationkey IN (SELECT n_nationkey FROM asia)),
+        |a AS (SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev ELSE 0 END) AS BIGINT) AS nat_c,
+        |  CAST(sum(rev) AS BIGINT) AS tot_c
+        |  FROM j GROUP BY o_year)
+        |SELECT o_year, CAST((nat_c * 1000000) // tot_c AS BIGINT) AS share_e6,
+        | round(tot_c / 10000.0, 2) AS total_revenue
+        |FROM a ORDER BY o_year""".stripMargin.replaceAll("\n", " ")
+    val q13CustdistOracle =
+      """WITH cc AS (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN (
+        |    SELECT o_custkey, o_orderkey FROM orders
+        |    WHERE o_orderpriority <> '1-URGENT') o
+        |  ON c_custkey = o_custkey GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM cc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin.replaceAll("\n", " ")
+    val q19DisjunctOracle =
+      """WITH f AS (SELECT
+        |  CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |      AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |      AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |      AND l_quantity BETWEEN 20 AND 30))
+        |SELECT CAST(count(*) AS BIGINT) AS n_items,
+        | round(CAST(coalesce(sum(rev), 0) AS BIGINT) / 10000.0, 2) AS revenue
+        |FROM f""".stripMargin.replaceAll("\n", " ")
     val ordersSeasonalityOracle =
       """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
@@ -6899,6 +7068,10 @@ object SparkEntry {
       "price_qty_regression" -> priceQtyRegressionOracle,
       "orders_seasonality" -> ordersSeasonalityOracle,
       "quality_drift" -> qualityDriftOracle,
+      "q7_volume" -> q7VolumeOracle,
+      "q8_market_share" -> q8MarketShareOracle,
+      "q13_custdist" -> q13CustdistOracle,
+      "q19_disjunct" -> q19DisjunctOracle,
       "source_overlap" -> sourceOverlapOracle,
       "sample_quota" ->
         """SELECT source, CAST(rk AS INTEGER) AS rk, doc_id FROM (
