@@ -1322,6 +1322,44 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // -- JSON property extraction over the events props column:
+    //    get_json_object path extraction (codegen'd) + per-type
+    //    integer stats — the schema-drift audit a semi-structured
+    //    ingest runs (a key going null-heavy or out-of-range shows
+    //    here first); missing keys count as null, never error --
+    "events_props_stats" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))),
+
+    // -- windowed top-k: the 3 highest-value users per hour — the
+    //    rank cut runs as WindowGroupLimit partials BEFORE the hour
+    //    exchange (each map task forwards <= k rows per hour), the
+    //    grouped twin of TakeOrderedAndProject; values in exact
+    //    cents --
+    "events_window_topk" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("hour_bucket"))
+        .orderBy(col("v_c").desc, col("user_id"))
+      t(s, dir, "events")
+        .select(expr("(ts div 1000) div 3600000000").cast("long")
+            .as("hour_bucket"),
+          col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v_c"))
+        .groupBy(col("hour_bucket"), col("user_id"))
+        .agg(sum(col("v_c")).as("v_c"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("hour_bucket"), col("rank").cast("int").as("rank"),
+          col("user_id"), col("v_c"))
+        .orderBy(col("hour_bucket"), col("rank"))
+        .limit(300)
+    }),
+
     // -- TPC-H Q7 shape (volume shipping between two nations): both
     //    dimension sides are PRUNED FIRST by the broadcast 2-row
     //    nation subset (supplier and customer shrink before the big
@@ -5235,6 +5273,22 @@ object SparkEntry {
          | round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |   list_transform(list(x ORDER BY bg), v -> v)), (a, b) -> a + b), 4) AS h_rate
          |FROM x GROUP BY source, n2 ORDER BY source""".stripMargin.replaceAll("\n", " ")
+    val eventsPropsStatsOracle =
+      """WITH e AS (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, CAST(count(k) AS BIGINT) AS n_with_k,
+        | CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+        | CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " ")
+    val eventsWindowTopkOracle =
+      """WITH v AS (SELECT epoch_us(ts) // 3600000000 AS hour_bucket, user_id,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT hour_bucket, user_id, v_c,
+        |  CAST(row_number() OVER (PARTITION BY hour_bucket
+        |    ORDER BY v_c DESC, user_id) AS INTEGER) AS rank FROM v)
+        |SELECT hour_bucket, rank, user_id, v_c FROM r WHERE rank <= 3
+        |ORDER BY hour_bucket, rank LIMIT 300""".stripMargin.replaceAll("\n", " ")
     val q7VolumeOracle =
       """WITH j AS (SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -7070,6 +7124,8 @@ object SparkEntry {
       "quality_drift" -> qualityDriftOracle,
       "q7_volume" -> q7VolumeOracle,
       "q8_market_share" -> q8MarketShareOracle,
+      "events_props_stats" -> eventsPropsStatsOracle,
+      "events_window_topk" -> eventsWindowTopkOracle,
       "q13_custdist" -> q13CustdistOracle,
       "q19_disjunct" -> q19DisjunctOracle,
       "source_overlap" -> sourceOverlapOracle,

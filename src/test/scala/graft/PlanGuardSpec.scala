@@ -319,4 +319,15 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("events_window_topk: rank cut runs as WindowGroupLimit partials") {
+    val p = plan("events_window_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q7_volume: nation-pruned sides broadcast, no cartesian") {
+    val p = plan("q7_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
