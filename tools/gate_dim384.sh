@@ -1,0 +1,9 @@
+#!/bin/bash
+# Reference-width (384-dim) correctness gate — SURVEY §6.
+# Synthesizes the 384-dim corpus, then oracle-gates the kernel +
+# one-per-family ANN query set at that width via tools/gate.py.
+set -e
+cd "$(dirname "$0")/.."
+python3 tools/gen_dim384.py "${1:-/root/testdata/sf0.01}" /tmp/dim384_data
+QUERIES=knn_cosine,knn_euclidean,knn_dot,knn_manhattan,vector_scan,vector_normalize,ann_ivf_static,ann_sq8,ann_bq_wide,ann_pq_static,ann_ivfpq_static,ann_pq_rerank \
+  python3 tools/gate.py /tmp/dim384_data /tmp/dim384_out
