@@ -1295,8 +1295,13 @@ object SparkEntry {
     // -- bigram conditional entropy rate H(w2|w1) per source: the
     //    language-model-ish predictability read (low rate = templated
     //    or repetitive text, high = diverse) next to quality_entropy's
-    //    unigram H. Integer bigram/prefix counts; the p*ln chain
-    //    folds in canonical bigram order (the source_kl discipline) --
+    //    unigram H. Integer bigram/prefix counts; each p*ln term is
+    //    e9-fixed-pointed (identical doubles both engines, then one
+    //    deterministic rounding) and INTEGER-summed — order-
+    //    independent with no per-source collect, so the aggregation
+    //    stays map-side-partial at any vocabulary size (the
+    //    canonical-order fold source_kl uses would collect |vocab²|
+    //    structs per source here) --
     "tokens_entropy_rate" -> ((s, dir) => {
       val bg = t(s, dir, "documents")
         .select(col("source"),
@@ -1309,17 +1314,87 @@ object SparkEntry {
         .agg(sum(col("c2")).as("c1"))
       val n2 = c2.groupBy(col("source")).agg(sum(col("c2")).as("n2"))
       c2.join(c1, Seq("source", "w1")).join(n2, Seq("source"))
-        .select(col("source"), col("n2"), col("bg"),
-          (lit(0.0) - (col("c2").cast("double") / col("n2")) *
-            log(col("c2").cast("double") / col("c1"))).as("x"))
+        .select(col("source"), col("n2"),
+          expr("""CAST(round((0.0 - (CAST(c2 AS DOUBLE) / n2)
+            | * ln(CAST(c2 AS DOUBLE) / c1)) * 1000000000) AS BIGINT)"""
+            .stripMargin.replaceAll("\n", " ")).as("x9"))
         .groupBy(col("source"), col("n2"))
-        .agg(round(
-          aggregate(
-            transform(sort_array(collect_list(struct(col("bg"), col("x")))),
-              p => p.getField("x")),
-            lit(0.0), (a, v) => a + v), 4).as("h_rate"))
-        .select(col("source"), col("n2").as("n_bigrams"), col("h_rate"))
+        .agg(sum(col("x9")).as("sx9"))
+        .select(col("source"), col("n2").as("n_bigrams"),
+          round(col("sx9") / 1000000000.0, 4).as("h_rate"))
         .orderBy(col("source"))
+    }),
+
+    // -- k-NN graph diagnostics on the count-derived ~256-vector
+    //    sample (constant work at any SF): per neighbor rank, the
+    //    mean cosine distance (e4) and the RECIPROCAL rate — how
+    //    often "a in top3(b)" given "b in top3(a)". Low reciprocity
+    //    is the hubness symptom that degrades graph-ANN recall; the
+    //    build is sample x sample through the TopKPairs partial
+    //    aggregate, never the full corpus --
+    "knn_graph_stats" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val mod = math.max(1L, (e.count() + 255L) / 256L)
+      val sm = e.where(pmod(col("vec_id"), lit(mod)) === 0)
+        .select(col("vec_id"), col("embedding"))
+      val edges = sm.crossJoin(broadcast(
+          sm.select(col("vec_id").as("qid"), col("embedding").as("qvec"))))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"),
+          round(VectorFunctions.vec_cosine(col("embedding"), col("qvec")), 4)
+            .as("dist"),
+          col("vec_id"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg.topk_pairs(col("dist"), col("vec_id"), 3)
+          .as("topk"))
+        .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "pair")))
+        .select(col("qid"), col("pair.id").as("nb"),
+          col("pair.dist").as("dist"),
+          (col("pos") + 1).cast("int").as("rank"))
+        .localCheckpoint(eager = true) // reused by both reads below
+      val recip = edges.as("x")
+        .join(edges.select(col("qid").as("b"), col("nb").as("a")).as("y"),
+          col("x.qid") === col("y.a") && col("x.nb") === col("y.b"),
+          "left_semi")
+        .groupBy(col("rank")).agg(count(lit(1)).as("n_recip"))
+      edges.groupBy(col("rank"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(expr("CAST(round(dist * 10000) AS BIGINT)")).as("dist_sum_e4"))
+        .join(recip, Seq("rank"), "left")
+        .select(col("rank"), col("n_edges"),
+          expr("dist_sum_e4 div n_edges").as("mean_dist_e4"),
+          coalesce(col("n_recip"), lit(0L)).as("n_reciprocal"),
+          expr("(coalesce(n_recip, 0) * 10000) div n_edges")
+            .as("recip_e4"))
+        .orderBy(col("rank"))
+    }),
+
+    // -- hubness audit on the same sampled k-NN graph: the in-degree
+    //    histogram of top-3 neighbor lists. A long tail (vectors
+    //    appearing in MANY neighbor lists) is the high-dimensional
+    //    hubness pathology that silently skews both graph-ANN and
+    //    kNN-classifier quality — the audit to run before trusting
+    //    either at a new embedding width --
+    "knn_hubness" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val mod = math.max(1L, (e.count() + 255L) / 256L)
+      val sm = e.where(pmod(col("vec_id"), lit(mod)) === 0)
+        .select(col("vec_id"), col("embedding"))
+      sm.crossJoin(broadcast(
+          sm.select(col("vec_id").as("qid"), col("embedding").as("qvec"))))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"),
+          round(VectorFunctions.vec_cosine(col("embedding"), col("qvec")), 4)
+            .as("dist"),
+          col("vec_id"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg.topk_pairs(col("dist"), col("vec_id"), 3)
+          .as("topk"))
+        .select(posexplode(col("topk")).as(Seq("pos", "pair")))
+        .select(col("pair.id").as("nb"))
+        .groupBy(col("nb")).agg(count(lit(1)).as("in_degree"))
+        .groupBy(col("in_degree")).agg(count(lit(1)).as("n_vectors"))
+        .orderBy(col("in_degree"))
     }),
 
     // -- JSON property extraction over the events props column:
@@ -5264,15 +5339,49 @@ object SparkEntry {
          |  FROM c2 GROUP BY source, w1),
          |n2 AS (SELECT source, CAST(sum(c2) AS BIGINT) AS n2
          |  FROM c2 GROUP BY source),
-         |x AS (SELECT c2.source, n2.n2, c2.bg,
-         |  0.0 - (CAST(c2.c2 AS DOUBLE) / n2.n2)
-         |    * ln(CAST(c2.c2 AS DOUBLE) / c1.c1) AS x
+         |x AS (SELECT c2.source, n2.n2,
+         |  CAST(round((0.0 - (CAST(c2.c2 AS DOUBLE) / n2.n2)
+         |    * ln(CAST(c2.c2 AS DOUBLE) / c1.c1)) * 1000000000) AS BIGINT) AS x9
          |  FROM c2 JOIN c1 ON c2.source = c1.source AND c2.w1 = c1.w1
          |  JOIN n2 ON c2.source = n2.source)
          |SELECT source, n2 AS n_bigrams,
-         | round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |   list_transform(list(x ORDER BY bg), v -> v)), (a, b) -> a + b), 4) AS h_rate
+         | round(CAST(sum(x9) AS BIGINT) / 1000000000.0, 4) AS h_rate
          |FROM x GROUP BY source, n2 ORDER BY source""".stripMargin.replaceAll("\n", " ")
+    // shared sampled k-NN graph CTE chain for the graph diagnostics
+    val knnGraphCtes =
+      s"""m AS (SELECT greatest(1, (count(*) + 255) // 256) AS md FROM embeddings),
+         |sm AS (SELECT vec_id, embedding FROM embeddings, m
+         |  WHERE ((vec_id % m.md) + m.md) % m.md = 0),
+         |p AS (SELECT q.vec_id AS qid, e.vec_id AS nb,
+         |  round(${cosSql("e.embedding", "q.embedding")}, 4) AS dist
+         |  FROM sm e, sm q WHERE e.vec_id <> q.vec_id),
+         |r AS (SELECT qid, nb, dist,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, nb) AS INTEGER) AS rank
+         |  FROM p),
+         |edges AS (SELECT qid, nb, dist, rank FROM r WHERE rank <= 3)"""
+        .stripMargin.replaceAll("\n", " ")
+    val knnGraphStatsOracle =
+      s"""WITH $knnGraphCtes,
+         |rec AS (SELECT x.rank, CAST(count(*) AS BIGINT) AS n_recip
+         |  FROM edges x WHERE EXISTS (SELECT 1 FROM edges y
+         |    WHERE y.qid = x.nb AND y.nb = x.qid)
+         |  GROUP BY x.rank),
+         |g AS (SELECT rank, CAST(count(*) AS BIGINT) AS n_edges,
+         |  CAST(sum(CAST(round(dist * 10000) AS BIGINT)) AS BIGINT) AS dist_sum_e4
+         |  FROM edges GROUP BY rank)
+         |SELECT g.rank AS rank, n_edges,
+         | CAST(dist_sum_e4 // n_edges AS BIGINT) AS mean_dist_e4,
+         | CAST(coalesce(n_recip, 0) AS BIGINT) AS n_reciprocal,
+         | CAST((coalesce(n_recip, 0) * 10000) // n_edges AS BIGINT) AS recip_e4
+         |FROM g LEFT JOIN rec ON g.rank = rec.rank
+         |ORDER BY rank""".stripMargin.replaceAll("\n", " ")
+    val knnHubnessOracle =
+      s"""WITH $knnGraphCtes,
+         |d AS (SELECT nb, CAST(count(*) AS BIGINT) AS in_degree
+         |  FROM edges GROUP BY nb)
+         |SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vectors
+         |FROM d GROUP BY in_degree ORDER BY in_degree"""
+        .stripMargin.replaceAll("\n", " ")
     val eventsPropsStatsOracle =
       """WITH e AS (SELECT event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
@@ -7126,6 +7235,8 @@ object SparkEntry {
       "q8_market_share" -> q8MarketShareOracle,
       "events_props_stats" -> eventsPropsStatsOracle,
       "events_window_topk" -> eventsWindowTopkOracle,
+      "knn_graph_stats" -> knnGraphStatsOracle,
+      "knn_hubness" -> knnHubnessOracle,
       "q13_custdist" -> q13CustdistOracle,
       "q19_disjunct" -> q19DisjunctOracle,
       "source_overlap" -> sourceOverlapOracle,
