@@ -1325,6 +1325,32 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // -- length-matched control sampling: for every eval doc
+    //    (doc_id%97), the train doc with the NEAREST n_chars (ties:
+    //    smallest |diff| then lowest id) — the matched-pair
+    //    construction an ablation uses so a quality/contamination
+    //    effect isn't confounded by length. Eval sets are small by
+    //    construction, so the eval side broadcasts and the train
+    //    corpus is scanned ONCE with the per-eval argmin running as
+    //    TopKPairs partials --
+    "eval_matched_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ev = d.where(pmod(col("doc_id"), lit(97L)) === 0)
+        .select(col("doc_id").as("eval_id"), col("n_chars").as("eval_len"))
+      d.where(pmod(col("doc_id"), lit(97L)) =!= 0)
+        .crossJoin(broadcast(ev))
+        .select(col("eval_id"), col("eval_len"),
+          abs(col("n_chars") - col("eval_len")).cast("double").as("dlen"),
+          col("doc_id"))
+        .groupBy(col("eval_id"), col("eval_len"))
+        .agg(graft.functions.TopKAgg.topk_pairs(col("dlen"), col("doc_id"), 1)
+          .as("tp"))
+        .select(col("eval_id"), col("eval_len"),
+          col("tp").getItem(0).getField("id").as("control_id"),
+          col("tp").getItem(0).getField("dist").cast("long").as("len_diff"))
+        .orderBy(col("eval_id"))
+    }),
+
     // -- k-NN graph diagnostics on the count-derived ~256-vector
     //    sample (constant work at any SF): per neighbor rank, the
     //    mean cosine distance (e4) and the RECIPROCAL rate — how
@@ -7237,6 +7263,19 @@ object SparkEntry {
       "events_window_topk" -> eventsWindowTopkOracle,
       "knn_graph_stats" -> knnGraphStatsOracle,
       "knn_hubness" -> knnHubnessOracle,
+      "eval_matched_sample" ->
+        """WITH ev AS (SELECT doc_id AS eval_id, n_chars AS eval_len
+          |  FROM documents WHERE ((doc_id % 97) + 97) % 97 = 0),
+          |tr AS (SELECT doc_id, n_chars FROM documents
+          |  WHERE ((doc_id % 97) + 97) % 97 <> 0),
+          |p AS (SELECT eval_id, eval_len, tr.doc_id,
+          |  abs(n_chars - eval_len) AS dlen FROM ev, tr),
+          |r AS (SELECT eval_id, eval_len, doc_id, dlen,
+          |  row_number() OVER (PARTITION BY eval_id
+          |    ORDER BY dlen, doc_id) AS rn FROM p)
+          |SELECT eval_id, eval_len, doc_id AS control_id,
+          | CAST(dlen AS BIGINT) AS len_diff
+          |FROM r WHERE rn = 1 ORDER BY eval_id""".stripMargin.replaceAll("\n", " "),
       "q13_custdist" -> q13CustdistOracle,
       "q19_disjunct" -> q19DisjunctOracle,
       "source_overlap" -> sourceOverlapOracle,
