@@ -458,6 +458,166 @@ object SparkEntry {
         .orderBy(col("c_nationkey"))
     }),
 
+    // -- TPC-H Q2 shape (min-cost supplier per part): the corpus has
+    //    no partsupp table, so lineitem IS the part-supplier link and
+    //    "cost" is the cheapest observed purchase (exact integer min,
+    //    order-independent). The correlated MIN subquery decorrelates
+    //    the q17 way: ONE (part,supplier) aggregate, ONE per-part min,
+    //    joined back on (partkey, cost=mcost) — never a per-row probe.
+    //    region/nation broadcast into supplier; the part filter
+    //    prunes BEFORE the aggregate so only 1/6 of lineitem
+    //    aggregates at 100 TB --
+    "q2_min_cost" -> ((s, dir) => {
+      val es = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+            .where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      val pc = t(s, dir, "lineitem")
+        .join(es, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "part").where(col("p_type") === "STANDARD"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("cost_c"))
+      val mc = pc.groupBy(col("l_partkey").as("pk"))
+        .agg(min(col("cost_c")).as("mcost"))
+      pc.join(mc, col("l_partkey") === col("pk") &&
+          col("cost_c") === col("mcost"))
+        .join(es, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(round(col("s_acctbal"), 2).as("s_acctbal"), col("s_name"),
+          col("n_name"), col("p_partkey"), col("p_name"), col("cost_c"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // -- TPC-H Q11 shape (important stock): per-part value held by a
+    //    5-nation supplier slice, kept where value > 1.5x the MEAN
+    //    per-part value. Classic Q11 scales its fraction by 1/SF;
+    //    deriving the threshold from count(*) (value_c*np*2 > 3*t,
+    //    exact integer cross-multiplication over a 1-row broadcast)
+    //    gives the same scale-proportional selectivity with no manual
+    //    knob at 100 TB --
+    "q11_important_parts" -> ((s, dir) => {
+      val v = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier").where(col("s_nationkey") < 5),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("value_c"))
+      val tot = v.agg(sum(col("value_c")).as("t"),
+        count(lit(1)).as("np"))
+      v.crossJoin(broadcast(tot))
+        .where(col("value_c") * col("np") * 2 > col("t") * 3)
+        .select(col("partkey"), col("value_c"))
+        .orderBy(col("value_c").desc, col("partkey"))
+    }),
+
+    // -- TPC-H Q15 shape (top supplier): one quarter's revenue per
+    //    supplier in exact 1e-4 units, the view's scalar MAX as a
+    //    1-row broadcast joined back on equality (ties all surface,
+    //    as in the spec). Date predicate pushed to the scan --
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"))
+          .as("rev_c"))
+      val m = rev.agg(max(col("rev_c")).as("mr"))
+      rev.join(broadcast(m), col("rev_c") === col("mr"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("rev_c") / 10000.0, 2).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // -- TPC-H Q16 shape (supplier count by part attr): distinct
+    //    suppliers per (brand,type,size) excluding a NOT-IN supplier
+    //    blacklist (name pattern) — the blacklist is a broadcast
+    //    left_anti BEFORE the distinct, so excluded rows never reach
+    //    the aggregate; count-distinct runs as the two-phase
+    //    distinct-then-count (partial combine on both hops) --
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val bl = t(s, dir, "supplier").where(col("s_name").like("%7"))
+        .select(col("s_suppkey").as("bk"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part")
+            .where(col("p_brand") =!= "Brand#13" &&
+              col("p_type") =!= "PROMO" && col("p_size") < 25),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bl), col("l_suppkey") === col("bk"), "left_anti")
+        .select(col("p_brand"), col("p_type"), col("p_size"),
+          col("l_suppkey"))
+        .distinct()
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count(lit(1)).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+        .limit(200)
+    }),
+
+    // -- TPC-H Q20 shape (excess-share suppliers): suppliers holding
+    //    >2x the average per-supplier share of any 'red%' part. The
+    //    nested IN-subqueries decorrelate into the (part,supplier)
+    //    quantity aggregate self-totalled per part (tq, ns) and an
+    //    exact integer share test q*ns > 2*tq; candidates collapse to
+    //    DISTINCT suppkey before touching supplier/nation --
+    "q20_top_share_suppliers" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .join(t(s, dir, "part").where(col("p_name").like("red%"))
+            .select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("q"))
+      val tot = ps.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("q")).as("tq"), count(lit(1)).as("ns"))
+      ps.join(tot, col("l_partkey") === col("pk"))
+        .where(col("q") * col("ns") > col("tq") * 2)
+        .select(col("l_suppkey")).distinct()
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
+        .orderBy(col("s_name"))
+    }),
+
+    // -- TPC-H Q21 shape (suppliers who kept orders waiting): the
+    //    corpus has no receipt/commit dates, so "late" is shipdate >
+    //    orderdate + 330 days. The double correlation — EXISTS
+    //    another supplier in the order, NOT EXISTS another LATE
+    //    supplier — runs as a left_semi against lineitem and a
+    //    left_anti against the late set itself, both equi on
+    //    orderkey with the suppkey<> residual; no per-row subquery.
+    //    All three joins share the orderkey shuffle key --
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val l1 = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").where(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 330 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val l2 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val l3 = l1.select(col("l_orderkey").as("ok3"),
+        col("l_suppkey").as("sk3"))
+      l1.join(l2, col("l_orderkey") === col("ok2") &&
+          col("l_suppkey") =!= col("sk2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("ok3") &&
+          col("l_suppkey") =!= col("sk3"), "left_anti")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
     // -- join-key skew profile for lineitem.l_partkey: exact
     //    multiplicity quantiles (nearest-rank selections) + the
     //    max/median skew ratio — the number that says whether a join
@@ -1325,19 +1485,21 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
-    // -- length-matched control sampling: for every eval doc
-    //    (doc_id%97), the train doc with the NEAREST n_chars (ties:
-    //    smallest |diff| then lowest id) — the matched-pair
-    //    construction an ablation uses so a quality/contamination
-    //    effect isn't confounded by length. Eval sets are small by
-    //    construction, so the eval side broadcasts and the train
-    //    corpus is scanned ONCE with the per-eval argmin running as
-    //    TopKPairs partials --
+    // -- length-matched control sampling: for every eval doc, the
+    //    train doc with the NEAREST n_chars (ties: smallest |diff|
+    //    then lowest id) — the matched-pair construction an ablation
+    //    uses so a quality/contamination effect isn't confounded by
+    //    length. The eval mod DERIVES from count(*) (the
+    //    embed_dist_hist rule) so the eval side stays ~64 docs and
+    //    broadcasts at ANY corpus size; the train corpus is scanned
+    //    ONCE with the per-eval argmin running as TopKPairs map-side
+    //    partials — work stays a constant factor of one scan --
     "eval_matched_sample" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val ev = d.where(pmod(col("doc_id"), lit(97L)) === 0)
+      val mod = math.max(1L, (d.count() + 63L) / 64L)
+      val ev = d.where(pmod(col("doc_id"), lit(mod)) === 0)
         .select(col("doc_id").as("eval_id"), col("n_chars").as("eval_len"))
-      d.where(pmod(col("doc_id"), lit(97L)) =!= 0)
+      d.where(pmod(col("doc_id"), lit(mod)) =!= 0)
         .crossJoin(broadcast(ev))
         .select(col("eval_id"), col("eval_len"),
           abs(col("n_chars") - col("eval_len")).cast("double").as("dlen"),
@@ -7264,10 +7426,12 @@ object SparkEntry {
       "knn_graph_stats" -> knnGraphStatsOracle,
       "knn_hubness" -> knnHubnessOracle,
       "eval_matched_sample" ->
-        """WITH ev AS (SELECT doc_id AS eval_id, n_chars AS eval_len
-          |  FROM documents WHERE ((doc_id % 97) + 97) % 97 = 0),
-          |tr AS (SELECT doc_id, n_chars FROM documents
-          |  WHERE ((doc_id % 97) + 97) % 97 <> 0),
+        """WITH m AS (SELECT greatest(1, (count(*) + 63) // 64) AS md
+          |  FROM documents),
+          |ev AS (SELECT doc_id AS eval_id, n_chars AS eval_len
+          |  FROM documents, m WHERE ((doc_id % md) + md) % md = 0),
+          |tr AS (SELECT doc_id, n_chars FROM documents, m
+          |  WHERE ((doc_id % md) + md) % md <> 0),
           |p AS (SELECT eval_id, eval_len, tr.doc_id,
           |  abs(n_chars - eval_len) AS dlen FROM ev, tr),
           |r AS (SELECT eval_id, eval_len, doc_id, dlen,
@@ -8118,6 +8282,90 @@ object SparkEntry {
         |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
         | CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
         |FROM f GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin.replaceAll("\n", " "),
+    // cost = exact integer min (cents); decorrelated per-part min
+    "q2_min_cost" ->
+      """WITH es AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |pc AS (SELECT l_partkey, l_suppkey,
+        |  CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cost_c
+        |  FROM lineitem JOIN es ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'STANDARD' GROUP BY 1, 2),
+        |mc AS (SELECT l_partkey AS pk, CAST(min(cost_c) AS BIGINT) AS mcost
+        |  FROM pc GROUP BY 1)
+        |SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+        | p_partkey, p_name, CAST(cost_c AS BIGINT) AS cost_c
+        |FROM pc JOIN mc ON l_partkey = pk AND cost_c = mcost
+        |JOIN es ON pc.l_suppkey = es.s_suppkey
+        |JOIN part ON l_partkey = p_partkey
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin.replaceAll("\n", " "),
+    // threshold derived from count(*): value > 1.5x mean part value,
+    // exact integer cross-multiplication
+    "q11_important_parts" ->
+      """WITH v AS (SELECT l_partkey AS partkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_c
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey < 5 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS t,
+        |  CAST(count(*) AS BIGINT) AS np FROM v)
+        |SELECT partkey, CAST(value_c AS BIGINT) AS value_c FROM v, tot
+        |WHERE value_c * np * 2 > t * 3
+        |ORDER BY value_c DESC, partkey""".stripMargin.replaceAll("\n", " "),
+    // scalar MAX of the revenue view joined back on equality
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |    AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem WHERE l_shipdate >= '1996-01-01'
+        |    AND l_shipdate < '1996-04-01' GROUP BY 1),
+        |m AS (SELECT CAST(max(rev_c) AS BIGINT) AS mr FROM rev)
+        |SELECT s_suppkey, s_name, round(rev_c / 10000.0, 2) AS total_revenue
+        |FROM rev JOIN m ON rev_c = mr
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY s_suppkey""".stripMargin.replaceAll("\n", " "),
+    // NOT IN blacklist -> anti join before the distinct
+    "q16_supplier_cnt" ->
+      """WITH ps AS (SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO' AND p_size < 25
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'))
+        |SELECT p_brand, p_type, p_size, CAST(count(*) AS BIGINT) AS supplier_cnt
+        |FROM ps GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 200""".stripMargin.replaceAll("\n", " "),
+    // share test q*ns > 2*tq in exact integer quantity-cents
+    "q20_top_share_suppliers" ->
+      """WITH rp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+        |ps AS (SELECT l_partkey, l_suppkey,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem JOIN rp ON l_partkey = p_partkey GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey AS pk, CAST(sum(q) AS BIGINT) AS tq,
+        |  CAST(count(*) AS BIGINT) AS ns FROM ps GROUP BY 1),
+        |cand AS (SELECT DISTINCT l_suppkey FROM ps JOIN tot ON l_partkey = pk
+        |  WHERE q * ns > 2 * tq)
+        |SELECT s_name, n_name FROM cand
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_name""".stripMargin.replaceAll("\n", " "),
+    // late = shipdate > orderdate + 330 days (no receipt/commit cols);
+    // EXISTS/NOT EXISTS pair on the same orderkey key
+    "q21_waiting_supplier" ->
+      """WITH l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 330 DAY),
+        |w AS (SELECT a.l_orderkey, a.l_suppkey FROM l1 a
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = a.l_orderkey AND l2.l_suppkey <> a.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l1 l3
+        |    WHERE l3.l_orderkey = a.l_orderkey AND l3.l_suppkey <> a.l_suppkey))
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM w JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin.replaceAll("\n", " "),
     // customer-partitioned lag, integer day arithmetic
     "orders_gap" ->
       """WITH d AS (SELECT o_custkey, o_orderkey,
