@@ -239,6 +239,63 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
   }
 
+  test("q2_min_cost: correlated MIN decorrelated, filters reach scans") {
+    val p = plan("q2_min_cost")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // part-type and region predicates push to their scans, so only
+    // 1/6 of lineitem ever reaches the (part,supplier) aggregate
+    assert(p.contains("EqualTo(p_type,STANDARD)"), p)
+    assert(p.contains("EqualTo(r_name,EUROPE)"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q11_important_parts: global threshold is a 1-row broadcast") {
+    val p = plan("q11_important_parts")
+    // the only nested-loop is the 1-row total broadcast by design;
+    // the supplier slice predicate reaches the scan
+    assert(p.contains("LessThan(s_nationkey,5)"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q15_top_supplier: date window pushed, scalar MAX broadcast") {
+    val p = plan("q15_top_supplier")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q16_supplier_cnt: NOT-IN blacklist is an anti join before distinct") {
+    val p = plan("q16_supplier_cnt")
+    assert(p.contains("LeftAnti"), p)
+    // (PushedFilters renders truncated here, so assert the Filter)
+    assert(p.contains("< 25"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q20_top_share_suppliers: name prefix pushed, share join equi") {
+    val p = plan("q20_top_share_suppliers")
+    assert(p.contains("StringStartsWith(p_name,red)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q21_waiting_supplier: EXISTS pair is semi+anti on the orderkey") {
+    val p = plan("q21_waiting_supplier")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("EqualTo(o_orderstatus,F)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("eval_matched_sample: per-eval argmin folds map-side") {
+    val p = plan("eval_matched_sample")
+    // the ~64-row eval frame broadcasts; the corpus-sized side must
+    // collapse through partial topk BEFORE its only exchange
+    assert(p.contains("partial_topk_pairs"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("dedup_semantic: cluster-equi pair join, no cartesian") {
     val p = plan("dedup_semantic")
     // the centroid assignment crossJoins a broadcast k-row table by
