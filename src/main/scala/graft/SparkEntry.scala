@@ -1016,6 +1016,27 @@ object SparkEntry {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // -- cohort LTV triangle: customers grouped by first-order month
+    //    (linear month index y*12+m, integer-exact on both engines),
+    //    revenue in exact cents per (cohort, months-since-cohort)
+    //    cell. The cohort frame joins back on the SAME custkey the
+    //    first aggregate shuffled on (exchange reuse), then one
+    //    (cohort, age) aggregate — cells bounded by months², not by
+    //    customers --
+    "orders_cohort_ltv" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("ym", (year(col("o_orderdate")) * 12 +
+          month(col("o_orderdate"))).cast("long"))
+        .withColumn("rev_c",
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      val cohort = o.groupBy(col("o_custkey").as("ck"))
+        .agg(min(col("ym")).as("cohort_m"))
+      o.join(cohort, col("o_custkey") === col("ck"))
+        .groupBy(col("cohort_m"), (col("ym") - col("cohort_m")).as("age_m"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("rev_c")).as("rev_c"))
+        .orderBy(col("cohort_m"), col("age_m"))
+    }),
+
     // -- RFM segmentation on orders: recency (epoch-day of last
     //    order), frequency, monetary (EXACT decimal sum — float sums
     //    would reorder ntile ties across engines); ntile(3) per axis
@@ -1131,6 +1152,28 @@ object SparkEntry {
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"))
         .orderBy(col("source"), col("split"))
+    }),
+
+    // -- curriculum phases by equal TOKEN mass (n_chars proxy):
+    //    short->long length curriculum cut into 4 phases holding
+    //    ~equal character budgets (equal DOC counts would front-load
+    //    the schedule with tiny docs). The running char total comes
+    //    from Rank.globalCumSum — value-bucketed distributed prefix
+    //    sum, no single-task window — and the phase is the exact
+    //    integer ((cum-1)*4) div total + 1. Per-phase summary is a
+    //    4-row aggregate --
+    "curriculum_phases" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      graft.operators.Rank
+        .globalCumSum(d, "n_chars", "cum", "tot",
+          col("n_chars"), col("doc_id"))
+        .withColumn("phase",
+          expr("CAST(((cum - 1) * 4) div tot + 1 AS INT)"))
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("phase"))
     }),
 
     // -- split leakage audit: near-dup pairs whose endpoints landed in
@@ -2854,6 +2897,34 @@ object SparkEntry {
     //    cliff-shaped sources are template/ID-soup screens --
     "corpus_zipf" -> ((s, dir) =>
       Corpus.zipfSlope(t(s, dir, "documents"), "text", "source")),
+
+    // -- Church-Gale term burstiness: variance-to-mean ratio of a
+    //    term's per-doc count over the docs CONTAINING it — bursty
+    //    terms are content words, vmr~=0 terms are function words /
+    //    templating; the screen that separates topical vocabulary
+    //    from boilerplate BEFORE choosing stopword lists. One
+    //    tokenize+explode pass collapses to (term, doc) counts
+    //    map-side, then a vocab-sized moment aggregate (n, tf, tf²);
+    //    vmr computed in DOUBLE from the exact integer moments (same
+    //    operands both engines => same IEEE result, overflow-free at
+    //    any corpus size) --
+    "corpus_burstiness" -> ((s, dir) => {
+      val tc = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFuncs.tokens(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+      tc.groupBy(col("term"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("tf"),
+          sum(col("c") * col("c")).as("tf2"))
+        .where(col("tf") >= 50)
+        .select(col("term"), col("tf"), col("n_docs"),
+          round((col("tf2").cast("double") * col("n_docs") -
+            col("tf").cast("double") * col("tf")) /
+            (col("n_docs").cast("double") * col("tf")), 4).as("vmr"))
+        .orderBy(col("vmr").desc, col("term"))
+        .limit(50)
+    }),
 
     // -- per-source discriminative keywords: source-level TF-IDF
     //    (tf x ln(n_sources/df)); each source's vocabulary
@@ -6245,6 +6316,20 @@ object SparkEntry {
            |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
            | round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS zipf_slope
            |FROM r WHERE rank <= 500 GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " "),
+      // vmr in DOUBLE from exact integer moments — identical operands
+      // give the identical IEEE result on both engines
+      "corpus_burstiness" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+           |ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+           |tc AS (SELECT term, doc_id, count(*) AS c FROM ex GROUP BY 1, 2),
+           |st AS (SELECT term, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(c) AS BIGINT) AS tf, CAST(sum(c * c) AS BIGINT) AS tf2
+           |  FROM tc GROUP BY 1)
+           |SELECT term, tf, n_docs,
+           | round((CAST(tf2 AS DOUBLE) * n_docs - CAST(tf AS DOUBLE) * tf) /
+           |   (CAST(n_docs AS DOUBLE) * tf), 4) AS vmr
+           |FROM st WHERE tf >= 50
+           |ORDER BY vmr DESC, term LIMIT 50""".stripMargin.replaceAll("\n", " "),
       // integer tf/df with one ln at the end (4-dp round BEFORE the
       // rank window, so ties resolve identically in both engines)
       "keywords_by_source" ->
@@ -8572,6 +8657,31 @@ object SparkEntry {
         |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS tot_chars
         |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin.replaceAll("\n", " "),
+    // oracle uses the plain global running-sum window (single-node
+    // engine); the integer phase formula matches bit-for-bit
+    "curriculum_phases" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |  CAST(sum(n_chars) OVER (ORDER BY n_chars, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(sum(n_chars) OVER () AS BIGINT) AS tot FROM documents),
+        |p AS (SELECT n_chars,
+        |  CAST(((cum - 1) * 4) // tot + 1 AS INT) AS phase FROM c)
+        |SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+        | CAST(min(n_chars) AS BIGINT) AS min_chars,
+        | CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM p GROUP BY phase ORDER BY phase""".stripMargin.replaceAll("\n", " "),
+    // linear month index y*12+m both sides; revenue in exact cents
+    "orders_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS rev_c FROM orders),
+        |c AS (SELECT o_custkey AS ck, CAST(min(ym) AS BIGINT) AS cohort_m
+        |  FROM o GROUP BY 1)
+        |SELECT cohort_m, ym - cohort_m AS age_m,
+        | CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(rev_c) AS BIGINT) AS rev_c
+        |FROM o JOIN c ON o_custkey = ck
+        |GROUP BY 1, 2 ORDER BY cohort_m, age_m""".stripMargin.replaceAll("\n", " "),
     // same med/MAD replay keyed by nation over supplier balances
     "supplier_balance_outliers" ->
       """WITH h AS (SELECT n_name, s_suppkey, s_acctbal
