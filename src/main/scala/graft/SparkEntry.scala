@@ -1016,6 +1016,27 @@ object SparkEntry {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // -- last-touch attribution: each purchase credits the user's
+    //    most recent PRIOR event within 1h (else 'direct'). One lag
+    //    window PARTITIONED BY user (bounded per-user state — never a
+    //    global window), purchase filter after the lag so any event
+    //    type can be the touch; output is |event types|+1 rows --
+    "events_attribution" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000").as("tu"))
+        .withColumn("ptype", lag(col("event_type"), 1).over(w))
+        .withColumn("ptu", lag(col("tu"), 1).over(w))
+        .where(col("event_type") === "purchase")
+        .select(when(col("ptu").isNotNull &&
+            col("tu") - col("ptu") <= 3600L * 1000000L, col("ptype"))
+          .otherwise(lit("direct")).as("touch"))
+        .groupBy(col("touch")).agg(count(lit(1)).as("n_conversions"))
+        .orderBy(col("touch"))
+    }),
+
     // -- cohort LTV triangle: customers grouped by first-order month
     //    (linear month index y*12+m, integer-exact on both engines),
     //    revenue in exact cents per (cohort, months-since-cohort)
@@ -2113,6 +2134,38 @@ object SparkEntry {
     //    in the TopKPairs aggregate (partials BEFORE the exchange,
     //    so the shuffle carries anchors x k x partitions rows) —
     //    the batch that feeds a triplet/contrastive fine-tune --
+    // -- ColBERT-style late-interaction MaxSim: corpus re-read as
+    //    multi-vector docs (vec_id div 4 = doc, 4 token-vectors
+    //    each), query = doc 0's 4 vectors broadcast; score(doc) =
+    //    sum over query tokens of the MAX cosine similarity over the
+    //    doc's vectors. ONE shuffle: the per-query-token maxes pivot
+    //    into 4 agg columns of a single doc-keyed aggregate (map-side
+    //    partial max), summed in fixed left-assoc order (max is
+    //    order-independent, so the float chain is engine-exact);
+    //    top-10 is TakeOrderedAndProject --
+    "search_maxsim" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      e.withColumn("doc", expr("vec_id div 4"))
+        .where(col("doc") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("doc"), col("qid"),
+          (lit(1.0) - VectorFunctions.vec_cosine(col("embedding"),
+            col("qvec"))).as("sim"))
+        .groupBy(col("doc"))
+        .agg(
+          max(when(col("qid") === 0, col("sim"))).as("m0"),
+          max(when(col("qid") === 1, col("sim"))).as("m1"),
+          max(when(col("qid") === 2, col("sim"))).as("m2"),
+          max(when(col("qid") === 3, col("sim"))).as("m3"))
+        .select(col("doc"),
+          round(col("m0") + col("m1") + col("m2") + col("m3"), 4)
+            .as("maxsim"))
+        .orderBy(col("maxsim").desc, col("doc"))
+        .limit(10)
+    }),
+
     "mine_hard_negatives" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val mod = math.max(1L, (e.count() + 19L) / 20L)
@@ -5182,6 +5235,21 @@ object SparkEntry {
          |  FROM p)
          |SELECT qid, vec_id, dist, rank FROM r WHERE rank <= 3
          |ORDER BY qid, rank""".stripMargin.replaceAll("\n", " ")
+    val searchMaxsimOracle =
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+         |  FROM embeddings WHERE vec_id < 4),
+         |s AS (SELECT e.vec_id // 4 AS doc, q.qid,
+         |  1.0 - (${cosSql("e.embedding", "q.qvec")}) AS sim
+         |  FROM embeddings e, q WHERE e.vec_id // 4 <> 0),
+         |m AS (SELECT doc,
+         |  max(CASE WHEN qid = 0 THEN sim END) AS m0,
+         |  max(CASE WHEN qid = 1 THEN sim END) AS m1,
+         |  max(CASE WHEN qid = 2 THEN sim END) AS m2,
+         |  max(CASE WHEN qid = 3 THEN sim END) AS m3
+         |  FROM s GROUP BY 1)
+         |SELECT doc, round(m0 + m1 + m2 + m3, 4) AS maxsim
+         |FROM m ORDER BY maxsim DESC, doc LIMIT 10"""
+        .stripMargin.replaceAll("\n", " ")
     val mineTripletsOracle =
       s"""WITH m AS (SELECT greatest(1, (count(*) + 19) // 20) AS md FROM embeddings),
          |a AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
@@ -6842,6 +6910,7 @@ object SparkEntry {
       "split_group_aware" -> splitGroupAwareOracle,
       "split_group_audit" -> splitGroupAuditOracle,
       "mine_hard_negatives" -> mineHardNegativesOracle,
+      "search_maxsim" -> searchMaxsimOracle,
       "mine_triplets" -> mineTripletsOracle,
       "users_hll" -> usersHllOracle,
       "streaming_hll" -> streamingHllOracle,
@@ -8671,6 +8740,19 @@ object SparkEntry {
         | CAST(min(n_chars) AS BIGINT) AS min_chars,
         | CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM p GROUP BY phase ORDER BY phase""".stripMargin.replaceAll("\n", " "),
+    // lag window per user, purchase filter AFTER the lag; micros
+    "events_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |  epoch_us(ts) AS tu FROM events),
+        |l AS (SELECT user_id, event_type, tu,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS ptype,
+        |  lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS ptu
+        |  FROM e)
+        |SELECT CASE WHEN ptu IS NOT NULL AND tu - ptu <= 3600000000
+        |  THEN ptype ELSE 'direct' END AS touch,
+        | CAST(count(*) AS BIGINT) AS n_conversions
+        |FROM l WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY touch""".stripMargin.replaceAll("\n", " "),
     // linear month index y*12+m both sides; revenue in exact cents
     "orders_cohort_ltv" ->
       """WITH o AS (SELECT o_custkey,
