@@ -73,7 +73,9 @@ object Explain {
     "q19_disjunct", "mine_triplets", "split_group_audit", "bloom_plan",
     "knn_graph_stats", "knn_hubness", "eval_matched_sample",
     "q2_min_cost", "q11_important_parts", "q15_top_supplier",
-    "q16_supplier_cnt", "q20_top_share_suppliers", "q21_waiting_supplier")
+    "q16_supplier_cnt", "q20_top_share_suppliers", "q21_waiting_supplier",
+    "orders_cohort_ltv", "curriculum_phases", "corpus_burstiness",
+    "events_attribution", "search_maxsim")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
