@@ -288,6 +288,35 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("orders_cohort_ltv: equi joins only, partial aggs") {
+    val p = plan("orders_cohort_ltv")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("curriculum_phases / events_attribution: every window partitioned") {
+    for (q <- Seq("curriculum_phases", "events_attribution")) {
+      val exec = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      assert(windows(exec).forall(_.partitionSpec.nonEmpty), s"$q: $exec")
+    }
+  }
+
+  test("corpus_burstiness: corpus collapses to vocab moments map-side") {
+    val p = plan("corpus_burstiness")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("search_maxsim: one doc-keyed aggregate, top-k is TakeOrdered") {
+    val p = plan("search_maxsim")
+    // the 4-row query frame broadcasts; the corpus-sized side must
+    // reach its single exchange only as partial maxes
+    assert(hashExchanges(p) === 1, p)
+    assert(p.contains("partial_"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("eval_matched_sample: per-eval argmin folds map-side") {
     val p = plan("eval_matched_sample")
     // the ~64-row eval frame broadcasts; the corpus-sized side must
