@@ -2166,6 +2166,48 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // -- PLAID-style routed MaxSim: the scale path for late
+    //    interaction. Token-vectors are IVF-tagged once (the same
+    //    static-centroid at-rest layout as ann_ivf_static); a query
+    //    probes only its own tokens' clusters, candidate docs are
+    //    those with ANY token in a probed cluster (broadcast
+    //    ≤|qtokens| cluster ids → semi-reduced corpus), and the exact
+    //    MaxSim kernel runs on the surviving sliver instead of the
+    //    full corpus. Same one-aggregate scoring shape as
+    //    search_maxsim --
+    "search_maxsim_pruned" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cluster"),
+          transform(col("embedding"), _.cast("double")).as("centroid"))
+      val tagged = Ann.tagCorpus(e, "vec_id", "embedding", cents)
+        .withColumn("doc", expr("vec_id div 4"))
+      val probed = tagged.where(col("vec_id") < 4)
+        .select(col("cluster")).distinct()
+      val cand = tagged.join(broadcast(probed), "cluster")
+        .where(col("doc") =!= 0)
+        .select(col("doc")).distinct()
+      val q = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      e.withColumn("doc", expr("vec_id div 4"))
+        .join(cand, "doc")
+        .crossJoin(broadcast(q))
+        .select(col("doc"), col("qid"),
+          (lit(1.0) - VectorFunctions.vec_cosine(col("embedding"),
+            col("qvec"))).as("sim"))
+        .groupBy(col("doc"))
+        .agg(
+          max(when(col("qid") === 0, col("sim"))).as("m0"),
+          max(when(col("qid") === 1, col("sim"))).as("m1"),
+          max(when(col("qid") === 2, col("sim"))).as("m2"),
+          max(when(col("qid") === 3, col("sim"))).as("m3"))
+        .select(col("doc"),
+          round(col("m0") + col("m1") + col("m2") + col("m3"), 4)
+            .as("maxsim"))
+        .orderBy(col("maxsim").desc, col("doc"))
+        .limit(10)
+    }),
+
     "mine_hard_negatives" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val mod = math.max(1L, (e.count() + 19L) / 20L)
@@ -5250,6 +5292,34 @@ object SparkEntry {
          |SELECT doc, round(m0 + m1 + m2 + m3, 4) AS maxsim
          |FROM m ORDER BY maxsim DESC, doc LIMIT 10"""
         .stripMargin.replaceAll("\n", " ")
+    val searchMaxsimPrunedOracle = {
+      val l2e = "sqrt(list_sum(list_transform(e.embedding, (x, i) -> " +
+        "(CAST(x AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) * " +
+        "(CAST(x AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)))))"
+      s"""WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cluster,
+         |  embedding AS centroid FROM embeddings WHERE vec_id < 8),
+         |asgn AS (SELECT vec_id, cluster FROM (
+         |  SELECT e.vec_id, c.cluster,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $l2e, c.cluster) AS rn
+         |  FROM embeddings e, cents c) _r WHERE rn = 1),
+         |probed AS (SELECT DISTINCT cluster FROM asgn WHERE vec_id < 4),
+         |cand AS (SELECT DISTINCT vec_id // 4 AS doc
+         |  FROM asgn JOIN probed USING (cluster) WHERE vec_id // 4 <> 0),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec
+         |  FROM embeddings WHERE vec_id < 4),
+         |s AS (SELECT cand.doc, q.qid,
+         |  1.0 - (${cosSql("e.embedding", "q.qvec")}) AS sim
+         |  FROM embeddings e JOIN cand ON e.vec_id // 4 = cand.doc, q),
+         |m AS (SELECT doc,
+         |  max(CASE WHEN qid = 0 THEN sim END) AS m0,
+         |  max(CASE WHEN qid = 1 THEN sim END) AS m1,
+         |  max(CASE WHEN qid = 2 THEN sim END) AS m2,
+         |  max(CASE WHEN qid = 3 THEN sim END) AS m3
+         |  FROM s GROUP BY 1)
+         |SELECT doc, round(m0 + m1 + m2 + m3, 4) AS maxsim
+         |FROM m ORDER BY maxsim DESC, doc LIMIT 10"""
+        .stripMargin.replaceAll("\n", " ")
+    }
     val mineTripletsOracle =
       s"""WITH m AS (SELECT greatest(1, (count(*) + 19) // 20) AS md FROM embeddings),
          |a AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
@@ -6911,6 +6981,7 @@ object SparkEntry {
       "split_group_audit" -> splitGroupAuditOracle,
       "mine_hard_negatives" -> mineHardNegativesOracle,
       "search_maxsim" -> searchMaxsimOracle,
+      "search_maxsim_pruned" -> searchMaxsimPrunedOracle,
       "mine_triplets" -> mineTripletsOracle,
       "users_hll" -> usersHllOracle,
       "streaming_hll" -> streamingHllOracle,
