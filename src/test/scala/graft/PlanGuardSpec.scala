@@ -317,6 +317,16 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("search_maxsim_pruned: probed-cluster semi-reduction before scoring") {
+    val p = plan("search_maxsim_pruned")
+    // candidate docs come from the broadcast probed-cluster join;
+    // the scoring side still folds through partial maxes
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("eval_matched_sample: per-eval argmin folds map-side") {
     val p = plan("eval_matched_sample")
     // the ~64-row eval frame broadcasts; the corpus-sized side must
