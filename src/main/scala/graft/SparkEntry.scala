@@ -1527,13 +1527,16 @@ object SparkEntry {
     //    canonical-order fold source_kl uses would collect |vocab²|
     //    structs per source here) --
     "tokens_entropy_rate" -> ((s, dir) => {
+      // bigrams shuffle as PACKED LONGS (h1*P + h2, codegen'd kernel;
+      // context = pk div P) instead of "w1 w2" strings — the
+      // ngram_diversity hash-kernel rule applied to conditional
+      // entropy; the oracle replays the identical integer pack
       val bg = t(s, dir, "documents")
         .select(col("source"),
-          explode(TextFuncs.shingles(TextFuncs.tokens(col("text")), 2))
-            .as("bg"))
-      val c2 = bg.groupBy(col("source"), col("bg"))
+          explode(TextExprs.bigram_pair_hashes(col("text"))).as("pk"))
+      val c2 = bg.groupBy(col("source"), col("pk"))
         .agg(count(lit(1)).as("c2"))
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .withColumn("w1", expr(s"pk div ${graft.functions.TextFuncs.P}"))
       val c1 = c2.groupBy(col("source"), col("w1"))
         .agg(sum(col("c2")).as("c1"))
       val n2 = c2.groupBy(col("source")).agg(sum(col("c2")).as("n2"))
@@ -5727,11 +5730,14 @@ object SparkEntry {
          |GROUP BY change_type ORDER BY change_type""".stripMargin.replaceAll("\n", " ")
     }
     val tokensEntropyRateOracle =
-      s"""WITH bg AS (SELECT source, unnest(${SqlSnips.shingles("toks", 2)}) AS bg
-         |  FROM (SELECT source, $toks AS toks FROM documents) _t
-         |  WHERE len(toks) >= 2),
-         |c2 AS (SELECT source, bg, CAST(count(*) AS BIGINT) AS c2,
-         |  split_part(bg, ' ', 1) AS w1 FROM bg GROUP BY source, bg),
+      s"""WITH hs AS (SELECT source,
+         |  list_transform($toks, t -> ${SqlSnips.charFold("t")}) AS h
+         |  FROM documents),
+         |bg AS (SELECT source, unnest(list_transform(range(1, len(h)),
+         |    i -> h[i] * ${SqlSnips.P} + h[i + 1])) AS pk
+         |  FROM hs WHERE len(h) >= 2),
+         |c2 AS (SELECT source, pk, CAST(count(*) AS BIGINT) AS c2,
+         |  pk // ${SqlSnips.P} AS w1 FROM bg GROUP BY source, pk),
          |c1 AS (SELECT source, w1, CAST(sum(c2) AS BIGINT) AS c1
          |  FROM c2 GROUP BY source, w1),
          |n2 AS (SELECT source, CAST(sum(c2) AS BIGINT) AS n2

@@ -47,6 +47,18 @@ object TextKernels {
 
   def tokenHashes(s: UTF8String): Array[Long] = tokenize(s).map(charFold)
 
+  /** Adjacent token-hash pairs packed as h1*P + h2 (P² < 2^63, so
+    * the pack is collision-free over the hash space and the CONTEXT
+    * hash is recoverable as `pk div P`) — bigram identity AND its
+    * conditioning unigram in one long, so conditional-entropy
+    * aggregations shuffle longs instead of "w1 w2" strings.
+    */
+  def bigramPairHashes(s: UTF8String): Array[Long] = {
+    val hs = tokenHashes(s)
+    if (hs.length < 2) return Array.empty
+    Array.tabulate(hs.length - 1)(i => hs(i) * P + hs(i + 1))
+  }
+
   /** Word k-shingle hashes (fold over the joined "w1 w2 w3" string). */
   def shingleHashes(s: UTF8String, k: Int): Array[Long] = {
     val toks = tokenize(s)
@@ -274,6 +286,24 @@ case class ShingleHashesExpr(child: Expression, shingleK: Int)
     copy(child = c)
 }
 
+/** bigram_pair_hashes(text): adjacent token-hash pairs packed as
+  * h1*P + h2 — see TextKernels.bigramPairHashes. Empty array for
+  * docs with < 2 tokens.
+  */
+case class BigramPairHashesExpr(child: Expression)
+    extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bigram_pair_hashes"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      TextKernels.bigramPairHashes(v.asInstanceOf[UTF8String]))
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"graft.functions.TextKernels.bigramPairHashes($c))"
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** shingle_strings(text, k): k-token shingles as strings — the
   * n-gram stream for vocab/phrase-table builds where the STRING is
   * the output (use shingle_hashes when only identity matters; longs
@@ -352,6 +382,8 @@ object TextExprs {
     Shims.column(ShingleHashesExpr(Shims.expression(c), shingleK))
   def shingle_strings(c: Column, shingleK: Int): Column =
     Shims.column(ShingleStringsExpr(Shims.expression(c), shingleK))
+  def bigram_pair_hashes(c: Column): Column =
+    Shims.column(BigramPairHashesExpr(Shims.expression(c)))
   def token_stats(c: Column, markers: Seq[String]): Column =
     Shims.column(TokenStatsExpr(Shims.expression(c), markers))
   def normalize_text(c: Column): Column =

@@ -32,6 +32,28 @@ class TextExprsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("bigram_pair_hashes kernel == packed HOF token-hash pairs") {
+    val p = TextFuncs.P
+    // HOF spec: hash each token, pack adjacent pairs h1*P + h2
+    val hofPack = {
+      val hs = transform(TextFuncs.tokens(col("text")),
+        t => TextFuncs.charFold(t))
+      filter(
+        zip_with(hs, slice(hs, lit(2), size(hs)),
+          (a, b) => when(b.isNotNull, a * lit(p) + b)),
+        x => x.isNotNull)
+    }
+    val edge = Seq("", "   ", "one", "a b", "café naïve 😀 x",
+      "a b c d e").toDF("text")
+    for (df <- Seq(docs.select(col("text")), edge)) {
+      val diff = df.select(
+          TextExprs.bigram_pair_hashes(col("text")).as("k"),
+          hofPack.as("h"))
+        .where(not(col("k") <=> col("h")))
+      assert(diff.count() === 0)
+    }
+  }
+
   test("char_fold kernel == HOF charFold") {
     val diff = docs.select(
         TextExprs.char_fold(col("text")).as("k"),
