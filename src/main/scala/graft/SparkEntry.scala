@@ -6551,16 +6551,19 @@ object SparkEntry {
       // (sum of bigram counts per w1, NOT the unigram count — p
       // sums to 1 and both engines fold the same integer table)
       "quality_perplexity2" ->
-        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
-           |bg AS (SELECT doc_id, unnest(${SqlSnips.shingles("toks", 2)}) AS bg
-           |  FROM tk WHERE len(toks) >= 2),
-           |bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1),
-           |pc AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(cb) AS BIGINT) AS cw
+        s"""WITH hs AS (SELECT doc_id,
+           |  list_transform($toks, t -> ${SqlSnips.charFold("t")}) AS h
+           |  FROM documents),
+           |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(h)),
+           |    i -> h[i] * ${SqlSnips.P} + h[i + 1])) AS pk
+           |  FROM hs WHERE len(h) >= 2),
+           |bc AS (SELECT pk, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1),
+           |pc AS (SELECT pk // ${SqlSnips.P} AS w1, CAST(sum(cb) AS BIGINT) AS cw
            |  FROM bc GROUP BY 1)
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            | round(avg(-ln(CAST(cb AS DOUBLE) / cw)), 4) AS xent2
-           |FROM bg JOIN bc USING (bg)
-           |JOIN pc ON split_part(bg.bg, ' ', 1) = pc.w1
+           |FROM bg JOIN bc USING (pk)
+           |JOIN pc ON bg.pk // ${SqlSnips.P} = pc.w1
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
       // leaked spans as strings, DISTINCT (shingle, doc) bounded on
       // both sides before the join

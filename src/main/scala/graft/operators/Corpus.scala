@@ -451,16 +451,20 @@ object Corpus {
     */
   def bigramCrossEntropy(df: DataFrame, textCol: String, idCol: String,
       roundTo: Int = 4): DataFrame = {
+    // bigrams ride as PACKED LONGS (h1*P + h2; context = pk div P —
+    // see TextKernels.bigramPairHashes), so the two corpus-sized
+    // joins shuffle 8-byte keys, never "w1 w2" strings
     val bi = df.select(col(idCol),
-      explode(graft.functions.TextExprs.shingle_strings(col(textCol), 2))
-        .as("bg"))
+      explode(graft.functions.TextExprs.bigram_pair_hashes(col(textCol)))
+        .as("pk"))
       .localCheckpoint(eager = false) // one bigram pass, three readers
-    val bc = bi.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val bc = bi.groupBy(col("pk")).agg(count(lit(1)).as("cb"))
+    val w1 = expr(s"pk div ${graft.functions.TextFuncs.P}")
     val pc = bc
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w1", w1)
       .groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
-    bi.join(bc, "bg")
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    bi.join(bc, "pk")
+      .withColumn("w1", w1)
       .join(pc, "w1")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
