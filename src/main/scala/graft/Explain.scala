@@ -75,7 +75,8 @@ object Explain {
     "q2_min_cost", "q11_important_parts", "q15_top_supplier",
     "q16_supplier_cnt", "q20_top_share_suppliers", "q21_waiting_supplier",
     "orders_cohort_ltv", "curriculum_phases", "corpus_burstiness",
-    "events_attribution", "search_maxsim", "search_maxsim_pruned")
+    "events_attribution", "search_maxsim", "search_maxsim_pruned",
+    "events_rollup_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

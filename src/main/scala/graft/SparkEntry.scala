@@ -2384,6 +2384,32 @@ object SparkEntry {
           col("n"), col("total"))
         .orderBy(col("event_type"), col("hour_bucket"))),
 
+    // -- incremental materialized-rollup maintenance: the daily
+    //    (type, day) rollup updated for the newest day WITHOUT
+    //    rescanning history — base rollup over day < cutoff (the
+    //    standing view), delta over the new day only, merged by key
+    //    sum. Metrics are exact integer cents so merge == full
+    //    recompute BIT-FOR-BIT; the oracle recomputes from scratch,
+    //    so a double-counted or dropped boundary row fails the gate.
+    //    At 100 TB the scan cost is |new day|, not |history| --
+    "events_rollup_incremental" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 1000000000 div 86400").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v_c"))
+      val cut = ev.agg(max(col("day")).as("cutoff"))
+      val tagged = ev.crossJoin(broadcast(cut))
+      def roll(df: DataFrame) = df
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("v_c")).as("value_c"))
+      val base = roll(tagged.where(col("day") < col("cutoff")))
+      val delta = roll(tagged.where(col("day") >= col("cutoff")))
+      base.unionByName(delta)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n")).as("n"), sum(col("value_c")).as("value_c"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // -- dense hourly series with forward-filled gaps (TimeSeries
     //    docstring has the scale story: events shuffle once, the
     //    grid/window stages run over the |keys|x|hours| aggregate) --
@@ -8888,6 +8914,15 @@ object SparkEntry {
         |  FROM events)
         |GROUP BY ROLLUP (event_type, hour_bucket)
         |ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+    // full recompute — proves the Spark side's base+delta merge
+    // is exactly the view a from-scratch build would produce
+    "events_rollup_incremental" ->
+      """SELECT event_type,
+        | CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, day""".stripMargin.replaceAll("\n", " "),
     "events_lag_features" ->
       """WITH h AS (SELECT event_type,
         |  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
