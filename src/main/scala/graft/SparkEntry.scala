@@ -2384,6 +2384,42 @@ object SparkEntry {
           col("n"), col("total"))
         .orderBy(col("event_type"), col("hour_bucket"))),
 
+    // -- funnel conversion-latency quartiles: per funnel step, exact
+    //    p25/median/p75 of the time-to-convert — computed by
+    //    nearest-rank over the HOUR-BUCKETED delay histogram, so the
+    //    quantile windows run on |steps| x |delay range in hours|
+    //    rows (bounded by the time span, NOT by users — the
+    //    join_skew_profile bounded-window contract), never a
+    //    per-user global sort --
+    "events_funnel_latency" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("t"))
+      val s1 = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("t").as("t1"))
+      val s2 = ev.where(col("event_type") === "click").join(s1, "user_id")
+        .where(col("t") > col("t1"))
+        .groupBy("user_id").agg(min("t").as("t2"), min(col("t1")).as("t1b"))
+      val s3 = ev.where(col("event_type") === "purchase").join(s2, "user_id")
+        .where(col("t") > col("t2"))
+        .groupBy("user_id").agg(min("t").as("t3"), min(col("t2")).as("t2b"))
+      val d = s2.select(lit("1_signup_to_click").as("step"),
+          expr("(t2 - t1b) div 3600000000").as("dh"))
+        .unionByName(s3.select(lit("2_click_to_purchase").as("step"),
+          expr("(t3 - t2b) div 3600000000").as("dh")))
+      val h = d.groupBy(col("step"), col("dh")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("step")).orderBy(col("dh"))
+      val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("step"))
+      h.withColumn("cum", sum(col("n")).over(w))
+        .withColumn("tot", sum(col("n")).over(wt))
+        .groupBy(col("step"), col("tot").as("n_users"))
+        .agg(
+          min(when(col("cum") * 4 >= col("tot"), col("dh"))).as("p25_h"),
+          min(when(col("cum") * 2 >= col("tot"), col("dh"))).as("med_h"),
+          min(when(col("cum") * 4 >= col("tot") * 3, col("dh"))).as("p75_h"))
+        .orderBy(col("step"))
+    }),
+
     // -- incremental materialized-rollup maintenance: the daily
     //    (type, day) rollup updated for the newest day WITHOUT
     //    rescanning history — base rollup over day < cutoff (the
@@ -8675,6 +8711,28 @@ object SparkEntry {
         |SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
         | CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click_after_signup,
         | CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_after_click""".stripMargin.replaceAll("\n", " "),
+    // exact nearest-rank quartiles over the hour-bucketed delay
+    // histogram; same funnel min-time CTE chain as events_funnel
+    "events_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(t) AS t2, min(t1) AS t1b FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(t) AS t3, min(t2) AS t2b FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND t > t2 GROUP BY 1),
+        |d AS (SELECT '1_signup_to_click' AS step,
+        |    (t2 - t1b) // 3600000000 AS dh FROM s2
+        |  UNION ALL SELECT '2_click_to_purchase',
+        |    (t3 - t2b) // 3600000000 FROM s3),
+        |h AS (SELECT step, dh, count(*) AS n FROM d GROUP BY 1, 2),
+        |c AS (SELECT step, dh, sum(n) OVER (PARTITION BY step ORDER BY dh
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(n) OVER (PARTITION BY step) AS tot FROM h)
+        |SELECT step, CAST(tot AS BIGINT) AS n_users,
+        | CAST(min(CASE WHEN cum * 4 >= tot THEN dh END) AS BIGINT) AS p25_h,
+        | CAST(min(CASE WHEN cum * 2 >= tot THEN dh END) AS BIGINT) AS med_h,
+        | CAST(min(CASE WHEN cum * 4 >= 3 * tot THEN dh END) AS BIGINT) AS p75_h
+        |FROM c GROUP BY step, tot ORDER BY step""".stripMargin.replaceAll("\n", " "),
     // constant-7 explode mirrors the Spark WAU derivation exactly
     "events_stickiness" ->
       """WITH ud AS (SELECT DISTINCT user_id,
