@@ -317,6 +317,20 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("events_rollup_incremental: base+delta merge, no history window") {
+    val p = plan("events_rollup_incremental")
+    assert(p.contains("Union"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("events_funnel_latency: quantile windows on the bounded histogram") {
+    val exec = SparkEntry.queries("events_funnel_latency")(spark, dir)
+      .queryExecution.executedPlan
+    // every window partitioned (by step), running over histogram rows
+    assert(windows(exec).forall(_.partitionSpec.nonEmpty), exec.toString)
+  }
+
   test("search_maxsim_pruned: probed-cluster semi-reduction before scoring") {
     val p = plan("search_maxsim_pruned")
     // candidate docs come from the broadcast probed-cluster join;
