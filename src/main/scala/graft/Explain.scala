@@ -76,7 +76,8 @@ object Explain {
     "q16_supplier_cnt", "q20_top_share_suppliers", "q21_waiting_supplier",
     "orders_cohort_ltv", "curriculum_phases", "corpus_burstiness",
     "events_attribution", "search_maxsim", "search_maxsim_pruned",
-    "events_rollup_incremental", "events_funnel_latency")
+    "events_rollup_incremental", "events_funnel_latency",
+    "dedup_threshold_sweep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

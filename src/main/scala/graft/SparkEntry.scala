@@ -3695,6 +3695,43 @@ object SparkEntry {
           "lang", idWindow = 25, minJaccard = 0.5)
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(100)),
 
+    // -- dedup threshold sweep: yield curve of the jaccard knob —
+    //    for t in 0.5..0.9, how many candidate pairs verify >= t and
+    //    how many docs are touched. ONE pass: minhash candidates
+    //    verified once (two-pointer intersect kernel), bucketed to
+    //    floor(j*10); both curves then come from the ≤10-row bucket
+    //    histograms non-equi-joined to a 5-row literal threshold
+    //    frame — the decision table read BEFORE committing a dedup
+    //    threshold at 100 TB, at the cost of one verify pass --
+    "dedup_threshold_sweep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
+      val ts = docs.select(col("doc_id"),
+        graft.functions.SetExprs.token_hash_set(col("text")).as("ts"))
+      val inter = graft.functions.SetExprs
+        .sorted_intersect_size(col("ta"), col("tb"))
+      val jp = pairs
+        .join(ts.select(col("doc_id").as("doc_a"), col("ts").as("ta")), "doc_a")
+        .join(ts.select(col("doc_id").as("doc_b"), col("ts").as("tb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          least(floor(inter.cast("double") /
+            (size(col("ta")) + size(col("tb")) - inter) * 10), lit(9L))
+            .cast("long").as("jd"))
+        .localCheckpoint(true)
+      val th = s.range(5, 10).select(col("id").as("t"))
+      val np = th.join(jp, col("jd") >= col("t"), "left")
+        .groupBy(col("t")).agg(count(col("doc_a")).as("n_pairs"))
+      val dm = jp.select(col("doc_a").as("doc"), col("jd"))
+        .unionByName(jp.select(col("doc_b").as("doc"), col("jd")))
+        .groupBy(col("doc")).agg(max(col("jd")).as("mj"))
+      val nd = th.join(dm, col("mj") >= col("t"), "left")
+        .groupBy(col("t")).agg(count(col("doc")).as("n_docs"))
+      np.join(nd, "t")
+        .select(col("t").cast("int").as("threshold_d1"),
+          col("n_pairs"), col("n_docs"))
+        .orderBy(col("threshold_d1"))
+    }),
+
     // -- normalization-aware dedup report: distinct docs under raw vs
     //    canonical (NFC+lower+ws-collapse, the codegen'd
     //    normalize_text kernel) equality, per source; n_collapsed is
@@ -5157,6 +5194,36 @@ object SparkEntry {
          |  FROM bands x JOIN bands y
          |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc)
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
+    }
+    val dedupThresholdSweepOracle = {
+      val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+      val isz = "len(list_intersect(a.ts, b.ts))"
+      s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+         |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
+         |  FROM tk WHERE len(toks) >= 3),
+         |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
+         |pairs AS MATERIALIZED (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+         |  FROM bands x JOIN bands y
+         |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc),
+         |ts AS (SELECT doc_id AS doc,
+         |  list_sort(list_distinct(list_transform($toks, w -> ${SqlSnips.charFold("w")}))) AS ts
+         |  FROM documents),
+         |jp AS MATERIALIZED (SELECT doc_a, doc_b,
+         |  least(CAST(floor(CAST($isz AS DOUBLE) /
+         |    (len(a.ts) + len(b.ts) - $isz) * 10) AS BIGINT), 9) AS jd
+         |  FROM pairs JOIN ts a ON doc_a = a.doc JOIN ts b ON doc_b = b.doc),
+         |th AS (SELECT unnest(range(5, 10)) AS t),
+         |np AS (SELECT t, CAST(count(jp.doc_a) AS BIGINT) AS n_pairs
+         |  FROM th LEFT JOIN jp ON jd >= t GROUP BY t),
+         |dm AS (SELECT doc, max(jd) AS mj FROM (
+         |  SELECT doc_a AS doc, jd FROM jp
+         |  UNION ALL SELECT doc_b, jd FROM jp) _u GROUP BY 1),
+         |nd AS (SELECT t, CAST(count(dm.doc) AS BIGINT) AS n_docs
+         |  FROM th LEFT JOIN dm ON mj >= t GROUP BY t)
+         |SELECT CAST(t AS INT) AS threshold_d1, n_pairs, n_docs
+         |FROM np JOIN nd USING (t) ORDER BY threshold_d1"""
+        .stripMargin.replaceAll("\n", " ")
     }
     val pagerankOracle = {
       val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
@@ -7040,6 +7107,7 @@ object SparkEntry {
            | CAST(count(*) AS BIGINT) AS n_docs
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
       "dedup_minhash" -> minhashPairsSql,
+      "dedup_threshold_sweep" -> dedupThresholdSweepOracle,
       // same integer fixed-point iterations, unrolled + MATERIALIZED
       "graph_pagerank" -> pagerankOracle,
       // kmeans replay (1e-6 snap) + cluster-local pair sweep

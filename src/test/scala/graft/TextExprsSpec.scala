@@ -54,6 +54,23 @@ class TextExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram pack round-trips: pk div P / pk mod P recover the token hashes") {
+    val rnd = new scala.util.Random(42)
+    val words = Array("the", "a", "café", "x1", "zqw", "😀", "b2b")
+    for (_ <- 1 to 200) {
+      val s = Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.length)))
+        .mkString(" ")
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      val hs = graft.functions.TextKernels.tokenHashes(u)
+      val pk = graft.functions.TextKernels.bigramPairHashes(u)
+      assert(pk.length === math.max(0, hs.length - 1))
+      for (i <- pk.indices) {
+        assert(pk(i) / TextFuncs.P === hs(i), s"context of $s @$i")
+        assert(pk(i) % TextFuncs.P === hs(i + 1), s"next of $s @$i")
+      }
+    }
+  }
+
   test("char_fold kernel == HOF charFold") {
     val diff = docs.select(
         TextExprs.char_fold(col("text")).as("k"),
