@@ -4739,6 +4739,21 @@ object SparkEntry {
         .orderBy(col("dist"), col("id")).limit(100)
     }),
 
+    // -- UNION ALL through the dialect: two NEAREST searches fused
+    //    in one statement (the multi-query SQL form of batch
+    //    retrieval); each branch plans as its own TakeOrdered top-k,
+    //    the union concatenates by name. Plain UNION adds a distinct
+    //    (spec-covered); LIMIT binds per branch --
+    "vector_sql_union" -> ((s, dir) => {
+      graft.sql.VectorSql.execute(vecSqlCatalog(s, dir),
+          "SELECT id, distance FROM vectors NEAREST TO " +
+            "(SELECT vector FROM vectors WHERE id = '0') USING cosine LIMIT 5 " +
+          "UNION ALL SELECT id, distance FROM vectors NEAREST TO " +
+            "(SELECT vector FROM vectors WHERE id = '1') USING cosine LIMIT 5")
+        .select(col("id"), round(col("distance"), 4).as("dist"))
+        .orderBy(col("dist"), col("id"))
+    }),
+
     // -- BETWEEN / NOT BETWEEN through the dialect: desugared at
     //    parse time to the range conjunction (the AND is consumed
     //    inside the BETWEEN parse, keeping the grammar unambiguous) --
@@ -8408,6 +8423,18 @@ object SparkEntry {
            |  (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q)
            |SELECT id, round(rawd, 4) AS dist FROM d WHERE rawd < 0.95
            |ORDER BY dist, id LIMIT 100""".stripMargin.replaceAll("\n", " "),
+      "vector_sql_union" ->
+        s"""WITH q0 AS (SELECT CAST(e.vec_id AS VARCHAR) AS id, $rawCosineSql AS rawd
+           |  FROM embeddings e,
+           |  (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+           |  ORDER BY rawd, id LIMIT 5),
+           |q1 AS (SELECT CAST(e.vec_id AS VARCHAR) AS id, $rawCosineSql AS rawd
+           |  FROM embeddings e,
+           |  (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 1) q
+           |  ORDER BY rawd, id LIMIT 5)
+           |SELECT id, round(rawd, 4) AS dist
+           |FROM (SELECT * FROM q0 UNION ALL SELECT * FROM q1) _u
+           |ORDER BY dist, id""".stripMargin.replaceAll("\n", " "),
       "vector_sql_between" ->
         """SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label
           |FROM embeddings

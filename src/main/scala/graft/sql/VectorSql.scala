@@ -69,7 +69,7 @@ object VectorSql {
     "USING", "LIMIT", "AS", "AND", "OR", "LIKE", "INSERT", "INTO", "VALUES",
     "DELETE", "UPDATE", "SET", "CREATE", "DROP", "COLLECTION", "COUNT", "NOT",
     "ORDER", "BY", "ASC", "DESC", "IN", "DISTINCT", "GROUP", "HAVING",
-    "BETWEEN", "OFFSET")
+    "BETWEEN", "OFFSET", "UNION", "ALL")
 
   private def lex(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -152,6 +152,10 @@ object VectorSql {
   case class Update(table: String, sets: Map[String, String], where: Option[Cond]) extends Stmt
   case class CreateC(table: String) extends Stmt
   case class DropC(table: String) extends Stmt
+  /** Left-deep UNION [ALL] chain: `(l) UNION r`, distinct unless
+    * `all`. Both sides must produce the same column list.
+    */
+  case class UnionS(l: Stmt, r: Select, all: Boolean) extends Stmt
 
   // ---- parser ------------------------------------------------------------
 
@@ -169,7 +173,16 @@ object VectorSql {
     def done: Boolean = pos >= toks.length || peek.contains(Sym(";"))
 
     def statement(): Stmt = next() match {
-      case Kw("SELECT") => select()
+      case Kw("SELECT") =>
+        // SELECT … (UNION [ALL] SELECT …)* — left-deep chain, each
+        // joint carrying its own ALL flag (standard SQL semantics)
+        var acc: Stmt = select()
+        while (accept(Kw("UNION"))) {
+          val all = accept(Kw("ALL"))
+          expect(Kw("SELECT"))
+          acc = UnionS(acc, select(), all)
+        }
+        acc
       case Kw("INSERT") => insert()
       case Kw("DELETE") => delete()
       case Kw("UPDATE") => update()
@@ -533,6 +546,9 @@ object VectorSql {
   def explain(cat: Catalog, sql: String): String = parse(sql) match {
     case s: Select => runSelect(cat, s).queryExecution.explainString(
       org.apache.spark.sql.execution.SimpleMode)
+    case u: UnionS => runUnion(cat, u, deterministicLimit = true)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
     case other => s"DML/DDL statement: ${other.getClass.getSimpleName}"
   }
 
@@ -549,6 +565,8 @@ object VectorSql {
   def execute(cat: Catalog, sql: String,
       deterministicLimit: Boolean = true): DataFrame = parse(sql) match {
     case s: Select => runSelect(cat, s, deterministicLimit)
+
+    case u: UnionS => runUnion(cat, u, deterministicLimit)
 
     case Insert(table, id, vec, meta) =>
       val spark = cat.spark
@@ -759,6 +777,30 @@ object VectorSql {
       case InC(e, vals, _)  => inExpr(e) || vals.exists(inExpr)
       case Cmp(l, _, r)     => inExpr(l) || inExpr(r)
     }
+  }
+
+  /** UNION [ALL] evaluation: each branch runs through the normal
+    * SELECT planner (so NEAREST TO / WHERE / per-branch LIMIT all
+    * work), the frames concatenate by NAME, and a plain UNION adds
+    * one distinct — Catalyst plans it as a hash aggregate over the
+    * union, partial on each side. Column lists must match exactly;
+    * LIMIT/ORDER BY bind per branch (each branch is a complete
+    * Select — parenthesize mentally; the wrapper re-sorts anyway).
+    */
+  private def runUnion(cat: Catalog, u: UnionS,
+      deterministicLimit: Boolean): DataFrame = {
+    val l = u.l match {
+      case s: Select  => runSelect(cat, s, deterministicLimit)
+      case uu: UnionS => runUnion(cat, uu, deterministicLimit)
+      case other => throw new IllegalArgumentException(
+        s"bad UNION branch: $other")
+    }
+    val r = runSelect(cat, u.r, deterministicLimit)
+    require(l.columns.sameElements(r.columns),
+      s"UNION column mismatch: ${l.columns.mkString(",")} vs " +
+        r.columns.mkString(","))
+    val m = l.unionByName(r)
+    if (u.all) m else m.distinct()
   }
 
   private def runSelect(cat: Catalog, s: Select,

@@ -472,4 +472,34 @@ class VectorSqlSpec extends AnyFunSuite {
       "SELECT id FROM vectors NEAREST TO [1.0, 0.0, 0.0] LIMIT 2 OFFSET 2").collect()
     assert((top.map(_.getString(0)) ++ page.map(_.getString(0))).distinct.length == 4)
   }
+
+  test("UNION ALL concatenates; UNION dedupes; columns must match") {
+    val cat = freshCat()
+    val all = VectorSql.execute(cat,
+      "SELECT id FROM vectors WHERE id = 'v1' " +
+        "UNION ALL SELECT id FROM vectors WHERE id = 'v1'").collect()
+    assert(all.length == 2)
+    val dedup = VectorSql.execute(cat,
+      "SELECT id FROM vectors WHERE id = 'v1' " +
+        "UNION SELECT id FROM vectors WHERE id = 'v1'").collect()
+    assert(dedup.length == 1)
+    // three-branch left-deep chain, mixed ALL
+    val chain = VectorSql.execute(cat,
+      "SELECT id FROM vectors WHERE id = 'v1' " +
+        "UNION SELECT id FROM vectors WHERE id = 'v1' " +
+        "UNION ALL SELECT id FROM vectors WHERE id = 'v2'").collect()
+    assert(chain.map(_.getString(0)).sorted.toSeq == Seq("v1", "v2"))
+    // NEAREST branches fuse
+    val fused = VectorSql.execute(cat,
+      "SELECT id, distance FROM vectors NEAREST TO [1.0, 0.0, 0.0] LIMIT 2 " +
+        "UNION ALL SELECT id, distance FROM vectors " +
+        "NEAREST TO [0.0, 1.0, 0.0] LIMIT 2").collect()
+    assert(fused.length == 4)
+    val err = intercept[IllegalArgumentException] {
+      VectorSql.execute(cat,
+        "SELECT id FROM vectors UNION ALL SELECT id, distance FROM vectors " +
+          "NEAREST TO [1.0, 0.0, 0.0] LIMIT 2").collect()
+    }
+    assert(err.getMessage.contains("UNION column mismatch"))
+  }
 }
