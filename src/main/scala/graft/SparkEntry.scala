@@ -2031,6 +2031,35 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_no")).limit(100)
     }),
 
+    // -- binary-chunk media dedup: fixed 32-byte chunk digests over
+    //    every blob (ONE sampleFrames pass, everyNth=1), distinct
+    //    (media, digest), df<=50 boilerplate cap BEFORE the equi
+    //    self-join on digest (fan-out bounded at df² per chunk — the
+    //    dedup_winnow contract applied to bytes), pairs sharing >=2
+    //    chunks. The blob analog of near-dup text dedup: catches
+    //    re-encoded uploads sharing runs of identical bytes --
+    "multimodal_dedup" -> ((s, dir) => {
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("video/avi").as("mime"),
+          col("text").cast("binary").as("payload"))
+        .as(org.apache.spark.sql.Encoders.product[
+          graft.operators.Multimodal.MediaRow])
+      val ch = graft.operators.Multimodal
+        .sampleFrames(rows, chunkBytes = 32, everyNth = 1)
+        .select(col("media_id"), md5(col("frame")).as("h")).distinct()
+      val keep = ch.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
+        .where(col("dfh") <= 50).select(col("h"))
+      val c2 = ch.join(keep, "h")
+      c2.as("a").join(c2.as("b"),
+          col("a.h") === col("b.h") &&
+            col("a.media_id") < col("b.media_id"))
+        .groupBy(col("a.media_id").as("media_a"),
+          col("b.media_id").as("media_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .orderBy(col("media_a"), col("media_b"))
+    }),
+
     // -- bitmap-index activity masks: each user's 30-day activity as
     //    ONE long (bit per day since corpus start, bit_or aggregate,
     //    bit_count popcount — all codegen'd integer ops), then the
@@ -7790,6 +7819,19 @@ object SparkEntry {
           | CAST(length(chunk) AS INTEGER) AS n_bytes,
           | md5(chunk) AS frame_md5
           |FROM f ORDER BY media_id, frame_no LIMIT 100""".stripMargin.replaceAll("\n", " "),
+      "multimodal_dedup" ->
+        """WITH m AS (SELECT doc_id AS media_id, text FROM documents),
+          |f AS (SELECT media_id,
+          |  substr(text, CAST(ci AS INTEGER) * 32 + 1, 32) AS chunk
+          |  FROM m, range(0, 1024) t(ci) WHERE ci * 32 < len(text)),
+          |ch AS (SELECT DISTINCT media_id, md5(chunk) AS h FROM f),
+          |dfh AS (SELECT h FROM ch GROUP BY h HAVING count(*) <= 50),
+          |c2 AS (SELECT ch.media_id, ch.h FROM ch JOIN dfh USING (h))
+          |SELECT a.media_id AS media_a, b.media_id AS media_b,
+          | CAST(count(*) AS BIGINT) AS n_shared
+          |FROM c2 a JOIN c2 b ON a.h = b.h AND a.media_id < b.media_id
+          |GROUP BY 1, 2 HAVING count(*) >= 2
+          |ORDER BY media_a, media_b""".stripMargin.replaceAll("\n", " "),
       "snapshot_neardup" -> snapshotNeardupOracle,
       "tokens_entropy_rate" -> tokensEntropyRateOracle,
       "docs_scd2" -> docsScd2Oracle,
