@@ -4546,6 +4546,33 @@ object SparkEntry {
         .orderBy(col("bands").desc, col("s_e2"))
     }),
 
+    // -- IVF sizing planner: from count(*) alone, the k / nprobe /
+    //    scan-budget table for three target cluster sizes — k is the
+    //    smallest power of two with k*target >= n (pure integer
+    //    shift-compare over a 28-row literal power frame, the
+    //    adaptivePlanes rule; no float log2 at a pow2 boundary).
+    //    Completes the planner family (lsh_plan, bloom_plan): the
+    //    numbers you pin BEFORE training an index at 100 TB --
+    "ivf_plan" -> ((s, dir) => {
+      val n = t(s, dir, "embeddings").count()
+      val powers = s.range(3, 31)
+        .select(expr("CAST(shiftleft(1L, CAST(id AS INT)) AS BIGINT)").as("kk"))
+      val targets = s.range(0, 3)
+        .select(element_at(
+          array(lit(64L), lit(256L), lit(1024L)),
+          (col("id") + 1).cast("int")).as("target_cluster"))
+      targets.crossJoin(powers)
+        .where(col("kk") * col("target_cluster") >= n)
+        .groupBy(col("target_cluster")).agg(min(col("kk")).as("k"))
+        .select(col("target_cluster"), col("k"),
+          expr(s"${n}L div k").as("cluster_sz"),
+          greatest(lit(1L), expr("k div 16")).as("nprobe"))
+        .withColumn("scan_frac_e4",
+          expr("(nprobe * 10000) div k"))
+        .withColumn("scanned_rows", col("nprobe") * col("cluster_sz"))
+        .orderBy(col("target_cluster"))
+    }),
+
     // -- SQ8 scalar quantization: per-dimension min/max ranges are a
     //    DETERMINISTIC training statistic (unlike k-means), so build +
     //    encode + search oracle end to end with no static variant.
@@ -7261,6 +7288,19 @@ object SparkEntry {
           .stripMargin.replaceAll("\n", " "),
       // explicit multiply chains, no pow(): engine-identical doubles
       "lsh_plan" -> lshPlanOracle,
+      "ivf_plan" ->
+        """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+          |p AS (SELECT CAST(1 << CAST(i AS INTEGER) AS BIGINT) AS kk
+          |  FROM range(3, 31) t(i)),
+          |tg AS (SELECT CAST(unnest([64, 256, 1024]) AS BIGINT) AS target_cluster),
+          |k AS (SELECT target_cluster, CAST(min(kk) AS BIGINT) AS k
+          |  FROM tg, p, n WHERE kk * target_cluster >= n.n
+          |  GROUP BY target_cluster)
+          |SELECT target_cluster, k, CAST(n.n // k AS BIGINT) AS cluster_sz,
+          | greatest(1, k // 16) AS nprobe,
+          | CAST((greatest(1, k // 16) * 10000) // k AS BIGINT) AS scan_frac_e4,
+          | CAST(greatest(1, k // 16) * (n.n // k) AS BIGINT) AS scanned_rows
+          |FROM k, n ORDER BY target_cluster""".stripMargin.replaceAll("\n", " "),
       // truth = exact shingle-set Jaccard >= 1/2 (integer cut) over
       // shared-shingle candidates; pred = the minhash band pairs CTE
       "dedup_recall" -> {
