@@ -3724,6 +3724,38 @@ object SparkEntry {
           "lang", idWindow = 25, minJaccard = 0.5)
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(100)),
 
+    // -- near-dup graph triangles + transitivity: A~B and B~C
+    //    candidates whose A~C edge is MISSING are banding misses, so
+    //    the closed-wedge ratio is the graph-level recall read on the
+    //    band configuration. Edge-edge equi join on the shared
+    //    endpoint (fan-out bounded by degree on the sparse dup
+    //    subgraph), wedge count from the per-node degree aggregate —
+    //    never all-pairs --
+    "graph_triangles" -> ((s, dir) => {
+      val p = Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .localCheckpoint(true)
+      val tri = p.as("e1")
+        .join(p.as("e2"), col("e1.b") === col("e2.a"))
+        .join(p.as("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val deg = p.select(col("a").as("v")).unionByName(p.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val wedges = deg.agg(
+        sum(expr("(d * (d - 1)) div 2")).as("n_wedges"),
+        count(lit(1)).as("n_nodes"))
+      p.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(tri))
+        .crossJoin(broadcast(wedges))
+        .select(col("n_edges"), col("n_nodes"), col("n_triangles"),
+          col("n_wedges"),
+          when(col("n_wedges") > 0,
+            expr("(n_triangles * 3 * 10000) div n_wedges"))
+            .otherwise(lit(0L)).as("transitivity_e4"))
+    }),
+
     // -- dedup threshold sweep: yield curve of the jaccard knob —
     //    for t in 0.5..0.9, how many candidate pairs verify >= t and
     //    how many docs are touched. ONE pass: minhash candidates
@@ -7179,6 +7211,32 @@ object SparkEntry {
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
       "dedup_minhash" -> minhashPairsSql,
       "dedup_threshold_sweep" -> dedupThresholdSweepOracle,
+      "graph_triangles" -> {
+        val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+        s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+           |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
+           |  FROM tk WHERE len(toks) >= 3),
+           |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
+           |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
+           |pairs AS MATERIALIZED (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+           |  FROM bands x JOIN bands y
+           |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc),
+           |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+           |  FROM pairs e1 JOIN pairs e2 ON e1.doc_b = e2.doc_a
+           |  WHERE EXISTS (SELECT 1 FROM pairs e3
+           |    WHERE e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)),
+           |deg AS (SELECT v, count(*) AS d FROM (
+           |  SELECT doc_a AS v FROM pairs
+           |  UNION ALL SELECT doc_b FROM pairs) _u GROUP BY 1),
+           |w AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges,
+           |  CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+           |e AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs)
+           |SELECT n_edges, n_nodes, n_triangles, n_wedges,
+           | CAST(CASE WHEN n_wedges > 0
+           |  THEN (n_triangles * 3 * 10000) // n_wedges ELSE 0 END AS BIGINT)
+           |  AS transitivity_e4
+           |FROM e, tri, w""".stripMargin.replaceAll("\n", " ")
+      },
       // same integer fixed-point iterations, unrolled + MATERIALIZED
       "graph_pagerank" -> pagerankOracle,
       // kmeans replay (1e-6 snap) + cluster-local pair sweep
