@@ -331,6 +331,33 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(windows(exec).forall(_.partitionSpec.nonEmpty), exec.toString)
   }
 
+  test("dedup_threshold_sweep: one verify pass, histogram-side joins tiny") {
+    val p = plan("dedup_threshold_sweep")
+    // the candidate verify joins are equi on doc ids; the only
+    // nested-loop joins are against the 5-row threshold frame
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("multimodal_dedup: digest equi join, df-capped") {
+    val p = plan("multimodal_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("graph_triangles: wedge closure is a semi join on ordered edges") {
+    val p = plan("graph_triangles")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("vector_sql_union: branches fuse through a Union of top-k plans") {
+    val p = plan("vector_sql_union")
+    assert(p.contains("Union"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("search_maxsim_pruned: probed-cluster semi-reduction before scoring") {
     val p = plan("search_maxsim_pruned")
     // candidate docs come from the broadcast probed-cluster join;
