@@ -840,6 +840,60 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // -- temporal train/test split + user-leakage audit: the
+    //    time-series counterpart of split_train_val — train on the
+    //    past, evaluate on the future, and COUNT the users present
+    //    on both sides (their train-side features leak into test).
+    //    Two aggregates plus a per-user presence fold; the shared
+    //    count broadcasts back onto the 2-row summary. Scale: one
+    //    user-keyed shuffle, no pairwise anything --
+    "split_temporal" -> ((s, dir) => {
+      val tagged = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("ts div 1000000000 div 86400").as("day"))
+        .withColumn("split",
+          when(col("day") < lit(19747L), lit("train")).otherwise(lit("test")))
+      val perSplit = tagged.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+      val shared = tagged.groupBy(col("user_id"))
+        .agg(
+          max(when(col("split") === "train", 1).otherwise(0)).as("in_tr"),
+          max(when(col("split") === "test", 1).otherwise(0)).as("in_te"))
+        .agg(sum(when(col("in_tr") === 1 && col("in_te") === 1, 1L)
+          .otherwise(0L)).as("n_shared_users"))
+      perSplit.crossJoin(broadcast(shared))
+        .select(col("split"), col("n_events"), col("n_users"),
+          col("n_shared_users"))
+        .orderBy(col("split"))
+    }),
+
+    // -- exact mean-shift change-point scan (binary-segmentation
+    //    step): daily counts (calendar-bounded, ≤31 rows), every
+    //    split boundary scored by |mean_before - mean_after| in
+    //    exact integer milli-events via cross-multiplied prefix
+    //    sums. The prefix comes from a broadcast triangle join on
+    //    the TINY day frame — the corpus shuffles once (day
+    //    groupBy), never pairwise --
+    "events_changepoint" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(expr("ts div 1000000000 div 86400").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      val pre = daily.as("a")
+        .join(broadcast(daily.as("b")), col("b.day") <= col("a.day"))
+        .groupBy(col("a.day").as("day"))
+        .agg(max(col("a.n")).as("n_events"),
+          sum(col("b.n")).as("pre"), count(lit(1)).as("idx"))
+      val tot = daily.agg(sum(col("n")).as("tot"),
+        count(lit(1)).as("nd"))
+      pre.crossJoin(broadcast(tot))
+        .where(col("idx") < col("nd"))
+        .select(col("day"), col("n_events"),
+          expr("abs(pre*(nd-idx) - (tot-pre)*idx) * 1000 div (idx*(nd-idx))")
+            .as("shift_e3"))
+        .orderBy(col("shift_e3").desc, col("day")).limit(5)
+    }),
+
     "events_retention" -> ((s, dir) => {
       val days = t(s, dir, "events")
         .select(col("user_id"),
@@ -4616,6 +4670,30 @@ object SparkEntry {
       Sq.search(model, codes, queryVec(s, dir, 0), "vec_id", topK = 10)
     }),
 
+    // -- SQ4: 16-level scalar quantization, two dims nibble-packed
+    //    per stored int — HALF SQ8's at-rest bytes, the last codec
+    //    rung before binary. Same deterministic min/max model as SQ8
+    //    (one aggregate pass), map-only packed-code scan at serve;
+    //    the oracle evaluates the unpacked formula (packing is
+    //    lossless, distances can't see it) --
+    "ann_sq4" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = Sq.train(e, "embedding", dim = vecDim(e))
+      val codes = Sq.encode4(model, e, "vec_id", "embedding")
+      Sq.search4(model, codes, queryVec(s, dir, 0), "vec_id", topK = 10)
+    }),
+
+    // -- SQ4 shortlist + exact re-rank: coarser cells than SQ8 make
+    //    the rerank step load-bearing — 1/8-size scan picks 50,
+    //    exact euclidean touches only those rows --
+    "ann_sq4_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = Sq.train(e, "embedding", dim = vecDim(e))
+      val codes = Sq.encode4(model, e, "vec_id", "embedding")
+      Sq.search4WithRerank(model, codes, e, queryVec(s, dir, 0),
+        "vec_id", "embedding", "euclidean", topK = 10, candidates = 50)
+    }),
+
     // -- binary quantization: sign bit per dimension vs the midrange
     //    threshold, 64 dims packed into ONE long (32x smaller than
     //    float32 at rest). Candidate scan = xor + popcount per row,
@@ -8366,6 +8444,46 @@ object SparkEntry {
           |  (CAST(x AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE))))), 4) AS dist
           |FROM embeddings e JOIN short USING (vec_id), q
           |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+      // SQ4: ann_sq8's oracle with 15 levels — the nibble packing is
+      // Spark-side-only (lossless), so the oracle stays unpacked
+      "ann_sq4" ->
+        """WITH mm AS (
+          |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM (
+          |    SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+          |    FROM (SELECT unnest(embedding) AS x,
+          |      unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+          |    GROUP BY i)),
+          |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+          |codes AS (SELECT vec_id, list_transform(embedding, (x, i) ->
+          |  CASE WHEN mxs[i] = mns[i] THEN 0 ELSE
+          |    greatest(0, least(15, floor((CAST(x AS DOUBLE) - mns[i]) * 15.0 / (mxs[i] - mns[i]) + 0.5)))
+          |  END) AS cs FROM embeddings, mm)
+          |SELECT vec_id, round(sqrt(list_sum(list_transform(cs, (c, i) ->
+          |  (mns[i] + c * (mxs[i] - mns[i]) / 15.0 - CAST(qvec[i] AS DOUBLE)) *
+          |  (mns[i] + c * (mxs[i] - mns[i]) / 15.0 - CAST(qvec[i] AS DOUBLE))))), 4) AS dist
+          |FROM codes, mm, q ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+      "ann_sq4_rerank" ->
+        """WITH mm AS (
+          |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM (
+          |    SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+          |    FROM (SELECT unnest(embedding) AS x,
+          |      unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+          |    GROUP BY i)),
+          |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+          |codes AS (SELECT vec_id, list_transform(embedding, (x, i) ->
+          |  CASE WHEN mxs[i] = mns[i] THEN 0 ELSE
+          |    greatest(0, least(15, floor((CAST(x AS DOUBLE) - mns[i]) * 15.0 / (mxs[i] - mns[i]) + 0.5)))
+          |  END) AS cs FROM embeddings, mm),
+          |short AS (SELECT vec_id, round(sqrt(list_sum(list_transform(cs, (c, i) ->
+          |  (mns[i] + c * (mxs[i] - mns[i]) / 15.0 - CAST(qvec[i] AS DOUBLE)) *
+          |  (mns[i] + c * (mxs[i] - mns[i]) / 15.0 - CAST(qvec[i] AS DOUBLE))))), 4) AS sdist
+          |FROM codes, mm, q ORDER BY sdist, vec_id LIMIT 50)
+          |SELECT e.vec_id AS vec_id,
+          | round(sqrt(list_sum(list_transform(e.embedding, (x, i) ->
+          |  (CAST(x AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE)) *
+          |  (CAST(x AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE))))), 4) AS dist
+          |FROM embeddings e JOIN short USING (vec_id), q
+          |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
       // PQ with fixed codebooks: subspace g's codebook = subvectors of
       // vectors 0..15; encode = argmin-l2 per (vec, subspace); score =
       // sqrt of the summed per-subspace squared distances to the query
@@ -8983,6 +9101,35 @@ object SparkEntry {
         | CAST((dau.dau * 100000) // wau.wau AS BIGINT) AS stickiness_e5
         |FROM dau JOIN wau ON dau.day = wau.day
         |ORDER BY dau.day LIMIT 100""".stripMargin.replaceAll("\n", " "),
+    // past/future cut at day 19747 (2024-01-25); counts all BIGINT
+    "split_temporal" ->
+      """WITH e AS (SELECT user_id,
+        |  epoch_us(ts) // 1000000 // 86400 AS day FROM events),
+        |t AS (SELECT user_id,
+        |  CASE WHEN day < 19747 THEN 'train' ELSE 'test' END AS split FROM e),
+        |p AS (SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM t GROUP BY split),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_shared_users FROM (
+        |  SELECT user_id FROM t GROUP BY user_id
+        |  HAVING max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) = 1
+        |     AND max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) = 1))
+        |SELECT split, n_events, n_users, n_shared_users
+        |FROM p, s ORDER BY split""".stripMargin.replaceAll("\n", " "),
+    // integer cross-multiplied mean-shift; // is integer div in both
+    "events_changepoint" ->
+      """WITH d AS (SELECT epoch_us(ts) // 1000000 // 86400 AS day,
+        |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY day),
+        |p AS (SELECT a.day AS day, CAST(max(a.n) AS BIGINT) AS n_events,
+        |  CAST(sum(b.n) AS BIGINT) AS pre, CAST(count(*) AS BIGINT) AS idx
+        |  FROM d a JOIN d b ON b.day <= a.day GROUP BY a.day),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+        |  CAST(count(*) AS BIGINT) AS nd FROM d)
+        |SELECT day, n_events,
+        | CAST(abs(pre * (nd - idx) - (tot - pre) * idx) * 1000
+        |   // (idx * (nd - idx)) AS BIGINT) AS shift_e3
+        |FROM p, t WHERE idx < nd
+        |ORDER BY shift_e3 DESC, day LIMIT 5""".stripMargin.replaceAll("\n", " "),
     "events_retention" ->
       """WITH d AS (SELECT user_id, epoch_us(ts) // 1000000 // 86400 AS day FROM events),
         |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)

@@ -52,6 +52,50 @@ object SqKernels {
     }
     math.sqrt(s)
   }
+
+  /** SQ4: 16-level quantization, two codes packed per stored int
+    * nibble-wise (lo nibble = even dim). Half SQ8's at-rest bytes —
+    * the last codec rung before binary. Code arithmetic mirrors SQ8
+    * with 15.0 so the oracle's unpacked formula is bit-identical
+    * (packing is lossless; distances don't see it). */
+  def encode4(vec: ArrayData, isFloat: Boolean,
+      mins: Array[Double], maxs: Array[Double]): ArrayData = {
+    val n = vec.numElements()
+    require(n == mins.length, s"sq4: dim mismatch $n vs ${mins.length}")
+    val out = new Array[Int]((n + 1) / 2)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      val mn = mins(i); val mx = maxs(i)
+      val c =
+        if (mx == mn) 0
+        else {
+          val q = math.floor((x - mn) * 15.0 / (mx - mn) + 0.5)
+          math.max(0.0, math.min(15.0, q)).toInt
+        }
+      out(i >> 1) |= c << ((i & 1) * 4)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def l24(codes: ArrayData, q: ArrayData, qIsFloat: Boolean,
+      mins: Array[Double], maxs: Array[Double]): Double = {
+    val n = mins.length
+    require(n == q.numElements(), s"sq4: dim mismatch $n vs ${q.numElements()}")
+    require(codes.numElements() == (n + 1) / 2,
+      s"sq4: packed length ${codes.numElements()} vs dim $n")
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val c = (codes.getInt(i >> 1) >>> ((i & 1) * 4)) & 15
+      val mn = mins(i); val mx = maxs(i)
+      val d = mn + c * (mx - mn) / 15.0 -
+        (if (qIsFloat) q.getFloat(i).toDouble else q.getDouble(i))
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
 }
 
 /** sq8_encode(vec): float vector -> per-dimension byte codes (stored
@@ -111,6 +155,66 @@ case class Sq8L2Expr(left: Expression, right: Expression,
     val mxRef = ctx.addReferenceObj("maxs", maxs, "double[]")
     defineCodeGen(ctx, ev, (c, q) =>
       s"graft.operators.SqKernels.l2($c, $q, $qIsFloat, $mnRef, $mxRef)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sq4_encode(vec): float vector -> nibble-packed 4-bit codes, two
+  * dims per stored int (array length ceil(dim/2)). Same codegen'd
+  * static-kernel shape as SQ8. */
+case class Sq4EncodeExpr(child: Expression,
+    mins: Array[Double], maxs: Array[Double]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "sq4_encode"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got ${t.catalogString}")
+  }
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def nullSafeEval(v: Any): Any =
+    SqKernels.encode4(v.asInstanceOf[ArrayData], isFloat, mins, maxs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mnRef = ctx.addReferenceObj("mins", mins, "double[]")
+    val mxRef = ctx.addReferenceObj("maxs", maxs, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.operators.SqKernels.encode4($c, $isFloat, $mnRef, $mxRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** sq4_l2(packed_codes, qvec): L2 between the nibble-unpacked
+  * dequantized vector and a full-precision query — map-only SQ4
+  * serving scan. */
+case class Sq4L2Expr(left: Expression, right: Expression,
+    mins: Array[Double], maxs: Array[Double]) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq4_l2"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<int>, array<float|double>), got " +
+        s"(${l.catalogString}, ${r.catalogString})")
+  }
+  private def qIsFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SqKernels.l24(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      qIsFloat, mins, maxs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mnRef = ctx.addReferenceObj("mins", mins, "double[]")
+    val mxRef = ctx.addReferenceObj("maxs", maxs, "double[]")
+    defineCodeGen(ctx, ev, (c, q) =>
+      s"graft.operators.SqKernels.l24($c, $q, $qIsFloat, $mnRef, $mxRef)")
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -177,6 +281,47 @@ object Sq {
       query: DataFrame, idCol: String, vecCol: String, metric: String,
       topK: Int, candidates: Int, roundTo: Int = 4): DataFrame = {
     val short = search(model, codes, query, idCol, topK = candidates,
+      roundTo = roundTo)
+    corpus.join(broadcast(short.select(col(idCol))), Seq(idCol))
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(graft.functions.VectorFunctions.forMetric(metric)(
+          col(vecCol), col("qvec")), roundTo).as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(topK)
+  }
+
+  def sq4_encode(model: Model, vec: Column): Column =
+    Shims.column(Sq4EncodeExpr(Shims.expression(vec), model.mins, model.maxs))
+
+  def sq4_l2(model: Model, codes: Column, qvec: Column): Column =
+    Shims.column(Sq4L2Expr(Shims.expression(codes), Shims.expression(qvec),
+      model.mins, model.maxs))
+
+  /** Map-only SQ4 encode: (idCol, packed codes array<int>, half SQ8's
+    * at-rest width — dim/2 nibble-packed ints). Shares [[train]]'s
+    * min/max model with SQ8; only the level count differs. */
+  def encode4(model: Model, corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol), sq4_encode(model, col(vecCol)).as("codes"))
+
+  /** Top-k by dequantized 4-bit L2: identical serving shape to
+    * [[search]] — map-only code scan + TakeOrderedAndProject. */
+  def search4(model: Model, codes: DataFrame, query: DataFrame,
+      idCol: String, topK: Int, roundTo: Int = 4): DataFrame =
+    codes.crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(sq4_l2(model, col("codes"), col("qvec")), roundTo).as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(topK)
+
+  /** SQ4 shortlist + exact re-rank: the coarse 1/8-size scan picks
+    * `candidates`, full-precision distance touches only those rows.
+    * SQ4's wider cells make the rerank step MORE load-bearing than
+    * SQ8's — the recall matrix quantifies the trade. */
+  def search4WithRerank(model: Model, codes: DataFrame, corpus: DataFrame,
+      query: DataFrame, idCol: String, vecCol: String, metric: String,
+      topK: Int, candidates: Int, roundTo: Int = 4): DataFrame = {
+    val short = search4(model, codes, query, idCol, topK = candidates,
       roundTo = roundTo)
     corpus.join(broadcast(short.select(col(idCol))), Seq(idCol))
       .crossJoin(broadcast(query))

@@ -130,6 +130,65 @@ class SqSpec extends AnyFunSuite {
     assert(ivf == flat)
   }
 
+  test("SQ4: packed codes carry 15-level values; length = ceil(dim/2)") {
+    val model = Sq.train(corpus, "embedding", 64)
+    val codes = Sq.encode4(model, corpus, "vec_id", "embedding")
+    val lens = codes.select(size(col("codes")).as("l"))
+      .where(col("l") =!= 32).count()
+    assert(lens == 0)
+    // every nibble in [0,15] by construction: packed ints < 256
+    val bad = codes.select(explode(col("codes")).as("c"))
+      .where(col("c") < 0 || col("c") > 255).count()
+    assert(bad == 0)
+  }
+
+  test("SQ4: odd dimension packs the tail nibble alone (lo nibble)") {
+    val df = Seq((0L, Array(0.0f, 0.0f, 10.0f)), (1L, Array(1.0f, 2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val model = Sq.train(df, "embedding", 3)
+    val codes = Sq.encode4(model, df, "vec_id", "embedding")
+      .orderBy("vec_id").collect().map(_.getSeq[Int](1))
+    // dim 3 (max=10 on row 0) lands alone in word 2's low nibble
+    assert(codes(0).length == 2 && codes(1).length == 2)
+    assert(codes(0)(1) == 15 && codes(1)(1) == 0) // row0 dim3=max->15, row1 dim3=min->0
+    // row 1 attains dim1/dim2 maxes: word 1 = 15 | 15<<4 = 255
+    assert(codes(1)(0) == 255 && codes(0)(0) == 0)
+  }
+
+  test("SQ4: unpacked distance equals the 15-level formula; rerank with full candidates = exact kNN") {
+    val model = Sq.train(corpus, "embedding", 64)
+    val codes = Sq.encode4(model, corpus, "vec_id", "embedding")
+    val q = corpus.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    // wider cells than SQ8 -> larger but still bounded deviation
+    val maxErr = math.sqrt(model.mins.indices.map { i =>
+      val st = (model.maxs(i) - model.mins(i)) / 15.0; st * st
+    }.sum) / 2.0
+    val joined = Sq.search4(model, codes, q, "vec_id", topK = 1000, roundTo = 8)
+      .join(corpus.crossJoin(q).select(col("vec_id"),
+        functions.VectorFunctions.vec_l2(col("embedding"), col("qvec")).as("exact")),
+        "vec_id")
+    val worst = joined.select(max(abs(col("dist") - col("exact")))).head.getDouble(0)
+    assert(worst <= maxErr, s"worst=$worst bound=$maxErr")
+    val n = corpus.count().toInt
+    val rr = Sq.search4WithRerank(model, codes, corpus, q,
+      "vec_id", "embedding", "euclidean", topK = 10, candidates = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = graft.operators.Knn.topK(corpus, q,
+      "vec_id", "embedding", "euclidean", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rr == exact)
+  }
+
+  test("SQ4: search plan is map-only, no exchange before TakeOrdered") {
+    val model = Sq.train(corpus, "embedding", 64)
+    val codes = Sq.encode4(model, corpus, "vec_id", "embedding")
+    val q = corpus.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val plan = Sq.search4(model, codes, q, "vec_id", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("degenerate constant dimension encodes as 0 and round-trips") {
     val df = Seq((0L, Array(1.0f, 5.0f)), (1L, Array(1.0f, 7.0f)))
       .toDF("vec_id", "embedding")
