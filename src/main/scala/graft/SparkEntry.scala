@@ -5218,6 +5218,7 @@ object SparkEntry {
       ("ivf", "nprobe=4", "ivf4", "cos"),
       ("pq", "adc", "pqa", "euc"), ("pq", "rerank=30", "pqrr", "euc"),
       ("sq8", "codes", "sq8c", "euc"), ("sq8", "rerank=30", "sq8rr", "euc"),
+      ("sq4", "codes", "sq4c", "euc"), ("sq4", "rerank=30", "sq4rr", "euc"),
       ("bq", "hamming", "bqh", "euc"), ("bq", "rerank=30", "bqrr", "euc"),
       ("ivfpq", "nprobe=2", "ivfpq2", "euc"), ("ivfpq", "nprobe=4", "ivfpq4", "euc"))
     val allp = unions.map { case (f, bdg, cte, _) =>
@@ -5282,6 +5283,19 @@ object SparkEntry {
       s"sq8c AS (${top("SELECT qid, vec_id, s FROM sqsc", k)}), " +
       s"sqs30 AS (${top("SELECT qid, vec_id, s FROM sqsc", c)}), " +
       s"sq8rr AS (${rr("sqs30")}), " +
+      // SQ4: same mm ranges at 15 levels (packing is Spark-side only)
+      "cds4 AS (SELECT vec_id, list_transform(embedding, (x, i) -> " +
+      "CASE WHEN mxs[i] = mns[i] THEN 0 ELSE greatest(0, least(15, " +
+      "floor((CAST(x AS DOUBLE) - mns[i]) * 15.0 / (mxs[i] - mns[i]) + 0.5)))" +
+      " END) AS cs FROM embeddings, mm), " +
+      "sq4sc AS (SELECT q.qid, cd.vec_id, round(sqrt(list_sum(" +
+      "list_transform(cd.cs, (c2, i) -> " +
+      "(mns[i] + c2 * (mxs[i] - mns[i]) / 15.0 - CAST(q.qvec[i] AS DOUBLE)) * " +
+      "(mns[i] + c2 * (mxs[i] - mns[i]) / 15.0 - CAST(q.qvec[i] AS DOUBLE))" +
+      "))), 4) AS s FROM cds4 cd, mm, qs q), " +
+      s"sq4c AS (${top("SELECT qid, vec_id, s FROM sq4sc", k)}), " +
+      s"sq4s30 AS (${top("SELECT qid, vec_id, s FROM sq4sc", c)}), " +
+      s"sq4rr AS (${rr("sq4s30")}), " +
       // BQ: midrange thresholds, per-dim sign disagreement = hamming
       "mm2 AS (SELECT list((mn + mx) / 2.0 ORDER BY i) AS thr FROM " +
       "(SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn, " +

@@ -144,6 +144,18 @@ object Recall {
       idCol, "sq8", "codes")
     val sq8Rerank = relabel(rerank(sqScores, 30), "sq8", "rerank=30")
 
+    // SQ4 shares SQ8's min/max model; only the level count (and the
+    // nibble packing, invisible to distances) differs — its recall
+    // rows quantify what the halved at-rest bytes cost
+    val sq4Scores = Sq.encode4(sqModel, corpus, idCol, vecCol)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col(idCol),
+        round(Sq.sq4_l2(sqModel, col("codes"), col("qvec")), 4).as("_s"))
+      .localCheckpoint(eager = false)
+    val sq4Codes = recallRow(exactEuc, topPairs(sq4Scores, idCol, k),
+      idCol, "sq4", "codes")
+    val sq4Rerank = relabel(rerank(sq4Scores, 30), "sq4", "rerank=30")
+
     val bqModel = Bq.train(corpus, vecCol, dim = 64)
     val bqScores = Bq.encode(bqModel, corpus, idCol, vecCol)
       .crossJoin(broadcast(
@@ -167,8 +179,8 @@ object Recall {
     }
 
     Seq(lsh(8), lsh(6), ivf(1), ivf(2), ivf(4),
-        pqAdc, pqRerank, sq8Codes, sq8Rerank, bqHam, bqRerank,
-        ivfpq(2), ivfpq(4))
+        pqAdc, pqRerank, sq8Codes, sq8Rerank, sq4Codes, sq4Rerank,
+        bqHam, bqRerank, ivfpq(2), ivfpq(4))
       .reduce(_.unionByName(_))
       .orderBy(col("family"), col("budget"))
   }
