@@ -467,4 +467,30 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("ann_sq4: map-only packed-code scan, no exchange before TakeOrdered") {
+    val p = plan("ann_sq4")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(hashExchanges(p) === 0, p)
+  }
+
+  test("split_temporal: per-user presence fold shuffles users once, shared count broadcasts") {
+    val p = plan("split_temporal")
+    // the only corpus-keyed exchanges are the split aggregate and the
+    // user presence fold; the 1-row shared count joins via broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("events_changepoint: day frame broadcasts for the prefix triangle, no window") {
+    val exec = SparkEntry.queries("events_changepoint")(spark, dir)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    // the triangle prefix join must be a broadcast of the tiny day
+    // frame, and there must be NO window (the prefix is join-built)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(windows(exec).isEmpty, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
