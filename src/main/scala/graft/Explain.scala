@@ -77,7 +77,9 @@ object Explain {
     "orders_cohort_ltv", "curriculum_phases", "corpus_burstiness",
     "events_attribution", "search_maxsim", "search_maxsim_pruned",
     "events_rollup_incremental", "events_funnel_latency",
-    "dedup_threshold_sweep", "vector_sql_union", "multimodal_dedup", "ivf_plan", "graph_triangles")
+    "dedup_threshold_sweep", "vector_sql_union", "multimodal_dedup",
+    "ivf_plan", "graph_triangles", "ann_sq4", "split_temporal",
+    "events_changepoint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

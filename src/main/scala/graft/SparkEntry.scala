@@ -770,6 +770,39 @@ object SparkEntry {
           round(avg(col("value")), 4).as("mean"))
         .orderBy(col("event_type"))),
 
+    // -- deterministic mergeable quantile sketch: bottom-k rows by a
+    //    portable integer hash of the UNIQUE event_id (KMV-style).
+    //    The k smallest hashes are a uniform, ORDER-INDEPENDENT,
+    //    mergeable sample — per-partition bottom-k then merge is
+    //    exactly TakeOrderedAndProject, so at 100 TB the sketch is
+    //    one map-side-combined pass; the k-row sample folds into a
+    //    single sorted array (k-bounded, not data-bounded) and
+    //    nearest-rank quantiles read straight off it. The exact
+    //    percentile() companion quantifies the sketch error --
+    "events_quantile_sketch" -> ((s, dir) => {
+      val k = 512
+      val sample = t(s, dir, "events")
+        .select(col("event_id"), col("value"))
+        .withColumn("h", pmod(
+          col("event_id") * lit(2654435761L) + lit(1013904223L),
+          lit(2147483647L)))
+        .orderBy(col("h"), col("event_id")).limit(k)
+      val sk = sample.agg(
+        count(lit(1)).as("n_sample"),
+        sort_array(collect_list(col("value"))).as("vs"))
+      val exact = t(s, dir, "events").agg(
+        expr("percentile(value, 0.5)").as("em"),
+        expr("percentile(value, 0.9)").as("e9"))
+      sk.crossJoin(exact).select(
+        col("n_sample"),
+        round(element_at(col("vs"), (k + 1) / 2), 4).as("sk_med"),
+        round(element_at(col("vs"), math.ceil(0.9 * k).toInt), 4).as("sk_p90"),
+        round(col("em"), 4).as("exact_med"),
+        round(col("e9"), 4).as("exact_p90"),
+        round(abs(element_at(col("vs"), (k + 1) / 2) - col("em")), 4).as("err_med"),
+        round(abs(element_at(col("vs"), math.ceil(0.9 * k).toInt) - col("e9")), 4).as("err_p90"))
+    }),
+
     // -- per-key top-n via rank window --
     "top_orders_per_customer" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -9061,6 +9094,22 @@ object SparkEntry {
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med,
         | round(quantile_cont(value, 0.9), 4) AS p90, round(avg(value), 4) AS mean
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
+    // KMV bottom-512-by-hash sample; non-negative mod mirrors pmod
+    "events_quantile_sketch" ->
+      """WITH h AS (SELECT value, event_id,
+        |  (((event_id * 2654435761 + 1013904223) % 2147483647)
+        |    + 2147483647) % 2147483647 AS h FROM events),
+        |s AS (SELECT value FROM h ORDER BY h, event_id LIMIT 512),
+        |sv AS (SELECT CAST(count(*) AS BIGINT) AS n_sample,
+        |  list(value ORDER BY value) AS vs FROM s),
+        |e AS (SELECT quantile_cont(value, 0.5) AS em,
+        |  quantile_cont(value, 0.9) AS e9 FROM events)
+        |SELECT n_sample, round(vs[256], 4) AS sk_med,
+        | round(vs[461], 4) AS sk_p90,
+        | round(em, 4) AS exact_med, round(e9, 4) AS exact_p90,
+        | round(abs(vs[256] - em), 4) AS err_med,
+        | round(abs(vs[461] - e9), 4) AS err_p90
+        |FROM sv, e""".stripMargin.replaceAll("\n", " "),
     "top_orders_per_customer" ->
       """WITH r AS (SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
         |  CAST(row_number() OVER (PARTITION BY o_custkey

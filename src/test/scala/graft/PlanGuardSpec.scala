@@ -483,6 +483,14 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("events_quantile_sketch: bottom-k is TakeOrdered partials, no global sort") {
+    val p = plan("events_quantile_sketch")
+    // the KMV sample must run as TakeOrderedAndProject (per-partition
+    // bottom-k merged), never a full Sort + Limit over the corpus
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("events_changepoint: day frame broadcasts for the prefix triangle, no window") {
     val exec = SparkEntry.queries("events_changepoint")(spark, dir)
       .queryExecution.executedPlan
