@@ -2147,6 +2147,34 @@ object SparkEntry {
         .orderBy(col("media_a"), col("media_b"))
     }),
 
+    // -- content-defined chunking dedup: same blob pipeline as
+    //    multimodal_dedup but boundaries come from a sliding-window
+    //    gear hash (Multimodal.cdcChunks), so an inserted/deleted
+    //    byte damages ONE chunk and every later boundary
+    //    re-synchronizes — near-identical payloads still pair. The
+    //    codegen'd kernel is map-side; downstream is the same
+    //    df-capped digest equi-join (never blobs through shuffle) --
+    "multimodal_cdc_dedup" -> ((s, dir) => {
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"))
+      val ch = rows.select(col("media_id"),
+          explode(graft.operators.Multimodal.cdcChunks(
+            col("payload"), minLen = 8, modulus = 16L)).as("chunk"))
+        .select(col("media_id"), md5(col("chunk")).as("h")).distinct()
+      val keep = ch.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
+        .where(col("dfh") <= 50).select(col("h"))
+      val c2 = ch.join(keep, "h")
+      c2.as("a").join(c2.as("b"),
+          col("a.h") === col("b.h") &&
+            col("a.media_id") < col("b.media_id"))
+        .groupBy(col("a.media_id").as("media_a"),
+          col("b.media_id").as("media_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 3)
+        .orderBy(col("media_a"), col("media_b"))
+    }),
+
     // -- bitmap-index activity masks: each user's 30-day activity as
     //    ONE long (bit per day since corpus start, bit_or aggregate,
     //    bit_count popcount — all codegen'd integer ops), then the
@@ -8054,6 +8082,34 @@ object SparkEntry {
           | CAST(count(*) AS BIGINT) AS n_shared
           |FROM c2 a JOIN c2 b ON a.h = b.h AND a.media_id < b.media_id
           |GROUP BY 1, 2 HAVING count(*) >= 2
+          |ORDER BY media_a, media_b""".stripMargin.replaceAll("\n", " "),
+      // CDC: the gear recurrence replayed per byte via list_reduce
+      // (acc = [h, last_boundary, pos, bound...]); chunk slicing and
+      // the digest pipeline mirror multimodal_dedup
+      "multimodal_cdc_dedup" ->
+        """WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+          |st AS (SELECT doc_id, text, n,
+          |  list_reduce(list_prepend([CAST(0 AS BIGINT), 0, 0],
+          |    list_transform(range(1, n + 1), i -> [CAST(i AS BIGINT),
+          |      CAST(ascii(text[i]) AS BIGINT), CAST(0 AS BIGINT)])),
+          |  (acc, x) -> CASE WHEN (x[1] - acc[2] >= 8) AND
+          |      ((acc[1] * 2 + (x[2] * 2654435761) % 1048576) % 1073741824) % 16 = 0
+          |    THEN [(acc[1] * 2 + (x[2] * 2654435761) % 1048576) % 1073741824,
+          |      x[1], x[1]] || acc[4:] || [x[1]]
+          |    ELSE [(acc[1] * 2 + (x[2] * 2654435761) % 1048576) % 1073741824,
+          |      acc[2], x[1]] || acc[4:] END)[4:] AS bounds FROM d),
+          |ch0 AS (SELECT doc_id, unnest(list_filter(
+          |  list_transform(range(1, len(bounds) + 2), j ->
+          |    text[(CASE WHEN j = 1 THEN 1 ELSE bounds[j-1] + 1 END):
+          |         (CASE WHEN j = len(bounds) + 1 THEN n ELSE bounds[j] END)]),
+          |  c -> len(c) > 0)) AS chunk FROM st),
+          |ch AS (SELECT DISTINCT doc_id AS media_id, md5(chunk) AS h FROM ch0),
+          |dfh AS (SELECT h FROM ch GROUP BY h HAVING count(*) <= 50),
+          |c2 AS (SELECT ch.media_id, ch.h FROM ch JOIN dfh USING (h))
+          |SELECT a.media_id AS media_a, b.media_id AS media_b,
+          | CAST(count(*) AS BIGINT) AS n_shared
+          |FROM c2 a JOIN c2 b ON a.h = b.h AND a.media_id < b.media_id
+          |GROUP BY 1, 2 HAVING count(*) >= 3
           |ORDER BY media_a, media_b""".stripMargin.replaceAll("\n", " "),
       "snapshot_neardup" -> snapshotNeardupOracle,
       "tokens_entropy_rate" -> tokensEntropyRateOracle,

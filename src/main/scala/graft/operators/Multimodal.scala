@@ -6,8 +6,14 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 import javax.sound.sampled.AudioSystem
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType}
 
 /** Multimodal (image/audio/video) column plumbing.
   *
@@ -194,6 +200,64 @@ object Multimodal {
         .map { case (chunk, i) => (r.media_id, i, chunk) }
     }.toDF("media_id", "frame_no", "frame")
   }
+
+  /** Content-defined chunking (gear-style rolling hash): a boundary
+    * lands wherever the running hash of the byte stream hits
+    * `h % modulus == 0` at least `minLen` bytes past the previous
+    * boundary. The doubling recurrence makes the hash a TRUE sliding
+    * window: a byte's contribution is g(b)·2^k after k more bytes,
+    * which is ≡ 0 mod 2^30 once k ≥ 30 — so boundaries depend only
+    * on the last 30 bytes of content, and after an insertion or
+    * deletion every boundary ≥30 bytes downstream re-synchronizes.
+    * Unlike [[sampleFrames]]' fixed windows (where one inserted byte
+    * shifts EVERY later chunk), near-identical payloads share almost
+    * all chunk digests — the FastCDC/LBFS dedup property. Integer
+    * arithmetic is engine-portable: the DuckDB oracle replays the
+    * identical recurrence with a list_reduce.
+    *
+    *   h_i      = (h_{i-1} * 2 + (b_i * 2654435761) % 2^20) % 2^30
+    *   boundary = i - last >= minLen  AND  h_i % modulus == 0
+    */
+  def cdcChunksKernel(payload: Array[Byte], minLen: Int,
+      modulus: Long): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var h = 0L; var last = 0; var i = 1
+    while (i <= payload.length) {
+      val b = payload(i - 1) & 0xff
+      h = (h * 2 + (b.toLong * 2654435761L) % 1048576L) % 1073741824L
+      if (i - last >= minLen && h % modulus == 0) {
+        out += java.util.Arrays.copyOfRange(payload, last, i)
+        last = i
+      }
+      i += 1
+    }
+    if (payload.length > last)
+      out += java.util.Arrays.copyOfRange(payload, last, payload.length)
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  /** cdc_chunks(payload): binary -> array<binary> of content-defined
+    * chunks. Codegen'd call into the static kernel. */
+  case class CdcChunksExpr(child: Expression, minLen: Int,
+      modulus: Long) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override def prettyName: String = "cdc_chunks"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary, got ${t.catalogString}")
+    }
+    override def nullSafeEval(v: Any): Any =
+      cdcChunksKernel(v.asInstanceOf[Array[Byte]], minLen, modulus)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.operators.Multimodal.cdcChunksKernel($c, $minLen, ${modulus}L)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def cdcChunks(payload: Column, minLen: Int = 16, modulus: Long = 64L): Column =
+    Shims.column(CdcChunksExpr(Shims.expression(payload), minLen, modulus))
 
   case class VideoFrame(media_id: Long, frame_no: Int, width: Int,
       height: Int, jpeg: Array[Byte])

@@ -181,6 +181,37 @@ class MultimodalSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  test("cdcChunks: chunks concatenate back to the payload; minLen respected") {
+    val payload = Array.tabulate[Byte](500)(i => ((i * 37 + 11) % 251).toByte)
+    val df = Seq(Tuple1(payload)).toDF("p")
+    val chunks = df
+      .select(explode(Multimodal.cdcChunks(col("p"), minLen = 8, modulus = 16L)))
+      .as[Array[Byte]].collect()
+    assert(chunks.map(_.length).sum == 500)
+    assert(chunks.flatten.sameElements(payload))
+    // all chunks except possibly the tail respect minLen
+    assert(chunks.dropRight(1).forall(_.length >= 8), chunks.map(_.length).toSeq)
+  }
+
+  test("cdcChunks: one inserted byte damages ~one chunk; fixed windows shift everything") {
+    val base = Array.tabulate[Byte](500)(i => ((i * 37 + 11) % 251).toByte)
+    val edited = (base.take(250) :+ 0x58.toByte) ++ base.drop(250)
+    def digests(p: Array[Byte]) =
+      Seq(Tuple1(p)).toDF("p")
+        .select(explode(Multimodal.cdcChunks(col("p"), minLen = 8, modulus = 16L)).as("c"))
+        .select(md5(col("c"))).as[String].collect().toSet
+    val a = digests(base); val b = digests(edited)
+    // sliding-window boundaries re-synchronize ≥30 bytes after the
+    // edit: most digests survive
+    assert((a & b).size >= a.size - 3, s"shared=${(a & b).size} of ${a.size}")
+    // fixed 32-byte windows lose every chunk after the edit point
+    def fixed(p: Array[Byte]) =
+      p.grouped(32).map(c => java.util.Arrays.hashCode(c)).toSet
+    val fa = fixed(base); val fb = fixed(edited)
+    assert((fa & fb).size <= fa.size / 2 + 1,
+      s"fixed shared=${(fa & fb).size} of ${fa.size}")
+  }
+
   test("featurizeImages decodes real PNGs: dimensions + channel means") {
     val rows = Seq(
       Multimodal.MediaRow(1L, "image/png", pngBytes(8, 4, 0xff0000)),  // red

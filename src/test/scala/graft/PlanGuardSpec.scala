@@ -483,6 +483,15 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("multimodal_cdc_dedup: digests through the shuffle, blobs never; no cartesian") {
+    val p = plan("multimodal_cdc_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the pair join must key on the 32-char digest equi-condition
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("events_quantile_sketch: bottom-k is TakeOrdered partials, no global sort") {
     val p = plan("events_quantile_sketch")
     // the KMV sample must run as TakeOrderedAndProject (per-partition
