@@ -3342,6 +3342,37 @@ object SparkEntry {
             col("n_chars"), pmod(col("doc_id"), lit(997L))).as("zval"))
         .orderBy(col("zval"), col("doc_id")).limit(100)),
 
+    // -- zone-map pruning audit: what docs_zorder's layout BUYS at
+    //    scan time. Rows cut into 32 "files" two ways (natural
+    //    doc_id order vs z-value order, exact ntile via
+    //    Rank.globalNtile — no partition-less window), per-file
+    //    min/max zone maps on n_chars, and the file/row counts a
+    //    range predicate skips under each layout. At 100 TB this IS
+    //    parquet row-group skipping: the z-ordered layout turns a
+    //    9%-selective predicate into pruning most files, the natural
+    //    layout prunes almost none --
+    "zonemap_prune" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          graft.functions.ZOrder.zorder(col("n_chars"),
+            pmod(col("doc_id"), lit(997L))).as("zval"))
+      def audit(name: String, order: Column*): DataFrame =
+        graft.operators.Rank.globalNtile(docs, 32, "file_id", order: _*)
+          .groupBy(col("file_id"))
+          .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"),
+            count(lit(1)).as("nr"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("mx") < 100 || col("mn") > 140, 1L)
+              .otherwise(0L)).as("files_pruned"),
+            sum(when(col("mx") < 100 || col("mn") > 140, col("nr"))
+              .otherwise(0L)).as("rows_skipped"))
+          .select(lit(name).as("layout"), col("n_files"),
+            col("files_pruned"), col("rows_skipped"))
+      audit("natural", col("doc_id"))
+        .unionByName(audit("zorder", col("zval"), col("doc_id")))
+        .orderBy(col("layout"))
+    }),
+
     // -- deterministic training-shard assignment + per-shard evenness
     //    audit (the write.partitionBy("shard") layout is spec'd) --
     "shard_assign" -> ((s, dir) =>
@@ -6922,6 +6953,29 @@ object SparkEntry {
           |  (((doc_id % 997) >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))))
           |  AS BIGINT) AS zval
           |FROM documents ORDER BY zval, doc_id LIMIT 100""".stripMargin.replaceAll("\n", " "),
+      // same z-value formula; exact ntile(32) matches globalNtile
+      "zonemap_prune" ->
+        """WITH zt AS (SELECT doc_id, n_chars,
+          |  CAST(list_sum(list_transform(range(0, 31), i ->
+          |    ((n_chars >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i)) +
+          |    (((doc_id % 997) >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))))
+          |    AS BIGINT) AS zval FROM documents),
+          |fn AS (SELECT n_chars, ntile(32) OVER (ORDER BY doc_id) AS fid FROM zt),
+          |fz AS (SELECT n_chars, ntile(32) OVER (ORDER BY zval, doc_id) AS fid FROM zt),
+          |pn AS (SELECT fid, min(n_chars) AS mn, max(n_chars) AS mx,
+          |  count(*) AS nr FROM fn GROUP BY fid),
+          |pz AS (SELECT fid, min(n_chars) AS mn, max(n_chars) AS mx,
+          |  count(*) AS nr FROM fz GROUP BY fid),
+          |an AS (SELECT 'natural' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+          |  CAST(sum(CASE WHEN mx < 100 OR mn > 140 THEN 1 ELSE 0 END) AS BIGINT) AS files_pruned,
+          |  CAST(sum(CASE WHEN mx < 100 OR mn > 140 THEN nr ELSE 0 END) AS BIGINT) AS rows_skipped
+          |  FROM pn),
+          |az AS (SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+          |  CAST(sum(CASE WHEN mx < 100 OR mn > 140 THEN 1 ELSE 0 END) AS BIGINT) AS files_pruned,
+          |  CAST(sum(CASE WHEN mx < 100 OR mn > 140 THEN nr ELSE 0 END) AS BIGINT) AS rows_skipped
+          |  FROM pz)
+          |SELECT * FROM an UNION ALL SELECT * FROM az
+          |ORDER BY layout""".stripMargin.replaceAll("\n", " "),
       // unigram xent: avg over token INSTANCES of -ln(c/N); the 4-dp
       // round absorbs summation-order ulp noise (values ~3, err ~1e-13)
       "quality_perplexity" ->

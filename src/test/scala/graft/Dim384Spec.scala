@@ -89,6 +89,17 @@ class Dim384Spec extends AnyFunSuite {
     assert(r.head().getLong(0) === qid.toLong)
   }
 
+  test("SQ4 at 384: packed length 192, shortlist + exact re-rank, self first") {
+    val model = Sq.train(corpus, "embedding", dim)
+    val codes = Sq.encode4(model, corpus, "vec_id", "embedding")
+    // 384 dims nibble-pack into exactly 192 ints
+    assert(codes.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("codes"))).head().getInt(0) === 192)
+    val r = Sq.search4WithRerank(model, codes, corpus, query,
+      "vec_id", "embedding", "cosine", topK = 5, candidates = 20)
+    assert(r.head().getLong(0) === qid.toLong)
+  }
+
   test("PQ at 384: m=8 -> 48-dim subspaces; serving deterministic") {
     val model = Pq.train(corpus, "vec_id", "embedding",
       dim = dim, m = 8, k = 16, iters = 2)

@@ -483,6 +483,13 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("zonemap_prune: every window is bucket-partitioned, day frame never one task") {
+    val exec = SparkEntry.queries("zonemap_prune")(spark, dir)
+      .queryExecution.executedPlan
+    assert(windows(exec).forall(_.partitionSpec.nonEmpty), exec.toString)
+    assert(!exec.toString.contains("CartesianProduct"), exec.toString)
+  }
+
   test("multimodal_cdc_dedup: digests through the shuffle, blobs never; no cartesian") {
     val p = plan("multimodal_cdc_dedup")
     assert(!p.contains("CartesianProduct"), p)

@@ -8,13 +8,13 @@ class RecallSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
-  test("matrix: 13 family x budget rows, invariants hold") {
+  test("matrix: 15 family x budget rows, invariants hold") {
     val rows = Recall.matrix(
         Tables.load(spark, sf, "embeddings"), "vec_id", "embedding")
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
     val m = rows.toMap
-    assert(rows.length == 13 && m.size == 13)
+    assert(rows.length == 15 && m.size == 15)
     assert(m.values.forall(v => v >= 0.0 && v <= 1.0))
     // more probed clusters can only add candidates -> monotone recall
     assert(m(("ivf", "nprobe=1")) <= m(("ivf", "nprobe=2")))
@@ -30,7 +30,11 @@ class RecallSpec extends AnyFunSuite {
     // ahead of every non-member under the exact metric
     assert(m(("pq", "adc")) <= m(("pq", "rerank=30")))
     assert(m(("sq8", "codes")) <= m(("sq8", "rerank=30")))
+    assert(m(("sq4", "codes")) <= m(("sq4", "rerank=30")))
     assert(m(("bq", "hamming")) <= m(("bq", "rerank=30")))
+    // 16-level cells are coarser than 256-level ones: SQ4's raw code
+    // scan can't beat SQ8's (ties allowed at small SF)
+    assert(m(("sq4", "codes")) <= m(("sq8", "codes")) + 1e-9)
     // dequantized-l2 over 8-bit codes barely perturbs the ranking
     assert(m(("sq8", "codes")) >= 0.9, s"sq8 ${m(("sq8", "codes"))}")
   }
