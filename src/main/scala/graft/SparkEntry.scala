@@ -3980,6 +3980,28 @@ object SparkEntry {
     "dedup_recall_matrix" -> ((s, dir) =>
       Dedup.minhashRecallMatrix(t(s, dir, "documents"), "text", "doc_id")),
 
+    // -- the CDC generator scored against the SAME exact-Jaccard
+    //    truth as minhash/winnow: byte-level chunk-digest pairing is
+    //    shingle-blind, so this measures how well storage-style CDC
+    //    dedup recovers text near-dups — the third generator in the
+    //    measured-quality framework (Dedup.recallReport) --
+    "dedup_cdc_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ch = docs.select(col("doc_id"),
+          explode(graft.operators.Multimodal.cdcChunks(
+            col("text").cast("binary"), minLen = 8, modulus = 16L)).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("h")).distinct()
+      val keep = ch.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
+        .where(col("dfh") <= 50).select(col("h"))
+      val c2 = ch.join(keep, "h")
+      val pairs = c2.as("a").join(c2.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 3)
+      Dedup.recallReport(docs, "text", "doc_id", pairs)
+    }),
+
     // -- incremental near-dup: the doc_id%10==0 batch arrives as "new"
     //    against an at-rest signature store of the rest; only pairs
     //    touching a new doc are (re)emitted, and only new docs are
@@ -7745,6 +7767,55 @@ object SparkEntry {
            |pr AS (SELECT a.doc AS doc_a, b.doc AS doc_b
            |  FROM dk a JOIN dk b ON a.h = b.h AND a.doc < b.doc
            |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |j AS (SELECT t, p FROM
+           |  (SELECT doc_a, doc_b, 1 AS t FROM tr) _t
+           |  FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS p FROM pr) _p
+           |  USING (doc_a, doc_b))
+           |SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n_true,
+           | CAST(coalesce(sum(p), 0) AS BIGINT) AS n_pred,
+           | CAST(coalesce(sum(t * p), 0) AS BIGINT) AS n_hit,
+           | CASE WHEN coalesce(sum(p), 0) > 0 THEN
+           |   round(CAST(coalesce(sum(t * p), 0) AS DOUBLE) / sum(p), 4) END AS precision,
+           | CASE WHEN coalesce(sum(t), 0) > 0 THEN
+           |   round(CAST(coalesce(sum(t * p), 0) AS DOUBLE) / sum(t), 4) END AS recall
+           |FROM j""".stripMargin.replaceAll("\n", " ")
+      },
+      // same truth CTEs; prediction = the CDC chunk-digest pairs
+      // (multimodal_cdc_dedup's recurrence over text bytes, >=3)
+      "dedup_cdc_recall" -> {
+        val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+        s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+           |base AS (SELECT doc, list_sort(list_distinct($bases)) AS ss
+           |  FROM tk WHERE len(toks) >= 3),
+           |ex AS (SELECT doc, unnest(ss) AS sh FROM base),
+           |cand AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+           |  FROM ex x JOIN ex y ON x.sh = y.sh AND x.doc < y.doc),
+           |tr AS (SELECT doc_a, doc_b FROM cand
+           |  JOIN base a ON a.doc = cand.doc_a
+           |  JOIN base b ON b.doc = cand.doc_b
+           |  WHERE 3 * len(list_intersect(a.ss, b.ss)) >= len(a.ss) + len(b.ss)),
+           |dd AS (SELECT doc_id, text, len(text) AS n FROM documents),
+           |st AS (SELECT doc_id, text, n,
+           |  list_reduce(list_prepend([CAST(0 AS BIGINT), 0, 0],
+           |    list_transform(range(1, n + 1), i -> [CAST(i AS BIGINT),
+           |      CAST(ascii(text[i]) AS BIGINT), CAST(0 AS BIGINT)])),
+           |  (acc, x) -> CASE WHEN (x[1] - acc[2] >= 8) AND
+           |      ((acc[1] * 2 + (x[2] * 2654435761) % 1048576) % 1073741824) % 16 = 0
+           |    THEN [(acc[1] * 2 + (x[2] * 2654435761) % 1048576) % 1073741824,
+           |      x[1], x[1]] || acc[4:] || [x[1]]
+           |    ELSE [(acc[1] * 2 + (x[2] * 2654435761) % 1048576) % 1073741824,
+           |      acc[2], x[1]] || acc[4:] END)[4:] AS bounds FROM dd),
+           |ch0 AS (SELECT doc_id, unnest(list_filter(
+           |  list_transform(range(1, len(bounds) + 2), j ->
+           |    text[(CASE WHEN j = 1 THEN 1 ELSE bounds[j-1] + 1 END):
+           |         (CASE WHEN j = len(bounds) + 1 THEN n ELSE bounds[j] END)]),
+           |  c -> len(c) > 0)) AS chunk FROM st),
+           |chd AS (SELECT DISTINCT doc_id AS doc, md5(chunk) AS h FROM ch0),
+           |keep AS (SELECT h FROM chd GROUP BY h HAVING count(*) <= 50),
+           |c2 AS (SELECT chd.doc, chd.h FROM chd JOIN keep USING (h)),
+           |pr AS (SELECT a.doc AS doc_a, b.doc AS doc_b
+           |  FROM c2 a JOIN c2 b ON a.h = b.h AND a.doc < b.doc
+           |  GROUP BY 1, 2 HAVING count(*) >= 3),
            |j AS (SELECT t, p FROM
            |  (SELECT doc_a, doc_b, 1 AS t FROM tr) _t
            |  FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS p FROM pr) _p

@@ -308,6 +308,16 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
   }
 
+  /** [[winnowRecallReport]] generalized to ANY candidate generator:
+    * scores a (doc_a, doc_b) pair frame against the same exact
+    * Jaccard>=1/2 shingle truth the minhash/winnow audits use — the
+    * plug-in point for new generators (CDC chunk digests, embedding
+    * buckets) to join the measured quality framework. */
+  def recallReport(df: DataFrame, textCol: String, idCol: String,
+      pred: DataFrame, shingleK: Int = 3): DataFrame =
+    scorePairs(jaccardTruthPairs(df, textCol, idCol, shingleK),
+      pred.select(col("doc_a"), col("doc_b")))
+
   private def scorePairs(truth: DataFrame, pred: DataFrame): DataFrame =
     truth.withColumn("t", lit(1L))
       .join(pred.withColumn("p", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
