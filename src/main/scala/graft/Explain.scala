@@ -80,7 +80,8 @@ object Explain {
     "dedup_threshold_sweep", "vector_sql_union", "multimodal_dedup",
     "ivf_plan", "graph_triangles", "ann_sq4", "split_temporal",
     "events_changepoint", "events_quantile_sketch",
-    "multimodal_cdc_dedup", "zonemap_prune", "dedup_cdc_recall")
+    "multimodal_cdc_dedup", "zonemap_prune", "dedup_cdc_recall",
+    "interval_join", "dedup_cc_star", "embed_rp")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextEmbed, TextExprs, TextFuncs}
-import graft.operators.{Ann, Knn, Skew}
+import graft.operators.{Ann, AsOf, Dedup, Knn, Skew}
 
 /** Head-to-head timings + recall for the engine's design choices,
   * written to docs/PERF.md. Usage: runMain graft.Microbench [sfDir].
@@ -775,6 +775,94 @@ object Microbench {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
       try rm(new java.io.File(tmp)) catch { case _: Throwable => () }
+    }
+
+    // Connected components: label propagation vs star contraction.
+    // On the REAL dup graph (quasi-cliques, diameter ~2) propagation's
+    // fewer passes should win; on a chain, propagation cannot finish
+    // at all (rounds = diameter; its guard throws) while star
+    // contraction converges in O(log n) — that asymmetry, measured.
+    {
+      sb ++= "\n## Connected components: label propagation vs star contraction\n\n"
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
+        .localCheckpoint(eager = true)
+      val ids = docs.select(col("doc_id")).localCheckpoint(eager = true)
+      val tProp = time(warm = 1, reps = 2) {
+        Dedup.connectedComponents(ids, pairs, "doc_id", "doc_a", "doc_b")
+          .count()
+      }
+      val tStar = time(warm = 1, reps = 2) {
+        Dedup.connectedComponentsStar(ids, pairs, "doc_id", "doc_a", "doc_b")
+          .count()
+      }
+      val n = 5000
+      val chainNodes = spark.range(n).toDF("id")
+      val chainPairs = spark.range(n - 1)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+        .localCheckpoint(eager = true)
+      val propChain =
+        try {
+          Dedup.connectedComponents(chainNodes, chainPairs, "id", "a", "b")
+            .count(); "finished (unexpected)"
+        } catch {
+          case _: IllegalStateException => "guard trips at 30 rounds"
+        }
+      val tStarChain = time(warm = 1, reps = 2) {
+        Dedup.connectedComponentsStar(chainNodes, chainPairs, "id", "a", "b")
+          .count()
+      }
+      sb ++= "| graph | label propagation (s) | star contraction (s) |\n|---|---|---|\n"
+      sb ++= f"| corpus dup graph (quasi-cliques, diameter ~2) | $tProp%.2f | $tStar%.2f |\n"
+      sb ++= f"| 5000-node chain (diameter 4999) | $propChain | $tStarChain%.2f |\n"
+      sb ++= "\nReading: on real near-dup graphs propagation's 2-3 cheap\n"
+      sb ++= "rounds beat star contraction's heavier per-round work (two\n"
+      sb ++= "groupBy-min passes + re-symmetrize), so `dedup_clusters`\n"
+      sb ++= "keeps propagation; star contraction (`dedup_cc_star`) is the\n"
+      sb ++= "insurance policy for adversarial diameters, where propagation\n"
+      sb ++= "does not terminate at all. Same fixpoint, same oracle.\n"
+    }
+
+    // Interval join: Catalyst's nested-loop plan for the range
+    // predicate vs the bucketed equi-join, same result set
+    {
+      sb ++= "\n## Point-in-interval join: nested-loop vs bucketed equi-join\n\n"
+      val ev = Tables.load(spark, sfDir, "events")
+      val win = 600L * 1000000L
+      def iv(f: DataFrame) = f.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("win_id"),
+          expr("ts div 1000").as("lo"),
+          (expr("ts div 1000") + win).as("hi"))
+      def pt(f: DataFrame) = f.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("p"))
+      // the naive form only survives on a subsample: pairs grow as
+      // |clicks|x|errors| within the broadcast nested loop
+      val sub = ev.where(pmod(col("user_id"), lit(20)) === 0)
+        .localCheckpoint(eager = true)
+      val tNaiveSub = time(warm = 1, reps = 2) {
+        pt(sub).as("p").join(iv(sub).as("i"),
+          col("p.user_id") === col("i.user_id") &&
+            col("p.p") >= col("i.lo") && col("p.p") < col("i.hi")).count()
+      }
+      val tBucketSub = time(warm = 1, reps = 2) {
+        AsOf.intervalJoin(pt(sub), iv(sub), "user_id", "p", "lo", "hi", win)
+          .count()
+      }
+      val evAll = ev.localCheckpoint(eager = true)
+      val tBucketAll = time(warm = 1, reps = 2) {
+        AsOf.intervalJoin(pt(evAll), iv(evAll), "user_id", "p", "lo", "hi", win)
+          .count()
+      }
+      val nSub = sub.count(); val nAll = evAll.count()
+      sb ++= "| input | range-predicate join (s) | AsOf.intervalJoin (s) |\n|---|---|---|\n"
+      sb ++= f"| 1/20 user subsample ($nSub%d events) | $tNaiveSub%.2f | $tBucketSub%.2f |\n"
+      sb ++= f"| full corpus ($nAll%d events) | (quadratic — skipped) | $tBucketAll%.2f |\n"
+      sb ++= "\nReading: Catalyst plans `ON p BETWEEN lo AND hi` as a\n"
+      sb ++= "BroadcastNestedLoopJoin — every click meets every error\n"
+      sb ++= "window before the key+range filter. The bucketed form\n"
+      sb ++= "(explode intervals to ~2 covered buckets, hash-join on\n"
+      sb ++= "(key, bucket), exact post-filter) scales linearly and is\n"
+      sb ++= "plan-guarded to never contain a nested loop.\n"
     }
 
     Files.createDirectories(Paths.get("docs"))

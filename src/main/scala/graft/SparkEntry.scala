@@ -981,6 +981,30 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id")).limit(500)
     }),
 
+    // -- point-in-interval join: clicks landing inside the 10-minute
+    //    window after each error, bucketed-equi-join form (AsOf
+    //    .intervalJoin docstring has the scale story — the naive
+    //    range-predicate join is a per-key nested loop). Exact integer
+    //    microsecond bounds on both engines --
+    "interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val win = 600L * 1000000L // 10 min in µs = the bucket width
+      val iv = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("win_id"),
+          expr("ts div 1000").as("lo"),
+          (expr("ts div 1000") + win).as("hi"))
+      val pt = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("p"))
+      graft.operators.AsOf.intervalJoin(pt, iv,
+          "user_id", "p", "lo", "hi", bucketWidth = win)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("event_id")).as("n_hits"),
+          countDistinct(col("win_id")).as("n_hit_windows"))
+        .orderBy(col("user_id"))
+    }),
+
     // -- gap-based sessionization, pure SQL-window form (exact integer
     //    microsecond arithmetic; streaming form lives in EventStream) --
     "sessionize_sql" -> ((s, dir) => {
@@ -3382,6 +3406,46 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("shard"))),
 
+    // -- consistent-shard-resize audit: rendezvous (highest-random-
+    //    weight) hashing vs plain hash-mod when the shard count grows
+    //    16 -> 17. HRW moves ~1/17 of keys (only those whose new
+    //    shard wins the argmax); mod reshuffles ~16/17 — THE reason
+    //    a 100 TB at-rest layout uses consistent placement. Map-only:
+    //    per doc, argmax over a 16/17-entry hash array (first-max
+    //    tie-break identical in both engines via array_position);
+    //    integer hashes mod-bounded so nothing overflows int64 --
+    "shard_consistent" -> ((s, dir) => {
+      // quadratic (key+s)² mix before the multiplicative hash: a
+      // LINEAR-in-s term would give every key the same inter-shard
+      // offset vector (argmax follows that vector's gap structure, not
+      // ~uniform); the quadratic makes the stride key-dependent.
+      // Measured at sf0.1: 5.84% of keys move on 16 -> 17 (1/17 =
+      // 5.88%), per-shard counts 295-334 around the 312.5 mean.
+      // Intermediate mod 2^31 keeps the final product < 2^63
+      def hArr(n: Int) = expr(
+        s"""transform(sequence(0, ${n - 1}), s ->
+           |  ((((doc_id % 1000003) * 31 + s * 7919 +
+           |     ((doc_id % 1000003) + s + 2) * ((doc_id % 1000003) + s + 2))
+           |    % 2147483648) * 2654435761) % 4294967296)"""
+          .stripMargin.replaceAll("\n", " "))
+      def modShard(n: Int) = expr(
+        s"((doc_id % 1000003) * 2654435761) % 4294967296 % $n")
+      t(s, dir, "documents")
+        .select(col("doc_id"), hArr(16).as("h16"), hArr(17).as("h17"))
+        .select(
+          (expr("array_position(h16, array_max(h16))") - 1).as("hrw16"),
+          (expr("array_position(h17, array_max(h17))") - 1).as("hrw17"),
+          modShard(16).as("mod16"), modShard(17).as("mod17"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hrw16") =!= col("hrw17"), 1L).otherwise(0L))
+            .as("hrw_moved"),
+          sum(when(col("mod16") =!= col("mod17"), 1L).otherwise(0L))
+            .as("mod_moved"))
+        .select(col("n_docs"), col("hrw_moved"), col("mod_moved"),
+          expr("hrw_moved * 10000 div n_docs").as("hrw_moved_e4"),
+          expr("mod_moved * 10000 div n_docs").as("mod_moved_e4"))
+    }),
+
     // -- temperature-scaled mixture weights (p^0.7 renormalized):
     //    the standard multilingual up-weighting of small sources;
     //    the table a mixture sampler consumes --
@@ -4029,6 +4093,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // -- same transitive closure by O(log n) large-star/small-star
+    //    contraction (Kiveris et al. 2014) — the round-count-robust
+    //    form for CHAIN-shaped dup graphs, where min-label propagation
+    //    needs diameter-many shuffles. Identical fixpoint, identical
+    //    recursive-CTE oracle as dedup_clusters; the driver gate thus
+    //    cross-checks the two algorithms against each other --
+    "dedup_cc_star" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
+      Dedup.connectedComponentsStar(docs.select(col("doc_id")), pairs,
+          "doc_id", "doc_a", "doc_b")
+        .where(col("rep") =!= col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- keep-BEST-per-cluster dedup policy: same minhash -> CC chain
     //    as dedup_clusters, but the survivor is the member with the
     //    highest quality score (ties: lowest doc_id) instead of the
@@ -4504,6 +4583,38 @@ object SparkEntry {
           .cast("bigint").as("dist_b"))
         .groupBy(col("dist_b")).agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("dist_b"))
+    }),
+
+    // -- Johnson–Lindenstrauss random-projection distortion audit:
+    //    project 64 -> 16 dims with the codegen'd RpProject kernel
+    //    (SAME deterministic plane convention as lsh_signature), then
+    //    histogram the normalized pair-distance ratio
+    //    d16·12/(d64·16) — expected 1.0 under JL — over the
+    //    count-derived ~256-vector sample (embed_dist_hist pattern,
+    //    constant work at any SF). The 100 TB story: RP is MAP-ONLY
+    //    (no training pass at all), vs PCA's full Gram-matrix pass —
+    //    the first dim-reduction rung when even one corpus scan for
+    //    training is too expensive --
+    "embed_rp" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val mod = math.max(1L, (e.count() + 255L) / 256L)
+      val k = 16
+      val sample = e.where(pmod(col("vec_id"), lit(mod)) === 0)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"),
+          graft.functions.LshExpr.rp_project(col("embedding"), k).as("y"))
+      def d2(a: String, b: String) = expr(
+        s"""aggregate(zip_with($a, $b, (x, z) -> (x - z) * (x - z)),
+           |CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"""
+          .stripMargin.replaceAll("\n", " "))
+      sample.as("a").join(sample.as("b"),
+          col("a.vec_id") < col("b.vec_id"))
+        .select(d2("a.v", "b.v").as("d_orig"), d2("a.y", "b.y").as("d_proj"))
+        .where(col("d_orig") > 0)
+        .select(floor(col("d_proj") * 12.0 / (col("d_orig") * k) * 10)
+          .cast("bigint").as("ratio_b"))
+        .groupBy(col("ratio_b")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("ratio_b"))
     }),
 
     // -- embedding norm histogram (0.1-wide buckets): the
@@ -5199,7 +5310,14 @@ object SparkEntry {
 
   // ---- oracle SQL (DuckDB 1.0, bare table names per driver) ------------
 
-  def oracleSql: Map[String, String] = coreOracles ++ pipelineOracles
+  def oracleSql: Map[String, String] = {
+    val m = coreOracles ++ pipelineOracles
+    // dedup_cc_star is the SAME fixpoint as dedup_clusters computed by
+    // a different algorithm (star contraction vs label propagation) —
+    // sharing the recursive-CTE oracle makes the driver gate a
+    // cross-check of the two implementations against each other
+    m + ("dedup_cc_star" -> m("dedup_clusters"))
+  }
 
   /** Shared CTE chain for the static-codebook PQ oracles: codebooks
     * from vectors 0..15, argmin-l2 encode, ADC scores vs the query's
@@ -7055,6 +7173,33 @@ object SparkEntry {
           | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           | min(doc_id) AS min_id, max(doc_id) AS max_id
           |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin.replaceAll("\n", " "),
+      // list_position finds the FIRST max, matching Spark's
+      // array_position tie-break; all hashes are mod-bounded integers
+      "shard_consistent" ->
+        """WITH h AS (SELECT doc_id,
+          |  list_transform(range(0, 16), s ->
+          |    ((((doc_id % 1000003) * 31 + s * 7919 +
+          |      ((doc_id % 1000003) + s + 2) * ((doc_id % 1000003) + s + 2))
+          |     % 2147483648) * 2654435761) % 4294967296) AS h16,
+          |  list_transform(range(0, 17), s ->
+          |    ((((doc_id % 1000003) * 31 + s * 7919 +
+          |      ((doc_id % 1000003) + s + 2) * ((doc_id % 1000003) + s + 2))
+          |     % 2147483648) * 2654435761) % 4294967296) AS h17
+          |  FROM documents),
+          |a AS (SELECT
+          |  list_position(h16, list_max(h16)) - 1 AS hrw16,
+          |  list_position(h17, list_max(h17)) - 1 AS hrw17,
+          |  ((doc_id % 1000003) * 2654435761) % 4294967296 % 16 AS mod16,
+          |  ((doc_id % 1000003) * 2654435761) % 4294967296 % 17 AS mod17
+          |  FROM h),
+          |c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN hrw16 <> hrw17 THEN 1 ELSE 0 END) AS BIGINT) AS hrw_moved,
+          |  CAST(sum(CASE WHEN mod16 <> mod17 THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved
+          |  FROM a)
+          |SELECT n_docs, hrw_moved, mod_moved,
+          | CAST(hrw_moved * 10000 // n_docs AS BIGINT) AS hrw_moved_e4,
+          | CAST(mod_moved * 10000 // n_docs AS BIGINT) AS mod_moved_e4
+          |FROM c""".stripMargin.replaceAll("\n", " "),
       "mix_budget" ->
         s"""WITH tk AS (SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
            |  FROM documents),
@@ -7555,6 +7700,28 @@ object SparkEntry {
           |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
           |SELECT dist_b, CAST(count(*) AS BIGINT) AS n_pairs
           |FROM p GROUP BY dist_b ORDER BY dist_b"""
+          .stripMargin.replaceAll("\n", " "),
+      // the RpProject plane convention is lsh_signature's: component
+      // (p, i) = ((p*64 + i) * 2654435761 mod 2^32) / 2^32 - 0.5 with
+      // DuckDB's 1-based lambda index i matching the kernel's j+1
+      "embed_rp" ->
+        """WITH m AS (SELECT greatest(1, (count(*) + 255) // 256) AS md
+          |  FROM embeddings),
+          |s AS (SELECT vec_id,
+          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          |  list_transform(range(0, 16), p ->
+          |    list_sum(list_transform(embedding, (x, i) ->
+          |      CAST(x AS DOUBLE) *
+          |      (((p * 64 + i) * 2654435761 % 4294967296) / 4294967296.0 - 0.5)))) AS y
+          |  FROM embeddings, m
+          |  WHERE ((vec_id % m.md) + m.md) % m.md = 0),
+          |pr AS (SELECT
+          |  list_sum(list_transform(a.v, (x, i) -> (x - b.v[i]) * (x - b.v[i]))) AS d_orig,
+          |  list_sum(list_transform(a.y, (x, i) -> (x - b.y[i]) * (x - b.y[i]))) AS d_proj
+          |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
+          |SELECT CAST(floor(d_proj * 12.0 / (d_orig * 16) * 10) AS BIGINT) AS ratio_b,
+          | CAST(count(*) AS BIGINT) AS n_pairs
+          |FROM pr WHERE d_orig > 0 GROUP BY ratio_b ORDER BY ratio_b"""
           .stripMargin.replaceAll("\n", " "),
       "events_lifespan" ->
         """WITH d AS (SELECT user_id, epoch_us(ts) // 1000000 // 86400 AS day
@@ -9397,6 +9564,18 @@ object SparkEntry {
         | round(p.value, 4) AS purchase_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t >= p.t
         |ORDER BY c.user_id, c.event_id LIMIT 500""".stripMargin.replaceAll("\n", " "),
+    // the declarative range-predicate form of AsOf.intervalJoin's
+    // bucketed equi-join — same exact-µs bounds
+    "interval_join" ->
+      """WITH iv AS (SELECT user_id, event_id AS win_id, epoch_us(ts) AS lo,
+        |  epoch_us(ts) + 600000000 AS hi FROM events WHERE event_type = 'error'),
+        |pt AS (SELECT user_id, event_id, epoch_us(ts) AS p FROM events WHERE event_type = 'click'),
+        |m AS (SELECT pt.user_id, pt.event_id, iv.win_id FROM pt JOIN iv
+        |  ON pt.user_id = iv.user_id AND pt.p >= iv.lo AND pt.p < iv.hi)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(count(DISTINCT event_id) AS BIGINT) AS n_hits,
+        | CAST(count(DISTINCT win_id) AS BIGINT) AS n_hit_windows
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin.replaceAll("\n", " "),
     "sessionize_sql" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
         |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),

@@ -79,9 +79,75 @@ case class LshSignature(child: Expression, numPlanes: Int)
     copy(child = c)
 }
 
+/** Shared dense-projection kernel: output component p =
+  * dot(vec, plane_p) under [[LshSignature]]'s plane convention —
+  * called from both RpProject's interpreted eval and its generated
+  * code, so the two paths cannot drift.
+  */
+object RpKernels {
+  def project(vec: ArrayData, isFloat: Boolean, k: Int): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Double](k)
+    var p = 0
+    while (p < k) {
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        val x = if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+        val u = ((p * 64 + j + 1) * 2654435761L % 4294967296L) / 4294967296.0 - 0.5
+        dot += x * u
+        j += 1
+      }
+      out(p) = dot
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Johnson–Lindenstrauss dense random projection (codegen'd): maps
+  * array<float|double> of any width to array<double> of k components,
+  * y_p = dot(vec, plane_p), with the SAME deterministic plane
+  * convention as [[LshSignature]] (LshSignature keeps only
+  * sign(y_p); this keeps the value). Plane entries are uniform in
+  * [-0.5, 0.5) (variance 1/12), so E[l2²(y_a, y_b)] =
+  * (k/12) · l2²(x_a, x_b) — distances are preserved up to the JL
+  * distortion bound WITHOUT any training pass: at 100 TB this is a
+  * map-only column transform, vs PCA's full Gram-matrix pass.
+  */
+case class RpProject(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "rp_project"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"rp_project expects array<float|double>, got ${t.catalogString}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    RpKernels.project(v.asInstanceOf[ArrayData], isFloat, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.RpKernels.project($a, $isFloat, $k);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object LshExpr {
   def lsh_signature(vec: Column, numPlanes: Int = 8): Column =
     Shims.column(LshSignature(Shims.expression(vec), numPlanes))
+
+  def rp_project(vec: Column, k: Int): Column =
+    Shims.column(RpProject(Shims.expression(vec), k))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Shims.functionRegistry(spark).createOrReplaceTempFunction(

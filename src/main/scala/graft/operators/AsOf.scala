@@ -75,4 +75,47 @@ object AsOf {
       .select(col("_lrow.*") +:
         payload.map(p => col("_last." + p).as(p + suffix)): _*)
   }
+
+  /** Floor division as exact integer arithmetic: (c - pmod(c, w)) is
+    * an exact multiple of w, so the divide is exact for any epoch
+    * magnitude — never floor(double) on a raw quotient, whose rounding
+    * at bucket boundaries would put a point in the wrong bucket.
+    */
+  private def fdiv(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))) / w).cast(LongType)
+
+  /** Point-in-interval join: every (point, interval) pair on the same
+    * key with `lo <= point < hi` — the "which events fall inside
+    * which windows" operator. Catalyst plans the naive
+    * `ON p >= lo AND p < hi` form as a nested-loop join (O(n*m) per
+    * key); this is the bucketed equi-join form:
+    *
+    *   1. intervals explode to the time buckets they overlap
+    *      (ceil(len/bucketWidth)+1 rows each — pick bucketWidth near
+    *      the typical interval length so the fan-out is ~2),
+    *   2. points map to their single containing bucket,
+    *   3. ONE hash equi-join on (key, bucket),
+    *   4. exact range post-filter (the bucket join is a superset).
+    *
+    * At 100 TB both sides shuffle once on (key, bucket) — candidate
+    * pairs exist only inside a bucket, and bucket population is
+    * time-local, so a year of data spreads over ~50k buckets instead
+    * of one per-key nested loop. Empty/inverted intervals
+    * (`lo >= hi`) match nothing, as on the SQL side.
+    *
+    * Output: the matched pairs — all point columns plus the interval
+    * frame's non-key columns (caller aliases any collisions first).
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+      keyCol: String, pointCol: String, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val iv = intervals.where(col(loCol) < col(hiCol))
+      .withColumn("_b", explode(sequence(
+        fdiv(col(loCol), bucketWidth), fdiv(col(hiCol) - 1, bucketWidth))))
+    val pt = points.withColumn("_b", fdiv(col(pointCol), bucketWidth))
+    pt.join(iv, Seq(keyCol, "_b"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("_b")
+  }
 }

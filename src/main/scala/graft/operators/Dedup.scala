@@ -400,6 +400,103 @@ object Dedup {
       .select(col("n").as(nodeCol), col("lbl").as("rep"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", 2014) — the O(log n)-round form the
+    * [[connectedComponents]] docstring defers to for adversarially
+    * CHAIN-shaped graphs, where min-label propagation needs
+    * diameter-many rounds (and trips its maxRounds guard).
+    *
+    * Each round is two groupBy-min passes over the CURRENT edge set
+    * (which only shrinks toward one star edge per non-root node), so
+    * a 100 TB near-dup graph costs O(log n) bounded shuffles instead
+    * of O(diameter). large-star hangs every neighbor LARGER than u
+    * off the minimum of u's closed neighborhood (keeps trees shallow
+    * without ever pointing a smaller id at a larger one); small-star
+    * then re-parents u and its not-larger neighbors to that minimum.
+    * Convergence = the canonical edge set stops changing, checked by
+    * count + an order-independent decimal checksum (never a collect).
+    *
+    * Output: (nodeCol, rep) for every node — identical fixpoint to
+    * [[connectedComponents]] (rep = component minimum; isolated nodes
+    * keep themselves), so either can serve the same recursive-CTE
+    * oracle.
+    */
+  def connectedComponentsStar(nodes: DataFrame, pairs: DataFrame,
+      nodeCol: String, aCol: String, bCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    val sym0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    var edges = sym0.localCheckpoint(eager = true)
+    // order-independent fingerprint of the canonical (min, max) edge
+    // set; xxhash64 decorrelates ids so a swap can't preserve the sum
+    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .distinct()
+        .agg(count(lit(1)),
+          sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")))
+        .head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    var prev = sig(edges)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      // large-star: per node u over the SYMMETRIZED neighborhood
+      // (edges become directed child->parent after round 1),
+      // m = min(neighborhood ∪ {u}); re-parent only neighbors v > u
+      // onto m — every undirected edge is handled exactly once, from
+      // its smaller endpoint's group
+      val sym = edges
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+      val mLarge = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = sym.join(mLarge, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // small-star over edges oriented child=max, parent=min:
+      // per child u, m = min(parents ∪ {u}); re-parent u and every
+      // parent onto m
+      val small0 = large
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+      val mSmall = small0.groupBy(col("u"))
+        .agg(min(col("v")).as("m"))
+      val small = small0.join(mSmall, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mSmall.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      val cur = sig(small)
+      done = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
+      prev = cur
+      edges = small
+      round += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxRounds " +
+        "rounds — star contraction is O(log n), so this indicates a " +
+        "bug or an astronomically large component, not a deep graph")
+    // at fixpoint edges are stars (child -> component min); nodes that
+    // appear only as a star CENTER or not at all label themselves
+    val starLabels = edges.select(col("u").as("n"), col("v").as("lbl"))
+    val selfLabels = nodes.select(col(nodeCol).as("n"))
+      .join(starLabels.select(col("n")), Seq("n"), "left_anti")
+      .select(col("n"), col("n").as("lbl"))
+    starLabels.union(selfLabels)
+      .select(col("n").as(nodeCol), col("lbl").as("rep"))
+  }
+
   /** Top-k closest pairs by embedding cosine distance, EXACT all-pairs
     * form: O(n²) candidates — only for small corpora / recall
     * measurement. The shipped query path is [[lshClosestPairs]].

@@ -25,6 +25,39 @@ class AnnScaleSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [lsh_signature"), plan)
   }
 
+  test("rp_project: sign(component p) == lsh_signature bit p on the corpus") {
+    // RpProject keeps the plane dots whose SIGNS LshSignature packs —
+    // same plane convention by construction, pinned here on real data
+    val e = Tables.load(spark, sf, "embeddings")
+    val diff = e.select(
+        Ann.lshSignature(col("embedding"), 8).as("sig"),
+        graft.functions.LshExpr.rp_project(col("embedding"), 8).as("y"))
+      .select(col("sig"), expr(
+        """aggregate(zip_with(y, sequence(0, 7), (v, p) ->
+          |  CASE WHEN v > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0L END),
+          |0L, (a, b) -> a + b)""".stripMargin.replaceAll("\n", " ")).as("fromy"))
+      .where(col("sig") =!= col("fromy")).count()
+    assert(diff == 0)
+  }
+
+  test("rp_project: JL mean distance ratio near 1, runs codegen'd") {
+    val e = Tables.load(spark, sf, "embeddings").limit(64)
+    val proj = e.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"),
+      graft.functions.LshExpr.rp_project(col("embedding"), 16).as("y"))
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(plan.contains("rp_project"), plan)
+    def d2(a: String, b: String) = expr(
+      s"aggregate(zip_with($a, $b, (x, z) -> (x - z) * (x - z)), " +
+        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)")
+    val r = proj.as("a").join(proj.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select((d2("a.y", "b.y") * 12.0 / (d2("a.v", "b.v") * 16.0)).as("ratio"))
+      .agg(avg(col("ratio"))).head.getDouble(0)
+    // E[ratio] = 1 under JL; 16 dims is noisy per pair but the mean
+    // over ~2k pairs concentrates well inside [0.8, 1.2]
+    assert(r > 0.8 && r < 1.2, s"mean JL ratio $r")
+  }
+
   test("multi-table LSH with L=1 degenerates to single-table searchLsh") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))

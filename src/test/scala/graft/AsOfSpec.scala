@@ -94,4 +94,45 @@ class AsOfSpec extends AnyFunSuite {
       assert(got(eid) == expect, s"click $eid")
     }
   }
+
+  // ---- intervalJoin ------------------------------------------------------
+
+  test("intervalJoin: half-open [lo, hi) bounds, bucket-straddling " +
+      "intervals, empty interval matches nothing") {
+    // bucketWidth 10; interval (1, 5, 25) straddles buckets 0..2
+    val iv = Seq((1L, 100L, 5L, 25L), (1L, 101L, 30L, 30L),
+      (2L, 102L, 0L, 10L)).toDF("k", "win_id", "lo", "hi")
+    val pt = Seq((1L, 1L, 5L), (1L, 2L, 24L), (1L, 3L, 25L),
+      (1L, 4L, 30L), (2L, 5L, 9L), (3L, 6L, 7L)).toDF("k", "pid", "p")
+    val got = AsOf.intervalJoin(pt, iv, "k", "p", "lo", "hi", 10L)
+      .select("pid", "win_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pid 1 at lo (inclusive), pid 2 inside, pid 3 at hi (exclusive),
+    // pid 4 inside the EMPTY interval (lo==hi -> no match),
+    // pid 5 on key 2, pid 6 on a key with no intervals
+    assert(got == Set((1L, 100L), (2L, 100L), (5L, 102L)))
+  }
+
+  test("intervalJoin: pair set equals the brute-force range join for " +
+      "any bucket width") {
+    val rnd = new scala.util.Random(42)
+    val iv = (0 until 60).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (rnd.nextInt(3).toLong, i.toLong, lo, lo + rnd.nextInt(80).toLong)
+    }.toDF("k", "win_id", "lo", "hi")
+    val pt = (0 until 200).map(i =>
+      (rnd.nextInt(3).toLong, i.toLong, rnd.nextInt(1100).toLong))
+      .toDF("k", "pid", "p")
+    val brute = pt.as("p").join(iv.as("i"),
+        col("p.k") === col("i.k") && col("p.p") >= col("i.lo") &&
+          col("p.p") < col("i.hi"))
+      .select(col("pid"), col("win_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = AsOf.intervalJoin(pt, iv, "k", "p", "lo", "hi", w)
+        .select("pid", "win_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute, s"bucketWidth $w")
+    }
+  }
 }

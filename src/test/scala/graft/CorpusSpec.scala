@@ -213,4 +213,49 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     expect.foreach { case (n, r) => assert(got(n) == r, s"node $n") }
   }
+
+  // ---- star-contraction connected components -----------------------------
+
+  test("connectedComponentsStar: chain + clique + isolated node") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("a", "b")
+    val got = Dedup.connectedComponentsStar(nodes, pairs, "id", "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("connectedComponentsStar: 200-node chain in O(log n) rounds " +
+      "(label propagation's maxRounds guard trips on the same graph)") {
+    // the adversarial shape the connectedComponents docstring defers
+    // to star contraction for: diameter 199 >> default maxRounds
+    val n = 200
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, pairs, "id", "a", "b").collect()
+    }
+    val got = Dedup.connectedComponentsStar(nodes, pairs, "id", "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == n && got.forall(_._2 == 0L))
+  }
+
+  test("connectedComponentsStar: empty edges, and fixpoint equal to " +
+      "label propagation on corpus pairs") {
+    val empty = Dedup.connectedComponentsStar(Seq(7L, 8L).toDF("id"),
+        Seq.empty[(Long, Long)].toDF("a", "b"), "id", "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(empty == Map(7L -> 7L, 8L -> 8L))
+    val docs = Tables.load(spark, sf, "documents")
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
+      .localCheckpoint(eager = true)
+    val prop = Dedup.connectedComponents(
+        docs.select(col("doc_id")), pairs, "doc_id", "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val star = Dedup.connectedComponentsStar(
+        docs.select(col("doc_id")), pairs, "doc_id", "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star == prop)
+  }
 }

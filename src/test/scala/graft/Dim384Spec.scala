@@ -62,6 +62,22 @@ class Dim384Spec extends AnyFunSuite {
     }
   }
 
+  test("rp_project at 384: components equal the plane-formula dots") {
+    val row = corpus.where(col("vec_id") === 3)
+      .select(graft.functions.LshExpr.rp_project(col("embedding"), 16))
+      .head.getSeq[Double](0)
+    assert(row.length == 16)
+    val v = vec(3)
+    for (p <- 0 until 16) {
+      var dot = 0.0
+      for (j <- 0 until dim)
+        dot += v(j).toDouble *
+          (((p * 64 + j + 1) * 2654435761L % 4294967296L) / 4294967296.0 - 0.5)
+      // identical op order + double accumulation -> bit-equal
+      assert(row(p) === dot, s"component $p")
+    }
+  }
+
   test("flat + LSH at 384: exact-duplicate query retrieves itself first") {
     val flat = graft.operators.Knn.topK(
       corpus, query, "vec_id", "embedding", "cosine", 5)

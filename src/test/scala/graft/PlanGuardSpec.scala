@@ -517,4 +517,15 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(windows(exec).isEmpty, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("interval_join: bucketed EQUI join, never Catalyst's nested loop") {
+    val p = plan("interval_join")
+    // the whole point of AsOf.intervalJoin: the range predicate rides
+    // a (key, bucket) hash join as a post-filter — a plan with a
+    // nested-loop join means the bucketing regressed to O(n*m)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
 }
