@@ -81,7 +81,8 @@ object Explain {
     "ivf_plan", "graph_triangles", "ann_sq4", "split_temporal",
     "events_changepoint", "events_quantile_sketch",
     "multimodal_cdc_dedup", "zonemap_prune", "dedup_cdc_recall",
-    "interval_join", "dedup_cc_star", "embed_rp")
+    "interval_join", "dedup_cc_star", "embed_rp",
+    "shard_consistent", "corpus_yield_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -835,12 +835,19 @@ object Microbench {
       def pt(f: DataFrame) = f.where(col("event_type") === "click")
         .select(col("user_id"), col("event_id"),
           expr("ts div 1000").as("p"))
-      // the naive form only survives on a subsample: pairs grow as
-      // |clicks|x|errors| within the broadcast nested loop
-      val sub = ev.where(pmod(col("user_id"), lit(20)) === 0)
+      // the nested loop's work is |clicks| x |errors| ACROSS keys
+      // (the key equality is just part of the post-predicate), so the
+      // quarter-corpus and full-corpus rows expose the quadratic
+      val sub = ev.where(pmod(col("user_id"), lit(4)) === 0)
         .localCheckpoint(eager = true)
-      val tNaiveSub = time(warm = 1, reps = 2) {
+      val evAll = ev.localCheckpoint(eager = true)
+      val tNaiveSub = time(warm = 0, reps = 1) {
         pt(sub).as("p").join(iv(sub).as("i"),
+          col("p.user_id") === col("i.user_id") &&
+            col("p.p") >= col("i.lo") && col("p.p") < col("i.hi")).count()
+      }
+      val tNaiveAll = time(warm = 0, reps = 1) {
+        pt(evAll).as("p").join(iv(evAll).as("i"),
           col("p.user_id") === col("i.user_id") &&
             col("p.p") >= col("i.lo") && col("p.p") < col("i.hi")).count()
       }
@@ -848,21 +855,22 @@ object Microbench {
         AsOf.intervalJoin(pt(sub), iv(sub), "user_id", "p", "lo", "hi", win)
           .count()
       }
-      val evAll = ev.localCheckpoint(eager = true)
       val tBucketAll = time(warm = 1, reps = 2) {
         AsOf.intervalJoin(pt(evAll), iv(evAll), "user_id", "p", "lo", "hi", win)
           .count()
       }
       val nSub = sub.count(); val nAll = evAll.count()
       sb ++= "| input | range-predicate join (s) | AsOf.intervalJoin (s) |\n|---|---|---|\n"
-      sb ++= f"| 1/20 user subsample ($nSub%d events) | $tNaiveSub%.2f | $tBucketSub%.2f |\n"
-      sb ++= f"| full corpus ($nAll%d events) | (quadratic — skipped) | $tBucketAll%.2f |\n"
+      sb ++= f"| 1/4 user subsample ($nSub%d events) | $tNaiveSub%.2f | $tBucketSub%.2f |\n"
+      sb ++= f"| full corpus ($nAll%d events) | $tNaiveAll%.2f | $tBucketAll%.2f |\n"
       sb ++= "\nReading: Catalyst plans `ON p BETWEEN lo AND hi` as a\n"
       sb ++= "BroadcastNestedLoopJoin — every click meets every error\n"
-      sb ++= "window before the key+range filter. The bucketed form\n"
-      sb ++= "(explode intervals to ~2 covered buckets, hash-join on\n"
-      sb ++= "(key, bucket), exact post-filter) scales linearly and is\n"
-      sb ++= "plan-guarded to never contain a nested loop.\n"
+      sb ++= "window across ALL keys before the predicate filters\n"
+      sb ++= "(4x the events -> ~16x the nested-loop work), while the\n"
+      sb ++= "bucketed form (explode intervals to ~2 covered buckets,\n"
+      sb ++= "hash-join on (key, bucket), exact post-filter) scales\n"
+      sb ++= "linearly and is plan-guarded to never contain a nested\n"
+      sb ++= "loop.\n"
     }
 
     Files.createDirectories(Paths.get("docs"))

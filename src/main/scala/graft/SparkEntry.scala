@@ -3640,6 +3640,56 @@ object SparkEntry {
           col("n_contaminated"), col("quality_mass_e4"))
     }),
 
+    // -- per-(source, reason) drop ledger: every doc gets its FIRST
+    //    failing rule in the fixed precedence exact_dup -> near_dup ->
+    //    benchmark -> contaminated -> low_quality -> kept — the
+    //    per-source yield table a corpus build publishes next to the
+    //    datasheet. Rules are evaluated independently on the full
+    //    corpus (each is the already-oracled operator: md5 keep-min,
+    //    minhash CC rep, %97 bench split, 3-shingle contamination,
+    //    INTEGER-e4 quality — float quality hits cross-engine 4-dp
+    //    rounding midpoints at scale, see corpus_datasheet) and
+    //    precedence is a CASE, so the ledger costs the UNION of its
+    //    rules, not a pipeline of materializations --
+    "corpus_yield_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exactKeep = Dedup.exactGroups(docs, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"), lit(1L).as("ek"))
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
+      val reps = Dedup.connectedComponents(docs.select(col("doc_id")),
+        pairs, "doc_id", "doc_a", "doc_b")
+      val contam = Corpus.contaminatedIds(
+          docs.where(col("doc_id") % 97 =!= 0),
+          docs.where(col("doc_id") % 97 === 0),
+          "text", "doc_id", shingleK = 3)
+        .select(col("doc_id"), lit(1L).as("cont"))
+      val qual = docs.select(col("doc_id"), col("source"),
+          TextExprs.token_stats(col("text"), Seq("the", "a")).as("st"))
+        .select(col("doc_id"), col("source"),
+          col("st.n_tokens").as("nt"),
+          (col("st.marker_counts")(0) + col("st.marker_counts")(1)).as("sp"),
+          col("st.n_distinct").as("nd"))
+        .select(col("doc_id"), col("source"),
+          when(col("nt") === 0, 0L).otherwise(
+            lit(40L) * least(col("nt"), lit(100)) +
+              expr("((nt - sp) * 3000) div nt") +
+              expr("(nd * 3000) div nt")).as("q_e4"))
+      qual
+        .join(exactKeep, Seq("doc_id"), "left")
+        .join(reps, Seq("doc_id"))
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("source"),
+          when(col("ek").isNull, "exact_dup")
+            .when(col("rep") =!= col("doc_id"), "near_dup")
+            .when(col("doc_id") % 97 === 0, "benchmark")
+            .when(col("cont") === 1L, "contaminated")
+            .when(col("q_e4") < 6000L, "low_quality")
+            .otherwise("kept").as("reason"))
+        .groupBy(col("source"), col("reason"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("reason"))
+    }),
+
     // -- the RAG ingestion pipeline composed end to end: overlapping
     //    chunking -> deterministic chunk embeddings -> static-IVF tag
     //    -> partition-pruned probe (nprobe=2) for a text query's
@@ -6729,6 +6779,46 @@ object SparkEntry {
            |  count(*) OVER (PARTITION BY lang) AS nl FROM q)
            |SELECT lang, doc_id, quality FROM r WHERE rn <= (nl + 3) // 4
            |ORDER BY lang, quality DESC, doc_id LIMIT 200""".stripMargin.replaceAll("\n", " "),
+      // the drop ledger replays each rule's own oracle (md5 keep-min,
+      // the dedup_clusters recursive CTE, %97 bench + 3-shingle
+      // contamination, the datasheet's INTEGER-e4 quality) and applies
+      // the same CASE precedence
+      "corpus_yield_report" -> {
+        val bases3 = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+        s"""WITH RECURSIVE tk AS (SELECT doc_id, source, $toks AS toks FROM documents),
+           |ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+           |sigs AS (SELECT doc_id AS doc, ${SqlSnips.minhashSig(bases3, 8)} AS sig
+           |  FROM tk WHERE len(toks) >= 3),
+           |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
+           |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
+           |prs AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+           |  FROM bands x JOIN bands y
+           |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc),
+           |edges AS (SELECT doc_a AS s, doc_b AS d FROM prs
+           |  UNION SELECT doc_b, doc_a FROM prs),
+           |reach(n, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+           |  UNION SELECT e.d, reach.r FROM edges e JOIN reach ON reach.n = e.s),
+           |lbl AS (SELECT n AS doc_id, min(r) AS rep FROM reach GROUP BY n),
+           |sh AS (SELECT doc_id, unnest($bases3) AS sh FROM tk WHERE len(toks) >= 3),
+           |b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+           |cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN b USING (sh)
+           |  WHERE s.doc_id % 97 <> 0),
+           |rr AS (SELECT t.source,
+           |  CASE WHEN t.doc_id NOT IN (SELECT doc_id FROM ek) THEN 'exact_dup'
+           |   WHEN COALESCE(l.rep, t.doc_id) <> t.doc_id THEN 'near_dup'
+           |   WHEN t.doc_id % 97 = 0 THEN 'benchmark'
+           |   WHEN t.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+           |   WHEN (CASE WHEN len(t.toks) = 0 THEN 0
+           |     ELSE 40 * least(len(t.toks), 100) +
+           |      ((len(t.toks) - len(list_filter(t.toks, x -> x IN ('the', 'a')))) * 3000) // len(t.toks) +
+           |      (len(list_distinct(t.toks)) * 3000) // len(t.toks) END) < 6000
+           |    THEN 'low_quality'
+           |   ELSE 'kept' END AS reason
+           |  FROM tk t LEFT JOIN lbl l ON t.doc_id = l.doc_id)
+           |SELECT source, reason, CAST(count(*) AS BIGINT) AS n_docs
+           |FROM rr GROUP BY source, reason ORDER BY source, reason"""
+          .stripMargin.replaceAll("\n", " ")
+      },
       // replays the deterministic PII synthesis, then counts (group 0
       // extract-all) and replaces in the same fixed order; DuckDB
       // regexp_replace needs the explicit 'g' flag to mirror Spark's

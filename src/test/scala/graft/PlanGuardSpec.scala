@@ -518,6 +518,18 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("shard_consistent: map-only argmax, zero hash shuffles") {
+    // per-doc HRW argmax is a projection; the only exchange is the
+    // final single-partition global aggregate
+    assert(hashExchanges(plan("shard_consistent")) === 0)
+  }
+
+  test("corpus_yield_report: rule union joins, no cartesian/nested loop") {
+    val p = plan("corpus_yield_report")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("interval_join: bucketed EQUI join, never Catalyst's nested loop") {
     val p = plan("interval_join")
     // the whole point of AsOf.intervalJoin: the range predicate rides
