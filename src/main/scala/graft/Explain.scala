@@ -82,7 +82,7 @@ object Explain {
     "events_changepoint", "events_quantile_sketch",
     "multimodal_cdc_dedup", "zonemap_prune", "dedup_cdc_recall",
     "interval_join", "dedup_cc_star", "embed_rp",
-    "shard_consistent", "corpus_yield_report")
+    "shard_consistent", "corpus_yield_report", "ann_rp_rerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

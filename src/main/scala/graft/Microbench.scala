@@ -822,55 +822,56 @@ object Microbench {
       sb ++= "does not terminate at all. Same fixpoint, same oracle.\n"
     }
 
-    // Interval join: Catalyst's nested-loop plan for the range
-    // predicate vs the bucketed equi-join, same result set
+    // Interval join, the KEYLESS (global-window) case: with a
+    // selective equi-key Catalyst already plans a hash join with the
+    // range as a residual filter (measured: keyed naive == bucketed
+    // within noise); the nested loop appears when windows are global
+    // — exactly the case the bucket join fixes by bounding candidates
+    // by TIME LOCALITY instead of key selectivity
     {
-      sb ++= "\n## Point-in-interval join: nested-loop vs bucketed equi-join\n\n"
+      sb ++= "\n## Global-window interval join: nested-loop vs bucketed\n\n"
       val ev = Tables.load(spark, sfDir, "events")
       val win = 600L * 1000000L
+      // global windows: EVERY error polices ALL clicks — |clicks| x
+      // |windows| nested-loop comparisons (~400M at sf0.1) vs the
+      // bucket join's ~|buckets| x (per-bucket clicks x windows)
       def iv(f: DataFrame) = f.where(col("event_type") === "error")
-        .select(col("user_id"), col("event_id").as("win_id"),
+        .select(lit(0L).as("k"), col("event_id").as("win_id"),
           expr("ts div 1000").as("lo"),
           (expr("ts div 1000") + win).as("hi"))
       def pt(f: DataFrame) = f.where(col("event_type") === "click")
-        .select(col("user_id"), col("event_id"),
+        .select(lit(0L).as("k"), col("event_id"),
           expr("ts div 1000").as("p"))
-      // the nested loop's work is |clicks| x |errors| ACROSS keys
-      // (the key equality is just part of the post-predicate), so the
-      // quarter-corpus and full-corpus rows expose the quadratic
-      val sub = ev.where(pmod(col("user_id"), lit(4)) === 0)
+      val sub = ev.where(pmod(col("event_id"), lit(4)) === 0)
         .localCheckpoint(eager = true)
       val evAll = ev.localCheckpoint(eager = true)
-      val tNaiveSub = time(warm = 0, reps = 1) {
-        pt(sub).as("p").join(iv(sub).as("i"),
-          col("p.user_id") === col("i.user_id") &&
-            col("p.p") >= col("i.lo") && col("p.p") < col("i.hi")).count()
-      }
-      val tNaiveAll = time(warm = 0, reps = 1) {
-        pt(evAll).as("p").join(iv(evAll).as("i"),
-          col("p.user_id") === col("i.user_id") &&
-            col("p.p") >= col("i.lo") && col("p.p") < col("i.hi")).count()
-      }
+      def naive(f: DataFrame) =
+        pt(f).as("p").join(iv(f).as("i"),
+          col("p.p") >= col("i.lo") && col("p.p") < col("i.hi")).count()
+      val tNaiveSub = time(warm = 0, reps = 1) { naive(sub) }
+      val tNaiveAll = time(warm = 0, reps = 1) { naive(evAll) }
       val tBucketSub = time(warm = 1, reps = 2) {
-        AsOf.intervalJoin(pt(sub), iv(sub), "user_id", "p", "lo", "hi", win)
+        AsOf.intervalJoin(pt(sub), iv(sub), "k", "p", "lo", "hi", win)
           .count()
       }
       val tBucketAll = time(warm = 1, reps = 2) {
-        AsOf.intervalJoin(pt(evAll), iv(evAll), "user_id", "p", "lo", "hi", win)
+        AsOf.intervalJoin(pt(evAll), iv(evAll), "k", "p", "lo", "hi", win)
           .count()
       }
       val nSub = sub.count(); val nAll = evAll.count()
-      sb ++= "| input | range-predicate join (s) | AsOf.intervalJoin (s) |\n|---|---|---|\n"
-      sb ++= f"| 1/4 user subsample ($nSub%d events) | $tNaiveSub%.2f | $tBucketSub%.2f |\n"
+      sb ++= "| input | range-only nested loop (s) | AsOf.intervalJoin (s) |\n|---|---|---|\n"
+      sb ++= f"| 1/4 subsample ($nSub%d events) | $tNaiveSub%.2f | $tBucketSub%.2f |\n"
       sb ++= f"| full corpus ($nAll%d events) | $tNaiveAll%.2f | $tBucketAll%.2f |\n"
-      sb ++= "\nReading: Catalyst plans `ON p BETWEEN lo AND hi` as a\n"
-      sb ++= "BroadcastNestedLoopJoin — every click meets every error\n"
-      sb ++= "window across ALL keys before the predicate filters\n"
-      sb ++= "(4x the events -> ~16x the nested-loop work), while the\n"
-      sb ++= "bucketed form (explode intervals to ~2 covered buckets,\n"
-      sb ++= "hash-join on (key, bucket), exact post-filter) scales\n"
-      sb ++= "linearly and is plan-guarded to never contain a nested\n"
-      sb ++= "loop.\n"
+      sb ++= "\nReading: with only range predicates Catalyst has no equi\n"
+      sb ++= "key, so the plan is a BroadcastNestedLoopJoin — every click\n"
+      sb ++= "against every global window (4x the events -> 16x the pair\n"
+      sb ++= "count). The bucket join manufactures the equi key from time\n"
+      sb ++= "(explode intervals to ~2 covered buckets, hash-join on\n"
+      sb ++= "bucket, exact post-filter), so it scales linearly even with\n"
+      sb ++= "ONE shared key, and is plan-guarded to never contain a\n"
+      sb ++= "nested loop. With a selective per-user key both forms are\n"
+      sb ++= "hash joins and measure the same — the bucket join is the\n"
+      sb ++= "hot-key/keyless insurance, not a universal replacement.\n"
     }
 
     Files.createDirectories(Paths.get("docs"))

@@ -983,9 +983,10 @@ object SparkEntry {
 
     // -- point-in-interval join: clicks landing inside the 10-minute
     //    window after each error, bucketed-equi-join form (AsOf
-    //    .intervalJoin docstring has the scale story — the naive
-    //    range-predicate join is a per-key nested loop). Exact integer
-    //    microsecond bounds on both engines --
+    //    .intervalJoin docstring has the scale story — candidates
+    //    bounded by time locality, so hot keys and keyless global
+    //    windows stay linear where the naive form nested-loops).
+    //    Exact integer microsecond bounds on both engines --
     "interval_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val win = 600L * 1000000L // 10 min in µs = the bucket width
@@ -5048,6 +5049,34 @@ object SparkEntry {
         "vec_id", "embedding", "euclidean", topK = 10, candidates = 50)
     }),
 
+    // -- JL-projection shortlist + exact re-rank: the 16-dim RpProject
+    //    scan (1/4 the floats) picks 50 candidates by projected L2,
+    //    exact euclidean touches only those rows. The TRAINING-FREE
+    //    rung of the rerank family — SQ needs a min/max pass, PQ a
+    //    kmeans; RP needs zero corpus passes, so it is the first
+    //    index available while a 100 TB corpus is still landing --
+    "ann_rp_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = queryVec(s, dir, 0)
+      val codes = e.select(col("vec_id"),
+        graft.functions.LshExpr.rp_project(col("embedding"), 16).as("proj"))
+      val qp = q.select(
+        graft.functions.LshExpr.rp_project(col("qvec"), 16).as("qproj"))
+      val short = codes.crossJoin(broadcast(qp))
+        .select(col("vec_id"), round(expr(
+          """aggregate(zip_with(proj, qproj, (x, z) -> (x - z) * (x - z)),
+            |CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"""
+            .stripMargin.replaceAll("\n", " ")), 4).as("pd"))
+        .orderBy(col("pd"), col("vec_id")).limit(50)
+      e.join(broadcast(short.select(col("vec_id"))), Seq("vec_id"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(VectorFunctions.forMetric("euclidean")(
+            col("embedding"), col("qvec")), 4).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    }),
+
     // -- composed IVF-PQ (static centroids + static codebooks): coarse
     //    quantizer routes to nprobe=2 clusters, ADC scores only their
     //    8-byte codes — nprobe/k of the corpus at 1/32 the bytes.
@@ -8900,6 +8929,28 @@ object SparkEntry {
           |  CASE WHEN (CAST(x AS DOUBLE) > thr[i]) != (CAST(qvec[i] AS DOUBLE) > thr[i])
           |    THEN 1 ELSE 0 END)) AS ham
           |FROM embeddings, mm, q ORDER BY ham, vec_id LIMIT 50)
+          |SELECT e.vec_id AS vec_id,
+          | round(sqrt(list_sum(list_transform(e.embedding, (x, i) ->
+          |  (CAST(x AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE)) *
+          |  (CAST(x AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE))))), 4) AS dist
+          |FROM embeddings e JOIN short USING (vec_id), q
+          |ORDER BY dist, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+      // RP shortlist: 16-dim projected L2 (the rp_project plane
+      // convention, 4-dp rounded like SQ8's sdist) picks 50, exact
+      // euclidean reranks the survivors
+      "ann_rp_rerank" ->
+        """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+          |qp AS (SELECT list_transform(range(0, 16), p ->
+          |  list_sum(list_transform(qvec, (x, i) -> CAST(x AS DOUBLE) *
+          |    (((p * 64 + i) * 2654435761 % 4294967296) / 4294967296.0 - 0.5)))) AS qproj
+          |  FROM q),
+          |pr AS (SELECT vec_id, list_transform(range(0, 16), p ->
+          |  list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) *
+          |    (((p * 64 + i) * 2654435761 % 4294967296) / 4294967296.0 - 0.5)))) AS proj
+          |  FROM embeddings),
+          |short AS (SELECT vec_id, round(list_sum(list_transform(pr.proj,
+          |  (x, i) -> (x - qp.qproj[i]) * (x - qp.qproj[i]))), 4) AS pd
+          |  FROM pr, qp ORDER BY pd, vec_id LIMIT 50)
           |SELECT e.vec_id AS vec_id,
           | round(sqrt(list_sum(list_transform(e.embedding, (x, i) ->
           |  (CAST(x AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE)) *

@@ -86,21 +86,28 @@ object AsOf {
 
   /** Point-in-interval join: every (point, interval) pair on the same
     * key with `lo <= point < hi` — the "which events fall inside
-    * which windows" operator. Catalyst plans the naive
-    * `ON p >= lo AND p < hi` form as a nested-loop join (O(n*m) per
-    * key); this is the bucketed equi-join form:
+    * which windows" operator. What Catalyst does with the naive
+    * `ON key = key AND p >= lo AND p < hi` form depends on the key:
+    * with a selective equi-key it plans a hash join with the range as
+    * a RESIDUAL filter (fine), but candidates within a key are still
+    * ALL (point, interval) pairs of that key — quadratic under hot
+    * keys — and with no key at all (global windows) it degenerates to
+    * a BroadcastNestedLoopJoin over the full cross product. This is
+    * the bucketed form that bounds candidates by TIME LOCALITY
+    * instead of key selectivity:
     *
     *   1. intervals explode to the time buckets they overlap
     *      (ceil(len/bucketWidth)+1 rows each — pick bucketWidth near
     *      the typical interval length so the fan-out is ~2),
     *   2. points map to their single containing bucket,
-    *   3. ONE hash equi-join on (key, bucket),
+    *   3. ONE hash equi-join on (key, bucket) — key may be a literal
+    *      constant for the keyless/global-window case,
     *   4. exact range post-filter (the bucket join is a superset).
     *
     * At 100 TB both sides shuffle once on (key, bucket) — candidate
     * pairs exist only inside a bucket, and bucket population is
-    * time-local, so a year of data spreads over ~50k buckets instead
-    * of one per-key nested loop. Empty/inverted intervals
+    * time-local, so a year of data spreads over ~50k buckets even
+    * when every row shares one key. Empty/inverted intervals
     * (`lo >= hi`) match nothing, as on the SQL side.
     *
     * Output: the matched pairs — all point columns plus the interval
