@@ -5052,9 +5052,16 @@ object SparkEntry {
     // -- JL-projection shortlist + exact re-rank: the 16-dim RpProject
     //    scan (1/4 the floats) picks 50 candidates by projected L2,
     //    exact euclidean touches only those rows. The TRAINING-FREE
-    //    rung of the rerank family — SQ needs a min/max pass, PQ a
-    //    kmeans; RP needs zero corpus passes, so it is the first
-    //    index available while a 100 TB corpus is still landing --
+    //    rung of the rerank family — zero corpus passes, available
+    //    while the corpus is still landing. Honest quality note
+    //    (RecallSpec pins it): on THIS corpus recall@10 is only ~0.29
+    //    at C=50 — the synthetic embeddings have near-uniform pairwise
+    //    distances, and no 16-dim sketch can resolve gaps that small
+    //    (k=32/C=100 still plateaus ~0.43, while SQ8's 256-level/dim
+    //    codes stay near-lossless at 0.9+). RP-prefilter pays off on
+    //    corpora with low intrinsic dimension, not on isotropic noise;
+    //    embed_rp's wide ratio histogram is the audit that predicts
+    //    this before an index is built --
     "ann_rp_rerank" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = queryVec(s, dir, 0)

@@ -38,4 +38,45 @@ class RecallSpec extends AnyFunSuite {
     // dequantized-l2 over 8-bit codes barely perturbs the ranking
     assert(m(("sq8", "codes")) >= 0.9, s"sq8 ${m(("sq8", "codes"))}")
   }
+
+  test("RP(16) shortlist + exact rerank: measured recall@10, honestly low " +
+      "on this isotropic corpus (the ann_rp_rerank quality pin)") {
+    import graft.functions.RpKernels
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val rows = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val ids = rows.map(_._1)
+    val vecs = rows.toMap
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble - b(i).toDouble; s += x * x; i += 1
+      }; s
+    }
+    // project through the SHIPPED kernel, not a re-derivation
+    val projs = rows.map { case (id, v) =>
+      id -> RpKernels.project(ArrayData.toArrayData(v), isFloat = true, 16)
+        .toDoubleArray()
+    }.toMap
+    def l2d(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }; s
+    }
+    val recalls = (0L until 20L).map { qid =>
+      val qv = vecs(qid); val qp = projs(qid)
+      val exact = ids.sortBy(id => (l2(vecs(id), qv), id)).take(10).toSet
+      val short = ids.sortBy(id => (l2d(projs(id), qp), id)).take(50)
+      val rr = short.sortBy(id => (l2(vecs(id), qv), id)).take(10).toSet
+      (exact & rr).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    // the machinery works (recall is far above the ~0.02 random-50
+    // baseline) but JL at 16 dims CANNOT resolve this corpus's
+    // near-uniform distance gaps — pinned as a band so the documented
+    // "low on isotropic data, use embed_rp to predict" claim stays
+    // true to the measurement (0.285 at pin time)
+    assert(mean >= 0.15 && mean <= 0.60, s"RP rerank mean recall@10 $mean")
+  }
 }
