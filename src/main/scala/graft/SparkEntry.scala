@@ -5272,6 +5272,172 @@ object SparkEntry {
         .groupBy(col("event_type"), col("first_id"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
         .orderBy(col("event_type"))
+    }),
+
+    // -- UniMax-style water-filling token allocation (max-min fair,
+    //    Chung et al. 2023): budget B = 1.5 epochs of the corpus,
+    //    per-language capacity cap = 2 epochs of that language. Langs
+    //    sorted by cap ascending; a lang is CAPPED iff funding it
+    //    fully still leaves >= its cap as the even share of the rest
+    //    (cross-multiplied integer test, monotone in rank so the
+    //    capped set is a sort prefix); the leftover splits evenly
+    //    over uncapped langs with the remainder assigned by lang
+    //    order (largest-remainder, exact integers end to end). The
+    //    corpus collapses to |langs| rows map-side before any window
+    //    runs — the windows below iterate a language-inventory-sized
+    //    frame (bounded ~200 at world scale), never the corpus --
+    "mix_waterfill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lc = t(s, dir, "documents")
+        .select(col("lang"), size(TextFuncs.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy(col("lang")).agg(sum(col("nt")).as("c"))
+        .withColumn("cap", col("c") * 2)
+      val g = lc.agg(expr("sum(c) * 3 div 2").as("b"),
+        count(lit(1)).as("nl"))
+      val wOrd = Window.partitionBy(lit(0)).orderBy(col("cap"), col("lang"))
+      val ranked = lc.crossJoin(broadcast(g))
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("sc", sum(col("cap")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("iscap",
+          col("cap") * (col("nl") - col("rn")) <= col("b") - col("sc"))
+      val kk = ranked.where(col("iscap"))
+        .agg(max(col("rn")).as("k"), max(col("sc")).as("sk"))
+      ranked.crossJoin(broadcast(kk))
+        .withColumn("k", coalesce(col("k"), lit(0L)))
+        .withColumn("sk", coalesce(col("sk"), lit(0L)))
+        .withColumn("u", col("nl") - col("k"))
+        .withColumn("r", col("b") - col("sk"))
+        .withColumn("urn", row_number().over(
+          Window.partitionBy(col("iscap")).orderBy(col("lang"))).cast("long"))
+        .withColumn("alloc", when(col("rn") <= col("k"), col("cap"))
+          .otherwise(expr(
+            "r div u + CASE WHEN urn <= r % u THEN 1 ELSE 0 END")))
+        .select(col("lang"), col("c").as("n_tokens"), col("cap"),
+          col("alloc"), expr("alloc * 10000 div cap").as("fill_e4"))
+        .orderBy(col("lang"))
+    }),
+
+    // -- degree assortativity of the near-dup candidate graph: the
+    //    Pearson correlation of endpoint degrees over (symmetrized)
+    //    minhash-banded edges. Positive r = dup clusters are
+    //    quasi-cliques of similar size (transitive near-dups, safe to
+    //    collapse); negative r = hub docs (templates) attached to
+    //    many singletons — collapse would over-merge. All five
+    //    moments are exact integer sums over the BANDED edge list
+    //    (never pairwise in the corpus); the single divide at the end
+    //    is one double op from exact integers --
+    "graph_assortativity" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id")
+      val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        .localCheckpoint(eager = true)
+      val deg = edges.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("d"))
+      val m = edges
+        .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+        .agg(count(lit(1)).as("me"),
+          sum(col("da")).as("sx"),
+          sum(col("da") * col("da")).as("sxx"),
+          sum(col("da") * col("db")).as("sxy"))
+      m.select((col("me") / 2).cast("long").as("n_edges"),
+          round((col("me") * col("sxy") - col("sx") * col("sx"))
+            .cast("double")
+            / nullif((col("me") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"), lit(0.0)), 4).as("r_deg"))
+    }),
+
+    // -- embedding centroid drift between corpus halves (vec_id
+    //    parity as the crawl-N / crawl-N+1 proxy; the embedding
+    //    sibling of quality_drift): per label, cosine between the two
+    //    halves' centroid vectors. Components are e6-fixed-pointed
+    //    BIGINTs so the per-(label,half,dim) sums are exact and
+    //    order-independent (cosine is scale-invariant, so the raw
+    //    integer SUM vector stands in for the mean and no division
+    //    ever happens); the three cross-moments then fold per label
+    //    in sorted dim order (the source_kl contract) over a
+    //    dim-sized array. Shuffle is |labels|x|dims| rows after
+    //    map-side partials — independent of corpus size. At ~1e12
+    //    vectors/label the e6 sums approach int64; drop the fixed
+    //    point to e3 (precision still ample for a drift alarm) --
+    "embed_centroid_drift" -> ((s, dir) => {
+      val cent = t(s, dir, "embeddings")
+        .select(col("label"), pmod(col("vec_id"), lit(2L)).as("half"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("half"), col("dim"),
+          expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("q6"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(when(col("half") === 0, col("q6")).otherwise(0L)).as("a6"),
+          sum(when(col("half") === 1, col("q6")).otherwise(0L)).as("b6"),
+          sum(when(col("half") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("nb"))
+      def sortedFold(x: Column): Column =
+        aggregate(
+          transform(sort_array(collect_list(struct(col("dim"), x.as("v")))),
+            s0 => s0.getField("v")),
+          lit(0.0), (a, b) => a + b)
+      cent.groupBy(col("label"))
+        .agg(max(col("na")).as("n_even"), max(col("nb")).as("n_odd"),
+          sortedFold((col("a6") * col("b6")).cast("double")).as("sab"),
+          sortedFold((col("a6") * col("a6")).cast("double")).as("saa"),
+          sortedFold((col("b6") * col("b6")).cast("double")).as("sbb"))
+        .select(col("label"), col("n_even"), col("n_odd"),
+          round(col("sab") / sqrt(col("saa") * col("sbb")), 4).as("cos_drift"))
+        .orderBy(col("label"))
+    }),
+
+    // -- measured-vs-predicted Bloom FPR audit (closes the loop on
+    //    bloom_plan, which only PREDICTS): build the m=4096 k=3
+    //    integer Bloom set over train full-text hashes, probe with
+    //    the held-out split, and compare the measured false-positive
+    //    rate against (1-e^{-kn/m})^k from the same counts. The bit
+    //    table is <= m rows at ANY corpus size (the whole point of a
+    //    Bloom filter) so the membership join broadcasts; truth is
+    //    one hash equi-join. Exact integers except the one
+    //    deterministic exp/pow at the end --
+    "bloom_fpr_audit" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TextFuncs.charFold(col("text")).as("h"))
+        .localCheckpoint(eager = true)
+      val train = d.where(pmod(col("doc_id"), lit(97L)) =!= 0)
+      val probe = d.where(pmod(col("doc_id"), lit(97L)) === 0)
+      val trainBits = train
+        .select(explode(sequence(lit(0), lit(2))).as("sd"), col("h"))
+        .select(((col("h") * (col("sd") * 2 + 1) + (col("sd") * 131 + 7))
+          % TextFuncs.P % 4096).as("bit"))
+        .distinct()
+      val probeBits = probe
+        .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("sd"), col("h"))
+        .withColumn("bit",
+          (col("h") * (col("sd") * 2 + 1) + (col("sd") * 131 + 7))
+            % TextFuncs.P % 4096)
+      val pos = probeBits
+        .join(broadcast(trainBits), Seq("bit"))
+        .groupBy(col("doc_id")).agg(countDistinct(col("sd")).as("nm"))
+        .where(col("nm") === 3).select(col("doc_id"))
+        .withColumn("is_pos", lit(1L))
+      val truth = probe.join(train.select(col("h")).distinct(), Seq("h"),
+          "left_semi")
+        .select(col("doc_id")).withColumn("is_dup", lit(1L))
+      val nBits = trainBits.agg(count(lit(1)).as("n_bits_set"))
+      val nItems = train.select(col("h")).distinct()
+        .agg(count(lit(1)).as("n_train_items"))
+      probe.select(col("doc_id"))
+        .join(pos, Seq("doc_id"), "left")
+        .join(truth, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_true_dups"),
+          sum(coalesce(col("is_pos"), lit(0L))).as("n_bloom_pos"),
+          sum(when(col("is_pos") === 1 && col("is_dup").isNull, 1L)
+            .otherwise(0L)).as("n_false_pos"))
+        .crossJoin(broadcast(nBits)).crossJoin(broadcast(nItems))
+        .select(col("n_train_items"), col("n_bits_set"), col("n_probes"),
+          col("n_true_dups"), col("n_bloom_pos"), col("n_false_pos"),
+          expr("n_false_pos * 10000 div (n_probes - n_true_dups)")
+            .as("fpr_e4"),
+          expr("round(pow(1.0 - exp(-3.0 * n_train_items / 4096.0), 3.0), 4)")
+            .as("pred_fpr"))
     })
   )
 
@@ -9305,7 +9471,109 @@ object SparkEntry {
           | CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS src1,
           | CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS src2,
           | CAST(sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS src3
-          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " ")
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " "),
+      // water-filling replay: same cross-multiplied integer capped
+      // test, same largest-remainder split, windows over |langs| rows
+      "mix_waterfill" ->
+        s"""WITH lc AS (SELECT lang, CAST(sum(len($toks)) AS BIGINT) AS c
+           |  FROM documents GROUP BY lang),
+           |g AS (SELECT CAST(sum(c) * 3 // 2 AS BIGINT) AS b,
+           |  CAST(count(*) AS BIGINT) AS nl FROM lc),
+           |rk AS (SELECT lang, c, CAST(c * 2 AS BIGINT) AS cap,
+           |  CAST(row_number() OVER (ORDER BY c * 2, lang) AS BIGINT) AS rn,
+           |  CAST(sum(c * 2) OVER (ORDER BY c * 2, lang
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sc, b, nl FROM lc, g),
+           |ic AS (SELECT *, cap * (nl - rn) <= b - sc AS iscap FROM rk),
+           |kk AS (SELECT
+           |  CAST(coalesce(max(CASE WHEN iscap THEN rn END), 0) AS BIGINT) AS k,
+           |  CAST(coalesce(max(CASE WHEN iscap THEN sc END), 0) AS BIGINT) AS sk
+           |  FROM ic),
+           |fin AS (SELECT ic.*, kk.k, kk.sk, nl - kk.k AS u, b - kk.sk AS r,
+           |  CAST(row_number() OVER (PARTITION BY iscap ORDER BY lang)
+           |    AS BIGINT) AS urn FROM ic, kk),
+           |al AS (SELECT *, CAST(CASE WHEN rn <= k THEN cap
+           |  ELSE r // u + CASE WHEN urn <= r % u THEN 1 ELSE 0 END END
+           |  AS BIGINT) AS alloc FROM fin)
+           |SELECT lang, c AS n_tokens, cap, alloc,
+           |  CAST(alloc * 10000 // cap AS BIGINT) AS fill_e4
+           |FROM al ORDER BY lang""".stripMargin.replaceAll("\n", " "),
+      // endpoint-degree Pearson over the SAME banded minhash edges
+      "graph_assortativity" ->
+        s"""WITH mp AS ($minhashPairsSql),
+           |ed AS (SELECT doc_a AS a, doc_b AS b FROM mp
+           |  UNION ALL SELECT doc_b AS a, doc_a AS b FROM mp),
+           |dg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d
+           |  FROM ed GROUP BY a),
+           |j AS (SELECT da.d AS da, db.d AS db FROM ed
+           |  JOIN dg da ON ed.a = da.node JOIN dg db ON ed.b = db.node),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS me,
+           |  CAST(sum(da) AS BIGINT) AS sx,
+           |  CAST(sum(da * da) AS BIGINT) AS sxx,
+           |  CAST(sum(da * db) AS BIGINT) AS sxy FROM j)
+           |SELECT CAST(me // 2 AS BIGINT) AS n_edges,
+           |  round(CAST(me * sxy - sx * sx AS DOUBLE) /
+           |    nullif(CAST(me * sxx - sx * sx AS DOUBLE), 0.0), 4) AS r_deg
+           |FROM m""".stripMargin.replaceAll("\n", " "),
+      // e6 fixed-point integer centroid sums, sorted-dim double fold
+      "embed_centroid_drift" ->
+        """WITH q AS (SELECT label, vec_id % 2 AS half, i AS dim,
+          |  CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q6 FROM
+          |  (SELECT label, vec_id, unnest(embedding) AS x,
+          |    unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+          |cent AS (SELECT label, dim,
+          |  CAST(sum(CASE WHEN half = 0 THEN q6 ELSE 0 END) AS BIGINT) AS a6,
+          |  CAST(sum(CASE WHEN half = 1 THEN q6 ELSE 0 END) AS BIGINT) AS b6,
+          |  CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          |  CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+          |  FROM q GROUP BY label, dim),
+          |f AS (SELECT label,
+          |  CAST(max(na) AS BIGINT) AS n_even, CAST(max(nb) AS BIGINT) AS n_odd,
+          |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |    list(CAST(a6 * b6 AS DOUBLE) ORDER BY dim)), (a, b) -> a + b) AS sab,
+          |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |    list(CAST(a6 * a6 AS DOUBLE) ORDER BY dim)), (a, b) -> a + b) AS saa,
+          |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |    list(CAST(b6 * b6 AS DOUBLE) ORDER BY dim)), (a, b) -> a + b) AS sbb
+          |  FROM cent GROUP BY label)
+          |SELECT label, n_even, n_odd,
+          |  round(sab / sqrt(saa * sbb), 4) AS cos_drift
+          |FROM f ORDER BY label""".stripMargin.replaceAll("\n", " "),
+      // integer k=3/m=4096 Bloom replay + the standard (1-e^-kn/m)^k
+      "bloom_fpr_audit" ->
+        s"""WITH d AS (SELECT doc_id, ${SqlSnips.charFold("text")} AS h
+           |  FROM documents),
+           |tr AS (SELECT * FROM d WHERE doc_id % 97 <> 0),
+           |pr AS (SELECT * FROM d WHERE doc_id % 97 = 0),
+           |tb AS (SELECT DISTINCT
+           |  (h * (sd * 2 + 1) + (sd * 131 + 7)) % ${SqlSnips.P} % 4096 AS bit
+           |  FROM tr, range(0, 3) AS t(sd)),
+           |pb AS (SELECT doc_id, sd,
+           |  (h * (sd * 2 + 1) + (sd * 131 + 7)) % ${SqlSnips.P} % 4096 AS bit
+           |  FROM pr, range(0, 3) AS t(sd)),
+           |pos AS (SELECT doc_id FROM pb JOIN tb USING (bit)
+           |  GROUP BY doc_id HAVING count(DISTINCT sd) = 3),
+           |tru AS (SELECT DISTINCT pr.doc_id FROM pr
+           |  JOIN (SELECT DISTINCT h FROM tr) th USING (h)),
+           |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           |  CAST(sum(CASE WHEN tru.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_true_dups,
+           |  CAST(sum(CASE WHEN pos.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_bloom_pos,
+           |  CAST(sum(CASE WHEN pos.doc_id IS NOT NULL
+           |    AND tru.doc_id IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_false_pos
+           |  FROM pr LEFT JOIN pos ON pr.doc_id = pos.doc_id
+           |  LEFT JOIN tru ON pr.doc_id = tru.doc_id),
+           |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM tb),
+           |ni AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_train_items
+           |  FROM tr)
+           |SELECT n_train_items, n_bits_set, n_probes, n_true_dups,
+           |  n_bloom_pos, n_false_pos,
+           |  CAST(n_false_pos * 10000 // (n_probes - n_true_dups)
+           |    AS BIGINT) AS fpr_e4,
+           |  round(pow(1.0 - exp(-3.0 * n_train_items / 4096.0), 3.0), 4)
+           |    AS pred_fpr
+           |FROM ag, nb, ni""".stripMargin.replaceAll("\n", " ")
     )
   }
 
