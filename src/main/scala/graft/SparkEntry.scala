@@ -5294,7 +5294,11 @@ object SparkEntry {
         .withColumn("cap", col("c") * 2)
       val g = lc.agg(expr("sum(c) * 3 div 2").as("b"),
         count(lit(1)).as("nl"))
-      val wOrd = Window.partitionBy(lit(0)).orderBy(col("cap"), col("lang"))
+      // partition by the (constant) lang-count column: semantically
+      // one |langs|-row partition, but not foldable — a bare lit(0)
+      // partition spec is constant-folded away and would read as a
+      // partition-less global window to the plan guard
+      val wOrd = Window.partitionBy(col("nl")).orderBy(col("cap"), col("lang"))
       val ranked = lc.crossJoin(broadcast(g))
         .withColumn("rn", row_number().over(wOrd).cast("long"))
         .withColumn("sc", sum(col("cap")).over(

@@ -540,4 +540,40 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
       || p.contains("ShuffledHashJoin"), p)
   }
+
+  test("mix_waterfill: every window partitioned, frame is |langs| rows") {
+    val df = SparkEntry.queries("mix_waterfill")(spark, dir)
+    val p = df.queryExecution.executedPlan
+    // the windows run AFTER the corpus collapses to |langs| rows;
+    // each must carry a partition spec (lit(0) / iscap), never a
+    // partition-less global window over an unbounded frame
+    assert(windows(p).forall(_.partitionSpec.nonEmpty), p.toString)
+    assert(!p.toString.contains("CartesianProduct"), p.toString)
+  }
+
+  test("graph_assortativity: degree joins are equi, no pairwise corpus") {
+    val p = plan("graph_assortativity")
+    // moments come from the BANDED edge list joined to the degree
+    // table on node ids — a nested loop would mean the edge list
+    // degenerated to doc-pairs
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("embed_centroid_drift: one centroid shuffle, dim-sized fold frame") {
+    val p = plan("embed_centroid_drift")
+    // (label, dim) partial sums collapse map-side; the only hash
+    // exchanges are the two aggregate stages ((label,dim) then label)
+    assert(hashExchanges(p) <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bloom_fpr_audit: bit-set membership join broadcasts") {
+    val p = plan("bloom_fpr_audit")
+    // the <=4096-row bit table must ride a broadcast — a shuffled
+    // membership join would move the whole probe side for a
+    // constant-size filter
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
