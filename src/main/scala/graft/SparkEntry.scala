@@ -5442,6 +5442,57 @@ object SparkEntry {
             .as("fpr_e4"),
           expr("round(pow(1.0 - exp(-3.0 * n_train_items / 4096.0), 3.0), 4)")
             .as("pred_fpr"))
+    }),
+
+    // -- train/val perplexity gap: a Laplace-smoothed bigram LM
+    //    estimated on the TRAIN split only, scored on BOTH splits —
+    //    xent_val - xent_train near zero means the val split is
+    //    distributionally indistinguishable (or contaminated); a
+    //    large gap means the split is skewed. The LM "model" is the
+    //    train bigram/context count tables (vocabulary-bounded after
+    //    map-side partials); scoring is two hash joins on packed
+    //    8-byte bigram keys (the tokens_entropy_rate kernel). Each
+    //    per-bigram -ln p term is e9-fixed-pointed and INTEGER-summed
+    //    (order-free), so the corpus never shuffles doubles --
+    "split_ppl_gap" -> ((s, dir) => {
+      val P = graft.functions.TextFuncs.P
+      val bi = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextExprs.bigram_pair_hashes(col("text"))).as("pk"))
+        .withColumn("split",
+          when(pmod(col("doc_id"), lit(97L)) === 0, "val")
+            .otherwise("train"))
+        .localCheckpoint(eager = false) // one bigram pass, three readers
+      val tb = bi.where(col("split") === "train")
+      val cb = tb.groupBy(col("pk")).agg(count(lit(1)).as("cb"))
+      val cw = cb.withColumn("w1", expr(s"pk div $P"))
+        .groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+      val v = tb.select(expr(s"pk div $P").as("w")).distinct()
+        .agg(count(lit(1)).as("vv"))
+      val per = bi.groupBy(col("split"), col("pk"))
+        .agg(count(lit(1)).as("ce"))
+        .withColumn("w1", expr(s"pk div $P"))
+        .join(cb, Seq("pk"), "left").join(cw, Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("split"), col("ce"),
+          expr("""CAST(round(ce * (0.0 - ln((coalesce(cb, 0) + 1.0)
+            | / (coalesce(cw, 0) + vv))) * 1000000000) AS BIGINT)"""
+            .stripMargin.replaceAll("\n", " ")).as("x9"))
+        .groupBy(col("split"))
+        .agg(sum(col("ce")).as("nb"), sum(col("x9")).as("sx9"))
+      per.agg(
+          sum(when(col("split") === "train", col("nb"))).as("n_train_bi"),
+          sum(when(col("split") === "val", col("nb"))).as("n_val_bi"),
+          sum(when(col("split") === "train", col("sx9"))).as("t9"),
+          sum(when(col("split") === "val", col("sx9"))).as("v9"))
+        .select(col("n_train_bi"), col("n_val_bi"),
+          expr("round(CAST(t9 AS DOUBLE) / n_train_bi / 1000000000.0, 4)")
+            .as("xent_train"),
+          expr("round(CAST(v9 AS DOUBLE) / n_val_bi / 1000000000.0, 4)")
+            .as("xent_val"),
+          expr("""round(CAST(v9 AS DOUBLE) / n_val_bi / 1000000000.0
+            | - CAST(t9 AS DOUBLE) / n_train_bi / 1000000000.0, 4)"""
+            .stripMargin.replaceAll("\n", " ")).as("gap"))
     })
   )
 
@@ -9577,7 +9628,50 @@ object SparkEntry {
            |    AS BIGINT) AS fpr_e4,
            |  round(pow(1.0 - exp(-3.0 * n_train_items / 4096.0), 3.0), 4)
            |    AS pred_fpr
-           |FROM ag, nb, ni""".stripMargin.replaceAll("\n", " ")
+           |FROM ag, nb, ni""".stripMargin.replaceAll("\n", " "),
+      // Laplace bigram LM replay on the same packed keys; non-negative
+      // mod form matches pmod under any id distribution
+      "split_ppl_gap" ->
+        s"""WITH hs AS (SELECT doc_id,
+           |  list_transform($toks, t -> ${SqlSnips.charFold("t")}) AS h
+           |  FROM documents),
+           |bg AS (SELECT doc_id,
+           |  CASE WHEN ((doc_id % 97) + 97) % 97 = 0 THEN 'val'
+           |    ELSE 'train' END AS split,
+           |  unnest(list_transform(range(1, len(h)),
+           |    i -> h[i] * ${SqlSnips.P} + h[i + 1])) AS pk
+           |  FROM hs WHERE len(h) >= 2),
+           |cb AS (SELECT pk, CAST(count(*) AS BIGINT) AS cb FROM bg
+           |  WHERE split = 'train' GROUP BY pk),
+           |cw AS (SELECT pk // ${SqlSnips.P} AS w1,
+           |  CAST(sum(cb) AS BIGINT) AS cw FROM cb GROUP BY 1),
+           |v AS (SELECT CAST(count(DISTINCT pk // ${SqlSnips.P}) AS BIGINT)
+           |  AS vv FROM bg WHERE split = 'train'),
+           |ev AS (SELECT split, pk, CAST(count(*) AS BIGINT) AS ce,
+           |  pk // ${SqlSnips.P} AS w1 FROM bg GROUP BY split, pk),
+           |x AS (SELECT split, ce,
+           |  CAST(round(ce * (0.0 - ln((coalesce(cb, 0) + 1.0)
+           |    / (coalesce(cw, 0) + vv))) * 1000000000) AS BIGINT) AS x9
+           |  FROM ev LEFT JOIN cb USING (pk) LEFT JOIN cw USING (w1), v),
+           |per AS (SELECT split, CAST(sum(ce) AS BIGINT) AS nb,
+           |  CAST(sum(x9) AS BIGINT) AS sx9 FROM x GROUP BY split),
+           |r AS (SELECT
+           |  CAST(sum(CASE WHEN split = 'train' THEN nb END) AS BIGINT)
+           |    AS n_train_bi,
+           |  CAST(sum(CASE WHEN split = 'val' THEN nb END) AS BIGINT)
+           |    AS n_val_bi,
+           |  CAST(sum(CASE WHEN split = 'train' THEN sx9 END) AS BIGINT)
+           |    AS t9,
+           |  CAST(sum(CASE WHEN split = 'val' THEN sx9 END) AS BIGINT)
+           |    AS v9 FROM per)
+           |SELECT n_train_bi, n_val_bi,
+           |  round(CAST(t9 AS DOUBLE) / n_train_bi / 1000000000.0, 4)
+           |    AS xent_train,
+           |  round(CAST(v9 AS DOUBLE) / n_val_bi / 1000000000.0, 4)
+           |    AS xent_val,
+           |  round(CAST(v9 AS DOUBLE) / n_val_bi / 1000000000.0
+           |    - CAST(t9 AS DOUBLE) / n_train_bi / 1000000000.0, 4) AS gap
+           |FROM r""".stripMargin.replaceAll("\n", " ")
     )
   }
 
