@@ -5493,6 +5493,46 @@ object SparkEntry {
           expr("""round(CAST(v9 AS DOUBLE) / n_val_bi / 1000000000.0
             | - CAST(t9 AS DOUBLE) / n_train_bi / 1000000000.0, 4)"""
             .stripMargin.replaceAll("\n", " ")).as("gap"))
+    }),
+
+    // -- ADAPTIVE-nprobe IVF serving: instead of a fixed probe count,
+    //    each query probes every cluster whose centroid distance is
+    //    within 1.25x of its nearest centroid — ambiguous queries
+    //    (sitting between clusters) automatically widen their probe
+    //    set, confident ones stay cheap. This is the per-query
+    //    cost/recall knob a production router applies before the
+    //    partition-pruned scan; n_probed is reported per query so the
+    //    cost is visible. Static first-8 centroids (the oracled IVF
+    //    convention), count-derived ~8-query batch, ONE scan of the
+    //    probed clusters' union via the broadcast routed table --
+    "ann_ivf_adaptive" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cluster"),
+          transform(col("embedding"), _.cast("double")).as("centroid"))
+      val tagged = Ann.tagCorpus(e, "vec_id", "embedding", cents)
+      val mod = math.max(1L, (e.count() + 7L) / 8L)
+      val qs = e.where(pmod(col("vec_id"), lit(mod)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val routed = qs.crossJoin(broadcast(cents))
+        .select(col("qid"), col("qvec"), col("cluster"),
+          VectorFunctions.vec_l2(transform(col("qvec"), _.cast("double")),
+            col("centroid")).as("cd"))
+        .withColumn("dmin",
+          min(col("cd")).over(Window.partitionBy(col("qid"))))
+        .where(col("cd") <= col("dmin") * 1.25)
+        .select(col("qid"), col("qvec"), col("cluster"))
+      val np = routed.groupBy(col("qid")).agg(count(lit(1)).as("n_probed"))
+      val d = VectorFunctions.forMetric("cosine")(col("embedding"), col("qvec"))
+      tagged.join(broadcast(routed), Seq("cluster"))
+        .select(col("qid"), col("vec_id"), round(d, 4).as("dist"))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))))
+        .where(col("_rn") <= 3)
+        .join(broadcast(np), Seq("qid"))
+        .select(col("qid"), col("n_probed"), col("vec_id"), col("dist"))
+        .orderBy(col("qid"), col("dist"), col("vec_id"))
     })
   )
 
@@ -9671,7 +9711,42 @@ object SparkEntry {
            |    AS xent_val,
            |  round(CAST(v9 AS DOUBLE) / n_val_bi / 1000000000.0
            |    - CAST(t9 AS DOUBLE) / n_train_bi / 1000000000.0, 4) AS gap
-           |FROM r""".stripMargin.replaceAll("\n", " ")
+           |FROM r""".stripMargin.replaceAll("\n", " "),
+      // static-centroid IVF with the 1.25x margin probe-set replay
+      "ann_ivf_adaptive" -> {
+        val l2c = "sqrt(list_sum(list_transform(%s, (x, i) -> " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)) * " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)))))"
+        val l2e = l2c.format("e.embedding", "c.centroid", "c.centroid")
+        val l2q = l2c.format("q.qvec", "c.centroid", "c.centroid")
+        s"""WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cluster,
+           |  embedding AS centroid FROM embeddings WHERE vec_id < 8),
+           |asgn AS (SELECT vec_id, embedding, cluster FROM (
+           |  SELECT e.vec_id, e.embedding, c.cluster,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY $l2e, c.cluster) AS rn
+           |  FROM embeddings e, cents c) _r WHERE rn = 1),
+           |m AS (SELECT greatest(1, (count(*) + 7) // 8) AS md
+           |  FROM embeddings),
+           |qs AS (SELECT vec_id AS qid, embedding AS qvec
+           |  FROM embeddings, m
+           |  WHERE ((vec_id % m.md) + m.md) % m.md = 0),
+           |cd AS (SELECT q.qid, q.qvec, c.cluster, $l2q AS cdist
+           |  FROM qs q, cents c),
+           |dm AS (SELECT qid, min(cdist) AS dmin FROM cd GROUP BY qid),
+           |routed AS (SELECT cd.qid, cd.qvec, cd.cluster
+           |  FROM cd JOIN dm USING (qid) WHERE cd.cdist <= dm.dmin * 1.25),
+           |np AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_probed
+           |  FROM routed GROUP BY qid),
+           |res AS (SELECT q.qid, e.vec_id, ${sqlDist("cosine")} AS dist,
+           |  row_number() OVER (PARTITION BY q.qid
+           |    ORDER BY ${sqlDist("cosine")}, e.vec_id) AS rn
+           |  FROM asgn e JOIN routed q ON e.cluster = q.cluster)
+           |SELECT res.qid, np.n_probed, res.vec_id, res.dist
+           |FROM res JOIN np USING (qid)
+           |WHERE rn <= 3 ORDER BY qid, dist, vec_id"""
+          .stripMargin.replaceAll("\n", " ")
+      }
     )
   }
 
