@@ -5533,6 +5533,77 @@ object SparkEntry {
         .join(broadcast(np), Seq("qid"))
         .select(col("qid"), col("n_probed"), col("vec_id"), col("dist"))
         .orderBy(col("qid"), col("dist"), col("vec_id"))
+    }),
+
+    // -- dedup saturation curve: exact-dup rate per corpus decile
+    //    (docs whose full-text hash already appeared at a smaller
+    //    doc_id) — the marginal-yield read that decides when crawling
+    //    more of the same sources stops paying. Deciles via the
+    //    bucket-partitioned globalNtile (no global window); the dup
+    //    test is one hash-keyed min-join, never pairwise --
+    "dedup_growth_curve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFuncs.charFold(col("text")).as("h"))
+      val tiled = graft.operators.Rank.globalNtile(
+        docs, 10, "decile", col("doc_id"))
+      val firstId = tiled.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("first_id"))
+      tiled.join(firstId, Seq("h"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") > col("first_id"), 1L).otherwise(0L))
+            .as("n_dups"))
+        .select(col("decile"), col("n_docs"), col("n_dups"),
+          expr("n_dups * 10000 div n_docs").as("dup_rate_e4"))
+        .orderBy(col("decile"))
+    }),
+
+    // -- Good–Turing frequency-of-frequencies over 3-shingles per
+    //    source: N1/N is the Good–Turing estimate of UNSEEN-shingle
+    //    mass — how much novel text the next crawl of this source
+    //    will contain (the smoothing input every n-gram LM needs).
+    //    Corpus collapses to |sources|x|shingle-types| counts
+    //    map-side; fof then collapses to 6 integers per source --
+    "vocab_fof" -> ((s, dir) => {
+      val tc = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextExprs.shingle_strings(col("text"), 3)).as("sh"))
+        .groupBy(col("source"), col("sh")).agg(count(lit(1)).as("c"))
+      tc.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_shingles"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("c") === 3, 1L).otherwise(0L)).as("n3"))
+        .select(col("source"), col("n_shingles"), col("n_types"),
+          col("n1"), col("n2"), col("n3"),
+          expr("n1 * 10000 div n_shingles").as("p_unseen_e4"))
+        .orderBy(col("source"))
+    }),
+
+    // -- dispersion index (variance-to-mean, Fisher) of hourly event
+    //    counts per type: 1 = Poisson arrivals, >1 = bursty, <1 =
+    //    regular — the burstiness read behind rate-limit and
+    //    capacity planning. Empty hours inside the global span count
+    //    as zeros for free (they add 0 to both moment sums; only the
+    //    span length enters). Exact integer moments; one double
+    //    divide at the end --
+    "events_dispersion" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 1000000000 div 3600").as("hb"))
+      val span = ev.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
+      ev.groupBy(col("event_type"), col("hb"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).as("sc"), sum(col("c") * col("c")).as("scc"))
+        .crossJoin(broadcast(span))
+        .withColumn("n_hours", col("hi") - col("lo") + 1)
+        .select(col("event_type"), col("n_hours"), col("sc").as("n_events"),
+          expr("""round(CAST(n_hours * scc - sc * sc AS DOUBLE)
+            | / (CAST(n_hours AS DOUBLE) * sc), 4)"""
+            .stripMargin.replaceAll("\n", " ")).as("dispersion"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -9746,7 +9817,52 @@ object SparkEntry {
            |FROM res JOIN np USING (qid)
            |WHERE rn <= 3 ORDER BY qid, dist, vec_id"""
           .stripMargin.replaceAll("\n", " ")
-      }
+      },
+      // plain ntile == globalNtile (the corpus_heaps contract)
+      "dedup_growth_curve" ->
+        s"""WITH t AS (SELECT doc_id,
+           |  CAST(ntile(10) OVER (ORDER BY doc_id) AS INTEGER) AS decile,
+           |  ${SqlSnips.charFold("text")} AS h FROM documents),
+           |f AS (SELECT h, min(doc_id) AS first_id FROM t GROUP BY h)
+           |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN doc_id > first_id THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_dups,
+           |  CAST(sum(CASE WHEN doc_id > first_id THEN 1 ELSE 0 END)
+           |    * 10000 // count(*) AS BIGINT) AS dup_rate_e4
+           |FROM t JOIN f USING (h) GROUP BY decile ORDER BY decile"""
+          .stripMargin.replaceAll("\n", " "),
+      // Good–Turing fof over the same 3-shingle stream
+      "vocab_fof" ->
+        s"""WITH tk AS (SELECT source, $toks AS toks FROM documents),
+           |sh AS (SELECT source,
+           |  unnest(${SqlSnips.shingles("toks", 3)}) AS sh
+           |  FROM tk WHERE len(toks) >= 3),
+           |tc AS (SELECT source, sh, CAST(count(*) AS BIGINT) AS c
+           |  FROM sh GROUP BY source, sh)
+           |SELECT source, CAST(sum(c) AS BIGINT) AS n_shingles,
+           |  CAST(count(*) AS BIGINT) AS n_types,
+           |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           |  CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+           |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000
+           |    // sum(c) AS BIGINT) AS p_unseen_e4
+           |FROM tc GROUP BY source ORDER BY source"""
+          .stripMargin.replaceAll("\n", " "),
+      // Fisher dispersion of hourly counts; empty in-span hours are
+      // implicit zeros (only the span length enters the moments)
+      "events_dispersion" ->
+        """WITH e AS (SELECT event_type,
+          |  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+          |sp AS (SELECT min(hb) AS lo, max(hb) AS hi FROM e),
+          |hc AS (SELECT event_type, hb, CAST(count(*) AS BIGINT) AS c
+          |  FROM e GROUP BY event_type, hb),
+          |mo AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS sc,
+          |  CAST(sum(c * c) AS BIGINT) AS scc FROM hc GROUP BY event_type)
+          |SELECT event_type, CAST(hi - lo + 1 AS BIGINT) AS n_hours,
+          |  sc AS n_events,
+          |  round(CAST((hi - lo + 1) * scc - sc * sc AS DOUBLE)
+          |    / (CAST(hi - lo + 1 AS DOUBLE) * sc), 4) AS dispersion
+          |FROM mo, sp ORDER BY event_type""".stripMargin.replaceAll("\n", " ")
     )
   }
 
