@@ -5604,6 +5604,81 @@ object SparkEntry {
             | / (CAST(n_hours AS DOUBLE) * sc), 4)"""
             .stripMargin.replaceAll("\n", " ")).as("dispersion"))
         .orderBy(col("event_type"))
+    }),
+
+    // -- PQ subspace variance-energy balance: how evenly the
+    //    embedding's variance spreads over the m=8 contiguous PQ
+    //    subspaces. A lopsided share profile is the quantitative
+    //    case for an OPQ-style rotation/permutation before encoding
+    //    (skewed energy = some codebooks starve); balanced ~1250 e4
+    //    shares mean plain PQ already quantizes near-optimally.
+    //    Components e3-fixed-pointed so the per-dim moment sums stay
+    //    exact BIGINTs at any corpus size; subspace width derives
+    //    from the data's own dim (dim-generic, the Dim384 rule) --
+    "pq_subspace_balance" -> ((s, dir) => {
+      val q = t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim"),
+          expr("CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)").as("q3"))
+      val per = q.groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("q3")).as("sx"),
+          sum(col("q3") * col("q3")).as("sxx"))
+        .select(col("dim"), (col("n") * col("sxx") - col("sx") * col("sx"))
+          .as("vnum"))
+      val d = per.agg((max(col("dim")) + 1).as("nd"))
+      val sub = per.crossJoin(broadcast(d))
+        .select(expr("dim div (nd div 8)").as("grp"), col("vnum"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_dims"), sum(col("vnum")).as("var_num"))
+      val tot = sub.agg(sum(col("var_num")).as("tv"))
+      sub.crossJoin(broadcast(tot))
+        .select(col("grp"), col("n_dims"), col("var_num"),
+          expr("var_num * 10000 div tv").as("share_e4"))
+        .orderBy(col("grp"))
+    }),
+
+    // -- naive-Bayes language ID with a train/test split and a
+    //    confusion matrix (the supervised upgrade of lang_id's
+    //    two-marker heuristic): word-unigram Laplace model per lang
+    //    from the even-doc_id half, argmax log-likelihood on the odd
+    //    half. Each doc×lang score is an e9-fixed-point INTEGER sum
+    //    over the doc's distinct terms (order-free, no double
+    //    shuffles); the model is |langs|x|vocab| counts map-side,
+    //    argmax is a doc-keyed window. Ties break to the
+    //    alphabetically first lang (documented, replayed) --
+    "lang_id_nb" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(TextFuncs.tokens(col("text"))).as("term"))
+      val train = docs.where(pmod(col("doc_id"), lit(2L)) === 0)
+      val test = docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+      val clw = train.groupBy(col("lang").as("mlang"), col("term"))
+        .agg(count(lit(1)).as("c"))
+      val nl = clw.groupBy(col("mlang")).agg(sum(col("c")).as("n_l"))
+      val v = train.select(col("term")).distinct()
+        .agg(count(lit(1)).as("vv"))
+      val langs = train.select(col("lang").as("mlang")).distinct()
+      val scored = test.groupBy(col("doc_id"), col("lang"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(langs))
+        .join(clw, Seq("mlang", "term"), "left")
+        .join(nl, Seq("mlang"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), col("lang"), col("mlang"),
+          expr("""CAST(round(cnt * ln((coalesce(c, 0) + 1.0)
+            | / (n_l + vv)) * 1000000000) AS BIGINT)"""
+            .stripMargin.replaceAll("\n", " ")).as("x9"))
+        .groupBy(col("doc_id"), col("lang"), col("mlang"))
+        .agg(sum(col("x9")).as("score9"))
+      scored
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score9").desc, col("mlang"))))
+        .where(col("_rn") === 1)
+        .groupBy(col("lang"), col("mlang").as("guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("guess"))
     })
   )
 
@@ -9862,7 +9937,53 @@ object SparkEntry {
           |  sc AS n_events,
           |  round(CAST((hi - lo + 1) * scc - sc * sc AS DOUBLE)
           |    / (CAST(hi - lo + 1 AS DOUBLE) * sc), 4) AS dispersion
-          |FROM mo, sp ORDER BY event_type""".stripMargin.replaceAll("\n", " ")
+          |FROM mo, sp ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
+      // e3 fixed-point per-dim moments, contiguous-slice grouping
+      "pq_subspace_balance" ->
+        """WITH q AS (SELECT i - 1 AS dim,
+          |  CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q3 FROM
+          |  (SELECT unnest(embedding) AS x,
+          |    unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+          |per AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(q3) AS BIGINT) AS sx,
+          |  CAST(sum(q3 * q3) AS BIGINT) AS sxx FROM q GROUP BY dim),
+          |pv AS (SELECT dim, n * sxx - sx * sx AS vnum FROM per),
+          |d AS (SELECT CAST(max(dim) + 1 AS BIGINT) AS nd FROM pv),
+          |sub AS (SELECT CAST(dim // (nd // 8) AS BIGINT) AS grp, vnum
+          |  FROM pv, d),
+          |sg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_dims,
+          |  CAST(sum(vnum) AS BIGINT) AS var_num FROM sub GROUP BY grp),
+          |tot AS (SELECT CAST(sum(var_num) AS BIGINT) AS tv FROM sg)
+          |SELECT grp, n_dims, var_num,
+          |  CAST(var_num * 10000 // tv AS BIGINT) AS share_e4
+          |FROM sg, tot ORDER BY grp""".stripMargin.replaceAll("\n", " "),
+      // Laplace unigram NB replay; ties to the first lang
+      "lang_id_nb" ->
+        s"""WITH dt AS (SELECT doc_id, lang, unnest($toks) AS term
+           |  FROM documents),
+           |tr AS (SELECT * FROM dt WHERE ((doc_id % 2) + 2) % 2 = 0),
+           |te AS (SELECT * FROM dt WHERE ((doc_id % 2) + 2) % 2 = 1),
+           |clw AS (SELECT lang AS mlang, term,
+           |  CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
+           |nl AS (SELECT mlang, CAST(sum(c) AS BIGINT) AS n_l
+           |  FROM clw GROUP BY mlang),
+           |v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS vv FROM tr),
+           |langs AS (SELECT DISTINCT lang AS mlang FROM tr),
+           |tc AS (SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM te GROUP BY 1, 2, 3),
+           |sc AS (SELECT tc.doc_id, tc.lang, l.mlang,
+           |  CAST(sum(CAST(round(cnt * ln((coalesce(c, 0) + 1.0)
+           |    / (n_l + vv)) * 1000000000) AS BIGINT)) AS BIGINT) AS score9
+           |  FROM tc CROSS JOIN langs l
+           |  LEFT JOIN clw ON clw.mlang = l.mlang AND clw.term = tc.term
+           |  JOIN nl ON nl.mlang = l.mlang, v
+           |  GROUP BY tc.doc_id, tc.lang, l.mlang),
+           |g AS (SELECT doc_id, lang, mlang, row_number() OVER
+           |  (PARTITION BY doc_id ORDER BY score9 DESC, mlang) AS rn
+           |  FROM sc)
+           |SELECT lang, mlang AS guess, CAST(count(*) AS BIGINT) AS n
+           |FROM g WHERE rn = 1 GROUP BY lang, mlang
+           |ORDER BY lang, guess""".stripMargin.replaceAll("\n", " ")
     )
   }
 
