@@ -5679,6 +5679,107 @@ object SparkEntry {
         .groupBy(col("lang"), col("mlang").as("guess"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("guess"))
+    }),
+
+    // -- inter-order gap survival curve (the churn read): for every
+    //    consecutive order pair per customer, the gap in weeks; then
+    //    S(w) = fraction of gaps >= w weeks. The lag window is
+    //    customer-partitioned (never global); the survival tail runs
+    //    as a broadcast triangle join over the WEEK-BUCKET histogram
+    //    (tens of rows at any corpus size), the globalNtile pattern
+    //    — no corpus-sized cumulative window --
+    "orders_gap_survival" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val hist = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(expr("""CAST(datediff(CAST(o_orderdate AS DATE),
+          | CAST(prev AS DATE)) AS BIGINT) div 7"""
+          .stripMargin.replaceAll("\n", " ")).as("wk"))
+        .groupBy(col("wk")).agg(count(lit(1)).as("n"))
+      val tot = hist.agg(sum(col("n")).as("tn"))
+      hist.as("a")
+        .join(broadcast(hist.select(col("wk").as("w2"), col("n").as("n2"))),
+          col("w2") >= col("wk"))
+        .groupBy(col("wk"), col("n"))
+        .agg(sum(col("n2")).as("n_ge"))
+        .crossJoin(broadcast(tot))
+        .select(col("wk"), col("n").as("n_gaps"), col("n_ge"),
+          expr("n_ge * 10000 div tn").as("surv_e4"))
+        .orderBy(col("wk"))
+    }),
+
+    // -- Herfindahl–Hirschman supplier concentration per nation:
+    //    revenue shares (integer e4 of exact cents) squared and
+    //    summed — 10000^2 = monopoly, ~1e8/n = fragmented. The
+    //    antitrust-style market-structure read on the supplier base;
+    //    all-integer end to end (the trade_matrix cents rule) --
+    "nation_supplier_hhi" -> ((s, dir) => {
+      val bySupp = t(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+            .as("rev_c"))
+        .groupBy(col("l_suppkey")).agg(sum(col("rev_c")).as("s_rev"))
+        .join(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey"), col("s_rev"))
+      val byNat = bySupp.groupBy(col("s_nationkey"))
+        .agg(sum(col("s_rev")).as("tot"), count(lit(1)).as("n_supp"))
+      bySupp.join(byNat, Seq("s_nationkey"))
+        .select(col("s_nationkey"), col("n_supp"),
+          expr("s_rev * 10000 div tot").as("sh4"))
+        .groupBy(col("s_nationkey"), col("n_supp"))
+        .agg(sum(expr("sh4 * sh4")).as("hhi_e8"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n_supp"), col("hhi_e8"))
+        .orderBy(col("nation"))
+    }),
+
+    // -- leave-one-out kNN classifier eval (majority vote of the top
+    //    5 cosine neighbors, ties to the smaller label) with a full
+    //    label confusion matrix — the embedding-quality eval that
+    //    goes beyond knn_label_purity's same-label fraction to WHICH
+    //    labels confuse. Query side is the count-derived ~64-vector
+    //    sample (broadcast); the corpus is scanned once with
+    //    TopKPairs map-side partials — constant work at any SF --
+    "knn_classifier_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val mod = math.max(1L, (e.count() + 63L) / 64L)
+      val qs = e.where(pmod(col("vec_id"), lit(mod)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("true_label"))
+      val topk = e.crossJoin(broadcast(qs))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("true_label"),
+          round(VectorFunctions.vec_cosine(col("embedding"), col("qvec")), 4)
+            .as("dist"),
+          col("vec_id"))
+        .groupBy(col("qid"), col("true_label"))
+        .agg(graft.functions.TopKAgg.topk_pairs(col("dist"), col("vec_id"), 5)
+          .as("tp"))
+        .select(col("qid"), col("true_label"),
+          explode(col("tp")).as("pair"))
+        .select(col("qid"), col("true_label"), col("pair.id").as("nid"))
+      val votes = topk
+        .join(e.select(col("vec_id").as("nid"), col("label").as("nlabel")),
+          Seq("nid"))
+        .groupBy(col("qid"), col("true_label"), col("nlabel"))
+        .agg(count(lit(1)).as("v"))
+      votes
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("v").desc, col("nlabel"))))
+        .where(col("_rn") === 1)
+        .groupBy(col("true_label"), col("nlabel").as("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("true_label"), col("pred"))
     })
   )
 
@@ -9983,7 +10084,59 @@ object SparkEntry {
            |  FROM sc)
            |SELECT lang, mlang AS guess, CAST(count(*) AS BIGINT) AS n
            |FROM g WHERE rn = 1 GROUP BY lang, mlang
-           |ORDER BY lang, guess""".stripMargin.replaceAll("\n", " ")
+           |ORDER BY lang, guess""".stripMargin.replaceAll("\n", " "),
+      // customer-partitioned lag, week-bucket triangle tail
+      "orders_gap_survival" ->
+        """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey,
+          |  lag(o_orderdate) OVER (PARTITION BY o_custkey
+          |    ORDER BY o_orderdate, o_orderkey) AS prev FROM orders),
+          |g AS (SELECT CAST(date_diff('day', CAST(prev AS DATE),
+          |  CAST(o_orderdate AS DATE)) AS BIGINT) // 7 AS wk
+          |  FROM o WHERE prev IS NOT NULL),
+          |h AS (SELECT wk, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY wk),
+          |t AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM h),
+          |c AS (SELECT a.wk, a.n, CAST(sum(b.n) AS BIGINT) AS n_ge
+          |  FROM h a JOIN h b ON b.wk >= a.wk GROUP BY a.wk, a.n)
+          |SELECT wk, n AS n_gaps, n_ge,
+          |  CAST(n_ge * 10000 // tn AS BIGINT) AS surv_e4
+          |FROM c, t ORDER BY wk""".stripMargin.replaceAll("\n", " "),
+      // exact-cents shares, integer e4 squares
+      "nation_supplier_hhi" ->
+        """WITH r AS (SELECT l_suppkey, CAST(sum(CAST(round(l_extendedprice
+          |  * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS s_rev
+          |  FROM lineitem GROUP BY l_suppkey),
+          |bs AS (SELECT s_nationkey, s_rev FROM r
+          |  JOIN supplier ON l_suppkey = s_suppkey),
+          |bn AS (SELECT s_nationkey, CAST(sum(s_rev) AS BIGINT) AS tot,
+          |  CAST(count(*) AS BIGINT) AS n_supp FROM bs GROUP BY s_nationkey),
+          |sh AS (SELECT bs.s_nationkey, bn.n_supp,
+          |  s_rev * 10000 // tot AS sh4 FROM bs JOIN bn USING (s_nationkey)),
+          |h AS (SELECT s_nationkey, n_supp,
+          |  CAST(sum(sh4 * sh4) AS BIGINT) AS hhi_e8
+          |  FROM sh GROUP BY s_nationkey, n_supp)
+          |SELECT n_name AS nation, n_supp, hhi_e8 FROM h
+          |JOIN nation ON s_nationkey = n_nationkey
+          |ORDER BY nation""".stripMargin.replaceAll("\n", " "),
+      // leave-one-out top-5 vote replay, ties to the smaller label
+      "knn_classifier_eval" ->
+        s"""WITH m AS (SELECT greatest(1, (count(*) + 63) // 64) AS md
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS qid, embedding AS qvec,
+           |  label AS true_label FROM embeddings, m
+           |  WHERE ((vec_id % m.md) + m.md) % m.md = 0),
+           |d AS (SELECT q.qid, q.true_label, e.vec_id AS nid,
+           |  e.label AS nlabel, ${sqlDist("cosine")} AS dist,
+           |  row_number() OVER (PARTITION BY q.qid
+           |    ORDER BY ${sqlDist("cosine")}, e.vec_id) AS rn
+           |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+           |v AS (SELECT qid, true_label, nlabel,
+           |  CAST(count(*) AS BIGINT) AS v
+           |  FROM d WHERE rn <= 5 GROUP BY qid, true_label, nlabel),
+           |p AS (SELECT qid, true_label, nlabel, row_number() OVER
+           |  (PARTITION BY qid ORDER BY v DESC, nlabel) AS rn FROM v)
+           |SELECT true_label, nlabel AS pred, CAST(count(*) AS BIGINT) AS n
+           |FROM p WHERE rn = 1 GROUP BY true_label, nlabel
+           |ORDER BY true_label, pred""".stripMargin.replaceAll("\n", " ")
     )
   }
 
