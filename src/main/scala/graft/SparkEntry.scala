@@ -5780,8 +5780,122 @@ object SparkEntry {
         .groupBy(col("true_label"), col("nlabel").as("pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("true_label"), col("pred"))
+    }),
+
+    // -- Dunning log-likelihood-ratio collocations (G², the
+    //    sparse-count-robust sibling of collocations_pmi — PMI
+    //    overrates rare pairs, G² penalizes them by the full 2x2
+    //    contingency evidence): margins from the bigram table itself,
+    //    each o*ln term decomposed as o*(ln o + ln N - ln r - ln c)
+    //    so no product ever leaves double-exact integer range; the
+    //    4-term sum is written ONCE (llrFormula) and evaluated by
+    //    both engines verbatim. Corpus collapses to |V|² bigram
+    //    counts map-side --
+    "tokens_colloc_llr" -> ((s, dir) => {
+      val bg = t(s, dir, "documents")
+        .select(explode(TextExprs.shingle_strings(col("text"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n_ab"))
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      val m1 = bg.groupBy(col("w1")).agg(sum(col("n_ab")).as("n_a"))
+      val m2 = bg.groupBy(col("w2")).agg(sum(col("n_ab")).as("n_b"))
+      val nb = bg.agg(sum(col("n_ab")).as("n_bt"))
+      bg.join(m1, Seq("w1")).join(m2, Seq("w2"))
+        .crossJoin(broadcast(nb))
+        .where(col("n_ab") >= 5)
+        .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+          expr(llrFormula).as("g2"))
+        .orderBy(col("g2").desc, col("bigram")).limit(20)
+    }),
+
+    // -- graph modularity of the SOURCE partition over the near-dup
+    //    graph: Q = Σ_c (e_c/m − (d_c/2m)²) with communities = the
+    //    source column — do near-dups concentrate within sources
+    //    (high contrib) or leak across them (the provenance-matrix
+    //    view condensed to one number per source)? Exact integer
+    //    edge/degree sums over the BANDED edge list; one double per
+    //    source at the end --
+    "graph_modularity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+          Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+          Seq("doc_b"))
+        .localCheckpoint(eager = true)
+      val m = pairs.agg(count(lit(1)).as("m")).select(col("m"))
+      val eWithin = pairs.where(col("sa") === col("sb"))
+        .groupBy(col("sa").as("source")).agg(count(lit(1)).as("e_within"))
+      val deg = pairs.select(col("sa").as("source"))
+        .unionByName(pairs.select(col("sb").as("source")))
+        .groupBy(col("source")).agg(count(lit(1)).as("deg_sum"))
+      val nodes = pairs.select(col("doc_a").as("doc_id"), col("sa").as("source"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id"), col("sb").as("source")))
+        .distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs_in_graph"))
+      nodes.join(deg, Seq("source"))
+        .join(eWithin, Seq("source"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("source"), col("n_docs_in_graph"), col("deg_sum"),
+          coalesce(col("e_within"), lit(0L)).as("e_within"),
+          expr("""round(CAST(coalesce(e_within, 0) AS DOUBLE) / m
+            | - (CAST(deg_sum AS DOUBLE) / (2 * m))
+            | * (CAST(deg_sum AS DOUBLE) / (2 * m)), 6)"""
+            .stripMargin.replaceAll("\n", " ")).as("contrib"))
+        .orderBy(col("source"))
+    }),
+
+    // -- k-fold assignment balance audit: 5 hash folds (the split-
+    //    family multiplicative hash), per-fold χ² against the global
+    //    source distribution — the fairness check before trusting a
+    //    cross-validation estimate. Cell terms are doubles from exact
+    //    integers, e9-fixed-pointed and INTEGER-summed per fold
+    //    (order-free); the frame is |folds|x|sources| after map-side
+    //    partials --
+    "split_kfold_balance" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"),
+          expr("((doc_id * 2654435761 + 1013904223) % 5 + 5) % 5").as("fold"))
+      val cells = d.groupBy(col("fold"), col("source"))
+        .agg(count(lit(1)).as("obs"))
+      val nf = cells.groupBy(col("fold")).agg(sum(col("obs")).as("n_f"))
+      val ns = cells.groupBy(col("source")).agg(sum(col("obs")).as("n_s"))
+      val nn = cells.agg(sum(col("obs")).as("nn"))
+      cells.join(nf, Seq("fold")).join(ns, Seq("source"))
+        .crossJoin(broadcast(nn))
+        .select(col("fold"), col("n_f"),
+          expr("""CAST(round((CAST(obs AS DOUBLE) * nn
+            | - CAST(n_f AS DOUBLE) * n_s)
+            | * (CAST(obs AS DOUBLE) * nn - CAST(n_f AS DOUBLE) * n_s)
+            | / (CAST(nn AS DOUBLE) * n_f * n_s) * 1000000000)
+            | AS BIGINT)""".stripMargin.replaceAll("\n", " ")).as("x9"))
+        .groupBy(col("fold"), col("n_f"))
+        .agg(sum(col("x9")).as("sx9"))
+        .select(col("fold"), col("n_f").as("n_docs"),
+          round(col("sx9") / 1000000000.0, 4).as("chi2"))
+        .orderBy(col("fold"))
     })
   )
+
+  /** Dunning G² 2x2 log-likelihood ratio over bigram-margin counts
+    * (n_ab, n_a, n_b, n_bt) — ONE formula string evaluated verbatim
+    * by Spark (expr) and DuckDB (oracle interpolation) so the two
+    * engines cannot drift. Each o*ln(o*N/(r*c)) term is decomposed
+    * into ln differences of exact-integer doubles; o=0 terms are 0.
+    */
+  private val llrFormula: String = {
+    def term(o: String, r: String, c: String): String =
+      s"(CASE WHEN $o = 0 THEN 0.0 ELSE $o * " +
+        s"(ln(CAST($o AS DOUBLE)) + ln(CAST(n_bt AS DOUBLE)) " +
+        s"- ln(CAST($r AS DOUBLE)) - ln(CAST($c AS DOUBLE))) END)"
+    "round(2.0 * (" +
+      term("n_ab", "n_a", "n_b") + " + " +
+      term("(n_a - n_ab)", "n_a", "(n_bt - n_b)") + " + " +
+      term("(n_b - n_ab)", "(n_bt - n_a)", "n_b") + " + " +
+      term("(n_bt - n_a - n_b + n_ab)", "(n_bt - n_a)", "(n_bt - n_b)") +
+      "), 4)"
+  }
 
   /** Constant query string for the search_text end-to-end pipeline. */
   val SearchTextQuery = "spark join merge sort table scan"
@@ -10136,7 +10250,71 @@ object SparkEntry {
            |  (PARTITION BY qid ORDER BY v DESC, nlabel) AS rn FROM v)
            |SELECT true_label, nlabel AS pred, CAST(count(*) AS BIGINT) AS n
            |FROM p WHERE rn = 1 GROUP BY true_label, nlabel
-           |ORDER BY true_label, pred""".stripMargin.replaceAll("\n", " ")
+           |ORDER BY true_label, pred""".stripMargin.replaceAll("\n", " "),
+      // same llrFormula text evaluated verbatim by DuckDB
+      "tokens_colloc_llr" ->
+        s"""WITH tk AS (SELECT $toks AS toks FROM documents),
+           |g AS (SELECT unnest(${SqlSnips.shingles("toks", 2)}) AS bigram
+           |  FROM tk),
+           |bg AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab,
+           |  split_part(bigram, ' ', 1) AS w1,
+           |  split_part(bigram, ' ', 2) AS w2 FROM g GROUP BY bigram),
+           |m1 AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_a
+           |  FROM bg GROUP BY w1),
+           |m2 AS (SELECT w2, CAST(sum(n_ab) AS BIGINT) AS n_b
+           |  FROM bg GROUP BY w2),
+           |nb AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_bt FROM bg)
+           |SELECT bigram, n_ab, n_a, n_b, $llrFormula AS g2
+           |FROM bg JOIN m1 USING (w1) JOIN m2 USING (w2), nb
+           |WHERE n_ab >= 5
+           |ORDER BY g2 DESC, bigram LIMIT 20""".stripMargin.replaceAll("\n", " "),
+      // source-partition modularity over the SAME banded edges
+      "graph_modularity" ->
+        s"""WITH mp AS ($minhashPairsSql),
+           |pe AS (SELECT mp.doc_a, mp.doc_b, a.source AS sa, b.source AS sb
+           |  FROM mp JOIN documents a ON mp.doc_a = a.doc_id
+           |  JOIN documents b ON mp.doc_b = b.doc_id),
+           |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pe),
+           |ew AS (SELECT sa AS source, CAST(count(*) AS BIGINT) AS e_within
+           |  FROM pe WHERE sa = sb GROUP BY sa),
+           |dg AS (SELECT source, CAST(count(*) AS BIGINT) AS deg_sum FROM
+           |  (SELECT sa AS source FROM pe
+           |   UNION ALL SELECT sb AS source FROM pe) GROUP BY source),
+           |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_in_graph
+           |  FROM (SELECT DISTINCT doc_a AS doc_id, sa AS source FROM pe
+           |        UNION SELECT DISTINCT doc_b AS doc_id, sb AS source
+           |        FROM pe) GROUP BY source)
+           |SELECT nd.source, nd.n_docs_in_graph, dg.deg_sum,
+           |  CAST(coalesce(ew.e_within, 0) AS BIGINT) AS e_within,
+           |  round(CAST(coalesce(ew.e_within, 0) AS DOUBLE) / m
+           |    - (CAST(dg.deg_sum AS DOUBLE) / (2 * m))
+           |    * (CAST(dg.deg_sum AS DOUBLE) / (2 * m)), 6) AS contrib
+           |FROM nd JOIN dg USING (source)
+           |LEFT JOIN ew USING (source), mm
+           |ORDER BY source""".stripMargin.replaceAll("\n", " "),
+      // split-family hash folds, e9 per-cell chi-square terms
+      "split_kfold_balance" ->
+        """WITH d AS (SELECT source,
+          |  ((doc_id * 2654435761 + 1013904223) % 5 + 5) % 5 AS fold
+          |  FROM documents),
+          |cells AS (SELECT fold, source, CAST(count(*) AS BIGINT) AS obs
+          |  FROM d GROUP BY fold, source),
+          |nf AS (SELECT fold, CAST(sum(obs) AS BIGINT) AS n_f
+          |  FROM cells GROUP BY fold),
+          |ns AS (SELECT source, CAST(sum(obs) AS BIGINT) AS n_s
+          |  FROM cells GROUP BY source),
+          |nn AS (SELECT CAST(sum(obs) AS BIGINT) AS nn FROM cells),
+          |x AS (SELECT fold, n_f,
+          |  CAST(round((CAST(obs AS DOUBLE) * nn
+          |    - CAST(n_f AS DOUBLE) * n_s)
+          |    * (CAST(obs AS DOUBLE) * nn - CAST(n_f AS DOUBLE) * n_s)
+          |    / (CAST(nn AS DOUBLE) * n_f * n_s) * 1000000000)
+          |    AS BIGINT) AS x9
+          |  FROM cells JOIN nf USING (fold) JOIN ns USING (source), nn)
+          |SELECT fold, n_f AS n_docs,
+          |  round(CAST(sum(x9) AS BIGINT) / 1000000000.0, 4) AS chi2
+          |FROM x GROUP BY fold, n_f ORDER BY fold"""
+        .stripMargin.replaceAll("\n", " ")
     )
   }
 
