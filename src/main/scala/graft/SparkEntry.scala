@@ -5875,6 +5875,28 @@ object SparkEntry {
         .select(col("fold"), col("n_f").as("n_docs"),
           round(col("sx9") / 1000000000.0, 4).as("chi2"))
         .orderBy(col("fold"))
+    }),
+
+    // -- top 3-step event paths per user stream (second-order
+    //    sequence mining, one order up from events_transitions'
+    //    first-order matrix): two leads over the user-partitioned
+    //    (ts, event_id) order, count distinct (a,b,c) paths, top 20.
+    //    The shuffle is the user-keyed sort; paths collapse to
+    //    |types|³ counts map-side --
+    "events_path3" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e1"))
+        .withColumn("e2", lead(col("e1"), 1).over(w))
+        .withColumn("e3", lead(col("e1"), 2).over(w))
+        .where(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
     })
   )
 
@@ -10314,6 +10336,20 @@ object SparkEntry {
           |SELECT fold, n_f AS n_docs,
           |  round(CAST(sum(x9) AS BIGINT) / 1000000000.0, 4) AS chi2
           |FROM x GROUP BY fold, n_f ORDER BY fold"""
+        .stripMargin.replaceAll("\n", " "),
+      // two leads over the same (user, ts, event_id) order
+      "events_path3" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+          |  event_type AS e1 FROM events),
+          |p AS (SELECT e1,
+          |  lead(e1, 1) OVER (PARTITION BY user_id
+          |    ORDER BY us, event_id) AS e2,
+          |  lead(e1, 2) OVER (PARTITION BY user_id
+          |    ORDER BY us, event_id) AS e3 FROM e)
+          |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+          |FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+          |GROUP BY e1, e2, e3
+          |ORDER BY n DESC, e1, e2, e3 LIMIT 20"""
         .stripMargin.replaceAll("\n", " ")
     )
   }
