@@ -5897,39 +5897,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
         .limit(20)
-    }),
-
-    // -- embedding outlier screen (the mislabeled/corrupt-vector QA
-    //    pass): distance of each vector to its LABEL's centroid,
-    //    global top-20 by distance. Centroids as e6 integer SUM
-    //    vectors (no division: ||n·x − S|| = n·||x − mean||, so the
-    //    score divides by n once at the end); the |labels|×dim sum
-    //    table broadcasts as arrays and each row folds its own
-    //    zip_with in array order — per-row sequential, deterministic.
-    //    One corpus scan + one broadcast join at any SF --
-    "embed_outliers" -> ((s, dir) => {
-      val q = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"),
-          expr("""transform(embedding,
-            | x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"""
-            .stripMargin.replaceAll("\n", " ")).as("q6"))
-        .localCheckpoint(eager = false)
-      val cent = q.select(col("label"), posexplode(col("q6")).as(Seq("dim", "v")))
-        .groupBy(col("label"), col("dim"))
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-        .groupBy(col("label"))
-        .agg(max(col("n")).as("n"),
-          expr("""transform(sort_array(collect_list(struct(dim, sv))),
-            | p -> p.sv)""".stripMargin.replaceAll("\n", " ")).as("s6"))
-      q.join(broadcast(cent), Seq("label"))
-        .select(col("label"), col("vec_id"),
-          expr("""round(sqrt(aggregate(zip_with(q6, s6,
-            | (x, s) -> CAST(n * x - s AS DOUBLE)
-            |   * CAST(n * x - s AS DOUBLE)),
-            | CAST(0.0 AS DOUBLE), (a, b) -> a + b))
-            | / n / 1000000.0, 4)""".stripMargin.replaceAll("\n", " "))
-            .as("dist"))
-        .orderBy(col("dist").desc, col("vec_id")).limit(20)
     })
   )
 
@@ -10383,26 +10350,6 @@ object SparkEntry {
           |FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
           |GROUP BY e1, e2, e3
           |ORDER BY n DESC, e1, e2, e3 LIMIT 20"""
-        .stripMargin.replaceAll("\n", " "),
-      // e6 integer centroid sums, per-row index fold in list order
-      "embed_outliers" ->
-        """WITH q AS (SELECT vec_id, label, list_transform(embedding,
-          |  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
-          |  FROM embeddings),
-          |pe AS (SELECT label, unnest(q6) AS v,
-          |  unnest(range(1, len(q6) + 1)) AS dim FROM q),
-          |ce AS (SELECT label, dim, CAST(sum(v) AS BIGINT) AS sv,
-          |  CAST(count(*) AS BIGINT) AS n FROM pe GROUP BY label, dim),
-          |cent AS (SELECT label, CAST(max(n) AS BIGINT) AS n,
-          |  list(sv ORDER BY dim) AS s6 FROM ce GROUP BY label)
-          |SELECT q.label, q.vec_id,
-          |  round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          |    list_transform(range(1, len(q.q6) + 1),
-          |      i -> CAST(cent.n * q.q6[i] - cent.s6[i] AS DOUBLE)
-          |         * CAST(cent.n * q.q6[i] - cent.s6[i] AS DOUBLE))),
-          |    (a, b) -> a + b)) / cent.n / 1000000.0, 4) AS dist
-          |FROM q JOIN cent USING (label)
-          |ORDER BY dist DESC, vec_id LIMIT 20"""
         .stripMargin.replaceAll("\n", " ")
     )
   }
