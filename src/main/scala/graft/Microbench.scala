@@ -902,7 +902,7 @@ object Microbench {
       def recallOf(res: DataFrame): Double =
         res.join(exact, Seq("qid", "vec_id")).count().toDouble / nExact
       sb ++= "| config | mean probes/query | recall@10 |\n|---|---|---|\n"
-      Seq(1, 2, 4).foreach { np =>
+      Seq(1, 2, 4, 6).foreach { np =>
         val r = recallOf(Ann.searchIvfBatch(tagged, cents, qs,
           "vec_id", "embedding", "cosine", 10, nprobe = np)
           .select(col("qid"), col("vec_id")))

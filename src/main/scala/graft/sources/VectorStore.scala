@@ -52,6 +52,16 @@ object VectorStore {
   def importJson(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** ORC round-trip (built-in columnar sibling of the parquet store;
+    * same predicate-pushdown/column-pruning behavior at rest, so a
+    * collection can live in either format interchangeably).
+    */
+  def exportOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def importOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Deterministic "random" vector generation (the reference CLI's
     * `random` command, cmd/vectodb/main.go:201): component j of row i
     * is a hash-derived uniform in [-0.5, 0.5). Seeded + reproducible

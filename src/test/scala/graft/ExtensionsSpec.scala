@@ -51,4 +51,25 @@ class ImportExportSpec extends AnyFunSuite {
     assert(csv.collect().map(_.toSeq).toSeq == df.orderBy("id").collect().map(_.toSeq).toSeq)
     assert(json.collect().map(_.toSeq).toSeq == df.orderBy("id").collect().map(_.toSeq).toSeq)
   }
+
+  test("orc export/import round-trip preserves schema, values and pushdown") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "name", "score")
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    VectorStore.exportOrc(df, s"$dir/orc")
+    val orc = VectorStore.importOrc(spark, s"$dir/orc")
+    // ORC keeps names/types exactly (csv infers); nullability widens
+    // on read, as for any file source
+    assert(orc.schema.map(f => (f.name, f.dataType))
+      == df.schema.map(f => (f.name, f.dataType)))
+    assert(orc.orderBy("id").collect().map(_.toSeq).toSeq
+      == df.orderBy("id").collect().map(_.toSeq).toSeq)
+    // the at-rest contract: a filtered projection reaches the ORC scan
+    // as PushedFilters + a pruned ReadSchema, same as the parquet store
+    val plan = orc.where(org.apache.spark.sql.functions.col("id") > 1L)
+      .select("name")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"), plan)
+    assert(plan.contains("ReadSchema: struct<id:bigint,name:string>"), plan)
+  }
 }
