@@ -82,7 +82,13 @@ object Explain {
     "events_changepoint", "events_quantile_sketch",
     "multimodal_cdc_dedup", "zonemap_prune", "dedup_cdc_recall",
     "interval_join", "dedup_cc_star", "embed_rp",
-    "shard_consistent", "corpus_yield_report", "ann_rp_rerank")
+    "shard_consistent", "corpus_yield_report", "ann_rp_rerank",
+    "mix_waterfill", "graph_assortativity", "embed_centroid_drift",
+    "bloom_fpr_audit", "split_ppl_gap", "ann_ivf_adaptive",
+    "dedup_growth_curve", "vocab_fof", "events_dispersion",
+    "pq_subspace_balance", "lang_id_nb", "orders_gap_survival",
+    "nation_supplier_hhi", "knn_classifier_eval", "tokens_colloc_llr",
+    "graph_modularity", "split_kfold_balance", "events_path3")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

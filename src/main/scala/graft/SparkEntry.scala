@@ -5897,6 +5897,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
         .limit(20)
+    }),
+
+    // -- repeated-span REMOVAL transform (the RefinedWeb/Gopher rep
+    //    screens actually REWRITE, not just flag): the 16 most
+    //    frequent corpus trigrams are the boilerplate ban list
+    //    (ties by hash — a count threshold can't track the count
+    //    distribution across SFs, a top-k ban always fires); every
+    //    token covered by a banned trigram occurrence is excised.
+    //    Reported per source as before/after token counts + removal
+    //    rate — the cleaning pass's yield ledger. The ban list is a
+    //    16-row TakeOrdered broadcast; token/shingle positions stream
+    //    doc-keyed; coverage = anti-join on (doc, pos) — one corpus
+    //    scan each side, never quadratic --
+    "corpus_rep_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sh = d.select(col("doc_id"), col("source"),
+          posexplode(TextExprs.shingle_hashes(col("text"), 3))
+            .as(Seq("pos", "h")))
+        .localCheckpoint(eager = false)
+      val boiler = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("h")).limit(16).select(col("h"))
+      val covered = sh.join(broadcast(boiler), Seq("h"))
+        .select(col("doc_id"),
+          explode(expr("array(pos, pos + 1, pos + 2)")).as("pos"))
+        .distinct()
+      val toks = d.select(col("doc_id"), col("source"),
+        posexplode(TextFuncs.tokens(col("text"))).as(Seq("pos", "tok")))
+      toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_after"))
+        .join(toks.groupBy(col("source")).agg(count(lit(1)).as("n_before")),
+          Seq("source"))
+        .select(col("source"), col("n_before"), col("n_after"),
+          expr("(n_before - n_after) * 10000 div n_before")
+            .as("removed_e4"))
+        .orderBy(col("source"))
     })
   )
 
@@ -10350,7 +10385,35 @@ object SparkEntry {
           |FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
           |GROUP BY e1, e2, e3
           |ORDER BY n DESC, e1, e2, e3 LIMIT 20"""
-        .stripMargin.replaceAll("\n", " ")
+        .stripMargin.replaceAll("\n", " "),
+      // same trigram hashes, same >= 32 cut, same coverage excision
+      "corpus_rep_filter" ->
+        s"""WITH tk AS (SELECT doc_id, source, $toks AS toks FROM documents),
+           |sh AS (SELECT doc_id, i - 1 AS pos, h FROM (
+           |  SELECT doc_id, unnest(list_transform(
+           |    ${SqlSnips.shingles("toks", 3)},
+           |    s -> ${SqlSnips.charFold("s")})) AS h,
+           |  unnest(range(1, len(toks) - 1)) AS i
+           |  FROM tk WHERE len(toks) >= 3)),
+           |b AS (SELECT h FROM (SELECT h, CAST(count(*) AS BIGINT) AS c
+           |  FROM sh GROUP BY h) ORDER BY c DESC, h LIMIT 16),
+           |cov AS (SELECT DISTINCT doc_id, pos + o AS pos
+           |  FROM sh JOIN b USING (h),
+           |  (SELECT unnest(range(0, 3)) AS o) _o),
+           |tok AS (SELECT doc_id, source, i - 1 AS pos FROM (
+           |  SELECT doc_id, source, unnest(toks) AS tokv,
+           |    unnest(range(1, len(toks) + 1)) AS i FROM tk)),
+           |aft AS (SELECT source, CAST(count(*) AS BIGINT) AS n_after
+           |  FROM tok WHERE NOT EXISTS (SELECT 1 FROM cov
+           |    WHERE cov.doc_id = tok.doc_id AND cov.pos = tok.pos)
+           |  GROUP BY source),
+           |bef AS (SELECT source, CAST(count(*) AS BIGINT) AS n_before
+           |  FROM tok GROUP BY source)
+           |SELECT source, n_before, n_after,
+           |  CAST((n_before - n_after) * 10000 // n_before AS BIGINT)
+           |    AS removed_e4
+           |FROM bef JOIN aft USING (source) ORDER BY source"""
+          .stripMargin.replaceAll("\n", " ")
     )
   }
 
