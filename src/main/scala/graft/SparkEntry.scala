@@ -5932,6 +5932,69 @@ object SparkEntry {
           expr("(n_before - n_after) * 10000 div n_before")
             .as("removed_e4"))
         .orderBy(col("source"))
+    }),
+
+    // -- Population Stability Index of the quality score between
+    //    corpus halves (THE standard production drift metric for a
+    //    scored pipeline, next to quality_drift's mean shift): the
+    //    quality_classifier integer score bucketed as there, halves
+    //    by doc_id parity, PSI term (p−q)·ln(p/q) per bucket with
+    //    Laplace +1 over the observed-bucket union (zero-proof). The
+    //    ln decomposes into ln differences of exact integers; each
+    //    bucket contribution is e6-fixed — the frame is
+    //    |score-buckets| rows after one corpus pass --
+    "quality_psi" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFuncs.tokens(col("text"))).as("tm"))
+        .select(col("doc_id"), (TextFuncs.charFold(col("tm")) % 2001).as("w"))
+        .groupBy(col("doc_id"))
+        .agg(expr("sum(w) div count(1)").as("score_e3"))
+      val b = scored
+        .select(expr("score_e3 div 10").as("bucket"),
+          pmod(col("doc_id"), lit(2L)).as("half"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("ne"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("no"))
+      val tot = b.agg(sum(col("ne")).as("te"), sum(col("no")).as("tn"),
+        count(lit(1)).as("k"))
+      b.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("ne").as("n_even"), col("no").as("n_odd"),
+          expr("""CAST(round(((ne + 1.0) / (te + k) - (no + 1.0) / (tn + k))
+            | * (ln(ne + 1.0) + ln(CAST(tn + k AS DOUBLE))
+            |   - ln(no + 1.0) - ln(CAST(te + k AS DOUBLE)))
+            | * 1000000) AS BIGINT)""".stripMargin.replaceAll("\n", " "))
+            .as("contrib_e6"))
+        .orderBy(col("bucket"))
+    }),
+
+    // -- Gini coefficient of per-user event activity — the
+    //    concentration read behind "10% of users generate 90% of the
+    //    data". EXACT Gini without a corpus-sized global rank: users
+    //    collapse to the activity-VALUE histogram (bounded by the
+    //    activity range), rank ranges come from bucket prefix sums
+    //    (broadcast triangle join over buckets, the globalNtile
+    //    trick), and Σ rank·x per bucket is the closed form
+    //    v·(c·R + c(c+1)/2). All BIGINT to ~1e9 users; one double
+    //    divide at the end --
+    "users_activity_gini" -> ((s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("c"))
+      val pre = h.as("a")
+        .join(broadcast(h.select(col("x").as("x2"), col("c").as("c2"))),
+          col("x2") < col("x"), "left")
+        .groupBy(col("x"), col("c"))
+        .agg(coalesce(sum(col("c2")), lit(0L)).as("r"))
+      pre.select(
+          (col("x") * (col("c") * col("r") + expr("c * (c + 1) div 2")))
+            .as("sx"),
+          (col("x") * col("c")).as("tx"), col("c"))
+        .agg(sum(col("c")).as("n"), sum(col("tx")).as("t"),
+          sum(col("sx")).as("s"))
+        .select(col("n").as("n_users"), col("t").as("total_events"),
+          expr("""round(CAST(2 * s - (n + 1) * t AS DOUBLE)
+            | / (CAST(n AS DOUBLE) * t), 4)"""
+            .stripMargin.replaceAll("\n", " ")).as("gini"))
     })
   )
 
@@ -10413,7 +10476,46 @@ object SparkEntry {
            |  CAST((n_before - n_after) * 10000 // n_before AS BIGINT)
            |    AS removed_e4
            |FROM bef JOIN aft USING (source) ORDER BY source"""
-          .stripMargin.replaceAll("\n", " ")
+          .stripMargin.replaceAll("\n", " "),
+      // same integer score buckets, Laplace +1 PSI terms e6-fixed
+      "quality_psi" ->
+        s"""WITH sc AS (SELECT doc_id,
+           |  list_sum(list_transform($toks,
+           |    t -> ${SqlSnips.charFold("t")} % 2001))
+           |  // len($toks) AS score_e3 FROM documents),
+           |b AS (SELECT score_e3 // 10 AS bucket,
+           |  CAST(sum(CASE WHEN ((doc_id % 2) + 2) % 2 = 0
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+           |  CAST(sum(CASE WHEN ((doc_id % 2) + 2) % 2 = 1
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS no
+           |  FROM sc GROUP BY 1),
+           |tot AS (SELECT CAST(sum(ne) AS BIGINT) AS te,
+           |  CAST(sum(no) AS BIGINT) AS tn,
+           |  CAST(count(*) AS BIGINT) AS k FROM b)
+           |SELECT CAST(bucket AS BIGINT) AS bucket, ne AS n_even,
+           |  no AS n_odd,
+           |  CAST(round(((ne + 1.0) / (te + k) - (no + 1.0) / (tn + k))
+           |    * (ln(ne + 1.0) + ln(CAST(tn + k AS DOUBLE))
+           |      - ln(no + 1.0) - ln(CAST(te + k AS DOUBLE)))
+           |    * 1000000) AS BIGINT) AS contrib_e6
+           |FROM b, tot ORDER BY bucket""".stripMargin.replaceAll("\n", " "),
+      // value-histogram closed-form rank sums
+      "users_activity_gini" ->
+        """WITH ua AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+          |  FROM events GROUP BY user_id),
+          |h AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM ua GROUP BY x),
+          |pre AS (SELECT a.x, a.c,
+          |  CAST(coalesce(sum(b.c), 0) AS BIGINT) AS r
+          |  FROM h a LEFT JOIN h b ON b.x < a.x GROUP BY a.x, a.c),
+          |parts AS (SELECT x * (c * r + c * (c + 1) // 2) AS sx,
+          |  x * c AS tx, c FROM pre),
+          |agg AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+          |  CAST(sum(tx) AS BIGINT) AS t,
+          |  CAST(sum(sx) AS BIGINT) AS s FROM parts)
+          |SELECT n AS n_users, t AS total_events,
+          |  round(CAST(2 * s - (n + 1) * t AS DOUBLE)
+          |    / (CAST(n AS DOUBLE) * t), 4) AS gini
+          |FROM agg""".stripMargin.replaceAll("\n", " ")
     )
   }
 
