@@ -5995,6 +5995,38 @@ object SparkEntry {
           expr("""round(CAST(2 * s - (n + 1) * t AS DOUBLE)
             | / (CAST(n AS DOUBLE) * t), 4)"""
             .stripMargin.replaceAll("\n", " ")).as("gini"))
+    }),
+
+    // -- seasonal-naive forecast BACKTEST (the capability gap next to
+    //    orders_seasonality's decomposition: not just describing the
+    //    season but scoring a forecast): predict each of the last
+    //    day's 24 hourly counts per event type as the count one week
+    //    earlier, report the integer MAE. The 24×|types| eval grid
+    //    is explicit (missing hours = 0 on BOTH sides, so silent
+    //    gaps can't flatter the error); counts collapse map-side,
+    //    the grid is a broadcast — exact integers end to end --
+    "events_forecast_backtest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), expr("ts div 1000000000 div 3600").as("hb"))
+      val c = ev.groupBy(col("event_type"), col("hb"))
+        .agg(count(lit(1)).as("n"))
+      val sp = ev.agg(max(col("hb")).as("hi"))
+      val grid = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(sp))
+        .select(col("event_type"),
+          explode(sequence(col("hi") - 23, col("hi"))).as("hb"))
+      grid
+        .join(c, Seq("event_type", "hb"), "left")
+        .withColumn("actual", coalesce(col("n"), lit(0L)))
+        .join(c.select(col("event_type"), (col("hb") + 168).as("hb"),
+          col("n").as("p")), Seq("event_type", "hb"), "left")
+        .withColumn("pred", coalesce(col("p"), lit(0L)))
+        .groupBy(col("event_type"))
+        .agg(sum(abs(col("actual") - col("pred"))).as("sae"),
+          sum(col("actual")).as("actual_total"))
+        .select(col("event_type"), col("actual_total"), col("sae"),
+          expr("sae * 100 div 24").as("mae_e2"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -10515,7 +10547,28 @@ object SparkEntry {
           |SELECT n AS n_users, t AS total_events,
           |  round(CAST(2 * s - (n + 1) * t AS DOUBLE)
           |    / (CAST(n AS DOUBLE) * t), 4) AS gini
-          |FROM agg""".stripMargin.replaceAll("\n", " ")
+          |FROM agg""".stripMargin.replaceAll("\n", " "),
+      // week-lag prediction on the explicit 24x|types| grid
+      "events_forecast_backtest" ->
+        """WITH e AS (SELECT event_type,
+          |  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb FROM events),
+          |c AS (SELECT event_type, hb, CAST(count(*) AS BIGINT) AS n
+          |  FROM e GROUP BY event_type, hb),
+          |sp AS (SELECT max(hb) AS hi FROM e),
+          |g AS (SELECT event_type, unnest(range(hi - 23, hi + 1)) AS hb
+          |  FROM (SELECT DISTINCT event_type FROM e), sp),
+          |j AS (SELECT g.event_type, g.hb,
+          |  CAST(coalesce(a.n, 0) AS BIGINT) AS actual,
+          |  CAST(coalesce(p.n, 0) AS BIGINT) AS pred
+          |  FROM g LEFT JOIN c a ON g.event_type = a.event_type
+          |    AND g.hb = a.hb
+          |  LEFT JOIN c p ON g.event_type = p.event_type
+          |    AND g.hb = p.hb + 168)
+          |SELECT event_type, CAST(sum(actual) AS BIGINT) AS actual_total,
+          |  CAST(sum(abs(actual - pred)) AS BIGINT) AS sae,
+          |  CAST(sum(abs(actual - pred)) * 100 // 24 AS BIGINT) AS mae_e2
+          |FROM j GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " ")
     )
   }
 
