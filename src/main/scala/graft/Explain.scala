@@ -88,7 +88,9 @@ object Explain {
     "dedup_growth_curve", "vocab_fof", "events_dispersion",
     "pq_subspace_balance", "lang_id_nb", "orders_gap_survival",
     "nation_supplier_hhi", "knn_classifier_eval", "tokens_colloc_llr",
-    "graph_modularity", "split_kfold_balance", "events_path3")
+    "graph_modularity", "split_kfold_balance", "events_path3",
+    "corpus_rep_filter", "quality_psi", "users_activity_gini",
+    "events_forecast_backtest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -6027,6 +6027,34 @@ object SparkEntry {
         .select(col("event_type"), col("actual_total"), col("sae"),
           expr("sae * 100 div 24").as("mae_e2"))
         .orderBy(col("event_type"))
+    }),
+
+    // -- padding-waste planner for length-bucketed batching: docs
+    //    binned to the next power-of-two token length (the standard
+    //    bucketed-batching layout), per bucket the padded-token bill
+    //    and waste rate — the readout that decides bucket granularity
+    //    before a training run pays for pad tokens. The corpus
+    //    collapses to the length HISTOGRAM map-side (bounded by max
+    //    doc length); bucket assignment is a 21-row broadcast
+    //    min-join (exact integers, no log2 float edge at exact
+    //    powers) --
+    "batch_padding_waste" -> ((s, dir) => {
+      val hist = t(s, dir, "documents")
+        .select(size(TextFuncs.tokens(col("text"))).cast("long").as("len"))
+        .where(col("len") > 0)
+        .groupBy(col("len")).agg(count(lit(1)).as("n"))
+      val caps = s.range(0, 21)
+        .select(expr("CAST(pow(2, id) AS BIGINT)").as("cap"))
+      hist.crossJoin(broadcast(caps)).where(col("cap") >= col("len"))
+        .groupBy(col("len"), col("n")).agg(min(col("cap")).as("cap"))
+        .groupBy(col("cap"))
+        .agg(sum(col("n")).as("n_docs"),
+          sum(col("len") * col("n")).as("tok_sum"))
+        .select(col("cap"), col("n_docs"), col("tok_sum"),
+          (col("cap") * col("n_docs")).as("padded"),
+          expr("(cap * n_docs - tok_sum) * 10000 div (cap * n_docs)")
+            .as("waste_e4"))
+        .orderBy(col("cap"))
     })
   )
 
@@ -10568,7 +10596,23 @@ object SparkEntry {
           |  CAST(sum(abs(actual - pred)) AS BIGINT) AS sae,
           |  CAST(sum(abs(actual - pred)) * 100 // 24 AS BIGINT) AS mae_e2
           |FROM j GROUP BY event_type ORDER BY event_type"""
-        .stripMargin.replaceAll("\n", " ")
+        .stripMargin.replaceAll("\n", " "),
+      // same 21-row power-of-two min-join on the length histogram
+      "batch_padding_waste" ->
+        s"""WITH h AS (SELECT CAST(len($toks) AS BIGINT) AS l,
+           |  CAST(count(*) AS BIGINT) AS n FROM documents
+           |  WHERE len($toks) > 0 GROUP BY 1),
+           |caps AS (SELECT CAST(pow(2, e) AS BIGINT) AS cap
+           |  FROM range(0, 21) t(e)),
+           |b AS (SELECT l, n, min(cap) AS cap FROM h JOIN caps
+           |  ON cap >= l GROUP BY l, n)
+           |SELECT cap, CAST(sum(n) AS BIGINT) AS n_docs,
+           |  CAST(sum(l * n) AS BIGINT) AS tok_sum,
+           |  CAST(cap * sum(n) AS BIGINT) AS padded,
+           |  CAST((cap * sum(n) - sum(l * n)) * 10000
+           |    // (cap * sum(n)) AS BIGINT) AS waste_e4
+           |FROM b GROUP BY cap ORDER BY cap"""
+          .stripMargin.replaceAll("\n", " ")
     )
   }
 
