@@ -6055,6 +6055,28 @@ object SparkEntry {
           expr("(cap * n_docs - tok_sum) * 10000 div (cap * n_docs)")
             .as("waste_e4"))
         .orderBy(col("cap"))
+    }),
+
+    // -- k-anonymity audit over quasi-identifiers (the release-safety
+    //    read NEXT TO pii_redact's content scrub: redaction removes
+    //    direct identifiers, this measures whether METADATA
+    //    combinations still single people out): equivalence classes
+    //    on (source, lang, n_chars div 50), reported as the
+    //    class-size histogram + how many docs sit in classes below
+    //    k=5. Two integer aggregations; the corpus collapses to the
+    //    class frame map-side --
+    "docs_k_anonymity" -> ((s, dir) => {
+      val cls = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"),
+          expr("n_chars div 50").as("len_b"))
+        .agg(count(lit(1)).as("sz"))
+      cls.groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_classes"))
+        .select(col("sz").as("class_size"), col("n_classes"),
+          (col("sz") * col("n_classes")).as("n_docs"),
+          when(col("sz") < 5, col("sz") * col("n_classes"))
+            .otherwise(0L).as("n_below_k5"))
+        .orderBy(col("class_size"))
     })
   )
 
@@ -10612,7 +10634,18 @@ object SparkEntry {
            |  CAST((cap * sum(n) - sum(l * n)) * 10000
            |    // (cap * sum(n)) AS BIGINT) AS waste_e4
            |FROM b GROUP BY cap ORDER BY cap"""
-          .stripMargin.replaceAll("\n", " ")
+          .stripMargin.replaceAll("\n", " "),
+      // same quasi-identifier classes, same k=5 cut
+      "docs_k_anonymity" ->
+        """WITH cls AS (SELECT source, lang, n_chars // 50 AS len_b,
+          |  CAST(count(*) AS BIGINT) AS sz
+          |  FROM documents GROUP BY 1, 2, 3)
+          |SELECT sz AS class_size, CAST(count(*) AS BIGINT) AS n_classes,
+          |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+          |  CAST(CASE WHEN sz < 5 THEN sz * count(*) ELSE 0 END
+          |    AS BIGINT) AS n_below_k5
+          |FROM cls GROUP BY sz ORDER BY class_size"""
+        .stripMargin.replaceAll("\n", " ")
     )
   }
 
