@@ -90,7 +90,8 @@ object Explain {
     "nation_supplier_hhi", "knn_classifier_eval", "tokens_colloc_llr",
     "graph_modularity", "split_kfold_balance", "events_path3",
     "corpus_rep_filter", "quality_psi", "users_activity_gini",
-    "events_forecast_backtest")
+    "events_forecast_backtest", "batch_padding_waste",
+    "docs_k_anonymity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

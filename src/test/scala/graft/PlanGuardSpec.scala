@@ -576,4 +576,31 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("corpus_rep_filter: 16-row ban list broadcasts, coverage is equi") {
+    val p = plan("corpus_rep_filter")
+    // the boilerplate ban list is a TakeOrdered-16 broadcast and the
+    // (doc, pos) excision is an equi anti-join — a nested loop here
+    // means coverage regressed to positions x ban-list pairs
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("split_ppl_gap: LM scoring is hash joins, no cartesian") {
+    val p = plan("split_ppl_gap")
+    // the train count tables are vocab-bounded and must ride (pk)/(w1)
+    // HASH joins; the only nested loop allowed is the 1-row
+    // vocab-size broadcast (a crossJoin against a scalar frame)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("knn_classifier_eval: sample broadcast + TopKPairs partials") {
+    val p = plan("knn_classifier_eval")
+    // corpus scanned once against the broadcast query sample with the
+    // bounded-heap aggregate doing map-side partials
+    assert(p.contains("partial_topk_pairs"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
