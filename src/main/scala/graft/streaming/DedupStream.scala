@@ -29,7 +29,11 @@ import graft.operators.Dedup
   * Restart semantics: foreachBatch is at-least-once, so a production
   * pair sink must be idempotent on (doc_a, doc_b) — the read-back
   * below applies that distinct; the store swap is atomic-ish per
-  * batch (write-next + rename, as in StreamIngestSpec).
+  * batch (write-next + rename, as in StreamIngestSpec). For a KEYED
+  * mutable store the general-purpose answer is [[UpsertSink]]:
+  * batchId-named overwrite commits make replays structurally
+  * idempotent (UpsertSinkSpec proves exactly-once effect across a
+  * checkpoint restart).
   */
 object DedupStream {
 

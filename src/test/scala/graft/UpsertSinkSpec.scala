@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.UpsertSink
+
+/** Exactly-once EFFECT from at-least-once foreachBatch delivery: the
+  * UpsertSink contract. Replays (same batch, same batchId) and
+  * restarts must leave the keyed store exactly as if each batch were
+  * applied once, in batchId order.
+  */
+class UpsertSinkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_upsert").toString
+
+  private def rm(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(go)); f.delete(); ()
+    }
+    try go(new java.io.File(path)) catch { case _: Throwable => () }
+  }
+
+  private def df(rows: Seq[(Long, String)]): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toDF("id", "v")
+  }
+
+  private def state(dir: String): Seq[(Long, String)] = {
+    val spark2 = spark
+    import spark2.implicits._
+    UpsertSink.read(spark, dir, "id")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+  }
+
+  test("replayed batchId is idempotent; later batch wins per key") {
+    val dir = tmpDir()
+    try {
+      UpsertSink.commit(dir, df(Seq(1L -> "a", 2L -> "b")), 0L)
+      UpsertSink.commit(dir, df(Seq(2L -> "B", 3L -> "c")), 1L)
+      // crash replay: batch 1 re-delivered verbatim
+      UpsertSink.commit(dir, df(Seq(2L -> "B", 3L -> "c")), 1L)
+      assert(state(dir) === Seq(1L -> "a", 2L -> "B", 3L -> "c"))
+    } finally rm(dir)
+  }
+
+  test("compacted base equals the live read; compact is idempotent") {
+    val dir = tmpDir(); val out = tmpDir()
+    try {
+      UpsertSink.commit(dir, df(Seq(1L -> "a", 2L -> "b")), 0L)
+      UpsertSink.commit(dir, df(Seq(1L -> "A")), 1L)
+      UpsertSink.compact(spark, dir, out, "id")
+      UpsertSink.compact(spark, dir, out, "id") // rerun = same output
+      assert(state(out) === Seq(1L -> "A", 2L -> "b"))
+      assert(state(out) === state(dir))
+    } finally { rm(dir); rm(out) }
+  }
+
+  test("streaming restart through foreachBatch leaves exactly-once state") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = tmpDir()
+    try {
+      val in = s"$tmp/in"; val store = s"$tmp/store"; val ckpt = s"$tmp/ckpt"
+      def feed(ids: Range, tag: String): Unit =
+        ids.map(i => (i.toLong, s"$tag-$i")).toDF("id", "v")
+          .coalesce(1).write.mode("append").parquet(in)
+      def run(): Unit = {
+        val q = spark.readStream.schema("id LONG, v STRING")
+          .option("maxFilesPerTrigger", "1").parquet(s"$in/*.parquet")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, bid: Long) =>
+            UpsertSink.commit(store, b, bid)
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      feed(0 until 10, "v1")
+      run()
+      feed(5 until 15, "v2") // overlapping keys arrive as an update
+      run()                  // NEW query, same checkpoint
+      val got = state(store)
+      val want = ((0 until 5).map(i => i.toLong -> s"v1-$i") ++
+        (5 until 15).map(i => i.toLong -> s"v2-$i")).sortBy(_._1)
+      assert(got === want)
+    } finally rm(tmp)
+  }
+}
