@@ -6077,6 +6077,54 @@ object SparkEntry {
           when(col("sz") < 5, col("sz") * col("n_classes"))
             .otherwise(0L).as("n_below_k5"))
         .orderBy(col("class_size"))
+    }),
+
+    // -- Poisson-bootstrap confidence interval on the per-source mean
+    //    quality (Chamandy et al.: THE distributed bootstrap — each
+    //    row draws an independent Poisson(1) replication weight, so
+    //    no replica ever needs the global n or a resample shuffle):
+    //    64 replicas, weight from the e6 inverse-CDF thresholds of
+    //    Poisson(1) on a deterministic per-(doc, replica) hash —
+    //    exact integers end to end; CI = nearest-rank 2.5/97.5% of
+    //    the 64 replica means. ONE corpus scan fans out ×64 map-side
+    //    and collapses to |sources|×64 partial sums; the rank window
+    //    runs on 64-row frames per source --
+    "quality_bootstrap_ci" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(TextFuncs.tokens(col("text"))).as("tm"))
+        .select(col("doc_id"), col("source"),
+          (TextFuncs.charFold(col("tm")) % 2001).as("w"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(expr("sum(w) div count(1)").as("score_e3"))
+      val rep = scored
+        .select(col("doc_id"), col("source"), col("score_e3"),
+          explode(sequence(lit(0L), lit(63L))).as("b"))
+        .withColumn("u", expr(
+          """((doc_id * 2654435761 + b * 1013904223 + 12345) % 1000000
+            | + 1000000) % 1000000""".stripMargin.replaceAll("\n", " ")))
+        .withColumn("wt", expr(
+          """CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+            | WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+            | WHEN u < 996340 THEN 4 ELSE 5 END"""
+            .stripMargin.replaceAll("\n", " ")))
+        .groupBy(col("source"), col("b"))
+        .agg(sum(expr("wt * score_e3")).as("sws"), sum(col("wt")).as("sw"))
+        .where(col("sw") > 0)
+        .select(col("source"), col("b"), expr("sws div sw").as("m_e3"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("m_e3"), col("b"))))
+      val base = scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(score_e3) div count(1)").as("mean_e3"))
+      base
+        .join(rep.where(col("rn") === 2)
+          .select(col("source"), col("m_e3").as("lo_e3")), Seq("source"))
+        .join(rep.where(col("rn") === 62)
+          .select(col("source"), col("m_e3").as("hi_e3")), Seq("source"))
+        .orderBy(col("source"))
     })
   )
 
@@ -10645,7 +10693,39 @@ object SparkEntry {
           |  CAST(CASE WHEN sz < 5 THEN sz * count(*) ELSE 0 END
           |    AS BIGINT) AS n_below_k5
           |FROM cls GROUP BY sz ORDER BY class_size"""
-        .stripMargin.replaceAll("\n", " ")
+        .stripMargin.replaceAll("\n", " "),
+      // same per-(doc, replica) hash, same Poisson(1) e6 thresholds
+      "quality_bootstrap_ci" ->
+        s"""WITH sc AS (SELECT doc_id, source,
+           |  list_sum(list_transform($toks,
+           |    t -> ${SqlSnips.charFold("t")} % 2001))
+           |  // len($toks) AS score_e3 FROM documents),
+           |rep AS (SELECT doc_id, source, score_e3, b,
+           |  ((doc_id * 2654435761 + b * 1013904223 + 12345) % 1000000
+           |    + 1000000) % 1000000 AS u
+           |  FROM sc, range(0, 64) t(b)),
+           |wts AS (SELECT source, b, score_e3,
+           |  CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+           |    WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+           |    WHEN u < 996340 THEN 4 ELSE 5 END AS wt FROM rep),
+           |rm AS (SELECT source, b,
+           |  CAST(sum(wt * score_e3) AS BIGINT)
+           |    // CAST(sum(wt) AS BIGINT) AS m_e3
+           |  FROM wts GROUP BY source, b HAVING sum(wt) > 0),
+           |rk AS (SELECT source, m_e3, row_number() OVER
+           |  (PARTITION BY source ORDER BY m_e3, b) AS rn FROM rm),
+           |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(score_e3) // count(*) AS BIGINT) AS mean_e3
+           |  FROM sc GROUP BY source)
+           |SELECT base.source, base.n_docs, base.mean_e3,
+           |  CAST(lo.m_e3 AS BIGINT) AS lo_e3,
+           |  CAST(hi.m_e3 AS BIGINT) AS hi_e3
+           |FROM base
+           |JOIN (SELECT source, m_e3 FROM rk WHERE rn = 2) lo
+           |  USING (source)
+           |JOIN (SELECT source, m_e3 FROM rk WHERE rn = 62) hi
+           |  USING (source)
+           |ORDER BY source""".stripMargin.replaceAll("\n", " ")
     )
   }
 
