@@ -6125,7 +6125,21 @@ object SparkEntry {
         .join(rep.where(col("rn") === 62)
           .select(col("source"), col("m_e3").as("hi_e3")), Seq("source"))
         .orderBy(col("source"))
-    })
+    }),
+
+    // -- the UpsertSink driver gate: documents stream in 3 disjoint
+    //    micro-batches through a REAL readStream + foreachBatch
+    //    commit into the idempotent keyed store, state read back as
+    //    last-writer-wins, summarized per residue class (disjoint
+    //    batches make the gate order-independent; replay/update-wins
+    //    semantics are pinned deterministically in UpsertSinkSpec) --
+    "streaming_upsert" -> ((s, dir) =>
+      graft.streaming.UpsertSink.ingestDrain(s, dir)
+        .select(pmod(col("doc_id"), lit(3L)).as("grp"),
+          TextFuncs.charFold(col("text")).as("h"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("h")).as("h_sum"))
+        .orderBy(col("grp")))
   )
 
   /** Dunning G² 2x2 log-likelihood ratio over bigram-margin counts
@@ -6264,7 +6278,9 @@ object SparkEntry {
     "streaming_neardup" -> ("direct", 1),
     "streaming_dedup_native" -> ("direct", 1),
     "streaming_hll" -> ("direct", 1),
-    "streaming_join" -> ("direct", 1))
+    "streaming_join" -> ("direct", 1),
+    // writes its own 3-file feed then drains one real query
+    "streaming_upsert" -> ("fed", 1))
 
   // ---- oracle SQL (DuckDB 1.0, bare table names per driver) ------------
 
@@ -10725,7 +10741,14 @@ object SparkEntry {
            |  USING (source)
            |JOIN (SELECT source, m_e3 FROM rk WHERE rn = 62) hi
            |  USING (source)
-           |ORDER BY source""".stripMargin.replaceAll("\n", " ")
+           |ORDER BY source""".stripMargin.replaceAll("\n", " "),
+      // disjoint batches => final state == the documents table
+      "streaming_upsert" ->
+        s"""SELECT ((doc_id % 3) + 3) % 3 AS grp,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(${SqlSnips.charFold("text")}) AS BIGINT) AS h_sum
+           |FROM documents GROUP BY 1 ORDER BY grp"""
+          .stripMargin.replaceAll("\n", " ")
     )
   }
 

@@ -66,4 +66,36 @@ object UpsertSink {
   def compact(spark: SparkSession, dir: String, outDir: String,
       keyCol: String): Unit =
     commit(outDir, read(spark, dir, keyCol), 0L)
+
+  /** Driver-gate harness: stream the documents table in `nSplits`
+    * DISJOINT micro-batches (doc_id residue classes — order-
+    * independent, so the gate is deterministic regardless of file
+    * arrival order) through a REAL readStream + foreachBatch commit
+    * into this sink, then return the store state read back via
+    * [[read]]. The update-wins semantics are pinned separately and
+    * deterministically by UpsertSinkSpec's explicit batchIds.
+    */
+  def ingestDrain(spark: SparkSession, sfDir: String,
+      nSplits: Int = 3): DataFrame = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_upsert_ingest").toString
+    val incoming = s"$tmp/incoming"
+    val store = s"$tmp/store"
+    (0 until nSplits).foreach { i =>
+      docs.where(pmod(col("doc_id"), lit(nSplits.toLong)) === i)
+        .coalesce(1).write.mode("append").parquet(incoming)
+    }
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$incoming/*.parquet")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        commit(store, b, bid)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    read(spark, store, "doc_id")
+  }
 }
