@@ -6139,7 +6139,40 @@ object SparkEntry {
           TextFuncs.charFold(col("text")).as("h"))
         .groupBy(col("grp"))
         .agg(count(lit(1)).as("n_docs"), sum(col("h")).as("h_sum"))
-        .orderBy(col("grp")))
+        .orderBy(col("grp"))),
+
+    // -- customer tier MIGRATION matrix between the two halves of the
+    //    order history (the CRM movement read behind orders_rfm's
+    //    static segmentation): absolute order-count tiers (1 = low,
+    //    2-3 = mid, >= 4 = high — value tiers, not ntiles, so the
+    //    matrix is exact and SF-portable), customers absent from a
+    //    half get the explicit 'none' row (new vs churned are
+    //    first-class cells). Integer-seconds midpoint split; one
+    //    customer-keyed aggregate per half --
+    "orders_tier_migration" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          unix_timestamp(col("o_orderdate")).as("es"))
+      val sp = o.agg(min(col("es")).as("lo"), max(col("es")).as("hi"))
+      val tiers = o.crossJoin(broadcast(sp))
+        .select(col("o_custkey"),
+          when(col("es") < expr("(lo + hi) div 2"), "p1")
+            .otherwise("p2").as("period"))
+        .groupBy(col("o_custkey"), col("period"))
+        .agg(count(lit(1)).as("f"))
+        .select(col("o_custkey"), col("period"),
+          when(col("f") >= 4, "high").when(col("f") >= 2, "mid")
+            .otherwise("low").as("tier"))
+      tiers.groupBy(col("o_custkey"))
+        .agg(
+          coalesce(max(when(col("period") === "p1", col("tier"))),
+            lit("none")).as("tier_p1"),
+          coalesce(max(when(col("period") === "p2", col("tier"))),
+            lit("none")).as("tier_p2"))
+        .groupBy(col("tier_p1"), col("tier_p2"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("tier_p1"), col("tier_p2"))
+    })
   )
 
   /** Dunning G² 2x2 log-likelihood ratio over bigram-margin counts
@@ -10748,7 +10781,28 @@ object SparkEntry {
            |  CAST(count(*) AS BIGINT) AS n_docs,
            |  CAST(sum(${SqlSnips.charFold("text")}) AS BIGINT) AS h_sum
            |FROM documents GROUP BY 1 ORDER BY grp"""
-          .stripMargin.replaceAll("\n", " ")
+          .stripMargin.replaceAll("\n", " "),
+      // same integer-seconds midpoint, same absolute tiers
+      "orders_tier_migration" ->
+        """WITH o AS (SELECT o_custkey,
+          |  CAST(epoch(o_orderdate) AS BIGINT) AS es FROM orders),
+          |sp AS (SELECT min(es) AS lo, max(es) AS hi FROM o),
+          |tiers AS (SELECT o_custkey, period,
+          |  CASE WHEN f >= 4 THEN 'high' WHEN f >= 2 THEN 'mid'
+          |    ELSE 'low' END AS tier FROM (
+          |  SELECT o_custkey,
+          |    CASE WHEN es < (lo + hi) // 2 THEN 'p1' ELSE 'p2' END
+          |      AS period, CAST(count(*) AS BIGINT) AS f
+          |  FROM o, sp GROUP BY 1, 2)),
+          |piv AS (SELECT o_custkey,
+          |  coalesce(max(CASE WHEN period = 'p1' THEN tier END), 'none')
+          |    AS tier_p1,
+          |  coalesce(max(CASE WHEN period = 'p2' THEN tier END), 'none')
+          |    AS tier_p2
+          |  FROM tiers GROUP BY o_custkey)
+          |SELECT tier_p1, tier_p2, CAST(count(*) AS BIGINT) AS n_customers
+          |FROM piv GROUP BY tier_p1, tier_p2
+          |ORDER BY tier_p1, tier_p2""".stripMargin.replaceAll("\n", " ")
     )
   }
 
