@@ -60,6 +60,35 @@ class UpsertSinkSpec extends AnyFunSuite {
     } finally { rm(dir); rm(out) }
   }
 
+  test("seeded random schedules with replays match a reference fold") {
+    // 5 deterministic scenarios: random keyed batches, random replay
+    // positions — the sink state must equal a plain Map fold applied
+    // once per batchId in order, whatever the replay schedule did
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { _ =>
+      val dir = tmpDir()
+      try {
+        val nBatches = 2 + rnd.nextInt(4)
+        val batches = (0 until nBatches).map { bid =>
+          bid.toLong -> Seq.fill(1 + rnd.nextInt(6))(
+            rnd.nextInt(8).toLong -> s"b$bid-v${rnd.nextInt(100)}")
+            .distinctBy(_._1)
+        }
+        // delivery schedule: each batch once, then random replays
+        val schedule = batches ++ Seq.fill(rnd.nextInt(3))(
+          batches(rnd.nextInt(nBatches)))
+        schedule.foreach { case (bid, rows) =>
+          UpsertSink.commit(dir, df(rows), bid)
+        }
+        val want = batches.sortBy(_._1)
+          .foldLeft(Map.empty[Long, String]) { case (m, (_, rows)) =>
+            m ++ rows.toMap
+          }.toSeq.sortBy(_._1)
+        assert(state(dir) === want)
+      } finally rm(dir)
+    }
+  }
+
   test("streaming restart through foreachBatch leaves exactly-once state") {
     val spark2 = spark
     import spark2.implicits._
