@@ -648,6 +648,24 @@ object Microbench {
       sb ++= "bounded, and the IVF probe scans only nprobe/8 of the corpus.\n"
       sb ++= "Output rows track the 10x input (pairs/contamination scale\n"
       sb ++= "with the corpus; the overlap matrix stays |sources|^2-bounded).\n"
+
+      // round-10 additions at 10x, run VERBATIM from the query
+      // registry against the synthetic dir (it holds documents +
+      // embeddings, the only tables these touch): the LM-scoring
+      // joins are vocab-bounded, rep-filter's ban list is a top-16
+      // broadcast, the growth curve is globalNtile + one hash join,
+      // and the bootstrap fans out x64 map-side — all should track
+      // the corpus linearly
+      sb ++= "\n### Round-10 additions at 10x (same registry code, both dirs)\n\n"
+      sb ++= "| query | 1x (s) | 10x (s) | time ratio |\n|---|---|---|---|\n"
+      Seq("split_ppl_gap", "corpus_rep_filter", "dedup_growth_curve",
+          "quality_bootstrap_ci").foreach { q =>
+        def run(d: String): Double = minTime {
+          SparkEntry.queries(q)(spark, d).count(); ()
+        }
+        val t1 = run(sfDir); val t10 = run(scaleDir)
+        sb ++= f"| $q | $t1%.2f | $t10%.2f | ${t10 / math.max(t1, 1e-9)}%.1fx |\n"
+      }
       // best-effort temp cleanup
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
