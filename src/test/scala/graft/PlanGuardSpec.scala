@@ -603,4 +603,20 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("partial_topk_pairs"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("quality_bootstrap_ci: x64 fan-out collapses in map-side partials") {
+    val p = plan("quality_bootstrap_ci")
+    // the corpus x 64-replica stream must partial-aggregate to
+    // |sources| x 64 sums BEFORE its exchange — a missing partial
+    // would shuffle 64x the corpus
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("orders_tier_migration: two keyed aggregates, no cartesian") {
+    val p = plan("orders_tier_migration")
+    // midpoint rides a 1-row broadcast; everything else is customer-
+    // keyed aggregation
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
