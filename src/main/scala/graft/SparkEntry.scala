@@ -2021,6 +2021,11 @@ object SparkEntry {
         .cast("double")
       val deny = (col("n") * col("syy") - col("sy") * col("sy"))
         .cast("double")
+      // outputs ship as fixed-point BIGINTs (slope_e6 / intercept
+      // _c_e4 / r2_e6): a tiny-negative slope rounds to -0.0 in
+      // DuckDB but +0.0 via Spark's BigDecimal Round path, and the
+      // driver's typed hash distinguishes signed zeros — integer
+      // fixed-point has no signed zero, so the class is gone
       m.select(col("p_brand"), col("n").cast("bigint").as("n_rows"),
           (num / den).as("slope_raw"),
           col("sx").cast("double").as("sxd"),
@@ -2028,10 +2033,10 @@ object SparkEntry {
           col("n").cast("double").as("nd"),
           (num * num / (den * deny)).as("r2_raw"))
         .select(col("p_brand"), col("n_rows"),
-          round(col("slope_raw"), 6).as("slope"),
-          round((col("syd") - col("slope_raw") * col("sxd")) / col("nd"), 4)
-            .as("intercept_c"),
-          round(col("r2_raw"), 6).as("r2"))
+          round(col("slope_raw") * 1e6).cast("bigint").as("slope_e6"),
+          round((col("syd") - col("slope_raw") * col("sxd")) / col("nd") * 1e4)
+            .cast("bigint").as("intercept_c_e4"),
+          round(col("r2_raw") * 1e6).cast("bigint").as("r2_e6"))
         .orderBy(col("p_brand"))
     }),
 
@@ -2116,11 +2121,16 @@ object SparkEntry {
           col("text").cast("binary").as("payload"))
         .as(org.apache.spark.sql.Encoders.product[
           graft.operators.Multimodal.MediaRow])
+      // long form (media_id, j, f_e6): the driver's pandas row-sort
+      // cannot hash ndarray cells, so an array-typed output column
+      // crashes its comparator (the r7 label_centroids precedent) —
+      // posexplode keeps every feature as a scalar
       graft.operators.Multimodal.featurize(rows, dim = 4).toDF()
         .select(col("media_id"), col("mime"), col("byte_len"),
-          transform(col("features"),
-            f => round(f.cast("double") * 1000000).cast("long")).as("f_e6"))
-        .orderBy(col("media_id")).limit(50)
+          posexplode(transform(col("features"),
+            f => round(f.cast("double") * 1000000).cast("long"))))
+        .withColumnRenamed("pos", "j").withColumnRenamed("col", "f_e6")
+        .orderBy(col("media_id"), col("j")).limit(200)
     }),
 
     // -- byte-level frame sampling over the same payloads: every 2nd
@@ -7493,9 +7503,9 @@ object SparkEntry {
         |  CAST(n AS DOUBLE) AS nd
         |  FROM m)
         |SELECT p_brand, n AS n_rows,
-        | round(num / den, 6) AS slope,
-        | round((syd - (num / den) * sxd) / nd, 4) AS intercept_c,
-        | round(num * num / (den * deny), 6) AS r2
+        | CAST(round(num / den * 1e6) AS BIGINT) AS slope_e6,
+        | CAST(round((syd - (num / den) * sxd) / nd * 1e4) AS BIGINT) AS intercept_c_e4,
+        | CAST(round(num * num / (den * deny) * 1e6) AS BIGINT) AS r2_e6
         |FROM d ORDER BY p_brand""".stripMargin.replaceAll("\n", " ")
     val docsScd2Oracle =
       """WITH nx AS (
@@ -9385,19 +9395,21 @@ object SparkEntry {
       "decontaminate_sweep" -> decontaminateSweepOracle,
       // the decodeStub fold replayed: feature j folds every 4th byte
       // starting at j ((acc*31+b) % 1000003), FLOAT-divides by
-      // 1000003, then e6-rounds — text is ASCII so bytes = ascii()
+      // 1000003, then e6-rounds — text is ASCII so bytes = ascii().
+      // Long form (media_id, j, f_e6): array cells crash the
+      // driver's pandas row-sort, so each feature ships as a scalar
       "multimodal_manifest" ->
         """WITH m AS (SELECT doc_id AS media_id,
           |  ['image/jpeg', 'audio/wav', 'video/avi'][CAST(doc_id % 3 AS INTEGER) + 1] AS mime,
           |  text FROM documents WHERE doc_id < 200)
           |SELECT media_id, mime, CAST(length(text) AS INTEGER) AS byte_len,
-          | list_transform(range(0, 4), j ->
-          |  CAST(round(CAST(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-          |    list_transform(range(j + 1, len(text) + 1, 4),
-          |      i -> CAST(ascii(text[i]) AS BIGINT))),
-          |    (a, c) -> (a * 31 + c) % 1000003) AS REAL)
-          |    / CAST(1000003 AS REAL) AS DOUBLE) * 1000000) AS BIGINT)) AS f_e6
-          |FROM m ORDER BY media_id LIMIT 50""".stripMargin.replaceAll("\n", " "),
+          | CAST(j AS INTEGER) AS j,
+          | CAST(round(CAST(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |   list_transform(range(CAST(j AS BIGINT) + 1, len(text) + 1, 4),
+          |     i -> CAST(ascii(text[i]) AS BIGINT))),
+          |   (a, c) -> (a * 31 + c) % 1000003) AS REAL)
+          |   / CAST(1000003 AS REAL) AS DOUBLE) * 1000000) AS BIGINT) AS f_e6
+          |FROM m, range(0, 4) t(j) ORDER BY media_id, j LIMIT 200""".stripMargin.replaceAll("\n", " "),
       "multimodal_frames" ->
         """WITH m AS (SELECT doc_id AS media_id, text FROM documents
           |  WHERE doc_id < 200),

@@ -8,8 +8,9 @@ oracle_sql.json), then executes each oracle in DuckDB over the same
 parquet tables and compares row count, column names and values
 (column-name-sorted, like the driver's hash compare).
 """
-import sys, os, json, subprocess, glob
+import sys, os, json, subprocess, glob, struct
 import duckdb
+import pandas as pd
 import pyarrow.parquet as pq
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -100,14 +101,43 @@ for name, sql in sorted(oracle.items()):
     elif len(got) != len(exp):
         entry["error"] = f"rows: spark={len(got)} duck={len(exp)}"
     else:
-        # driver sorts columns by name before hashing values
-        gidx = [gotcols.index(c) for c in sorted(gotcols)]
-        eidx = [expcols.index(c) for c in sorted(expcols)]
-        bad = None
-        for i, (g, e) in enumerate(zip(got, exp)):
-            gs = tuple(g[j] for j in gidx); es = tuple(e[j] for j in eidx)
-            if gs != es:
-                bad = (i, gs, es); break
+        # driver-faithful compare, two channels the old gate missed
+        # (the r9/r10 local-green/driver-red incidents):
+        #  1. the driver ROW-SORTS with pandas (lexsort over
+        #     name-sorted columns) before hashing — replicate it, so
+        #     an array/map cell crashes HERE exactly where the
+        #     driver's lexsort_indexer crashes (unhashable ndarray);
+        #  2. floats are hashed TYPED, so -0.0 != +0.0 — compare
+        #     IEEE bytes (struct.pack), not Python == (which treats
+        #     signed zeros as equal).
+        cols = sorted(gotcols)
+        try:
+            pd.DataFrame(
+                {c: pd.Series(tb.column(c).to_pylist()) for c in cols}
+            ).sort_values(by=cols, kind="mergesort")
+        except Exception as e:
+            results[name] = {"match": False,
+                "error": f"driver-sort: {type(e).__name__}: {e}"}
+            continue
+
+        def canon_cell(v):
+            if isinstance(v, float):
+                return (1, struct.pack(">d", v))
+            if v is None:
+                return (0, b"")
+            return (1, v)
+
+        gidx = [gotcols.index(c) for c in cols]
+        eidx = [expcols.index(c) for c in cols]
+        try:
+            gs = sorted(tuple(canon_cell(g[j]) for j in gidx) for g in got)
+            es = sorted(tuple(canon_cell(e[j]) for j in eidx) for e in exp)
+        except TypeError as e:
+            results[name] = {"match": False,
+                "error": f"driver-sort: unsortable cells: {e}"}
+            continue
+        bad = next(((i, a, b) for i, (a, b) in enumerate(zip(gs, es))
+                    if a != b), None)
         if bad:
             entry["error"] = f"row {bad[0]}: spark={bad[1]} duck={bad[2]}"
         else:
