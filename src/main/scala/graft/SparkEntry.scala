@@ -215,8 +215,12 @@ object SparkEntry {
     "vector_normalize" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val norm = sqrt(-VectorFunctions.vec_dot(col("embedding"), col("embedding")))
+      // fixed-point e4 output: a normalized component can be any
+      // tiny negative, and round-to-double maps those to -0.0 in
+      // DuckDB vs +0.0 in Spark (signed-zero typed-hash divergence)
       e.select(col("vec_id"),
-          round(element_at(col("embedding"), 1).cast("double") / norm, 4).as("x0"))
+          round(element_at(col("embedding"), 1).cast("double") / norm * 1e4)
+            .cast("bigint").as("x0_e4"))
         .orderBy(col("vec_id")).limit(100)
     }),
 
@@ -300,9 +304,12 @@ object SparkEntry {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+        // profit legitimately crosses zero, so the k$ figure ships as
+        // an e2 BIGINT (same /1000 then *100 sequence both engines)
         .agg(round(sum(
           col("l_extendedprice") * (lit(1) - col("l_discount")) -
-            col("p_retailprice") * col("l_quantity") * 0.1) / 1000, 2).as("profit_k"))
+            col("p_retailprice") * col("l_quantity") * 0.1) / 1000 * 100)
+          .cast("bigint").as("profit_k_e2"))
         .orderBy(col("n_name"), col("yr"))
     }),
 
@@ -1072,8 +1079,9 @@ object SparkEntry {
         .withColumn("sd", stddev_pop(col("n")).over(w))
         .withColumn("n_prev", count(col("n")).over(w))
         .where(col("n_prev") === 6 && col("sd") > 0)
-        .select(col("event_type"), col("hour_bucket"),
-          col("n"), round((col("n") - col("mu")) / col("sd"), 4).as("z"))
+        .select(col("event_type"), col("hour_bucket"), col("n"),
+          round((col("n") - col("mu")) / col("sd") * 1e4)
+            .cast("bigint").as("z_e4"))
         .orderBy(col("event_type"), col("hour_bucket"))
     }),
 
@@ -1102,7 +1110,7 @@ object SparkEntry {
         .limit(20)
         .select(col("event_id"), col("user_id"), col("value"),
           round(col("ewma_raw"), 4).as("ewma"),
-          round(col("dev_raw"), 4).as("dev"))
+          round(col("dev_raw") * 1e4).cast("bigint").as("dev_e4"))
     }),
 
     // -- event-type transition matrix (first-order Markov over each
@@ -1411,8 +1419,8 @@ object SparkEntry {
       exact.join(est, "event_type")
         .select(col("event_type"), col("n_exact"),
           round(col("hll_est"), 4).as("hll_est"),
-          round((col("hll_est") - col("n_exact")) / col("n_exact") * 100, 2)
-            .as("err_pct"))
+          round((col("hll_est") - col("n_exact")) / col("n_exact") * 100 * 100)
+            .cast("bigint").as("err_pct_e2"))
         .orderBy(col("event_type"))
     }),
 
@@ -2303,8 +2311,8 @@ object SparkEntry {
         .join(exact, Seq("type_a", "type_b"))
         .select(col("type_a"), col("type_b"), col("n_exact"),
           col("n_common_sketch"), col("kmv_inter"),
-          round((col("kmv_inter") - col("n_exact")) / col("n_exact") * 100, 2)
-            .as("err_pct"))
+          round((col("kmv_inter") - col("n_exact")) / col("n_exact") * 100 * 100)
+            .cast("bigint").as("err_pct_e2"))
         .orderBy(col("type_a"), col("type_b"))
     }),
 
@@ -2342,9 +2350,9 @@ object SparkEntry {
           max(when(col("qid") === 2, col("sim"))).as("m2"),
           max(when(col("qid") === 3, col("sim"))).as("m3"))
         .select(col("doc"),
-          round(col("m0") + col("m1") + col("m2") + col("m3"), 4)
-            .as("maxsim"))
-        .orderBy(col("maxsim").desc, col("doc"))
+          round((col("m0") + col("m1") + col("m2") + col("m3")) * 1e4)
+            .cast("bigint").as("maxsim_e4"))
+        .orderBy(col("maxsim_e4").desc, col("doc"))
         .limit(10)
     }),
 
@@ -2384,9 +2392,9 @@ object SparkEntry {
           max(when(col("qid") === 2, col("sim"))).as("m2"),
           max(when(col("qid") === 3, col("sim"))).as("m3"))
         .select(col("doc"),
-          round(col("m0") + col("m1") + col("m2") + col("m3"), 4)
-            .as("maxsim"))
-        .orderBy(col("maxsim").desc, col("doc"))
+          round((col("m0") + col("m1") + col("m2") + col("m3")) * 1e4)
+            .cast("bigint").as("maxsim_e4"))
+        .orderBy(col("maxsim_e4").desc, col("doc"))
         .limit(10)
     }),
 
@@ -2440,7 +2448,8 @@ object SparkEntry {
           "neg_id", "neg_dist"), "qid")
         .select(col("qid"), col("pos_id"), col("pos_dist"),
           col("neg_id"), col("neg_dist"),
-          round(col("neg_dist") - col("pos_dist"), 4).as("margin"))
+          round((col("neg_dist") - col("pos_dist")) * 1e4)
+            .cast("bigint").as("margin_e4"))
         .orderBy(col("qid"))
     }),
 
@@ -2648,7 +2657,8 @@ object SparkEntry {
         .where(col("n_prev") === 6 && col("sd") > 0)
         .select(col("event_type"), col("hour_bucket"), col("n"),
           col("is_gap"),
-          round((col("n") - col("mu")) / col("sd"), 4).as("z"))
+          round((col("n") - col("mu")) / col("sd") * 1e4)
+            .cast("bigint").as("z_e4"))
         .orderBy(col("event_type"), col("hour_bucket"))
     }),
     // -- lag/delta feature engineering over the hourly aggregate (the
@@ -2903,8 +2913,12 @@ object SparkEntry {
     // -- PMI collocations (Church & Hanks): top bigrams by pointwise
     //    mutual information, min-count cut against hapax pairs;
     //    all-count math so the oracle replays it exactly --
+    //    PMI crosses zero by definition (independence = 0), so the
+    //    output ships as an e4 BIGINT over the library's 4-dp anchor
     "collocations_pmi" -> ((s, dir) =>
-      Corpus.collocationsPmi(t(s, dir, "documents"), "text")),
+      Corpus.collocationsPmi(t(s, dir, "documents"), "text")
+        .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+          round(col("pmi") * 1e4).cast("bigint").as("pmi_e4"))),
 
     // -- BPE merge learning (tokenizer training): corpus scanned ONCE
     //    into the word-frequency table; every merge iteration runs on
@@ -3134,8 +3148,9 @@ object SparkEntry {
           aggregate(
             transform(sort_array(collect_list(struct(col("term"), col("x")))),
               s0 => s0.getField("x")),
-            lit(0.0), (a, b) => a + b), 4).as("kl"))
-        .select(col("source"), col("n_s").as("n_tokens"), col("kl"))
+            lit(0.0), (a, b) => a + b) * 1e4)
+          .cast("bigint").as("kl_e4"))
+        .select(col("source"), col("n_s").as("n_tokens"), col("kl_e4"))
         .orderBy(col("source"))
     }),
 
@@ -3234,8 +3249,15 @@ object SparkEntry {
     // -- Zipf power-law fit per source over the top-500 tokens:
     //    slope(ln f ~ ln rank) near -1 is natural text; flat or
     //    cliff-shaped sources are template/ID-soup screens --
+    // -- fixed-point e4 over the library's 4-dp slope (the anchor
+    //    double both engines derive identically): slope straddles
+    //    zero for degenerate sources, so a rounded-double output is
+    //    signed-zero-exposed at the driver's typed hash --
     "corpus_zipf" -> ((s, dir) =>
-      Corpus.zipfSlope(t(s, dir, "documents"), "text", "source")),
+      Corpus.zipfSlope(t(s, dir, "documents"), "text", "source")
+        .select(col("source"), col("n_terms"),
+          round(col("zipf_slope") * 1e4).cast("bigint")
+            .as("zipf_slope_e4"))),
 
     // -- Church-Gale term burstiness: variance-to-mean ratio of a
     //    term's per-doc count over the docs CONTAINING it — bursty
@@ -3518,15 +3540,28 @@ object SparkEntry {
 
     // -- per-dimension embedding distribution (drift / normalization
     //    audit); reduce side sees |dims| rows regardless of corpus --
+    // -- fixed-point e4 outputs on top of the library's double stats:
+    //    dim means/extremes straddle zero, and a tiny-negative double
+    //    rounds to -0.0 in DuckDB vs +0.0 in Spark (typed-hash
+    //    divergence); the e4 ints re-round the SAME 4-dp doubles so
+    //    both engines walk an identical double path --
     "embed_dim_stats" -> ((s, dir) =>
-      Profile.dimStats(t(s, dir, "embeddings"), "embedding")),
+      Profile.dimStats(t(s, dir, "embeddings"), "embedding")
+        .select(col("dim"),
+          round(col("mean") * 1e4).cast("bigint").as("mean_e4"),
+          round(col("std") * 1e4).cast("bigint").as("std_e4"),
+          round(col("lo") * 1e4).cast("bigint").as("lo_e4"),
+          round(col("hi") * 1e4).cast("bigint").as("hi_e4"))),
 
     // -- per-label mean vectors (class centroids) in long form: one
     //    all-scalar row per (label, dim) so the result hash-compares
     //    without array special-casing; the array-re-assembled form
     //    stays available as the Profile.labelCentroids library API --
     "label_centroids" -> ((s, dir) =>
-      Profile.labelCentroidsLong(t(s, dir, "embeddings"), "embedding", "label")),
+      Profile.labelCentroidsLong(t(s, dir, "embeddings"), "embedding", "label")
+        .select(col("label"), col("dim"),
+          round(col("m") * 1e4).cast("bigint").as("m_e4"),
+          col("n_vectors"))),
 
     // -- per-label embedding outliers: distance to the label's 4-dp
     //    rounded centroid (the determinism anchor), codegen'd L2
@@ -4274,8 +4309,8 @@ object SparkEntry {
       val emb = TextExprs.text_embed(col("text"))
       next.join(todo, Seq("doc_id"))
         .select(col("doc_id"), col("status"),
-          round(element_at(emb, 1), 4).as("x0"),
-          round(element_at(emb, 2), 4).as("x1"))
+          round(element_at(emb, 1) * 1e4).cast("bigint").as("x0_e4"),
+          round(element_at(emb, 2) * 1e4).cast("bigint").as("x1_e4"))
         .orderBy(col("doc_id"))
     }),
 
@@ -4300,9 +4335,13 @@ object SparkEntry {
         .select(col("dim"), col("mean").as("mean_old"))
       val n = Profile.dimStats(next, "embedding")
         .select(col("dim"), col("mean").as("mean_new"))
+      // e4 ints from the SAME 4-dp doubles both engines derive; the
+      // drift is then an EXACT integer subtraction (no signed zero)
       o.join(n, Seq("dim"))
-        .select(col("dim"), col("mean_old"), col("mean_new"),
-          round(col("mean_new") - col("mean_old"), 4).as("drift"))
+        .select(col("dim"),
+          round(col("mean_old") * 1e4).cast("bigint").as("mean_old_e4"),
+          round(col("mean_new") * 1e4).cast("bigint").as("mean_new_e4"))
+        .withColumn("drift_e4", col("mean_new_e4") - col("mean_old_e4"))
         .orderBy(col("dim"))
     }),
 
@@ -4498,8 +4537,8 @@ object SparkEntry {
       val emb = TextExprs.text_embed(col("text"))
       t(s, dir, "documents").where(col("doc_id") < 50)
         .select(col("doc_id"),
-          round(element_at(emb, 1), 4).as("x0"),
-          round(element_at(emb, 2), 4).as("x1"))
+          round(element_at(emb, 1) * 1e4).cast("bigint").as("x0_e4"),
+          round(element_at(emb, 2) * 1e4).cast("bigint").as("x1_e4"))
         .orderBy(col("doc_id"))
     }),
 
@@ -5355,11 +5394,15 @@ object SparkEntry {
           sum(col("da")).as("sx"),
           sum(col("da") * col("da")).as("sxx"),
           sum(col("da") * col("db")).as("sxy"))
+      // fixed-point e4: degree assortativity r crosses zero by
+      // design (that's the signal), so a rounded double output is
+      // signed-zero-exposed; the e4 BIGINT is not
       m.select((col("me") / 2).cast("long").as("n_edges"),
           round((col("me") * col("sxy") - col("sx") * col("sx"))
             .cast("double")
             / nullif((col("me") * col("sxx") - col("sx") * col("sx"))
-              .cast("double"), lit(0.0)), 4).as("r_deg"))
+              .cast("double"), lit(0.0)) * 1e4)
+            .cast("bigint").as("r_deg_e4"))
     }),
 
     // -- embedding centroid drift between corpus halves (vec_id
@@ -5397,7 +5440,8 @@ object SparkEntry {
           sortedFold((col("a6") * col("a6")).cast("double")).as("saa"),
           sortedFold((col("b6") * col("b6")).cast("double")).as("sbb"))
         .select(col("label"), col("n_even"), col("n_odd"),
-          round(col("sab") / sqrt(col("saa") * col("sbb")), 4).as("cos_drift"))
+          round(col("sab") / sqrt(col("saa") * col("sbb")) * 1e4)
+            .cast("bigint").as("cos_drift_e4"))
         .orderBy(col("label"))
     }),
 
@@ -5500,9 +5544,10 @@ object SparkEntry {
             .as("xent_train"),
           expr("round(CAST(v9 AS DOUBLE) / n_val_bi / 1000000000.0, 4)")
             .as("xent_val"),
-          expr("""round(CAST(v9 AS DOUBLE) / n_val_bi / 1000000000.0
-            | - CAST(t9 AS DOUBLE) / n_train_bi / 1000000000.0, 4)"""
-            .stripMargin.replaceAll("\n", " ")).as("gap"))
+          expr("""CAST(round((CAST(v9 AS DOUBLE) / n_val_bi / 1000000000.0
+            | - CAST(t9 AS DOUBLE) / n_train_bi / 1000000000.0) * 1e4)
+            | AS BIGINT)"""
+            .stripMargin.replaceAll("\n", " ")).as("gap_e4"))
     }),
 
     // -- ADAPTIVE-nprobe IVF serving: instead of a fixed probe count,
@@ -5849,10 +5894,10 @@ object SparkEntry {
         .crossJoin(broadcast(m))
         .select(col("source"), col("n_docs_in_graph"), col("deg_sum"),
           coalesce(col("e_within"), lit(0L)).as("e_within"),
-          expr("""round(CAST(coalesce(e_within, 0) AS DOUBLE) / m
+          expr("""CAST(round((CAST(coalesce(e_within, 0) AS DOUBLE) / m
             | - (CAST(deg_sum AS DOUBLE) / (2 * m))
-            | * (CAST(deg_sum AS DOUBLE) / (2 * m)), 6)"""
-            .stripMargin.replaceAll("\n", " ")).as("contrib"))
+            | * (CAST(deg_sum AS DOUBLE) / (2 * m))) * 1e6) AS BIGINT)"""
+            .stripMargin.replaceAll("\n", " ")).as("contrib_e6"))
         .orderBy(col("source"))
     }),
 
@@ -6865,8 +6910,8 @@ object SparkEntry {
          |  max(CASE WHEN qid = 2 THEN sim END) AS m2,
          |  max(CASE WHEN qid = 3 THEN sim END) AS m3
          |  FROM s GROUP BY 1)
-         |SELECT doc, round(m0 + m1 + m2 + m3, 4) AS maxsim
-         |FROM m ORDER BY maxsim DESC, doc LIMIT 10"""
+         |SELECT doc, CAST(round((m0 + m1 + m2 + m3) * 1e4) AS BIGINT) AS maxsim_e4
+         |FROM m ORDER BY maxsim_e4 DESC, doc LIMIT 10"""
         .stripMargin.replaceAll("\n", " ")
     val searchMaxsimPrunedOracle = {
       val l2e = "sqrt(list_sum(list_transform(e.embedding, (x, i) -> " +
@@ -6892,8 +6937,8 @@ object SparkEntry {
          |  max(CASE WHEN qid = 2 THEN sim END) AS m2,
          |  max(CASE WHEN qid = 3 THEN sim END) AS m3
          |  FROM s GROUP BY 1)
-         |SELECT doc, round(m0 + m1 + m2 + m3, 4) AS maxsim
-         |FROM m ORDER BY maxsim DESC, doc LIMIT 10"""
+         |SELECT doc, CAST(round((m0 + m1 + m2 + m3) * 1e4) AS BIGINT) AS maxsim_e4
+         |FROM m ORDER BY maxsim_e4 DESC, doc LIMIT 10"""
         .stripMargin.replaceAll("\n", " ")
     }
     val mineTripletsOracle =
@@ -6912,7 +6957,7 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
          |  FROM b WHERE label <> qlabel) _n WHERE rn = 1)
          |SELECT qid, pos_id, pos_dist, neg_id, neg_dist,
-         | round(neg_dist - pos_dist, 4) AS margin
+         | CAST(round((neg_dist - pos_dist) * 1e4) AS BIGINT) AS margin_e4
          |FROM pos JOIN neg USING (qid) ORDER BY qid""".stripMargin.replaceAll("\n", " ")
     val usersHllOracle =
       """WITH h AS (SELECT event_type, user_id,
@@ -6937,7 +6982,7 @@ object SparkEntry {
         |    ELSE CAST(0.709 AS DOUBLE) * 4096 * 67108864.0 / s_int END AS est
         |  FROM ex JOIN ag USING (event_type))
         |SELECT event_type, n_exact, round(est, 4) AS hll_est,
-        | round((est - n_exact) / n_exact * 100, 2) AS err_pct
+        | CAST(round((est - n_exact) / n_exact * 100 * 100) AS BIGINT) AS err_pct_e2
         |FROM e2 ORDER BY event_type""".stripMargin.replaceAll("\n", " ")
     // streaming_hll: the same register/estimate arithmetic with no
     // exact-count companion — the stream's complete-mode register
@@ -7062,7 +7107,7 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT s.type_a AS type_a, s.type_b AS type_b, n_exact,
         | n_common_sketch, kmv_inter,
-        | round((kmv_inter - n_exact) / n_exact * 100, 2) AS err_pct
+        | CAST(round((kmv_inter - n_exact) / n_exact * 100 * 100) AS BIGINT) AS err_pct_e2
         |FROM s JOIN ex ON s.type_a = ex.type_a AND s.type_b = ex.type_b
         |ORDER BY type_a, type_b""".stripMargin.replaceAll("\n", " ")
     // harmonic finish over a (reg, mx) register table — the
@@ -7827,11 +7872,11 @@ object SparkEntry {
            |f AS (SELECT bigram, n_ab, split_part(bigram, ' ', 1) AS a,
            |  split_part(bigram, ' ', 2) AS b FROM gc WHERE n_ab >= 5)
            |SELECT f.bigram, f.n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
-           |  round(log2((CAST(f.n_ab AS DOUBLE) / n_bt) /
-           |    ((CAST(ua.n_tok AS DOUBLE) / n_t) * (CAST(ub.n_tok AS DOUBLE) / n_t))), 4) AS pmi
+           |  CAST(round(round(log2((CAST(f.n_ab AS DOUBLE) / n_bt) /
+           |    ((CAST(ua.n_tok AS DOUBLE) / n_t) * (CAST(ub.n_tok AS DOUBLE) / n_t))), 4) * 1e4) AS BIGINT) AS pmi_e4
            |FROM f JOIN uc ua ON f.a = ua.tok JOIN uc ub ON f.b = ub.tok
            |CROSS JOIN nt CROSS JOIN nb
-           |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin.replaceAll("\n", " "),
+           |ORDER BY pmi_e4 DESC, bigram LIMIT 20""".stripMargin.replaceAll("\n", " "),
       // ln on both sides (Spark log = natural log); regr_slope is the
       // same pop-covariance ratio in both engines; rank pairing is
       // deterministic via (freq desc, term) row_number
@@ -7975,8 +8020,8 @@ object SparkEntry {
            |    * ln((CAST(c AS DOUBLE) / n_s) / (CAST(cg AS DOUBLE) / n_g)) AS x
            |  FROM tc JOIN g USING (term) JOIN ns USING (source) CROSS JOIN ng)
            |SELECT source, n_s AS n_tokens,
-           | round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-           |   list_transform(list(x ORDER BY term), v -> v)), (a, b) -> a + b), 4) AS kl
+           | CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |   list_transform(list(x ORDER BY term), v -> v)), (a, b) -> a + b) * 1e4) AS BIGINT) AS kl_e4
            |FROM x GROUP BY source, n_s ORDER BY source""".stripMargin.replaceAll("\n", " "),
       // same seeded-hash buckets; counters and min are exact integers
       "tokens_cms" ->
@@ -8071,7 +8116,7 @@ object SparkEntry {
            |r AS (SELECT source, c,
            |  row_number() OVER (PARTITION BY source ORDER BY c DESC, term) AS rank FROM c)
            |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
-           | round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS zipf_slope
+           | CAST(round(round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) * 1e4) AS BIGINT) AS zipf_slope_e4
            |FROM r WHERE rank <= 500 GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " "),
       // vmr in DOUBLE from exact integer moments — identical operands
       // give the identical IEEE result on both engines
@@ -8301,14 +8346,14 @@ object SparkEntry {
       },
       "embed_dim_stats" ->
         """SELECT CAST(i - 1 AS INTEGER) AS dim,
-          | round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS mean,
-          | round(stddev_pop(CAST(embedding[i] AS DOUBLE)), 4) AS std,
-          | round(CAST(min(embedding[i]) AS DOUBLE), 4) AS lo,
-          | round(CAST(max(embedding[i]) AS DOUBLE), 4) AS hi
+          | CAST(round(round(avg(CAST(embedding[i] AS DOUBLE)), 4) * 1e4) AS BIGINT) AS mean_e4,
+          | CAST(round(round(stddev_pop(CAST(embedding[i] AS DOUBLE)), 4) * 1e4) AS BIGINT) AS std_e4,
+          | CAST(round(round(CAST(min(embedding[i]) AS DOUBLE), 4) * 1e4) AS BIGINT) AS lo_e4,
+          | CAST(round(round(CAST(max(embedding[i]) AS DOUBLE), 4) * 1e4) AS BIGINT) AS hi_e4
           |FROM embeddings, range(1, 65) x(i) GROUP BY i ORDER BY dim""".stripMargin.replaceAll("\n", " "),
       "label_centroids" ->
         """SELECT label, CAST(i - 1 AS INTEGER) AS dim,
-          | round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS m,
+          | CAST(round(round(avg(CAST(embedding[i] AS DOUBLE)), 4) * 1e4) AS BIGINT) AS m_e4,
           | CAST(count(*) AS BIGINT) AS n_vectors
           |FROM embeddings, range(1, 65) x(i)
           |GROUP BY label, i ORDER BY label, dim""".stripMargin.replaceAll("\n", " "),
@@ -8758,9 +8803,11 @@ object SparkEntry {
           |SELECT dist_b, CAST(count(*) AS BIGINT) AS n_pairs
           |FROM p GROUP BY dist_b ORDER BY dist_b"""
           .stripMargin.replaceAll("\n", " "),
-      // the RpProject plane convention is lsh_signature's: component
-      // (p, i) = ((p*64 + i) * 2654435761 mod 2^32) / 2^32 - 0.5 with
-      // DuckDB's 1-based lambda index i matching the kernel's j+1
+      // RpProject's overlap-free plane convention: component
+      // (p, i) = ((p*2048 + i) * 2654435761 mod 2^32) / 2^32 - 0.5
+      // (stride = RpKernels.MaxDim so plane rows never alias at any
+      // input width); DuckDB's 1-based lambda i matches the kernel's
+      // j+1
       "embed_rp" ->
         """WITH m AS (SELECT greatest(1, (count(*) + 255) // 256) AS md
           |  FROM embeddings),
@@ -8769,7 +8816,7 @@ object SparkEntry {
           |  list_transform(range(0, 16), p ->
           |    list_sum(list_transform(embedding, (x, i) ->
           |      CAST(x AS DOUBLE) *
-          |      (((p * 64 + i) * 2654435761 % 4294967296) / 4294967296.0 - 0.5)))) AS y
+          |      (((p * 2048 + i) * 2654435761 % 4294967296) / 4294967296.0 - 0.5)))) AS y
           |  FROM embeddings, m
           |  WHERE ((vec_id % m.md) + m.md) % m.md = 0),
           |pr AS (SELECT
@@ -9293,7 +9340,9 @@ object SparkEntry {
            |raw AS (SELECT doc_id, status, ${TextEmbed.sqlRawComponents(hashes)} AS r FROM tk),
            |nn AS (SELECT doc_id, status, r,
            |  sqrt(list_sum(list_transform(r, y -> y * y))) AS nm FROM raw)
-           |SELECT doc_id, status, round(r[1] / nm, 4) AS x0, round(r[2] / nm, 4) AS x1
+           |SELECT doc_id, status,
+           |  CAST(round(r[1] / nm * 1e4) AS BIGINT) AS x0_e4,
+           |  CAST(round(r[2] / nm * 1e4) AS BIGINT) AS x1_e4
            |FROM nn ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
       },
       // drift = difference of the two 4-dp-rounded per-dim means, so
@@ -9313,8 +9362,11 @@ object SparkEntry {
           |n AS (SELECT CAST(i - 1 AS INTEGER) AS dim,
           |  round(avg(embedding[i]), 4) AS mean_new
           |  FROM nx, range(1, 65) x(i) GROUP BY i)
-          |SELECT o.dim AS dim, mean_old, mean_new,
-          | round(mean_new - mean_old, 4) AS drift
+          |SELECT o.dim AS dim,
+          | CAST(round(mean_old * 1e4) AS BIGINT) AS mean_old_e4,
+          | CAST(round(mean_new * 1e4) AS BIGINT) AS mean_new_e4,
+          | CAST(round(mean_new * 1e4) AS BIGINT)
+          |   - CAST(round(mean_old * 1e4) AS BIGINT) AS drift_e4
           |FROM o JOIN n ON o.dim = n.dim ORDER BY dim""".stripMargin.replaceAll("\n", " "),
       "docs_chunk" ->
         s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
@@ -9541,7 +9593,9 @@ object SparkEntry {
         s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id < 50),
            |raw AS (SELECT doc_id, ${TextEmbed.sqlRawComponents(hashes)} AS r FROM tk),
            |n AS (SELECT doc_id, r, sqrt(list_sum(list_transform(r, y -> y * y))) AS nm FROM raw)
-           |SELECT doc_id, round(r[1] / nm, 4) AS x0, round(r[2] / nm, 4) AS x1
+           |SELECT doc_id,
+           |  CAST(round(r[1] / nm * 1e4) AS BIGINT) AS x0_e4,
+           |  CAST(round(r[2] / nm * 1e4) AS BIGINT) AS x1_e4
            |FROM n ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
       },
       "search_text" -> {
@@ -9882,11 +9936,11 @@ object SparkEntry {
         """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
           |qp AS (SELECT list_transform(range(0, 16), p ->
           |  list_sum(list_transform(qvec, (x, i) -> CAST(x AS DOUBLE) *
-          |    (((p * 64 + i) * 2654435761 % 4294967296) / 4294967296.0 - 0.5)))) AS qproj
+          |    (((p * 2048 + i) * 2654435761 % 4294967296) / 4294967296.0 - 0.5)))) AS qproj
           |  FROM q),
           |pr AS (SELECT vec_id, list_transform(range(0, 16), p ->
           |  list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) *
-          |    (((p * 64 + i) * 2654435761 % 4294967296) / 4294967296.0 - 0.5)))) AS proj
+          |    (((p * 2048 + i) * 2654435761 % 4294967296) / 4294967296.0 - 0.5)))) AS proj
           |  FROM embeddings),
           |short AS (SELECT vec_id, round(list_sum(list_transform(pr.proj,
           |  (x, i) -> (x - qp.qproj[i]) * (x - qp.qproj[i]))), 4) AS pd
@@ -10278,8 +10332,8 @@ object SparkEntry {
            |  CAST(sum(da * da) AS BIGINT) AS sxx,
            |  CAST(sum(da * db) AS BIGINT) AS sxy FROM j)
            |SELECT CAST(me // 2 AS BIGINT) AS n_edges,
-           |  round(CAST(me * sxy - sx * sx AS DOUBLE) /
-           |    nullif(CAST(me * sxx - sx * sx AS DOUBLE), 0.0), 4) AS r_deg
+           |  CAST(round(CAST(me * sxy - sx * sx AS DOUBLE) /
+           |    nullif(CAST(me * sxx - sx * sx AS DOUBLE), 0.0) * 1e4) AS BIGINT) AS r_deg_e4
            |FROM m""".stripMargin.replaceAll("\n", " "),
       // e6 fixed-point integer centroid sums, sorted-dim double fold
       "embed_centroid_drift" ->
@@ -10303,7 +10357,7 @@ object SparkEntry {
           |    list(CAST(b6 * b6 AS DOUBLE) ORDER BY dim)), (a, b) -> a + b) AS sbb
           |  FROM cent GROUP BY label)
           |SELECT label, n_even, n_odd,
-          |  round(sab / sqrt(saa * sbb), 4) AS cos_drift
+          |  CAST(round(sab / sqrt(saa * sbb) * 1e4) AS BIGINT) AS cos_drift_e4
           |FROM f ORDER BY label""".stripMargin.replaceAll("\n", " "),
       // integer k=3/m=4096 Bloom replay + the standard (1-e^-kn/m)^k
       "bloom_fpr_audit" ->
@@ -10381,8 +10435,9 @@ object SparkEntry {
            |    AS xent_train,
            |  round(CAST(v9 AS DOUBLE) / n_val_bi / 1000000000.0, 4)
            |    AS xent_val,
-           |  round(CAST(v9 AS DOUBLE) / n_val_bi / 1000000000.0
-           |    - CAST(t9 AS DOUBLE) / n_train_bi / 1000000000.0, 4) AS gap
+           |  CAST(round((CAST(v9 AS DOUBLE) / n_val_bi / 1000000000.0
+           |    - CAST(t9 AS DOUBLE) / n_train_bi / 1000000000.0) * 1e4)
+           |    AS BIGINT) AS gap_e4
            |FROM r""".stripMargin.replaceAll("\n", " "),
       // static-centroid IVF with the 1.25x margin probe-set replay
       "ann_ivf_adaptive" -> {
@@ -10597,9 +10652,9 @@ object SparkEntry {
            |        FROM pe) GROUP BY source)
            |SELECT nd.source, nd.n_docs_in_graph, dg.deg_sum,
            |  CAST(coalesce(ew.e_within, 0) AS BIGINT) AS e_within,
-           |  round(CAST(coalesce(ew.e_within, 0) AS DOUBLE) / m
+           |  CAST(round((CAST(coalesce(ew.e_within, 0) AS DOUBLE) / m
            |    - (CAST(dg.deg_sum AS DOUBLE) / (2 * m))
-           |    * (CAST(dg.deg_sum AS DOUBLE) / (2 * m)), 6) AS contrib
+           |    * (CAST(dg.deg_sum AS DOUBLE) / (2 * m))) * 1e6) AS BIGINT) AS contrib_e6
            |FROM nd JOIN dg USING (source)
            |LEFT JOIN ew USING (source), mm
            |ORDER BY source""".stripMargin.replaceAll("\n", " "),
@@ -10851,8 +10906,8 @@ object SparkEntry {
         "FROM embeddings WHERE vec_id = 42"),
     "vector_count" -> "SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings",
     "vector_normalize" ->
-      ("SELECT vec_id, round(CAST(embedding[1] AS DOUBLE) / " +
-        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS x0 " +
+      ("SELECT vec_id, CAST(round(CAST(embedding[1] AS DOUBLE) / " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1e4) AS BIGINT) AS x0_e4 " +
         "FROM embeddings ORDER BY vec_id LIMIT 100"),
     "filter_like" ->
       ("SELECT doc_id, lang, source FROM documents " +
@@ -10893,7 +10948,7 @@ object SparkEntry {
         |LIMIT 20""".stripMargin.replaceAll("\n", " "),
     "q9_profit" ->
       """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
-        | round(sum(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1) / 1000, 2) AS profit_k
+        | CAST(round(sum(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1) / 1000 * 100) AS BIGINT) AS profit_k_e2
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
@@ -11255,7 +11310,8 @@ object SparkEntry {
         |  count(n) OVER tw AS n_prev
         |  FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY hour_bucket
         |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
-        |SELECT event_type, hour_bucket, n, round((n - mu) / sd, 4) AS z
+        |SELECT event_type, hour_bucket, n,
+        | CAST(round((n - mu) / sd * 1e4) AS BIGINT) AS z_e4
         |FROM w WHERE n_prev = 6 AND sd > 0
         |ORDER BY event_type, hour_bucket""".stripMargin.replaceAll("\n", " "),
     // identical lag chain, weight literals, fold order and round
@@ -11274,7 +11330,7 @@ object SparkEntry {
          |  ($chain) / $wsum AS ewma_raw
          |  FROM l WHERE rn > ${ewmaWeights.length})
          |SELECT event_id, user_id, value, round(ewma_raw, 4) AS ewma,
-         | round(value - ewma_raw, 4) AS dev
+         | CAST(round((value - ewma_raw) * 1e4) AS BIGINT) AS dev_e4
          |FROM f ORDER BY abs(value - ewma_raw) DESC, event_id
          |LIMIT 20""".stripMargin.replaceAll("\n", " ")
     },
@@ -11498,7 +11554,7 @@ object SparkEntry {
         |  FROM f WINDOW tw AS (PARTITION BY event_type ORDER BY hour_bucket
         |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, hour_bucket, n, is_gap,
-        | round((n - mu) / sd, 4) AS z
+        | CAST(round((n - mu) / sd * 1e4) AS BIGINT) AS z_e4
         |FROM w WHERE n_prev = 6 AND sd > 0
         |ORDER BY event_type, hour_bucket""".stripMargin.replaceAll("\n", " "),
     // strict-gap sessions (`<`, matching session_window's end-exclusive

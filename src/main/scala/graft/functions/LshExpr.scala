@@ -80,11 +80,23 @@ case class LshSignature(child: Expression, numPlanes: Int)
 }
 
 /** Shared dense-projection kernel: output component p =
-  * dot(vec, plane_p) under [[LshSignature]]'s plane convention —
-  * called from both RpProject's interpreted eval and its generated
-  * code, so the two paths cannot drift.
+  * dot(vec, plane_p) — called from both RpProject's interpreted eval
+  * and its generated code, so the two paths cannot drift.
+  *
+  * Plane entry (p, j) draws from the single Weyl stream at index
+  * `p * MAXDIM + j + 1`. MAXDIM (2048) must exceed any supported
+  * input width so plane rows can NEVER overlap: with the former
+  * `p * 64` stride, any input wider than 64 dims made plane p+1 a
+  * 64-position shift of plane p (u(p+1, j) = u(p, j+64)), so the
+  * projection components were not independent and the documented JL
+  * distortion bound silently failed on embeddings with lag-64
+  * autocorrelation. [[LshSignature]] deliberately KEEPS the p*64
+  * stride — its packed-sign oracle contract is anchored at the
+  * 64-dim corpus width and replayed verbatim by every lsh_* oracle.
   */
 object RpKernels {
+  final val MaxDim = 2048
+
   def project(vec: ArrayData, isFloat: Boolean, k: Int): ArrayData = {
     val n = vec.numElements()
     val out = new Array[Double](k)
@@ -94,7 +106,7 @@ object RpKernels {
       var j = 0
       while (j < n) {
         val x = if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
-        val u = ((p * 64 + j + 1) * 2654435761L % 4294967296L) / 4294967296.0 - 0.5
+        val u = ((p * MaxDim + j + 1) * 2654435761L % 4294967296L) / 4294967296.0 - 0.5
         dot += x * u
         j += 1
       }
@@ -107,9 +119,9 @@ object RpKernels {
 
 /** Johnson–Lindenstrauss dense random projection (codegen'd): maps
   * array<float|double> of any width to array<double> of k components,
-  * y_p = dot(vec, plane_p), with the SAME deterministic plane
-  * convention as [[LshSignature]] (LshSignature keeps only
-  * sign(y_p); this keeps the value). Plane entries are uniform in
+  * y_p = dot(vec, plane_p), with [[RpKernels]]' overlap-free plane
+  * indexing (stride MaxDim=2048, valid for any input width — unlike
+  * [[LshSignature]]'s 64-anchored stride). Plane entries are uniform in
   * [-0.5, 0.5) (variance 1/12), so E[l2²(y_a, y_b)] =
   * (k/12) · l2²(x_a, x_b) — distances are preserved up to the JL
   * distortion bound WITHOUT any training pass: at 100 TB this is a

@@ -25,19 +25,28 @@ class AnnScaleSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [lsh_signature"), plan)
   }
 
-  test("rp_project: sign(component p) == lsh_signature bit p on the corpus") {
-    // RpProject keeps the plane dots whose SIGNS LshSignature packs —
-    // same plane convention by construction, pinned here on real data
-    val e = Tables.load(spark, sf, "embeddings")
-    val diff = e.select(
-        Ann.lshSignature(col("embedding"), 8).as("sig"),
-        graft.functions.LshExpr.rp_project(col("embedding"), 8).as("y"))
-      .select(col("sig"), expr(
-        """aggregate(zip_with(y, sequence(0, 7), (v, p) ->
-          |  CASE WHEN v > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0L END),
-          |0L, (a, b) -> a + b)""".stripMargin.replaceAll("\n", " ")).as("fromy"))
-      .where(col("sig") =!= col("fromy")).count()
-    assert(diff == 0)
+  test("rp_project: plane rows never alias at any supported width") {
+    // With the former p*64 stride, plane p+1 was plane p shifted by
+    // 64 positions for inputs wider than 64 dims — components were
+    // not independent and the JL bound silently failed on lag-64
+    // autocorrelated embeddings. The MaxDim stride makes every
+    // stream index (p, j) unique: p*MaxDim + j + 1 collides across
+    // planes only if MaxDim <= j, which checkInputDataTypes can
+    // never see — pin the arithmetic here.
+    val M = graft.functions.RpKernels.MaxDim
+    assert(M >= 2048)
+    val idx = for (p <- 0 until 16; j <- 0 until M) yield p * M + j + 1
+    assert(idx.distinct.length == idx.length)
+    // and the kernel really reads that stream: component 1 of a
+    // one-hot vector at dim j equals the plane entry at 1*M + j + 1
+    val j0 = 100
+    val oneHot = Array.fill(M / 2)(0.0f).updated(j0, 1.0f)
+    val out = graft.functions.RpKernels.project(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        oneHot.map(_.asInstanceOf[Any])), isFloat = true, k = 2)
+    val expected =
+      ((1 * M + j0 + 1) * 2654435761L % 4294967296L) / 4294967296.0 - 0.5
+    assert(out.getDouble(1) === expected)
   }
 
   test("rp_project: JL mean distance ratio near 1, runs codegen'd") {

@@ -72,7 +72,8 @@ class Dim384Spec extends AnyFunSuite {
       var dot = 0.0
       for (j <- 0 until dim)
         dot += v(j).toDouble *
-          (((p * 64 + j + 1) * 2654435761L % 4294967296L) / 4294967296.0 - 0.5)
+          (((p * graft.functions.RpKernels.MaxDim + j + 1) * 2654435761L
+            % 4294967296L) / 4294967296.0 - 0.5)
       // identical op order + double accumulation -> bit-equal
       assert(row(p) === dot, s"component $p")
     }

@@ -164,6 +164,145 @@ if uncast:
     failures.append(f"uncast sum/avg in an oracle's FINAL select "
                     f"(HUGEINT-vs-BIGINT typed-hash breaker): {uncast}")
 
+
+# --- rounded-double output lint (the r10 price_qty_regression
+# incident class): round() on a double that can be TINY NEGATIVE
+# maps to -0.0 in DuckDB but +0.0 through Spark's BigDecimal Round,
+# and the driver hashes floats TYPED, so the signed zeros diverge.
+# The repo-wide rule after the r11 sweep: a rounded double may reach
+# a FINAL select only when its value provably cannot land in
+# (-halfulp, 0) — everything sign-crossing ships as a fixed-point
+# BIGINT (CAST(round(v * 1eN) AS BIGINT) AS <name>_eN). This lint
+# flags any bare round( in a final select whose output alias is not
+# in the audited allowlist below. Adding an alias here REQUIRES the
+# non-negativity argument in the comment group.
+NONNEG_ROUND_ALLOW = {
+    # monetary/quantity sums of positive columns (TPC-H prices,
+    # events.value >= 0.01): bounded away from zero
+    "revenue", "revenue_k", "sum_qty", "total", "total_price",
+    "total_revenue", "total_value", "promo_revenue", "promo_pct",
+    "avg_yearly", "price", "s_acctbal", "value", "purchase_value",
+    "sum_v",
+    # distances/norms: sqrt >= 0, or cosine-dist clamped to [0,2]
+    # by the shared least/greatest clamp in cosSql/vec_cosine
+    "dist", "score", "pos_dist", "neg_dist",
+    # ratios/entropies/estimates of non-negative quantities
+    "jaccard", "containment", "frac", "density", "dup_frac",
+    "top_frac", "purity", "precision", "recall", "ndcg", "rrf",
+    "fused", "entropy", "eff_vocab", "xent", "xent2", "xent_train",
+    "xent_val", "h_rate", "hll_est", "merged_hll", "direct_hll",
+    "kmv_inter", "gini", "chi2", "vmr", "dispersion", "mib",
+    "pred_fpr", "avg_k", "avg_len", "stop_ratio", "mean_q",
+    "quality", "nat_share", "temp_share", "upweight", "strength",
+    "cos", "ewma",
+    # quantiles/means of events.value (>= 0.01) and their abs errors
+    "med", "p90", "mean", "sk_med", "sk_p90", "exact_med",
+    "exact_p90", "err_med", "err_p90",
+    # differences of same-quantum values (2-dp money, 0.5-quantum
+    # medians): |v| >= half a quantum or exactly +0.0 (IEEE a-a),
+    # never in the (-halfulp, 0) signed-zero window
+    "dev", "mad",
+    # boolean equality of two rounds — no float ships
+    "sketch_merge_ok",
+    # non-negative statistics: LSH candidate probability in (0,1)
+    # (lsh_plan), Rayleigh quotient of a PSD Gram (embed_pca),
+    # G-test statistic >= 0 (tokens_colloc_llr)
+    "p_candidate", "eigval", "g2",
+}
+
+
+def _split_top_level(fs):
+    d, cur, items = 0, "", []
+    for ch in fs:
+        if ch == "(":
+            d += 1
+        if ch == ")":
+            d -= 1
+        if ch == "," and d == 0:
+            items.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    items.append(cur)
+    return items
+
+
+def _cast_open_at(item, pos):
+    """True if a CAST( opened before pos is still open AT pos (the
+    round result never ships as a double)."""
+    pre = item[:pos]
+    for wm in re.finditer(r"CAST\s*\(", pre, re.I):
+        d = 0
+        for ch in pre[wm.end() - 1:]:
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+        if d > 0:
+            return True
+    return False
+
+
+LIST_PRODUCERS = re.compile(
+    r"^\s*(\[|list_transform\s*\(|list\s*\(|list_sort\s*\(|"
+    r"list_concat\s*\(|list_prepend\s*\(|list_append\s*\(|"
+    r"array_agg\s*\(|list_distinct\s*\(|range\s*\(|"
+    r"generate_series\s*\(|string_split\s*\(|map\s*\{|\{')", re.I)
+
+# lint the ASSEMBLED oracles (tools/oracles.json, written by
+# `sbt "runMain graft.DumpOracles"`): oracles are composed from CTE
+# fragment strings, so scanning raw triple-quoted literals would
+# mis-read a fragment's SELECT as a final select. The dump must be
+# regenerated whenever the registry changes — the key-set guard
+# below turns a stale dump into a failure, not a silent skip.
+import json
+ORACLES = ROOT / "tools/oracles.json"
+round_bad, array_bad = [], []
+dumped = json.loads(ORACLES.read_text()) if ORACLES.exists() else None
+if dumped is None:
+    failures.append("tools/oracles.json missing — run "
+                    "`sbt \"runMain graft.DumpOracles\"`")
+elif set(dumped) != okeys:
+    failures.append(
+        f"tools/oracles.json is STALE (keys differ from SparkEntry."
+        f"oracleSql by {sorted(set(dumped) ^ okeys)[:6]}...) — rerun "
+        f"`sbt \"runMain graft.DumpOracles\"`")
+for sql in (dumped or {}).values():
+    fs = _final_select(sql)
+    if not fs:
+        continue
+    for it in _split_top_level(fs):
+        its = it.strip()
+        am = re.search(r"\bAS\s+(\w+)\s*$", its, re.I)
+        alias = am.group(1) if am else its[:40]
+        # array/map/struct at the top of a final-select item: the
+        # driver's pandas row-sort cannot hash ndarray cells (the
+        # r10 multimodal_manifest incident) — only scalars may ship
+        if LIST_PRODUCERS.match(its):
+            array_bad.append(alias)
+        rm = re.search(r"(?<![A-Za-z_])round\s*\(", its, re.I)
+        if rm is None:
+            continue
+        if _cast_open_at(its, rm.start()):
+            continue
+        if re.search(r"\bWHEN\b", its[:rm.start()], re.I) and \
+                re.search(r"\bTHEN\b", its[rm.start():], re.I):
+            # round inside a WHEN condition — compared, never shipped
+            continue
+        if alias not in NONNEG_ROUND_ALLOW:
+            round_bad.append(alias)
+if round_bad:
+    failures.append(
+        f"bare round( double in a FINAL select with un-audited alias "
+        f"(signed-zero typed-hash exposure — ship a fixed-point BIGINT "
+        f"or, after auditing non-negativity, extend "
+        f"NONNEG_ROUND_ALLOW): {sorted(set(round_bad))}")
+if array_bad:
+    failures.append(
+        f"array/map-typed FINAL select item (driver's pandas row-sort "
+        f"cannot hash ndarray cells — ship scalars/long form): "
+        f"{sorted(set(array_bad))}")
+
 checked = len(re.findall(r"^- \[x\]", sec2, re.M))
 print(f"survey_check: {len(qkeys)} query keys, {len(okeys)} oracles, "
       f"{checked} [x] rows in §2")
