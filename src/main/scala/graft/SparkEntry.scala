@@ -6174,11 +6174,22 @@ object SparkEntry {
       val base = scored.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           expr("sum(score_e3) div count(1)").as("mean_e3"))
+      // nearest-rank 2.5%/97.5% of 64 replicas = ranks 2 and 63
+      // (ceil(.025*64), ceil(.975*64)); n_reps ships so an all-zero-
+      // weight replica dropout is VISIBLE (left joins + -1 sentinel),
+      // never a silently vanished source
+      val nrep = rep.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_reps"))
       base
+        .join(nrep, Seq("source"), "left")
         .join(rep.where(col("rn") === 2)
-          .select(col("source"), col("m_e3").as("lo_e3")), Seq("source"))
-        .join(rep.where(col("rn") === 62)
-          .select(col("source"), col("m_e3").as("hi_e3")), Seq("source"))
+          .select(col("source"), col("m_e3").as("lo_e3")), Seq("source"), "left")
+        .join(rep.where(col("rn") === 63)
+          .select(col("source"), col("m_e3").as("hi_e3")), Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("mean_e3"),
+          coalesce(col("n_reps"), lit(0L)).as("n_reps"),
+          coalesce(col("lo_e3"), lit(-1L)).as("lo_e3"),
+          coalesce(col("hi_e3"), lit(-1L)).as("hi_e3"))
         .orderBy(col("source"))
     }),
 
@@ -10832,14 +10843,18 @@ object SparkEntry {
            |  (PARTITION BY source ORDER BY m_e3, b) AS rn FROM rm),
            |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            |  CAST(sum(score_e3) // count(*) AS BIGINT) AS mean_e3
-           |  FROM sc GROUP BY source)
+           |  FROM sc GROUP BY source),
+           |nr AS (SELECT source, CAST(count(*) AS BIGINT) AS n_reps
+           |  FROM rm GROUP BY source)
            |SELECT base.source, base.n_docs, base.mean_e3,
-           |  CAST(lo.m_e3 AS BIGINT) AS lo_e3,
-           |  CAST(hi.m_e3 AS BIGINT) AS hi_e3
+           |  CAST(coalesce(nr.n_reps, 0) AS BIGINT) AS n_reps,
+           |  CAST(coalesce(lo.m_e3, -1) AS BIGINT) AS lo_e3,
+           |  CAST(coalesce(hi.m_e3, -1) AS BIGINT) AS hi_e3
            |FROM base
-           |JOIN (SELECT source, m_e3 FROM rk WHERE rn = 2) lo
+           |LEFT JOIN nr USING (source)
+           |LEFT JOIN (SELECT source, m_e3 FROM rk WHERE rn = 2) lo
            |  USING (source)
-           |JOIN (SELECT source, m_e3 FROM rk WHERE rn = 62) hi
+           |LEFT JOIN (SELECT source, m_e3 FROM rk WHERE rn = 63) hi
            |  USING (source)
            |ORDER BY source""".stripMargin.replaceAll("\n", " "),
       // disjoint batches => final state == the documents table

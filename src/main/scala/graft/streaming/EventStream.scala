@@ -239,7 +239,7 @@ object EventStream {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
-      try rm(new java.io.File(tmp)) catch { case _: Throwable => () }
+      try rm(new java.io.File(tmp)) catch { case _: java.io.IOException => () }
     }
   }
 
@@ -269,17 +269,19 @@ object EventStream {
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
         q.processAllAvailable()
       } finally q.stop()
-      spark.table(name)
+      val out = spark.table(name)
         .select((unix_timestamp(col("window.start")) / 3600L).cast("long")
             .as("hour_bucket"),
           col("event_type"), col("n_stream"))
         .where(col("event_type") =!= "__sentinel__")
         .localCheckpoint(eager = true) // detach from the sink + temp dir
+      spark.catalog.dropTempView(name)
+      out
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
-      try rm(new java.io.File(tmp)) catch { case _: Throwable => () }
+      try rm(new java.io.File(tmp)) catch { case _: java.io.IOException => () }
     }
   }
 
@@ -377,7 +379,7 @@ object EventStream {
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
         drainAll()
       } finally named.foreach(_._2.stop())
-      named.map { case (name, _) =>
+      val out = named.map { case (name, _) =>
         spark.table(name)
           .select((unix_timestamp(col("window.start")) / 3600L).cast("long")
               .as("hour_bucket"),
@@ -385,11 +387,16 @@ object EventStream {
           .where(col("event_type") =!= "__sentinel__")
           .localCheckpoint(eager = true) // detach from the sink + temp dir
       }
+      // the memory sinks are registered as temp views; once the
+      // checkpoint detaches the results, drop them so repeated sweeps
+      // in one session don't accumulate catalog entries
+      named.foreach { case (name, _) => spark.catalog.dropTempView(name) }
+      out
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
-      try rm(new java.io.File(tmp)) catch { case _: Throwable => () }
+      try rm(new java.io.File(tmp)) catch { case _: java.io.IOException => () }
     }
   }
 
@@ -484,7 +491,7 @@ object EventStream {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
-      try rm(new java.io.File(tmp)) catch { case _: Throwable => () }
+      try rm(new java.io.File(tmp)) catch { case _: java.io.IOException => () }
     }
     (System.nanoTime() - t0) / 1e9
   }

@@ -15,13 +15,20 @@ import org.apache.spark.sql.functions._
   * Layout: a tiny delta-log. Each batch lands as one overwrite-mode
   * parquet directory keyed by its batchId:
   *
-  *   dir/batch=<batchId>/...parquet
+  *   dir/_usink_batch=<batchId>/...parquet
   *
   * Replay safety is structural, not transactional: re-delivering
   * (batch, batchId) overwrites the SAME directory with the SAME rows,
   * so the store state is a pure function of the delivered batch set —
   * at-least-once delivery + idempotent commit = exactly-once effect.
-  * No manifest, no lock, no rename dance.
+  * No manifest or lock; reader consistency comes from _SUCCESS
+  * gating: [[read]] considers only batch directories whose _SUCCESS
+  * marker exists, so a reader overlapping an in-flight overwrite of
+  * batch N sees the store WITHOUT batch N (its marker is deleted
+  * first, written last) rather than a half-written directory. A
+  * replay of an ALREADY-visible batch still briefly hides it from
+  * concurrent readers — replays only happen during crash recovery,
+  * when no query is expected to race the restarting stream.
   *
   * Read = last-writer-wins per key: newest batchId for a key is the
   * live row (a key-partitioned window, bounded state per key).
@@ -37,27 +44,52 @@ import org.apache.spark.sql.functions._
   */
 object UpsertSink {
 
+  /** Partition column holding the batchId. Deliberately unlikely as a
+    * payload name — a payload column with the same name would collide
+    * with the partition-inferred column on read, so [[commit]] rejects
+    * it outright.
+    */
+  val BatchCol = "_usink_batch"
+
   /** Commit one micro-batch of keyed rows. Safe to call any number of
     * times with the same (batch, batchId) — replays overwrite the same
     * directory with identical bytes-modulo-ordering content.
     */
-  def commit(dir: String, batch: DataFrame, batchId: Long): Unit =
+  def commit(dir: String, batch: DataFrame, batchId: Long): Unit = {
+    require(!batch.columns.contains(BatchCol),
+      s"payload must not contain the reserved column '$BatchCol'")
     batch.write.mode(SaveMode.Overwrite)
-      .parquet(s"$dir/batch=$batchId")
+      .parquet(s"$dir/$BatchCol=$batchId")
+  }
 
   /** Current store state: for every key the row from the HIGHEST
     * committed batchId (last writer wins; within one batch a key is
     * expected once — ties break to an arbitrary-but-deterministic
-    * row via the ordered window).
+    * row via the ordered window). Only batch directories carrying a
+    * _SUCCESS marker participate (see the reader-consistency note in
+    * the object scaladoc); an empty or never-committed store is an
+    * explicit error, not a parquet path-resolution crash.
     */
   def read(spark: SparkSession, dir: String, keyCol: String): DataFrame = {
-    val log = spark.read
-      .option("basePath", dir).parquet(s"$dir/batch=*")
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ready =
+      if (fs.exists(base))
+        fs.listStatus(base).toSeq
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith(s"$BatchCol="))
+          .filter(s => fs.exists(
+            new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+          .map(_.getPath.toString)
+      else Seq.empty
+    require(ready.nonEmpty,
+      s"UpsertSink store at $dir has no committed batch")
+    val log = spark.read.option("basePath", dir).parquet(ready: _*)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("batch").desc)
+      .orderBy(col(BatchCol).desc)
     log.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
-      .drop("_rn", "batch")
+      .drop("_rn", BatchCol)
   }
 
   /** Fold the delta log into a single base batch under `outDir`

@@ -89,6 +89,40 @@ class UpsertSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("reserved-column payload rejected; empty store is explicit") {
+    val dir = tmpDir()
+    try {
+      // a payload already carrying the partition column would be
+      // ambiguous/overwritten on read — commit refuses it
+      val bad = df(Seq(1L -> "a"))
+        .withColumn(UpsertSink.BatchCol, lit(9L))
+      val e = intercept[IllegalArgumentException] {
+        UpsertSink.commit(dir, bad, 0L)
+      }
+      assert(e.getMessage.contains(UpsertSink.BatchCol))
+      // reading a store with no committed batch is a clear error,
+      // not a parquet path-resolution crash
+      val e2 = intercept[IllegalArgumentException] {
+        UpsertSink.read(spark, dir, "id")
+      }
+      assert(e2.getMessage.contains("no committed batch"))
+    } finally rm(dir)
+  }
+
+  test("read ignores a batch directory without its _SUCCESS marker") {
+    val dir = tmpDir()
+    try {
+      UpsertSink.commit(dir, df(Seq(1L -> "a", 2L -> "b")), 0L)
+      UpsertSink.commit(dir, df(Seq(2L -> "B")), 1L)
+      // simulate an in-flight overwrite of batch 1: marker gone
+      val marker = new java.io.File(
+        s"$dir/${UpsertSink.BatchCol}=1/_SUCCESS")
+      assert(marker.exists())
+      assert(marker.delete())
+      assert(state(dir) === Seq(1L -> "a", 2L -> "b"))
+    } finally rm(dir)
+  }
+
   test("streaming restart through foreachBatch leaves exactly-once state") {
     val spark2 = spark
     import spark2.implicits._
