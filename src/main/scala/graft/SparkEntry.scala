@@ -1772,6 +1772,60 @@ object SparkEntry {
         .orderBy(col("in_degree"))
     }),
 
+    // -- batch NN-descent k-NN-graph BUILD (the Spark-native analog
+    //    of HNSW's graph layer, hnsw.go:75-524; KnnGraph.scala has
+    //    the algorithm + 100 TB shape): ring init over the dense id
+    //    space, 2 rounds of symmetrized neighbor-of-neighbor
+    //    refinement, INTEGER e4 distances so every rank cut is
+    //    engine- and partition-order-exact. Output: per-round
+    //    edge-weight checksums (pinning the whole iteration chain),
+    //    plus recall@k of the final graph against exact kNN on the
+    //    count-derived ~50-query sample — the quality readout
+    //    reported next to the other ANN families --
+    "knn_graph_nndescent" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val k = 8
+      val rounds = graft.operators.KnnGraph
+        .nnDescentRounds(e, "vec_id", "embedding", k, iters = 4)
+      val n = e.count()
+      val mod = math.max(1L, (n + 49L) / 50L)
+      val vecs = e.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      val qs = vecs.where(pmod(col("vec_id"), lit(mod)) === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val exact = vecs.crossJoin(broadcast(qs))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(VectorFunctions.vec_l2(col("v"), col("qv")) * 1e4)
+            .cast("bigint").as("d_e4"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg
+          .topk_pairs(col("d_e4").cast("double"), col("vec_id"), k).as("tk"))
+        .select(col("qid"), explode(col("tk")).as("pair"))
+        .select(col("qid"), col("pair.id").as("nb"))
+      def stat(name: String, agg: Column, df: DataFrame): DataFrame =
+        df.agg(agg.cast("bigint").as("v"))
+          .select(lit(name).as("stat"), col("v"))
+      val matchCnt = rounds.last
+        .where(pmod(col("src"), lit(mod)) === 0)
+        .join(exact, col("src") === col("qid") && col("dst") === col("nb"),
+          "left_semi")
+        .agg(count(lit(1)).as("m"))
+      val recall = matchCnt
+        .crossJoin(qs.agg(count(lit(1)).as("nq")))
+        .select(lit("recall_e4").as("stat"),
+          expr(s"(m * 10000) div (nq * $k)").as("v"))
+      val perRound = rounds.zipWithIndex.map { case (r, i) =>
+        stat(if (i == 0) "sum_d_e4_init" else s"sum_d_e4_it$i",
+          sum(col("d_e4")), r)
+      }
+      (Seq(stat("n_nodes", count(lit(1)), e),
+        stat("k_per_node", lit(k.toLong), e.limit(1))) ++ perRound ++
+        Seq(stat("n_sample_queries", count(lit(1)), qs), recall))
+        .reduce(_.unionByName(_))
+        .orderBy(col("stat"))
+    }),
+
     // -- JSON property extraction over the events props column:
     //    get_json_object path extraction (codegen'd) + per-type
     //    integer stats — the schema-drift audit a semi-structured
@@ -7392,6 +7446,83 @@ object SparkEntry {
          |  FROM p),
          |edges AS (SELECT qid, nb, dist, rank FROM r WHERE rank <= 3)"""
         .stripMargin.replaceAll("\n", " ")
+    // NN-descent replay: ring init, two unrolled symmetrize/hop/
+    // top-k rounds (the kmeansCtes discipline), INTEGER e4 distances
+    // so the rank cuts are bit-free; recall against exact kNN on the
+    // same count-derived sample
+    val knnGraphNndescentOracle = {
+      def l2e4(a: String, b: String): String =
+        s"CAST(round(sqrt(list_sum(list_transform($a, (x, i) -> " +
+          s"(x - $b[i]) * (x - $b[i])))) * 1e4) AS BIGINT)"
+      // every CTE is MATERIALIZED: the chain references each round's
+      // output several times (symmetrize + both hop sides + the next
+      // round), and un-materialized CTE inlining recomputes the
+      // whole prefix per reference — exponential in round count
+      def round_(c: String, e: String): String =
+        s"""sc$e AS MATERIALIZED (SELECT r.src, r.dst, ${l2e4("a.v", "b.v")} AS d_e4
+           |  FROM $c r JOIN vv a ON r.src = a.id JOIN vv b ON r.dst = b.id),
+           |e$e AS MATERIALIZED (SELECT src, dst, d_e4 FROM (SELECT sc$e.*,
+           |  row_number() OVER (PARTITION BY src ORDER BY d_e4, dst) AS rn
+           |  FROM sc$e) _r$e WHERE rn <= 8)""".stripMargin
+      def hop(u: String, prev: String, c: String): String =
+        s"""$u AS MATERIALIZED (SELECT src, dst FROM $prev
+           |  UNION SELECT dst AS src, src AS dst FROM $prev),
+           |$c AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+           |  SELECT src, dst FROM $u UNION ALL
+           |  SELECT a.src AS src, b.dst AS dst FROM $u a
+           |    JOIN $u b ON a.dst = b.src) _h$c
+           |  WHERE src <> dst)""".stripMargin
+      s"""WITH vv AS MATERIALIZED (SELECT vec_id AS id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |  list_sum(list_transform(range(0, 8), p -> CASE WHEN
+         |    list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) *
+         |      ((((p * 64 + i) * 2654435761) % 4294967296) / 4294967296.0 - 0.5))) > 0
+         |    THEN CAST(2 ** p AS BIGINT) ELSE 0 END)) AS bucket
+         |  FROM embeddings),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM vv),
+         |ring AS (SELECT id AS src, (((id + s * d) % n) + n) % n AS dst
+         |  FROM vv, nn, (VALUES (1), (-1)) ss(s), range(1, 5) dd(d)
+         |  WHERE (((id + s * d) % n) + n) % n <> id),
+         |br AS MATERIALIZED (SELECT id, bucket,
+         |  row_number() OVER (PARTITION BY bucket ORDER BY id) AS rk FROM vv),
+         |lsa AS (SELECT a.id AS src, b.id AS dst
+         |  FROM br a CROSS JOIN (VALUES (1), (-1), (2), (-2),
+         |    (3), (-3), (4), (-4)) oo(off)
+         |  JOIN br b ON b.bucket = a.bucket AND b.rk = a.rk + oo.off),
+         |init AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM ring UNION ALL SELECT src, dst FROM lsa) _i),
+         |${round_("init", "0")},
+         |${hop("u1", "e0", "c1")},
+         |${round_("c1", "1")},
+         |${hop("u2", "e1", "c2")},
+         |${round_("c2", "2")},
+         |${hop("u3", "e2", "c3")},
+         |${round_("c3", "3")},
+         |${hop("u4", "e3", "c4")},
+         |${round_("c4", "4")},
+         |m AS (SELECT greatest(1, (n + 49) // 50) AS md FROM nn),
+         |qs AS MATERIALIZED (SELECT id, v FROM vv, m
+         |  WHERE ((id % md) + md) % md = 0),
+         |xc AS (SELECT q.id AS qid, e.id AS nb, ${l2e4("e.v", "q.v")} AS d_e4
+         |  FROM vv e, qs q WHERE e.id <> q.id),
+         |exact AS MATERIALIZED (SELECT qid, nb FROM (SELECT xc.*,
+         |  row_number() OVER (PARTITION BY qid ORDER BY d_e4, nb) AS rn
+         |  FROM xc) _x WHERE rn <= 8),
+         |mt AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM e4
+         |  JOIN exact ON e4.src = exact.qid AND e4.dst = exact.nb),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS q FROM qs)
+         |SELECT 'n_nodes' AS stat, n AS v FROM nn
+         |UNION ALL SELECT 'k_per_node', CAST(8 AS BIGINT) FROM nn
+         |UNION ALL SELECT 'sum_d_e4_init', CAST(sum(d_e4) AS BIGINT) FROM e0
+         |UNION ALL SELECT 'sum_d_e4_it1', CAST(sum(d_e4) AS BIGINT) FROM e1
+         |UNION ALL SELECT 'sum_d_e4_it2', CAST(sum(d_e4) AS BIGINT) FROM e2
+         |UNION ALL SELECT 'sum_d_e4_it3', CAST(sum(d_e4) AS BIGINT) FROM e3
+         |UNION ALL SELECT 'sum_d_e4_it4', CAST(sum(d_e4) AS BIGINT) FROM e4
+         |UNION ALL SELECT 'n_sample_queries', q FROM nq
+         |UNION ALL SELECT 'recall_e4',
+         |  CAST((mm * 10000) // (q * 8) AS BIGINT) FROM mt, nq
+         |ORDER BY stat""".stripMargin.replaceAll("\n", " ")
+    }
     val knnGraphStatsOracle =
       s"""WITH $knnGraphCtes,
          |rec AS (SELECT x.rank, CAST(count(*) AS BIGINT) AS n_recip
@@ -9538,6 +9669,7 @@ object SparkEntry {
       "events_props_stats" -> eventsPropsStatsOracle,
       "events_window_topk" -> eventsWindowTopkOracle,
       "knn_graph_stats" -> knnGraphStatsOracle,
+      "knn_graph_nndescent" -> knnGraphNndescentOracle,
       "knn_hubness" -> knnHubnessOracle,
       "eval_matched_sample" ->
         """WITH m AS (SELECT greatest(1, (count(*) + 63) // 64) AS md

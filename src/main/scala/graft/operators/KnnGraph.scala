@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TopKAgg, VectorFunctions}
+
+/** Batch NN-descent k-NN-graph build (Dong et al., WWW'11) — the
+  * Spark-native analog of HNSW's graph layer (hnsw.go:75-524): where
+  * HNSW inserts points one at a time into an in-memory multi-layer
+  * graph, NN-descent refines a whole at-rest corpus's neighbor lists
+  * by the observation that a neighbor of a neighbor is likely a
+  * neighbor. Every step is a keyed join/aggregate, so the build is
+  * embarrassingly data-parallel — the form a 1000-executor cluster
+  * wants.
+  *
+  * Deterministic by construction (unrolled-CTE-replayable, the
+  * kmeansCtes discipline):
+  *   - init: the union of (a) a ring over the DENSE id space — node
+  *     i seeds (i ± d) mod n for d = 1..k/2, pure map-side
+  *     arithmetic from the count(*)-derived n — and (b) LSH-bucket
+  *     adjacency: the 8-plane lsh_signature buckets the corpus, and
+  *     each node seeds its ±k/2 rank-neighbors WITHIN its bucket
+  *     (rank = id order, an equi-join on (bucket, rank±d) — linear,
+  *     never a per-bucket cross product). The ring guarantees every
+  *     node k candidates; the LSH seeds put genuinely-near vectors
+  *     in round 0, which is what lets a FIXED small round count
+  *     converge (pure random/ring init needs O(log n) rounds);
+  *   - round: candidates(v) = u(v) ∪ (u ∘ u)(v) where u = N ∪ N⁻¹ is
+  *     the symmetrized current graph — neighbors and
+  *     neighbors-of-neighbors in BOTH directions, the NN-descent
+  *     "local join" as two equi-joins;
+  *   - keep: top-k per node by (d_e4, id) where d_e4 =
+  *     round(l2 · 1e4) as BIGINT — INTEGER ranking end to end, so no
+  *     float tie can ever pick different neighbors across engines or
+  *     partition orders. TopKPairs folds the cut map-side.
+  *
+  * Scale shape: per round each node contributes ≤ 2k first-hop and
+  * ≤ 4k² second-hop candidates — work is O(n·k²) distances keyed by
+  * node, INDEPENDENT of corpus diameter, and every join is on the
+  * node id (AQE-sizeable shuffles, no broadcast of anything
+  * corpus-sized). localCheckpoint truncates the per-round lineage the
+  * way the Lloyd's-iteration operators do.
+  *
+  * Requires ids dense in [0, n): the ring init is arithmetic on the
+  * id itself. (Re-key with a one-off rank if a corpus isn't dense —
+  * cheaper than carrying a rank join through every round.)
+  */
+object KnnGraph {
+
+  private def dE4(a: Column, b: Column): Column =
+    round(VectorFunctions.vec_l2(a, b) * 1e4).cast("bigint")
+
+  /** The symmetrized edge set N ∪ N⁻¹ of `edges` (src, dst). */
+  private def sym(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** Score candidate pairs and keep each node's k best by (d_e4, id).
+    * Returns (src, dst, d_e4, rank) with rank 1..k ascending.
+    */
+  private def topK(cands: DataFrame, vecs: DataFrame, k: Int): DataFrame =
+    cands
+      .join(vecs.select(col("id").as("src"), col("v").as("sv")), Seq("src"))
+      .join(vecs.select(col("id").as("dst"), col("v").as("dv")), Seq("dst"))
+      .select(col("src"), col("dst"), dE4(col("sv"), col("dv")).as("d_e4"))
+      .groupBy(col("src"))
+      .agg(TopKAgg.topk_pairs(col("d_e4").cast("double"), col("dst"), k)
+        .as("tk"))
+      .select(col("src"), posexplode(col("tk")).as(Seq("pos", "pair")))
+      .select(col("src"), col("pair.id").as("dst"),
+        col("pair.dist").cast("bigint").as("d_e4"),
+        (col("pos") + 1).cast("int").as("rank"))
+
+  /** The graph after EVERY round: element 0 is the scored ring init,
+    * element r the state after round r. `df` must expose dense ids in
+    * [0, n). Each element is (src, dst, d_e4, rank), rank 1..k.
+    */
+  def nnDescentRounds(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, iters: Int = 2, initPlanes: Int = 8): Seq[DataFrame] = {
+    require(k >= 2 && k % 2 == 0, s"ring init needs even k >= 2, got $k")
+    // checkpointed once: every round joins vecs twice, and the
+    // signature + cast should not be recomputed per stage
+    val vecs = df.select(col(idCol).as("id"),
+      transform(col(vecCol), _.cast("double")).as("v"),
+      Ann.lshSignature(col(vecCol), initPlanes).as("bucket"))
+      .localCheckpoint(true)
+    val n = vecs.count()
+    val ring = vecs.select(col("id").as("src"),
+        explode(sequence(lit(1), lit(k / 2))).as("d"))
+      .select(col("src"),
+        explode(array(pmod(col("src") + col("d"), lit(n)),
+          pmod(col("src") - col("d"), lit(n)))).as("dst"))
+      .where(col("src") =!= col("dst"))
+    val offs = (1 to k / 2).flatMap(d => Seq(d, -d))
+    val br = vecs.select(col("id"), col("bucket"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket")).orderBy(col("id"))))
+    val lshAdj = br
+      .select(col("bucket"), col("id").as("src"),
+        explode(lit(offs.toArray)).as("off"), col("rk"))
+      .select(col("bucket"), col("src"), (col("rk") + col("off")).as("rk2"))
+      .join(br.select(col("bucket"), col("rk").as("rk2"),
+        col("id").as("dst")), Seq("bucket", "rk2"))
+      .select(col("src"), col("dst"))
+    val init = ring.unionByName(lshAdj).distinct()
+    val out = Seq.newBuilder[DataFrame]
+    var edges = topK(init, vecs, k).localCheckpoint(true)
+    out += edges
+    for (_ <- 1 to iters) {
+      val u = sym(edges)
+      val hop = u.as("a")
+        .join(u.select(col("src").as("mid"), col("dst").as("far")).as("b"),
+          col("a.dst") === col("b.mid"))
+        .select(col("a.src").as("src"), col("far").as("dst"))
+      val cands = u.unionByName(hop)
+        .where(col("src") =!= col("dst")).distinct()
+      edges = topK(cands, vecs, k).localCheckpoint(true)
+      out += edges
+    }
+    out.result()
+  }
+
+  /** Final k-NN graph after `iters` NN-descent rounds. */
+  def nnDescent(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, iters: Int = 2): DataFrame =
+    nnDescentRounds(df, idCol, vecCol, k, iters).last
+}
