@@ -91,7 +91,8 @@ object Explain {
     "graph_modularity", "split_kfold_balance", "events_path3",
     "corpus_rep_filter", "quality_psi", "users_activity_gini",
     "events_forecast_backtest", "batch_padding_waste",
-    "docs_k_anonymity", "quality_bootstrap_ci", "orders_tier_migration")
+    "docs_k_anonymity", "quality_bootstrap_ci", "orders_tier_migration",
+    "knn_graph_nndescent")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
