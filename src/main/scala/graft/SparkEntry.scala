@@ -4075,6 +4075,22 @@ object SparkEntry {
           iters = 5)
         .orderBy(col("rank_e12").desc, col("doc")).limit(15)),
 
+    // -- label-propagation communities over the minhash dup graph:
+    //    4 synchronous rounds, each node adopting its neighbors'
+    //    most frequent label (count DESC, label ASC — deterministic,
+    //    integer-only, unrolled-CTE-replayable). Communities are
+    //    FINER than connected components: the canonical-source
+    //    grouping a near-dup triage wants, without CC's chain smear.
+    //    Per round one label-frame equi-join shuffle + map-side
+    //    (node, label) combine on the edge SUBGRAPH only --
+    "graph_label_prop" -> ((s, dir) =>
+      Graph.labelProp(
+          Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id"),
+          iters = 4)
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("community")).limit(15)),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDocs(t(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("doc")).limit(200)),
@@ -4439,6 +4455,46 @@ object SparkEntry {
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_vecs"),
           sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"))
+        .orderBy(col("cluster"))
+    }),
+
+    // -- simplified-silhouette audit of the Lloyd's clustering (the
+    //    same k=8/3-iter/mod-2 training as dedup_semantic): per
+    //    vector a = L2 to its own (argmin) centroid, b = L2 to the
+    //    runner-up centroid, s = (b-a)/max(a,b) in e4 fixed point —
+    //    the O(n·k) centroid form of silhouette (full silhouette is
+    //    O(n²): dead at scale). One broadcast cross-join against the
+    //    8-row centroid frame, then TopKAgg(k=2) folds the (a,b)
+    //    pair map-side — the exchange carries n rows, never n×k.
+    //    s >= 0 by construction (own centroid IS the argmin), so the
+    //    e4 integers are sign-safe; near-0 clusters are the overlap
+    //    candidates dedup_semantic should merge first --
+    "cluster_silhouette" -> ((s, dir) => {
+      val cents = Ann.kmeans(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 3, trainSampleMod = 2)
+      val vd = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cluster"),
+          VectorFunctions.vec_l2(col("v"), col("centroid")).as("d"))
+      vd.groupBy(col("vec_id"))
+        .agg(graft.functions.TopKAgg
+          .topk_pairs(col("d"), col("cluster").cast("long"), 2).as("tk"))
+        .select(col("vec_id"),
+          col("tk")(0).getField("id").cast("int").as("cluster"),
+          col("tk")(0).getField("dist").as("da"),
+          col("tk")(1).getField("dist").as("db"))
+        .select(col("cluster"),
+          when(greatest(col("da"), col("db")) > 0,
+            round((col("db") - col("da")) / greatest(col("da"), col("db"))
+              * 1e4).cast("bigint"))
+            .otherwise(lit(0L)).as("s_e4"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("s_e4")).as("sum_sil_e4"),
+          min(col("s_e4")).as("min_sil_e4"),
+          max(col("s_e4")).as("max_sil_e4"))
         .orderBy(col("cluster"))
     }),
 
@@ -6779,19 +6835,23 @@ object SparkEntry {
          |FROM np JOIN nd USING (t) ORDER BY threshold_d1"""
         .stripMargin.replaceAll("\n", " ")
     }
-    val pagerankOracle = {
+    // the minhash dup-graph edge CTE every graph-over-dup-pairs
+    // oracle (pagerank, label propagation) replays
+    val dupGraphPairsCtes = {
       val bases = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
-      val pairsCtes =
-        s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
-           |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
-           |  FROM tk WHERE len(toks) >= 3),
-           |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
-           |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
-           |pairs AS MATERIALIZED (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
-           |  FROM bands x JOIN bands y
-           |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc)""".stripMargin
-      operators.Graph.oracleSql(pairsCtes, iters = 5, limit = 15)
+      s"""WITH tk AS (SELECT doc_id AS doc, $toks AS toks FROM documents),
+         |sigs AS (SELECT doc, ${SqlSnips.minhashSig(bases, 8)} AS sig
+         |  FROM tk WHERE len(toks) >= 3),
+         |bands AS (SELECT doc, bi, concat(sig[2 * bi + 1], '_', sig[2 * bi + 2]) AS key
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) _b),
+         |pairs AS MATERIALIZED (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+         |  FROM bands x JOIN bands y
+         |  ON x.bi = y.bi AND x.key = y.key AND x.doc < y.doc)""".stripMargin
     }
+    val pagerankOracle =
+      operators.Graph.oracleSql(dupGraphPairsCtes, iters = 5, limit = 15)
+    val labelPropOracle =
+      operators.Graph.labelPropOracleSql(dupGraphPairsCtes, iters = 4, limit = 15)
     val semanticDedupOracle = {
       // cosine DISTANCE over two double lists (same op sequence as
       // VectorDistance: zero-norm -> 1.0, clamp, 1 - sim)
@@ -6822,6 +6882,35 @@ object SparkEntry {
          |FROM tag t LEFT JOIN drops d
          |ON d.cluster = t.cluster AND d.dv = t.vec_id
          |GROUP BY t.cluster ORDER BY t.cluster""".stripMargin.replaceAll("\n", " ")
+    }
+    val clusterSilhouetteOracle = {
+      // same kmeans replay as dedup_semantic; (a, b) = best/runner-up
+      // centroid L2 per vector by (d, cluster) order — the row_number
+      // twin of the Spark side's TopKAgg(k=2) cut
+      val l2 = sqlL2("ev.v", "c.centroid")
+      s"""WITH ${kmeansCtes(k = 8, iters = 3, sampleMod = 2)},
+         |ev AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |vd AS MATERIALIZED (SELECT ev.vec_id, c.cluster, $l2 AS d
+         |  FROM ev, c3 c),
+         |t2 AS MATERIALIZED (SELECT vec_id, cluster, d,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+         |  FROM vd),
+         |sil AS (SELECT a.cluster,
+         |  CASE WHEN greatest(a.d, b.d) > 0
+         |    THEN CAST(round((b.d - a.d) / greatest(a.d, b.d) * 10000.0)
+         |      AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS s_e4
+         |  FROM t2 a JOIN t2 b
+         |  ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2)
+         |SELECT CAST(cluster AS INTEGER) AS cluster,
+         | CAST(count(*) AS BIGINT) AS n_vecs,
+         | CAST(sum(s_e4) AS BIGINT) AS sum_sil_e4,
+         | CAST(min(s_e4) AS BIGINT) AS min_sil_e4,
+         | CAST(max(s_e4) AS BIGINT) AS max_sil_e4
+         |FROM sil GROUP BY cluster ORDER BY cluster"""
+        .stripMargin.replaceAll("\n", " ")
     }
     val pqDistortionOracle = {
       // same static codebooks as ann_pq_static; per-element squared
@@ -8857,8 +8946,10 @@ object SparkEntry {
       },
       // same integer fixed-point iterations, unrolled + MATERIALIZED
       "graph_pagerank" -> pagerankOracle,
+      "graph_label_prop" -> labelPropOracle,
       // kmeans replay (1e-6 snap) + cluster-local pair sweep
       "dedup_semantic" -> semanticDedupOracle,
+      "cluster_silhouette" -> clusterSilhouetteOracle,
       "pq_distortion" -> pqDistortionOracle,
       "ivf_balance" -> ivfBalanceOracle,
       "dedup_quality_cost" -> dedupQualityCostOracle,

@@ -56,6 +56,68 @@ object Graph {
     ranks.select(col("doc"), col("deg"), col("r").as("rank_e12"))
   }
 
+  /** Synchronous label propagation over an undirected pair list
+    * (columns doc_a, doc_b): every node starts labeled with its own
+    * id; each round a node adopts the label that is most frequent
+    * among its neighbors, ties broken (count DESC, label ASC) — so
+    * with a FIXED round count the trajectory is fully deterministic
+    * and integer-only (labels are node ids), replayable in DuckDB as
+    * an unrolled CTE chain like [[pagerank]]. Near-dup communities
+    * come out finer than connected components: a chain A~B~C where
+    * A!~C splits once propagation pressure from each end meets,
+    * which is exactly the mirror-cluster boundary CC smears over.
+    *
+    * Scale shape: per round ONE equi-join shuffle of the label frame
+    * (|nodes| rows) against the edge list keyed by dst, then a
+    * map-side-combined (node, label) count and a max_by fold — O(E)
+    * work per round, edge SUBGRAPH only, localCheckpoint per round.
+    * Returns (node, lbl) after `iters` rounds.
+    */
+  def labelProp(pairs: DataFrame, iters: Int): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(eager = true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iters) {
+      labels = edges
+        .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl")))
+          .as("lbl"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager = true)
+    }
+    labels
+  }
+
+  /** DuckDB oracle for [[labelProp]] + the top-communities cut the
+    * `graph_label_prop` query ships: unrolled rounds, argmax via
+    * row_number (count DESC, label ASC) — the same tie order max_by's
+    * (c, -lbl) struct encodes.
+    */
+  def labelPropOracleSql(pairsCtes: String, iters: Int, limit: Int): String = {
+    val chain = (1 to iters).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT node, lbl FROM (
+         |  SELECT e.src AS node, p.lbl,
+         |    row_number() OVER (PARTITION BY e.src
+         |      ORDER BY count(*) DESC, p.lbl) AS rn
+         |  FROM e JOIN l${i - 1} p ON e.dst = p.node
+         |  GROUP BY e.src, p.lbl) _l$i WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$pairsCtes,
+       |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM e),
+       |$chain
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+       |FROM l$iters GROUP BY lbl
+       |ORDER BY n_members DESC, community LIMIT $limit"""
+      .stripMargin.replaceAll("\n", " ")
+  }
+
   /** DuckDB oracle: the same integer iterations as an unrolled CTE
     * chain over a caller-supplied edge CTE (must expose `pairs` with
     * doc_a/doc_b). MATERIALIZED on every stage — default inlining

@@ -29,6 +29,29 @@ class GraphSpec extends AnyFunSuite {
     assert(total <= Graph.Scale && total > Graph.Scale - 7 * 5 * 200)
   }
 
+  test("label propagation: bridged triangles split into two communities") {
+    // triangles {0,1,2} and {5,6,7} joined by the bridge 2-5: CC
+    // would merge everything; 4 sync rounds of min-majority LP settle
+    // on community 0 = {0,1,2} and community 2 = {5,6,7} (hand-traced
+    // trajectory — the same rounds the DuckDB oracle unrolls)
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (5L, 6L), (5L, 7L),
+      (6L, 7L), (2L, 5L)).toDF("doc_a", "doc_b")
+    val m = Graph.labelProp(pairs, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      5L -> 2L, 6L -> 2L, 7L -> 2L))
+  }
+
+  test("label propagation: single edge oscillates back to self on even rounds") {
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val m = Graph.labelProp(pairs, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 2L))
+    val m3 = Graph.labelProp(pairs, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m3 == Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("two-node path equals closed form") {
     // single edge: both nodes have deg 1; fixpoint r = 0.15/2 + 0.85*r
     // -> r = 1/2 exactly; integer trajectory stays at Scale/2 - eps
