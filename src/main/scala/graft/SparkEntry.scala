@@ -6011,6 +6011,55 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // -- did label propagation find REAL structure? Newman modularity
+    //    of the LP-discovered communities vs the source-partition
+    //    baseline, on the SAME dup graph — one row, both totals as
+    //    INTEGER sums of per-community e6 contributions (each contrib
+    //    is CAST(round(...*1e6) AS BIGINT) BEFORE the sum, so the
+    //    total is order-free; a float sum over communities would be
+    //    partition-order-dependent). Edge SUBGRAPH only; the label
+    //    frame joins the edge list twice (per endpoint), everything
+    //    downstream is |communities|-sized --
+    "graph_lp_modularity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
+        .localCheckpoint(eager = true)
+      val m = pairs.agg(count(lit(1)).as("m"))
+      def modTotal(part: DataFrame, out: String): DataFrame = {
+        // part: (doc_id, grp) — a partition of the graph's nodes
+        val tagged = pairs
+          .join(part.select(col("doc_id").as("doc_a"), col("grp").as("ga")),
+            Seq("doc_a"))
+          .join(part.select(col("doc_id").as("doc_b"), col("grp").as("gb")),
+            Seq("doc_b"))
+        val eWithin = tagged.where(col("ga") === col("gb"))
+          .groupBy(col("ga").as("grp")).agg(count(lit(1)).as("e_within"))
+        tagged.select(col("ga").as("grp"))
+          .unionByName(tagged.select(col("gb").as("grp")))
+          .groupBy(col("grp")).agg(count(lit(1)).as("deg_sum"))
+          .join(eWithin, Seq("grp"), "left")
+          .crossJoin(broadcast(m))
+          .select(expr("""CAST(round((CAST(coalesce(e_within, 0) AS DOUBLE) / m
+            | - (CAST(deg_sum AS DOUBLE) / (2 * m))
+            | * (CAST(deg_sum AS DOUBLE) / (2 * m))) * 1e6) AS BIGINT)"""
+            .stripMargin.replaceAll("\n", " ")).as("c_e6"))
+          .agg(sum(col("c_e6")).as(out), count(lit(1)).as(s"n_${out}_grps"))
+      }
+      val lp = Graph.labelProp(pairs, iters = 4)
+        .select(col("node").as("doc_id"), col("lbl").as("grp"))
+      val bySrc = docs.select(col("doc_id"), col("source").as("grp"))
+      val nodes = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+      modTotal(lp, "lp_mod_e6")
+        .crossJoin(modTotal(bySrc, "src_mod_e6"))
+        .crossJoin(broadcast(nodes))
+        .crossJoin(broadcast(m.select(col("m").as("m_edges"))))
+        .select(col("n_nodes"), col("m_edges"),
+          col("n_lp_mod_e6_grps").as("n_lp_communities"), col("lp_mod_e6"),
+          col("n_src_mod_e6_grps").as("n_sources"), col("src_mod_e6"))
+    }),
+
     // -- k-fold assignment balance audit: 5 hash folds (the split-
     //    family multiplicative hash), per-fold χ² against the global
     //    source distribution — the fairness check before trusting a
@@ -6852,6 +6901,45 @@ object SparkEntry {
       operators.Graph.oracleSql(dupGraphPairsCtes, iters = 5, limit = 15)
     val labelPropOracle =
       operators.Graph.labelPropOracleSql(dupGraphPairsCtes, iters = 4, limit = 15)
+    val lpModularityOracle = {
+      // per-community e6 contributions CAST to BIGINT BEFORE the sum
+      // (order-free total), same arithmetic as graph_modularity
+      def contrib = """CAST(round((CAST(coalesce(w.e_within, 0) AS DOUBLE) / m.m
+        | - (CAST(d.deg_sum AS DOUBLE) / (2 * m.m))
+        | * (CAST(d.deg_sum AS DOUBLE) / (2 * m.m))) * 1e6) AS BIGINT)"""
+        .stripMargin.replaceAll("\n", " ")
+      s"""${operators.Graph.labelPropCtes(dupGraphPairsCtes, iters = 4)},
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+         |tl AS MATERIALIZED (SELECT la.lbl AS ga, lb.lbl AS gb
+         |  FROM pairs p JOIN l4 la ON p.doc_a = la.node
+         |  JOIN l4 lb ON p.doc_b = lb.node),
+         |lpd AS (SELECT grp, CAST(count(*) AS BIGINT) AS deg_sum FROM
+         |  (SELECT ga AS grp FROM tl UNION ALL SELECT gb FROM tl) _u
+         |  GROUP BY grp),
+         |lpw AS (SELECT ga AS grp, CAST(count(*) AS BIGINT) AS e_within
+         |  FROM tl WHERE ga = gb GROUP BY ga),
+         |lpc AS (SELECT $contrib AS c_e6
+         |  FROM lpd d LEFT JOIN lpw w USING (grp), m),
+         |lps AS (SELECT CAST(sum(c_e6) AS BIGINT) AS lp_mod_e6,
+         |  CAST(count(*) AS BIGINT) AS n_lp_communities FROM lpc),
+         |ts AS MATERIALIZED (SELECT sa.source AS ga, sb.source AS gb
+         |  FROM pairs p JOIN documents sa ON p.doc_a = sa.doc_id
+         |  JOIN documents sb ON p.doc_b = sb.doc_id),
+         |srd AS (SELECT grp, CAST(count(*) AS BIGINT) AS deg_sum FROM
+         |  (SELECT ga AS grp FROM ts UNION ALL SELECT gb FROM ts) _u
+         |  GROUP BY grp),
+         |srw AS (SELECT ga AS grp, CAST(count(*) AS BIGINT) AS e_within
+         |  FROM ts WHERE ga = gb GROUP BY ga),
+         |src AS (SELECT $contrib AS c_e6
+         |  FROM srd d LEFT JOIN srw w USING (grp), m),
+         |srs AS (SELECT CAST(sum(c_e6) AS BIGINT) AS src_mod_e6,
+         |  CAST(count(*) AS BIGINT) AS n_sources FROM src),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM
+         |  (SELECT doc_a AS d FROM pairs UNION SELECT doc_b FROM pairs) _n)
+         |SELECT nn.n_nodes, m.m AS m_edges, lps.n_lp_communities,
+         | lps.lp_mod_e6, srs.n_sources, srs.src_mod_e6
+         |FROM nn, m, lps, srs""".stripMargin.replaceAll("\n", " ")
+    }
     val semanticDedupOracle = {
       // cosine DISTANCE over two double lists (same op sequence as
       // VectorDistance: zero-norm -> 1.0, clamp, 1 - sim)
@@ -8947,6 +9035,7 @@ object SparkEntry {
       // same integer fixed-point iterations, unrolled + MATERIALIZED
       "graph_pagerank" -> pagerankOracle,
       "graph_label_prop" -> labelPropOracle,
+      "graph_lp_modularity" -> lpModularityOracle,
       // kmeans replay (1e-6 snap) + cluster-local pair sweep
       "dedup_semantic" -> semanticDedupOracle,
       "cluster_silhouette" -> clusterSilhouetteOracle,

@@ -98,7 +98,17 @@ object Graph {
     * row_number (count DESC, label ASC) — the same tie order max_by's
     * (c, -lbl) struct encodes.
     */
-  def labelPropOracleSql(pairsCtes: String, iters: Int, limit: Int): String = {
+  def labelPropOracleSql(pairsCtes: String, iters: Int, limit: Int): String =
+    s"""${labelPropCtes(pairsCtes, iters)}
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+       |FROM l$iters GROUP BY lbl
+       |ORDER BY n_members DESC, community LIMIT $limit"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** Just the WITH chain (pairs → e → l0..l{iters}) — for oracles
+    * that consume the final labels (e.g. LP-community modularity).
+    */
+  def labelPropCtes(pairsCtes: String, iters: Int): String = {
     val chain = (1 to iters).map { i =>
       s"""l$i AS MATERIALIZED (SELECT node, lbl FROM (
          |  SELECT e.src AS node, p.lbl,
@@ -111,11 +121,7 @@ object Graph {
        |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM e),
-       |$chain
-       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
-       |FROM l$iters GROUP BY lbl
-       |ORDER BY n_members DESC, community LIMIT $limit"""
-      .stripMargin.replaceAll("\n", " ")
+       |$chain""".stripMargin
   }
 
   /** DuckDB oracle: the same integer iterations as an unrolled CTE
