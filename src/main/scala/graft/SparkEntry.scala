@@ -4458,6 +4458,77 @@ object SparkEntry {
         .orderBy(col("cluster"))
     }),
 
+    // -- greedy k-center coreset (farthest-point traversal, the
+    //    2-approx): seed = lowest sample id, then 8 rounds of "add
+    //    the point farthest from its nearest chosen center" (ties:
+    //    lowest id) — the deterministic diversity sampler behind
+    //    coreset selection / eval-set seeding / annotation batching.
+    //    Sample is count(*)-derived (~200 ids, the embed_dist_hist
+    //    mod discipline) so the loop cost is flat at ANY SF; each
+    //    round is one broadcast of the ≤9-row center frame + a
+    //    map-side min fold; the per-round argmax is a model-sized
+    //    limit(1) pick (the Bpe merge-loop precedent). radius_e4 is
+    //    the selected point's center-distance — the covering-radius
+    //    trajectory, monotone nonincreasing by construction --
+    "coreset_kcenter" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val n = e.count()
+      val mod = math.max(1L, (n + 199L) / 200L)
+      val sample = e.where(pmod(col("vec_id"), lit(mod)) === 0)
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .localCheckpoint(eager = true)
+      var centers = sample.orderBy(col("id")).limit(1)
+        .select(col("id").as("cid"), col("v").as("cv"))
+        .coalesce(1).localCheckpoint(eager = true)
+      val steps = Seq.newBuilder[(Int, Long, Long)]
+      steps += ((0, centers.head().getLong(0), 0L))
+      for (step <- 1 to 8) {
+        val pick = sample.crossJoin(broadcast(centers))
+          .select(col("id"),
+            VectorFunctions.vec_l2(col("v"), col("cv")).as("d"))
+          .groupBy(col("id")).agg(min(col("d")).as("dm"))
+          .select(col("id"),
+            expr("CAST(round(dm * 10000.0) AS BIGINT)").as("r_e4"),
+            col("dm"))
+          .orderBy(col("dm").desc, col("id")).limit(1).head()
+        steps += ((step, pick.getLong(0), pick.getLong(1)))
+        centers = centers.unionByName(
+            sample.where(col("id") === pick.getLong(0))
+              .select(col("id").as("cid"), col("v").as("cv")))
+          .coalesce(1).localCheckpoint(eager = true)
+      }
+      steps.result().toDF("step", "center_id", "radius_e4")
+        .orderBy(col("step"))
+    }),
+
+    // -- SSE-vs-k elbow curve: the model-selection read BEFORE
+    //    committing an IVF/cluster layout — Lloyd's at k=2/4/8/16
+    //    (same 3-iter/mod-2 sample training as dedup_semantic), SSE
+    //    over the FULL corpus as an integer sum of per-vector
+    //    CAST(round(d²·1e6) AS BIGINT) terms (order-free; a double
+    //    SSE would be partition-order-dependent). Per k: broadcast
+    //    ≤16-row centroid frame, min-distance fold map-side — the
+    //    exchange carries n rows per k, never n×k --
+    "cluster_elbow" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Seq(2, 4, 8, 16).map { k =>
+        val cents = Ann.kmeans(e, "vec_id", "embedding",
+          k = k, iters = 3, trainSampleMod = 2)
+        e.select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"),
+            VectorFunctions.vec_l2(col("v"), col("centroid")).as("d"))
+          .groupBy(col("vec_id")).agg(min(col("d")).as("dm"))
+          .select(round(col("dm") * col("dm") * 1e6).cast("bigint")
+            .as("e6"))
+          .agg(count(lit(1)).as("n_vecs"), sum(col("e6")).as("sse_e6"))
+          .select(lit(k).as("k"), col("n_vecs"), col("sse_e6"))
+      }.reduce(_.unionByName(_)).orderBy(col("k"))
+    }),
+
     // -- simplified-silhouette audit of the Lloyd's clustering (the
     //    same k=8/3-iter/mod-2 training as dedup_semantic): per
     //    vector a = L2 to its own (argmin) centroid, b = L2 to the
@@ -6971,6 +7042,59 @@ object SparkEntry {
          |ON d.cluster = t.cluster AND d.dv = t.vec_id
          |GROUP BY t.cluster ORDER BY t.cluster""".stripMargin.replaceAll("\n", " ")
     }
+    val coresetKcenterOracle = {
+      // unrolled greedy farthest-point: s{i} = centers after i adds,
+      // p{i} = per-sample min distance to s{i-1}, k{i} = the argmax
+      // pick (dm DESC, id) — doubles are bit-identical to the Spark
+      // side (same L2 op order), so the raw-double argmax is safe
+      val l2 = sqlL2("sm.v", "c.v")
+      val rounds = (1 to 8).map { i =>
+        s"""p$i AS MATERIALIZED (SELECT sm.id, sm.v, min($l2) AS dm
+           |  FROM sm, s${i - 1} c GROUP BY sm.id, sm.v),
+           |k$i AS MATERIALIZED (SELECT id, v, dm FROM p$i
+           |  ORDER BY dm DESC, id LIMIT 1),
+           |s$i AS (SELECT id, v FROM s${i - 1}
+           |  UNION ALL SELECT id, v FROM k$i)""".stripMargin
+      }.mkString(",\n")
+      val outs = (1 to 8).map { i =>
+        s"""SELECT CAST($i AS INTEGER) AS step,
+           | (SELECT id FROM k$i) AS center_id,
+           | (SELECT CAST(round(dm * 10000.0) AS BIGINT) FROM k$i)
+           |   AS radius_e4""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+         |sm AS MATERIALIZED (SELECT vec_id AS id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |  WHERE vec_id % (SELECT greatest(1, (n + 199) // 200) FROM nn) = 0),
+         |s0 AS (SELECT id, v FROM sm ORDER BY id LIMIT 1),
+         |$rounds
+         |SELECT CAST(0 AS INTEGER) AS step,
+         |  (SELECT id FROM s0) AS center_id,
+         |  CAST(0 AS BIGINT) AS radius_e4
+         |UNION ALL $outs ORDER BY step""".stripMargin.replaceAll("\n", " ")
+    }
+    val clusterElbowOracle = {
+      // four independently-scoped kmeans replays (subquery WITHs keep
+      // the sv/c0../a1.. CTE names from colliding across k)
+      val blocks = Seq(2, 4, 8, 16).map { k =>
+        s"""SELECT * FROM (
+           |WITH ${kmeansCtes(k = k, iters = 3, sampleMod = 2)},
+           |ev AS (SELECT vec_id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |md AS (SELECT ev.vec_id,
+           |  min(${sqlL2("ev.v", "c.centroid")}) AS dm
+           |  FROM ev, c3 c GROUP BY ev.vec_id)
+           |SELECT CAST($k AS INTEGER) AS k,
+           | CAST(count(*) AS BIGINT) AS n_vecs,
+           | CAST(sum(CAST(round(dm * dm * 1000000.0) AS BIGINT)) AS BIGINT)
+           |   AS sse_e6
+           |FROM md) _k$k""".stripMargin
+      }
+      blocks.mkString(" UNION ALL ")
+        .replaceAll("\n", " ") + " ORDER BY k"
+    }
     val clusterSilhouetteOracle = {
       // same kmeans replay as dedup_semantic; (a, b) = best/runner-up
       // centroid L2 per vector by (d, cluster) order — the row_number
@@ -9039,6 +9163,8 @@ object SparkEntry {
       // kmeans replay (1e-6 snap) + cluster-local pair sweep
       "dedup_semantic" -> semanticDedupOracle,
       "cluster_silhouette" -> clusterSilhouetteOracle,
+      "cluster_elbow" -> clusterElbowOracle,
+      "coreset_kcenter" -> coresetKcenterOracle,
       "pq_distortion" -> pqDistortionOracle,
       "ivf_balance" -> ivfBalanceOracle,
       "dedup_quality_cost" -> dedupQualityCostOracle,
