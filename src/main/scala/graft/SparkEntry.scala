@@ -3026,6 +3026,40 @@ object SparkEntry {
     //    post-TakeOrdered <=64-row frame (the Hybrid.rankTopC bounded-
     //    window contract), never the corpus; coverage is integer-exact
     //    in 1e-5 units --
+    // -- Heaps'-law vocabulary growth: cumulative distinct-token
+    //    count vs cumulative token mass over 10 doc-id deciles — the
+    //    "is the corpus still giving us new vocabulary" read behind
+    //    crawl-more-vs-dedup-more decisions. The per-prefix distinct
+    //    is ONE scan via the first-occurrence trick (vocab(p) =
+    //    tokens whose min-decile <= p), never 10 separate DISTINCTs;
+    //    the cumulative runs on the 10-row decile frame (bounded
+    //    window, the vocab_coverage contract) --
+    "vocab_heaps" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val b = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      val d = docs.crossJoin(broadcast(b))
+        .select(least(lit(9L),
+            expr("((doc_id - mn) * 10) div (mx - mn + 1)")).as("dec"),
+          TextFuncs.tokens(col("text")).as("toks"))
+      val pd = d.groupBy(col("dec"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks")).cast("long")).as("n_toks"))
+      val ft = d.select(col("dec"), explode(col("toks")).as("term"))
+        .groupBy(col("term")).agg(min(col("dec")).as("dec"))
+        .groupBy(col("dec")).agg(count(lit(1)).as("n_new"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("dec"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      pd.join(ft, Seq("dec"), "left")
+        .select(col("dec"), col("n_docs"), col("n_toks"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .select(col("dec").cast("int").as("decile"),
+          sum(col("n_docs")).over(w).as("cum_docs"),
+          sum(col("n_toks")).over(w).as("cum_tokens"),
+          sum(col("n_new")).over(w).as("cum_vocab"))
+        .orderBy(col("decile"))
+    }),
+
     "vocab_coverage" -> ((s, dir) => {
       val counts = t(s, dir, "documents")
         .select(explode(TextFuncs.tokens(col("text"))).as("term"))
@@ -8388,6 +8422,27 @@ object SparkEntry {
            |   // count(*) AS BIGINT) AS oov_e5
            |FROM tok LEFT JOIN top USING (term)
            |GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", " "),
+      "vocab_heaps" ->
+        s"""WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
+           |  FROM documents),
+           |d AS (SELECT least(9, ((doc_id - mn) * 10) // (mx - mn + 1))
+           |    AS dec, $toks AS toks FROM documents, b),
+           |pd AS (SELECT dec, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(len(toks)) AS BIGINT) AS n_toks FROM d GROUP BY dec),
+           |ft AS (SELECT term, min(dec) AS dec FROM
+           |  (SELECT dec, unnest(toks) AS term FROM d) _t GROUP BY term),
+           |pv AS (SELECT dec, CAST(count(*) AS BIGINT) AS n_new
+           |  FROM ft GROUP BY dec),
+           |j AS (SELECT pd.dec, pd.n_docs, pd.n_toks,
+           |  coalesce(pv.n_new, 0) AS n_new
+           |  FROM pd LEFT JOIN pv USING (dec))
+           |SELECT CAST(dec AS INTEGER) AS decile,
+           | CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+           | CAST(sum(n_toks) OVER w AS BIGINT) AS cum_tokens,
+           | CAST(sum(n_new) OVER w AS BIGINT) AS cum_vocab
+           |FROM j WINDOW w AS (ORDER BY dec
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |ORDER BY decile""".stripMargin.replaceAll("\n", " "),
       "token_fertility" ->
         s"""WITH d AS (SELECT lang, n_chars,
            |  CAST(len($toks) AS BIGINT) AS n_toks FROM documents)
