@@ -2025,6 +2025,51 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // -- exact-integer two-sample Kolmogorov–Smirnov drift per
+    //    source (v1 vs the synthetic next snapshot, same doc score
+    //    as quality_drift): CDFs never materialize as floats — the
+    //    KS sup-gap is max |cum_a·n_b − cum_b·n_a| over the 126-bin
+    //    score histogram, reported as (gap·1e6) div (n_a·n_b). Where
+    //    quality_drift sees only a MEAN shift, KS catches shape
+    //    changes (variance, bimodality) at the same scan cost.
+    //    Windows partition by source (never global); the i64 budget
+    //    holds to ~3e6 docs/source — past that, sample per source
+    //    (the mod discipline) before the cross-multiply --
+    "quality_ks" -> ((s, dir) => {
+      def bins(df: DataFrame): DataFrame =
+        df.select(col("source"), col("doc_id"),
+            explode(TextFuncs.tokens(col("text"))).as("tm"))
+          .select(col("source"), col("doc_id"),
+            (TextFuncs.charFold(col("tm")) % 2001).as("w"))
+          .groupBy(col("source"), col("doc_id"))
+          .agg(expr("sum(w) div count(1)").as("s_e3"))
+          .select(col("source"), expr("s_e3 div 16").as("bin"))
+      val docs = t(s, dir, "documents")
+      val ha = bins(docs)
+        .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("ca"))
+      val hb = bins(syntheticNextSnapshot(docs))
+        .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cb"))
+      val wx = org.apache.spark.sql.expressions.Window
+      val wcum = wx.partitionBy(col("source")).orderBy(col("bin"))
+        .rowsBetween(wx.unboundedPreceding, 0)
+      val wall = wx.partitionBy(col("source"))
+      ha.join(hb, Seq("source", "bin"), "full")
+        .select(col("source"), col("bin"),
+          coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+        .select(col("source"),
+          sum(col("ca")).over(wcum).as("cum_a"),
+          sum(col("cb")).over(wcum).as("cum_b"),
+          sum(col("ca")).over(wall).as("n_v1"),
+          sum(col("cb")).over(wall).as("n_v2"))
+        .groupBy(col("source"), col("n_v1"), col("n_v2"))
+        .agg(max(abs(col("cum_a") * col("n_v2")
+          - col("cum_b") * col("n_v1"))).as("gap"))
+        .select(col("source"), col("n_v1"), col("n_v2"),
+          expr("(gap * 1000000) div (n_v1 * n_v2)").as("ks_e6"))
+        .orderBy(col("source"))
+    }),
+
     // -- association rules over order baskets: support / directional
     //    confidence / lift from EXACT integer counts (pair support,
     //    per-item basket counts, total baskets — e6 fixed-point, no
@@ -7990,6 +8035,40 @@ object SparkEntry {
          |FROM s1 JOIN s2 ON s1.source = s2.source
          |ORDER BY source""".stripMargin.replaceAll("\n", " ")
     }
+    val qualityKsOracle = {
+      def arm(src: String): String =
+        s"""(SELECT source, s_e3 // 16 AS bin FROM (
+           |  SELECT source, doc_id, sum(w) // count(*) AS s_e3 FROM (
+           |    SELECT source, doc_id, ${SqlSnips.charFold("tm")} % 2001 AS w
+           |    FROM (SELECT source, doc_id, unnest($toks) AS tm FROM $src) _t) _w
+           |  GROUP BY source, doc_id) _s)""".stripMargin.replaceAll("\n", " ")
+      s"""WITH nx AS (
+         |  SELECT doc_id, source, CASE WHEN doc_id % 17 = 0
+         |    THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000 AS doc_id, source, text FROM documents
+         |    WHERE doc_id % 19 = 0),
+         |ha AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS ca
+         |  FROM ${arm("documents")} GROUP BY source, bin),
+         |hb AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS cb
+         |  FROM ${arm("nx")} GROUP BY source, bin),
+         |j AS (SELECT source, bin, coalesce(ca, 0) AS ca,
+         |  coalesce(cb, 0) AS cb
+         |  FROM ha FULL JOIN hb USING (source, bin)),
+         |c AS (SELECT source,
+         |  sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b,
+         |  sum(ca) OVER ws AS n_v1, sum(cb) OVER ws AS n_v2
+         |  FROM j WINDOW w AS (PARTITION BY source ORDER BY bin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  ws AS (PARTITION BY source))
+         |SELECT source, CAST(n_v1 AS BIGINT) AS n_v1,
+         | CAST(n_v2 AS BIGINT) AS n_v2,
+         | CAST((max(abs(cum_a * n_v2 - cum_b * n_v1)) * 1000000)
+         |   // (n_v1 * n_v2) AS BIGINT) AS ks_e6
+         |FROM c GROUP BY source, n_v1, n_v2 ORDER BY source"""
+        .stripMargin.replaceAll("\n", " ")
+    }
     val basketRulesOracle =
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |it AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
@@ -10025,6 +10104,7 @@ object SparkEntry {
       "price_qty_regression" -> priceQtyRegressionOracle,
       "orders_seasonality" -> ordersSeasonalityOracle,
       "quality_drift" -> qualityDriftOracle,
+      "quality_ks" -> qualityKsOracle,
       "q7_volume" -> q7VolumeOracle,
       "q8_market_share" -> q8MarketShareOracle,
       "events_props_stats" -> eventsPropsStatsOracle,
