@@ -619,4 +619,48 @@ class PlanGuardSpec extends AnyFunSuite {
     // keyed aggregation
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("cluster_silhouette: broadcast centroids, n-row exchanges only") {
+    val p = plan("cluster_silhouette")
+    // centroid frame broadcast; TopKAgg(k=2) folds the n x 8
+    // candidate stream map-side, so the two exchanges (vec_id fold,
+    // cluster rollup) carry n rows, never n x k
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_topk_pairs"), p)
+    assert(hashExchanges(p) === 2, p)
+  }
+
+  test("cluster_elbow: one n-row exchange per k, centroids broadcast") {
+    val p = plan("cluster_elbow")
+    // 4 trainings are checkpointed away at build time; the SSE scan
+    // per k is broadcast-join + map-side min fold, one exchange each
+    assert(hashExchanges(p) === 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("graph_label_prop: community rollup is one shuffle + top-k cut") {
+    val p = plan("graph_label_prop")
+    // per-round joins are checkpointed away; the visible plan is the
+    // final (lbl) count + TakeOrderedAndProject top-15
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(hashExchanges(p) === 1, p)
+  }
+
+  test("quality_ks: every CDF window partitioned by source") {
+    val exec = SparkEntry.queries("quality_ks")(spark, dir)
+      .queryExecution.executedPlan
+    assert(windows(exec).nonEmpty, exec.toString)
+    assert(windows(exec).forall(_.partitionSpec.nonEmpty), exec.toString)
+  }
+
+  test("coreset_kcenter + vocab_heaps: no cartesian, bounded windows") {
+    // kcenter: per-round ≤9-row center broadcast (BNLJ on a
+    // broadcast side is the 1-row-frame pattern, not a cartesian)
+    val pk = plan("coreset_kcenter")
+    assert(!pk.contains("CartesianProduct"), pk)
+    // vocab_heaps: the only global-ordered window runs on the
+    // bounded 10-row decile frame (vocab_coverage contract)
+    val ph = plan("vocab_heaps")
+    assert(!ph.contains("CartesianProduct"), ph)
+  }
 }
