@@ -4537,6 +4537,55 @@ object SparkEntry {
         .orderBy(col("cluster"))
     }),
 
+    // -- effective dimension (participation ratio) of the embedding
+    //    cloud: eff_dim = tr(C)²/‖C‖_F² from the covariance spectrum
+    //    WITHOUT an eigendecomposition — tr and ‖·‖_F² are closed
+    //    forms in the raw second moments. The anisotropy read before
+    //    committing to an ANN family (isotropic ≈ dim → LSH/graph
+    //    methods struggle, the PERF.md recall caveats; low eff_dim →
+    //    PQ/IVF exploit the structure). Vectors quantize to e3
+    //    integers so every moment is EXACT (n·P_jk − S_j·S_k, the
+    //    DECIMAL(38,0) discipline for the squared sum); the
+    //    count(*)-derived ~4096-row sample bounds the dim²-pair
+    //    frame (Pca's Gram shape) at any SF; only the final
+    //    tr²·1e3/F quotient goes through doubles --
+    "embed_eff_dim" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val d = vecDim(e)
+      val n = e.count()
+      val mod = math.max(1L, (n + 4095L) / 4096L)
+      val q = e.where(pmod(col("vec_id"), lit(mod)) === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long")).as("q"))
+        .localCheckpoint(eager = true)
+      val ns = q.agg(count(lit(1)).as("n_s"))
+      val el = q.select(col("vec_id"), posexplode(col("q")).as(Seq("j", "qj")))
+        .localCheckpoint(eager = true)
+      val pp = el.as("a")
+        .join(el.select(col("vec_id"), col("j").as("k"),
+          col("qj").as("qk")).as("b"), Seq("vec_id"))
+        .groupBy(col("j"), col("k"))
+        .agg(sum(col("qj") * col("qk")).as("p"))
+      val sj = el.groupBy(col("j")).agg(sum(col("qj")).as("sj"))
+      pp.join(sj, Seq("j"))
+        .join(sj.select(col("j").as("k"), col("sj").as("sk")), Seq("k"))
+        .crossJoin(broadcast(ns))
+        .select(col("j"), col("k"),
+          (col("n_s") * col("p") - col("sj") * col("sk")).as("cn"))
+        .agg(
+          sum(when(col("j") === col("k"), col("cn")).otherwise(lit(0L)))
+            .as("tr"),
+          sum(expr("CAST(cn AS DECIMAL(38,0)) * CAST(cn AS DECIMAL(38,0))"))
+            .as("f"))
+        .crossJoin(broadcast(ns))
+        .select(col("n_s").as("n_sample"), lit(d).as("dim"),
+          col("tr").as("sum_cn_diag"),
+          expr("""CAST(round(CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)
+            | * 1000.0 / CAST(f AS DOUBLE)) AS BIGINT)"""
+            .stripMargin.replaceAll("\n", " ")).as("eff_dim_e3"))
+    }),
+
     // -- greedy k-center coreset (farthest-point traversal, the
     //    2-approx): seed = lowest sample id, then 8 rounds of "add
     //    the point farthest from its nearest chosen center" (ties:
@@ -7121,6 +7170,32 @@ object SparkEntry {
          |ON d.cluster = t.cluster AND d.dv = t.vec_id
          |GROUP BY t.cluster ORDER BY t.cluster""".stripMargin.replaceAll("\n", " ")
     }
+    val embedEffDimOracle =
+      // exact integer moments (n·P − S·S) on the e3-quantized mod
+      // sample; HUGEINT for the Frobenius square sum; only the final
+      // tr²·1e3/F quotient is a double (same op order as Spark)
+      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+         |q AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
+         |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings
+         |  WHERE vec_id % (SELECT greatest(1, (n + 4095) // 4096) FROM nn) = 0),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_s FROM q),
+         |el AS MATERIALIZED (SELECT vec_id, r.j - 1 AS j, q[r.j] AS qj
+         |  FROM q, range(1, 65) r(j)),
+         |pp AS (SELECT a.j, b.j AS k, CAST(sum(a.qj * b.qj) AS BIGINT) AS p
+         |  FROM el a JOIN el b USING (vec_id) GROUP BY a.j, b.j),
+         |sj AS (SELECT j, CAST(sum(qj) AS BIGINT) AS sj FROM el GROUP BY j),
+         |cn AS (SELECT pp.j, pp.k, ns.n_s * pp.p - sa.sj * sb.sj AS cn
+         |  FROM pp JOIN sj sa ON pp.j = sa.j
+         |  JOIN sj sb ON pp.k = sb.j, ns),
+         |ag AS (SELECT
+         |  CAST(sum(CASE WHEN j = k THEN cn ELSE 0 END) AS BIGINT) AS tr,
+         |  sum(CAST(cn AS HUGEINT) * CAST(cn AS HUGEINT)) AS f FROM cn)
+         |SELECT ns.n_s AS n_sample, CAST(64 AS INTEGER) AS dim,
+         | tr AS sum_cn_diag,
+         | CAST(round(CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)
+         |   * 1000.0 / CAST(f AS DOUBLE)) AS BIGINT) AS eff_dim_e3
+         |FROM ag, ns""".stripMargin.replaceAll("\n", " ")
     val coresetKcenterOracle = {
       // unrolled greedy farthest-point: s{i} = centers after i adds,
       // p{i} = per-sample min distance to s{i-1}, k{i} = the argmax
@@ -9299,6 +9374,7 @@ object SparkEntry {
       "cluster_silhouette" -> clusterSilhouetteOracle,
       "cluster_elbow" -> clusterElbowOracle,
       "coreset_kcenter" -> coresetKcenterOracle,
+      "embed_eff_dim" -> embedEffDimOracle,
       "pq_distortion" -> pqDistortionOracle,
       "ivf_balance" -> ivfBalanceOracle,
       "dedup_quality_cost" -> dedupQualityCostOracle,
