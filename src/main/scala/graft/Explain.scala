@@ -92,7 +92,9 @@ object Explain {
     "corpus_rep_filter", "quality_psi", "users_activity_gini",
     "events_forecast_backtest", "batch_padding_waste",
     "docs_k_anonymity", "quality_bootstrap_ci", "orders_tier_migration",
-    "knn_graph_nndescent")
+    "knn_graph_nndescent", "graph_label_prop", "graph_lp_modularity",
+    "cluster_silhouette", "cluster_elbow", "coreset_kcenter",
+    "vocab_heaps", "quality_ks", "embed_eff_dim")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1136,6 +1136,47 @@ object SparkEntry {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // -- stationary distribution of the event-type Markov chain
+    //    (where does a user's session settle): 5 integer power
+    //    iterations in 1e-12 fixed point over the transition counts
+    //    events_transitions already produces — π'(j) = Σ_i
+    //    (π(i)·n_ij) div tot_i, every step exact integers (the
+    //    pagerank discipline: no float accumulation order), mass
+    //    conserved up to div truncation. The transition frame is
+    //    |types|² AFTER one keyed count — the iteration cost is
+    //    independent of event volume --
+    "events_markov_stationary" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tr = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy(col("src")).agg(sum(col("n")).as("tot"))
+      val edges = tr.join(tot, "src").localCheckpoint(eager = true)
+      val states = edges.select(col("src").as("state"))
+        .union(edges.select(col("dst")))
+        .distinct().coalesce(1).localCheckpoint(eager = true)
+      val nStates = states.count()
+      val S = 1000000000000L
+      var pi = states.select(col("state"), lit(S / nStates).as("pi"))
+        .coalesce(1).localCheckpoint(eager = true)
+      for (_ <- 1 to 5) {
+        val in = edges
+          .join(pi.select(col("state").as("src"), col("pi").as("p")), "src")
+          .select(col("dst").as("state"), expr("(p * n) div tot").as("c"))
+          .groupBy(col("state")).agg(sum(col("c")).as("pi"))
+        pi = states.join(in, Seq("state"), "left")
+          .select(col("state"), coalesce(col("pi"), lit(0L)).as("pi"))
+          .coalesce(1).localCheckpoint(eager = true)
+      }
+      pi.select(col("state").as("event_type"), col("pi").as("pi_e12"))
+        .orderBy(col("event_type"))
+    }),
+
     // -- last-touch attribution: each purchase credits the user's
     //    most recent PRIOR event within 1h (else 'direct'). One lag
     //    window PARTITIONED BY user (bounded per-user state — never a
@@ -12000,6 +12041,35 @@ object SparkEntry {
     },
     // lead() over the same (user, ts, event_id) order; the rate is
     // integer division in 1e-5 units — bit-portable by construction
+    "events_markov_stationary" -> {
+      val chain = (1 to 5).map { i =>
+        s"""p$i AS MATERIALIZED (SELECT st.state,
+           |  CAST(coalesce(s.pi, 0) AS BIGINT) AS pi
+           |  FROM st LEFT JOIN (
+           |    SELECT e2.dst AS state, sum((p.pi * e2.n) // e2.tot) AS pi
+           |    FROM e2 JOIN p${i - 1} p ON e2.src = p.state
+           |    GROUP BY e2.dst) s USING (state))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+         |  event_id FROM events),
+         |nx AS (SELECT event_type AS src, lead(event_type)
+         |  OVER (PARTITION BY user_id ORDER BY us, event_id) AS dst
+         |  FROM ev),
+         |ed AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+         |  FROM nx WHERE dst IS NOT NULL GROUP BY src, dst),
+         |tt AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot
+         |  FROM ed GROUP BY src),
+         |e2 AS MATERIALIZED (SELECT ed.src, ed.dst, ed.n, tt.tot
+         |  FROM ed JOIN tt USING (src)),
+         |st AS (SELECT DISTINCT state FROM (SELECT src AS state FROM e2
+         |  UNION ALL SELECT dst FROM e2) _s),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM st),
+         |p0 AS (SELECT state, CAST(1000000000000 // ns AS BIGINT) AS pi
+         |  FROM st, ns),
+         |$chain
+         |SELECT state AS event_type, pi AS pi_e12 FROM p5
+         |ORDER BY event_type""".stripMargin.replaceAll("\n", " ")
+    },
     "events_transitions" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
         |  FROM events),
