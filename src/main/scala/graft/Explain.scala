@@ -94,7 +94,8 @@ object Explain {
     "docs_k_anonymity", "quality_bootstrap_ci", "orders_tier_migration",
     "knn_graph_nndescent", "graph_label_prop", "graph_lp_modularity",
     "cluster_silhouette", "cluster_elbow", "coreset_kcenter",
-    "vocab_heaps", "quality_ks", "embed_eff_dim")
+    "vocab_heaps", "quality_ks", "embed_eff_dim",
+    "events_markov_stationary")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
