@@ -52,6 +52,21 @@ class GraphSpec extends AnyFunSuite {
     assert(m3 == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("label propagation: invariant under edge partitioning/order") {
+    // the 100 TB claim: synchronous rounds + (count DESC, label ASC)
+    // tie-break make the result a pure function of the edge SET —
+    // shuffling rows across partitions must not move a single label
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (5L, 6L), (5L, 7L),
+      (6L, 7L), (2L, 5L), (3L, 0L), (9L, 5L), (3L, 9L))
+      .toDF("doc_a", "doc_b")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.labelProp(df, iters = 4).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = run(pairs)
+    assert(run(pairs.repartition(7)) == base)
+    assert(run(pairs.orderBy(col("doc_b"))) == base)
+  }
+
   test("two-node path equals closed form") {
     // single edge: both nodes have deg 1; fixpoint r = 0.15/2 + 0.85*r
     // -> r = 1/2 exactly; integer trajectory stays at Scale/2 - eps
