@@ -4682,20 +4682,25 @@ object SparkEntry {
     //    exchange carries n rows per k, never n×k --
     "cluster_elbow" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Seq(2, 4, 8, 16).map { k =>
-        val cents = Ann.kmeans(e, "vec_id", "embedding",
-          k = k, iters = 3, trainSampleMod = 2)
-        e.select(col("vec_id"),
-            transform(col("embedding"), _.cast("double")).as("v"))
-          .crossJoin(broadcast(cents))
-          .select(col("vec_id"),
-            VectorFunctions.vec_l2(col("v"), col("centroid")).as("d"))
-          .groupBy(col("vec_id")).agg(min(col("d")).as("dm"))
-          .select(round(col("dm") * col("dm") * 1e6).cast("bigint")
-            .as("e6"))
-          .agg(count(lit(1)).as("n_vecs"), sum(col("e6")).as("sse_e6"))
-          .select(lit(k).as("k"), col("n_vecs"), col("sse_e6"))
-      }.reduce(_.unionByName(_)).orderBy(col("k"))
+      // trainings are sequential (Lloyd's is iterative) but the four
+      // SSE passes share ONE corpus scan: the 2+4+8+16=30 centroids
+      // ride a single broadcast with a k tag, min folds per (k, vec)
+      val allCents = Seq(2, 4, 8, 16).map { k =>
+        Ann.kmeans(e, "vec_id", "embedding",
+            k = k, iters = 3, trainSampleMod = 2)
+          .select(lit(k).as("k"), col("centroid"))
+      }.reduce(_.unionByName(_))
+      e.select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .crossJoin(broadcast(allCents))
+        .select(col("k"), col("vec_id"),
+          VectorFunctions.vec_l2(col("v"), col("centroid")).as("d"))
+        .groupBy(col("k"), col("vec_id")).agg(min(col("d")).as("dm"))
+        .select(col("k"),
+          round(col("dm") * col("dm") * 1e6).cast("bigint").as("e6"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("e6")).as("sse_e6"))
+        .orderBy(col("k"))
     }),
 
     // -- simplified-silhouette audit of the Lloyd's clustering (the

@@ -630,11 +630,14 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(hashExchanges(p) === 2, p)
   }
 
-  test("cluster_elbow: one n-row exchange per k, centroids broadcast") {
+  test("cluster_elbow: ONE shared SSE scan for all four k") {
     val p = plan("cluster_elbow")
-    // 4 trainings are checkpointed away at build time; the SSE scan
-    // per k is broadcast-join + map-side min fold, one exchange each
-    assert(hashExchanges(p) === 4, p)
+    // 4 trainings are checkpointed away at build time; the four SSE
+    // passes share one corpus scan against a k-tagged 30-row
+    // centroid broadcast — two exchanges total ((k, vec) min fold,
+    // per-k rollup), not one per k
+    assert(hashExchanges(p) === 2, p)
+    assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
