@@ -1142,9 +1142,14 @@ object SparkEntry {
     //    events_transitions already produces — π'(j) = Σ_i
     //    (π(i)·n_ij) div tot_i, every step exact integers (the
     //    pagerank discipline: no float accumulation order), mass
-    //    conserved up to div truncation. The transition frame is
-    //    |types|² AFTER one keyed count — the iteration cost is
-    //    independent of event volume --
+    //    conserved up to div truncation — dangling states (types
+    //    with no outgoing transition) redistribute their mass
+    //    uniformly each round, the pagerank teleport treatment. The
+    //    per-edge product uses the exact split identity
+    //    (p div tot)·n + ((p mod tot)·n) div tot, so the i64 budget
+    //    is tot·n (safe to ~3e9 transitions), not pi·n. The
+    //    transition frame is |types|² AFTER one keyed count — the
+    //    iteration cost is independent of event volume --
     "events_markov_stationary" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -1167,10 +1172,17 @@ object SparkEntry {
       for (_ <- 1 to 5) {
         val in = edges
           .join(pi.select(col("state").as("src"), col("pi").as("p")), "src")
-          .select(col("dst").as("state"), expr("(p * n) div tot").as("c"))
+          .select(col("dst").as("state"),
+            expr("(p div tot) * n + ((p % tot) * n) div tot").as("c"))
           .groupBy(col("state")).agg(sum(col("c")).as("pi"))
+        val dang = pi.join(edges.select(col("src").as("state")).distinct(),
+            Seq("state"), "left_anti")
+          .agg(coalesce(sum(col("pi")), lit(0L)).as("dang"))
         pi = states.join(in, Seq("state"), "left")
-          .select(col("state"), coalesce(col("pi"), lit(0L)).as("pi"))
+          .crossJoin(broadcast(dang))
+          .select(col("state"),
+            (coalesce(col("pi"), lit(0L))
+              + expr(s"dang div $nStates")).as("pi"))
           .coalesce(1).localCheckpoint(eager = true)
       }
       pi.select(col("state").as("event_type"), col("pi").as("pi_e12"))
@@ -2075,7 +2087,8 @@ object SparkEntry {
     //    changes (variance, bimodality) at the same scan cost.
     //    Windows partition by source (never global); the i64 budget
     //    holds to ~3e6 docs/source — past that, sample per source
-    //    (the mod discipline) before the cross-multiply --
+    //    (the mod discipline) before the cross-multiply. A source
+    //    present in only one arm is dropped, never divided by zero --
     "quality_ks" -> ((s, dir) => {
       def bins(df: DataFrame): DataFrame =
         df.select(col("source"), col("doc_id"),
@@ -2103,6 +2116,7 @@ object SparkEntry {
           sum(col("cb")).over(wcum).as("cum_b"),
           sum(col("ca")).over(wall).as("n_v1"),
           sum(col("cb")).over(wall).as("n_v2"))
+        .where(col("n_v1") > 0 && col("n_v2") > 0)
         .groupBy(col("source"), col("n_v1"), col("n_v2"))
         .agg(max(abs(col("cum_a") * col("n_v2")
           - col("cum_b") * col("n_v1"))).as("gap"))
@@ -4640,7 +4654,6 @@ object SparkEntry {
     //    the selected point's center-distance — the covering-radius
     //    trajectory, monotone nonincreasing by construction --
     "coreset_kcenter" -> ((s, dir) => {
-      import s.implicits._
       val e = t(s, dir, "embeddings")
       val n = e.count()
       val mod = math.max(1L, (n + 199L) / 200L)
@@ -4648,27 +4661,7 @@ object SparkEntry {
         .select(col("vec_id").as("id"),
           transform(col("embedding"), _.cast("double")).as("v"))
         .localCheckpoint(eager = true)
-      var centers = sample.orderBy(col("id")).limit(1)
-        .select(col("id").as("cid"), col("v").as("cv"))
-        .coalesce(1).localCheckpoint(eager = true)
-      val steps = Seq.newBuilder[(Int, Long, Long)]
-      steps += ((0, centers.head().getLong(0), 0L))
-      for (step <- 1 to 8) {
-        val pick = sample.crossJoin(broadcast(centers))
-          .select(col("id"),
-            VectorFunctions.vec_l2(col("v"), col("cv")).as("d"))
-          .groupBy(col("id")).agg(min(col("d")).as("dm"))
-          .select(col("id"),
-            expr("CAST(round(dm * 10000.0) AS BIGINT)").as("r_e4"),
-            col("dm"))
-          .orderBy(col("dm").desc, col("id")).limit(1).head()
-        steps += ((step, pick.getLong(0), pick.getLong(1)))
-        centers = centers.unionByName(
-            sample.where(col("id") === pick.getLong(0))
-              .select(col("id").as("cid"), col("v").as("cv")))
-          .coalesce(1).localCheckpoint(eager = true)
-      }
-      steps.result().toDF("step", "center_id", "radius_e4")
+      graft.operators.Coreset.kcenter(sample, rounds = 8)
         .orderBy(col("step"))
     }),
 
@@ -8187,7 +8180,8 @@ object SparkEntry {
          | CAST(n_v2 AS BIGINT) AS n_v2,
          | CAST((max(abs(cum_a * n_v2 - cum_b * n_v1)) * 1000000)
          |   // (n_v1 * n_v2) AS BIGINT) AS ks_e6
-         |FROM c GROUP BY source, n_v1, n_v2 ORDER BY source"""
+         |FROM c WHERE n_v1 > 0 AND n_v2 > 0
+         |GROUP BY source, n_v1, n_v2 ORDER BY source"""
         .stripMargin.replaceAll("\n", " ")
     }
     val basketRulesOracle =
@@ -12047,13 +12041,21 @@ object SparkEntry {
     // lead() over the same (user, ts, event_id) order; the rate is
     // integer division in 1e-5 units — bit-portable by construction
     "events_markov_stationary" -> {
+      // split-multiply identity keeps the product under tot·n; the
+      // d{i} CTEs are the dangling-mass teleport (states with no
+      // outgoing edge redistribute uniformly)
       val chain = (1 to 5).map { i =>
-        s"""p$i AS MATERIALIZED (SELECT st.state,
-           |  CAST(coalesce(s.pi, 0) AS BIGINT) AS pi
+        s"""d$i AS (SELECT coalesce(sum(p.pi), 0) AS d
+           |  FROM p${i - 1} p LEFT JOIN (SELECT DISTINCT src FROM e2) o
+           |  ON p.state = o.src WHERE o.src IS NULL),
+           |p$i AS MATERIALIZED (SELECT st.state,
+           |  CAST(coalesce(s.pi, 0) + dd.d // ns.ns AS BIGINT) AS pi
            |  FROM st LEFT JOIN (
-           |    SELECT e2.dst AS state, sum((p.pi * e2.n) // e2.tot) AS pi
+           |    SELECT e2.dst AS state,
+           |      sum((p.pi // e2.tot) * e2.n
+           |        + ((p.pi % e2.tot) * e2.n) // e2.tot) AS pi
            |    FROM e2 JOIN p${i - 1} p ON e2.src = p.state
-           |    GROUP BY e2.dst) s USING (state))""".stripMargin
+           |    GROUP BY e2.dst) s USING (state), d$i dd, ns)""".stripMargin
       }.mkString(",\n")
       s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us,
          |  event_id FROM events),

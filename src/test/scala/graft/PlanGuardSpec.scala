@@ -656,13 +656,31 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(windows(exec).forall(_.partitionSpec.nonEmpty), exec.toString)
   }
 
-  test("coreset_kcenter + vocab_heaps: no cartesian, bounded windows") {
-    // kcenter: per-round ≤9-row center broadcast (BNLJ on a
-    // broadcast side is the 1-row-frame pattern, not a cartesian)
-    val pk = plan("coreset_kcenter")
-    assert(!pk.contains("CartesianProduct"), pk)
-    // vocab_heaps: the only global-ordered window runs on the
-    // bounded 10-row decile frame (vocab_coverage contract)
+  test("coreset_kcenter ROUND job: broadcast centers, map-side min fold") {
+    // the driver loop executes eagerly (the final query plan is just
+    // a LocalTableScan), so guard the per-round scoring frame
+    // directly: centers broadcast (BNLJ, not cartesian), ONE n-row
+    // exchange for the min fold
+    import org.apache.spark.sql.functions.{col, transform => atransform}
+    val sample = graft.Tables.load(spark, dir, "embeddings")
+      .limit(50)
+      .select(col("vec_id").as("id"),
+        atransform(col("embedding"), _.cast("double")).as("v"))
+    val centers = sample.limit(2)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    val p = graft.operators.Coreset.kcenterRound(sample, centers)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the min fold partial-aggregates before any exchange; on the
+    // single-partition test sample the exchange elides entirely
+    assert(p.contains("partial_min"), p)
+    assert(hashExchanges(p) <= 1, p)
+  }
+
+  test("vocab_heaps: no cartesian, bounded decile window") {
+    // the only global-ordered window runs on the bounded 10-row
+    // decile frame (vocab_coverage contract)
     val ph = plan("vocab_heaps")
     assert(!ph.contains("CartesianProduct"), ph)
   }
