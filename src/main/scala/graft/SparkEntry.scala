@@ -1165,7 +1165,10 @@ object SparkEntry {
       val states = edges.select(col("src").as("state"))
         .union(edges.select(col("dst")))
         .distinct().coalesce(1).localCheckpoint(eager = true)
-      val nStates = states.count()
+      // max(1, ·): an events table with no (src, dst) transition at
+      // all (every user has <= 1 event) must return empty, not
+      // divide by zero at construction time
+      val nStates = math.max(1L, states.count())
       val S = 1000000000000L
       var pi = states.select(col("state"), lit(S / nStates).as("pi"))
         .coalesce(1).localCheckpoint(eager = true)
@@ -1838,12 +1841,14 @@ object SparkEntry {
     "knn_graph_nndescent" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val k = 8
-      val rounds = graft.operators.KnnGraph
-        .nnDescentRounds(e, "vec_id", "embedding", k, iters = 4)
-      val n = e.count()
+      // the build exposes its checkpointed cast frame + count — the
+      // recall audit must not re-scan/re-cast the corpus
+      val build = graft.operators.KnnGraph
+        .nnDescentBuild(e, "vec_id", "embedding", k, iters = 4)
+      val rounds = build.rounds
+      val n = build.n
       val mod = math.max(1L, (n + 49L) / 50L)
-      val vecs = e.select(col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("v"))
+      val vecs = build.vecs.select(col("id").as("vec_id"), col("v"))
       val qs = vecs.where(pmod(col("vec_id"), lit(mod)) === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val exact = vecs.crossJoin(broadcast(qs))
@@ -3137,10 +3142,13 @@ object SparkEntry {
     "vocab_heaps" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val b = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      // checkpointed: both the decile totals and the first-occurrence
+      // vocab consume `d` — without this the corpus tokenizes twice
       val d = docs.crossJoin(broadcast(b))
         .select(least(lit(9L),
             expr("((doc_id - mn) * 10) div (mx - mn + 1)")).as("dec"),
           TextFuncs.tokens(col("text")).as("toks"))
+        .localCheckpoint(eager = true)
       val pd = d.groupBy(col("dec"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(col("toks")).cast("long")).as("n_toks"))
@@ -5035,7 +5043,9 @@ object SparkEntry {
 
     // -- Johnson–Lindenstrauss random-projection distortion audit:
     //    project 64 -> 16 dims with the codegen'd RpProject kernel
-    //    (SAME deterministic plane convention as lsh_signature), then
+    //    (deterministic planes at the overlap-free p*MaxDim=2048
+    //    stride — deliberately NOT lsh_signature's p*64 rows, which
+    //    alias for dims > 64; see RpKernels), then
     //    histogram the normalized pair-distance ratio
     //    d16·12/(d64·16) — expected 1.0 under JL — over the
     //    count-derived ~256-vector sample (embed_dist_hist pattern,
@@ -7240,20 +7250,24 @@ object SparkEntry {
       // p{i} = per-sample min distance to s{i-1}, k{i} = the argmax
       // pick (dm DESC, id) — doubles are bit-identical to the Spark
       // side (same L2 op order), so the raw-double argmax is safe
+      // candidates exclude already-chosen ids (NOT IN s{i-1}) and an
+      // exhausted sample yields ZERO rows for the remaining steps —
+      // both mirror Coreset.kcenter's anti-join + early stop
       val l2 = sqlL2("sm.v", "c.v")
       val rounds = (1 to 8).map { i =>
         s"""p$i AS MATERIALIZED (SELECT sm.id, sm.v, min($l2) AS dm
-           |  FROM sm, s${i - 1} c GROUP BY sm.id, sm.v),
+           |  FROM sm, s${i - 1} c
+           |  WHERE sm.id NOT IN (SELECT id FROM s${i - 1})
+           |  GROUP BY sm.id, sm.v),
            |k$i AS MATERIALIZED (SELECT id, v, dm FROM p$i
            |  ORDER BY dm DESC, id LIMIT 1),
            |s$i AS (SELECT id, v FROM s${i - 1}
            |  UNION ALL SELECT id, v FROM k$i)""".stripMargin
       }.mkString(",\n")
       val outs = (1 to 8).map { i =>
-        s"""SELECT CAST($i AS INTEGER) AS step,
-           | (SELECT id FROM k$i) AS center_id,
-           | (SELECT CAST(round(dm * 10000.0) AS BIGINT) FROM k$i)
-           |   AS radius_e4""".stripMargin
+        s"""SELECT CAST($i AS INTEGER) AS step, id AS center_id,
+           | CAST(round(dm * 10000.0) AS BIGINT) AS radius_e4
+           |FROM k$i""".stripMargin
       }.mkString(" UNION ALL ")
       s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
          |sm AS MATERIALIZED (SELECT vec_id AS id,

@@ -40,7 +40,10 @@ object Coreset {
 
   /** Full traversal: (step, center_id, radius_e4) for step 0 (seed,
     * radius 0) through `rounds`. `sample` must expose (id, v) with v
-    * already cast to array<double>.
+    * already cast to array<double>. Already-chosen ids are excluded
+    * from each round's argmax, and the traversal STOPS when the
+    * sample is exhausted (m <= rounds points) — fewer rows come back
+    * rather than duplicate radius-0 centers.
     */
   def kcenter(sample: DataFrame, rounds: Int): DataFrame = {
     val s = sample.sparkSession
@@ -50,14 +53,23 @@ object Coreset {
       .coalesce(1).localCheckpoint(eager = true)
     val steps = Seq.newBuilder[(Int, Long, Long)]
     steps += ((0, centers.head().getLong(0), 0L))
-    for (step <- 1 to rounds) {
-      val pick = kcenterRound(sample, centers)
-        .orderBy(col("dm").desc, col("id")).limit(1).head()
-      steps += ((step, pick.getLong(0), pick.getLong(1)))
-      centers = centers.unionByName(
-          sample.where(col("id") === pick.getLong(0))
-            .select(col("id").as("cid"), col("v").as("cv")))
-        .coalesce(1).localCheckpoint(eager = true)
+    var step = 1
+    var exhausted = false
+    while (step <= rounds && !exhausted) {
+      val cand = sample.join(
+        centers.select(col("cid").as("id")), Seq("id"), "left_anti")
+      val picked = kcenterRound(cand, centers)
+        .orderBy(col("dm").desc, col("id")).limit(1).collect()
+      if (picked.isEmpty) exhausted = true
+      else {
+        val pick = picked.head
+        steps += ((step, pick.getLong(0), pick.getLong(1)))
+        centers = centers.unionByName(
+            sample.where(col("id") === pick.getLong(0))
+              .select(col("id").as("cid"), col("v").as("cv")))
+          .coalesce(1).localCheckpoint(eager = true)
+        step += 1
+      }
     }
     steps.result().toDF("step", "center_id", "radius_e4")
   }

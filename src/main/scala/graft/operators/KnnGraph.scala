@@ -72,12 +72,24 @@ object KnnGraph {
         col("pair.dist").cast("bigint").as("d_e4"),
         (col("pos") + 1).cast("int").as("rank"))
 
+  /** Everything a caller needs after a build: the per-round graphs,
+    * the checkpointed (id, v, bucket) vector frame and the corpus
+    * count — exposed so downstream audits (recall vs exact, stats)
+    * reuse the cast + count instead of re-scanning the table.
+    */
+  final case class Build(rounds: Seq[DataFrame], vecs: DataFrame, n: Long)
+
   /** The graph after EVERY round: element 0 is the scored ring init,
     * element r the state after round r. `df` must expose dense ids in
     * [0, n). Each element is (src, dst, d_e4, rank), rank 1..k.
     */
   def nnDescentRounds(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 4, iters: Int = 2, initPlanes: Int = 8): Seq[DataFrame] = {
+      k: Int = 4, iters: Int = 2, initPlanes: Int = 8): Seq[DataFrame] =
+    nnDescentBuild(df, idCol, vecCol, k, iters, initPlanes).rounds
+
+  /** [[nnDescentRounds]] plus the reusable vecs frame and count. */
+  def nnDescentBuild(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, iters: Int = 2, initPlanes: Int = 8): Build = {
     require(k >= 2 && k % 2 == 0, s"ring init needs even k >= 2, got $k")
     // checkpointed once: every round joins vecs twice, and the
     // signature + cast should not be recomputed per stage
@@ -119,7 +131,7 @@ object KnnGraph {
       edges = topK(cands, vecs, k).localCheckpoint(true)
       out += edges
     }
-    out.result()
+    Build(out.result(), vecs, n)
   }
 
   /** Final k-NN graph after `iters` NN-descent rounds. */

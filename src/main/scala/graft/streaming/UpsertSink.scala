@@ -17,18 +17,17 @@ import org.apache.spark.sql.functions._
   *
   *   dir/_usink_batch=<batchId>/...parquet
   *
-  * Replay safety is structural, not transactional: re-delivering
-  * (batch, batchId) overwrites the SAME directory with the SAME rows,
-  * so the store state is a pure function of the delivered batch set —
-  * at-least-once delivery + idempotent commit = exactly-once effect.
-  * No manifest or lock; reader consistency comes from _SUCCESS
-  * gating: [[read]] considers only batch directories whose _SUCCESS
-  * marker exists, so a reader overlapping an in-flight overwrite of
-  * batch N sees the store WITHOUT batch N (its marker is deleted
-  * first, written last) rather than a half-written directory. A
-  * replay of an ALREADY-visible batch still briefly hides it from
-  * concurrent readers — replays only happen during crash recovery,
-  * when no query is expected to race the restarting stream.
+  * Replay safety is structural, not transactional: a replay of a
+  * COMPLETED batch (its _SUCCESS exists) is a commit-side NO-OP, and
+  * a crashed partial write (no _SUCCESS) is invisible to [[read]]
+  * until rewritten — so the store state is a pure function of the
+  * delivered batch set (at-least-once delivery + idempotent commit =
+  * exactly-once effect), and a replay never deletes files out from
+  * under a reader that already planned its scan. No manifest or
+  * lock; reader consistency comes from _SUCCESS gating: [[read]]
+  * considers only batch directories whose marker exists, so a reader
+  * overlapping the FIRST in-flight write of batch N sees the store
+  * WITHOUT batch N rather than a half-written directory.
   *
   * Read = last-writer-wins per key: newest batchId for a key is the
   * live row (a key-partitioned window, bounded state per key).
@@ -52,14 +51,22 @@ object UpsertSink {
   val BatchCol = "_usink_batch"
 
   /** Commit one micro-batch of keyed rows. Safe to call any number of
-    * times with the same (batch, batchId) — replays overwrite the same
-    * directory with identical bytes-modulo-ordering content.
+    * times with the same (batch, batchId): a replay of a COMPLETED
+    * batch (directory already carries _SUCCESS) is a NO-OP — by the
+    * delivery contract it would rewrite identical content, and
+    * skipping it means a replay never deletes files out from under a
+    * reader that has already planned its scan. Only a crashed
+    * partial write (no _SUCCESS — invisible to [[read]]) is actually
+    * rewritten.
     */
   def commit(dir: String, batch: DataFrame, batchId: Long): Unit = {
     require(!batch.columns.contains(BatchCol),
       s"payload must not contain the reserved column '$BatchCol'")
-    batch.write.mode(SaveMode.Overwrite)
-      .parquet(s"$dir/$BatchCol=$batchId")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$BatchCol=$batchId")
+    val fs = p.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      batch.write.mode(SaveMode.Overwrite).parquet(p.toString)
   }
 
   /** Current store state: for every key the row from the HIGHEST
@@ -93,11 +100,20 @@ object UpsertSink {
   }
 
   /** Fold the delta log into a single base batch under `outDir`
-    * (batchId 0). Idempotent: rerunning overwrites the same output.
+    * (batchId 0). Idempotent: rerunning overwrites the same output —
+    * compaction deliberately bypasses commit()'s completed-batch
+    * no-op (a later compaction of a GROWN log must refresh batch 0),
+    * so run it as the offline maintenance pass it is, not
+    * concurrently with readers of `outDir`.
     */
   def compact(spark: SparkSession, dir: String, outDir: String,
-      keyCol: String): Unit =
-    commit(outDir, read(spark, dir, keyCol), 0L)
+      keyCol: String): Unit = {
+    val folded = read(spark, dir, keyCol)
+    require(!folded.columns.contains(BatchCol),
+      s"payload must not contain the reserved column '$BatchCol'")
+    folded.write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/$BatchCol=0")
+  }
 
   /** Driver-gate harness: stream the documents table in `nSplits`
     * DISJOINT micro-batches (doc_id residue classes — order-

@@ -280,16 +280,20 @@ for sql in (dumped or {}).values():
         # r10 multimodal_manifest incident) — only scalars may ship
         if LIST_PRODUCERS.match(its):
             array_bad.append(alias)
-        rm = re.search(r"(?<![A-Za-z_])round\s*\(", its, re.I)
-        if rm is None:
-            continue
-        if _cast_open_at(its, rm.start()):
-            continue
-        if re.search(r"\bWHEN\b", its[:rm.start()], re.I) and \
-                re.search(r"\bTHEN\b", its[rm.start():], re.I):
-            # round inside a WHEN condition — compared, never shipped
-            continue
-        if alias not in NONNEG_ROUND_ALLOW:
+        # inspect EVERY round( in the item, not just the first — a
+        # CAST-wrapped round must not shadow a later bare one, and a
+        # round is only "compared, never shipped" when the NEAREST
+        # preceding CASE keyword is WHEN (THEN/ELSE position ships)
+        flagged = False
+        for rm in re.finditer(r"(?<![A-Za-z_])round\s*\(", its, re.I):
+            if _cast_open_at(its, rm.start()):
+                continue
+            kws = re.findall(r"\b(WHEN|THEN|ELSE)\b", its[:rm.start()],
+                             re.I)
+            if kws and kws[-1].upper() == "WHEN":
+                continue
+            flagged = True
+        if flagged and alias not in NONNEG_ROUND_ALLOW:
             round_bad.append(alias)
 if round_bad:
     failures.append(
