@@ -7229,8 +7229,10 @@ object SparkEntry {
          |  FROM embeddings
          |  WHERE vec_id % (SELECT greatest(1, (n + 4095) // 4096) FROM nn) = 0),
          |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_s FROM q),
-         |el AS MATERIALIZED (SELECT vec_id, r.j - 1 AS j, q[r.j] AS qj
-         |  FROM q, range(1, 65) r(j)),
+         |el AS MATERIALIZED (SELECT vec_id, u.j AS j, u.qj AS qj FROM (
+         |  SELECT vec_id, unnest(list_transform(q,
+         |    (x, i) -> struct_pack(j := i - 1, qj := x))) AS u
+         |  FROM q) _e),
          |pp AS (SELECT a.j, b.j AS k, CAST(sum(a.qj * b.qj) AS BIGINT) AS p
          |  FROM el a JOIN el b USING (vec_id) GROUP BY a.j, b.j),
          |sj AS (SELECT j, CAST(sum(qj) AS BIGINT) AS sj FROM el GROUP BY j),
@@ -7240,7 +7242,9 @@ object SparkEntry {
          |ag AS (SELECT
          |  CAST(sum(CASE WHEN j = k THEN cn ELSE 0 END) AS BIGINT) AS tr,
          |  sum(CAST(cn AS HUGEINT) * CAST(cn AS HUGEINT)) AS f FROM cn)
-         |SELECT ns.n_s AS n_sample, CAST(64 AS INTEGER) AS dim,
+         |SELECT ns.n_s AS n_sample,
+         | (SELECT CAST(len(q) AS INTEGER) FROM q ORDER BY vec_id LIMIT 1)
+         |   AS dim,
          | tr AS sum_cn_diag,
          | CAST(round(CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)
          |   * 1000.0 / CAST(f AS DOUBLE)) AS BIGINT) AS eff_dim_e3
