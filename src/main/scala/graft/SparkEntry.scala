@@ -1831,21 +1831,30 @@ object SparkEntry {
     // -- batch NN-descent k-NN-graph BUILD (the Spark-native analog
     //    of HNSW's graph layer, hnsw.go:75-524; KnnGraph.scala has
     //    the algorithm + 100 TB shape): ring init over the dense id
-    //    space, 2 rounds of symmetrized neighbor-of-neighbor
-    //    refinement, INTEGER e4 distances so every rank cut is
-    //    engine- and partition-order-exact. Output: per-round
-    //    edge-weight checksums (pinning the whole iteration chain),
-    //    plus recall@k of the final graph against exact kNN on the
-    //    count-derived ~50-query sample — the quality readout
-    //    reported next to the other ANN families --
+    //    space, COUNT-DERIVED rounds of symmetrized
+    //    neighbor-of-neighbor refinement (clamp(ceil(log2 n)-7, 2,
+    //    10) — one extra round per corpus doubling, so recall no
+    //    longer decays with corpus size), built WIDE at 2k lists and
+    //    cut to k at the end (measured: width 2k is worth more than
+    //    double the rounds at width k on this isotropic corpus).
+    //    INTEGER e4 distances so every rank cut is engine- and
+    //    partition-order-exact. Output: the derived round count,
+    //    per-round edge-weight checksums (pinning the whole
+    //    iteration chain), plus recall@k of the final cut graph
+    //    against exact kNN on the count-derived ~50-query sample —
+    //    the quality readout reported next to the other ANN
+    //    families --
     "knn_graph_nndescent" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val k = 8
+      val k = 8       // output graph degree
+      val kb = 2 * k  // build width: lists + NoN pool at 2k, cut at the end
       // the build exposes its checkpointed cast frame + count — the
-      // recall audit must not re-scan/re-cast the corpus
+      // recall audit must not re-scan/re-cast the corpus — and its
+      // count(*)-derived round count via rounds.length
       val build = graft.operators.KnnGraph
-        .nnDescentBuild(e, "vec_id", "embedding", k, iters = 4)
+        .nnDescentBuild(e, "vec_id", "embedding", kb)
       val rounds = build.rounds
+      val iters = rounds.length - 1
       val n = build.n
       val mod = math.max(1L, (n + 49L) / 50L)
       val vecs = build.vecs.select(col("id").as("vec_id"), col("v"))
@@ -1865,6 +1874,7 @@ object SparkEntry {
         df.agg(agg.cast("bigint").as("v"))
           .select(lit(name).as("stat"), col("v"))
       val matchCnt = rounds.last
+        .where(col("rank") <= k)
         .where(pmod(col("src"), lit(mod)) === 0)
         .join(exact, col("src") === col("qid") && col("dst") === col("nb"),
           "left_semi")
@@ -1877,8 +1887,10 @@ object SparkEntry {
         stat(if (i == 0) "sum_d_e4_init" else s"sum_d_e4_it$i",
           sum(col("d_e4")), r)
       }
-      (Seq(stat("n_nodes", count(lit(1)), e),
-        stat("k_per_node", lit(k.toLong), e.limit(1))) ++ perRound ++
+      (Seq(stat("n_nodes", lit(n), e.limit(1)),
+        stat("k_per_node", lit(k.toLong), e.limit(1)),
+        stat("build_width", lit(kb.toLong), e.limit(1)),
+        stat("n_rounds", lit(iters.toLong), e.limit(1))) ++ perRound ++
         Seq(stat("n_sample_queries", count(lit(1)), qs), recall))
         .reduce(_.unionByName(_))
         .orderBy(col("stat"))
@@ -7958,32 +7970,53 @@ object SparkEntry {
          |  FROM p),
          |edges AS (SELECT qid, nb, dist, rank FROM r WHERE rank <= 3)"""
         .stripMargin.replaceAll("\n", " ")
-    // NN-descent replay: ring init, two unrolled symmetrize/hop/
-    // top-k rounds (the kmeansCtes discipline), INTEGER e4 distances
-    // so the rank cuts are bit-free; recall against exact kNN on the
+    // NN-descent replay: ring init, COUNT-DERIVED round count
+    // (least(10, greatest(2, ceil(log2 n) - 7)) — the same formula
+    // KnnGraph.adaptiveIters uses; integer-exact on both engines
+    // since log2 of an integer is only integral at exact powers of
+    // two, where IEEE log2 is exact), CAP=10 unrolled symmetrize/
+    // hop/top-k rounds where every round PAST the derived count is
+    // an empty-frame passthrough (the gate sits in u{r}, so the
+    // expensive candidate scoring never runs for inactive rounds),
+    // build width 16 cut to 8 for recall. INTEGER e4 distances so
+    // the rank cuts are bit-free; recall against exact kNN on the
     // same count-derived sample
     val knnGraphNndescentOracle = {
       def l2e4(a: String, b: String): String =
         s"CAST(round(sqrt(list_sum(list_transform($a, (x, i) -> " +
           s"(x - $b[i]) * (x - $b[i])))) * 1e4) AS BIGINT)"
+      val cap = 10
       // every CTE is MATERIALIZED: the chain references each round's
       // output several times (symmetrize + both hop sides + the next
       // round), and un-materialized CTE inlining recomputes the
       // whole prefix per reference — exponential in round count
-      def round_(c: String, e: String): String =
-        s"""sc$e AS MATERIALIZED (SELECT r.src, r.dst, ${l2e4("a.v", "b.v")} AS d_e4
-           |  FROM $c r JOIN vv a ON r.src = a.id JOIN vv b ON r.dst = b.id),
-           |e$e AS MATERIALIZED (SELECT src, dst, d_e4 FROM (SELECT sc$e.*,
-           |  row_number() OVER (PARTITION BY src ORDER BY d_e4, dst) AS rn
-           |  FROM sc$e) _r$e WHERE rn <= 8)""".stripMargin
-      def hop(u: String, prev: String, c: String): String =
-        s"""$u AS MATERIALIZED (SELECT src, dst FROM $prev
-           |  UNION SELECT dst AS src, src AS dst FROM $prev),
-           |$c AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-           |  SELECT src, dst FROM $u UNION ALL
-           |  SELECT a.src AS src, b.dst AS dst FROM $u a
-           |    JOIN $u b ON a.dst = b.src) _h$c
+      def hop(r: Int): String =
+        s"""u$r AS (SELECT src, dst FROM e${r - 1}
+           |    WHERE (SELECT it FROM itv) >= $r
+           |  UNION SELECT dst AS src, src AS dst FROM e${r - 1}
+           |    WHERE (SELECT it FROM itv) >= $r),
+           |c$r AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+           |  SELECT src, dst FROM u$r UNION ALL
+           |  SELECT a.src AS src, b.dst AS dst FROM u$r a
+           |    JOIN u$r b ON a.dst = b.src) _h$r
            |  WHERE src <> dst)""".stripMargin
+      def round_(r: Int): String = {
+        val c = if (r == 0) "init" else s"c$r"
+        val pass = if (r == 0) ""
+          else s""" UNION ALL SELECT src, dst, d_e4, rank FROM e${r - 1}
+                 |  WHERE (SELECT it FROM itv) < $r""".stripMargin
+        s"""sc$r AS MATERIALIZED (SELECT r.src, r.dst, ${l2e4("a.v", "b.v")} AS d_e4
+           |  FROM $c r JOIN vv a ON r.src = a.id JOIN vv b ON r.dst = b.id),
+           |e$r AS MATERIALIZED (SELECT src, dst, d_e4, rn AS rank
+           |  FROM (SELECT sc$r.*,
+           |    row_number() OVER (PARTITION BY src ORDER BY d_e4, dst) AS rn
+           |    FROM sc$r) _r$r WHERE rn <= 16$pass)""".stripMargin
+      }
+      val chain = (1 to cap).map(r => s"${hop(r)}, ${round_(r)}").mkString(",\n")
+      val roundStats = (1 to cap).map(r =>
+        s"""UNION ALL SELECT 'sum_d_e4_it$r', v FROM
+           |  (SELECT CAST(sum(d_e4) AS BIGINT) AS v FROM e$r) _s$r
+           |  WHERE (SELECT it FROM itv) >= $r""".stripMargin).mkString("\n")
       s"""WITH vv AS MATERIALIZED (SELECT vec_id AS id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          |  list_sum(list_transform(range(0, 8), p -> CASE WHEN
@@ -7992,26 +8025,21 @@ object SparkEntry {
          |    THEN CAST(2 ** p AS BIGINT) ELSE 0 END)) AS bucket
          |  FROM embeddings),
          |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM vv),
+         |itv AS MATERIALIZED (SELECT least($cap, greatest(2,
+         |  CAST(ceil(log2(CAST(n AS DOUBLE))) AS BIGINT) - 7)) AS it FROM nn),
          |ring AS (SELECT id AS src, (((id + s * d) % n) + n) % n AS dst
-         |  FROM vv, nn, (VALUES (1), (-1)) ss(s), range(1, 5) dd(d)
+         |  FROM vv, nn, (VALUES (1), (-1)) ss(s), range(1, 9) dd(d)
          |  WHERE (((id + s * d) % n) + n) % n <> id),
          |br AS MATERIALIZED (SELECT id, bucket,
          |  row_number() OVER (PARTITION BY bucket ORDER BY id) AS rk FROM vv),
          |lsa AS (SELECT a.id AS src, b.id AS dst
-         |  FROM br a CROSS JOIN (VALUES (1), (-1), (2), (-2),
-         |    (3), (-3), (4), (-4)) oo(off)
+         |  FROM br a CROSS JOIN (VALUES (1), (-1), (2), (-2), (3), (-3),
+         |    (4), (-4), (5), (-5), (6), (-6), (7), (-7), (8), (-8)) oo(off)
          |  JOIN br b ON b.bucket = a.bucket AND b.rk = a.rk + oo.off),
          |init AS MATERIALIZED (SELECT DISTINCT src, dst FROM
          |  (SELECT src, dst FROM ring UNION ALL SELECT src, dst FROM lsa) _i),
-         |${round_("init", "0")},
-         |${hop("u1", "e0", "c1")},
-         |${round_("c1", "1")},
-         |${hop("u2", "e1", "c2")},
-         |${round_("c2", "2")},
-         |${hop("u3", "e2", "c3")},
-         |${round_("c3", "3")},
-         |${hop("u4", "e3", "c4")},
-         |${round_("c4", "4")},
+         |${round_(0)},
+         |$chain,
          |m AS (SELECT greatest(1, (n + 49) // 50) AS md FROM nn),
          |qs AS MATERIALIZED (SELECT id, v FROM vv, m
          |  WHERE ((id % md) + md) % md = 0),
@@ -8020,16 +8048,16 @@ object SparkEntry {
          |exact AS MATERIALIZED (SELECT qid, nb FROM (SELECT xc.*,
          |  row_number() OVER (PARTITION BY qid ORDER BY d_e4, nb) AS rn
          |  FROM xc) _x WHERE rn <= 8),
-         |mt AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM e4
-         |  JOIN exact ON e4.src = exact.qid AND e4.dst = exact.nb),
+         |mt AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM e$cap
+         |  JOIN exact ON e$cap.src = exact.qid AND e$cap.dst = exact.nb
+         |  WHERE e$cap.rank <= 8),
          |nq AS (SELECT CAST(count(*) AS BIGINT) AS q FROM qs)
          |SELECT 'n_nodes' AS stat, n AS v FROM nn
          |UNION ALL SELECT 'k_per_node', CAST(8 AS BIGINT) FROM nn
+         |UNION ALL SELECT 'build_width', CAST(16 AS BIGINT) FROM nn
+         |UNION ALL SELECT 'n_rounds', CAST(it AS BIGINT) FROM itv
          |UNION ALL SELECT 'sum_d_e4_init', CAST(sum(d_e4) AS BIGINT) FROM e0
-         |UNION ALL SELECT 'sum_d_e4_it1', CAST(sum(d_e4) AS BIGINT) FROM e1
-         |UNION ALL SELECT 'sum_d_e4_it2', CAST(sum(d_e4) AS BIGINT) FROM e2
-         |UNION ALL SELECT 'sum_d_e4_it3', CAST(sum(d_e4) AS BIGINT) FROM e3
-         |UNION ALL SELECT 'sum_d_e4_it4', CAST(sum(d_e4) AS BIGINT) FROM e4
+         |$roundStats
          |UNION ALL SELECT 'n_sample_queries', q FROM nq
          |UNION ALL SELECT 'recall_e4',
          |  CAST((mm * 10000) // (q * 8) AS BIGINT) FROM mt, nq

@@ -46,6 +46,17 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("adaptive round count: clamp(ceil(log2 n) - 7, 2, 10)") {
+    assert(KnnGraph.adaptiveIters(2) === 2)       // floor
+    assert(KnnGraph.adaptiveIters(100) === 2)
+    assert(KnnGraph.adaptiveIters(500) === 2)     // ceil(log2 500)=9
+    assert(KnnGraph.adaptiveIters(512) === 2)     // exact power: ceil=9
+    assert(KnnGraph.adaptiveIters(513) === 3)     // ceil=10
+    assert(KnnGraph.adaptiveIters(2000) === 4)    // ceil=11
+    assert(KnnGraph.adaptiveIters(1 << 17) === 10) // ceil=17, clamps
+    assert(KnnGraph.adaptiveIters(Int.MaxValue.toLong * 4) === 10) // cap
+  }
+
   test("recall@8 vs exact kNN sits in the measured honest band") {
     // exact top-8 per node by the same integer e4 metric
     val vecs = emb.select(col("vec_id"),
@@ -61,14 +72,16 @@ class KnnGraphSpec extends AnyFunSuite {
         .topk_pairs(col("d_e4").cast("double"), col("vec_id"), 8).as("tk"))
       .select(col("qid"), explode(col("tk")).as("p"))
       .select(col("qid"), col("p.id").as("nb"))
-    val fin = KnnGraph.nnDescent(emb, "vec_id", "embedding", k = 8, iters = 4)
+    // the shipped discipline: build WIDE at 2k with the adaptive
+    // round count (2 at n=500), cut to k at the end
+    val fin = KnnGraph.nnDescent(emb, "vec_id", "embedding", k = 16)
+      .where(col("rank") <= 8)
     val hits = fin.join(exact,
       col("src") === col("qid") && col("dst") === col("nb"), "left_semi")
       .count()
     val recall = hits.toDouble / exact.count()
-    // 0.635 measured at pin time on the 500-vector corpus; the
-    // isotropic-regime floor is the honest story, not a defect —
-    // band wide enough to survive data regeneration
-    assert(recall > 0.4 && recall <= 1.0, s"recall@8 $recall")
+    // 0.770 measured at pin time on the 500-vector corpus (width 2k,
+    // 2 adaptive rounds); band wide enough to survive regeneration
+    assert(recall > 0.55 && recall <= 1.0, s"recall@8 $recall")
   }
 }
