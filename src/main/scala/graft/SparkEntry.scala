@@ -1896,6 +1896,77 @@ object SparkEntry {
         .orderBy(col("stat"))
     }),
 
+    // -- batch graph SEARCH over the built kNN graph (the
+    //    hnsw.go:439-524 Search analog, the last HNSW behavior the
+    //    engine lacked): build the NN-descent graph (count-derived
+    //    rounds), serve it at the FULL build width 2k=16 (HNSW's M —
+    //    measured: degree-16 serving lifts n=2000 recall 0.610 →
+    //    0.890 at the same beam), route a count-derived ~50-query
+    //    sample through it as COUNT-DERIVED bounded hops of greedy
+    //    beam expansion with a COUNT-DERIVED beam width (HNSW's
+    //    ef ~ log n: clamp(3·⌈log₂n⌉, 16, 64)) — each hop ONE
+    //    equi-join of the whole query set's beam against the edge
+    //    frame, exact integer e4 re-scoring, top-beam cut per query
+    //    (KnnGraph.beamSearchRounds has the 100 TB shape: per-hop
+    //    work O(|Q|·beam·degree) keyed by qid, corpus-sized frames
+    //    only ever join SIDES). Entry points: LSH-bucket mates (the
+    //    routed seed, same planes as the build) ∪ id-ring fallback.
+    //    Output: per-hop beam checksums pinning the whole traversal
+    //    + recall@8 vs exact kNN (0.978 at n=500 / 0.898 at n=2000
+    //    measured) — the serving-quality readout next to the
+    //    build's --
+    "knn_graph_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val k = 8       // result size; also the conservative hop basis
+      val kb = 2 * k  // build width = served degree (HNSW's M)
+      val build = graft.operators.KnnGraph
+        .nnDescentBuild(e, "vec_id", "embedding", kb)
+      val n = build.n
+      val beam = graft.operators.KnnGraph.adaptiveBeam(n)
+      val graph = build.rounds.last
+      val mod = math.max(1L, (n + 49L) / 50L)
+      val qs = build.vecs.where(pmod(col("id"), lit(mod)) === 0)
+        .select(col("id").as("qid"), col("v").as("qv"),
+          col("bucket").as("qbucket"))
+      val states = graft.operators.KnnGraph
+        .beamSearchRounds(graph, build.vecs, qs, n, beam, degree = k)
+      val hops = states.length - 1
+      val vecs = build.vecs.select(col("id").as("vec_id"), col("v"))
+      val exact = vecs.crossJoin(broadcast(qs.select(col("qid"), col("qv"))))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(VectorFunctions.vec_l2(col("v"), col("qv")) * 1e4)
+            .cast("bigint").as("d_e4"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg
+          .topk_pairs(col("d_e4").cast("double"), col("vec_id"), k).as("tk"))
+        .select(col("qid"), explode(col("tk")).as("pair"))
+        .select(col("qid").as("eqid"), col("pair.id").as("nb"))
+      def stat(name: String, agg: Column, df: DataFrame): DataFrame =
+        df.agg(agg.cast("bigint").as("v"))
+          .select(lit(name).as("stat"), col("v"))
+      val matchCnt = states.last
+        .where(col("rank") <= k)
+        .join(exact, col("qid") === col("eqid") &&
+          col("node") === col("nb"), "left_semi")
+        .agg(count(lit(1)).as("m"))
+      val recall = matchCnt
+        .crossJoin(qs.agg(count(lit(1)).as("nq")))
+        .select(lit("recall_e4").as("stat"),
+          expr(s"(m * 10000) div (nq * $k)").as("v"))
+      val perHop = states.zipWithIndex.map { case (st, i) =>
+        stat(s"sum_d_e4_hop$i", sum(col("d_e4")), st)
+      }
+      (Seq(stat("n_nodes", lit(n), e.limit(1)),
+        stat("k_per_node", lit(k.toLong), e.limit(1)),
+        stat("graph_degree", lit(kb.toLong), e.limit(1)),
+        stat("beam_width", lit(beam.toLong), e.limit(1)),
+        stat("n_hops", lit(hops.toLong), e.limit(1))) ++ perHop ++
+        Seq(stat("n_sample_queries", count(lit(1)), qs), recall))
+        .reduce(_.unionByName(_))
+        .orderBy(col("stat"))
+    }),
+
     // -- JSON property extraction over the events props column:
     //    get_json_object path extraction (codegen'd) + per-type
     //    integer stats — the schema-drift audit a semi-structured
@@ -6891,6 +6962,128 @@ object SparkEntry {
     * single-query oracle (same kernels, same rounding, same
     * tie-breaks).
     */
+  /** Integer-e4 l2 distance in DuckDB list algebra — the exact
+    * arithmetic KnnGraph uses (round(l2·1e4) AS BIGINT).
+    */
+  private def knnGraphL2e4(a: String, b: String): String =
+    s"CAST(round(sqrt(list_sum(list_transform($a, (x, i) -> " +
+      s"(x - $b[i]) * (x - $b[i])))) * 1e4) AS BIGINT)"
+
+  /** Shared NN-descent BUILD chain (WITH-body text): vv (id, v,
+    * 8-plane bucket), nn (count), itv (the count-derived round
+    * count), ring ∪ LSH-adjacency init, then CAP=10 unrolled
+    * symmetrize/hop/top-k rounds at width 16 where every round past
+    * the derived count is an empty-frame passthrough — ends at e10,
+    * the final graph (src, dst, d_e4, rank). Every CTE is
+    * MATERIALIZED: the chain references each round's output several
+    * times, and un-materialized CTE inlining recomputes the whole
+    * prefix per reference — exponential in round count. Used by the
+    * build oracle, the search oracle and the recall-matrix oracle.
+    */
+  private lazy val knnGraphChainSql: String = {
+    val cap = 10
+    def hop(r: Int): String =
+      s"""u$r AS (SELECT src, dst FROM e${r - 1}
+         |    WHERE (SELECT it FROM itv) >= $r
+         |  UNION SELECT dst AS src, src AS dst FROM e${r - 1}
+         |    WHERE (SELECT it FROM itv) >= $r),
+         |c$r AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM u$r UNION ALL
+         |  SELECT a.src AS src, b.dst AS dst FROM u$r a
+         |    JOIN u$r b ON a.dst = b.src) _h$r
+         |  WHERE src <> dst)""".stripMargin
+    def round_(r: Int): String = {
+      val c = if (r == 0) "init" else s"c$r"
+      val pass = if (r == 0) ""
+        else s""" UNION ALL SELECT src, dst, d_e4, rank FROM e${r - 1}
+               |  WHERE (SELECT it FROM itv) < $r""".stripMargin
+      s"""sc$r AS MATERIALIZED (SELECT r.src, r.dst, ${knnGraphL2e4("a.v", "b.v")} AS d_e4
+         |  FROM $c r JOIN vv a ON r.src = a.id JOIN vv b ON r.dst = b.id),
+         |e$r AS MATERIALIZED (SELECT src, dst, d_e4, rn AS rank
+         |  FROM (SELECT sc$r.*,
+         |    row_number() OVER (PARTITION BY src ORDER BY d_e4, dst) AS rn
+         |    FROM sc$r) _r$r WHERE rn <= 16$pass)""".stripMargin
+    }
+    val chain = (1 to cap).map(r => s"${hop(r)}, ${round_(r)}").mkString(",\n")
+    s"""vv AS MATERIALIZED (SELECT vec_id AS id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |  list_sum(list_transform(range(0, 8), p -> CASE WHEN
+       |    list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) *
+       |      ((((p * 64 + i) * 2654435761) % 4294967296) / 4294967296.0 - 0.5))) > 0
+       |    THEN CAST(2 ** p AS BIGINT) ELSE 0 END)) AS bucket
+       |  FROM embeddings),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM vv),
+       |itv AS MATERIALIZED (SELECT least($cap, greatest(2,
+       |  CAST(ceil(log2(CAST(n AS DOUBLE))) AS BIGINT) - 7)) AS it FROM nn),
+       |ring AS (SELECT id AS src, (((id + s * d) % n) + n) % n AS dst
+       |  FROM vv, nn, (VALUES (1), (-1)) ss(s), range(1, 9) dd(d)
+       |  WHERE (((id + s * d) % n) + n) % n <> id),
+       |br AS MATERIALIZED (SELECT id, bucket,
+       |  row_number() OVER (PARTITION BY bucket ORDER BY id) AS rk FROM vv),
+       |lsa AS (SELECT a.id AS src, b.id AS dst
+       |  FROM br a CROSS JOIN (VALUES (1), (-1), (2), (-2), (3), (-3),
+       |    (4), (-4), (5), (-5), (6), (-6), (7), (-7), (8), (-8)) oo(off)
+       |  JOIN br b ON b.bucket = a.bucket AND b.rk = a.rk + oo.off),
+       |init AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM ring UNION ALL SELECT src, dst FROM lsa) _i),
+       |${round_(0)},
+       |$chain""".stripMargin
+  }
+
+  /** Beam-search traversal CTEs over an existing `gg` (src, dst)
+    * edge frame and `qq` (qid, qv, qbucket) query frame: hv (the
+    * count-derived hop budget, degree-8 basis), bv (the
+    * count-derived ef-style beam, 3·⌈log₂n⌉ clamped [16, 64]),
+    * LSH-bucket ∪ id-ring seeds, then CAP=6 unrolled gated greedy
+    * beam-expansion hops ending at st6 (qid, node, d_e4, rank) —
+    * empty-frame passthrough past the derived hop count, so
+    * inactive hops never expand or score. Mirrors
+    * KnnGraph.beamSearchRounds exactly.
+    */
+  private lazy val knnGraphSearchCtes: String = {
+    val capH = 6
+    def shop(r: Int): String =
+      s"""sf$r AS (SELECT qid, node FROM st${r - 1}
+         |  WHERE (SELECT h FROM hv) >= $r),
+         |scn$r AS MATERIALIZED (SELECT DISTINCT qid, node FROM (
+         |  SELECT qid, node FROM sf$r UNION ALL
+         |  SELECT f.qid, gg.dst AS node FROM sf$r f
+         |    JOIN gg ON f.node = gg.src) _e$r
+         |  WHERE qid <> node)""".stripMargin
+    def sstate(r: Int): String = {
+      val c = if (r == 0) "sseed" else s"scn$r"
+      val pass = if (r == 0) ""
+        else s""" UNION ALL SELECT qid, node, d_e4, rank FROM st${r - 1}
+               |  WHERE (SELECT h FROM hv) < $r""".stripMargin
+      s"""ss$r AS MATERIALIZED (SELECT c.qid, c.node,
+         |  ${knnGraphL2e4("w.v", "q.qv")} AS d_e4
+         |  FROM $c c JOIN vv w ON c.node = w.id
+         |  JOIN qq q ON c.qid = q.qid),
+         |st$r AS MATERIALIZED (SELECT qid, node, d_e4, rn AS rank
+         |  FROM (SELECT ss$r.*,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d_e4, node) AS rn
+         |    FROM ss$r) _t$r WHERE rn <= (SELECT b FROM bv)$pass)""".stripMargin
+    }
+    val hopChain = (1 to capH).map(r => s"${shop(r)}, ${sstate(r)}")
+      .mkString(",\n")
+    s"""hv AS MATERIALIZED (SELECT least($capH, greatest(2,
+       |  (CAST(ceil(log2(CAST(n AS DOUBLE))) AS BIGINT) + 2) // 3)) AS h
+       |  FROM nn),
+       |bv AS MATERIALIZED (SELECT least(64, greatest(16,
+       |  3 * CAST(ceil(log2(CAST(n AS DOUBLE))) AS BIGINT))) AS b
+       |  FROM nn),
+       |sring AS (SELECT qid, (((qid + s * d) % n) + n) % n AS node
+       |  FROM qq, nn, (VALUES (1), (-1)) ss(s), range(1, 5) dd(d)
+       |  WHERE (((qid + s * d) % n) + n) % n <> qid),
+       |smates AS (SELECT q.qid, w.id AS node FROM qq q
+       |  JOIN vv w ON w.bucket = q.qbucket AND w.id <> q.qid),
+       |sseed AS MATERIALIZED (SELECT DISTINCT qid, node FROM
+       |  (SELECT qid, node FROM sring
+       |   UNION ALL SELECT qid, node FROM smates) _s),
+       |${sstate(0)},
+       |$hopChain""".stripMargin
+  }
+
   private def recallMatrixOracle: String = {
     val nq = 10; val k = 10; val c = 30
     // per-query top-n by (s, vec_id) over an inner (qid, vec_id, s)
@@ -6944,7 +7137,8 @@ object SparkEntry {
       ("sq8", "codes", "sq8c", "euc"), ("sq8", "rerank=30", "sq8rr", "euc"),
       ("sq4", "codes", "sq4c", "euc"), ("sq4", "rerank=30", "sq4rr", "euc"),
       ("bq", "hamming", "bqh", "euc"), ("bq", "rerank=30", "bqrr", "euc"),
-      ("ivfpq", "nprobe=2", "ivfpq2", "euc"), ("ivfpq", "nprobe=4", "ivfpq4", "euc"))
+      ("ivfpq", "nprobe=2", "ivfpq2", "euc"), ("ivfpq", "nprobe=4", "ivfpq4", "euc"),
+      ("graph", "beam=3log2n", "grb", "euc"))
     val allp = unions.map { case (f, bdg, cte, _) =>
       s"SELECT '$f' AS family, '$bdg' AS budget, qid, vec_id FROM $cte"
     }.mkString(" UNION ALL ")
@@ -7033,6 +7227,18 @@ object SparkEntry {
       s"bqs30 AS (${top("SELECT qid, vec_id, s FROM bqsc", c)}), " +
       s"bqrr AS (${rr("bqs30")}), " +
       ivfpqCtes + ", " +
+      // graph family: the full NN-descent build chain + beam-search
+      // traversal (same CTEs as the dedicated oracles), served
+      // results = top-k of the final beam plus the identity self-pair
+      // (the graph has no self-edges; a served ANN always returns a
+      // corpus query itself — the exact baseline includes it)
+      s"${knnGraphChainSql.replaceAll("\n", " ")}, " +
+      "gg AS MATERIALIZED (SELECT src, dst FROM e10), " +
+      "qq AS MATERIALIZED (SELECT id AS qid, v AS qv, bucket AS qbucket " +
+      s"FROM vv WHERE id < $nq), " +
+      s"${knnGraphSearchCtes.replaceAll("\n", " ")}, " +
+      s"grb AS (SELECT qid, node AS vec_id FROM st6 WHERE rank <= $k " +
+      "UNION ALL SELECT qid, qid AS vec_id FROM qq), " +
       s"allp AS ($allp), " +
       "ex AS (SELECT 'cos' AS m, qid, vec_id FROM exc UNION ALL " +
       "SELECT 'euc' AS m, qid, vec_id FROM exe) " +
@@ -7980,87 +8186,75 @@ object SparkEntry {
     // expensive candidate scoring never runs for inactive rounds),
     // build width 16 cut to 8 for recall. INTEGER e4 distances so
     // the rank cuts are bit-free; recall against exact kNN on the
-    // same count-derived sample
-    val knnGraphNndescentOracle = {
-      def l2e4(a: String, b: String): String =
-        s"CAST(round(sqrt(list_sum(list_transform($a, (x, i) -> " +
-          s"(x - $b[i]) * (x - $b[i])))) * 1e4) AS BIGINT)"
-      val cap = 10
-      // every CTE is MATERIALIZED: the chain references each round's
-      // output several times (symmetrize + both hop sides + the next
-      // round), and un-materialized CTE inlining recomputes the
-      // whole prefix per reference — exponential in round count
-      def hop(r: Int): String =
-        s"""u$r AS (SELECT src, dst FROM e${r - 1}
-           |    WHERE (SELECT it FROM itv) >= $r
-           |  UNION SELECT dst AS src, src AS dst FROM e${r - 1}
-           |    WHERE (SELECT it FROM itv) >= $r),
-           |c$r AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-           |  SELECT src, dst FROM u$r UNION ALL
-           |  SELECT a.src AS src, b.dst AS dst FROM u$r a
-           |    JOIN u$r b ON a.dst = b.src) _h$r
-           |  WHERE src <> dst)""".stripMargin
-      def round_(r: Int): String = {
-        val c = if (r == 0) "init" else s"c$r"
-        val pass = if (r == 0) ""
-          else s""" UNION ALL SELECT src, dst, d_e4, rank FROM e${r - 1}
-                 |  WHERE (SELECT it FROM itv) < $r""".stripMargin
-        s"""sc$r AS MATERIALIZED (SELECT r.src, r.dst, ${l2e4("a.v", "b.v")} AS d_e4
-           |  FROM $c r JOIN vv a ON r.src = a.id JOIN vv b ON r.dst = b.id),
-           |e$r AS MATERIALIZED (SELECT src, dst, d_e4, rn AS rank
-           |  FROM (SELECT sc$r.*,
-           |    row_number() OVER (PARTITION BY src ORDER BY d_e4, dst) AS rn
-           |    FROM sc$r) _r$r WHERE rn <= 16$pass)""".stripMargin
-      }
-      val chain = (1 to cap).map(r => s"${hop(r)}, ${round_(r)}").mkString(",\n")
-      val roundStats = (1 to cap).map(r =>
-        s"""UNION ALL SELECT 'sum_d_e4_it$r', v FROM
-           |  (SELECT CAST(sum(d_e4) AS BIGINT) AS v FROM e$r) _s$r
-           |  WHERE (SELECT it FROM itv) >= $r""".stripMargin).mkString("\n")
-      s"""WITH vv AS MATERIALIZED (SELECT vec_id AS id,
-         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         |  list_sum(list_transform(range(0, 8), p -> CASE WHEN
-         |    list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) *
-         |      ((((p * 64 + i) * 2654435761) % 4294967296) / 4294967296.0 - 0.5))) > 0
-         |    THEN CAST(2 ** p AS BIGINT) ELSE 0 END)) AS bucket
-         |  FROM embeddings),
-         |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM vv),
-         |itv AS MATERIALIZED (SELECT least($cap, greatest(2,
-         |  CAST(ceil(log2(CAST(n AS DOUBLE))) AS BIGINT) - 7)) AS it FROM nn),
-         |ring AS (SELECT id AS src, (((id + s * d) % n) + n) % n AS dst
-         |  FROM vv, nn, (VALUES (1), (-1)) ss(s), range(1, 9) dd(d)
-         |  WHERE (((id + s * d) % n) + n) % n <> id),
-         |br AS MATERIALIZED (SELECT id, bucket,
-         |  row_number() OVER (PARTITION BY bucket ORDER BY id) AS rk FROM vv),
-         |lsa AS (SELECT a.id AS src, b.id AS dst
-         |  FROM br a CROSS JOIN (VALUES (1), (-1), (2), (-2), (3), (-3),
-         |    (4), (-4), (5), (-5), (6), (-6), (7), (-7), (8), (-8)) oo(off)
-         |  JOIN br b ON b.bucket = a.bucket AND b.rk = a.rk + oo.off),
-         |init AS MATERIALIZED (SELECT DISTINCT src, dst FROM
-         |  (SELECT src, dst FROM ring UNION ALL SELECT src, dst FROM lsa) _i),
-         |${round_(0)},
-         |$chain,
+    // same count-derived sample. The chain itself (knnGraphChainSql)
+    // is an object-level member shared with recallMatrixOracle.
+    // gated per-round checksum rows (no row past the derived count)
+    val knnGraphRoundStatsSql = (1 to 10).map(r =>
+      s"""UNION ALL SELECT 'sum_d_e4_it$r', v FROM
+         |  (SELECT CAST(sum(d_e4) AS BIGINT) AS v FROM e$r) _s$r
+         |  WHERE (SELECT it FROM itv) >= $r""".stripMargin).mkString("\n")
+    val knnGraphNndescentOracle =
+      s"""WITH $knnGraphChainSql,
          |m AS (SELECT greatest(1, (n + 49) // 50) AS md FROM nn),
          |qs AS MATERIALIZED (SELECT id, v FROM vv, m
          |  WHERE ((id % md) + md) % md = 0),
-         |xc AS (SELECT q.id AS qid, e.id AS nb, ${l2e4("e.v", "q.v")} AS d_e4
+         |xc AS (SELECT q.id AS qid, e.id AS nb,
+         |  ${knnGraphL2e4("e.v", "q.v")} AS d_e4
          |  FROM vv e, qs q WHERE e.id <> q.id),
          |exact AS MATERIALIZED (SELECT qid, nb FROM (SELECT xc.*,
          |  row_number() OVER (PARTITION BY qid ORDER BY d_e4, nb) AS rn
          |  FROM xc) _x WHERE rn <= 8),
-         |mt AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM e$cap
-         |  JOIN exact ON e$cap.src = exact.qid AND e$cap.dst = exact.nb
-         |  WHERE e$cap.rank <= 8),
+         |mt AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM e10
+         |  JOIN exact ON e10.src = exact.qid AND e10.dst = exact.nb
+         |  WHERE e10.rank <= 8),
          |nq AS (SELECT CAST(count(*) AS BIGINT) AS q FROM qs)
          |SELECT 'n_nodes' AS stat, n AS v FROM nn
          |UNION ALL SELECT 'k_per_node', CAST(8 AS BIGINT) FROM nn
          |UNION ALL SELECT 'build_width', CAST(16 AS BIGINT) FROM nn
          |UNION ALL SELECT 'n_rounds', CAST(it AS BIGINT) FROM itv
          |UNION ALL SELECT 'sum_d_e4_init', CAST(sum(d_e4) AS BIGINT) FROM e0
-         |$roundStats
+         |$knnGraphRoundStatsSql
          |UNION ALL SELECT 'n_sample_queries', q FROM nq
          |UNION ALL SELECT 'recall_e4',
          |  CAST((mm * 10000) // (q * 8) AS BIGINT) FROM mt, nq
+         |ORDER BY stat""".stripMargin.replaceAll("\n", " ")
+    // graph SEARCH replay: same build chain, then the count-derived
+    // hop budget (ceil(ceil(log2 n)/3) for degree 8, clamped [2,6]),
+    // CAP=6 unrolled greedy beam-expansion hops with the same
+    // empty-passthrough gating — the frontier CTE is gated, so
+    // inactive hops never expand or score a candidate
+    val knnGraphSearchOracle = {
+      val hopStats = (1 to 6).map(r =>
+        s"""UNION ALL SELECT 'sum_d_e4_hop$r', v FROM
+           |  (SELECT CAST(sum(d_e4) AS BIGINT) AS v FROM st$r) _hs$r
+           |  WHERE (SELECT h FROM hv) >= $r""".stripMargin).mkString("\n")
+      s"""WITH $knnGraphChainSql,
+         |gg AS MATERIALIZED (SELECT src, dst FROM e10),
+         |m AS (SELECT greatest(1, (n + 49) // 50) AS md FROM nn),
+         |qq AS MATERIALIZED (SELECT id AS qid, v AS qv, bucket AS qbucket
+         |  FROM vv, m WHERE ((id % md) + md) % md = 0),
+         |$knnGraphSearchCtes,
+         |sxc AS (SELECT q.qid, e.id AS nb,
+         |  ${knnGraphL2e4("e.v", "q.qv")} AS d_e4
+         |  FROM vv e, qq q WHERE e.id <> q.qid),
+         |sexact AS MATERIALIZED (SELECT qid, nb FROM (SELECT sxc.*,
+         |  row_number() OVER (PARTITION BY qid ORDER BY d_e4, nb) AS rn
+         |  FROM sxc) _sx WHERE rn <= 8),
+         |smt AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM st6
+         |  JOIN sexact ON st6.qid = sexact.qid
+         |    AND st6.node = sexact.nb
+         |  WHERE st6.rank <= 8),
+         |snq AS (SELECT CAST(count(*) AS BIGINT) AS q FROM qq)
+         |SELECT 'n_nodes' AS stat, n AS v FROM nn
+         |UNION ALL SELECT 'k_per_node', CAST(8 AS BIGINT) FROM nn
+         |UNION ALL SELECT 'graph_degree', CAST(16 AS BIGINT) FROM nn
+         |UNION ALL SELECT 'beam_width', CAST(b AS BIGINT) FROM bv
+         |UNION ALL SELECT 'n_hops', CAST(h AS BIGINT) FROM hv
+         |UNION ALL SELECT 'sum_d_e4_hop0', CAST(sum(d_e4) AS BIGINT) FROM st0
+         |$hopStats
+         |UNION ALL SELECT 'n_sample_queries', q FROM snq
+         |UNION ALL SELECT 'recall_e4',
+         |  CAST((mm * 10000) // (q * 8) AS BIGINT) FROM smt, snq
          |ORDER BY stat""".stripMargin.replaceAll("\n", " ")
     }
     val knnGraphStatsOracle =
@@ -10273,6 +10467,7 @@ object SparkEntry {
       "events_window_topk" -> eventsWindowTopkOracle,
       "knn_graph_stats" -> knnGraphStatsOracle,
       "knn_graph_nndescent" -> knnGraphNndescentOracle,
+      "knn_graph_search" -> knnGraphSearchOracle,
       "knn_hubness" -> knnHubnessOracle,
       "eval_matched_sample" ->
         """WITH m AS (SELECT greatest(1, (count(*) + 63) // 64) AS md

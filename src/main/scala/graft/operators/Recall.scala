@@ -178,9 +178,25 @@ object Recall {
         idCol, "ivfpq", s"nprobe=$nprobe")
     }
 
+    // -- graph family: NN-descent build (count-derived rounds, width
+    //    16 — the HNSW-analog artifact) + greedy beam traversal at
+    //    the count-derived ef-style beam; served results = top-k of
+    //    the final beam plus the identity self-pair (the graph has no
+    //    self-edges; a served ANN always returns a corpus query
+    //    itself, and the exact baseline includes it) --
+    val gBuild = KnnGraph.nnDescentBuild(corpus, idCol, vecCol, 16)
+    val gq = gBuild.vecs.where(col("id") < nQueries)
+      .select(col("id").as("qid"), col("v").as("qv"),
+        col("bucket").as("qbucket"))
+    val graphRow = recallRow(exactEuc,
+      KnnGraph.beamSearch(gBuild.rounds.last, gBuild.vecs, gq, gBuild.n, k)
+        .select(col("qid"), col("node").as(idCol))
+        .unionByName(gq.select(col("qid"), col("qid").as(idCol))),
+      idCol, "graph", "beam=3log2n")
+
     Seq(lsh(8), lsh(6), ivf(1), ivf(2), ivf(4),
         pqAdc, pqRerank, sq8Codes, sq8Rerank, sq4Codes, sq4Rerank,
-        bqHam, bqRerank, ivfpq(2), ivfpq(4))
+        bqHam, bqRerank, ivfpq(2), ivfpq(4), graphRow)
       .reduce(_.unionByName(_))
       .orderBy(col("family"), col("budget"))
   }
