@@ -99,6 +99,11 @@ object RpKernels {
 
   def project(vec: ArrayData, isFloat: Boolean, k: Int): ArrayData = {
     val n = vec.numElements()
+    if (n > MaxDim) throw new IllegalArgumentException(
+      s"rp_project supports input widths up to $MaxDim dims, got $n: " +
+        "a wider vector would wrap plane p into plane p+1's Weyl-stream " +
+        "rows, silently reintroducing the plane-aliasing MaxDim exists " +
+        "to prevent")
     val out = new Array[Double](k)
     var p = 0
     while (p < k) {
@@ -120,7 +125,8 @@ object RpKernels {
 /** Johnson–Lindenstrauss dense random projection (codegen'd): maps
   * array<float|double> of any width to array<double> of k components,
   * y_p = dot(vec, plane_p), with [[RpKernels]]' overlap-free plane
-  * indexing (stride MaxDim=2048, valid for any input width — unlike
+  * indexing (stride MaxDim=2048, valid for any input width up to
+  * MaxDim dims; wider inputs are rejected rather than aliased — unlike
   * [[LshSignature]]'s 64-anchored stride). Plane entries are uniform in
   * [-0.5, 0.5) (variance 1/12), so E[l2²(y_a, y_b)] =
   * (k/12) · l2²(x_a, x_b) — distances are preserved up to the JL

@@ -51,8 +51,12 @@ object Coreset {
     var centers = sample.orderBy(col("id")).limit(1)
       .select(col("id").as("cid"), col("v").as("cv"))
       .coalesce(1).localCheckpoint(eager = true)
+    val seed = centers.collect()
+    require(seed.nonEmpty,
+      "kcenter requires a non-empty sample: no seed point to start the " +
+        "farthest-first traversal from")
     val steps = Seq.newBuilder[(Int, Long, Long)]
-    steps += ((0, centers.head().getLong(0), 0L))
+    steps += ((0, seed.head.getLong(0), 0L))
     var step = 1
     var exhausted = false
     while (step <= rounds && !exhausted) {

@@ -65,8 +65,16 @@ object UpsertSink {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$BatchCol=$batchId")
     val fs = p.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+    val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+    if (!fs.exists(marker)) {
       batch.write.mode(SaveMode.Overwrite).parquet(p.toString)
+      // Write the marker ourselves rather than trusting the Hadoop
+      // committer's marksuccessfuljobs setting: with that config off the
+      // committer skips _SUCCESS and every good batch would be invisible
+      // to read()'s gate. create(overwrite=true) is a no-op byte-wise if
+      // the committer already wrote it.
+      fs.create(marker, true).close()
+    }
   }
 
   /** Current store state: for every key the row from the HIGHEST

@@ -49,6 +49,19 @@ class AnnScaleSpec extends AnyFunSuite {
     assert(out.getDouble(1) === expected)
   }
 
+  test("rp_project: inputs wider than MaxDim are rejected, not aliased") {
+    // past MaxDim the Weyl-stream index p*MaxDim + j wraps into plane
+    // p+1's rows — exactly the aliasing the stride exists to prevent —
+    // so the kernel must refuse rather than silently degrade
+    val M = graft.functions.RpKernels.MaxDim
+    val wide = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.fill[Any](M + 1)(0.0f))
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.RpKernels.project(wide, isFloat = true, k = 2)
+    }
+    assert(e.getMessage.contains(s"up to $M"), e.getMessage)
+  }
+
   test("rp_project: JL mean distance ratio near 1, runs codegen'd") {
     val e = Tables.load(spark, sf, "embeddings").limit(64)
     val proj = e.select(col("vec_id"),

@@ -20,6 +20,14 @@ class CoresetSpec extends AnyFunSuite {
     assert(r == Seq((0, 0L, 0L), (1, 9L, 100000L), (2, 5L, 50000L)))
   }
 
+  test("kcenter on an empty sample is a contract error, not head() crash") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Coreset.kcenter(empty, rounds = 3)
+    }
+    assert(e.getMessage.contains("non-empty sample"), e.getMessage)
+  }
+
   test("kcenter radius trajectory is monotone nonincreasing") {
     val sample = (0L until 40L)
       .map(i => (i, Seq((i % 7).toDouble, (i % 11).toDouble)))

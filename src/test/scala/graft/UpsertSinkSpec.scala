@@ -152,4 +152,24 @@ class UpsertSinkSpec extends AnyFunSuite {
       assert(got === want)
     } finally rm(tmp)
   }
+
+  test("commit writes _SUCCESS itself even with marksuccessfuljobs off") {
+    // read()'s gate and commit()'s replay no-op both key off _SUCCESS;
+    // if only the Hadoop committer wrote it, flipping
+    // marksuccessfuljobs=false would make every good batch invisible
+    val dir = tmpDir()
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = hc.get(key)
+    try {
+      hc.set(key, "false")
+      UpsertSink.commit(dir, df(Seq(1L -> "a")), 0L)
+      assert(new java.io.File(
+        s"$dir/${UpsertSink.BatchCol}=0/_SUCCESS").exists())
+      assert(state(dir) === Seq(1L -> "a"))
+    } finally {
+      if (prev == null) hc.unset(key) else hc.set(key, prev)
+      rm(dir)
+    }
+  }
 }
