@@ -1967,6 +1967,77 @@ object SparkEntry {
         .orderBy(col("stat"))
     }),
 
+    // -- incremental graph MAINTENANCE (the hnsw.go:145 Add analog,
+    //    the last HNSW behavior: KnnGraph.appendBatch has the
+    //    algorithm + 100 TB shape): split the corpus into a dense
+    //    base prefix and a count-derived ~1/16 ingest batch, build
+    //    the NN-descent graph on the BASE only, then append the
+    //    batch by (1) routing every new vector through the existing
+    //    graph with the task-2 beam search (count-derived beam/hops
+    //    from the BASE count) and keeping its top-degree neighbors,
+    //    (2) bidirectional linking via symmetrized candidates, (3)
+    //    ONE NN-descent re-refine round over the TOUCHED nodes only
+    //    (new ids ∪ probed base ids) with a top-degree prune —
+    //    HNSW's shrink-to-M, plus the neighbor-of-neighbor pass that
+    //    lets batch inserts discover each other. Untouched base
+    //    lists survive verbatim. Output: the append audit (probe /
+    //    final checksums, touched count) + recall@8 of the NEW
+    //    nodes' lists vs exact kNN over the FULL corpus — the
+    //    "append == fresh build" quality readout --
+    "knn_graph_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val kb = 16 // maintained degree = build width (HNSW's M)
+      val nTot = e.count()
+      val idCut = nTot - math.max(1L, nTot / 16L)
+      val base = e.where(col("vec_id") < idCut)
+      val build = graft.operators.KnnGraph
+        .nnDescentBuild(base, "vec_id", "embedding", kb)
+      val n = build.n
+      val batch = e.where(col("vec_id") >= idCut)
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"), _.cast("double")).as("qv"),
+          graft.operators.Ann.lshSignature(col("embedding"), 8)
+            .as("qbucket"))
+      val app = graft.operators.KnnGraph.appendBatch(build, batch, kb)
+      val beam = graft.operators.KnnGraph.adaptiveBeam(n)
+      val hops = graft.operators.KnnGraph.adaptiveHops(n, 8)
+      def stat(name: String, agg: Column, df: DataFrame): DataFrame =
+        df.agg(agg.cast("bigint").as("v"))
+          .select(lit(name).as("stat"), col("v"))
+      val qs = batch.select(col("qid"), col("qv"))
+      val exact = app.allVecs.crossJoin(broadcast(qs))
+        .where(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"),
+          round(VectorFunctions.vec_l2(col("v"), col("qv")) * 1e4)
+            .cast("bigint").as("d_e4"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg
+          .topk_pairs(col("d_e4").cast("double"), col("id"), 8).as("tk"))
+        .select(col("qid").as("eqid"), explode(col("tk")).as("pair"))
+        .select(col("eqid"), col("pair.id").as("nb"))
+      val matchCnt = app.graph
+        .where(col("src") >= idCut && col("rank") <= 8)
+        .join(exact, col("src") === col("eqid") && col("dst") === col("nb"),
+          "left_semi")
+        .agg(count(lit(1)).as("m"))
+      val recall = matchCnt
+        .crossJoin(qs.agg(count(lit(1)).as("nq")))
+        .select(lit("recall_new_e4").as("stat"),
+          expr("(m * 10000) div (nq * 8)").as("v"))
+      Seq(stat("n_nodes_base", lit(n), e.limit(1)),
+        stat("n_nodes_new", count(lit(1)), qs),
+        stat("graph_degree", lit(kb.toLong), e.limit(1)),
+        stat("beam_width", lit(beam.toLong), e.limit(1)),
+        stat("n_hops", lit(hops.toLong), e.limit(1)),
+        stat("n_touched", count(lit(1)), app.touched),
+        stat("sum_d_e4_probe", sum(col("d_e4")), app.probe),
+        stat("n_edges_final", count(lit(1)), app.graph),
+        stat("sum_d_e4_final", sum(col("d_e4")), app.graph),
+        recall)
+        .reduce(_.unionByName(_))
+        .orderBy(col("stat"))
+    }),
+
     // -- JSON property extraction over the events props column:
     //    get_json_object path extraction (codegen'd) + per-type
     //    integer stats — the schema-drift audit a semi-structured
@@ -6980,7 +7051,26 @@ object SparkEntry {
     * prefix per reference — exponential in round count. Used by the
     * build oracle, the search oracle and the recall-matrix oracle.
     */
-  private lazy val knnGraphChainSql: String = {
+  /** The 8-plane LSH bucket of an embedding list column in DuckDB
+    * list algebra — the exact arithmetic Ann.lshSignature replays
+    * (64-anchored stride, the pinned oracle contract).
+    */
+  private def knnGraphBucketSql(e: String): String =
+    s"""list_sum(list_transform(range(0, 8), p -> CASE WHEN
+       |    list_sum(list_transform($e, (x, i) -> CAST(x AS DOUBLE) *
+       |      ((((p * 64 + i) * 2654435761) % 4294967296) / 4294967296.0 - 0.5))) > 0
+       |    THEN CAST(2 ** p AS BIGINT) ELSE 0 END))""".stripMargin
+
+  private lazy val knnGraphChainSql: String =
+    knnGraphChainSqlFrom("embeddings")
+
+  /** [[knnGraphChainSql]] with the corpus source parameterized — the
+    * append oracle builds the SAME chain over the base id-range
+    * subset (`src` any table expression exposing vec_id, embedding);
+    * nn and every count-derived knob then derive from the SUBSET
+    * count, exactly like a Scala-side nnDescentBuild over the subset.
+    */
+  private def knnGraphChainSqlFrom(src: String): String = {
     val cap = 10
     def hop(r: Int): String =
       s"""u$r AS (SELECT src, dst FROM e${r - 1}
@@ -7007,11 +7097,8 @@ object SparkEntry {
     val chain = (1 to cap).map(r => s"${hop(r)}, ${round_(r)}").mkString(",\n")
     s"""vv AS MATERIALIZED (SELECT vec_id AS id,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-       |  list_sum(list_transform(range(0, 8), p -> CASE WHEN
-       |    list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) *
-       |      ((((p * 64 + i) * 2654435761) % 4294967296) / 4294967296.0 - 0.5))) > 0
-       |    THEN CAST(2 ** p AS BIGINT) ELSE 0 END)) AS bucket
-       |  FROM embeddings),
+       |  ${knnGraphBucketSql("embedding")} AS bucket
+       |  FROM $src),
        |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM vv),
        |itv AS MATERIALIZED (SELECT least($cap, greatest(2,
        |  CAST(ceil(log2(CAST(n AS DOUBLE))) AS BIGINT) - 7)) AS it FROM nn),
@@ -8255,6 +8342,72 @@ object SparkEntry {
          |UNION ALL SELECT 'n_sample_queries', q FROM snq
          |UNION ALL SELECT 'recall_e4',
          |  CAST((mm * 10000) // (q * 8) AS BIGINT) FROM smt, snq
+         |ORDER BY stat""".stripMargin.replaceAll("\n", " ")
+    }
+    // append replay: the SAME build chain over the base id-range
+    // subset (count-derived cut nt - max(1, nt//16); nn and every
+    // derived knob then come from the BASE count, like the Scala
+    // build), the SAME search CTEs with qq = the new batch, then the
+    // link + one gated re-refine round over touched nodes and the
+    // full-corpus exact-kNN recall of the new nodes' final lists
+    val knnGraphAppendOracle = {
+      s"""WITH nf AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM embeddings),
+         |cutv AS (SELECT nt - greatest(1, nt // 16) AS cut FROM nf),
+         |${knnGraphChainSqlFrom(
+            "(SELECT vec_id, embedding FROM embeddings, cutv WHERE vec_id < cut)")},
+         |gg AS MATERIALIZED (SELECT src, dst FROM e10),
+         |qq AS MATERIALIZED (SELECT vec_id AS qid,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+         |  ${knnGraphBucketSql("embedding")} AS qbucket
+         |  FROM embeddings, cutv WHERE vec_id >= cut),
+         |$knnGraphSearchCtes,
+         |nl AS MATERIALIZED (SELECT qid AS src, node AS dst, d_e4
+         |  FROM st6 WHERE rank <= 16),
+         |ag AS (SELECT src, dst FROM e10
+         |  UNION ALL SELECT src, dst FROM nl),
+         |tch AS MATERIALIZED (SELECT DISTINCT src AS id FROM nl
+         |  UNION SELECT DISTINCT dst AS id FROM nl),
+         |av AS MATERIALIZED (SELECT id, v FROM vv
+         |  UNION ALL SELECT qid AS id, qv AS v FROM qq),
+         |au AS MATERIALIZED (SELECT src, dst FROM ag
+         |  UNION SELECT dst AS src, src AS dst FROM ag),
+         |acn AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT u.src, u.dst FROM au u JOIN tch ON u.src = tch.id
+         |  UNION ALL
+         |  SELECT a.src, b.dst FROM au a JOIN tch ON a.src = tch.id
+         |    JOIN au b ON a.dst = b.src) _ac WHERE src <> dst),
+         |asc1 AS MATERIALIZED (SELECT c.src, c.dst,
+         |  ${knnGraphL2e4("x.v", "y.v")} AS d_e4
+         |  FROM acn c JOIN av x ON c.src = x.id JOIN av y ON c.dst = y.id),
+         |aref AS MATERIALIZED (SELECT src, dst, d_e4, rn AS rank
+         |  FROM (SELECT asc1.*,
+         |    row_number() OVER (PARTITION BY src ORDER BY d_e4, dst) AS rn
+         |    FROM asc1) _ar WHERE rn <= 16),
+         |afin AS MATERIALIZED (
+         |  SELECT e10.src, e10.dst, e10.d_e4, e10.rank FROM e10
+         |    WHERE NOT EXISTS (SELECT 1 FROM tch WHERE tch.id = e10.src)
+         |  UNION ALL SELECT src, dst, d_e4, rank FROM aref),
+         |axc AS (SELECT q.qid, w.id AS nb,
+         |  ${knnGraphL2e4("w.v", "q.qv")} AS d_e4
+         |  FROM av w, qq q WHERE w.id <> q.qid),
+         |aex AS MATERIALIZED (SELECT qid, nb FROM (SELECT axc.*,
+         |  row_number() OVER (PARTITION BY qid ORDER BY d_e4, nb) AS rn
+         |  FROM axc) _ax WHERE rn <= 8),
+         |amt AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM afin
+         |  JOIN aex ON afin.src = aex.qid AND afin.dst = aex.nb
+         |  WHERE afin.rank <= 8),
+         |anq AS (SELECT CAST(count(*) AS BIGINT) AS q FROM qq)
+         |SELECT 'n_nodes_base' AS stat, n AS v FROM nn
+         |UNION ALL SELECT 'n_nodes_new', q FROM anq
+         |UNION ALL SELECT 'graph_degree', CAST(16 AS BIGINT) FROM nn
+         |UNION ALL SELECT 'beam_width', CAST(b AS BIGINT) FROM bv
+         |UNION ALL SELECT 'n_hops', CAST(h AS BIGINT) FROM hv
+         |UNION ALL SELECT 'n_touched', CAST(count(*) AS BIGINT) FROM tch
+         |UNION ALL SELECT 'sum_d_e4_probe', CAST(sum(d_e4) AS BIGINT) FROM nl
+         |UNION ALL SELECT 'n_edges_final', CAST(count(*) AS BIGINT) FROM afin
+         |UNION ALL SELECT 'sum_d_e4_final', CAST(sum(d_e4) AS BIGINT) FROM afin
+         |UNION ALL SELECT 'recall_new_e4',
+         |  CAST((mm * 10000) // (q * 8) AS BIGINT) FROM amt, anq
          |ORDER BY stat""".stripMargin.replaceAll("\n", " ")
     }
     val knnGraphStatsOracle =
@@ -10468,6 +10621,7 @@ object SparkEntry {
       "knn_graph_stats" -> knnGraphStatsOracle,
       "knn_graph_nndescent" -> knnGraphNndescentOracle,
       "knn_graph_search" -> knnGraphSearchOracle,
+      "knn_graph_append" -> knnGraphAppendOracle,
       "knn_hubness" -> knnHubnessOracle,
       "eval_matched_sample" ->
         """WITH m AS (SELECT greatest(1, (count(*) + 63) // 64) AS md

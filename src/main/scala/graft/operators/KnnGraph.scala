@@ -296,4 +296,85 @@ object KnnGraph {
       hops: Int = Adaptive): DataFrame =
     beamSearchRounds(graph, vecs, queries, n, beam, hops, degree = k).last
       .where(col("rank") <= k)
+
+  /** Everything [[appendBatch]] produces: the appended graph (same
+    * (src, dst, d_e4, rank) shape as [[Build.rounds]]), the probe
+    * lists the new nodes routed to, the touched node-id frame (new
+    * ids ∪ base ids a new node linked to) and the unioned (id, v)
+    * vector frame covering base + batch.
+    */
+  final case class Appended(graph: DataFrame, probe: DataFrame,
+      touched: DataFrame, allVecs: DataFrame)
+
+  /** Incremental graph maintenance — the hnsw.go:145 `Add` analog,
+    * batch-shaped: instead of inserting points one at a time into an
+    * in-memory graph, append a whole ingest batch by
+    *
+    *   1. PROBE: route every new vector through the existing graph
+    *      with [[beamSearchRounds]] (count-derived beam/hops from the
+    *      BASE corpus count) and keep its top-`degree` base
+    *      neighbors — HNSW's "find the M nearest" step, for the whole
+    *      batch in one traversal;
+    *   2. LINK: union the probe lists into the edge set. Symmetrized
+    *      candidate generation in step 3 sees each probe edge in BOTH
+    *      directions, which is HNSW's bidirectional link;
+    *   3. RE-REFINE + PRUNE: one NN-descent round restricted to the
+    *      TOUCHED nodes (new ids ∪ base ids probed into) — candidates
+    *      = sym ∪ sym∘sym from touched sources, exact integer-e4
+    *      re-score, top-`degree` cut. This is HNSW's shrink-to-M
+    *      prune, plus one neighbor-of-neighbor pass that lets new
+    *      nodes discover each OTHER through shared base neighbors
+    *      (batch inserts can be mutual nearest neighbors). Untouched
+    *      base nodes keep their lists verbatim.
+    *
+    * Scale shape: probe work is O(|batch|·beam·degree) per hop keyed
+    * by qid; touched is ≤ |batch|·(degree+1) ids, so the re-refine
+    * round is O(|batch|·degree³) distances keyed by node id — all
+    * INDEPENDENT of the base corpus size; base-sized frames (edges,
+    * vecs) only ever join on their keyed side. The batch itself rides
+    * the query broadcast, so it must be ingest-micro-batch-sized, not
+    * corpus-sized — the same contract every other index family's
+    * append (Ann.appendToIvf) carries.
+    *
+    * Deterministic end to end (integer e4 distances, id ties,
+    * count-derived budgets) — unrolled-CTE-replayable like the build.
+    *
+    * @param build  the base-corpus [[Build]] (graph served at full
+    *               width: rounds.last, all ranks)
+    * @param batch  (qid, qv, qbucket) new vectors; qids must be
+    *               disjoint from the base id space (the natural state
+    *               when base ids are dense in [0, n) and new ids
+    *               continue upward)
+    * @param degree neighbor-list width of the maintained graph (the
+    *               build width / HNSW's M)
+    */
+  def appendBatch(build: Build, batch: DataFrame, degree: Int,
+      beam: Int = Adaptive, hops: Int = Adaptive): Appended = {
+    val probe = beamSearchRounds(build.rounds.last, build.vecs, batch,
+      build.n, beam, hops).last
+      .where(col("rank") <= degree)
+      .select(col("qid").as("src"), col("node").as("dst"), col("d_e4"))
+      .localCheckpoint(true)
+    val allVecs = build.vecs.select(col("id"), col("v"))
+      .unionByName(batch.select(col("qid").as("id"), col("qv").as("v")))
+    val baseGraph = build.rounds.last
+    val ag = baseGraph.select(col("src"), col("dst"))
+      .unionByName(probe.select(col("src"), col("dst")))
+    val touched = probe.select(col("src").as("id"))
+      .unionByName(probe.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val u = sym(ag)
+    val ut = u.join(touched.select(col("id").as("src")), Seq("src"),
+      "left_semi")
+    val hop = ut.as("a")
+      .join(u.select(col("src").as("mid"), col("dst").as("far")).as("b"),
+        col("a.dst") === col("b.mid"))
+      .select(col("a.src").as("src"), col("far").as("dst"))
+    val cands = ut.unionByName(hop)
+      .where(col("src") =!= col("dst")).distinct()
+    val refined = topK(cands, allVecs, degree)
+    val kept = baseGraph.join(touched.select(col("id").as("src")),
+      Seq("src"), "left_anti")
+    Appended(kept.unionByName(refined), probe, touched, allVecs)
+  }
 }

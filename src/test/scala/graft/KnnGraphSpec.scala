@@ -112,6 +112,63 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(KnnGraph.adaptiveIters(Int.MaxValue.toLong * 4) === 10) // cap
   }
 
+  test("appendBatch: full degree everywhere, untouched lists verbatim, " +
+      "append quality tracks a fresh build") {
+    val n = emb.count()
+    val cut = n - math.max(1L, n / 16L) // the knn_graph_append split
+    val base = emb.where(col("vec_id") < cut)
+    val build = KnnGraph.nnDescentBuild(base, "vec_id", "embedding", 16)
+    val batch = emb.where(col("vec_id") >= cut)
+      .select(col("vec_id").as("qid"),
+        transform(col("embedding"), _.cast("double")).as("qv"),
+        graft.operators.Ann.lshSignature(col("embedding"), 8)
+          .as("qbucket"))
+    val app = KnnGraph.appendBatch(build, batch, 16)
+    // structure: every node of the appended graph (base AND new)
+    // carries exactly 16 ranked neighbors, never itself
+    assert(app.graph.count() === n * 16)
+    assert(app.graph.where(col("src") === col("dst")).count() === 0)
+    val bad = app.graph.groupBy(col("src"))
+      .agg(count(lit(1)).as("c"), min(col("rank")).as("lo"),
+        max(col("rank")).as("hi"))
+      .where(col("c") =!= 16 || col("lo") =!= 1 || col("hi") =!= 16)
+    assert(bad.count() === 0)
+    // untouched base nodes keep their built lists verbatim
+    val untouchedChanged = build.rounds.last
+      .join(app.touched.select(col("id").as("src")), Seq("src"),
+        "left_anti")
+      .join(app.graph, Seq("src", "dst", "d_e4", "rank"), "left_anti")
+    assert(untouchedChanged.count() === 0)
+    // quality: recall@8 of the NEW nodes' appended lists vs exact kNN
+    // over the FULL corpus stays within a band of what a fresh
+    // whole-corpus build gives those same nodes — append must not
+    // quietly ship a much worse graph than a rebuild would
+    def exactTop8(qs: org.apache.spark.sql.DataFrame) =
+      app.allVecs.crossJoin(broadcast(qs))
+        .where(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"),
+          round(graft.functions.VectorFunctions
+            .vec_l2(col("v"), col("qv")) * 1e4).cast("bigint").as("d"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg
+          .topk_pairs(col("d").cast("double"), col("id"), 8).as("tk"))
+        .select(col("qid").as("eqid"), explode(col("tk")).as("p"))
+        .select(col("eqid"), col("p.id").as("nb"))
+    val exact = exactTop8(batch.select(col("qid"), col("qv")))
+      .localCheckpoint(true)
+    def recallOf(lists: org.apache.spark.sql.DataFrame): Double =
+      lists.join(exact, col("src") === col("eqid") &&
+        col("dst") === col("nb"), "left_semi").count().toDouble /
+        exact.count()
+    val appended = recallOf(
+      app.graph.where(col("src") >= cut && col("rank") <= 8))
+    val fresh = recallOf(
+      KnnGraph.nnDescent(emb, "vec_id", "embedding", k = 16)
+        .where(col("src") >= cut && col("rank") <= 8))
+    assert(appended >= fresh - 0.15 && appended > 0.4,
+      s"append recall@8 $appended vs fresh $fresh")
+  }
+
   test("recall@8 vs exact kNN sits in the measured honest band") {
     // exact top-8 per node by the same integer e4 metric
     val vecs = emb.select(col("vec_id"),

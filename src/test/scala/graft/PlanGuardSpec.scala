@@ -678,6 +678,28 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(hashExchanges(p) <= 1, p)
   }
 
+  test("knn_graph appendBatch: refine is id-keyed with TopKPairs partials") {
+    // the build and probe localCheckpoint away; the visible appended-
+    // graph plan is the touched-node re-refine — candidate generation
+    // and re-scoring must be equi-joins on node ids with the bounded-
+    // heap aggregate folding map-side, never a cartesian
+    import org.apache.spark.sql.functions.{col, transform => atransform}
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val n = emb.count()
+    val cut = n - math.max(1L, n / 16L)
+    val build = graft.operators.KnnGraph.nnDescentBuild(
+      emb.where(col("vec_id") < cut), "vec_id", "embedding", 16)
+    val batch = emb.where(col("vec_id") >= cut)
+      .select(col("vec_id").as("qid"),
+        atransform(col("embedding"), _.cast("double")).as("qv"),
+        graft.operators.Ann.lshSignature(col("embedding"), 8)
+          .as("qbucket"))
+    val p = graft.operators.KnnGraph.appendBatch(build, batch, 16)
+      .graph.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_topk_pairs"), p)
+  }
+
   test("vocab_heaps: no cartesian, bounded decile window") {
     // the only global-ordered window runs on the bounded 10-row
     // decile frame (vocab_coverage contract)
