@@ -63,11 +63,19 @@ object SparkEntry {
   private def sqlL2(vec: String, cent: String): String =
     s"sqrt(list_sum(list_transform($vec, (x, j) -> (x - $cent[j]) * (x - $cent[j]))))"
 
-  private def kmeansCtes(k: Int, iters: Int, sampleMod: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, sampleMod: Int): String =
+    kmeansCtesMod(k, iters, sampleMod.toString)
+
+  /** [[kmeansCtes]] with the training-sample modulus as a SQL
+    * expression — cluster_elbow derives its mod from count(*)
+    * (a `(SELECT md FROM tmod)` scalar subquery), the fixed-mod
+    * callers pass the literal through [[kmeansCtes]] unchanged.
+    */
+  private def kmeansCtesMod(k: Int, iters: Int, modSql: String): String = {
     val seed =
       s"""sv AS (SELECT vec_id AS id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings WHERE vec_id % $sampleMod = 0),
+         |  FROM embeddings WHERE vec_id % ($modSql) = 0),
          |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster,
          |  v AS centroid FROM (SELECT id, v FROM sv ORDER BY id LIMIT $k) _s)"""
         .stripMargin
@@ -4829,22 +4837,24 @@ object SparkEntry {
 
     // -- SSE-vs-k elbow curve: the model-selection read BEFORE
     //    committing an IVF/cluster layout — Lloyd's at k=2/4/8/16
-    //    (same 3-iter/mod-2 sample training as dedup_semantic), SSE
-    //    over the FULL corpus as an integer sum of per-vector
-    //    CAST(round(d²·1e6) AS BIGINT) terms (order-free; a double
-    //    SSE would be partition-order-dependent). Per k: broadcast
-    //    ≤16-row centroid frame, min-distance fold map-side — the
-    //    exchange carries n rows per k, never n×k --
+    //    trained in ONE multi-k chain (Ann.kmeansMulti: per
+    //    iteration a single sample scan against the k-tagged
+    //    centroid broadcast — 3 jobs, not 12 sequential trainings;
+    //    numerically identical per k), on a COUNT-DERIVED ~1024-row
+    //    training sample (mod = max(2, ⌈n/1024⌉) — flat training
+    //    cost at any SF; mod 2 at the test SFs, so small-corpus
+    //    results are unchanged). SSE over the FULL corpus as an
+    //    integer sum of per-vector CAST(round(d²·1e6) AS BIGINT)
+    //    terms (order-free; a double SSE would be
+    //    partition-order-dependent). The four SSE passes share ONE
+    //    corpus scan: the 2+4+8+16=30 centroids ride a single
+    //    k-tagged broadcast, min folds per (k, vec) --
     "cluster_elbow" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      // trainings are sequential (Lloyd's is iterative) but the four
-      // SSE passes share ONE corpus scan: the 2+4+8+16=30 centroids
-      // ride a single broadcast with a k tag, min folds per (k, vec)
-      val allCents = Seq(2, 4, 8, 16).map { k =>
-        Ann.kmeans(e, "vec_id", "embedding",
-            k = k, iters = 3, trainSampleMod = 2)
-          .select(lit(k).as("k"), col("centroid"))
-      }.reduce(_.unionByName(_))
+      val n = e.count()
+      val trainMod = math.max(2L, (n + 1023L) / 1024L)
+      val allCents = Ann.kmeansMulti(e, "vec_id", "embedding",
+        ks = Seq(2, 4, 8, 16), iters = 3, trainSampleMod = trainMod)
       e.select(col("vec_id"),
           transform(col("embedding"), _.cast("double")).as("v"))
         .crossJoin(broadcast(allCents))
@@ -7595,7 +7605,10 @@ object SparkEntry {
       // the sv/c0../a1.. CTE names from colliding across k)
       val blocks = Seq(2, 4, 8, 16).map { k =>
         s"""SELECT * FROM (
-           |WITH ${kmeansCtes(k = k, iters = 3, sampleMod = 2)},
+           |WITH tmod AS (SELECT greatest(2,
+           |  (CAST(count(*) AS BIGINT) + 1023) // 1024) AS md
+           |  FROM embeddings),
+           |${kmeansCtesMod(k = k, iters = 3, "(SELECT md FROM tmod)")},
            |ev AS (SELECT vec_id,
            |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            |  FROM embeddings),

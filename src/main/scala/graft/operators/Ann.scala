@@ -191,6 +191,56 @@ object Ann {
     * pass). The id-mod sample (not `.sample()`) keeps the result
     * reproducible across runs for the driver's rows-only check.
     */
+  /** Multi-k Lloyd's: train EVERY k in `ks` inside the same jobs —
+    * per iteration ONE sample scan against a k-tagged centroid
+    * broadcast (assignment groups by (k, id), recentering by (k,
+    * cluster, pos)), instead of |ks| sequential training chains.
+    * Numerically identical per k to [[kmeans]] at the same
+    * iters/sample: same first-k-by-id seed rule, same (distance,
+    * cluster) tie-break, same per-iteration 1e-6 centroid snap — a
+    * model-selection sweep (cluster_elbow) trains its whole k grid
+    * for the wall-clock of one chain. Returns (k, cluster, centroid).
+    */
+  def kmeansMulti(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      ks: Seq[Int], iters: Int = 5, trainSampleMod: Long = 1): DataFrame = {
+    require(ks.nonEmpty, "kmeansMulti needs at least one k")
+    import corpus.sparkSession.implicits._
+    val all = corpus.select(col(idCol).as("_id"),
+      transform(col(vecCol), _.cast("double")).as("_v"))
+    val vecs =
+      if (trainSampleMod > 1) all.where(col("_id") % trainSampleMod === 0)
+      else all
+    val seedBase = vecs.orderBy(col("_id")).limit(ks.max)
+      .select(
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("_id"))) - 1).as("cluster"),
+        col("_v").as("centroid"))
+    var cents = ks.toDF("k").crossJoin(seedBase)
+      .where(col("cluster") < col("k"))
+      .select(col("k"), col("cluster"), col("centroid"))
+      .coalesce(1).localCheckpoint(eager = true)
+    for (_ <- 0 until iters) {
+      val assigned = vecs.crossJoin(broadcast(cents))
+        .withColumn("_d", VectorFunctions.vec_l2(col("_v"), col("centroid")))
+        .groupBy(col("k"), col("_id"))
+        .agg(min_by(struct(col("cluster"), col("_v")),
+          struct(col("_d"), col("cluster"))).as("_m"))
+        .select(col("k"), col("_m.cluster").as("cluster"),
+          col("_m._v").as("_v"))
+      cents = assigned
+        .select(col("k"), col("cluster"), posexplode(col("_v")))
+        .groupBy(col("k"), col("cluster"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("m"))
+        .groupBy(col("k"), col("cluster"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+        .coalesce(1).localCheckpoint(eager = true)
+    }
+    cents
+  }
+
   def kmeans(
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 5, trainSampleMod: Long = 1): DataFrame = {

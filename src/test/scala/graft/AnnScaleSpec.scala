@@ -49,6 +49,26 @@ class AnnScaleSpec extends AnyFunSuite {
     assert(out.getDouble(1) === expected)
   }
 
+  test("kmeansMulti == kmeans per k: same seeds, ties, centroid snap") {
+    // the multi-k chain must be numerically identical to |ks|
+    // independent chains — the elbow oracle replays the per-k CTEs,
+    // so any divergence (seed rule, tie-break, rounding) fails there
+    // at 10x the debugging cost; pin it here directly
+    val e = Tables.load(spark, sf, "embeddings")
+    val multi = Ann.kmeansMulti(e, "vec_id", "embedding",
+        ks = Seq(2, 4, 8), iters = 2, trainSampleMod = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .toSet
+    val single = Seq(2, 4, 8).flatMap { k =>
+      Ann.kmeans(e, "vec_id", "embedding", k = k, iters = 2,
+          trainSampleMod = 2)
+        .collect()
+        .map(r => (k, r.getInt(0), r.getSeq[Double](1)))
+    }.toSet
+    assert(multi === single)
+  }
+
   test("rp_project: inputs wider than MaxDim are rejected, not aliased") {
     // past MaxDim the Weyl-stream index p*MaxDim + j wraps into plane
     // p+1's rows — exactly the aliasing the stride exists to prevent —
