@@ -86,8 +86,10 @@ object SparkEntry {
          |      ORDER BY ${sqlL2("sv.v", "c.centroid")}, c.cluster) AS rn
          |  FROM sv, c${i - 1} c) _a$i WHERE rn = 1),
          |c$i AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM (
-         |  SELECT cluster, j - 1 AS pos, round(avg(v[j]), 6) AS m
-         |  FROM a$i, range(1, 65) _r(j) GROUP BY cluster, j) _c$i
+         |  SELECT cluster, j - 1 AS pos, round(avg(x), 6) AS m
+         |  FROM (SELECT cluster, unnest(v) AS x,
+         |    unnest(range(1, len(v) + 1)) AS j FROM a$i) _u$i
+         |  GROUP BY cluster, j) _c$i
          |  GROUP BY cluster)""".stripMargin
     }
     (seed +: steps).mkString(",\n")
