@@ -5402,8 +5402,14 @@ object SparkEntry {
     //    per-delay watermark trajectories are unchanged while the
     //    harness constant is paid once, not three times --
     "streaming_late_sweep" -> ((s, dir) =>
+      // nBatches = 2: the sweep's job is the DELAY CURVE (three
+      // watermark configs over one shared ingest, drained
+      // concurrently), not arrival-simulation richness — one
+      // watermark gate demonstrates the curve at 3/4 of the drain
+      // rounds; streaming_late_audit keeps the full 3-batch
+      // simulation with exact replay
       graft.streaming.EventStream
-        .lateDataAuditSweepDrain(s, dir, Seq(1, 96, 240))),
+        .lateDataAuditSweepDrain(s, dir, Seq(1, 96, 240), nBatches = 2)),
 
     // -- product quantization ANN (8 bytes/vector ADC search);
     //    trained codebooks, fully oracled via pqKmeansCtes. Codebooks
@@ -9757,8 +9763,8 @@ object SparkEntry {
           |mm AS (SELECT min(us) AS mn, max(us) - min(us) + 1 AS span FROM ev),
           |evb AS (SELECT e.us,
           |  CASE WHEN e.event_id % 17 = 0
-          |    THEN least(2, least(2, ((e.us - mm.mn) * 3) // mm.span) + 1)
-          |    ELSE least(2, ((e.us - mm.mn) * 3) // mm.span) END AS b
+          |    THEN least(1, least(1, ((e.us - mm.mn) * 2) // mm.span) + 1)
+          |    ELSE least(1, ((e.us - mm.mn) * 2) // mm.span) END AS b
           |  FROM ev e CROSS JOIN mm),
           |mx AS (SELECT b, max(us // 1000) AS mxms FROM evb GROUP BY b),
           |wm AS (SELECT b, max(mxms) OVER (ORDER BY b

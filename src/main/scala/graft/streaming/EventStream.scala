@@ -355,15 +355,28 @@ object EventStream {
       df.select(cols: _*).coalesce(1).write.mode("append").parquet(incoming)
     try {
       feed(batches.head)
-      val named = delays.map { d =>
-        val name = s"graft_stream_sweep_${memSinkId.incrementAndGet()}"
-        val q = lateAgg(
-            spark.readStream.schema(schema).parquet(s"$incoming/*.parquet"),
-            d)
-          .writeStream.outputMode("append")
-          .format("memory").queryName(name).start()
-        (name, q)
-      }
+      // State partitioning is pinned at each query's FIRST micro-batch
+      // from the session's shuffle-partition conf. The sweep's state
+      // is |hours x types| — bounded and tiny at ANY corpus size — so
+      // 32 state partitions x |delays| queries x 4 drain rounds is
+      // pure task-scheduling overhead; pin the sweep's state to 4
+      // partitions and restore the conf once the queries are started.
+      // (At 100 TB the MAP side still parallelizes by input split;
+      // only the bounded state store is narrowed.)
+      val partsKey = "spark.sql.shuffle.partitions"
+      val prevParts = spark.conf.get(partsKey)
+      val named = try {
+        spark.conf.set(partsKey, "4")
+        delays.map { d =>
+          val name = s"graft_stream_sweep_${memSinkId.incrementAndGet()}"
+          val q = lateAgg(
+              spark.readStream.schema(schema).parquet(s"$incoming/*.parquet"),
+              d)
+            .writeStream.outputMode("append")
+            .format("memory").queryName(name).start()
+          (name, q)
+        }
+      } finally spark.conf.set(partsKey, prevParts)
       try {
         def drainAll(): Unit = {
           val ts = named.map { case (_, q) =>
