@@ -95,7 +95,8 @@ object Explain {
     "knn_graph_nndescent", "graph_label_prop", "graph_lp_modularity",
     "cluster_silhouette", "cluster_elbow", "coreset_kcenter",
     "vocab_heaps", "quality_ks", "embed_eff_dim",
-    "events_markov_stationary", "knn_graph_search", "knn_graph_append")
+    "events_markov_stationary", "knn_graph_search", "knn_graph_append",
+    "ann_pq_permuted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -5433,6 +5433,33 @@ object SparkEntry {
       Pq.searchAdcJoin(model, codes, queryVec(s, dir, 0), "vec_id", topK = 10)
     }),
 
+    // -- OPQ-style permuted PQ (the deterministic permutation special
+    //    case of Optimized Product Quantization): rank dims by EXACT
+    //    integer variance numerators (e3-quantized n·Σq²−(Σq)²), deal
+    //    them to the 8 subspaces in a snake draft so every
+    //    subquantizer sees a comparable energy share (the imbalance
+    //    pq_subspace_balance measures is exactly what this corrects),
+    //    then run the IDENTICAL static-codebook encode + ADC chain on
+    //    the permuted vectors. A float rotation would beat it on
+    //    correlated data but isn't integer-oracle-able; the
+    //    permutation replays exactly (Pq.varianceSnakeOrder). ADC
+    //    scores are L2-invariant under any shared permutation, so
+    //    result QUALITY differences come only from codebook/subspace
+    //    pairing — the OPQ effect isolated --
+    "ann_pq_permuted" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val d = vecDim(e)
+      val order = Pq.varianceSnakeOrder(e, "vec_id", "embedding", m = 8)
+      def permute(v: Column): Column =
+        array(order.map(i => v.getItem(i)): _*)
+      val pe = e.select(col("vec_id"), permute(col("embedding")).as("embedding"))
+      val model = Pq.staticCodebooks(pe, "vec_id", "embedding", dim = d,
+        m = 8, k = 16)
+      val codes = Pq.encode(model, pe, "vec_id", "embedding")
+      val q = queryVec(s, dir, 0).select(permute(col("qvec")).as("qvec"))
+      Pq.searchAdcJoin(model, codes, q, "vec_id", topK = 10)
+    }),
+
     // -- PQ distortion audit: per-subspace reconstruction error of the
     //    quantizer (err^2 = min over codewords of squared L2 — the
     //    assigned codeword IS the argmin, so no code join needed).
@@ -7356,15 +7383,21 @@ object SparkEntry {
       "GROUP BY f.family, f.budget ORDER BY family, budget")
   }
 
-  private val pqStaticCtes: String =
-    """sd AS (SELECT len(embedding) // 8 AS v FROM embeddings LIMIT 1),
+  private val pqStaticCtes: String = pqStaticCtesFrom("embeddings")
+
+  /** [[pqStaticCtes]] with the corpus source parameterized — the
+    * OPQ-permuted oracle feeds the SAME encode/ADC chain a
+    * dimension-permuted `pe` view; everything else stays verbatim.
+    */
+  private def pqStaticCtesFrom(src: String): String =
+    s"""sd AS (SELECT len(embedding) // 8 AS v FROM $src LIMIT 1),
       |g8 AS (SELECT unnest(range(0, 8)) AS grp),
       |cb AS (SELECT g8.grp, CAST(e.vec_id AS INTEGER) AS code,
       |  list_transform(e.embedding[(g8.grp*sd.v+1):(g8.grp*sd.v+sd.v)], x -> CAST(x AS DOUBLE)) AS centroid
-      | FROM embeddings e, g8, sd WHERE e.vec_id < 16),
+      | FROM $src e, g8, sd WHERE e.vec_id < 16),
       |sv AS (SELECT e.vec_id, g8.grp,
       |  list_transform(e.embedding[(g8.grp*sd.v+1):(g8.grp*sd.v+sd.v)], x -> CAST(x AS DOUBLE)) AS sv
-      | FROM embeddings e, g8, sd),
+      | FROM $src e, g8, sd),
       |asgn AS (SELECT vec_id, grp, code FROM (
       |  SELECT sv.vec_id, sv.grp, cb.code,
       |    row_number() OVER (PARTITION BY sv.vec_id, sv.grp ORDER BY
@@ -11135,6 +11168,30 @@ object SparkEntry {
       // sqrt of the summed per-subspace squared distances to the query
       "ann_pq_static" ->
         s"""WITH $pqStaticCtes
+          |SELECT vec_id, score FROM adc
+          |ORDER BY score, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+      // OPQ permutation replay: exact-integer variance numerators
+      // over e3-quantized dims, snake draft to 8 groups, permuted
+      // corpus view pe, then the VERBATIM static encode/ADC chain
+      "ann_pq_permuted" ->
+        s"""WITH pel AS (SELECT
+          |  unnest(list_transform(embedding, x ->
+          |    CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS q,
+          |  unnest(range(0, len(embedding))) AS j FROM embeddings),
+          |pst AS (SELECT j, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sqq
+          |  FROM pel GROUP BY j),
+          |prk AS (SELECT j,
+          |  row_number() OVER (ORDER BY n * sqq - sq * sq DESC, j) - 1 AS r
+          |  FROM pst),
+          |pga AS (SELECT j, r,
+          |  CASE WHEN r % 16 < 8 THEN r % 8 ELSE 7 - (r % 8) END AS grp
+          |  FROM prk),
+          |pord AS (SELECT list(j ORDER BY grp, r) AS o FROM pga),
+          |pe AS (SELECT vec_id,
+          |  list_transform(o, i -> embedding[i + 1]) AS embedding
+          |  FROM embeddings, pord),
+          |${pqStaticCtesFrom("pe")}
           |SELECT vec_id, score FROM adc
           |ORDER BY score, vec_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
       // the TRAINED-codebook PQ, fully oracled: pqKmeansCtes unrolls

@@ -106,6 +106,49 @@ object Pq {
     * `ann_ivf_static` uses for IVF; only Lloyd's itself stays under
     * the weaker rows-only check.
     */
+  /** OPQ-style deterministic dimension permutation (the permutation
+    * special case of Ge et al.'s Optimized Product Quantization,
+    * CVPR'13): rank dimensions by per-dimension variance and deal
+    * them to the m subspaces in a SNAKE draft (rank r → subspace
+    * r%m on even passes, m-1-r%m on odd), so every subquantizer sees
+    * a comparable share of the cloud's energy instead of whatever
+    * contiguous slice the storage order happened to give it. A float
+    * rotation matrix would beat it on correlated data but is not
+    * integer-oracle-able; the permutation is — variance numerators
+    * are EXACT integers over e3-quantized values (n·Σq² − (Σq)²),
+    * ranking ties break by dimension index, and the snake is closed
+    * form, so an independent engine replays the identical order.
+    *
+    * One map-side (dim)-keyed aggregate over the corpus (the same
+    * shape as the SQ range scan); the returned order is |dims| ints —
+    * model-sized by construction. Returns the permuted dimension
+    * order: position p of the permuted vector reads original
+    * dimension order(p).
+    */
+  def varianceSnakeOrder(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int): Seq[Int] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("vn").desc, col("j"))
+    // global window is fine: the frame is |dims| rows (vocab_coverage
+    // bounded-frame precedent), never corpus-sized
+    corpus.select(posexplode(
+        transform(col(vecCol), x => round(x.cast("double") * 1000)
+          .cast("long"))).as(Seq("j", "q")))
+      .groupBy(col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sqq"))
+      .select(col("j"),
+        (col("n") * col("sqq") - col("sq") * col("sq")).as("vn"))
+      .withColumn("r", row_number().over(w) - 1)
+      .select(col("j"),
+        when(pmod(col("r"), lit(2L * m)) < m, pmod(col("r"), lit(m.toLong)))
+          .otherwise(lit(m - 1) - pmod(col("r"), lit(m.toLong))).as("grp"),
+        col("r"))
+      .orderBy(col("grp"), col("r"))
+      .select(col("j"))
+      .collect().map(_.getInt(0)).toSeq
+  }
+
   def staticCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int = 8, k: Int = 16): Model = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
