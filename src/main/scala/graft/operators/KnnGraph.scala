@@ -297,6 +297,34 @@ object KnnGraph {
     beamSearchRounds(graph, vecs, queries, n, beam, hops, degree = k).last
       .where(col("rank") <= k)
 
+  /** Persist a built kNN graph for serving — the at-rest layout every
+    * other index family already has (Ann/Pq/Sq/Bq/IvfPq.writeIndex):
+    * `path`/edges (src, dst, d_e4, rank — the full-width adjacency
+    * [[beamSearchRounds]] joins against; at 100 TB this is the only
+    * corpus-sized artifact a search touches and it shards by src at
+    * read), `path`/vecs (id, v, bucket — the re-scoring frame +
+    * routed-seed buckets) and `path`/params (the corpus count the
+    * count-derived beam/hop budgets need WITHOUT re-scanning).
+    */
+  def writeIndex(build: Build, path: String): Unit = {
+    build.rounds.last.write.mode("overwrite").parquet(s"$path/edges")
+    build.vecs.write.mode("overwrite").parquet(s"$path/vecs")
+    import build.vecs.sparkSession.implicits._
+    Seq(build.n).toDF("n").write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a persisted kNN graph. The returned [[Build]] carries only
+    * the FINAL graph in `rounds` (per-round intermediates are a build
+    * artifact, not a serving one) — everything [[beamSearch]] and
+    * [[appendBatch]] consume.
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Build = {
+    val n = spark.read.parquet(s"$path/params").head().getLong(0)
+    Build(Seq(spark.read.parquet(s"$path/edges")),
+      spark.read.parquet(s"$path/vecs"), n)
+  }
+
   /** Everything [[appendBatch]] produces: the appended graph (same
     * (src, dst, d_e4, rank) shape as [[Build.rounds]]), the probe
     * lists the new nodes routed to, the touched node-id frame (new

@@ -169,6 +169,38 @@ class KnnGraphSpec extends AnyFunSuite {
       s"append recall@8 $appended vs fresh $fresh")
   }
 
+  test("writeIndex/loadIndex: serving from at-rest equals fresh build") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_knngraph_idx").toString
+    try {
+      val build = KnnGraph.nnDescentBuild(emb, "vec_id", "embedding", 16)
+      KnnGraph.writeIndex(build, dir)
+      val loaded = KnnGraph.loadIndex(spark, dir)
+      assert(loaded.n === build.n)
+      // the at-rest edge set is the built one, byte-equal
+      val diff = build.rounds.last
+        .join(loaded.rounds.last, Seq("src", "dst", "d_e4", "rank"),
+          "left_anti")
+      assert(diff.count() === 0)
+      assert(loaded.rounds.last.count() === build.rounds.last.count())
+      // a beam search served from the loaded index returns exactly
+      // what the in-memory build serves
+      def serve(b: KnnGraph.Build) = {
+        val qs = b.vecs.where(col("id") < 5)
+          .select(col("id").as("qid"), col("v").as("qv"),
+            col("bucket").as("qbucket"))
+        KnnGraph.beamSearch(b.rounds.last, b.vecs, qs, b.n, k = 8)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(serve(loaded) === serve(build))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("recall@8 vs exact kNN sits in the measured honest band") {
     // exact top-8 per node by the same integer e4 metric
     val vecs = emb.select(col("vec_id"),
