@@ -2048,6 +2048,73 @@ object SparkEntry {
         .orderBy(col("stat"))
     }),
 
+    // -- graph DELETE + repair (the other half of the maintenance
+    //    discipline every index family carries; KnnGraph.deleteBatch
+    //    has the algorithm + 100 TB shape): build on the full
+    //    corpus, tombstone the vec_id%13 slice (~7.7%), drop the
+    //    deleted nodes' lists AND every edge into a deleted node
+    //    (integrity invariant: n_edges_to_deleted = 0 in the
+    //    output), then ONE NN-descent repair round over the touched
+    //    survivors — the deleted neighbor's own neighbors are
+    //    exactly the candidates that refill a thinned list.
+    //    Output: the repair audit + recall@8 of the sampled touched
+    //    nodes' repaired lists vs exact kNN over the survivors --
+    "knn_graph_delete" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val kb = 16
+      val build = graft.operators.KnnGraph
+        .nnDescentBuild(e, "vec_id", "embedding", kb)
+      val n = build.n
+      val del = build.vecs.where(pmod(col("id"), lit(13L)) === 0)
+        .select(col("id"))
+      val d0 = graft.operators.KnnGraph.deleteBatch(build, del, kb)
+      val mod = math.max(1L, (n + 49L) / 50L)
+      val qs = d0.touched.where(pmod(col("id"), lit(mod)) === 0)
+        .join(d0.vecs.select(col("id"), col("v")), Seq("id"))
+        .select(col("id").as("qid"), col("v").as("qv"))
+      def stat(name: String, agg: Column, df: DataFrame): DataFrame =
+        df.agg(agg.cast("bigint").as("v"))
+          .select(lit(name).as("stat"), col("v"))
+      val exact = d0.vecs.select(col("id"), col("v"))
+        .crossJoin(broadcast(qs))
+        .where(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"),
+          round(VectorFunctions.vec_l2(col("v"), col("qv")) * 1e4)
+            .cast("bigint").as("d_e4"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg
+          .topk_pairs(col("d_e4").cast("double"), col("id"), 8).as("tk"))
+        .select(col("qid").as("eqid"), explode(col("tk")).as("pair"))
+        .select(col("eqid"), col("pair.id").as("nb"))
+      val matchCnt = d0.graph
+        .join(qs.select(col("qid").as("src")), Seq("src"), "left_semi")
+        .where(col("rank") <= 8)
+        .join(exact, col("src") === col("eqid") && col("dst") === col("nb"),
+          "left_semi")
+        .agg(count(lit(1)).as("m"))
+      val recall = matchCnt
+        .crossJoin(qs.agg(count(lit(1)).as("nq")))
+        .select(lit("recall_repaired_e4").as("stat"),
+          expr("(m * 10000) div (nq * 8)").as("v"))
+      val fullLists = d0.graph.groupBy(col("src"))
+        .agg(count(lit(1)).as("c")).where(col("c") === kb)
+      val toDeleted = d0.graph
+        .join(del.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      Seq(stat("n_nodes", lit(n), e.limit(1)),
+        stat("n_deleted", count(lit(1)), del),
+        stat("n_survivors", count(lit(1)), d0.vecs),
+        stat("n_touched", count(lit(1)), d0.touched),
+        stat("graph_degree", lit(kb.toLong), e.limit(1)),
+        stat("n_edges_final", count(lit(1)), d0.graph),
+        stat("sum_d_e4_final", sum(col("d_e4")), d0.graph),
+        stat("n_edges_to_deleted", count(lit(1)), toDeleted),
+        stat("n_full_lists", count(lit(1)), fullLists),
+        stat("n_sample_queries", count(lit(1)), qs),
+        recall)
+        .reduce(_.unionByName(_))
+        .orderBy(col("stat"))
+    }),
+
     // -- JSON property extraction over the events props column:
     //    get_json_object path extraction (codegen'd) + per-type
     //    integer stats — the schema-drift audit a semi-structured
@@ -8464,6 +8531,70 @@ object SparkEntry {
          |  CAST((mm * 10000) // (q * 8) AS BIGINT) FROM amt, anq
          |ORDER BY stat""".stripMargin.replaceAll("\n", " ")
     }
+    // delete replay: full-corpus build chain, tombstone the %13
+    // slice, drop deleted lists + edges INTO deleted nodes, one
+    // repair round over touched survivors, integrity + recall audit
+    val knnGraphDeleteOracle =
+      s"""WITH $knnGraphChainSql,
+         |dl AS MATERIALIZED (SELECT id FROM vv WHERE id % 13 = 0),
+         |ksx AS MATERIALIZED (SELECT e10.src, e10.dst, e10.d_e4, e10.rank
+         |  FROM e10 WHERE NOT EXISTS (SELECT 1 FROM dl WHERE dl.id = e10.src)),
+         |tch AS MATERIALIZED (SELECT DISTINCT src AS id FROM ksx
+         |  WHERE EXISTS (SELECT 1 FROM dl WHERE dl.id = ksx.dst)),
+         |gc AS MATERIALIZED (SELECT src, dst, d_e4, rank FROM ksx
+         |  WHERE NOT EXISTS (SELECT 1 FROM dl WHERE dl.id = ksx.dst)),
+         |sv2 AS MATERIALIZED (SELECT id, v FROM vv
+         |  WHERE NOT EXISTS (SELECT 1 FROM dl WHERE dl.id = vv.id)),
+         |du AS MATERIALIZED (SELECT src, dst FROM gc
+         |  UNION SELECT dst AS src, src AS dst FROM gc),
+         |dcn AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT u.src, u.dst FROM du u JOIN tch ON u.src = tch.id
+         |  UNION ALL
+         |  SELECT a.src, b.dst FROM du a JOIN tch ON a.src = tch.id
+         |    JOIN du b ON a.dst = b.src) _dc WHERE src <> dst),
+         |dsc AS MATERIALIZED (SELECT c.src, c.dst,
+         |  ${knnGraphL2e4("x.v", "y.v")} AS d_e4
+         |  FROM dcn c JOIN sv2 x ON c.src = x.id JOIN sv2 y ON c.dst = y.id),
+         |dref AS MATERIALIZED (SELECT src, dst, d_e4, rn AS rank
+         |  FROM (SELECT dsc.*,
+         |    row_number() OVER (PARTITION BY src ORDER BY d_e4, dst) AS rn
+         |    FROM dsc) _dr WHERE rn <= 16),
+         |dfin AS MATERIALIZED (
+         |  SELECT gc.src, gc.dst, gc.d_e4, gc.rank FROM gc
+         |    WHERE NOT EXISTS (SELECT 1 FROM tch WHERE tch.id = gc.src)
+         |  UNION ALL SELECT src, dst, d_e4, rank FROM dref),
+         |m2 AS (SELECT greatest(1, (n + 49) // 50) AS md FROM nn),
+         |dqs AS MATERIALIZED (SELECT t.id AS qid, s.v AS qv
+         |  FROM tch t JOIN sv2 s ON t.id = s.id CROSS JOIN m2
+         |  WHERE ((t.id % md) + md) % md = 0),
+         |dxc AS (SELECT q.qid, w.id AS nb,
+         |  ${knnGraphL2e4("w.v", "q.qv")} AS d_e4
+         |  FROM sv2 w, dqs q WHERE w.id <> q.qid),
+         |dex AS MATERIALIZED (SELECT qid, nb FROM (SELECT dxc.*,
+         |  row_number() OVER (PARTITION BY qid ORDER BY d_e4, nb) AS rn
+         |  FROM dxc) _dx WHERE rn <= 8),
+         |dmt AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM dfin
+         |  JOIN dqs ON dfin.src = dqs.qid
+         |  JOIN dex ON dfin.src = dex.qid AND dfin.dst = dex.nb
+         |  WHERE dfin.rank <= 8),
+         |dnq AS (SELECT CAST(count(*) AS BIGINT) AS q FROM dqs),
+         |pf AS (SELECT src, CAST(count(*) AS BIGINT) AS c FROM dfin
+         |  GROUP BY src)
+         |SELECT 'n_nodes' AS stat, n AS v FROM nn
+         |UNION ALL SELECT 'n_deleted', CAST(count(*) AS BIGINT) FROM dl
+         |UNION ALL SELECT 'n_survivors', CAST(count(*) AS BIGINT) FROM sv2
+         |UNION ALL SELECT 'n_touched', CAST(count(*) AS BIGINT) FROM tch
+         |UNION ALL SELECT 'graph_degree', CAST(16 AS BIGINT) FROM nn
+         |UNION ALL SELECT 'n_edges_final', CAST(count(*) AS BIGINT) FROM dfin
+         |UNION ALL SELECT 'sum_d_e4_final', CAST(sum(d_e4) AS BIGINT) FROM dfin
+         |UNION ALL SELECT 'n_edges_to_deleted', CAST(count(*) AS BIGINT)
+         |  FROM dfin JOIN dl ON dfin.dst = dl.id
+         |UNION ALL SELECT 'n_full_lists', CAST(count(*) AS BIGINT)
+         |  FROM pf WHERE c = 16
+         |UNION ALL SELECT 'n_sample_queries', q FROM dnq
+         |UNION ALL SELECT 'recall_repaired_e4',
+         |  CAST((mm * 10000) // (q * 8) AS BIGINT) FROM dmt, dnq
+         |ORDER BY stat""".stripMargin.replaceAll("\n", " ")
     val knnGraphStatsOracle =
       s"""WITH $knnGraphCtes,
          |rec AS (SELECT x.rank, CAST(count(*) AS BIGINT) AS n_recip
@@ -10676,6 +10807,7 @@ object SparkEntry {
       "knn_graph_nndescent" -> knnGraphNndescentOracle,
       "knn_graph_search" -> knnGraphSearchOracle,
       "knn_graph_append" -> knnGraphAppendOracle,
+      "knn_graph_delete" -> knnGraphDeleteOracle,
       "knn_hubness" -> knnHubnessOracle,
       "eval_matched_sample" ->
         """WITH m AS (SELECT greatest(1, (count(*) + 63) // 64) AS md

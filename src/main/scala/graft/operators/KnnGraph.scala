@@ -405,4 +405,68 @@ object KnnGraph {
       Seq("src"), "left_anti")
     Appended(kept.unionByName(refined), probe, touched, allVecs)
   }
+
+  /** What [[deleteBatch]] produces: the repaired graph, the touched
+    * node-id frame (survivors whose lists referenced a deleted node)
+    * and the surviving (id, v, bucket) vector frame.
+    */
+  final case class Deleted(graph: DataFrame, touched: DataFrame,
+      vecs: DataFrame)
+
+  /** Delete a batch of nodes from a built kNN graph — the other half
+    * of the maintenance discipline every index family carries
+    * (append/delete, Ann.appendToIvf precedent; HNSW deployments do
+    * the same tombstone-then-repair). Three keyed steps:
+    *
+    *   1. DROP: deleted nodes' own lists go, and every edge INTO a
+    *      deleted node goes (the integrity invariant: the final
+    *      graph references no deleted id);
+    *   2. TOUCHED: survivors that lost a neighbor;
+    *   3. REPAIR: one NN-descent round restricted to the touched
+    *      nodes over the CLEANED graph — sym ∪ sym∘sym candidates,
+    *      exact integer-e4 re-score, top-`degree` cut. The
+    *      neighbor-of-neighbor hop is what REFILLS a thinned list:
+    *      the deleted neighbor's other neighbors are exactly the
+    *      candidates most likely to replace it. Untouched survivors
+    *      keep their lists verbatim.
+    *
+    * A touched node may legitimately end with fewer than `degree`
+    * edges when deletion thins its whole reachable neighborhood
+    * (sym ∪ sym∘sym smaller than degree) — shorter lists, never
+    * dangling ones. Work is O(|touched|·degree²) distances keyed by
+    * node id, independent of corpus size; touched is ≤
+    * |deleted|·degree by construction. Deterministic and
+    * unrolled-CTE-replayable like build/append.
+    *
+    * @param build     the built graph ([[nnDescentBuild]] or
+    *                  [[loadIndex]])
+    * @param deleteIds one column `id` — the nodes to remove
+    * @param degree    maintained neighbor-list width
+    */
+  def deleteBatch(build: Build, deleteIds: DataFrame,
+      degree: Int): Deleted = {
+    val g = build.rounds.last
+    val del = deleteIds.select(col("id")).localCheckpoint(true)
+    val keptSrc = g.join(del.select(col("id").as("src")), Seq("src"),
+      "left_anti")
+    val touched = keptSrc
+      .join(del.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src").as("id")).distinct().localCheckpoint(true)
+    val gClean = keptSrc
+      .join(del.select(col("id").as("dst")), Seq("dst"), "left_anti")
+    val vecs = build.vecs.join(del, Seq("id"), "left_anti")
+    val u = sym(gClean)
+    val ut = u.join(touched.select(col("id").as("src")), Seq("src"),
+      "left_semi")
+    val hop = ut.as("a")
+      .join(u.select(col("src").as("mid"), col("dst").as("far")).as("b"),
+        col("a.dst") === col("b.mid"))
+      .select(col("a.src").as("src"), col("far").as("dst"))
+    val cands = ut.unionByName(hop)
+      .where(col("src") =!= col("dst")).distinct()
+    val refined = topK(cands, vecs.select(col("id"), col("v")), degree)
+    val kept = gClean.join(touched.select(col("id").as("src")),
+      Seq("src"), "left_anti")
+    Deleted(kept.unionByName(refined), touched, vecs)
+  }
 }

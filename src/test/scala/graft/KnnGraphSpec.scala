@@ -169,6 +169,33 @@ class KnnGraphSpec extends AnyFunSuite {
       s"append recall@8 $appended vs fresh $fresh")
   }
 
+  test("deleteBatch: no dangling edges, untouched lists verbatim, " +
+      "touched lists repaired to full degree") {
+    val build = KnnGraph.nnDescentBuild(emb, "vec_id", "embedding", 16)
+    val del = build.vecs.where(col("id") % 13 === 0).select(col("id"))
+    val d0 = KnnGraph.deleteBatch(build, del, 16)
+    // integrity: the repaired graph references no deleted id on
+    // either side
+    assert(d0.graph.join(del.select(col("id").as("src")), Seq("src"),
+      "left_semi").count() === 0)
+    assert(d0.graph.join(del.select(col("id").as("dst")), Seq("dst"),
+      "left_semi").count() === 0)
+    // untouched survivors keep their built lists byte-identical
+    val untouchedChanged = build.rounds.last
+      .join(del.select(col("id").as("src")), Seq("src"), "left_anti")
+      .join(d0.touched.select(col("id").as("src")), Seq("src"), "left_anti")
+      .join(d0.graph, Seq("src", "dst", "d_e4", "rank"), "left_anti")
+    assert(untouchedChanged.count() === 0)
+    // on this corpus the neighborhood is dense enough that every
+    // touched list refills to full degree, ranks 1..16, no self
+    val bad = d0.graph.groupBy(col("src"))
+      .agg(count(lit(1)).as("c"), min(col("rank")).as("lo"),
+        max(col("rank")).as("hi"))
+      .where(col("c") =!= 16 || col("lo") =!= 1 || col("hi") =!= 16)
+    assert(bad.count() === 0)
+    assert(d0.graph.where(col("src") === col("dst")).count() === 0)
+  }
+
   test("writeIndex/loadIndex: serving from at-rest equals fresh build") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_knngraph_idx").toString
