@@ -8,14 +8,18 @@ class RecallSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
-  test("matrix: 15 family x budget rows, invariants hold") {
+  test("matrix: 16 family x budget rows, invariants hold") {
     val rows = Recall.matrix(
         Tables.load(spark, sf, "embeddings"), "vec_id", "embedding")
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
     val m = rows.toMap
-    assert(rows.length == 15 && m.size == 15)
+    assert(rows.length == 16 && m.size == 16)
     assert(m.values.forall(v => v >= 0.0 && v <= 1.0))
+    // the graph family serves near-exact at its ef budget on this
+    // corpus (0.98 at pin time) — keep it honest but not brittle
+    assert(m(("graph", "beam=3log2n")) >= 0.85,
+      s"graph ${m(("graph", "beam=3log2n"))}")
     // more probed clusters can only add candidates -> monotone recall
     assert(m(("ivf", "nprobe=1")) <= m(("ivf", "nprobe=2")))
     assert(m(("ivf", "nprobe=2")) <= m(("ivf", "nprobe=4")))
