@@ -7136,21 +7136,22 @@ object SparkEntry {
       "ORDER BY qid, dist, vec_id"
   }
 
-  /** ann_recall_matrix oracle: replays Recall.matrix wholesale — the
-    * exact top-10 baselines (cosine + euclidean), every family's
-    * deterministic model (LSH signatures, static first-8 centroids,
-    * static codebooks, min/max SQ8/BQ) and candidate ranking, then
-    * the per-(family, budget) hit-rate aggregate. Each family CTE is
-    * the per-query generalization of that family's existing
-    * single-query oracle (same kernels, same rounding, same
-    * tie-breaks).
-    */
   /** Integer-e4 l2 distance in DuckDB list algebra — the exact
     * arithmetic KnnGraph uses (round(l2·1e4) AS BIGINT).
     */
   private def knnGraphL2e4(a: String, b: String): String =
     s"CAST(round(sqrt(list_sum(list_transform($a, (x, i) -> " +
       s"(x - $b[i]) * (x - $b[i])))) * 1e4) AS BIGINT)"
+
+  /** The 8-plane LSH bucket of an embedding list column in DuckDB
+    * list algebra — the exact arithmetic Ann.lshSignature replays
+    * (64-anchored stride, the pinned oracle contract).
+    */
+  private def knnGraphBucketSql(e: String): String =
+    s"""list_sum(list_transform(range(0, 8), p -> CASE WHEN
+       |    list_sum(list_transform($e, (x, i) -> CAST(x AS DOUBLE) *
+       |      ((((p * 64 + i) * 2654435761) % 4294967296) / 4294967296.0 - 0.5))) > 0
+       |    THEN CAST(2 ** p AS BIGINT) ELSE 0 END))""".stripMargin
 
   /** Shared NN-descent BUILD chain (WITH-body text): vv (id, v,
     * 8-plane bucket), nn (count), itv (the count-derived round
@@ -7163,16 +7164,6 @@ object SparkEntry {
     * prefix per reference — exponential in round count. Used by the
     * build oracle, the search oracle and the recall-matrix oracle.
     */
-  /** The 8-plane LSH bucket of an embedding list column in DuckDB
-    * list algebra — the exact arithmetic Ann.lshSignature replays
-    * (64-anchored stride, the pinned oracle contract).
-    */
-  private def knnGraphBucketSql(e: String): String =
-    s"""list_sum(list_transform(range(0, 8), p -> CASE WHEN
-       |    list_sum(list_transform($e, (x, i) -> CAST(x AS DOUBLE) *
-       |      ((((p * 64 + i) * 2654435761) % 4294967296) / 4294967296.0 - 0.5))) > 0
-       |    THEN CAST(2 ** p AS BIGINT) ELSE 0 END))""".stripMargin
-
   private lazy val knnGraphChainSql: String =
     knnGraphChainSqlFrom("embeddings")
 
@@ -7283,6 +7274,15 @@ object SparkEntry {
        |$hopChain""".stripMargin
   }
 
+  /** ann_recall_matrix oracle: replays Recall.matrix wholesale — the
+    * exact top-10 baselines (cosine + euclidean), every family's
+    * deterministic model (LSH signatures, static first-8 centroids,
+    * static codebooks, min/max SQ8/BQ) and candidate ranking, then
+    * the per-(family, budget) hit-rate aggregate. Each family CTE is
+    * the per-query generalization of that family's existing
+    * single-query oracle (same kernels, same rounding, same
+    * tie-breaks).
+    */
   private def recallMatrixOracle: String = {
     val nq = 10; val k = 10; val c = 30
     // per-query top-n by (s, vec_id) over an inner (qid, vec_id, s)
@@ -7436,7 +7436,7 @@ object SparkEntry {
       "qq AS MATERIALIZED (SELECT id AS qid, v AS qv, bucket AS qbucket " +
       s"FROM vv WHERE id < $nq), " +
       s"${knnGraphSearchCtes.replaceAll("\n", " ")}, " +
-      s"grb AS (SELECT qid, node AS vec_id FROM st6 WHERE rank <= $k " +
+      s"grb AS (SELECT qid, node AS vec_id FROM st6 WHERE rank <= ${k - 1} " +
       "UNION ALL SELECT qid, qid AS vec_id FROM qq), " +
       s"allp AS ($allp), " +
       "ex AS (SELECT 'cos' AS m, qid, vec_id FROM exc UNION ALL " +
@@ -11311,7 +11311,7 @@ object SparkEntry {
           |    CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS q,
           |  unnest(range(0, len(embedding))) AS j FROM embeddings),
           |pst AS (SELECT j, CAST(count(*) AS BIGINT) AS n,
-          |  CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sqq
+          |  sum(q) AS sq, sum(q * q) AS sqq
           |  FROM pel GROUP BY j),
           |prk AS (SELECT j,
           |  row_number() OVER (ORDER BY n * sqq - sq * sq DESC, j) - 1 AS r

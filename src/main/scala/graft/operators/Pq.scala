@@ -137,8 +137,14 @@ object Pq {
       .groupBy(col("j"))
       .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
         sum(col("q") * col("q")).as("sqq"))
+      // DECIMAL(38,0) for the numerator: n·Σq² is ~n²·q² and wraps
+      // Long silently past n ≈ 10^7 vectors; at ≤ 2.5e29 for n = 1e12,
+      // e3 inputs it fits decimal(38) with exactness intact (DuckDB
+      // reaches the same values through HUGEINT)
       .select(col("j"),
-        (col("n") * col("sqq") - col("sq") * col("sq")).as("vn"))
+        (col("n").cast("decimal(19,0)") * col("sqq").cast("decimal(19,0)")
+          - col("sq").cast("decimal(19,0)") * col("sq").cast("decimal(19,0)"))
+          .as("vn"))
       .withColumn("r", row_number().over(w) - 1)
       .select(col("j"),
         when(pmod(col("r"), lit(2L * m)) < m, pmod(col("r"), lit(m.toLong)))

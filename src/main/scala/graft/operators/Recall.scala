@@ -180,16 +180,20 @@ object Recall {
 
     // -- graph family: NN-descent build (count-derived rounds, width
     //    16 — the HNSW-analog artifact) + greedy beam traversal at
-    //    the count-derived ef-style beam; served results = top-k of
-    //    the final beam plus the identity self-pair (the graph has no
-    //    self-edges; a served ANN always returns a corpus query
-    //    itself, and the exact baseline includes it) --
+    //    the count-derived ef-style beam; served results = top-(k-1)
+    //    of the final beam plus the identity self-pair, k candidates
+    //    TOTAL like every other family (the graph has no self-edges;
+    //    a served ANN always returns a corpus query itself, and the
+    //    exact baseline includes it — cutting the beam to k-1 keeps
+    //    the cross-family budget equal instead of quietly granting
+    //    the graph an 11th guess) --
     val gBuild = KnnGraph.nnDescentBuild(corpus, idCol, vecCol, 16)
     val gq = gBuild.vecs.where(col("id") < nQueries)
       .select(col("id").as("qid"), col("v").as("qv"),
         col("bucket").as("qbucket"))
     val graphRow = recallRow(exactEuc,
       KnnGraph.beamSearch(gBuild.rounds.last, gBuild.vecs, gq, gBuild.n, k)
+        .where(col("rank") <= k - 1)
         .select(col("qid"), col("node").as(idCol))
         .unionByName(gq.select(col("qid"), col("qid").as(idCol))),
       idCol, "graph", "beam=3log2n")
