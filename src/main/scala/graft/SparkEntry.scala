@@ -106,6 +106,30 @@ object SparkEntry {
     t(s, dir, "embeddings").where(col("vec_id") === id)
       .select(col("embedding").as("qvec"))
 
+  /** One (stat, v) audit row: `agg` cast to BIGINT over `df` — the
+    * stat-table shape every graph-lifecycle audit emits.
+    */
+  private def statRow(name: String, agg: Column, df: DataFrame): DataFrame =
+    df.agg(agg.cast("bigint").as("v"))
+      .select(lit(name).as("stat"), col("v"))
+
+  /** Exact integer-e4 top-8 per query — the (eqid, nb) ground truth
+    * the graph-family recall audits compare against: corpus `vecs`
+    * (id, v) against a broadcast (qid, qv) sample, self excluded,
+    * ties by id.
+    */
+  private def graphExactTop8(vecs: DataFrame, qs: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(qs))
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        round(VectorFunctions.vec_l2(col("v"), col("qv")) * 1e4)
+          .cast("bigint").as("d_e4"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg
+        .topk_pairs(col("d_e4").cast("double"), col("id"), 8).as("tk"))
+      .select(col("qid").as("eqid"), explode(col("tk")).as("pair"))
+      .select(col("eqid"), col("pair.id").as("nb"))
+
   /** Vector width read from the data (one-row job) — queries that
     * size an index model (SQ ranges, BQ words, PQ subvectors) derive
     * dim instead of hardcoding it, so the same registry runs the
@@ -1867,26 +1891,13 @@ object SparkEntry {
       val iters = rounds.length - 1
       val n = build.n
       val mod = math.max(1L, (n + 49L) / 50L)
-      val vecs = build.vecs.select(col("id").as("vec_id"), col("v"))
-      val qs = vecs.where(pmod(col("vec_id"), lit(mod)) === 0)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val exact = vecs.crossJoin(broadcast(qs))
-        .where(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(VectorFunctions.vec_l2(col("v"), col("qv")) * 1e4)
-            .cast("bigint").as("d_e4"))
-        .groupBy(col("qid"))
-        .agg(graft.functions.TopKAgg
-          .topk_pairs(col("d_e4").cast("double"), col("vec_id"), k).as("tk"))
-        .select(col("qid"), explode(col("tk")).as("pair"))
-        .select(col("qid"), col("pair.id").as("nb"))
-      def stat(name: String, agg: Column, df: DataFrame): DataFrame =
-        df.agg(agg.cast("bigint").as("v"))
-          .select(lit(name).as("stat"), col("v"))
+      val qs = build.vecs.where(pmod(col("id"), lit(mod)) === 0)
+        .select(col("id").as("qid"), col("v").as("qv"))
+      val exact = graphExactTop8(build.vecs.select(col("id"), col("v")), qs)
       val matchCnt = rounds.last
         .where(col("rank") <= k)
         .where(pmod(col("src"), lit(mod)) === 0)
-        .join(exact, col("src") === col("qid") && col("dst") === col("nb"),
+        .join(exact, col("src") === col("eqid") && col("dst") === col("nb"),
           "left_semi")
         .agg(count(lit(1)).as("m"))
       val recall = matchCnt
@@ -1894,14 +1905,14 @@ object SparkEntry {
         .select(lit("recall_e4").as("stat"),
           expr(s"(m * 10000) div (nq * $k)").as("v"))
       val perRound = rounds.zipWithIndex.map { case (r, i) =>
-        stat(if (i == 0) "sum_d_e4_init" else s"sum_d_e4_it$i",
+        statRow(if (i == 0) "sum_d_e4_init" else s"sum_d_e4_it$i",
           sum(col("d_e4")), r)
       }
-      (Seq(stat("n_nodes", lit(n), e.limit(1)),
-        stat("k_per_node", lit(k.toLong), e.limit(1)),
-        stat("build_width", lit(kb.toLong), e.limit(1)),
-        stat("n_rounds", lit(iters.toLong), e.limit(1))) ++ perRound ++
-        Seq(stat("n_sample_queries", count(lit(1)), qs), recall))
+      (Seq(statRow("n_nodes", lit(n), e.limit(1)),
+        statRow("k_per_node", lit(k.toLong), e.limit(1)),
+        statRow("build_width", lit(kb.toLong), e.limit(1)),
+        statRow("n_rounds", lit(iters.toLong), e.limit(1))) ++ perRound ++
+        Seq(statRow("n_sample_queries", count(lit(1)), qs), recall))
         .reduce(_.unionByName(_))
         .orderBy(col("stat"))
     }),
@@ -1941,20 +1952,8 @@ object SparkEntry {
       val states = graft.operators.KnnGraph
         .beamSearchRounds(graph, build.vecs, qs, n, beam, degree = k)
       val hops = states.length - 1
-      val vecs = build.vecs.select(col("id").as("vec_id"), col("v"))
-      val exact = vecs.crossJoin(broadcast(qs.select(col("qid"), col("qv"))))
-        .where(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(VectorFunctions.vec_l2(col("v"), col("qv")) * 1e4)
-            .cast("bigint").as("d_e4"))
-        .groupBy(col("qid"))
-        .agg(graft.functions.TopKAgg
-          .topk_pairs(col("d_e4").cast("double"), col("vec_id"), k).as("tk"))
-        .select(col("qid"), explode(col("tk")).as("pair"))
-        .select(col("qid").as("eqid"), col("pair.id").as("nb"))
-      def stat(name: String, agg: Column, df: DataFrame): DataFrame =
-        df.agg(agg.cast("bigint").as("v"))
-          .select(lit(name).as("stat"), col("v"))
+      val exact = graphExactTop8(build.vecs.select(col("id"), col("v")),
+        qs.select(col("qid"), col("qv")))
       val matchCnt = states.last
         .where(col("rank") <= k)
         .join(exact, col("qid") === col("eqid") &&
@@ -1965,14 +1964,14 @@ object SparkEntry {
         .select(lit("recall_e4").as("stat"),
           expr(s"(m * 10000) div (nq * $k)").as("v"))
       val perHop = states.zipWithIndex.map { case (st, i) =>
-        stat(s"sum_d_e4_hop$i", sum(col("d_e4")), st)
+        statRow(s"sum_d_e4_hop$i", sum(col("d_e4")), st)
       }
-      (Seq(stat("n_nodes", lit(n), e.limit(1)),
-        stat("k_per_node", lit(k.toLong), e.limit(1)),
-        stat("graph_degree", lit(kb.toLong), e.limit(1)),
-        stat("beam_width", lit(beam.toLong), e.limit(1)),
-        stat("n_hops", lit(hops.toLong), e.limit(1))) ++ perHop ++
-        Seq(stat("n_sample_queries", count(lit(1)), qs), recall))
+      (Seq(statRow("n_nodes", lit(n), e.limit(1)),
+        statRow("k_per_node", lit(k.toLong), e.limit(1)),
+        statRow("graph_degree", lit(kb.toLong), e.limit(1)),
+        statRow("beam_width", lit(beam.toLong), e.limit(1)),
+        statRow("n_hops", lit(hops.toLong), e.limit(1))) ++ perHop ++
+        Seq(statRow("n_sample_queries", count(lit(1)), qs), recall))
         .reduce(_.unionByName(_))
         .orderBy(col("stat"))
     }),
@@ -2011,20 +2010,8 @@ object SparkEntry {
       val app = graft.operators.KnnGraph.appendBatch(build, batch, kb)
       val beam = graft.operators.KnnGraph.adaptiveBeam(n)
       val hops = graft.operators.KnnGraph.adaptiveHops(n, 8)
-      def stat(name: String, agg: Column, df: DataFrame): DataFrame =
-        df.agg(agg.cast("bigint").as("v"))
-          .select(lit(name).as("stat"), col("v"))
       val qs = batch.select(col("qid"), col("qv"))
-      val exact = app.allVecs.crossJoin(broadcast(qs))
-        .where(col("id") =!= col("qid"))
-        .select(col("qid"), col("id"),
-          round(VectorFunctions.vec_l2(col("v"), col("qv")) * 1e4)
-            .cast("bigint").as("d_e4"))
-        .groupBy(col("qid"))
-        .agg(graft.functions.TopKAgg
-          .topk_pairs(col("d_e4").cast("double"), col("id"), 8).as("tk"))
-        .select(col("qid").as("eqid"), explode(col("tk")).as("pair"))
-        .select(col("eqid"), col("pair.id").as("nb"))
+      val exact = graphExactTop8(app.allVecs, qs)
       val matchCnt = app.graph
         .where(col("src") >= idCut && col("rank") <= 8)
         .join(exact, col("src") === col("eqid") && col("dst") === col("nb"),
@@ -2034,15 +2021,15 @@ object SparkEntry {
         .crossJoin(qs.agg(count(lit(1)).as("nq")))
         .select(lit("recall_new_e4").as("stat"),
           expr("(m * 10000) div (nq * 8)").as("v"))
-      Seq(stat("n_nodes_base", lit(n), e.limit(1)),
-        stat("n_nodes_new", count(lit(1)), qs),
-        stat("graph_degree", lit(kb.toLong), e.limit(1)),
-        stat("beam_width", lit(beam.toLong), e.limit(1)),
-        stat("n_hops", lit(hops.toLong), e.limit(1)),
-        stat("n_touched", count(lit(1)), app.touched),
-        stat("sum_d_e4_probe", sum(col("d_e4")), app.probe),
-        stat("n_edges_final", count(lit(1)), app.graph),
-        stat("sum_d_e4_final", sum(col("d_e4")), app.graph),
+      Seq(statRow("n_nodes_base", lit(n), e.limit(1)),
+        statRow("n_nodes_new", count(lit(1)), qs),
+        statRow("graph_degree", lit(kb.toLong), e.limit(1)),
+        statRow("beam_width", lit(beam.toLong), e.limit(1)),
+        statRow("n_hops", lit(hops.toLong), e.limit(1)),
+        statRow("n_touched", count(lit(1)), app.touched),
+        statRow("sum_d_e4_probe", sum(col("d_e4")), app.probe),
+        statRow("n_edges_final", count(lit(1)), app.graph),
+        statRow("sum_d_e4_final", sum(col("d_e4")), app.graph),
         recall)
         .reduce(_.unionByName(_))
         .orderBy(col("stat"))
@@ -2072,20 +2059,7 @@ object SparkEntry {
       val qs = d0.touched.where(pmod(col("id"), lit(mod)) === 0)
         .join(d0.vecs.select(col("id"), col("v")), Seq("id"))
         .select(col("id").as("qid"), col("v").as("qv"))
-      def stat(name: String, agg: Column, df: DataFrame): DataFrame =
-        df.agg(agg.cast("bigint").as("v"))
-          .select(lit(name).as("stat"), col("v"))
-      val exact = d0.vecs.select(col("id"), col("v"))
-        .crossJoin(broadcast(qs))
-        .where(col("id") =!= col("qid"))
-        .select(col("qid"), col("id"),
-          round(VectorFunctions.vec_l2(col("v"), col("qv")) * 1e4)
-            .cast("bigint").as("d_e4"))
-        .groupBy(col("qid"))
-        .agg(graft.functions.TopKAgg
-          .topk_pairs(col("d_e4").cast("double"), col("id"), 8).as("tk"))
-        .select(col("qid").as("eqid"), explode(col("tk")).as("pair"))
-        .select(col("eqid"), col("pair.id").as("nb"))
+      val exact = graphExactTop8(d0.vecs.select(col("id"), col("v")), qs)
       val matchCnt = d0.graph
         .join(qs.select(col("qid").as("src")), Seq("src"), "left_semi")
         .where(col("rank") <= 8)
@@ -2100,16 +2074,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("c")).where(col("c") === kb)
       val toDeleted = d0.graph
         .join(del.select(col("id").as("dst")), Seq("dst"), "left_semi")
-      Seq(stat("n_nodes", lit(n), e.limit(1)),
-        stat("n_deleted", count(lit(1)), del),
-        stat("n_survivors", count(lit(1)), d0.vecs),
-        stat("n_touched", count(lit(1)), d0.touched),
-        stat("graph_degree", lit(kb.toLong), e.limit(1)),
-        stat("n_edges_final", count(lit(1)), d0.graph),
-        stat("sum_d_e4_final", sum(col("d_e4")), d0.graph),
-        stat("n_edges_to_deleted", count(lit(1)), toDeleted),
-        stat("n_full_lists", count(lit(1)), fullLists),
-        stat("n_sample_queries", count(lit(1)), qs),
+      Seq(statRow("n_nodes", lit(n), e.limit(1)),
+        statRow("n_deleted", count(lit(1)), del),
+        statRow("n_survivors", count(lit(1)), d0.vecs),
+        statRow("n_touched", count(lit(1)), d0.touched),
+        statRow("graph_degree", lit(kb.toLong), e.limit(1)),
+        statRow("n_edges_final", count(lit(1)), d0.graph),
+        statRow("sum_d_e4_final", sum(col("d_e4")), d0.graph),
+        statRow("n_edges_to_deleted", count(lit(1)), toDeleted),
+        statRow("n_full_lists", count(lit(1)), fullLists),
+        statRow("n_sample_queries", count(lit(1)), qs),
         recall)
         .reduce(_.unionByName(_))
         .orderBy(col("stat"))

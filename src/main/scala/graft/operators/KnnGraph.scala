@@ -325,6 +325,29 @@ object KnnGraph {
       spark.read.parquet(s"$path/vecs"), n)
   }
 
+  /** One NN-descent refinement round restricted to `touched` sources:
+    * candidates = sym ∪ sym∘sym of `edges` from touched nodes, exact
+    * integer-e4 re-score against `vecs` (id, v), top-`degree` cut;
+    * rows of `keep` whose src is NOT touched pass through verbatim.
+    * The shared repair/link mechanism of [[appendBatch]] and
+    * [[deleteBatch]].
+    */
+  private def refineTouched(edges: DataFrame, keep: DataFrame,
+      touched: DataFrame, vecs: DataFrame, degree: Int): DataFrame = {
+    val u = sym(edges)
+    val ut = u.join(touched.select(col("id").as("src")), Seq("src"),
+      "left_semi")
+    val hop = ut.as("a")
+      .join(u.select(col("src").as("mid"), col("dst").as("far")).as("b"),
+        col("a.dst") === col("b.mid"))
+      .select(col("a.src").as("src"), col("far").as("dst"))
+    val cands = ut.unionByName(hop)
+      .where(col("src") =!= col("dst")).distinct()
+    val refined = topK(cands, vecs, degree)
+    keep.join(touched.select(col("id").as("src")), Seq("src"), "left_anti")
+      .unionByName(refined)
+  }
+
   /** Everything [[appendBatch]] produces: the appended graph (same
     * (src, dst, d_e4, rank) shape as [[Build.rounds]]), the probe
     * lists the new nodes routed to, the touched node-id frame (new
@@ -391,19 +414,8 @@ object KnnGraph {
     val touched = probe.select(col("src").as("id"))
       .unionByName(probe.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
-    val u = sym(ag)
-    val ut = u.join(touched.select(col("id").as("src")), Seq("src"),
-      "left_semi")
-    val hop = ut.as("a")
-      .join(u.select(col("src").as("mid"), col("dst").as("far")).as("b"),
-        col("a.dst") === col("b.mid"))
-      .select(col("a.src").as("src"), col("far").as("dst"))
-    val cands = ut.unionByName(hop)
-      .where(col("src") =!= col("dst")).distinct()
-    val refined = topK(cands, allVecs, degree)
-    val kept = baseGraph.join(touched.select(col("id").as("src")),
-      Seq("src"), "left_anti")
-    Appended(kept.unionByName(refined), probe, touched, allVecs)
+    Appended(refineTouched(ag, baseGraph, touched, allVecs, degree),
+      probe, touched, allVecs)
   }
 
   /** What [[deleteBatch]] produces: the repaired graph, the touched
@@ -455,18 +467,7 @@ object KnnGraph {
     val gClean = keptSrc
       .join(del.select(col("id").as("dst")), Seq("dst"), "left_anti")
     val vecs = build.vecs.join(del, Seq("id"), "left_anti")
-    val u = sym(gClean)
-    val ut = u.join(touched.select(col("id").as("src")), Seq("src"),
-      "left_semi")
-    val hop = ut.as("a")
-      .join(u.select(col("src").as("mid"), col("dst").as("far")).as("b"),
-        col("a.dst") === col("b.mid"))
-      .select(col("a.src").as("src"), col("far").as("dst"))
-    val cands = ut.unionByName(hop)
-      .where(col("src") =!= col("dst")).distinct()
-    val refined = topK(cands, vecs.select(col("id"), col("v")), degree)
-    val kept = gClean.join(touched.select(col("id").as("src")),
-      Seq("src"), "left_anti")
-    Deleted(kept.unionByName(refined), touched, vecs)
+    Deleted(refineTouched(gClean, gClean, touched,
+      vecs.select(col("id"), col("v")), degree), touched, vecs)
   }
 }
