@@ -2089,6 +2089,39 @@ object SparkEntry {
         .orderBy(col("stat"))
     }),
 
+    // -- ANN-graph-accelerated near-dup clustering: the production
+    //    form of embedding dedup at 100 TB — instead of all-pairs
+    //    (quadratic) or cluster-local pairs (dedup_semantic), the
+    //    kNN graph ALREADY holds each vector's nearest candidates,
+    //    so near-dup edges are just the graph's edges under a
+    //    distance threshold. Threshold = the EXACT 5th percentile
+    //    of the edge-weight distribution, computed as a weight
+    //    histogram + distributed prefix sum (Rank.globalCumSum —
+    //    never a corpus-sized global window), so the cut adapts to
+    //    the corpus's own distance scale at any SF. CC over the
+    //    thresholded subgraph (min-label propagation on the edge
+    //    subgraph only), output (vec_id, rep) for non-singletons —
+    //    the dedup_clusters shape, via the graph family --
+    "dedup_graph_cc" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val build = graft.operators.KnnGraph
+        .nnDescentBuild(e, "vec_id", "embedding", 16)
+      val g = build.rounds.last
+      val wc = g.groupBy(col("d_e4")).agg(count(lit(1)).as("c"))
+      val th = graft.operators.Rank
+        .globalCumSum(wc, "c", "cc", "tot", col("d_e4"))
+        .where(expr("cc >= (tot + 19) div 20"))
+        .agg(min(col("d_e4")).as("t"))
+      val te = g.crossJoin(broadcast(th))
+        .where(col("d_e4") <= col("t"))
+        .select(col("src"), col("dst"))
+      val nodes = build.vecs.select(col("id").as("vec_id"))
+      graft.operators.Dedup
+        .connectedComponents(nodes, te, "vec_id", "src", "dst")
+        .where(col("rep") =!= col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // -- JSON property extraction over the events props column:
     //    get_json_object path extraction (codegen'd) + per-type
     //    integer stats — the schema-drift audit a semi-structured
@@ -8569,6 +8602,26 @@ object SparkEntry {
          |UNION ALL SELECT 'recall_repaired_e4',
          |  CAST((mm * 10000) // (q * 8) AS BIGINT) FROM dmt, dnq
          |ORDER BY stat""".stripMargin.replaceAll("\n", " ")
+    // graph near-dup CC replay: full build chain, exact-P5 weight
+    // threshold (histogram + running sum over the DISTINCT-weight
+    // frame), thresholded symmetric edges, recursive min-label reach
+    val dedupGraphCcOracle =
+      s"""WITH RECURSIVE $knnGraphChainSql,
+         |wc AS (SELECT d_e4, CAST(count(*) AS BIGINT) AS c
+         |  FROM e10 GROUP BY d_e4),
+         |etot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM e10),
+         |cum AS (SELECT d_e4, sum(c) OVER (ORDER BY d_e4) AS cc FROM wc),
+         |thv AS (SELECT min(d_e4) AS t FROM cum, etot
+         |  WHERE cc >= (tot + 19) // 20),
+         |te AS (SELECT src, dst FROM e10, thv WHERE d_e4 <= thv.t),
+         |edges2 AS (SELECT src AS s, dst AS d FROM te
+         |  UNION SELECT dst AS s, src AS d FROM te),
+         |reach(n, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM edges2)
+         |  UNION SELECT e2.d, reach.r FROM edges2 e2
+         |    JOIN reach ON reach.n = e2.s)
+         |SELECT n AS vec_id, min(r) AS rep FROM reach GROUP BY n
+         |HAVING min(r) <> n ORDER BY vec_id"""
+        .stripMargin.replaceAll("\n", " ")
     val knnGraphStatsOracle =
       s"""WITH $knnGraphCtes,
          |rec AS (SELECT x.rank, CAST(count(*) AS BIGINT) AS n_recip
@@ -10782,6 +10835,7 @@ object SparkEntry {
       "knn_graph_search" -> knnGraphSearchOracle,
       "knn_graph_append" -> knnGraphAppendOracle,
       "knn_graph_delete" -> knnGraphDeleteOracle,
+      "dedup_graph_cc" -> dedupGraphCcOracle,
       "knn_hubness" -> knnHubnessOracle,
       "eval_matched_sample" ->
         """WITH m AS (SELECT greatest(1, (count(*) + 63) // 64) AS md

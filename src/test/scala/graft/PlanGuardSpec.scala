@@ -700,6 +700,17 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("partial_topk_pairs"), p)
   }
 
+  test("dedup_graph_cc: percentile threshold never a global window") {
+    // the exact-P5 edge-weight cut must run as histogram + partitioned
+    // prefix sum (Rank.globalCumSum), not a corpus-sized unpartitioned
+    // row_number — the CC loop executes eagerly, so guard the visible
+    // final plan's windows and the absence of cartesians
+    val exec = SparkEntry.queries("dedup_graph_cc")(spark, dir)
+      .queryExecution.executedPlan
+    assert(windows(exec).forall(_.partitionSpec.nonEmpty), exec.toString)
+    assert(!exec.toString.contains("CartesianProduct"), exec.toString)
+  }
+
   test("vocab_heaps: no cartesian, bounded decile window") {
     // the only global-ordered window runs on the bounded 10-row
     // decile frame (vocab_coverage contract)
