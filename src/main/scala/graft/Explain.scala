@@ -96,7 +96,8 @@ object Explain {
     "cluster_silhouette", "cluster_elbow", "coreset_kcenter",
     "vocab_heaps", "quality_ks", "embed_eff_dim",
     "events_markov_stationary", "knn_graph_search", "knn_graph_append",
-    "ann_pq_permuted", "knn_graph_delete", "dedup_graph_cc")
+    "ann_pq_permuted", "knn_graph_delete", "dedup_graph_cc",
+    "events_acf", "graph_coreness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

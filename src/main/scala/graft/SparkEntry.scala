@@ -3058,6 +3058,20 @@ object SparkEntry {
             .cast("bigint").as("z_e4"))
         .orderBy(col("event_type"), col("hour_bucket"))
     }),
+    // -- hourly autocorrelation per event type at lags 1/2/3/24 (the
+    //    model-order readout before any forecaster: persistence at
+    //    small lags, daily seasonality as the lag-24 spike): ZERO-
+    //    filled dense grid (a missing hour is zero events — forward
+    //    fill would overstate exactly what ACF measures), all lags
+    //    through ONE self equi-join on (type, hour+lag), Pearson
+    //    from exact DECIMAL(38,0) moments, only the final
+    //    cast→sqrt→divide is float, shipped fixed-point
+    //    (TimeSeries.acf has the 100 TB shape: one event-volume
+    //    shuffle, then |types|×|hours| rows) --
+    "events_acf" -> ((s, dir) =>
+      TimeSeries.acf(t(s, dir, "events"), "event_type",
+        lags = Seq(1, 2, 3, 24))),
+
     // -- lag/delta feature engineering over the hourly aggregate (the
     //    forecasting-features query): the event stream shuffles ONCE
     //    into the (type, hour) aggregate; the lag window re-exchanges
@@ -4470,6 +4484,39 @@ object SparkEntry {
         .groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("n_members").desc, col("community")).limit(15)),
+
+    // -- coreness (k-core number) of every dup-graph node via the
+    //    h-index iteration (Lü et al. 2016): c0 = degree, each round
+    //    c(v) = H{c(u) : u~v} — monotone to exact coreness, integer
+    //    rank statistics only, COUNT-DERIVED round budget
+    //    (clamp(⌈log₂n⌉, 2, 8), the nndescent discipline). Output:
+    //    per-round sum(c) checksums (the plateau = fixpoint, visible
+    //    in-band) + the coreness histogram + max (degeneracy). The
+    //    k-core is the "deeply mirrored" set a dedup triage treats
+    //    differently from pendant near-dups; per round one value-
+    //    frame equi-join + per-src rank fold on the edge SUBGRAPH
+    //    (Graph.corenessRounds has the 100 TB shape) --
+    "graph_coreness" -> ((s, dir) => {
+      val cz = Graph.corenessRounds(
+        Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id"))
+      val rounds = cz.rounds
+      val perRound = rounds.zipWithIndex.map { case (r, i) =>
+        statRow(if (i == 0) "sum_c_init" else s"sum_c_it$i",
+          sum(col("c")), r)
+      }
+      val hist = rounds.last.groupBy(col("c"))
+        .agg(count(lit(1)).as("nv"))
+        .select(concat(lit("core_"),
+            lpad(col("c").cast("string"), 3, "0")).as("stat"),
+          col("nv").cast("bigint").as("v"))
+      (Seq(statRow("n_nodes", lit(cz.nNodes), rounds.head.limit(1)),
+        statRow("n_edges_sym", count(lit(1)), cz.edges),
+        statRow("n_rounds", lit((rounds.length - 1).toLong),
+          rounds.head.limit(1))) ++ perRound ++
+        Seq(statRow("max_coreness", max(col("c")), rounds.last)))
+        .reduce(_.unionByName(_)).unionByName(hist)
+        .orderBy(col("stat"))
+    }),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDocs(t(s, dir, "documents"), "text", "doc_id")
@@ -7618,6 +7665,26 @@ object SparkEntry {
          | lps.lp_mod_e6, srs.n_sources, srs.src_mod_e6
          |FROM nn, m, lps, srs""".stripMargin.replaceAll("\n", " ")
     }
+    val corenessOracle = {
+      val cap = 8
+      // gated per-round checksums: subquery-then-WHERE so an
+      // inactive round contributes NO row (not a NULL-sum row)
+      val roundStats = (1 to cap).map(i =>
+        s"""UNION ALL SELECT 'sum_c_it$i', v FROM
+           |  (SELECT CAST(sum(c) AS BIGINT) AS v FROM c$i) _cs$i
+           |  WHERE (SELECT r FROM rv) >= $i""".stripMargin).mkString("\n")
+      s"""${operators.Graph.corenessCtes(dupGraphPairsCtes, cap)}
+         |SELECT stat, v FROM (
+         |SELECT 'n_nodes' AS stat, n AS v FROM nnod
+         |UNION ALL SELECT 'n_edges_sym', CAST(count(*) AS BIGINT) FROM e
+         |UNION ALL SELECT 'n_rounds', r FROM rv
+         |UNION ALL SELECT 'sum_c_init', CAST(sum(c) AS BIGINT) FROM c0
+         |$roundStats
+         |UNION ALL SELECT 'max_coreness', CAST(max(c) AS BIGINT) FROM c$cap
+         |UNION ALL SELECT concat('core_', lpad(CAST(c AS VARCHAR), 3, '0')),
+         |  CAST(count(*) AS BIGINT) FROM c$cap GROUP BY c
+         |) _all ORDER BY stat""".stripMargin.replaceAll("\n", " ")
+    }
     val semanticDedupOracle = {
       // cosine DISTANCE over two double lists (same op sequence as
       // VectorDistance: zero-norm -> 1.0, clamp, 1 - sim)
@@ -10012,6 +10079,7 @@ object SparkEntry {
       },
       // same integer fixed-point iterations, unrolled + MATERIALIZED
       "graph_pagerank" -> pagerankOracle,
+      "graph_coreness" -> corenessOracle,
       "graph_label_prop" -> labelPropOracle,
       "graph_lp_modularity" -> lpModularityOracle,
       // kmeans replay (1e-6 snap) + cluster-local pair sweep
@@ -12931,6 +12999,37 @@ object SparkEntry {
         | CAST(round((n - mu) / sd * 1e4) AS BIGINT) AS z_e4
         |FROM w WHERE n_prev = 6 AND sd > 0
         |ORDER BY event_type, hour_bucket""".stripMargin.replaceAll("\n", " "),
+    // zero-filled grid (not forward-filled — a missing hour is zero
+    // events for an ACF), exact HUGEINT moments (DuckDB sums of
+    // BIGINT products are int128, mirroring Spark's DECIMAL(38,0)),
+    // float only in the final cast→sqrt→divide — the
+    // price_qty_regression discipline
+    "events_acf" ->
+      """WITH h AS (SELECT event_type,
+        |  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+        |  CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type,
+        |  unnest(generate_series(min(h), max(h))) AS h
+        |  FROM h GROUP BY event_type),
+        |s AS (SELECT g.event_type, g.h, coalesce(h.n_obs, 0) AS n
+        |  FROM g LEFT JOIN h USING (event_type, h)),
+        |p AS (SELECT a.event_type, l.lag, a.n AS x, b.n AS y
+        |  FROM s a CROSS JOIN (VALUES (1), (2), (3), (24)) l(lag)
+        |  JOIN s b ON b.event_type = a.event_type AND b.h = a.h + l.lag),
+        |m AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS np,
+        |  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |  sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM p GROUP BY 1, 2),
+        |d AS (SELECT event_type, lag, np,
+        |  CAST(np * sxy - sx * sy AS DOUBLE) AS num,
+        |  CAST(np * sxx - sx * sx AS DOUBLE) AS dx,
+        |  CAST(np * syy - sy * sy AS DOUBLE) AS dy
+        |  FROM m)
+        |SELECT event_type, CAST(lag AS BIGINT) AS lag, np AS n_pairs,
+        | CAST(round(num / (sqrt(dx) * sqrt(dy)) * 1e6) AS BIGINT) AS acf_e6
+        |FROM d WHERE dx > 0 AND dy > 0
+        |ORDER BY event_type, lag""".stripMargin.replaceAll("\n", " "),
     // strict-gap sessions (`<`, matching session_window's end-exclusive
     // merge rule; sessionize_sql's variant uses `<=`)
     "events_session_window" ->

@@ -124,6 +124,108 @@ object Graph {
        |$chain""".stripMargin
   }
 
+  /** Sentinel: derive the round count from the node count. */
+  val Adaptive: Int = -1
+
+  /** Count-derived h-index round budget: clamp(⌈log₂ n⌉, 2, `cap`) —
+    * one extra round per graph doubling (the KnnGraph.adaptiveIters
+    * discipline), capped because the oracle unrolls to `cap` gated
+    * CTE rounds. The per-round sum(c) checksums the graph_coreness
+    * query ships make the plateau (true fixpoint) visible in the
+    * gated output itself.
+    */
+  def corenessIters(n: Long, cap: Int = 8): Int =
+    math.min(cap, math.max(2, KnnGraph.ceilLog2(n)))
+
+  /** A coreness computation: the value frame (node, c) after every
+    * round (element 0 = the degree init), the node count and the
+    * symmetrized checkpointed edge frame — exposed so the consuming
+    * query audits without re-scanning (the build.n discipline).
+    */
+  final case class Coreness(rounds: Seq[DataFrame], nNodes: Long,
+      edges: DataFrame)
+
+  /** Coreness (k-core number) of every node of an undirected pair
+    * list via the h-index iteration (Lü et al., "The H-index of a
+    * network node and its relation to degree and coreness", Nature
+    * Communications 7:10168, 2016): c₀ = degree; each round
+    * c_{r+1}(v) = H{c_r(u) : u ~ v} — the largest h such that at
+    * least h neighbors currently hold value ≥ h. The sequence is
+    * monotone non-increasing and converges to exact coreness; every
+    * value is an integer RANK statistic of a multiset (independent
+    * of neighbor enumeration order), so with the count-derived round
+    * budget ([[corenessIters]]) the whole trajectory is
+    * deterministic and unrolled-CTE-replayable like
+    * [[pagerank]]/[[labelProp]] ([[corenessCtes]] is the replay).
+    *
+    * Scale shape: per round ONE equi-join shuffle of the value frame
+    * (|nodes| rows) against the edge list keyed by dst, then a
+    * per-src sorted-rank fold (window partitioned by src — O(E·log
+    * deg) local work on the edge SUBGRAPH, the labelProp frame
+    * bound) and a map-side-combinable max; localCheckpoint per
+    * round. The k-core of the dup graph (nodes with coreness ≥ k)
+    * is the "deeply mirrored" set a dedup triage treats differently
+    * from pendant near-dups.
+    */
+  def corenessRounds(pairs: DataFrame, iters: Int = Adaptive): Coreness = {
+    require(iters >= 0 || iters == Adaptive,
+      s"iters must be >= 0 or Graph.Adaptive, got $iters")
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(eager = true)
+    var c = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val n = c.count()
+    val nRounds = if (iters == Adaptive) corenessIters(n) else iters
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("c").desc, col("dst"))
+    val out = Seq.newBuilder[DataFrame]
+    out += c
+    for (_ <- 1 to nRounds) {
+      c = edges
+        .join(c.select(col("node").as("dst"), col("c")), Seq("dst"))
+        .withColumn("rn", row_number().over(w))
+        .select(col("src"), least(col("rn").cast("long"), col("c")).as("m"))
+        .groupBy(col("src")).agg(max(col("m")).as("c"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager = true)
+      out += c
+    }
+    Coreness(out.result(), n, edges)
+  }
+
+  /** DuckDB replay of [[corenessRounds]]: the WITH chain
+    * pairs → e → nnod → rv (count-derived round budget) → c0..c`cap`
+    * where every round past the derived count is a gated
+    * passthrough (the knnGraphChainSql discipline — inactive rounds
+    * never join or sort). H-index per round via the same
+    * row_number-over-(c DESC, dst) rank fold.
+    */
+  def corenessCtes(pairsCtes: String, cap: Int = 8): String = {
+    val chain = (1 to cap).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT node, c FROM c${i - 1} WHERE (SELECT r FROM rv) < $i
+         |  UNION ALL
+         |  SELECT src AS node, max(least(rn, c)) AS c FROM (
+         |    SELECT e.src, p.c, row_number() OVER (PARTITION BY e.src
+         |      ORDER BY p.c DESC, e.dst) AS rn
+         |    FROM e JOIN c${i - 1} p ON e.dst = p.node
+         |    WHERE (SELECT r FROM rv) >= $i) _h$i
+         |  GROUP BY src)""".stripMargin
+    }.mkString(",\n")
+    s"""$pairsCtes,
+       |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nnod AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM e),
+       |rv AS (SELECT least($cap, greatest(2,
+       |  CAST(ceil(log2(CAST(n AS DOUBLE))) AS BIGINT))) AS r FROM nnod),
+       |c0 AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS c
+       |  FROM e GROUP BY src),
+       |$chain""".stripMargin
+  }
+
   /** DuckDB oracle: the same integer iterations as an unrolled CTE
     * chain over a caller-supplied edge CTE (must expose `pairs` with
     * doc_a/doc_b). MATERIALIZED on every stage — default inlining

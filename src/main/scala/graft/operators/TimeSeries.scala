@@ -60,6 +60,74 @@ object TimeSeries {
       .orderBy(col(keyCol), col("hour_bucket"))
   }
 
+  /** Sample autocorrelation of the hourly count series per key at the
+    * given lags — the seasonality/persistence readout a forecaster
+    * reads before choosing its model order (a daily-periodic stream
+    * shows a positive spike at lag 24; white noise hovers at 0). The
+    * series is ZERO-filled onto the dense per-key hour grid (a
+    * missing hour means zero events; forward-filling would overstate
+    * persistence, which is exactly what an ACF measures), then each
+    * lag L pairs hour t with hour t+L and the Pearson correlation is
+    * computed from exact integer moments: counts and all six sums
+    * live in DECIMAL(38,0) (the price_qty_regression overflow-proof
+    * budget), and the only float arithmetic is the final
+    * cast → sqrt → divide, identically ordered in the DuckDB replay,
+    * shipped as fixed-point `acf_e6` (signed-zero-free BIGINT).
+    * Constant-series keys (zero variance on either side) are dropped
+    * rather than shipped as NaN.
+    *
+    * Scale shape: raw events shuffle ONCE (the hourly hash aggregate,
+    * map-side combined); the dense grid is |keys| × span-hours rows
+    * generated from the aggregate (`maxSpanHours` caps a corrupt
+    * timestamp exactly as in [[gapFillHourly]]); all lags ride ONE
+    * explode + equi-join of the grid against itself on
+    * (key, hour+lag); everything after the moment aggregate is
+    * |keys| × |lags| rows. Nothing event-volume-sized survives the
+    * first stage.
+    */
+  def acf(events: DataFrame, keyCol: String, lags: Seq[Int],
+      maxSpanHours: Long = 100000L): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1),
+      s"acf needs positive lags, got $lags")
+    val hourly = events
+      .select(col(keyCol), expr("ts div 1000000000 div 3600").as("h"))
+      .groupBy(col(keyCol), col("h"))
+      .agg(count(lit(1)).as("n_obs"))
+    val series = hourly.groupBy(col(keyCol))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col(keyCol),
+        explode(sequence(
+          greatest(col("lo"), col("hi") - lit(maxSpanHours - 1)),
+          col("hi"))).as("h"))
+      .join(hourly, Seq(keyCol, "h"), "left")
+      .select(col(keyCol), col("h"),
+        coalesce(col("n_obs"), lit(0L)).cast("decimal(38,0)").as("n"))
+    val pairs = series
+      .select(col(keyCol), explode(lit(lags.toArray)).as("lag"),
+        (col("h") + col("lag")).as("h"), col("n").as("x"))
+      .join(series.select(col(keyCol), col("h"), col("n").as("y")),
+        Seq(keyCol, "h"))
+    val m = pairs.groupBy(col(keyCol), col("lag"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("np"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    m.select(col(keyCol), col("lag").cast("bigint").as("lag"),
+        col("np").cast("bigint").as("n_pairs"),
+        (col("np") * col("sxy") - col("sx") * col("sy"))
+          .cast("double").as("num"),
+        (col("np") * col("sxx") - col("sx") * col("sx"))
+          .cast("double").as("dx"),
+        (col("np") * col("syy") - col("sy") * col("sy"))
+          .cast("double").as("dy"))
+      .where(col("dx") > 0 && col("dy") > 0)
+      .select(col(keyCol), col("lag"), col("n_pairs"),
+        round(col("num") / (sqrt(col("dx")) * sqrt(col("dy"))) * 1e6)
+          .cast("bigint").as("acf_e6"))
+      .orderBy(col(keyCol), col("lag"))
+  }
+
   /** Robust (median/MAD) anomaly detection over a per-key series —
     * the outlier-resistant alternative to the z-score (one genuine
     * spike inflates a stddev enough to mask a second spike; it moves

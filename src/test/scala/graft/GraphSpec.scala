@@ -76,4 +76,47 @@ class GraphSpec extends AnyFunSuite {
     assert(r(1L) == r(2L))
     assert(math.abs(r(1L) - Graph.Scale / 2) < 10)
   }
+
+  private def corenessMap(pairs: org.apache.spark.sql.DataFrame,
+      iters: Int = Graph.Adaptive): Map[Long, Long] =
+    Graph.corenessRounds(pairs, iters).rounds.last.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("coreness: K4 with a pendant path peels to textbook values") {
+    // K4 on {0,1,2,3} (coreness 3 each), path 3-10-11 hanging off it
+    // (10 and 11 are in the 1-core only). 4 nodes + 2 pendants ->
+    // n=6, adaptive iters = max(2, ceil(log2 6)) = 3, enough: the
+    // h-index iteration settles K4 in one round and the tail in two
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 10L), (10L, 11L)).toDF("doc_a", "doc_b")
+    assert(corenessMap(pairs) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L,
+      3L -> 3L, 10L -> 1L, 11L -> 1L))
+  }
+
+  test("coreness: long path needs its length in rounds (budget caveat)") {
+    // a 7-node path: every interior node starts at degree 2 and the
+    // h-index wave moves inward one hop per round — coreness 1
+    // everywhere at fixpoint. With iters=1 the center still reads 2;
+    // by iters=3 (= adaptive for n=7) the whole path reads 1
+    val pairs = (0L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val one = corenessMap(pairs, iters = 1)
+    assert(one(3L) == 2L)
+    assert(corenessMap(pairs).values.forall(_ == 1L))
+  }
+
+  test("coreness: monotone non-increasing per round, order-invariant") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (3L, 5L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val cz = Graph.corenessRounds(pairs, iters = 4)
+    val perRound = cz.rounds.map(_.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    perRound.sliding(2).foreach { w =>
+      val (prev, next) = (w.head, w.last)
+      next.foreach { case (node, c) => assert(c <= prev(node)) }
+    }
+    // pure function of the edge SET — repartition must not move a value
+    val shuffled = Graph.corenessRounds(pairs.repartition(5), iters = 4)
+      .rounds.last.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled == perRound.last)
+  }
 }

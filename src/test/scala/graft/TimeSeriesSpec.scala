@@ -101,4 +101,63 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(got == want, s"rows=$rows")
     }
   }
+
+  test("acf: alternating series reads -1 at lag 1, +1 at lag 2") {
+    // counts 2,1,2,1,... over 12 hours: perfectly anti-correlated one
+    // hour apart, perfectly correlated two apart (the e6 fixed point
+    // is exact: every pair set is again a balanced 2/1 alternation)
+    val events = (0 until 12).flatMap { h =>
+      (0 until (if (h % 2 == 0) 2 else 1)).map(i => ("a", h * H + i))
+    }.toDF("event_type", "ts")
+    val out = TimeSeries.acf(events, "event_type", Seq(1, 2))
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (11L, -1000000L))
+    assert(out(2L) == (10L, 1000000L))
+  }
+
+  test("acf: zero-fills gaps (a missing hour is zero events, not a carry)") {
+    // key with events only at even hours 0,2,4,6: the dense grid puts
+    // a true 0 at odd hours -> strong NEGATIVE lag-1 autocorrelation.
+    // A forward-filled series would be constant (undefined r, dropped)
+    val events = Seq(("a", 0L), ("a", 2 * H), ("a", 4 * H), ("a", 6 * H))
+      .toDF("event_type", "ts")
+    val out = TimeSeries.acf(events, "event_type", Seq(1))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(3) == -1000000L) // exact alternation again
+  }
+
+  test("acf: brute-force Pearson agreement on a random series") {
+    val rnd = new scala.util.Random(7)
+    val counts = (0 until 40).map(_ => rnd.nextInt(5))
+    val events = counts.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(i => ("k", h * H + i))
+    }.toDF("event_type", "ts")
+    def pearson(xs: Seq[Int], ys: Seq[Int]): Double = {
+      val n = xs.size.toDouble
+      val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+      val sxy = xs.zip(ys).map { case (a, b) => a.toDouble * b }.sum
+      val sxx = xs.map(a => a.toDouble * a).sum
+      val syy = ys.map(a => a.toDouble * a).sum
+      (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val out = TimeSeries.acf(events, "event_type", Seq(1, 3, 5))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    Seq(1, 3, 5).foreach { lag =>
+      // the grid spans first..last OBSERVED hour; leading/trailing
+      // all-zero hours are outside it
+      val lo = counts.indexWhere(_ > 0)
+      val hi = counts.lastIndexWhere(_ > 0)
+      val series = counts.slice(lo, hi + 1)
+      val want = pearson(series.dropRight(lag), series.drop(lag))
+      assert(math.abs(out(lag.toLong) / 1e6 - want) < 2e-6,
+        s"lag=$lag got=${out(lag.toLong)} want=$want")
+    }
+  }
+
+  test("acf: constant series is dropped, not NaN") {
+    val events = (0 until 6).map(h => ("a", h * H)).toDF("event_type", "ts")
+    assert(TimeSeries.acf(events, "event_type", Seq(1)).count() == 0)
+  }
 }
