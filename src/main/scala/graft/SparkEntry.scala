@@ -1976,6 +1976,64 @@ object SparkEntry {
         .orderBy(col("stat"))
     }),
 
+    // -- HIERARCHICAL routed graph search (the HNSW upper-LAYER
+    //    descend, hnsw.go:439's outer level loop, batch form): same
+    //    built graph and count-derived beam/hops as knn_graph_search,
+    //    but the entry points come from a ~√n coarse LEVEL — the
+    //    id-mod-2^⌈⌈log₂n⌉/2⌉ sample, scanned exactly per query
+    //    (top-8 by integer e4, ties by id) — instead of LSH buckets.
+    //    The two-level balance point: |Q|·√n routing work + the beam
+    //    descent; recursing the split gives n^(1/3) levels. A level
+    //    seed is a GUARANTEED distance minimizer over √n anchors,
+    //    where an LSH bucket is only probably near — measured at
+    //    sf0.01 both land recall ~0.9, but routed entry is the one
+    //    that keeps working when bucket occupancy skews at scale.
+    //    Output: level stats + per-hop beam checksums + recall@8,
+    //    comparable row-for-row with knn_graph_search --
+    "knn_graph_search_routed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val k = 8
+      val kb = 2 * k
+      val build = graft.operators.KnnGraph
+        .nnDescentBuild(e, "vec_id", "embedding", kb)
+      val n = build.n
+      val beam = graft.operators.KnnGraph.adaptiveBeam(n)
+      val lm = graft.operators.KnnGraph.levelMod(n)
+      val graph = build.rounds.last
+      val mod = math.max(1L, (n + 49L) / 50L)
+      val qs = build.vecs.where(pmod(col("id"), lit(mod)) === 0)
+        .select(col("id").as("qid"), col("v").as("qv"))
+      val states = graft.operators.KnnGraph
+        .layeredSearchRounds(graph, build.vecs, qs, n, beam, degree = k)
+      val hops = states.length - 1
+      val exact = graphExactTop8(build.vecs.select(col("id"), col("v")), qs)
+      val matchCnt = states.last
+        .where(col("rank") <= k)
+        .join(exact, col("qid") === col("eqid") &&
+          col("node") === col("nb"), "left_semi")
+        .agg(count(lit(1)).as("m"))
+      val recall = matchCnt
+        .crossJoin(qs.agg(count(lit(1)).as("nq")))
+        .select(lit("recall_e4").as("stat"),
+          expr(s"(m * 10000) div (nq * $k)").as("v"))
+      val perHop = states.zipWithIndex.map { case (st, i) =>
+        statRow(s"sum_d_e4_hop$i", sum(col("d_e4")), st)
+      }
+      (Seq(statRow("n_nodes", lit(n), e.limit(1)),
+        statRow("k_per_node", lit(k.toLong), e.limit(1)),
+        statRow("graph_degree", lit(kb.toLong), e.limit(1)),
+        statRow("beam_width", lit(beam.toLong), e.limit(1)),
+        statRow("n_hops", lit(hops.toLong), e.limit(1)),
+        statRow("level_mod", lit(lm), e.limit(1)),
+        // ids dense in [0, n): level size is exact arithmetic,
+        // no second corpus scan (the build.n discipline)
+        statRow("n_level", lit((n + lm - 1L) / lm), e.limit(1))) ++
+        perHop ++
+        Seq(statRow("n_sample_queries", count(lit(1)), qs), recall))
+        .reduce(_.unionByName(_))
+        .orderBy(col("stat"))
+    }),
+
     // -- incremental graph MAINTENANCE (the hnsw.go:145 Add analog,
     //    the last HNSW behavior: KnnGraph.appendBatch has the
     //    algorithm + 100 TB shape): split the corpus into a dense
@@ -7284,7 +7342,37 @@ object SparkEntry {
     * inactive hops never expand or score. Mirrors
     * KnnGraph.beamSearchRounds exactly.
     */
-  private lazy val knnGraphSearchCtes: String = {
+  private lazy val knnGraphSearchCtes: String =
+    knnGraphBeamCtes(
+      s"""sring AS (SELECT qid, (((qid + s * d) % n) + n) % n AS node
+         |  FROM qq, nn, (VALUES (1), (-1)) ss(s), range(1, 5) dd(d)
+         |  WHERE (((qid + s * d) % n) + n) % n <> qid),
+         |smates AS (SELECT q.qid, w.id AS node FROM qq q
+         |  JOIN vv w ON w.bucket = q.qbucket AND w.id <> q.qid),
+         |sseed AS MATERIALIZED (SELECT DISTINCT qid, node FROM
+         |  (SELECT qid, node FROM sring
+         |   UNION ALL SELECT qid, node FROM smates) _s)""".stripMargin)
+
+  /** [[knnGraphSearchCtes]] with HIERARCHICAL routed entry points —
+    * the KnnGraph.layeredSearchRounds replay: the ~√n coarse level is
+    * the id-mod-2^⌈⌈log₂n⌉/2⌉ sample (lmv derives the mod from
+    * count(*), integer-exact), and each query's seeds are its exact
+    * integer-e4 top-8 level members (ties by id) — no LSH, no ring.
+    */
+  private lazy val knnGraphRoutedCtes: String =
+    knnGraphBeamCtes(
+      s"""lmv AS (SELECT CAST(2 ** ((CAST(ceil(log2(CAST(n AS DOUBLE)))
+         |    AS BIGINT) + 1) // 2) AS BIGINT) AS lm FROM nn),
+         |lvl AS MATERIALIZED (SELECT id, v FROM vv, lmv
+         |  WHERE id % lm = 0),
+         |sseed AS MATERIALIZED (SELECT qid, node FROM (
+         |  SELECT q.qid, w.id AS node, row_number() OVER (
+         |    PARTITION BY q.qid
+         |    ORDER BY ${knnGraphL2e4("w.v", "q.qv")}, w.id) AS rn
+         |  FROM qq q JOIN lvl w ON w.id <> q.qid) _ls
+         |  WHERE rn <= 8)""".stripMargin)
+
+  private def knnGraphBeamCtes(seedCtes: String): String = {
     val capH = 6
     def shop(r: Int): String =
       s"""sf$r AS (SELECT qid, node FROM st${r - 1}
@@ -7316,14 +7404,7 @@ object SparkEntry {
        |bv AS MATERIALIZED (SELECT least(64, greatest(16,
        |  3 * CAST(ceil(log2(CAST(n AS DOUBLE))) AS BIGINT))) AS b
        |  FROM nn),
-       |sring AS (SELECT qid, (((qid + s * d) % n) + n) % n AS node
-       |  FROM qq, nn, (VALUES (1), (-1)) ss(s), range(1, 5) dd(d)
-       |  WHERE (((qid + s * d) % n) + n) % n <> qid),
-       |smates AS (SELECT q.qid, w.id AS node FROM qq q
-       |  JOIN vv w ON w.bucket = q.qbucket AND w.id <> q.qid),
-       |sseed AS MATERIALIZED (SELECT DISTINCT qid, node FROM
-       |  (SELECT qid, node FROM sring
-       |   UNION ALL SELECT qid, node FROM smates) _s),
+       |$seedCtes,
        |${sstate(0)},
        |$hopChain""".stripMargin
   }
@@ -8532,6 +8613,45 @@ object SparkEntry {
          |UNION ALL SELECT 'graph_degree', CAST(16 AS BIGINT) FROM nn
          |UNION ALL SELECT 'beam_width', CAST(b AS BIGINT) FROM bv
          |UNION ALL SELECT 'n_hops', CAST(h AS BIGINT) FROM hv
+         |UNION ALL SELECT 'sum_d_e4_hop0', CAST(sum(d_e4) AS BIGINT) FROM st0
+         |$hopStats
+         |UNION ALL SELECT 'n_sample_queries', q FROM snq
+         |UNION ALL SELECT 'recall_e4',
+         |  CAST((mm * 10000) // (q * 8) AS BIGINT) FROM smt, snq
+         |ORDER BY stat""".stripMargin.replaceAll("\n", " ")
+    }
+    // routed-entry replay: identical build + beam chain, but the
+    // seed CTEs come from knnGraphRoutedCtes (the ~sqrt(n) id-mod
+    // coarse level, exact top-8 per query) — plus the level stats
+    val knnGraphRoutedOracle = {
+      val hopStats = (1 to 6).map(r =>
+        s"""UNION ALL SELECT 'sum_d_e4_hop$r', v FROM
+           |  (SELECT CAST(sum(d_e4) AS BIGINT) AS v FROM st$r) _hs$r
+           |  WHERE (SELECT h FROM hv) >= $r""".stripMargin).mkString("\n")
+      s"""WITH $knnGraphChainSql,
+         |gg AS MATERIALIZED (SELECT src, dst FROM e10),
+         |m AS (SELECT greatest(1, (n + 49) // 50) AS md FROM nn),
+         |qq AS MATERIALIZED (SELECT id AS qid, v AS qv, bucket AS qbucket
+         |  FROM vv, m WHERE ((id % md) + md) % md = 0),
+         |$knnGraphRoutedCtes,
+         |sxc AS (SELECT q.qid, e.id AS nb,
+         |  ${knnGraphL2e4("e.v", "q.qv")} AS d_e4
+         |  FROM vv e, qq q WHERE e.id <> q.qid),
+         |sexact AS MATERIALIZED (SELECT qid, nb FROM (SELECT sxc.*,
+         |  row_number() OVER (PARTITION BY qid ORDER BY d_e4, nb) AS rn
+         |  FROM sxc) _sx WHERE rn <= 8),
+         |smt AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM st6
+         |  JOIN sexact ON st6.qid = sexact.qid
+         |    AND st6.node = sexact.nb
+         |  WHERE st6.rank <= 8),
+         |snq AS (SELECT CAST(count(*) AS BIGINT) AS q FROM qq)
+         |SELECT 'n_nodes' AS stat, n AS v FROM nn
+         |UNION ALL SELECT 'k_per_node', CAST(8 AS BIGINT) FROM nn
+         |UNION ALL SELECT 'graph_degree', CAST(16 AS BIGINT) FROM nn
+         |UNION ALL SELECT 'beam_width', CAST(b AS BIGINT) FROM bv
+         |UNION ALL SELECT 'n_hops', CAST(h AS BIGINT) FROM hv
+         |UNION ALL SELECT 'level_mod', lm FROM lmv
+         |UNION ALL SELECT 'n_level', (n + lm - 1) // lm FROM nn, lmv
          |UNION ALL SELECT 'sum_d_e4_hop0', CAST(sum(d_e4) AS BIGINT) FROM st0
          |$hopStats
          |UNION ALL SELECT 'n_sample_queries', q FROM snq
@@ -10901,6 +11021,7 @@ object SparkEntry {
       "knn_graph_stats" -> knnGraphStatsOracle,
       "knn_graph_nndescent" -> knnGraphNndescentOracle,
       "knn_graph_search" -> knnGraphSearchOracle,
+      "knn_graph_search_routed" -> knnGraphRoutedOracle,
       "knn_graph_append" -> knnGraphAppendOracle,
       "knn_graph_delete" -> knnGraphDeleteOracle,
       "dedup_graph_cc" -> dedupGraphCcOracle,

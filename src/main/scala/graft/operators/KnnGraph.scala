@@ -238,17 +238,9 @@ object KnnGraph {
       queries: DataFrame, n: Long, beam: Int = Adaptive,
       hops: Int = Adaptive, ringSeeds: Int = 4,
       degree: Int = 8): Seq[DataFrame] = {
-    require(beam >= 1 || beam == Adaptive,
-      s"beam must be >= 1 or KnnGraph.Adaptive, got $beam")
-    require(hops >= 0 || hops == Adaptive,
-      s"hops must be >= 0 or KnnGraph.Adaptive, got $hops")
-    val edges = graph.select(col("src"), col("dst"))
     val q = broadcast(
       queries.select(col("qid"), col("qv"), col("qbucket"))
         .localCheckpoint(true))
-    val bw = if (beam == Adaptive) adaptiveBeam(n) else beam
-    val nHops =
-      if (hops == Adaptive) adaptiveHops(n, degree) else hops
     val ring = q.select(col("qid"),
         explode(sequence(lit(1), lit(ringSeeds))).as("d"))
       .select(col("qid"),
@@ -260,6 +252,78 @@ object KnnGraph {
       .select(col("qid"), col("node"))
     val seeds = ring.unionByName(mates)
       .where(col("qid") =!= col("node")).distinct()
+    beamCore(graph, vecs, q, seeds, n, beam, hops, degree)
+  }
+
+  /** The coarse-routing level mod: members are ids ≡ 0 (mod
+    * 2^⌈⌈log₂n⌉/2⌉), so the level holds ~√n nodes — the two-level
+    * optimum (level scan ~√n + beam descent, the IVF-√k/HNSW-upper-
+    * layer balance point). Integer-exact from [[ceilLog2]], so the
+    * DuckDB replay derives the same mod from count(*).
+    */
+  def levelMod(n: Long): Long = 1L << ((ceilLog2(n) + 1) / 2)
+
+  /** Hierarchical routed entry points — the HNSW upper-LAYER descend
+    * (hnsw.go:439's outer loop walks levels down to 0; batch form:
+    * ONE coarse level of ~√n nodes, the id-mod sample [[levelMod]],
+    * scanned exactly per query). Each query takes its top-`s` level
+    * members by exact integer-e4 distance (ties by id) as seeds for
+    * the base-graph beam descent — replacing the LSH-bucket entry
+    * with a GUARANTEED-near one: the nearest level member is a true
+    * distance minimizer over √n anchors, where an LSH bucket is only
+    * probably near (and can be empty of close mates on isotropic
+    * data). Recursing the same split gives n^(1/3) levels etc. — at
+    * 100 TB the level scan is |Q|·√n keyed work, distributed like
+    * any broadcast-query scan, and the level frame is corpus-derived
+    * (no training step, no stored model beyond the mod).
+    */
+  def routedSeeds(vecs: DataFrame, q: DataFrame, n: Long,
+      s: Int = 8): DataFrame = {
+    val lm = levelMod(n)
+    val level = vecs.where(pmod(col("id"), lit(lm)) === 0)
+      .select(col("id").as("node"), col("v").as("nv"))
+    level.join(q.select(col("qid"), col("qv")),
+        col("node") =!= col("qid"))
+      .select(col("qid"), col("node"), dE4(col("nv"), col("qv")).as("d"))
+      .groupBy(col("qid"))
+      .agg(TopKAgg.topk_pairs(col("d").cast("double"), col("node"), s)
+        .as("tk"))
+      .select(col("qid"), explode(col("tk")).as("pair"))
+      .select(col("qid"), col("pair.id").as("node"))
+  }
+
+  /** [[beamSearchRounds]] with hierarchical routed entry points
+    * ([[routedSeeds]]) instead of LSH-bucket ∪ ring seeds — the full
+    * HNSW descend analog: route through the ~√n coarse level, then
+    * count-derived greedy beam hops over the base graph. `queries`
+    * needs only (qid, qv).
+    */
+  def layeredSearchRounds(graph: DataFrame, vecs: DataFrame,
+      queries: DataFrame, n: Long, beam: Int = Adaptive,
+      hops: Int = Adaptive, seedK: Int = 8,
+      degree: Int = 8): Seq[DataFrame] = {
+    val q = broadcast(
+      queries.select(col("qid"), col("qv")).localCheckpoint(true))
+    beamCore(graph, vecs, q, routedSeeds(vecs, q, n, seedK), n, beam,
+      hops, degree)
+  }
+
+  /** Shared hop engine of [[beamSearchRounds]] and
+    * [[layeredSearchRounds]]: score the seeds, then `hops` gated
+    * expand/re-score/top-beam rounds. `q` must already be broadcast +
+    * checkpointed and expose (qid, qv).
+    */
+  private def beamCore(graph: DataFrame, vecs: DataFrame, q: DataFrame,
+      seeds: DataFrame, n: Long, beam: Int, hops: Int,
+      degree: Int): Seq[DataFrame] = {
+    require(beam >= 1 || beam == Adaptive,
+      s"beam must be >= 1 or KnnGraph.Adaptive, got $beam")
+    require(hops >= 0 || hops == Adaptive,
+      s"hops must be >= 0 or KnnGraph.Adaptive, got $hops")
+    val edges = graph.select(col("src"), col("dst"))
+    val bw = if (beam == Adaptive) adaptiveBeam(n) else beam
+    val nHops =
+      if (hops == Adaptive) adaptiveHops(n, degree) else hops
     def scoreBeam(cands: DataFrame): DataFrame =
       cands
         .join(vecs.select(col("id").as("node"), col("v").as("nv")),

@@ -79,6 +79,59 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(recall > 0.8 && recall <= 1.0, s"beam recall@8 $recall")
   }
 
+  test("routed seeds are each query's exact top-s over the coarse level") {
+    val build = KnnGraph.nnDescentBuild(emb, "vec_id", "embedding", 8)
+    val lm = KnnGraph.levelMod(build.n)
+    assert(lm === 32L) // n=500: ceil(log2)=9 -> 2^5
+    val qs = broadcast(build.vecs.where(col("id") < 6)
+      .select(col("id").as("qid"), col("v").as("qv")))
+    val got = KnnGraph.routedSeeds(build.vecs, qs, build.n, s = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the level members
+    val want = build.vecs.where(pmod(col("id"), lit(lm)) === 0)
+      .crossJoin(qs).where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        round(graft.functions.VectorFunctions
+          .vec_l2(col("v"), col("qv")) * 1e4).cast("bigint").as("d"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("d"), col("id"))))
+      .where(col("rn") <= 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
+  test("layered search: routed entry matches flat recall on this corpus") {
+    val build = KnnGraph.nnDescentBuild(emb, "vec_id", "embedding", 16)
+    val qs = build.vecs.where(col("id") < 25)
+      .select(col("id").as("qid"), col("v").as("qv"),
+        col("bucket").as("qbucket"))
+    def recallOf(fin: org.apache.spark.sql.DataFrame): Double = {
+      val exact = build.vecs.crossJoin(
+          broadcast(qs.select(col("qid"), col("qv"))))
+        .where(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"),
+          round(graft.functions.VectorFunctions
+            .vec_l2(col("v"), col("qv")) * 1e4).cast("bigint").as("d"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg
+          .topk_pairs(col("d").cast("double"), col("id"), 8).as("tk"))
+        .select(col("qid").as("eqid"), explode(col("tk")).as("p"))
+        .select(col("eqid"), col("p.id").as("nb"))
+      fin.where(col("rank") <= 8).join(exact,
+        col("qid") === col("eqid") && col("node") === col("nb"),
+        "left_semi").count().toDouble / exact.count()
+    }
+    val routed = recallOf(KnnGraph.layeredSearchRounds(
+      build.rounds.last, build.vecs, qs, build.n, degree = 8).last)
+    val flat = recallOf(KnnGraph.beamSearchRounds(
+      build.rounds.last, build.vecs, qs, build.n, degree = 8).last)
+    // 0.97 routed vs 0.98 flat at pin time (n=500, beam 27): the
+    // hierarchy replaces LSH buckets without giving up recall
+    assert(routed > 0.85 && routed <= 1.0, s"routed recall@8 $routed")
+    assert(math.abs(routed - flat) < 0.1, s"routed $routed vs flat $flat")
+  }
+
   test("beam search is deterministic: two runs produce identical results") {
     val build = KnnGraph.nnDescentBuild(emb, "vec_id", "embedding", 8)
     val qs = build.vecs.where(col("id") < 5)
