@@ -5252,6 +5252,37 @@ object SparkEntry {
         .orderBy(col("dist"), col("doc_id")).limit(10)
     }),
 
+    // -- exact PHRASE search over the positional inverted index (the
+    //    lexical complement to BM25's bag-of-words): every query-term
+    //    posting (doc, pos, term) survives a map-side isin prune of
+    //    the token stream — the non-query 99%+ of tokens never leave
+    //    the scan stage — then each phrase is the classic positional
+    //    AND: term i's postings joined on (doc, pos - i). The five
+    //    query bigrams + one trigram share the ONE pruned posting
+    //    frame (checkpointed). At 100 TB this IS the inverted-index
+    //    lookup: postings keyed by (doc, aligned pos), no window, no
+    //    corpus-sized shuffle --
+    "search_phrase" -> ((s, dir) => {
+      val terms = SearchTextQuery.split(' ')
+      val phrases: Seq[Seq[String]] =
+        terms.sliding(2).map(_.toSeq).toSeq :+ terms.slice(2, 5).toSeq
+      val postings = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextFuncs.tokens(col("text"))).as(Seq("pos", "tok")))
+        .where(col("tok").isin(terms.distinct.toSeq: _*))
+        .localCheckpoint(true)
+      phrases.map { ph =>
+        val hits = ph.zipWithIndex.map { case (w, i) =>
+          postings.where(col("tok") === w)
+            .select(col("doc_id"), (col("pos") - i).as("p0"))
+        }.reduce((a, b) => a.join(b, Seq("doc_id", "p0")))
+        hits.agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_hits"))
+          .select(lit(ph.mkString(" ")).as("phrase"),
+            col("n_docs"), col("n_hits"))
+      }.reduce(_.unionByName(_)).orderBy(col("phrase"))
+    }),
+
     // -- hybrid retrieval: lexical token-overlap top-100 + embedding
     //    cosine top-100, fused by reciprocal rank (RRF, k0=60). Each
     //    ranker is a TakeOrderedAndProject; ranking windows run over
@@ -11116,6 +11147,27 @@ object SparkEntry {
       // lexical rank: distinct-token-hash overlap with the query (the
       // dedup_jaccard set form); vector rank: the search_text cosine
       // at 4dp; both LIMIT 100 then RRF with rank C+1 for misses
+      // n-gram equality replay of the positional AND (same semantics:
+      // a phrase hit IS an n-gram occurrence); LEFT JOIN from the
+      // phrase list so zero-match phrases ship (0, 0) rows
+      "search_phrase" -> {
+        val terms = SearchTextQuery.split(' ')
+        val phrases = (terms.sliding(2).map(_.mkString(" ")).toSeq :+
+          terms.slice(2, 5).mkString(" "))
+          .map(p => s"'$p'").mkString(", ")
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |g2 AS (SELECT doc_id, unnest(${SqlSnips.shingles("toks", 2)}) AS ph
+           |  FROM t WHERE len(toks) >= 2),
+           |g3 AS (SELECT doc_id, unnest(${SqlSnips.shingles("toks", 3)}) AS ph
+           |  FROM t WHERE len(toks) >= 3),
+           |u AS (SELECT * FROM g2 UNION ALL SELECT * FROM g3),
+           |q AS (SELECT unnest([$phrases]) AS ph)
+           |SELECT q.ph AS phrase,
+           | CAST(count(DISTINCT u.doc_id) AS BIGINT) AS n_docs,
+           | CAST(count(u.doc_id) AS BIGINT) AS n_hits
+           |FROM q LEFT JOIN u ON u.ph = q.ph
+           |GROUP BY q.ph ORDER BY phrase""".stripMargin.replaceAll("\n", " ")
+      },
       "search_hybrid" -> {
         val hashes = s"list_transform(toks, w -> ${SqlSnips.charFold("w")})"
         val qhashes = s"list_transform(${SqlSnips.tokens("'" + SearchTextQuery + "'")}, w -> ${SqlSnips.charFold("w")})"

@@ -717,4 +717,38 @@ class PlanGuardSpec extends AnyFunSuite {
     val ph = plan("vocab_heaps")
     assert(!ph.contains("CartesianProduct"), ph)
   }
+
+  test("search_phrase: postings pruned map-side, no window, no cartesian") {
+    // the positional-AND joins run on the isin-pruned posting frame
+    // (checkpointed, so the visible plan starts there); phrase
+    // alignment is pure equi-joins — a window or cartesian here
+    // means the inverted-index shape regressed
+    val exec = SparkEntry.queries("search_phrase")(spark, dir)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    assert(windows(exec).isEmpty, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the pruned posting stream is scanned once per phrase-term leg,
+    // all joins keyed by (doc_id, aligned pos) — hash or sort-merge,
+    // never nested-loop
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("events_acf: one event-volume aggregate, lag join keyed, no window") {
+    val exec = SparkEntry.queries("events_acf")(spark, dir)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    assert(windows(exec).isEmpty, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("graph_coreness: per-round windows are per-src, never global") {
+    // the h-index rank fold partitions by src on the edge subgraph;
+    // rounds execute eagerly (localCheckpoint), so guard the final
+    // visible plan: partitioned windows only, no cartesian
+    val exec = SparkEntry.queries("graph_coreness")(spark, dir)
+      .queryExecution.executedPlan
+    assert(windows(exec).forall(_.partitionSpec.nonEmpty), exec.toString)
+    assert(!exec.toString.contains("CartesianProduct"), exec.toString)
+  }
 }
