@@ -6900,6 +6900,20 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // -- Holt linear-trend backtest next to the seasonal-naive
+    //    baseline (the model-comparison read after events_acf's
+    //    model-order one): level+trend recurrences over the
+    //    zero-filled hourly series in EXACT 1e6 fixed point
+    //    (α=0.2, β=0.1 as rationals; portable remainder-subtracting
+    //    floor division, since Spark div truncates and DuckDB //
+    //    floors — they disagree exactly when a trend goes negative),
+    //    last 24 h held out, SAE of l+h·b vs the t−168 seasonal
+    //    naive. Holt is inherently sequential per series, so the
+    //    honest shape is ONE array fold per key after the single
+    //    event-volume shuffle (TimeSeries.holtBacktest) --
+    "events_holt_backtest" -> ((s, dir) =>
+      TimeSeries.holtBacktest(t(s, dir, "events"), "event_type")),
+
     // -- padding-waste planner for length-bucketed batching: docs
     //    binned to the next power-of-two token length (the standard
     //    bucketed-batching layout), per bucket the padded-token bill
@@ -13203,6 +13217,46 @@ object SparkEntry {
         | CAST(round(num / (sqrt(dx) * sqrt(dy)) * 1e6) AS BIGINT) AS acf_e6
         |FROM d WHERE dx > 0 AND dy > 0
         |ORDER BY event_type, lag""".stripMargin.replaceAll("\n", " "),
+    // the same e6 Holt recurrence as TimeSeries.holtBacktest, replayed
+    // per key as list_reduce over the ordered hour list; the explicit
+    // remainder-subtract makes // exact (numerator divisible by 10)
+    "events_holt_backtest" -> {
+      def fdiv(a: String): String =
+        s"((($a) - (((($a) % 10) + 10) % 10)) // 10)"
+      // list_reduce needs a homogeneous element type, so the series
+      // rides as 1-element lists next to the [l, b] accumulator (the
+      // multimodal_cdc_dedup pattern)
+      val nl = fdiv("2 * x[1] + 8 * (acc[1] + acc[2])")
+      val nb = fdiv(s"1 * ($nl - acc[1]) + 9 * acc[2]")
+      s"""WITH h AS (SELECT event_type,
+         |  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         |  CAST(count(*) AS BIGINT) AS n_obs
+         |  FROM events GROUP BY 1, 2),
+         |g AS (SELECT event_type,
+         |  unnest(generate_series(min(h), max(h))) AS h
+         |  FROM h GROUP BY event_type),
+         |s AS (SELECT g.event_type, g.h, coalesce(h.n_obs, 0) AS n
+         |  FROM g LEFT JOIN h USING (event_type, h)),
+         |a AS (SELECT event_type, list(n * 1000000 ORDER BY h) AS v
+         |  FROM s GROUP BY event_type),
+         |f AS (SELECT event_type, len(v) AS nh, len(v) - 24 AS nt, v
+         |  FROM a WHERE len(v) >= 48),
+         |st AS (SELECT event_type, nh, nt, v, list_reduce(
+         |  list_prepend([v[1], CAST(0 AS BIGINT)],
+         |    list_transform(v[2:nt], e -> [e])),
+         |  (acc, x) -> [$nl, $nb]) AS lb FROM f)
+         |SELECT event_type, CAST(nh AS BIGINT) AS n_hours,
+         | CAST(lb[1] AS BIGINT) AS level_e6,
+         | CAST(lb[2] AS BIGINT) AS trend_e6,
+         | CAST(list_sum(list_transform(range(1, 25), hh ->
+         |   abs(v[nt + hh] - (lb[1] + hh * lb[2])))) AS BIGINT)
+         |   AS sae_holt_e6,
+         | CAST(list_sum(list_transform(range(1, 25), hh ->
+         |   abs(v[nt + hh] - CASE WHEN nt + hh > 168
+         |     THEN v[nt + hh - 168] ELSE 0 END))) AS BIGINT)
+         |   AS sae_naive_e6
+         |FROM st ORDER BY event_type""".stripMargin.replaceAll("\n", " ")
+    },
     // strict-gap sessions (`<`, matching session_window's end-exclusive
     // merge rule; sessionize_sql's variant uses `<=`)
     "events_session_window" ->

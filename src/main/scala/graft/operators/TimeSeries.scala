@@ -128,6 +128,81 @@ object TimeSeries {
       .orderBy(col(keyCol), col("lag"))
   }
 
+  /** Holt linear-trend (double exponential smoothing) backtest per
+    * key over the zero-filled hourly count series — the level+trend
+    * forecaster next to the seasonal-naive baseline
+    * `events_forecast_backtest` ships (Holt 1957; Hyndman &
+    * Athanasopoulos, "Forecasting: Principles and Practice" §8.2).
+    * The last `holdout` hours are held out, the recurrences
+    *
+    *   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * run over the training prefix ENTIRELY in 1e6 fixed point with
+    * rational α = alphaNum/denom, β = betaNum/denom and an explicit
+    * remainder-subtracting floor division (Spark's `div` truncates
+    * toward zero and DuckDB's `//` floors — they disagree exactly
+    * when a trend turns negative, so the recurrence subtracts the
+    * portable pmod remainder first and divides exactly). The h-step
+    * forecast l + h·b is scored against the holdout next to the
+    * seasonal-naive (t − seasonLag) prediction — both as exact
+    * integer sums of absolute e6 errors.
+    *
+    * Scale shape: Holt is inherently SEQUENTIAL per series, so the
+    * honest distributed form is one array fold per key (`aggregate`
+    * over the collected hour array, bounded by the same
+    * `maxSpanHours` cap as [[gapFillHourly]] — ≤1e5 elements per
+    * key): parallel across keys, map-side after the one
+    * event-volume shuffle into the hourly aggregate. No window, no
+    * iteration shuffles — the fold happens inside one projection.
+    */
+  def holtBacktest(events: DataFrame, keyCol: String, holdout: Int = 24,
+      seasonLag: Int = 168, alphaNum: Int = 2, betaNum: Int = 1,
+      denom: Int = 10, maxSpanHours: Long = 100000L): DataFrame = {
+    require(holdout >= 1 && seasonLag >= 1 && denom >= 2 &&
+      alphaNum >= 1 && alphaNum < denom && betaNum >= 1 && betaNum < denom,
+      s"bad holt config: holdout=$holdout lag=$seasonLag " +
+        s"alpha=$alphaNum/$denom beta=$betaNum/$denom")
+    val hourly = events
+      .select(col(keyCol), expr("ts div 1000000000 div 3600").as("h"))
+      .groupBy(col(keyCol), col("h"))
+      .agg(count(lit(1)).as("n_obs"))
+    val series = hourly.groupBy(col(keyCol))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col(keyCol),
+        explode(sequence(
+          greatest(col("lo"), col("hi") - lit(maxSpanHours - 1)),
+          col("hi"))).as("h"))
+      .join(hourly, Seq(keyCol, "h"), "left")
+      .select(col(keyCol), col("h"), coalesce(col("n_obs"), lit(0L)).as("n"))
+    val arr = series.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("h"), col("n")))).as("sn"))
+      .select(col(keyCol),
+        expr("transform(sn, x -> x.n * 1000000L)").as("v"))
+      .where(size(col("v")) >= lit(holdout * 2))
+      .withColumn("nt", size(col("v")) - lit(holdout))
+    def fdiv(a: String): String =
+      s"(($a) - (((($a) % $denom) + $denom) % $denom)) div $denom"
+    val nl = fdiv(s"$alphaNum * x + ${denom - alphaNum} * (acc.l + acc.b)")
+    val nb = fdiv(s"$betaNum * (($nl) - acc.l) + ${denom - betaNum} * acc.b")
+    arr
+      .withColumn("st", expr(
+        s"""aggregate(slice(v, 2, nt - 1),
+           |  named_struct('l', element_at(v, 1), 'b', 0L),
+           |  (acc, x) -> named_struct('l', $nl, 'b', $nb))"""
+          .stripMargin.replaceAll("\n", " ")))
+      .select(col(keyCol), size(col("v")).cast("long").as("n_hours"),
+        col("st.l").as("level_e6"), col("st.b").as("trend_e6"),
+        expr(s"""aggregate(sequence(1, $holdout), 0L, (acc, h) ->
+             |  acc + abs(element_at(v, nt + h) - (st.l + h * st.b)))"""
+          .stripMargin.replaceAll("\n", " ")).as("sae_holt_e6"),
+        expr(s"""aggregate(sequence(1, $holdout), 0L, (acc, h) ->
+             |  acc + abs(element_at(v, nt + h) - IF(nt + h > $seasonLag,
+             |    element_at(v, nt + h - $seasonLag), 0L)))"""
+          .stripMargin.replaceAll("\n", " ")).as("sae_naive_e6"))
+      .orderBy(col(keyCol))
+  }
+
   /** Robust (median/MAD) anomaly detection over a per-key series —
     * the outlier-resistant alternative to the z-score (one genuine
     * spike inflates a stddev enough to mask a second spike; it moves

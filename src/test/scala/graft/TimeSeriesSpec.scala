@@ -160,4 +160,41 @@ class TimeSeriesSpec extends AnyFunSuite {
     val events = (0 until 6).map(h => ("a", h * H)).toDF("event_type", "ts")
     assert(TimeSeries.acf(events, "event_type", Seq(1)).count() == 0)
   }
+
+  test("holtBacktest matches a brute-force integer model") {
+    // 60 hours of a ramp with a mod-3 bump: first/last hours observed
+    // (so the grid is exactly hours 0..59), interior zeros exercised
+    val counts = (0 until 60).map(h => h / 4 + (if (h % 3 == 0) 1 else 0))
+    val events = counts.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(i => ("a", h * H + i))
+    }.toDF("event_type", "ts")
+    val v = counts.map(_ * 1000000L)
+    val nt = 60 - 24
+    var l = v(0); var b = 0L
+    (1 until nt).foreach { t =>
+      val nl = Math.floorDiv(2 * v(t) + 8 * (l + b), 10)
+      b = Math.floorDiv((nl - l) + 9 * b, 10)
+      l = nl
+    }
+    val saeHolt = (1 to 24).map(h => math.abs(v(nt + h - 1) - (l + h * b))).sum
+    val saeNaive = (1 to 24).map(h => v(nt + h - 1)).sum // lag 168 > span
+    val row = TimeSeries.holtBacktest(events, "event_type").collect()
+    assert(row.length == 1)
+    val r = row.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((60L, l, b, saeHolt, saeNaive)))
+  }
+
+  test("holtBacktest: negative trend survives the portable floor division") {
+    // strictly decreasing counts force b < 0 — the exact case where
+    // Spark's div (toward zero) and a naive // (floor) disagree
+    val counts = (0 until 60).map(h => 60 - h)
+    val events = counts.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(i => ("a", h * H + i))
+    }.toDF("event_type", "ts")
+    val out = TimeSeries.holtBacktest(events, "event_type").collect().head
+    assert(out.getLong(3) < 0L, s"trend_e6=${out.getLong(3)}")
+    // a fitted downward trend must beat the zero-pred naive here
+    assert(out.getLong(4) < out.getLong(5))
+  }
 }
