@@ -5573,6 +5573,20 @@ object SparkEntry {
       graft.streaming.SearchStream.searchBatchDrain(s, dir,
         nQueries = 10, k = 10, nprobe = 2)),
 
+    // -- the GRAPH family's streaming serve (the full reference
+    //    serving model: hnsw.go Search is an online endpoint over a
+    //    persisted graph): build → writeIndex → loadIndex → drain
+    //    the query stream, each micro-batch ONE beam-search
+    //    traversal over the AT-REST graph (count-derived beam/hops
+    //    from the persisted count params; the serving generation
+    //    never re-scans the corpus). Per-qid traversals are
+    //    batch-invariant, so the drained rows equal one static
+    //    search — the oracle replays the static chain
+    //    (SearchStream.graphServeDrain) --
+    "streaming_graph_search" -> ((s, dir) =>
+      graft.streaming.SearchStream.graphServeDrain(s, dir,
+        nQueries = 10, k = 8)),
+
     // -- documents stream through the incremental near-dup check in
     //    disjoint micro-batches; the accumulated pair stream equals
     //    the one-shot full-corpus minhash pair set (DedupStream
@@ -7204,6 +7218,7 @@ object SparkEntry {
     "streaming_window" -> ("direct", 1),
     "streaming_dedup" -> ("direct", 1),
     "streaming_search" -> ("direct", 1),
+    "streaming_graph_search" -> ("direct", 1),
     "streaming_neardup" -> ("direct", 1),
     "streaming_dedup_native" -> ("direct", 1),
     "streaming_hll" -> ("direct", 1),
@@ -8704,6 +8719,18 @@ object SparkEntry {
          |  CAST((mm * 10000) // (q * 8) AS BIGINT) FROM smt, snq
          |ORDER BY stat""".stripMargin.replaceAll("\n", " ")
     }
+    // streaming graph serve: per-qid traversals are batch-invariant,
+    // so the drained stream equals ONE static search — replay the
+    // static chain with qq = the first-10 query slice and ship rows
+    val streamingGraphSearchOracle =
+      s"""WITH $knnGraphChainSql,
+         |gg AS MATERIALIZED (SELECT src, dst FROM e10),
+         |qq AS MATERIALIZED (SELECT id AS qid, v AS qv, bucket AS qbucket
+         |  FROM vv WHERE id < 10),
+         |$knnGraphSearchCtes
+         |SELECT qid, node, d_e4, CAST(rank AS INTEGER) AS rank
+         |FROM st6 WHERE rank <= 8
+         |ORDER BY qid, rank""".stripMargin.replaceAll("\n", " ")
     // append replay: the SAME build chain over the base id-range
     // subset (count-derived cut nt - max(1, nt//16); nn and every
     // derived knob then come from the BASE count, like the Scala
@@ -10148,6 +10175,7 @@ object SparkEntry {
            |FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
            |GROUP BY ex.qid ORDER BY qid""".stripMargin.replaceAll("\n", " "),
       "streaming_search" -> streamingSearchOracle,
+      "streaming_graph_search" -> streamingGraphSearchOracle,
       // replays the watermark trajectory in integer micros: arrival
       // batch = range tercile (every 17th event_id one batch late),
       // watermark entering batch b = running max of per-batch max

@@ -87,8 +87,9 @@ object TimeSeries {
     */
   def acf(events: DataFrame, keyCol: String, lags: Seq[Int],
       maxSpanHours: Long = 100000L): DataFrame = {
-    require(lags.nonEmpty && lags.forall(_ >= 1),
-      s"acf needs positive lags, got $lags")
+    require(lags.nonEmpty && lags.forall(_ >= 1) &&
+      lags.distinct.length == lags.length,
+      s"acf needs distinct positive lags, got $lags")
     val hourly = events
       .select(col(keyCol), expr("ts div 1000000000 div 3600").as("h"))
       .groupBy(col(keyCol), col("h"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.Ann
+import graft.operators.{Ann, KnnGraph}
 
 /** Streaming SEARCH over an at-rest index — the serving mirror of
   * StreamIngestSpec's ingest direction (there: vectors stream INTO a
@@ -26,6 +26,75 @@ object SearchStream {
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
+
+  /** Streaming serve of the kNN-GRAPH index — the graph family's
+    * analog of the IVF drain below, and the full reference serving
+    * model (hnsw.go Search is an online endpoint over a PERSISTED
+    * graph): build the NN-descent graph once (count-derived rounds,
+    * width 16), WRITE it at rest (KnnGraph.writeIndex), LOAD it back
+    * (the serving generation never re-scans the corpus — edges +
+    * vecs + count params come off parquet), then drain the query
+    * stream: each micro-batch hashes its vectors to the build's LSH
+    * planes and routes through ONE beam-search traversal for the
+    * whole batch (count-derived beam/hops from the persisted count).
+    * Per-qid results are batch-invariant — a query's traversal
+    * depends only on (qid, qv, graph) — so however the firehose is
+    * micro-batched, the drained rows equal one static search
+    * (spec-pinned). Stateless like the IVF drain: append-only
+    * output, restart-safe.
+    */
+  def graphServeDrain(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 8): DataFrame = {
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val build = KnnGraph.nnDescentBuild(e, "vec_id", "embedding", 2 * k)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_graph_idx").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_graph_serve").toString
+    var hot: Seq[DataFrame] = Nil
+    try {
+      KnnGraph.writeIndex(build, idxDir)
+      val loaded = KnnGraph.loadIndex(spark, idxDir)
+      // the loaded serving generation: keep hot across batches
+      val edges = loaded.rounds.last.persist()
+      val vecs = loaded.vecs.persist()
+      hot = Seq(edges, vecs)
+      val q = spark.readStream.schema(embSchema).parquet(s"$sfDir/embeddings.*")
+        .where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"), _.cast("double")).as("qv"),
+          Ann.lshSignature(col("embedding"), 8).as("qbucket"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            KnnGraph.beamSearch(edges, vecs, batch, loaded.n, k)
+              .write.mode("append").parquet(outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val spark2 = spark
+      import spark2.implicits._
+      if (!new java.io.File(outDir).listFiles().exists(_.getName.endsWith(".parquet")))
+        Seq.empty[(Long, Long, Long, Int)].toDF("qid", "node", "d_e4", "rank")
+      else
+        spark.read.parquet(outDir)
+          .orderBy(col("qid"), col("rank"))
+          .localCheckpoint(eager = true)
+    } finally {
+      hot.foreach(df => try df.unpersist(false)
+        catch { case _: Throwable => () })
+      // best-effort temp cleanup; the checkpoint above owns the rows
+      Seq(idxDir, outDir).foreach { dir =>
+        try {
+          val d = new java.io.File(dir)
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(d)
+        } catch { case _: Throwable => () }
+      }
+    }
+  }
 
   /** Run the query stream against a static IVF index (first-8
     * centroids — deterministic, same as `ann_ivf_static`) and drain

@@ -105,4 +105,28 @@ class StreamIngestSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(streamed == batch)
   }
+
+  test("streaming graph serve equals one static search over the persisted graph") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.SearchStream
+      .graphServeDrain(spark, sf, nQueries = 10, k = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    assert(streamed.nonEmpty)
+    // static reference: fresh build, same count-derived budgets
+    val e = Tables.load(spark, sf, "embeddings")
+    val build = graft.operators.KnnGraph
+      .nnDescentBuild(e, "vec_id", "embedding", 16)
+    val qs = build.vecs.where(col("id") < 10)
+      .select(col("id").as("qid"), col("v").as("qv"),
+        col("bucket").as("qbucket"))
+    val static0 = graft.operators.KnnGraph
+      .beamSearch(build.rounds.last, build.vecs, qs, build.n, k = 8)
+      .orderBy(col("qid"), col("rank"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    assert(streamed == static0)
+  }
 }
