@@ -97,7 +97,8 @@ object Explain {
     "vocab_heaps", "quality_ks", "embed_eff_dim",
     "events_markov_stationary", "knn_graph_search", "knn_graph_append",
     "ann_pq_permuted", "knn_graph_delete", "dedup_graph_cc",
-    "events_acf", "graph_coreness", "search_phrase", "events_holt_backtest")
+    "events_acf", "graph_coreness", "search_phrase", "events_holt_backtest",
+    "knn_graph_search_routed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
