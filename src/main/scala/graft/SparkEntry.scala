@@ -130,6 +130,66 @@ object SparkEntry {
       .select(col("qid").as("eqid"), explode(col("tk")).as("pair"))
       .select(col("eqid"), col("pair.id").as("nb"))
 
+  /** Shared audit body of `knn_graph_search` / `knn_graph_search_routed`
+    * (row-for-row comparable by construction): build at width 2k,
+    * route the count-derived ~50-query sample — flat = LSH-bucket ∪
+    * ring entry (KnnGraph.beamSearchRounds), routed = the ~√n
+    * coarse-level exact top-8 entry (KnnGraph.layeredSearchRounds) —
+    * then per-hop beam checksums + recall@k vs exact, plus the level
+    * stats on the routed side.
+    */
+  private def graphSearchAudit(s: SparkSession, dir: String,
+      routed: Boolean): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val k = 8       // result size; also the conservative hop basis
+    val kb = 2 * k  // build width = served degree (HNSW's M)
+    val build = graft.operators.KnnGraph
+      .nnDescentBuild(e, "vec_id", "embedding", kb)
+    val n = build.n
+    val beam = graft.operators.KnnGraph.adaptiveBeam(n)
+    val graph = build.rounds.last
+    val mod = math.max(1L, (n + 49L) / 50L)
+    val sample = build.vecs.where(pmod(col("id"), lit(mod)) === 0)
+    val qs = sample.select(col("id").as("qid"), col("v").as("qv"))
+    val (states, levelStats) =
+      if (routed) {
+        val lm = graft.operators.KnnGraph.levelMod(n)
+        (graft.operators.KnnGraph
+          .layeredSearchRounds(graph, build.vecs, qs, n, beam, degree = k),
+          Seq(statRow("level_mod", lit(lm), e.limit(1)),
+            // ids dense in [0, n): level size is exact arithmetic,
+            // no second corpus scan (the build.n discipline)
+            statRow("n_level", lit((n + lm - 1L) / lm), e.limit(1))))
+      } else
+        (graft.operators.KnnGraph.beamSearchRounds(graph, build.vecs,
+          sample.select(col("id").as("qid"), col("v").as("qv"),
+            col("bucket").as("qbucket")), n, beam, degree = k),
+          Nil)
+    val hops = states.length - 1
+    val exact = graphExactTop8(build.vecs.select(col("id"), col("v")), qs)
+    val matchCnt = states.last
+      .where(col("rank") <= k)
+      .join(exact, col("qid") === col("eqid") &&
+        col("node") === col("nb"), "left_semi")
+      .agg(count(lit(1)).as("m"))
+    val recall = matchCnt
+      .crossJoin(qs.agg(count(lit(1)).as("nq")))
+      .select(lit("recall_e4").as("stat"),
+        expr(s"(m * 10000) div (nq * $k)").as("v"))
+    val perHop = states.zipWithIndex.map { case (st, i) =>
+      statRow(s"sum_d_e4_hop$i", sum(col("d_e4")), st)
+    }
+    (Seq(statRow("n_nodes", lit(n), e.limit(1)),
+      statRow("k_per_node", lit(k.toLong), e.limit(1)),
+      statRow("graph_degree", lit(kb.toLong), e.limit(1)),
+      statRow("beam_width", lit(beam.toLong), e.limit(1)),
+      statRow("n_hops", lit(hops.toLong), e.limit(1))) ++ levelStats ++
+      perHop ++
+      Seq(statRow("n_sample_queries", count(lit(1)), qs), recall))
+      .reduce(_.unionByName(_))
+      .orderBy(col("stat"))
+  }
+
   /** Vector width read from the data (one-row job) — queries that
     * size an index model (SQ ranges, BQ words, PQ subvectors) derive
     * dim instead of hardcoding it, so the same registry runs the
@@ -1936,45 +1996,8 @@ object SparkEntry {
     //    + recall@8 vs exact kNN (0.978 at n=500 / 0.898 at n=2000
     //    measured) — the serving-quality readout next to the
     //    build's --
-    "knn_graph_search" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val k = 8       // result size; also the conservative hop basis
-      val kb = 2 * k  // build width = served degree (HNSW's M)
-      val build = graft.operators.KnnGraph
-        .nnDescentBuild(e, "vec_id", "embedding", kb)
-      val n = build.n
-      val beam = graft.operators.KnnGraph.adaptiveBeam(n)
-      val graph = build.rounds.last
-      val mod = math.max(1L, (n + 49L) / 50L)
-      val qs = build.vecs.where(pmod(col("id"), lit(mod)) === 0)
-        .select(col("id").as("qid"), col("v").as("qv"),
-          col("bucket").as("qbucket"))
-      val states = graft.operators.KnnGraph
-        .beamSearchRounds(graph, build.vecs, qs, n, beam, degree = k)
-      val hops = states.length - 1
-      val exact = graphExactTop8(build.vecs.select(col("id"), col("v")),
-        qs.select(col("qid"), col("qv")))
-      val matchCnt = states.last
-        .where(col("rank") <= k)
-        .join(exact, col("qid") === col("eqid") &&
-          col("node") === col("nb"), "left_semi")
-        .agg(count(lit(1)).as("m"))
-      val recall = matchCnt
-        .crossJoin(qs.agg(count(lit(1)).as("nq")))
-        .select(lit("recall_e4").as("stat"),
-          expr(s"(m * 10000) div (nq * $k)").as("v"))
-      val perHop = states.zipWithIndex.map { case (st, i) =>
-        statRow(s"sum_d_e4_hop$i", sum(col("d_e4")), st)
-      }
-      (Seq(statRow("n_nodes", lit(n), e.limit(1)),
-        statRow("k_per_node", lit(k.toLong), e.limit(1)),
-        statRow("graph_degree", lit(kb.toLong), e.limit(1)),
-        statRow("beam_width", lit(beam.toLong), e.limit(1)),
-        statRow("n_hops", lit(hops.toLong), e.limit(1))) ++ perHop ++
-        Seq(statRow("n_sample_queries", count(lit(1)), qs), recall))
-        .reduce(_.unionByName(_))
-        .orderBy(col("stat"))
-    }),
+    "knn_graph_search" -> ((s, dir) => graphSearchAudit(s, dir,
+      routed = false)),
 
     // -- HIERARCHICAL routed graph search (the HNSW upper-LAYER
     //    descend, hnsw.go:439's outer level loop, batch form): same
@@ -1990,49 +2013,8 @@ object SparkEntry {
     //    that keeps working when bucket occupancy skews at scale.
     //    Output: level stats + per-hop beam checksums + recall@8,
     //    comparable row-for-row with knn_graph_search --
-    "knn_graph_search_routed" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val k = 8
-      val kb = 2 * k
-      val build = graft.operators.KnnGraph
-        .nnDescentBuild(e, "vec_id", "embedding", kb)
-      val n = build.n
-      val beam = graft.operators.KnnGraph.adaptiveBeam(n)
-      val lm = graft.operators.KnnGraph.levelMod(n)
-      val graph = build.rounds.last
-      val mod = math.max(1L, (n + 49L) / 50L)
-      val qs = build.vecs.where(pmod(col("id"), lit(mod)) === 0)
-        .select(col("id").as("qid"), col("v").as("qv"))
-      val states = graft.operators.KnnGraph
-        .layeredSearchRounds(graph, build.vecs, qs, n, beam, degree = k)
-      val hops = states.length - 1
-      val exact = graphExactTop8(build.vecs.select(col("id"), col("v")), qs)
-      val matchCnt = states.last
-        .where(col("rank") <= k)
-        .join(exact, col("qid") === col("eqid") &&
-          col("node") === col("nb"), "left_semi")
-        .agg(count(lit(1)).as("m"))
-      val recall = matchCnt
-        .crossJoin(qs.agg(count(lit(1)).as("nq")))
-        .select(lit("recall_e4").as("stat"),
-          expr(s"(m * 10000) div (nq * $k)").as("v"))
-      val perHop = states.zipWithIndex.map { case (st, i) =>
-        statRow(s"sum_d_e4_hop$i", sum(col("d_e4")), st)
-      }
-      (Seq(statRow("n_nodes", lit(n), e.limit(1)),
-        statRow("k_per_node", lit(k.toLong), e.limit(1)),
-        statRow("graph_degree", lit(kb.toLong), e.limit(1)),
-        statRow("beam_width", lit(beam.toLong), e.limit(1)),
-        statRow("n_hops", lit(hops.toLong), e.limit(1)),
-        statRow("level_mod", lit(lm), e.limit(1)),
-        // ids dense in [0, n): level size is exact arithmetic,
-        // no second corpus scan (the build.n discipline)
-        statRow("n_level", lit((n + lm - 1L) / lm), e.limit(1))) ++
-        perHop ++
-        Seq(statRow("n_sample_queries", count(lit(1)), qs), recall))
-        .reduce(_.unionByName(_))
-        .orderBy(col("stat"))
-    }),
+    "knn_graph_search_routed" -> ((s, dir) => graphSearchAudit(s, dir,
+      routed = true)),
 
     // -- incremental graph MAINTENANCE (the hnsw.go:145 Add analog,
     //    the last HNSW behavior: KnnGraph.appendBatch has the
@@ -4562,10 +4544,14 @@ object SparkEntry {
         statRow(if (i == 0) "sum_c_init" else s"sum_c_it$i",
           sum(col("c")), r)
       }
+      // pad width 12: lpad TRUNCATES values wider than the pad, which
+      // would collide stat names (and destabilize ORDER BY stat) on a
+      // >=10^3-coreness clique if the width were small; 12 digits
+      // covers any i64-node graph's degree
       val hist = rounds.last.groupBy(col("c"))
         .agg(count(lit(1)).as("nv"))
         .select(concat(lit("core_"),
-            lpad(col("c").cast("string"), 3, "0")).as("stat"),
+            lpad(col("c").cast("string"), 12, "0")).as("stat"),
           col("nv").cast("bigint").as("v"))
       (Seq(statRow("n_nodes", lit(cz.nNodes), rounds.head.limit(1)),
         statRow("n_edges_sym", count(lit(1)), cz.edges),
@@ -7822,7 +7808,7 @@ object SparkEntry {
          |UNION ALL SELECT 'sum_c_init', CAST(sum(c) AS BIGINT) FROM c0
          |$roundStats
          |UNION ALL SELECT 'max_coreness', CAST(max(c) AS BIGINT) FROM c$cap
-         |UNION ALL SELECT concat('core_', lpad(CAST(c AS VARCHAR), 3, '0')),
+         |UNION ALL SELECT concat('core_', lpad(CAST(c AS VARCHAR), 12, '0')),
          |  CAST(count(*) AS BIGINT) FROM c$cap GROUP BY c
          |) _all ORDER BY stat""".stripMargin.replaceAll("\n", " ")
     }
@@ -13182,7 +13168,7 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_obs
         |  FROM events GROUP BY 1, 2),
         |g AS (SELECT event_type,
-        |  unnest(generate_series(min(hour_bucket), max(hour_bucket))) AS hour_bucket
+        |  unnest(generate_series(greatest(min(hour_bucket), max(hour_bucket) - 99999), max(hour_bucket))) AS hour_bucket
         |  FROM h GROUP BY event_type),
         |j AS (SELECT g.event_type, g.hour_bucket, h.n_obs
         |  FROM g LEFT JOIN h USING (event_type, hour_bucket))
@@ -13197,7 +13183,7 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_obs
         |  FROM events GROUP BY 1, 2),
         |g AS (SELECT event_type,
-        |  unnest(generate_series(min(hour_bucket), max(hour_bucket))) AS hour_bucket
+        |  unnest(generate_series(greatest(min(hour_bucket), max(hour_bucket) - 99999), max(hour_bucket))) AS hour_bucket
         |  FROM h GROUP BY event_type),
         |j AS (SELECT g.event_type, g.hour_bucket, h.n_obs
         |  FROM g LEFT JOIN h USING (event_type, hour_bucket)),
@@ -13215,7 +13201,9 @@ object SparkEntry {
         |FROM w WHERE n_prev = 6 AND sd > 0
         |ORDER BY event_type, hour_bucket""".stripMargin.replaceAll("\n", " "),
     // zero-filled grid (not forward-filled — a missing hour is zero
-    // events for an ACF), exact HUGEINT moments (DuckDB sums of
+    // events for an ACF) with the Spark side's maxSpanHours=100000
+    // corrupt-timestamp cap replayed in the grid CTE, exact HUGEINT
+    // moments (DuckDB sums of
     // BIGINT products are int128, mirroring Spark's DECIMAL(38,0)),
     // float only in the final cast→sqrt→divide — the
     // price_qty_regression discipline
@@ -13225,7 +13213,7 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_obs
         |  FROM events GROUP BY 1, 2),
         |g AS (SELECT event_type,
-        |  unnest(generate_series(min(h), max(h))) AS h
+        |  unnest(generate_series(greatest(min(h), max(h) - 99999), max(h))) AS h
         |  FROM h GROUP BY event_type),
         |s AS (SELECT g.event_type, g.h, coalesce(h.n_obs, 0) AS n
         |  FROM g LEFT JOIN h USING (event_type, h)),
@@ -13261,7 +13249,7 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_obs
          |  FROM events GROUP BY 1, 2),
          |g AS (SELECT event_type,
-         |  unnest(generate_series(min(h), max(h))) AS h
+         |  unnest(generate_series(greatest(min(h), max(h) - 99999), max(h))) AS h
          |  FROM h GROUP BY event_type),
          |s AS (SELECT g.event_type, g.h, coalesce(h.n_obs, 0) AS n
          |  FROM g LEFT JOIN h USING (event_type, h)),

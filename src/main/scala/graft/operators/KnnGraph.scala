@@ -238,6 +238,7 @@ object KnnGraph {
       queries: DataFrame, n: Long, beam: Int = Adaptive,
       hops: Int = Adaptive, ringSeeds: Int = 4,
       degree: Int = 8): Seq[DataFrame] = {
+    requireBudgets(beam, hops) // before the eager checkpoint job
     val q = broadcast(
       queries.select(col("qid"), col("qv"), col("qbucket"))
         .localCheckpoint(true))
@@ -302,10 +303,18 @@ object KnnGraph {
       queries: DataFrame, n: Long, beam: Int = Adaptive,
       hops: Int = Adaptive, seedK: Int = 8,
       degree: Int = 8): Seq[DataFrame] = {
+    requireBudgets(beam, hops) // before the eager checkpoint job
     val q = broadcast(
       queries.select(col("qid"), col("qv")).localCheckpoint(true))
     beamCore(graph, vecs, q, routedSeeds(vecs, q, n, seedK), n, beam,
       hops, degree)
+  }
+
+  private def requireBudgets(beam: Int, hops: Int): Unit = {
+    require(beam >= 1 || beam == Adaptive,
+      s"beam must be >= 1 or KnnGraph.Adaptive, got $beam")
+    require(hops >= 0 || hops == Adaptive,
+      s"hops must be >= 0 or KnnGraph.Adaptive, got $hops")
   }
 
   /** Shared hop engine of [[beamSearchRounds]] and
@@ -316,10 +325,7 @@ object KnnGraph {
   private def beamCore(graph: DataFrame, vecs: DataFrame, q: DataFrame,
       seeds: DataFrame, n: Long, beam: Int, hops: Int,
       degree: Int): Seq[DataFrame] = {
-    require(beam >= 1 || beam == Adaptive,
-      s"beam must be >= 1 or KnnGraph.Adaptive, got $beam")
-    require(hops >= 0 || hops == Adaptive,
-      s"hops must be >= 0 or KnnGraph.Adaptive, got $hops")
+    requireBudgets(beam, hops)
     val edges = graph.select(col("src"), col("dst"))
     val bw = if (beam == Adaptive) adaptiveBeam(n) else beam
     val nHops =

@@ -60,6 +60,28 @@ object TimeSeries {
       .orderBy(col(keyCol), col("hour_bucket"))
   }
 
+  /** ZERO-filled hourly count series per key on the dense [lo, hi]
+    * hour grid (a missing hour means zero events — the series shape
+    * [[acf]] and [[holtBacktest]] share; [[gapFillHourly]] is the
+    * forward-filled variant): (key, h, n). Same `maxSpanHours`
+    * corrupt-timestamp cap as the forward-fill grid.
+    */
+  private def zeroFilledHourly(events: DataFrame, keyCol: String,
+      maxSpanHours: Long): DataFrame = {
+    val hourly = events
+      .select(col(keyCol), expr("ts div 1000000000 div 3600").as("h"))
+      .groupBy(col(keyCol), col("h"))
+      .agg(count(lit(1)).as("n_obs"))
+    hourly.groupBy(col(keyCol))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col(keyCol),
+        explode(sequence(
+          greatest(col("lo"), col("hi") - lit(maxSpanHours - 1)),
+          col("hi"))).as("h"))
+      .join(hourly, Seq(keyCol, "h"), "left")
+      .select(col(keyCol), col("h"), coalesce(col("n_obs"), lit(0L)).as("n"))
+  }
+
   /** Sample autocorrelation of the hourly count series per key at the
     * given lags — the seasonality/persistence readout a forecaster
     * reads before choosing its model order (a daily-periodic stream
@@ -90,19 +112,8 @@ object TimeSeries {
     require(lags.nonEmpty && lags.forall(_ >= 1) &&
       lags.distinct.length == lags.length,
       s"acf needs distinct positive lags, got $lags")
-    val hourly = events
-      .select(col(keyCol), expr("ts div 1000000000 div 3600").as("h"))
-      .groupBy(col(keyCol), col("h"))
-      .agg(count(lit(1)).as("n_obs"))
-    val series = hourly.groupBy(col(keyCol))
-      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
-      .select(col(keyCol),
-        explode(sequence(
-          greatest(col("lo"), col("hi") - lit(maxSpanHours - 1)),
-          col("hi"))).as("h"))
-      .join(hourly, Seq(keyCol, "h"), "left")
-      .select(col(keyCol), col("h"),
-        coalesce(col("n_obs"), lit(0L)).cast("decimal(38,0)").as("n"))
+    val series = zeroFilledHourly(events, keyCol, maxSpanHours)
+      .select(col(keyCol), col("h"), col("n").cast("decimal(38,0)").as("n"))
     val pairs = series
       .select(col(keyCol), explode(lit(lags.toArray)).as("lag"),
         (col("h") + col("lag")).as("h"), col("n").as("x"))
@@ -164,18 +175,7 @@ object TimeSeries {
       alphaNum >= 1 && alphaNum < denom && betaNum >= 1 && betaNum < denom,
       s"bad holt config: holdout=$holdout lag=$seasonLag " +
         s"alpha=$alphaNum/$denom beta=$betaNum/$denom")
-    val hourly = events
-      .select(col(keyCol), expr("ts div 1000000000 div 3600").as("h"))
-      .groupBy(col(keyCol), col("h"))
-      .agg(count(lit(1)).as("n_obs"))
-    val series = hourly.groupBy(col(keyCol))
-      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
-      .select(col(keyCol),
-        explode(sequence(
-          greatest(col("lo"), col("hi") - lit(maxSpanHours - 1)),
-          col("hi"))).as("h"))
-      .join(hourly, Seq(keyCol, "h"), "left")
-      .select(col(keyCol), col("h"), coalesce(col("n_obs"), lit(0L)).as("n"))
+    val series = zeroFilledHourly(events, keyCol, maxSpanHours)
     val arr = series.groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col("h"), col("n")))).as("sn"))
       .select(col(keyCol),
