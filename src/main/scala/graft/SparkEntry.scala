@@ -3597,6 +3597,44 @@ object SparkEntry {
     //    per-source score histogram. All-integer end to end, and the
     //    corpus collapses to |docs| scores map-side before the tiny
     //    histogram shuffle --
+    // -- EXACT AUC of the quality score against near-dup membership
+    //    (does low quality predict duplication?): Mann-Whitney U in
+    //    pure integers — group by the bounded integer score (≤2001
+    //    distinct values), cumulative negatives below each score via
+    //    the distributed prefix sum (Rank.globalCumSum, no global
+    //    window), 2U = Σ p·(2·below + nn) with ties at half weight,
+    //    auc_e6 = U·1e6 div (n1·n0). All moments DECIMAL(38,0) (the
+    //    varianceSnake overflow budget: n1·n0 exceeds i64 past ~2e6
+    //    docs per class). Labels = minhash dup-pair membership --
+    "quality_auc_dup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs
+        .select(col("doc_id"), explode(TextFuncs.tokens(col("text"))).as("tm"))
+        .select(col("doc_id"), (TextFuncs.charFold(col("tm")) % 2001).as("w"))
+        .groupBy(col("doc_id"))
+        .agg(expr("sum(w) div count(1)").as("score"))
+      val dup = Dedup.minhashPairs(docs, "text", "doc_id")
+      val dupIds = dup.select(col("doc_a").as("doc_id"))
+        .unionByName(dup.select(col("doc_b").as("doc_id"))).distinct()
+        .withColumn("is_dup", lit(1L))
+      val byScore = scored.join(dupIds, Seq("doc_id"), "left")
+        .select(col("score"), coalesce(col("is_dup"), lit(0L)).as("lab"))
+        .groupBy(col("score"))
+        .agg(sum(col("lab")).cast("decimal(38,0)").as("p"),
+          sum(lit(1L) - col("lab")).cast("decimal(38,0)").as("nn"))
+      graft.operators.Rank
+        .globalCumSum(byScore, "nn", "cumn", "tot_n", col("score"))
+        .select(col("p"), col("nn"),
+          (col("cumn") - col("nn")).as("below"), col("tot_n"))
+        .agg(sum(col("p") * (lit(2) * col("below") + col("nn"))).as("u2"),
+          sum(col("p")).as("n1"), max(col("tot_n")).as("n0"))
+        .where(col("n1") > 0 && col("n0") > 0)
+        .select(col("n1").cast("bigint").as("n_pos"),
+          col("n0").cast("bigint").as("n_neg"),
+          expr("(u2 * 1000000) div (2 * n1 * n0)").cast("bigint")
+            .as("auc_e6"))
+    }),
+
     "quality_classifier" -> ((s, dir) => {
       val scored = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
@@ -7812,6 +7850,30 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) FROM c$cap GROUP BY c
          |) _all ORDER BY stat""".stripMargin.replaceAll("\n", " ")
     }
+    // exact Mann-Whitney AUC: same integer score as quality_psi's sc,
+    // labels = dup-pair membership over the shared pairs CTEs, ties
+    // at half weight via the 2U form, HUGEINT moments
+    val qualityAucDupOracle =
+      s"""${dupGraphPairsCtes},
+         |sc AS (SELECT doc_id,
+         |  list_sum(list_transform($toks, t -> ${SqlSnips.charFold("t")} % 2001))
+         |  // len($toks) AS score FROM documents),
+         |dup AS (SELECT DISTINCT doc_a AS doc_id FROM pairs
+         |  UNION SELECT doc_b FROM pairs),
+         |lab AS (SELECT score,
+         |  CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS lab
+         |  FROM sc LEFT JOIN dup USING (doc_id)),
+         |g AS (SELECT score, CAST(sum(lab) AS HUGEINT) AS p,
+         |  CAST(sum(1 - lab) AS HUGEINT) AS nn FROM lab GROUP BY score),
+         |c AS (SELECT score, p, nn,
+         |  sum(nn) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) - nn
+         |    AS below FROM g),
+         |u AS (SELECT CAST(sum(p * (2 * below + nn)) AS HUGEINT) AS u2,
+         |  CAST(sum(p) AS HUGEINT) AS n1, CAST(sum(nn) AS HUGEINT) AS n0
+         |  FROM c)
+         |SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+         | CAST((u2 * 1000000) // (2 * n1 * n0) AS BIGINT) AS auc_e6
+         |FROM u WHERE n1 > 0 AND n0 > 0""".stripMargin.replaceAll("\n", " ")
     val semanticDedupOracle = {
       // cosine DISTANCE over two double lists (same op sequence as
       // VectorDistance: zero-norm -> 1.0, clamp, 1 - sim)
@@ -10259,6 +10321,7 @@ object SparkEntry {
       // same integer fixed-point iterations, unrolled + MATERIALIZED
       "graph_pagerank" -> pagerankOracle,
       "graph_coreness" -> corenessOracle,
+      "quality_auc_dup" -> qualityAucDupOracle,
       "graph_label_prop" -> labelPropOracle,
       "graph_lp_modularity" -> lpModularityOracle,
       // kmeans replay (1e-6 snap) + cluster-local pair sweep
