@@ -104,6 +104,15 @@ class GraphSpec extends AnyFunSuite {
     assert(corenessMap(pairs).values.forall(_ == 1L))
   }
 
+  test("corenessIters: count-derived clamp(ceil(log2 n), 2, 8)") {
+    assert(Graph.corenessIters(0) === 2)
+    assert(Graph.corenessIters(1) === 2)
+    assert(Graph.corenessIters(4) === 2)
+    assert(Graph.corenessIters(5) === 3)   // ceil(log2 5) = 3
+    assert(Graph.corenessIters(256) === 8)
+    assert(Graph.corenessIters(1L << 40) === 8) // cap = oracle unroll
+  }
+
   test("coreness: monotone non-increasing per round, order-invariant") {
     val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L),
       (4L, 5L), (3L, 5L), (1L, 4L)).toDF("doc_a", "doc_b")

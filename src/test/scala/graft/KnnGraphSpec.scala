@@ -79,6 +79,20 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(recall > 0.8 && recall <= 1.0, s"beam recall@8 $recall")
   }
 
+  test("levelMod: ~sqrt(n) coarse level, integer-exact at powers of two") {
+    assert(KnnGraph.levelMod(1) === 1L)
+    assert(KnnGraph.levelMod(4) === 2L)     // ceil(log2)=2 -> 2^1... level ~n/2
+    assert(KnnGraph.levelMod(256) === 16L)  // exactly sqrt
+    assert(KnnGraph.levelMod(500) === 32L)  // ceil(log2)=9 -> 2^5
+    assert(KnnGraph.levelMod(2000) === 64L) // ceil(log2)=11 -> 2^6
+    // level size n/lm stays within [sqrt(n)/2, 2*sqrt(n)] for n >= 4
+    Seq(16L, 100L, 1000L, 1L << 20).foreach { n =>
+      val sz = n.toDouble / KnnGraph.levelMod(n)
+      assert(sz >= math.sqrt(n.toDouble) / 2 && sz <= 2 * math.sqrt(n.toDouble),
+        s"n=$n level size $sz")
+    }
+  }
+
   test("routed seeds are each query's exact top-s over the coarse level") {
     val build = KnnGraph.nnDescentBuild(emb, "vec_id", "embedding", 8)
     val lm = KnnGraph.levelMod(build.n)
