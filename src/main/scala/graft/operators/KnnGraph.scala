@@ -279,7 +279,22 @@ object KnnGraph {
     * (no training step, no stored model beyond the mod).
     */
   def routedSeeds(vecs: DataFrame, q: DataFrame, n: Long,
-      s: Int = 8): DataFrame = {
+      s: Int = 8, maxQueries: Long = 65536L): DataFrame = {
+    // CONTRACT: the level join below compiles to a broadcast
+    // nested-loop join (the =!= predicate is structurally a cross
+    // product of the query set against the ~√n level frame) — the
+    // DESIGNED |Q|·√n routing scan while Q is micro-batch-sized, a
+    // silent quadratic if a caller ever routes a corpus-sized Q.
+    // Count the (model-sized, usually checkpointed) query frame and
+    // fail loudly past `maxQueries`; a corpus-sized query set should
+    // go through the LSH-seeded beamSearchRounds entry (equi-join
+    // seeds) or be chunked into micro-batches.
+    val nq = q.count()
+    require(nq <= maxQueries,
+      s"routedSeeds query set has $nq rows (> $maxQueries): the " +
+        "coarse-level routing scan is |Q|*sqrt(n) by design and only " +
+        "contracts for micro-batch-sized query sets — chunk the " +
+        "queries or use LSH-seeded beamSearchRounds")
     val lm = levelMod(n)
     val level = vecs.where(pmod(col("id"), lit(lm)) === 0)
       .select(col("id").as("node"), col("v").as("nv"))
@@ -366,6 +381,50 @@ object KnnGraph {
       hops: Int = Adaptive): DataFrame =
     beamSearchRounds(graph, vecs, queries, n, beam, hops, degree = k).last
       .where(col("rank") <= k)
+
+  /** FILTERED batch graph search — the graph-family twin of
+    * `ann_ivf_filtered` (the case real vector stores special-case:
+    * a metadata predicate under an ANN query). The predicate is
+    * applied INSIDE the traversal, not to the graph: the beam
+    * expands UNFILTERED (restricting the beam itself would both
+    * starve the result — a beam full of non-matching nodes returns
+    * < k matches — and disconnect the walk, since matching regions
+    * are often only reachable THROUGH non-matching nodes), while the
+    * result admits only nodes present in `allowed`. The admitted
+    * top-k accumulates over every beam state the traversal visits
+    * (hop 0..H), so it equals filter-then-rescan over the visited
+    * set BY CONSTRUCTION — the identity FilteredGraphSpec pins.
+    *
+    * Scale shape: identical to [[beamSearchRounds]] (per-hop
+    * O(|Q|·beam·degree) keyed by qid) plus ONE semi-join of the
+    * ≤|Q|·beam·(hops+1) visited frame against `allowed` — the
+    * predicate frame joins on node id, so a selective predicate at
+    * 100 TB is a keyed (broadcastable when small) join, never a
+    * corpus re-scan. Deterministic: integer e4 distances, ties by
+    * id, count-derived budgets.
+    *
+    * @param allowed one `id` column — the nodes passing the predicate
+    * @return (qid, node, d_e4, rank) with rank 1..k ascending over
+    *         the admitted visited set
+    */
+  def filteredBeamSearch(graph: DataFrame, vecs: DataFrame,
+      queries: DataFrame, n: Long, allowed: DataFrame, k: Int = 8,
+      beam: Int = Adaptive, hops: Int = Adaptive): DataFrame = {
+    val states =
+      beamSearchRounds(graph, vecs, queries, n, beam, hops, degree = k)
+    val visited = states
+      .map(_.select(col("qid"), col("node"), col("d_e4")))
+      .reduce(_.unionByName(_)).distinct()
+    visited
+      .join(allowed.select(col("id").as("node")), Seq("node"), "left_semi")
+      .groupBy(col("qid"))
+      .agg(TopKAgg.topk_pairs(col("d_e4").cast("double"), col("node"), k)
+        .as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "pair")))
+      .select(col("qid"), col("pair.id").as("node"),
+        col("pair.dist").cast("bigint").as("d_e4"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 
   /** Persist a built kNN graph for serving — the at-rest layout every
     * other index family already has (Ann/Pq/Sq/Bq/IvfPq.writeIndex):
@@ -540,4 +599,80 @@ object KnnGraph {
     Deleted(refineTouched(gClean, gClean, touched,
       vecs.select(col("id"), col("v")), degree), touched, vecs)
   }
+}
+
+/** Process-wide at-rest cache of built kNN graphs — the
+  * `ann_pq_static`/`ann_ivf_static` discipline applied to the graph
+  * family: ONE NN-descent build per (corpus, degree) is persisted via
+  * [[KnnGraph.writeIndex]] and every serving/maintenance audit
+  * (search, routed search, append, delete, near-dup CC, streaming
+  * serve) consumes [[KnnGraph.loadIndex]] — the hnsw.go:556-653
+  * save/load-then-serve lifecycle, where production builds once and
+  * serves many times instead of paying the O(n·k²·rounds) build per
+  * query. The build is deterministic end to end (integer e4
+  * distances, id ties, count-derived rounds), so the loaded graph is
+  * bit-identical to an in-query rebuild and every DuckDB oracle —
+  * which replays the build chain textually — still matches.
+  *
+  * Scope: one temp directory per JVM (the Verify/Bench process), so a
+  * single gate or bench run amortizes the build across all graph
+  * consumers while separate runs stay hermetic. Keys embed the
+  * canonical data dir, a corpus-variant tag and the build degree, so
+  * different SFs / base-subset builds never collide.
+  */
+object GraphIndexCache {
+
+  private lazy val root: String = java.nio.file.Files
+    .createTempDirectory("graft_graph_static").toString
+
+  /** At-rest location for `key` (md5-hashed: keys carry paths). */
+  private def dirFor(key: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"$root/$md"
+  }
+
+  private def marker(dir: String) = java.nio.file.Paths.get(dir, "_COMPLETE")
+
+  private def isBuilt(dir: String): Boolean =
+    java.nio.file.Files.exists(marker(dir))
+
+  /** The at-rest index path for (`key`, `degree`), building and
+    * persisting via `corpus` on first use — the streaming serve
+    * consumes the PATH (its serving generation reads edges/vecs/params
+    * off parquet, never the in-memory build).
+    */
+  def ensurePath(key: String, degree: Int)(
+      corpus: => DataFrame): String = synchronized {
+    val dir = dirFor(s"$key#$degree")
+    if (!isBuilt(dir)) {
+      KnnGraph.writeIndex(
+        KnnGraph.nnDescentBuild(corpus, "vec_id", "embedding", degree), dir)
+      java.nio.file.Files.createFile(marker(dir))
+    }
+    dir
+  }
+
+  /** The loaded at-rest [[KnnGraph.Build]] for (`key`, `degree`),
+    * building once on first use. `rounds` holds only the final graph
+    * (per-round intermediates are a build artifact — audits that need
+    * them run [[KnnGraph.nnDescentBuild]] directly and [[seed]] the
+    * cache).
+    */
+  def ensure(spark: org.apache.spark.sql.SparkSession, key: String,
+      degree: Int)(corpus: => DataFrame): KnnGraph.Build =
+    KnnGraph.loadIndex(spark, ensurePath(key, degree)(corpus))
+
+  /** Persist an already-run build under (`key`, `degree`) if absent —
+    * the build-audit query's hook, so a full run pays the NN-descent
+    * cost exactly once no matter which graph query runs first.
+    */
+  def seed(build: KnnGraph.Build, key: String, degree: Int): Unit =
+    synchronized {
+      val dir = dirFor(s"$key#$degree")
+      if (!isBuilt(dir)) {
+        KnnGraph.writeIndex(build, dir)
+        java.nio.file.Files.createFile(marker(dir))
+      }
+    }
 }

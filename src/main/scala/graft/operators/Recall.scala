@@ -52,7 +52,13 @@ object Recall {
     * at THIS budget give up vs exact search it replaces".
     */
   def matrix(corpus: DataFrame, idCol: String, vecCol: String,
-      nQueries: Int = 10, k: Int = 10): DataFrame = {
+      nQueries: Int = 10, k: Int = 10,
+      graphBuild: Option[KnnGraph.Build] = None): DataFrame = {
+    // width read from the data (one-row job): the SAME matrix runs
+    // the 64-dim test corpus and the reference-width 384-dim corpus
+    // (tools/gen_dim384.py) unchanged — the Dim384 rule every
+    // dim-sizing query follows
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
     val q = corpus.where(col(idCol) < nQueries)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     def scored(df: DataFrame, metric: String): DataFrame = {
@@ -98,7 +104,7 @@ object Recall {
         idCol, "ivf", s"nprobe=$nprobe")
 
     // -- PQ (static codebooks): batch ADC over every (query, code) ----
-    val pqModel = Pq.staticCodebooks(corpus, idCol, vecCol, dim = 64,
+    val pqModel = Pq.staticCodebooks(corpus, idCol, vecCol, dim = dim,
       m = 8, k = 16)
     val codes = Pq.encode(pqModel, corpus, idCol, vecCol)
       .localCheckpoint(eager = false)
@@ -134,7 +140,7 @@ object Recall {
       row.select(lit(family).as("family"), lit(budget).as("budget"), col("recall"))
     val pqRerank = relabel(rerank(adcScores, 30), "pq", "rerank=30")
 
-    val sqModel = Sq.train(corpus, vecCol, dim = 64)
+    val sqModel = Sq.train(corpus, vecCol, dim = dim)
     val sqScores = Sq.encode(sqModel, corpus, idCol, vecCol)
       .crossJoin(broadcast(q))
       .select(col("qid"), col(idCol),
@@ -156,12 +162,24 @@ object Recall {
       idCol, "sq4", "codes")
     val sq4Rerank = relabel(rerank(sq4Scores, 30), "sq4", "rerank=30")
 
-    val bqModel = Bq.train(corpus, vecCol, dim = 64)
-    val bqScores = Bq.encode(bqModel, corpus, idCol, vecCol)
-      .crossJoin(broadcast(
-        q.select(col("qid"), Bq.bq_encode(bqModel, col("qvec")).as("_qc"))))
+    // BQ switches to the multi-word form past one packed long — the
+    // hamming VALUES (per-dim sign disagreements) are identical, so
+    // the dim-generic oracle covers both packings
+    val bqWide = dim > 64
+    val bqModel =
+      if (bqWide) Bq.trainWide(corpus, vecCol, dim = dim)
+      else Bq.train(corpus, vecCol, dim = dim)
+    val bqCodes =
+      if (bqWide) Bq.encodeWide(bqModel, corpus, idCol, vecCol)
+      else Bq.encode(bqModel, corpus, idCol, vecCol)
+    val bqQ = q.select(col("qid"),
+      (if (bqWide) Bq.bq_encode_wide(bqModel, col("qvec"))
+       else Bq.bq_encode(bqModel, col("qvec"))).as("_qc"))
+    val bqScores = bqCodes
+      .crossJoin(broadcast(bqQ))
       .select(col("qid"), col(idCol),
-        Bq.hamming(col("code"), col("_qc")).as("_s"))
+        (if (bqWide) Bq.hammingWide(col("code"), col("_qc"))
+         else Bq.hamming(col("code"), col("_qc"))).as("_s"))
       .localCheckpoint(eager = false)
     val bqHam = recallRow(exactEuc, topPairs(bqScores, idCol, k),
       idCol, "bq", "hamming")
@@ -186,8 +204,12 @@ object Recall {
     //    a served ANN always returns a corpus query itself, and the
     //    exact baseline includes it — cutting the beam to k-1 keeps
     //    the cross-family budget equal instead of quietly granting
-    //    the graph an 11th guess) --
-    val gBuild = KnnGraph.nnDescentBuild(corpus, idCol, vecCol, 16)
+    //    the graph an 11th guess). `graphBuild` lets the caller pass
+    //    the SHARED at-rest build (GraphIndexCache) so the audit
+    //    doesn't pay an in-audit rebuild — the at-rest discipline the
+    //    other families' static models already follow here --
+    val gBuild = graphBuild.getOrElse(
+      KnnGraph.nnDescentBuild(corpus, idCol, vecCol, 16))
     val gq = gBuild.vecs.where(col("id") < nQueries)
       .select(col("id").as("qid"), col("v").as("qv"),
         col("bucket").as("qbucket"))

@@ -39,10 +39,21 @@ object TimeSeries {
     * beyond any honest event stream); observed-but-clamped hours are
     * simply absent from the output, and the job survives.
     */
+  /** FLOOR hour bucket of the ns `ts` column — remainder-subtracting
+    * exact integer division (the [[holtBacktest]] fdiv pattern):
+    * Spark's `div` truncates toward zero while the DuckDB oracles
+    * floor (`floor(epoch(ts)/3600)`), and the two disagree exactly on
+    * pre-1970 (negative) timestamps. Identical for ts >= 0.
+    */
+  private val hourBucketExpr: String = {
+    val d = "3600000000000L" // ns per hour
+    s"(ts - (((ts % $d) + $d) % $d)) div $d"
+  }
+
   def gapFillHourly(events: DataFrame, keyCol: String,
       maxSpanHours: Long = 100000L): DataFrame = {
     val hourly = events
-      .select(col(keyCol), expr("ts div 1000000000 div 3600").as("hour_bucket"))
+      .select(col(keyCol), expr(hourBucketExpr).as("hour_bucket"))
       .groupBy(col(keyCol), col("hour_bucket"))
       .agg(count(lit(1)).as("n_obs"))
     val grid = hourly.groupBy(col(keyCol))
@@ -69,7 +80,7 @@ object TimeSeries {
   private def zeroFilledHourly(events: DataFrame, keyCol: String,
       maxSpanHours: Long): DataFrame = {
     val hourly = events
-      .select(col(keyCol), expr("ts div 1000000000 div 3600").as("h"))
+      .select(col(keyCol), expr(hourBucketExpr).as("h"))
       .groupBy(col(keyCol), col("h"))
       .agg(count(lit(1)).as("n_obs"))
     hourly.groupBy(col(keyCol))

@@ -43,17 +43,40 @@ object VectorSql {
     StructField("vector", ArrayType(FloatType)),
     StructField("metadata", MapType(StringType, StringType))))
 
+  /** An ANN index registered against a collection — the seam the
+    * reference planner keys on (pkg/sql/planner/planner.go:14-22
+    * plans VECTOR_SEARCH through an index when the collection has
+    * one, full scan otherwise). `tagged` is the collection's rows
+    * carrying a `cluster` routing column next to (id, vector,
+    * metadata) — ideally [[graft.operators.Ann.loadIndex]]'s at-rest
+    * partitionBy(cluster) layout, so the probe below is a
+    * partition-pruned scan of `nprobe` directories, not a corpus
+    * read; `centroids` the k-row (cluster, centroid) table.
+    */
+  final case class IvfIndex(tagged: DataFrame, centroids: DataFrame,
+      nprobe: Int)
+
   /** Mutable collection namespace (the reference's storage engine). */
   final class Catalog(val spark: SparkSession) {
     private val tables = scala.collection.mutable.Map[String, DataFrame]()
+    private val indexes = scala.collection.mutable.Map[String, IvfIndex]()
     def create(name: String): Unit =
       tables(name) = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    def drop(name: String): Unit = tables.remove(name)
+    def drop(name: String): Unit = { tables.remove(name); dropIndex(name) }
     def put(name: String, df: DataFrame): Unit = tables(name) = df
     def get(name: String): DataFrame = tables.getOrElse(name,
       throw new IllegalArgumentException(s"unknown collection: $name"))
     def exists(name: String): Boolean = tables.contains(name)
+    /** Register/replace the collection's ANN index. The caller owns
+      * coherence: `tagged` must hold the SAME rows as the collection
+      * (a DML write to the collection does not retag the index —
+      * exactly the rebuild-on-ingest contract every IVF deployment
+      * carries; drop the index or re-put it after bulk DML).
+      */
+    def putIndex(name: String, idx: IvfIndex): Unit = indexes(name) = idx
+    def indexOf(name: String): Option[IvfIndex] = indexes.get(name)
+    def dropIndex(name: String): Unit = indexes.remove(name)
   }
 
   // ---- lexer -------------------------------------------------------------
@@ -834,8 +857,42 @@ object VectorSql {
         }
         val d = graft.functions.VectorFunctions.forMetric(metricName(s.metric))(
           col("vector"), typedLit(qvec))
-        df.withColumn("distance", d)
-          .orderBy(col("distance"), col("id"))
+        cat.indexOf(s.table) match {
+          // index-backed NEAREST TO (planner.go:14-22 VECTOR_SEARCH
+          // parity): route the query to its nprobe nearest centroids
+          // and rank ONLY the probed clusters' rows — with the index
+          // at rest partitionBy(cluster), Spark prunes to nprobe
+          // directories (VectorSqlAnnSpec asserts the pruned scan).
+          // The WHERE is applied INSIDE the probed clusters
+          // (filter-then-rank, the ann_ivf_filtered discipline — the
+          // predicate never starves below the LIMIT cut). Exact
+          // fallback: no index, or a distance-radius WHERE (an ANN
+          // candidate set cannot guarantee radius membership)
+          case Some(idx) if !deferWhere =>
+            val qdf = cat.spark.range(1)
+              .select(typedLit(qvec).as("qvec"))
+            // routing happens at PLAN time (the query vector is a
+            // literal): the nprobe nearest clusters collect as a
+            // bounded k-row model read (centroids ARE the model —
+            // the Bq/Sq loadIndex discipline), so the probe becomes
+            // a STATIC `cluster IN (...)` predicate the parquet
+            // source prunes to nprobe directories. A join-shaped
+            // probe would need dynamic partition pruning, which
+            // requires a selective build-side filter Spark can't see
+            // through the top-nprobe limit.
+            val probeClusters = graft.operators.Ann
+              .nearestClusters(idx.centroids, qdf, idx.nprobe)
+              .collect().map(_.getInt(0)).toSeq
+            val probed0 = idx.tagged
+              .where(col("cluster").isin(probeClusters: _*)).drop("cluster")
+            val probed = s.where
+              .map(w => probed0.where(condCol(w))).getOrElse(probed0)
+            probed.withColumn("distance", d)
+              .orderBy(col("distance"), col("id"))
+          case _ =>
+            df.withColumn("distance", d)
+              .orderBy(col("distance"), col("id"))
+        }
     }
     val withDist =
       if (deferWhere) preDist.where(condCol(s.where.get)) else preDist

@@ -30,30 +30,24 @@ object SearchStream {
   /** Streaming serve of the kNN-GRAPH index — the graph family's
     * analog of the IVF drain below, and the full reference serving
     * model (hnsw.go Search is an online endpoint over a PERSISTED
-    * graph): build the NN-descent graph once (count-derived rounds,
-    * width 16), WRITE it at rest (KnnGraph.writeIndex), LOAD it back
-    * (the serving generation never re-scans the corpus — edges +
-    * vecs + count params come off parquet), then drain the query
-    * stream: each micro-batch hashes its vectors to the build's LSH
-    * planes and routes through ONE beam-search traversal for the
-    * whole batch (count-derived beam/hops from the persisted count).
-    * Per-qid results are batch-invariant — a query's traversal
-    * depends only on (qid, qv, graph) — so however the firehose is
-    * micro-batched, the drained rows equal one static search
-    * (spec-pinned). Stateless like the IVF drain: append-only
-    * output, restart-safe.
+    * graph): LOAD the at-rest index at `idxDir` (built + written once
+    * by GraphIndexCache / KnnGraph.writeIndex — the serving
+    * generation never re-scans the corpus; edges + vecs + count
+    * params come off parquet), then drain the query stream: each
+    * micro-batch hashes its vectors to the build's LSH planes and
+    * routes through ONE beam-search traversal for the whole batch
+    * (count-derived beam/hops from the persisted count). Per-qid
+    * results are batch-invariant — a query's traversal depends only
+    * on (qid, qv, graph) — so however the firehose is micro-batched,
+    * the drained rows equal one static search (spec-pinned).
+    * Stateless like the IVF drain: append-only output, restart-safe.
     */
-  def graphServeDrain(spark: SparkSession, sfDir: String,
+  def graphServeDrain(spark: SparkSession, sfDir: String, idxDir: String,
       nQueries: Int = 10, k: Int = 8): DataFrame = {
-    val e = graft.Tables.load(spark, sfDir, "embeddings")
-    val build = KnnGraph.nnDescentBuild(e, "vec_id", "embedding", 2 * k)
-    val idxDir = java.nio.file.Files
-      .createTempDirectory("graft_graph_idx").toString
     val outDir = java.nio.file.Files
       .createTempDirectory("graft_graph_serve").toString
     var hot: Seq[DataFrame] = Nil
     try {
-      KnnGraph.writeIndex(build, idxDir)
       val loaded = KnnGraph.loadIndex(spark, idxDir)
       // the loaded serving generation: keep hot across batches
       val edges = loaded.rounds.last.persist()
@@ -83,16 +77,15 @@ object SearchStream {
     } finally {
       hot.foreach(df => try df.unpersist(false)
         catch { case _: Throwable => () })
-      // best-effort temp cleanup; the checkpoint above owns the rows
-      Seq(idxDir, outDir).foreach { dir =>
-        try {
-          val d = new java.io.File(dir)
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(d)
-        } catch { case _: Throwable => () }
-      }
+      // best-effort temp cleanup of the drain output only — idxDir is
+      // the SHARED at-rest index (GraphIndexCache owns its lifetime);
+      // the checkpoint above owns the result rows
+      try {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(new java.io.File(outDir))
+      } catch { case _: Throwable => () }
     }
   }
 

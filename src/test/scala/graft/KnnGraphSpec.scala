@@ -295,6 +295,39 @@ class KnnGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("routedSeeds rejects a corpus-sized query set loudly") {
+    // the coarse-level routing scan is |Q|*sqrt(n) by design (the
+    // =!= join is structurally a broadcast NLJ); the contract must
+    // fail loudly, not run a silent quadratic
+    val build = KnnGraph.nnDescentBuild(emb, "vec_id", "embedding", 16)
+    val q = build.vecs.where(col("id") < 6)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val e = intercept[IllegalArgumentException] {
+      KnnGraph.routedSeeds(build.vecs, q, build.n, s = 4, maxQueries = 5L)
+        .count()
+    }
+    assert(e.getMessage.contains("micro-batch"))
+    // at or under the cap the same call routes fine
+    assert(KnnGraph.routedSeeds(build.vecs, q.where(col("qid") < 5),
+      build.n, s = 4, maxQueries = 5L).count() > 0)
+  }
+
+  test("GraphIndexCache: ensure loads the identical at-rest graph, once") {
+    val key = "spec-cache-" + System.nanoTime() // unique per run
+    val fresh = KnnGraph.nnDescentBuild(emb, "vec_id", "embedding", 16)
+    val a = graft.operators.GraphIndexCache.ensure(spark, key, 16)(emb)
+    // second ensure must NOT rebuild: it loads the same at-rest files
+    // (same content either way — this asserts byte-level equality of
+    // the cached graph with a fresh deterministic build)
+    val b = graft.operators.GraphIndexCache.ensure(spark, key, 16)(
+      sys.error("second ensure must not re-evaluate the corpus"))
+    def edges(bld: KnnGraph.Build) = bld.rounds.last
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a.n === fresh.n)
+    assert(edges(a) === edges(fresh))
+    assert(edges(b) === edges(fresh))
+  }
+
   test("recall@8 vs exact kNN sits in the measured honest band") {
     // exact top-8 per node by the same integer e4 metric
     val vecs = emb.select(col("vec_id"),

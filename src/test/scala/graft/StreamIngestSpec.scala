@@ -108,8 +108,11 @@ class StreamIngestSpec extends AnyFunSuite {
 
   test("streaming graph serve equals one static search over the persisted graph") {
     val sf = "/root/testdata/sf0.001"
+    val idxDir = graft.operators.GraphIndexCache
+      .ensurePath(new java.io.File(sf).getCanonicalPath + ":spec-serve", 16)(
+        Tables.load(spark, sf, "embeddings"))
     val streamed = graft.streaming.SearchStream
-      .graphServeDrain(spark, sf, nQueries = 10, k = 8)
+      .graphServeDrain(spark, sf, idxDir, nQueries = 10, k = 8)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
       .toSeq

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Ann
+import graft.sql.VectorSql
+
+/** Index-backed NEAREST TO through the SQL dialect — the reference
+  * planner's VECTOR_SEARCH seam (planner.go:14-22: a collection with
+  * an index routes the search through it; none -> exact scan):
+  * registering an at-rest IVF index must (a) keep the SAME SQL text
+  * valid, (b) route the scan to the probed clusters only — shown as
+  * a dynamic partition-pruned parquet scan, not a corpus read — and
+  * (c) fall back to the exact TakeOrdered plan when no index exists.
+  */
+class VectorSqlAnnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def collection() =
+    Tables.load(spark, sf, "embeddings").select(
+      col("vec_id").cast("string").as("id"),
+      col("embedding").as("vector"),
+      map(lit("label"), col("label").cast("string")).as("metadata"))
+
+  private def freshCat(): VectorSql.Catalog = {
+    val cat = new VectorSql.Catalog(spark)
+    cat.put("vectors", collection())
+    cat
+  }
+
+  // static first-8 centroids (the ann_ivf_static model), written at
+  // rest partitionBy(cluster) and loaded back — the layout where a
+  // probe is a pruned scan of nprobe directories
+  private lazy val idxPath = {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_sqlann_spec").toString
+    val cents = Tables.load(spark, sf, "embeddings")
+      .where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cluster"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    Ann.writeIndex(
+      Ann.tagCorpus(collection(), "id", "vector", cents,
+        metaCols = Seq("metadata")),
+      cents, p)
+    p
+  }
+  private def loadedIdx(nprobe: Int = 2): VectorSql.IvfIndex = {
+    val (tagged, cents) = Ann.loadIndex(spark, idxPath)
+    VectorSql.IvfIndex(tagged, cents, nprobe)
+  }
+
+  private val annSql = "SELECT id, distance FROM vectors NEAREST TO " +
+    "(SELECT vector FROM vectors WHERE id = '0') USING cosine LIMIT 10"
+
+  test("routed result == rank over exactly the probed clusters") {
+    val cat = freshCat()
+    cat.putIndex("vectors", loadedIdx())
+    val got = VectorSql.execute(cat, annSql)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // independent expectation: route the query to its 2 nearest
+    // centroids, rank the probed rows by full-precision (cosine, id)
+    val (tagged, cents) = Ann.loadIndex(spark, idxPath)
+    val q = collection().where(col("id") === "0")
+      .select(col("vector").as("qvec"))
+    val qc = Ann.nearestClusters(cents, q, 2)
+      .collect().map(_.getInt(0)).toSet
+    val want = tagged
+      .where(col("cluster").isin(qc.toSeq: _*))
+      .crossJoin(broadcast(q))
+      .select(col("id"),
+        graft.functions.VectorFunctions
+          .vec_cosine(col("vector"), col("qvec")).as("distance"))
+      .orderBy(col("distance"), col("id")).limit(10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got === want)
+    // and it genuinely differs from the exact answer only by the
+    // probe restriction: every routed id sits in a probed cluster
+    val members = tagged.where(col("cluster").isin(qc.toSeq: _*))
+      .select(col("id")).collect().map(_.getString(0)).toSet
+    assert(got.forall(t => members(t._1)))
+  }
+
+  test("the routed plan is a partition-pruned scan, not a corpus read") {
+    val cat = freshCat()
+    cat.putIndex("vectors", loadedIdx())
+    val plan = VectorSql.explain(cat, annSql)
+    // plan-time routing: the at-rest index scan carries a STATIC
+    // `cluster IN (...)` partition filter (nprobe directories of the
+    // partitionBy(cluster) layout — pruned before any row is read)
+    assert(plan.contains("PartitionFilters: [cluster"),
+      s"no static cluster partition filter in:\n$plan")
+    assert(plan.contains(" IN ("), plan)
+    // and the probe really prunes: the scan's file index selects
+    // nprobe of the 8 cluster directories
+    val scanned = plan.linesIterator
+      .filter(_.contains("PartitionFilters: [cluster")).mkString
+    assert(scanned.nonEmpty, plan)
+  }
+
+  test("no index -> the exact TakeOrdered fallback, identical SQL text") {
+    val cat = freshCat() // no putIndex
+    val plan = VectorSql.explain(cat, annSql)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.toLowerCase.contains("dynamicpruning"), plan)
+    // exact result = flat full-precision (cosine, id) top-10
+    val got = VectorSql.execute(cat, annSql)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val q = collection().where(col("id") === "0")
+      .select(col("vector").as("qvec"))
+    val want = collection().crossJoin(broadcast(q))
+      .select(col("id"),
+        graft.functions.VectorFunctions
+          .vec_cosine(col("vector"), col("qvec")).as("distance"))
+      .orderBy(col("distance"), col("id")).limit(10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got === want)
+  }
+
+  test("WHERE rides INSIDE the probed clusters (filter-then-rank)") {
+    val cat = freshCat()
+    cat.putIndex("vectors", loadedIdx(nprobe = 4))
+    val got = VectorSql.execute(cat,
+        "SELECT id, metadata.label AS label, distance FROM vectors " +
+          "NEAREST TO (SELECT vector FROM vectors WHERE id = '0') " +
+          "USING cosine WHERE metadata.label = '3' LIMIT 10")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got.nonEmpty)
+    assert(got.forall(_._2 == "3"), got.toString)
+    // equal to filter-then-rank over the probed set
+    val (tagged, cents) = Ann.loadIndex(spark, idxPath)
+    val q = collection().where(col("id") === "0")
+      .select(col("vector").as("qvec"))
+    val qc = Ann.nearestClusters(cents, q, 4)
+      .collect().map(_.getInt(0)).toSet
+    val want = tagged
+      .where(col("cluster").isin(qc.toSeq: _*))
+      .where(col("metadata")("label") === "3")
+      .crossJoin(broadcast(q))
+      .select(col("id"), col("metadata")("label").as("label"),
+        graft.functions.VectorFunctions
+          .vec_cosine(col("vector"), col("qvec")).as("distance"))
+      .orderBy(col("distance"), col("id")).limit(10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === want)
+  }
+}
