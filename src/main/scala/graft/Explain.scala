@@ -99,7 +99,8 @@ object Explain {
     "ann_pq_permuted", "knn_graph_delete", "dedup_graph_cc",
     "events_acf", "graph_coreness", "search_phrase", "events_holt_backtest",
     "knn_graph_search_routed", "quality_auc_dup",
-    "knn_graph_filtered", "vector_sql_ann")
+    "knn_graph_filtered", "vector_sql_ann",
+    "knn_graph_search_pq", "vector_sql_ann_graph")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

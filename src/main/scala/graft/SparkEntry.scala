@@ -2097,6 +2097,91 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // -- PQ-COMPRESSED graph traversal (the DiskANN serving split:
+    //    graph adjacency + m-byte PQ codes in the hop loop,
+    //    full-precision vectors never touched during the walk — at
+    //    100 TB the hop working set shrinks ~16x, which is what
+    //    keeps the beam's keyed joins memory-resident per executor):
+    //    the shared at-rest graph served with ADC re-scoring —
+    //    static first-16 codebooks (the ann_pq_static model), an
+    //    integer-e6 LUT per (query, subspace, code) broadcast at
+    //    serve time, candidates scored by the ORDER-FREE integer LUT
+    //    sum (monotone in l2², so rank cuts match ADC ranking; no
+    //    float-accumulation tie risk inside the gated hop chain).
+    //    Output: budgets + per-hop ADC checksums + recall@8 vs exact
+    //    — the compression-cost readout next to knn_graph_search's
+    //    uncompressed recall (KnnGraph.beamSearchRoundsAdc) --
+    "knn_graph_search_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val k = 8
+      val kb = 2 * k
+      val build = graft.operators.GraphIndexCache
+        .ensure(s, graphKey(dir, "full"), kb)(e)
+      val n = build.n
+      val beam = graft.operators.KnnGraph.adaptiveBeam(n)
+      val graph = build.rounds.last
+      val mod = math.max(1L, (n + 49L) / 50L)
+      val qs = build.vecs.where(pmod(col("id"), lit(mod)) === 0)
+        .select(col("id").as("qid"), col("v").as("qv"),
+          col("bucket").as("qbucket"))
+      val model = Pq.staticCodebooks(e, "vec_id", "embedding",
+        dim = vecDim(e), m = 8, k = 16)
+      val codesExp = Pq.encode(model, e, "vec_id", "embedding")
+        .select(col("vec_id").as("node"),
+          posexplode(col("codes")).as(Seq("grp", "code")))
+      val qsv = qs
+        .select(col("qid"), explode(sequence(lit(0), lit(7))).as("grp"),
+          col("qv"))
+        .select(col("qid"), col("grp"),
+          slice(col("qv"), col("grp") * model.subDim + 1,
+            lit(model.subDim)).as("qsv"))
+      val lut = graft.operators.KnnGraph.adcLut(qsv, model.codebooks)
+      val states = graft.operators.KnnGraph.beamSearchRoundsAdc(
+        graph, build.vecs, qs, n, codesExp, lut, degree = k)
+      val hops = states.length - 1
+      val exact = graphExactTop8(build.vecs.select(col("id"), col("v")), qs)
+      val nq = qs.agg(count(lit(1)).as("nq"))
+      def recallOf(served: DataFrame, stat: String): DataFrame =
+        served
+          .join(exact, col("qid") === col("eqid") &&
+            col("node") === col("nb"), "left_semi")
+          .agg(count(lit(1)).as("m"))
+          .crossJoin(nq)
+          .select(lit(stat).as("stat"),
+            expr(s"(m * 10000) div (nq * $k)").as("v"))
+      // ADC-ranked top-k: what serving straight off the codes gives
+      val recallAdc = recallOf(states.last.where(col("rank") <= k),
+        "recall_e4")
+      // the DiskANN final step: ONE exact re-rank of the final beam's
+      // ~beam-width candidates (the only full-precision touch in the
+      // whole serve) — recovers most of the quantization loss
+      val rerank = states.last.select(col("qid"), col("node"))
+        .join(build.vecs.select(col("id").as("node"), col("v").as("nv")),
+          Seq("node"))
+        .join(broadcast(qs.select(col("qid"), col("qv"))), Seq("qid"))
+        .select(col("qid"), col("node"),
+          round(VectorFunctions.vec_l2(col("nv"), col("qv")) * 1e4)
+            .cast("bigint").as("d_e4"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg
+          .topk_pairs(col("d_e4").cast("double"), col("node"), k).as("tk"))
+        .select(col("qid"), explode(col("tk")).as("pair"))
+        .select(col("qid"), col("pair.id").as("node"))
+      val recallRerank = recallOf(rerank, "recall_rerank_e4")
+      val perHop = states.zipWithIndex.map { case (st, i) =>
+        statRow(s"sum_d_e4_hop$i", sum(col("d_e4")), st)
+      }
+      (Seq(statRow("n_nodes", lit(n), e.limit(1)),
+        statRow("k_per_node", lit(k.toLong), e.limit(1)),
+        statRow("graph_degree", lit(kb.toLong), e.limit(1)),
+        statRow("beam_width", lit(beam.toLong), e.limit(1)),
+        statRow("n_hops", lit(hops.toLong), e.limit(1))) ++ perHop ++
+        Seq(statRow("n_sample_queries", count(lit(1)), qs),
+          recallAdc, recallRerank))
+        .reduce(_.unionByName(_))
+        .orderBy(col("stat"))
+    }),
+
     // -- incremental graph MAINTENANCE (the hnsw.go:145 Add analog,
     //    the last HNSW behavior: KnnGraph.appendBatch has the
     //    algorithm + 100 TB shape): split the corpus into a dense
@@ -6202,6 +6287,29 @@ object SparkEntry {
         .orderBy(col("dist"), col("id"))
     }),
 
+    // -- GRAPH-index-backed NEAREST TO: the other index type the
+    //    planner seam accepts (VectorSql.GraphIndex) — the SAME SQL
+    //    text routes as ONE count-derived beam traversal of the
+    //    shared AT-REST kNN graph (GraphIndexCache), whose top-16
+    //    candidates semi-join the collection before the dialect's
+    //    exact full-precision (distance, id) rank. qid=-1 keeps the
+    //    query's own row eligible (NEAREST TO include-self
+    //    semantics). Index candidates + exact ordering — the hnsw.go
+    //    Search model through the SQL surface, oracled via the
+    //    shared build + beam CTE chain --
+    "vector_sql_ann_graph" -> ((s, dir) => {
+      val cat = vecSqlCatalog(s, dir)
+      cat.putIndex("vectors", graft.sql.VectorSql.GraphIndex(
+        graft.operators.GraphIndexCache.ensure(s, graphKey(dir, "full"),
+          16)(t(s, dir, "embeddings"))))
+      graft.sql.VectorSql.execute(cat,
+          "SELECT id, distance FROM vectors NEAREST TO " +
+            "(SELECT vector FROM vectors WHERE id = '0') USING cosine " +
+            "LIMIT 10")
+        .select(col("id"), round(col("distance"), 4).as("dist"))
+        .orderBy(col("dist"), col("id"))
+    }),
+
     // -- BETWEEN / NOT BETWEEN through the dialect: desugared at
     //    parse time to the range conjunction (the AND is consumed
     //    inside the BETWEEN parse, keeping the grammar unambiguous) --
@@ -7277,6 +7385,27 @@ object SparkEntry {
           "vec_id", "embedding", "cosine", 10, nprobe = 2)
       (build, search)
     }),
+    // the graph family's split: build = the full count-derived
+    // NN-descent chain (one-shot, amortized at rest —
+    // GraphIndexCache), search = a 10-query beam traversal over the
+    // MATERIALIZED edge frame, the steady-state serving cost
+    "knn_graph" -> ((s, dir) => {
+      var vecs: DataFrame = null
+      var n = 0L
+      val build = () => {
+        val b = graft.operators.KnnGraph
+          .nnDescentBuild(t(s, dir, "embeddings"), "vec_id", "embedding", 16)
+        vecs = b.vecs; n = b.n
+        b.rounds.last
+      }
+      val search = (edges: DataFrame) => {
+        val qs = vecs.where(col("id") < 10)
+          .select(col("id").as("qid"), col("v").as("qv"),
+            col("bucket").as("qbucket"))
+        graft.operators.KnnGraph.beamSearch(edges, vecs, qs, n, k = 8)
+      }
+      (build, search)
+    }),
     "ann_pq" -> ((s, dir) => {
       var model: Pq.Model = null
       val build = () => {
@@ -7560,6 +7689,56 @@ object SparkEntry {
     * count(*), integer-exact), and each query's seeds are its exact
     * integer-e4 top-8 level members (ties by id) — no LSH, no ring.
     */
+  /** PQ-compressed traversal CTEs (the knn_graph_search_pq replay):
+    * static first-16 codebooks over 8 subspaces (the pqStaticCtes
+    * model), full-corpus argmin assignment, an integer-e6 ADC lookup
+    * table per (query, subspace, code), then the SAME gated beam
+    * machinery scoring candidates by the order-free integer LUT sum
+    * instead of full-precision vectors. Assumes gg/qq/vv/nn in scope
+    * like [[knnGraphSearchCtes]].
+    */
+  private lazy val knnGraphAdcCtes: String = {
+    val sub = "(g8.grp*sdp.v+1):(g8.grp*sdp.v+sdp.v)"
+    val pqCtes =
+      s"""sdp AS (SELECT len(embedding) // 8 AS v FROM embeddings LIMIT 1),
+         |g8 AS (SELECT unnest(range(0, 8)) AS grp),
+         |cb AS (SELECT g8.grp, CAST(e.vec_id AS INTEGER) AS code,
+         |  list_transform(e.embedding[$sub], x -> CAST(x AS DOUBLE)) AS centroid
+         |  FROM embeddings e, g8, sdp WHERE e.vec_id < 16),
+         |sv AS (SELECT e.vec_id, g8.grp,
+         |  list_transform(e.embedding[$sub], x -> CAST(x AS DOUBLE)) AS sv
+         |  FROM embeddings e, g8, sdp),
+         |pasgn AS MATERIALIZED (SELECT vec_id, grp, code FROM (
+         |  SELECT sv.vec_id, sv.grp, cb.code,
+         |    row_number() OVER (PARTITION BY sv.vec_id, sv.grp ORDER BY
+         |      sqrt(list_sum(list_transform(sv.sv, (x, i) ->
+         |        (x - cb.centroid[i]) * (x - cb.centroid[i])))), cb.code) AS rn
+         |  FROM sv JOIN cb ON sv.grp = cb.grp) _pa WHERE rn = 1),
+         |qsvq AS (SELECT qq.qid, g8.grp,
+         |  list_transform(qq.qv[$sub], x -> CAST(x AS DOUBLE)) AS qsv
+         |  FROM qq, g8, sdp),
+         |lutq AS MATERIALIZED (SELECT q.qid, cb.grp, cb.code,
+         |  CAST(round(list_sum(list_transform(q.qsv, (x, i) ->
+         |    (x - cb.centroid[i]) * (x - cb.centroid[i]))) * 1e6) AS BIGINT) AS sd
+         |  FROM qsvq q JOIN cb ON cb.grp = q.grp)""".stripMargin
+    val adcScore: String => String = c =>
+      s"""SELECT c.qid, c.node, CAST(sum(l.sd) AS BIGINT) AS d_e4
+         |  FROM $c c JOIN pasgn a ON c.node = a.vec_id
+         |  JOIN lutq l ON l.qid = c.qid AND l.grp = a.grp
+         |    AND l.code = a.code
+         |  GROUP BY c.qid, c.node""".stripMargin
+    pqCtes + ",\n" + knnGraphBeamCtes(
+      s"""sring AS (SELECT qid, (((qid + s * d) % n) + n) % n AS node
+         |  FROM qq, nn, (VALUES (1), (-1)) ss(s), range(1, 5) dd(d)
+         |  WHERE (((qid + s * d) % n) + n) % n <> qid),
+         |smates AS (SELECT q.qid, w.id AS node FROM qq q
+         |  JOIN vv w ON w.bucket = q.qbucket AND w.id <> q.qid),
+         |sseed AS MATERIALIZED (SELECT DISTINCT qid, node FROM
+         |  (SELECT qid, node FROM sring
+         |   UNION ALL SELECT qid, node FROM smates) _s)""".stripMargin,
+      Some(adcScore))
+  }
+
   private lazy val knnGraphRoutedCtes: String =
     knnGraphBeamCtes(
       s"""lmv AS (SELECT CAST(2 ** ((CAST(ceil(log2(CAST(n AS DOUBLE)))
@@ -7573,7 +7752,15 @@ object SparkEntry {
          |  FROM qq q JOIN lvl w ON w.id <> q.qid) _ls
          |  WHERE rn <= 8)""".stripMargin)
 
-  private def knnGraphBeamCtes(seedCtes: String): String = {
+  /** Beam-hop CTE chain builder. `scoreBody` maps a candidate CTE
+    * name to the "SELECT qid, node, d_e4 FROM ..." scoring SQL —
+    * default the exact integer-e4 l2 against vv; the PQ-compressed
+    * traversal passes the ADC LUT-sum body instead (same gated hop
+    * machinery, different distance, mirroring KnnGraph.beamCore's
+    * pluggable scorer).
+    */
+  private def knnGraphBeamCtes(seedCtes: String,
+      scoreBody: Option[String => String] = None): String = {
     val capH = 6
     def shop(r: Int): String =
       s"""sf$r AS (SELECT qid, node FROM st${r - 1}
@@ -7583,15 +7770,17 @@ object SparkEntry {
          |  SELECT f.qid, gg.dst AS node FROM sf$r f
          |    JOIN gg ON f.node = gg.src) _e$r
          |  WHERE qid <> node)""".stripMargin
+    val score: String => String = scoreBody.getOrElse(c =>
+      s"""SELECT c.qid, c.node,
+         |  ${knnGraphL2e4("w.v", "q.qv")} AS d_e4
+         |  FROM $c c JOIN vv w ON c.node = w.id
+         |  JOIN qq q ON c.qid = q.qid""".stripMargin)
     def sstate(r: Int): String = {
       val c = if (r == 0) "sseed" else s"scn$r"
       val pass = if (r == 0) ""
         else s""" UNION ALL SELECT qid, node, d_e4, rank FROM st${r - 1}
                |  WHERE (SELECT h FROM hv) < $r""".stripMargin
-      s"""ss$r AS MATERIALIZED (SELECT c.qid, c.node,
-         |  ${knnGraphL2e4("w.v", "q.qv")} AS d_e4
-         |  FROM $c c JOIN vv w ON c.node = w.id
-         |  JOIN qq q ON c.qid = q.qid),
+      s"""ss$r AS MATERIALIZED (${score(c)}),
          |st$r AS MATERIALIZED (SELECT qid, node, d_e4, rn AS rank
          |  FROM (SELECT ss$r.*,
          |    row_number() OVER (PARTITION BY qid ORDER BY d_e4, node) AS rn
@@ -8857,6 +9046,56 @@ object SparkEntry {
          |UNION ALL SELECT 'n_sample_queries', q FROM snq
          |UNION ALL SELECT 'recall_e4',
          |  CAST((mm * 10000) // (q * 8) AS BIGINT) FROM smt, snq
+         |ORDER BY stat""".stripMargin.replaceAll("\n", " ")
+    }
+    // PQ-compressed traversal replay: same build chain + sample
+    // queries, but the beam scores by the integer-e6 ADC LUT sum
+    // (knnGraphAdcCtes) — recall still judged against EXACT kNN, so
+    // the row reads the quantization cost directly
+    val knnGraphSearchPqOracle = {
+      val hopStats = (1 to 6).map(r =>
+        s"""UNION ALL SELECT 'sum_d_e4_hop$r', v FROM
+           |  (SELECT CAST(sum(d_e4) AS BIGINT) AS v FROM st$r) _hs$r
+           |  WHERE (SELECT h FROM hv) >= $r""".stripMargin).mkString("\n")
+      s"""WITH $knnGraphChainSql,
+         |gg AS MATERIALIZED (SELECT src, dst FROM e10),
+         |m AS (SELECT greatest(1, (n + 49) // 50) AS md FROM nn),
+         |qq AS MATERIALIZED (SELECT id AS qid, v AS qv, bucket AS qbucket
+         |  FROM vv, m WHERE ((id % md) + md) % md = 0),
+         |$knnGraphAdcCtes,
+         |sxc AS (SELECT q.qid, e.id AS nb,
+         |  ${knnGraphL2e4("e.v", "q.qv")} AS d_e4
+         |  FROM vv e, qq q WHERE e.id <> q.qid),
+         |sexact AS MATERIALIZED (SELECT qid, nb FROM (SELECT sxc.*,
+         |  row_number() OVER (PARTITION BY qid ORDER BY d_e4, nb) AS rn
+         |  FROM sxc) _sx WHERE rn <= 8),
+         |smt AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM st6
+         |  JOIN sexact ON st6.qid = sexact.qid
+         |    AND st6.node = sexact.nb
+         |  WHERE st6.rank <= 8),
+         |rrs AS (SELECT c.qid, c.node,
+         |  ${knnGraphL2e4("w.v", "q.qv")} AS d_e4
+         |  FROM st6 c JOIN vv w ON c.node = w.id
+         |  JOIN qq q ON c.qid = q.qid),
+         |rrk AS MATERIALIZED (SELECT qid, node FROM (SELECT rrs.*,
+         |  row_number() OVER (PARTITION BY qid ORDER BY d_e4, node) AS rn
+         |  FROM rrs) _rr WHERE rn <= 8),
+         |rmt AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM rrk
+         |  JOIN sexact ON rrk.qid = sexact.qid
+         |    AND rrk.node = sexact.nb),
+         |snq AS (SELECT CAST(count(*) AS BIGINT) AS q FROM qq)
+         |SELECT 'n_nodes' AS stat, n AS v FROM nn
+         |UNION ALL SELECT 'k_per_node', CAST(8 AS BIGINT) FROM nn
+         |UNION ALL SELECT 'graph_degree', CAST(16 AS BIGINT) FROM nn
+         |UNION ALL SELECT 'beam_width', CAST(b AS BIGINT) FROM bv
+         |UNION ALL SELECT 'n_hops', CAST(h AS BIGINT) FROM hv
+         |UNION ALL SELECT 'sum_d_e4_hop0', CAST(sum(d_e4) AS BIGINT) FROM st0
+         |$hopStats
+         |UNION ALL SELECT 'n_sample_queries', q FROM snq
+         |UNION ALL SELECT 'recall_e4',
+         |  CAST((mm * 10000) // (q * 8) AS BIGINT) FROM smt, snq
+         |UNION ALL SELECT 'recall_rerank_e4',
+         |  CAST((mm * 10000) // (q * 8) AS BIGINT) FROM rmt, snq
          |ORDER BY stat""".stripMargin.replaceAll("\n", " ")
     }
     // routed-entry replay: identical build + beam chain, but the
@@ -11301,6 +11540,7 @@ object SparkEntry {
       "knn_graph_search" -> knnGraphSearchOracle,
       "knn_graph_search_routed" -> knnGraphRoutedOracle,
       "knn_graph_filtered" -> knnGraphFilteredOracle,
+      "knn_graph_search_pq" -> knnGraphSearchPqOracle,
       "knn_graph_append" -> knnGraphAppendOracle,
       "knn_graph_delete" -> knnGraphDeleteOracle,
       "dedup_graph_cc" -> dedupGraphCcOracle,
@@ -12078,6 +12318,25 @@ object SparkEntry {
            |SELECT id, round(rawd, 4) AS dist FROM top
            |ORDER BY dist, id""".stripMargin.replaceAll("\n", " ")
       },
+      // graph-index-backed NEAREST TO: the shared build + beam chain
+      // with qq = (qid -1, query vector 0) — -1 is not a corpus id,
+      // so no self-exclusion fires and the query row stays eligible —
+      // then the dialect's exact full-precision (cosine, string-id)
+      // rank over the top-16 beam candidates
+      "vector_sql_ann_graph" ->
+        s"""WITH $knnGraphChainSql,
+           |gg AS MATERIALIZED (SELECT src, dst FROM e10),
+           |qq AS MATERIALIZED (SELECT CAST(-1 AS BIGINT) AS qid,
+           |  v AS qv, bucket AS qbucket FROM vv WHERE id = 0),
+           |$knnGraphSearchCtes,
+           |cand AS (SELECT node FROM st6 WHERE rank <= 16),
+           |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |top AS (SELECT CAST(e.vec_id AS VARCHAR) AS id, $rawCosineSql AS rawd
+           |  FROM embeddings e JOIN cand ON e.vec_id = cand.node, q
+           |  ORDER BY rawd, id LIMIT 10)
+           |SELECT id, round(rawd, 4) AS dist FROM top
+           |ORDER BY dist, id""".stripMargin.replaceAll("\n", " ")
+      ,
       // page 2 of the (full-precision distance, id) order
       "vector_sql_offset" ->
         s"""WITH d AS (SELECT CAST(e.vec_id AS VARCHAR) AS id, $rawCosineSql AS rawd

@@ -332,26 +332,31 @@ object KnnGraph {
       s"hops must be >= 0 or KnnGraph.Adaptive, got $hops")
   }
 
-  /** Shared hop engine of [[beamSearchRounds]] and
-    * [[layeredSearchRounds]]: score the seeds, then `hops` gated
-    * expand/re-score/top-beam rounds. `q` must already be broadcast +
-    * checkpointed and expose (qid, qv).
+  /** Shared hop engine of [[beamSearchRounds]],
+    * [[layeredSearchRounds]] and [[beamSearchRoundsAdc]]: score the
+    * seeds, then `hops` gated expand/re-score/top-beam rounds. `q`
+    * must already be broadcast + checkpointed and expose (qid, qv).
+    * `scorer` maps a (qid, node) candidate frame to (qid, node,
+    * d_e4) — any DETERMINISTIC integer distance (ties broken by id
+    * inside the cut); None = the exact integer-e4 l2 against `vecs`.
     */
   private def beamCore(graph: DataFrame, vecs: DataFrame, q: DataFrame,
-      seeds: DataFrame, n: Long, beam: Int, hops: Int,
-      degree: Int): Seq[DataFrame] = {
+      seeds: DataFrame, n: Long, beam: Int, hops: Int, degree: Int,
+      scorer: Option[DataFrame => DataFrame] = None): Seq[DataFrame] = {
     requireBudgets(beam, hops)
     val edges = graph.select(col("src"), col("dst"))
     val bw = if (beam == Adaptive) adaptiveBeam(n) else beam
     val nHops =
       if (hops == Adaptive) adaptiveHops(n, degree) else hops
-    def scoreBeam(cands: DataFrame): DataFrame =
+    val score: DataFrame => DataFrame = scorer.getOrElse(cands =>
       cands
         .join(vecs.select(col("id").as("node"), col("v").as("nv")),
           Seq("node"))
         .join(q.select(col("qid"), col("qv")), Seq("qid"))
         .select(col("qid"), col("node"),
-          dE4(col("nv"), col("qv")).as("d_e4"))
+          dE4(col("nv"), col("qv")).as("d_e4")))
+    def scoreBeam(cands: DataFrame): DataFrame =
+      score(cands)
         .groupBy(col("qid"))
         .agg(TopKAgg.topk_pairs(col("d_e4").cast("double"), col("node"),
           bw).as("tk"))
@@ -373,6 +378,76 @@ object KnnGraph {
       out += state
     }
     out.result()
+  }
+
+  /** ADC lookup table for PQ-compressed traversal: one integer-e6
+    * squared-subdistance row per (query, subspace, code) —
+    * |Q|·m·k rows, the textbook asymmetric-distance LUT, broadcast
+    * at serve time. Integer BEFORE the cross-subspace sum, so the
+    * total is an order-free exact integer (no float-accumulation
+    * tie risk inside the beam's rank cuts).
+    *
+    * @param qsv       (qid, grp, qsv double array) query subvectors
+    * @param codebooks (grp, code, centroid double array)
+    */
+  def adcLut(qsv: DataFrame, codebooks: DataFrame): DataFrame =
+    qsv.join(codebooks, Seq("grp"))
+      .select(col("qid"), col("grp"), col("code"),
+        round(aggregate(
+          zip_with(col("qsv"), col("centroid"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x) * 1e6).cast("bigint").as("sd"))
+
+  /** Batch graph search over PQ-COMPRESSED vectors — the
+    * DiskANN-style serving split: the traversal re-scores beam
+    * candidates from m-byte PQ codes via the [[adcLut]] (integer-e6
+    * ADC, a broadcast LUT join + an order-free integer sum), and the
+    * full-precision vectors are never touched during the walk. At
+    * 100 TB this is the difference between streaming the corpus'
+    * float vectors through every hop and streaming 16-byte codes:
+    * the hop working set shrinks ~16× (64-dim float32 → 8 codes),
+    * which is what lets the beam's keyed joins stay memory-resident
+    * per executor. Quality cost is the PQ quantization error —
+    * `knn_graph_search_pq` reports recall@k vs exact next to the
+    * uncompressed traversal's.
+    *
+    * Same gated hop machinery, seeds and count-derived budgets as
+    * [[beamSearchRounds]] (d_e4 column = the ADC integer, summed
+    * e6-quantized squared subdistances — monotone in l2², so rank
+    * cuts are order-identical to ranking by ADC distance).
+    *
+    * @param codes (node, grp, code) — the corpus' PQ assignment,
+    *              exploded (Pq.encode posexploded)
+    * @param lut   [[adcLut]] output for the query set
+    */
+  def beamSearchRoundsAdc(graph: DataFrame, vecs: DataFrame,
+      queries: DataFrame, n: Long, codes: DataFrame, lut: DataFrame,
+      beam: Int = Adaptive, hops: Int = Adaptive, ringSeeds: Int = 4,
+      degree: Int = 8): Seq[DataFrame] = {
+    requireBudgets(beam, hops)
+    val q = broadcast(
+      queries.select(col("qid"), col("qv"), col("qbucket"))
+        .localCheckpoint(true))
+    val ring = q.select(col("qid"),
+        explode(sequence(lit(1), lit(ringSeeds))).as("d"))
+      .select(col("qid"),
+        explode(array(pmod(col("qid") + col("d"), lit(n)),
+          pmod(col("qid") - col("d"), lit(n)))).as("node"))
+    val mates = q.select(col("qid"), col("qbucket"))
+      .join(vecs.select(col("id").as("node"), col("bucket")),
+        col("qbucket") === col("bucket"))
+      .select(col("qid"), col("node"))
+    val seeds = ring.unionByName(mates)
+      .where(col("qid") =!= col("node")).distinct()
+    val blut = broadcast(lut.localCheckpoint(true))
+    val adcScore: DataFrame => DataFrame = cands =>
+      cands
+        .join(codes.select(col("node"), col("grp"), col("code")),
+          Seq("node"))
+        .join(blut, Seq("qid", "grp", "code"))
+        .groupBy(col("qid"), col("node"))
+        .agg(sum(col("sd")).as("d_e4"))
+    beamCore(graph, vecs, q, seeds, n, beam, hops, degree,
+      Some(adcScore))
   }
 
   /** Final top-k per query after a [[beamSearchRounds]] traversal. */

