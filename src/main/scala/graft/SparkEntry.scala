@@ -246,6 +246,14 @@ object SparkEntry {
       sqlIvfDirs.getOrElseUpdate(graphKey(dir, "sqlivf"), {
         val p = java.nio.file.Files
           .createTempDirectory("graft_sql_ivf").toString
+        // per-JVM at-rest artifact: reclaim on exit (the
+        // GraphIndexCache.root discipline)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          try rm(new java.io.File(p)) catch { case _: Throwable => () }
+        }))
         val cents = t(s, dir, "embeddings").where(col("vec_id") < 8)
           .select(col("vec_id").cast("int").as("cluster"),
             transform(col("embedding"), _.cast("double")).as("centroid"))
@@ -2076,12 +2084,14 @@ object SparkEntry {
     //    (restricting the beam would starve the result AND disconnect
     //    the walk — matching regions are often reachable only THROUGH
     //    non-matching nodes); the admitted top-8 accumulates over
-    //    every visited beam state, equal by construction to
-    //    filter-then-rescan over the visited set
-    //    (KnnGraph.filteredBeamSearch; FilteredGraphSpec pins the
-    //    identity + non-starvation). First-10 corpus queries, exact
-    //    integer-e4 ranks — the whole traversal + admit chain replays
-    //    in DuckDB off the shared build/beam CTEs --
+    //    every candidate the walk EVALUATED (pre-cut scored sets —
+    //    the filtered-DiskANN discipline), equal by construction to
+    //    filter-then-rescan over the evaluated set and immune to
+    //    cut-starvation (KnnGraph.filteredBeamSearch;
+    //    FilteredGraphSpec re-derives the identity independently).
+    //    First-10 corpus queries, exact integer-e4 ranks — the whole
+    //    traversal + admit chain replays in DuckDB off the shared
+    //    build/beam CTEs --
     "knn_graph_filtered" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val build = graft.operators.GraphIndexCache
@@ -2126,9 +2136,14 @@ object SparkEntry {
           col("bucket").as("qbucket"))
       val model = Pq.staticCodebooks(e, "vec_id", "embedding",
         dim = vecDim(e), m = 8, k = 16)
+      // checkpointed: every hop's scoring joins the code frame, and
+      // the encode (subvector argmin over the corpus) must run once,
+      // not once per beamCore checkpoint job (the Recall.matrix codes
+      // discipline)
       val codesExp = Pq.encode(model, e, "vec_id", "embedding")
         .select(col("vec_id").as("node"),
           posexplode(col("codes")).as(Seq("grp", "code")))
+        .localCheckpoint(eager = false)
       val qsv = qs
         .select(col("qid"), explode(sequence(lit(0), lit(7))).as("grp"),
           col("qv"))
@@ -2329,6 +2344,36 @@ object SparkEntry {
         .connectedComponents(nodes, te, "vec_id", "src", "dst")
         .where(col("rep") =!= col("vec_id"))
         .orderBy(col("vec_id"))
+    }),
+
+    // -- graph CONNECTIVITY audit — the index-health readout a graph
+    //    index needs before anyone trusts its recall numbers: beam
+    //    search can only ever reach a query's weak component, so a
+    //    fragmented graph puts a hard CEILING on recall no matter the
+    //    beam/hop budget (the failure is silent — searches return
+    //    full-length result lists from the wrong component). Weak
+    //    (undirected) components over the shared at-rest graph via
+    //    converge-detected min-label propagation (the dedup CC
+    //    machinery on the edge subgraph; one big component + zero
+    //    isolated nodes is the healthy reading). Oracled via the
+    //    shared build chain + recursive min-label reach --
+    "graph_connectivity" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val build = graft.operators.GraphIndexCache
+        .ensure(s, graphKey(dir, "full"), 16)(e)
+      val nodes = build.vecs.select(col("id").as("vec_id"))
+      val cc = graft.operators.Dedup.connectedComponents(nodes,
+        build.rounds.last.select(col("src"), col("dst")),
+        "vec_id", "src", "dst")
+      val sizes = cc.groupBy(col("rep")).agg(count(lit(1)).as("sz"))
+      sizes
+        .agg(count(lit(1)).cast("bigint").as("n_components"),
+          max(col("sz")).cast("bigint").as("max_component"),
+          sum(when(col("sz") === 1L, 1L).otherwise(0L))
+            .cast("bigint").as("n_isolated"))
+        .crossJoin(nodes.agg(count(lit(1)).as("n_nodes")))
+        .select(col("n_nodes"), col("n_components"),
+          col("max_component"), col("n_isolated"))
     }),
 
     // -- JSON property extraction over the events props column:
@@ -7672,16 +7717,22 @@ object SparkEntry {
     * inactive hops never expand or score. Mirrors
     * KnnGraph.beamSearchRounds exactly.
     */
+  /** LSH-bucket ∪ id-ring seed CTEs — ONE definition shared by the
+    * exact and ADC beam chains (the KnnGraph.lshRingSeeds mirror), so
+    * a seed-rule change can never diverge the two oracles.
+    */
+  private lazy val knnGraphLshSeedCtes: String =
+    s"""sring AS (SELECT qid, (((qid + s * d) % n) + n) % n AS node
+       |  FROM qq, nn, (VALUES (1), (-1)) ss(s), range(1, 5) dd(d)
+       |  WHERE (((qid + s * d) % n) + n) % n <> qid),
+       |smates AS (SELECT q.qid, w.id AS node FROM qq q
+       |  JOIN vv w ON w.bucket = q.qbucket AND w.id <> q.qid),
+       |sseed AS MATERIALIZED (SELECT DISTINCT qid, node FROM
+       |  (SELECT qid, node FROM sring
+       |   UNION ALL SELECT qid, node FROM smates) _s)""".stripMargin
+
   private lazy val knnGraphSearchCtes: String =
-    knnGraphBeamCtes(
-      s"""sring AS (SELECT qid, (((qid + s * d) % n) + n) % n AS node
-         |  FROM qq, nn, (VALUES (1), (-1)) ss(s), range(1, 5) dd(d)
-         |  WHERE (((qid + s * d) % n) + n) % n <> qid),
-         |smates AS (SELECT q.qid, w.id AS node FROM qq q
-         |  JOIN vv w ON w.bucket = q.qbucket AND w.id <> q.qid),
-         |sseed AS MATERIALIZED (SELECT DISTINCT qid, node FROM
-         |  (SELECT qid, node FROM sring
-         |   UNION ALL SELECT qid, node FROM smates) _s)""".stripMargin)
+    knnGraphBeamCtes(knnGraphLshSeedCtes)
 
   /** [[knnGraphSearchCtes]] with HIERARCHICAL routed entry points —
     * the KnnGraph.layeredSearchRounds replay: the ~√n coarse level is
@@ -7727,16 +7778,7 @@ object SparkEntry {
          |  JOIN lutq l ON l.qid = c.qid AND l.grp = a.grp
          |    AND l.code = a.code
          |  GROUP BY c.qid, c.node""".stripMargin
-    pqCtes + ",\n" + knnGraphBeamCtes(
-      s"""sring AS (SELECT qid, (((qid + s * d) % n) + n) % n AS node
-         |  FROM qq, nn, (VALUES (1), (-1)) ss(s), range(1, 5) dd(d)
-         |  WHERE (((qid + s * d) % n) + n) % n <> qid),
-         |smates AS (SELECT q.qid, w.id AS node FROM qq q
-         |  JOIN vv w ON w.bucket = q.qbucket AND w.id <> q.qid),
-         |sseed AS MATERIALIZED (SELECT DISTINCT qid, node FROM
-         |  (SELECT qid, node FROM sring
-         |   UNION ALL SELECT qid, node FROM smates) _s)""".stripMargin,
-      Some(adcScore))
+    pqCtes + ",\n" + knnGraphBeamCtes(knnGraphLshSeedCtes, Some(adcScore))
   }
 
   private lazy val knnGraphRoutedCtes: String =
@@ -9138,14 +9180,14 @@ object SparkEntry {
          |ORDER BY stat""".stripMargin.replaceAll("\n", " ")
     }
     // filtered graph search replay: the same build + beam chain, then
-    // the visited set = DISTINCT union of every (gated) beam state
-    // st0..st6 (states past the derived hop count are passthrough
-    // copies — DISTINCT absorbs them), admitted through the label=3
+    // the EVALUATED set = DISTINCT union of every hop's full scored
+    // candidate frame ss0..ss6 (the pre-cut scores; hops past the
+    // derived count are gated empty), admitted through the label=3
     // predicate frame, exact-integer top-8 per query. Mirrors
-    // KnnGraph.filteredBeamSearch's accumulate-then-admit identity.
+    // KnnGraph.filteredBeamSearch's evaluate-then-admit identity.
     val knnGraphFilteredOracle = {
       val visUnion = (0 to 6)
-        .map(r => s"SELECT qid, node, d_e4 FROM st$r")
+        .map(r => s"SELECT qid, node, d_e4 FROM ss$r")
         .mkString(" UNION ALL ")
       s"""WITH $knnGraphChainSql,
          |gg AS MATERIALIZED (SELECT src, dst FROM e10),
@@ -9324,6 +9366,29 @@ object SparkEntry {
          |SELECT n AS vec_id, min(r) AS rep FROM reach GROUP BY n
          |HAVING min(r) <> n ORDER BY vec_id"""
         .stripMargin.replaceAll("\n", " ")
+    // connectivity replay: recursive min-label reach over the full
+    // symmetrized at-rest edge set (the dedupGraphCcOracle machinery
+    // without the threshold); every node has k out-edges so the
+    // singleton union is a safety no-op
+    val graphConnectivityOracle =
+      s"""WITH RECURSIVE $knnGraphChainSql,
+         |edges2 AS (SELECT src AS s, dst AS d FROM e10
+         |  UNION SELECT dst AS s, src AS d FROM e10),
+         |reach(n, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM edges2)
+         |  UNION SELECT e2.d, reach.r FROM edges2 e2
+         |    JOIN reach ON reach.n = e2.s),
+         |lbl AS (SELECT n AS vid, min(r) AS rep FROM reach GROUP BY n),
+         |alll AS (SELECT vid, rep FROM lbl
+         |  UNION ALL SELECT id, id FROM vv
+         |    WHERE id NOT IN (SELECT vid FROM lbl)),
+         |sz AS (SELECT rep, CAST(count(*) AS BIGINT) AS sz
+         |  FROM alll GROUP BY rep)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM vv) AS n_nodes,
+         | CAST(count(*) AS BIGINT) AS n_components,
+         | CAST(max(sz) AS BIGINT) AS max_component,
+         | CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_isolated
+         |FROM sz""".stripMargin.replaceAll("\n", " ")
     val knnGraphStatsOracle =
       s"""WITH $knnGraphCtes,
          |rec AS (SELECT x.rank, CAST(count(*) AS BIGINT) AS n_recip
@@ -11541,6 +11606,7 @@ object SparkEntry {
       "knn_graph_search_routed" -> knnGraphRoutedOracle,
       "knn_graph_filtered" -> knnGraphFilteredOracle,
       "knn_graph_search_pq" -> knnGraphSearchPqOracle,
+      "graph_connectivity" -> graphConnectivityOracle,
       "knn_graph_append" -> knnGraphAppendOracle,
       "knn_graph_delete" -> knnGraphDeleteOracle,
       "dedup_graph_cc" -> dedupGraphCcOracle,

@@ -242,6 +242,17 @@ object KnnGraph {
     val q = broadcast(
       queries.select(col("qid"), col("qv"), col("qbucket"))
         .localCheckpoint(true))
+    beamCore(graph, vecs, q, lshRingSeeds(q, vecs, n, ringSeeds), n,
+      beam, hops, degree)
+  }
+
+  /** LSH-bucket-mate ∪ id-ring entry points — the seed set shared by
+    * the exact and ADC traversals (one definition, so a seed-rule
+    * change can never diverge the two). `q` must expose (qid,
+    * qbucket).
+    */
+  private def lshRingSeeds(q: DataFrame, vecs: DataFrame, n: Long,
+      ringSeeds: Int): DataFrame = {
     val ring = q.select(col("qid"),
         explode(sequence(lit(1), lit(ringSeeds))).as("d"))
       .select(col("qid"),
@@ -251,9 +262,8 @@ object KnnGraph {
       .join(vecs.select(col("id").as("node"), col("bucket")),
         col("qbucket") === col("bucket"))
       .select(col("qid"), col("node"))
-    val seeds = ring.unionByName(mates)
+    ring.unionByName(mates)
       .where(col("qid") =!= col("node")).distinct()
-    beamCore(graph, vecs, q, seeds, n, beam, hops, degree)
   }
 
   /** The coarse-routing level mod: members are ids ≡ 0 (mod
@@ -339,10 +349,15 @@ object KnnGraph {
     * `scorer` maps a (qid, node) candidate frame to (qid, node,
     * d_e4) — any DETERMINISTIC integer distance (ties broken by id
     * inside the cut); None = the exact integer-e4 l2 against `vecs`.
+    * `scoredOut`, when set, collects each hop's FULL scored candidate
+    * frame (checkpointed, before the beam cut) — the evaluated set a
+    * filtered search admits from.
     */
   private def beamCore(graph: DataFrame, vecs: DataFrame, q: DataFrame,
       seeds: DataFrame, n: Long, beam: Int, hops: Int, degree: Int,
-      scorer: Option[DataFrame => DataFrame] = None): Seq[DataFrame] = {
+      scorer: Option[DataFrame => DataFrame] = None,
+      scoredOut: Option[scala.collection.mutable.Buffer[DataFrame]] =
+        None): Seq[DataFrame] = {
     requireBudgets(beam, hops)
     val edges = graph.select(col("src"), col("dst"))
     val bw = if (beam == Adaptive) adaptiveBeam(n) else beam
@@ -355,15 +370,20 @@ object KnnGraph {
         .join(q.select(col("qid"), col("qv")), Seq("qid"))
         .select(col("qid"), col("node"),
           dE4(col("nv"), col("qv")).as("d_e4")))
-    def scoreBeam(cands: DataFrame): DataFrame =
-      score(cands)
-        .groupBy(col("qid"))
+    def scoreBeam(cands: DataFrame): DataFrame = {
+      var sc = score(cands)
+      scoredOut.foreach { buf =>
+        sc = sc.localCheckpoint(true) // the admit pass re-reads it
+        buf += sc
+      }
+      sc.groupBy(col("qid"))
         .agg(TopKAgg.topk_pairs(col("d_e4").cast("double"), col("node"),
           bw).as("tk"))
         .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "pair")))
         .select(col("qid"), col("pair.id").as("node"),
           col("pair.dist").cast("bigint").as("d_e4"),
           (col("pos") + 1).cast("int").as("rank"))
+    }
     val out = Seq.newBuilder[DataFrame]
     var state = scoreBeam(seeds).localCheckpoint(true)
     out += state
@@ -427,17 +447,7 @@ object KnnGraph {
     val q = broadcast(
       queries.select(col("qid"), col("qv"), col("qbucket"))
         .localCheckpoint(true))
-    val ring = q.select(col("qid"),
-        explode(sequence(lit(1), lit(ringSeeds))).as("d"))
-      .select(col("qid"),
-        explode(array(pmod(col("qid") + col("d"), lit(n)),
-          pmod(col("qid") - col("d"), lit(n)))).as("node"))
-    val mates = q.select(col("qid"), col("qbucket"))
-      .join(vecs.select(col("id").as("node"), col("bucket")),
-        col("qbucket") === col("bucket"))
-      .select(col("qid"), col("node"))
-    val seeds = ring.unionByName(mates)
-      .where(col("qid") =!= col("node")).distinct()
+    val seeds = lshRingSeeds(q, vecs, n, ringSeeds)
     val blut = broadcast(lut.localCheckpoint(true))
     val adcScore: DataFrame => DataFrame = cands =>
       cands
@@ -466,28 +476,38 @@ object KnnGraph {
     * < k matches — and disconnect the walk, since matching regions
     * are often only reachable THROUGH non-matching nodes), while the
     * result admits only nodes present in `allowed`. The admitted
-    * top-k accumulates over every beam state the traversal visits
-    * (hop 0..H), so it equals filter-then-rescan over the visited
-    * set BY CONSTRUCTION — the identity FilteredGraphSpec pins.
+    * top-k accumulates over every candidate the traversal EVALUATED
+    * (each hop's full scored set, BEFORE the beam cut — the
+    * filtered-DiskANN discipline: a matching node the walk touched
+    * counts even if it lost the beam), so it equals
+    * filter-then-rescan over the evaluated set BY CONSTRUCTION —
+    * the identity FilteredGraphSpec pins — and a selective predicate
+    * has ~beam·degree·hops candidates to fill top-k from, not just
+    * the final beam.
     *
     * Scale shape: identical to [[beamSearchRounds]] (per-hop
     * O(|Q|·beam·degree) keyed by qid) plus ONE semi-join of the
-    * ≤|Q|·beam·(hops+1) visited frame against `allowed` — the
-    * predicate frame joins on node id, so a selective predicate at
-    * 100 TB is a keyed (broadcastable when small) join, never a
-    * corpus re-scan. Deterministic: integer e4 distances, ties by
-    * id, count-derived budgets.
+    * ≤|Q|·beam·(degree+1)·(hops+1) evaluated frame against
+    * `allowed` — the predicate frame joins on node id, so a
+    * selective predicate at 100 TB is a keyed (broadcastable when
+    * small) join, never a corpus re-scan. Deterministic: integer e4
+    * distances, ties by id, count-derived budgets.
     *
     * @param allowed one `id` column — the nodes passing the predicate
     * @return (qid, node, d_e4, rank) with rank 1..k ascending over
-    *         the admitted visited set
+    *         the admitted evaluated set
     */
   def filteredBeamSearch(graph: DataFrame, vecs: DataFrame,
       queries: DataFrame, n: Long, allowed: DataFrame, k: Int = 8,
       beam: Int = Adaptive, hops: Int = Adaptive): DataFrame = {
-    val states =
-      beamSearchRounds(graph, vecs, queries, n, beam, hops, degree = k)
-    val visited = states
+    requireBudgets(beam, hops)
+    val q = broadcast(
+      queries.select(col("qid"), col("qv"), col("qbucket"))
+        .localCheckpoint(true))
+    val scored = scala.collection.mutable.Buffer[DataFrame]()
+    beamCore(graph, vecs, q, lshRingSeeds(q, vecs, n, 4), n, beam,
+      hops, degree = k, scoredOut = Some(scored))
+    val visited = scored.toSeq
       .map(_.select(col("qid"), col("node"), col("d_e4")))
       .reduce(_.unionByName(_)).distinct()
     visited
@@ -697,8 +717,20 @@ object KnnGraph {
   */
 object GraphIndexCache {
 
-  private lazy val root: String = java.nio.file.Files
-    .createTempDirectory("graft_graph_static").toString
+  private lazy val root: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_graph_static").toString
+    // per-JVM cache: reclaim the corpus-sized at-rest files on exit
+    // (repeated gate/bench JVMs would otherwise accumulate /tmp
+    // garbage until the disk fills)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      try rm(new java.io.File(dir)) catch { case _: Throwable => () }
+    }))
+    dir
+  }
 
   /** At-rest location for `key` (md5-hashed: keys carry paths). */
   private def dirFor(key: String): String = {
@@ -715,18 +747,22 @@ object GraphIndexCache {
   /** The at-rest index path for (`key`, `degree`), building and
     * persisting via `corpus` on first use — the streaming serve
     * consumes the PATH (its serving generation reads edges/vecs/params
-    * off parquet, never the in-memory build).
+    * off parquet, never the in-memory build). `idCol`/`vecCol` name
+    * the corpus' id and vector columns (a VectorSql collection frame
+    * passes "id"/"vector"); the id column must be dense longs in
+    * [0, n) — the KnnGraph contract.
     */
-  def ensurePath(key: String, degree: Int)(
-      corpus: => DataFrame): String = synchronized {
-    val dir = dirFor(s"$key#$degree")
-    if (!isBuilt(dir)) {
-      KnnGraph.writeIndex(
-        KnnGraph.nnDescentBuild(corpus, "vec_id", "embedding", degree), dir)
-      java.nio.file.Files.createFile(marker(dir))
+  def ensurePath(key: String, degree: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding")(corpus: => DataFrame): String =
+    synchronized {
+      val dir = dirFor(s"$key#$degree")
+      if (!isBuilt(dir)) {
+        KnnGraph.writeIndex(
+          KnnGraph.nnDescentBuild(corpus, idCol, vecCol, degree), dir)
+        java.nio.file.Files.createFile(marker(dir))
+      }
+      dir
     }
-    dir
-  }
 
   /** The loaded at-rest [[KnnGraph.Build]] for (`key`, `degree`),
     * building once on first use. `rounds` holds only the final graph
@@ -735,8 +771,9 @@ object GraphIndexCache {
     * cache).
     */
   def ensure(spark: org.apache.spark.sql.SparkSession, key: String,
-      degree: Int)(corpus: => DataFrame): KnnGraph.Build =
-    KnnGraph.loadIndex(spark, ensurePath(key, degree)(corpus))
+      degree: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding")(corpus: => DataFrame): KnnGraph.Build =
+    KnnGraph.loadIndex(spark, ensurePath(key, degree, idCol, vecCol)(corpus))
 
   /** Persist an already-run build under (`key`, `degree`) if absent —
     * the build-audit query's hook, so a full run pays the NN-descent

@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** FLOOR hour bucket of the ns `ts` column — remainder-subtracting
+    * exact integer division (the [[holtBacktest]] fdiv pattern):
+    * Spark's `div` truncates toward zero while the DuckDB oracles
+    * floor (`floor(epoch(ts)/3600)`), and the two disagree exactly on
+    * pre-1970 (negative) timestamps. Identical for ts >= 0.
+    */
+  private val hourBucketExpr: String = {
+    val d = "3600000000000L" // ns per hour
+    s"(ts - (((ts % $d) + $d) % $d)) div $d"
+  }
+
   /** Hourly count series per `keyCol`, densified to every hour in the
     * key's observed [min, max] span, with missing hours forward-filled
     * from the most recent observed hour: (key, hour_bucket, n,
@@ -39,17 +50,6 @@ object TimeSeries {
     * beyond any honest event stream); observed-but-clamped hours are
     * simply absent from the output, and the job survives.
     */
-  /** FLOOR hour bucket of the ns `ts` column — remainder-subtracting
-    * exact integer division (the [[holtBacktest]] fdiv pattern):
-    * Spark's `div` truncates toward zero while the DuckDB oracles
-    * floor (`floor(epoch(ts)/3600)`), and the two disagree exactly on
-    * pre-1970 (negative) timestamps. Identical for ts >= 0.
-    */
-  private val hourBucketExpr: String = {
-    val d = "3600000000000L" // ns per hour
-    s"(ts - (((ts % $d) + $d) % $d)) div $d"
-  }
-
   def gapFillHourly(events: DataFrame, keyCol: String,
       maxSpanHours: Long = 100000L): DataFrame = {
     val hourly = events

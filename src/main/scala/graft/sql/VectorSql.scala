@@ -926,12 +926,27 @@ object VectorSql {
                 .as("qbucket"))
             // count-derived budgets on the degree-8 basis — the same
             // budgets the dedicated graph-serving queries (and their
-            // shared oracle CTEs) derive
-            val cand = graft.operators.KnnGraph
-              .beamSearchRounds(gi.build.rounds.last, gi.build.vecs,
-                qdf, gi.build.n)
-              .last.where(col("rank") <= gi.candidates)
-              .select(col("node").cast("string").as("id"))
+            // shared oracle CTEs) derive. With a WHERE, the predicate
+            // rides INSIDE the traversal (filteredBeamSearch: the
+            // walk stays unfiltered, the admitted candidate list is
+            // built from MATCHING nodes over the whole visited set) —
+            // post-filtering the top-`candidates` cut would starve
+            // the LIMIT under any selective predicate.
+            val cand = (s.where match {
+              case None =>
+                graft.operators.KnnGraph
+                  .beamSearchRounds(gi.build.rounds.last, gi.build.vecs,
+                    qdf, gi.build.n)
+                  .last.where(col("rank") <= gi.candidates)
+              case Some(_) =>
+                // df already carries the WHERE: its ids ARE the
+                // allowed node set (collection ids are string forms
+                // of the graph's dense long ids)
+                graft.operators.KnnGraph.filteredBeamSearch(
+                  gi.build.rounds.last, gi.build.vecs, qdf, gi.build.n,
+                  df.select(col("id").cast("long").as("id")),
+                  k = gi.candidates)
+            }).select(col("node").cast("string").as("id"))
             df.join(cand, Seq("id"), "left_semi")
               .withColumn("distance", d)
               .orderBy(col("distance"), col("id"))

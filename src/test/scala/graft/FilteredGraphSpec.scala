@@ -33,24 +33,57 @@ class FilteredGraphSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
-  test("filter-inside-beam == filter-then-rescan over the visited set") {
-    // ground truth built INDEPENDENTLY: run the plain (unfiltered)
-    // traversal, collect every visited beam state, filter to the
-    // allowed ids and take the per-query top-8 by (d_e4, id) in
-    // plain Scala — no TopKAgg, no window
+  test("filter-inside-beam == filter-then-rescan over the evaluated set") {
+    // ground truth built INDEPENDENTLY in plain Scala set logic: the
+    // evaluated set is seeds ∪ (per hop: previous frontier ∪ its
+    // out-edge expansions, self excluded) — seeds recomputed from
+    // the ring/bucket rules, frontiers read from the plain
+    // traversal's states, distances from ONE Spark-scored all-pairs
+    // frame (identical kernel arithmetic; the set/cut logic is what
+    // this test re-derives)
     val states = KnnGraph.beamSearchRounds(build.rounds.last,
       build.vecs, qs, build.n, degree = 8)
-    val visited = states
-      .map(_.select(col("qid"), col("node"), col("d_e4")))
-      .reduce(_.unionByName(_))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .toSet
-    val ok = allowed.collect().map(_.getLong(0)).toSet
-    val truth = visited.toSeq.filter(t => ok(t._2))
-      .groupBy(_._1).flatMap { case (qid, rows) =>
-        rows.sortBy(t => (t._3, t._2)).take(8).zipWithIndex
-          .map { case ((_, node, d), i) => (qid, node, d, i + 1) }
+    val n = build.n
+    val outEdges = build.rounds.last.select(col("src"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val buckets = build.vecs.select(col("id"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val qids = qs.select(col("qid")).collect().map(_.getLong(0))
+    def seedsOf(qid: Long): Set[Long] = {
+      val ring = (1 to 4).flatMap(d =>
+        Seq(math.floorMod(qid + d, n), math.floorMod(qid - d, n))).toSet
+      val mates = buckets.collect {
+        case (id, b) if b == buckets(qid) => id
       }.toSet
+      (ring ++ mates) - qid
+    }
+    val frontiers = states.map(_.select(col("qid"), col("node"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
+    val evaluated: Map[Long, Set[Long]] = qids.map { qid =>
+      val hops = (1 until states.length).map { h =>
+        val f = frontiers(h - 1).getOrElse(qid, Set.empty[Long])
+        (f ++ f.flatMap(nd => outEdges.getOrElse(nd, Set.empty))) - qid
+      }
+      qid -> (seedsOf(qid) ++ hops.flatten)
+    }.toMap
+    // distances from the Spark kernel (arithmetic identical by
+    // construction; only the admit/cut logic is re-derived here)
+    val dMap = build.vecs.select(col("id"), col("v")).crossJoin(
+        broadcast(qs.select(col("qid"), col("qv"))))
+      .select(col("qid"), col("id"),
+        round(graft.functions.VectorFunctions
+          .vec_l2(col("v"), col("qv")) * 1e4).cast("bigint").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val ok = allowed.collect().map(_.getLong(0)).toSet
+    val truth = evaluated.flatMap { case (qid, nodes) =>
+      nodes.toSeq.filter(ok)
+        .map(nd => (nd, dMap((qid, nd))))
+        .sortBy { case (nd, d) => (d, nd) }.take(8).zipWithIndex
+        .map { case ((nd, d), i) => (qid, nd, d, i + 1) }
+    }.toSet
     val got = served.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
       .toSet

@@ -151,6 +151,44 @@ class VectorSqlAnnSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("graph index + WHERE: predicate rides inside the traversal, no starvation") {
+    import graft.operators.KnnGraph
+    val emb = Tables.load(spark, sf, "embeddings")
+    val build = KnnGraph.nnDescentBuild(emb, "vec_id", "embedding", 16)
+    val cat = freshCat()
+    cat.putIndex("vectors", VectorSql.GraphIndex(build))
+    val got = VectorSql.execute(cat,
+        "SELECT id, metadata.label AS label FROM vectors " +
+          "NEAREST TO (SELECT vector FROM vectors WHERE id = '0') " +
+          "USING cosine WHERE metadata.label = '3' LIMIT 5")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // a ~10% selective predicate must not starve the LIMIT: the
+    // admitted candidates come from the whole visited set
+    // (filteredBeamSearch), not from post-filtering a 16-row cut
+    assert(got.size === 5, got.toString)
+    assert(got.forall(_._2 == "3"), got.toString)
+    // independent expectation: filtered traversal candidates, then
+    // the exact full-precision (cosine, string-id) rank
+    val q0 = build.vecs.where(col("id") === 0)
+      .select(lit(-1L).as("qid"), col("v").as("qv"),
+        col("bucket").as("qbucket"))
+    val allowed = emb.where(col("label") === 3)
+      .select(col("vec_id").as("id"))
+    val cand = KnnGraph.filteredBeamSearch(build.rounds.last,
+        build.vecs, q0, build.n, allowed, k = 16)
+      .select(col("node").cast("string").as("id"))
+    val qv = collection().where(col("id") === "0")
+      .select(col("vector").as("qvec"))
+    val want = collection().join(cand, Seq("id"), "left_semi")
+      .crossJoin(broadcast(qv))
+      .select(col("id"),
+        graft.functions.VectorFunctions
+          .vec_cosine(col("vector"), col("qvec")).as("distance"))
+      .orderBy(col("distance"), col("id")).limit(5)
+      .collect().map(_.getString(0)).toSeq
+    assert(got.map(_._1) === want)
+  }
+
   test("WHERE rides INSIDE the probed clusters (filter-then-rank)") {
     val cat = freshCat()
     cat.putIndex("vectors", loadedIdx(nprobe = 4))
