@@ -65,6 +65,78 @@ class StreamIngestSpec extends AnyFunSuite {
       "streamed ingest must equal the one-shot batch build")
   }
 
+  test("foreachBatch graph appendBatch equals the same appends in arrival order") {
+    import graft.operators.KnnGraph
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = e.count()
+    val cut1 = n - 2 * math.max(1L, n / 16L)
+    val cut2 = n - math.max(1L, n / 16L)
+    def asBatch(df: DataFrame): DataFrame = df
+      .select(col("vec_id").as("qid"),
+        transform(col("embedding"), _.cast("double")).as("qv"),
+        Ann.lshSignature(col("embedding"), 8).as("qbucket"))
+    def appended(b: KnnGraph.Build, batch: DataFrame): KnnGraph.Build = {
+      val app = KnnGraph.appendBatch(b, batch, degree = 16)
+      KnnGraph.Build(Seq(app.graph),
+        b.vecs.unionByName(batch.select(col("qid").as("id"),
+          col("qv").as("v"), col("qbucket").as("bucket"))),
+        b.n + batch.count())
+    }
+    // the at-rest store starts with the dense base prefix
+    val dir = java.nio.file.Files.createTempDirectory("graph_ingest").toString
+    val store = s"$dir/graph"
+    val base = KnnGraph.nnDescentBuild(
+      e.where(col("vec_id") < cut1), "vec_id", "embedding", 16)
+    KnnGraph.writeIndex(base, store)
+    // two ingest batches arrive as a stream, one file per micro-batch;
+    // explicit mtimes pin the file-source arrival ORDER (graph append
+    // is order-dependent, unlike the IVF assignment-only insert)
+    val incoming = s"$dir/incoming"
+    new java.io.File(incoming).mkdirs()
+    Seq((cut1, cut2, "b1"), (cut2, n, "b2")).zipWithIndex.foreach {
+      case ((lo, hi, nm), i) =>
+        val sub = s"$incoming/$nm"
+        e.where(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(sub)
+        new java.io.File(sub).listFiles().foreach(f =>
+          f.setLastModified(1000000L + i * 60000L))
+    }
+    val q = spark.readStream
+      .schema(e.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$incoming/*/*.parquet")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val cur = KnnGraph.loadIndex(spark, store)
+          val next = appended(cur, asBatch(batch).localCheckpoint(true))
+          KnnGraph.writeIndex(
+            KnnGraph.Build(Seq(next.rounds.last.localCheckpoint(true)),
+              next.vecs.localCheckpoint(true), next.n),
+            s"$store.next")
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(store), true)
+          fs.rename(new org.apache.hadoop.fs.Path(s"$store.next"),
+            new org.apache.hadoop.fs.Path(store))
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // reference: the SAME two appends applied sequentially in batch
+    // order, no streaming machinery
+    val ref = appended(appended(base,
+        asBatch(e.where(col("vec_id") >= cut1 && col("vec_id") < cut2))),
+      asBatch(e.where(col("vec_id") >= cut2)))
+    val streamed = KnnGraph.loadIndex(spark, store)
+    assert(streamed.n === n)
+    def edges(g: DataFrame) = g.select(col("src"), col("dst"), col("d_e4"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(edges(streamed.rounds.last) === edges(ref.rounds.last),
+      "streamed graph ingest must equal the same appends in arrival order")
+  }
+
   test("searchIvfBatch per-query results equal single-query searchIvf") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val cents = e.where(col("vec_id") < 8)
