@@ -246,14 +246,8 @@ object SparkEntry {
       sqlIvfDirs.getOrElseUpdate(graphKey(dir, "sqlivf"), {
         val p = java.nio.file.Files
           .createTempDirectory("graft_sql_ivf").toString
-        // per-JVM at-rest artifact: reclaim on exit (the
-        // GraphIndexCache.root discipline)
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          try rm(new java.io.File(p)) catch { case _: Throwable => () }
-        }))
+        // per-JVM at-rest artifact: reclaim on exit
+        graft.operators.GraphIndexCache.deleteOnExit(p)
         val cents = t(s, dir, "embeddings").where(col("vec_id") < 8)
           .select(col("vec_id").cast("int").as("cluster"),
             transform(col("embedding"), _.cast("double")).as("centroid"))
@@ -2353,16 +2347,20 @@ object SparkEntry {
     //    beam/hop budget (the failure is silent — searches return
     //    full-length result lists from the wrong component). Weak
     //    (undirected) components over the shared at-rest graph via
-    //    converge-detected min-label propagation (the dedup CC
-    //    machinery on the edge subgraph; one big component + zero
-    //    isolated nodes is the healthy reading). Oracled via the
-    //    shared build chain + recursive min-label reach --
+    //    O(log n)-round star contraction (connectedComponentsStar —
+    //    NOT min-label propagation, whose round count is the graph
+    //    DIAMETER: the audit must survive exactly the chain-shaped /
+    //    fragmented graphs it exists to diagnose; star contraction
+    //    reaches the identical fixpoint in log rounds). One big
+    //    component + zero isolated nodes is the healthy reading.
+    //    Oracled via the shared build chain + recursive min-label
+    //    reach (same fixpoint either way) --
     "graph_connectivity" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val build = graft.operators.GraphIndexCache
         .ensure(s, graphKey(dir, "full"), 16)(e)
       val nodes = build.vecs.select(col("id").as("vec_id"))
-      val cc = graft.operators.Dedup.connectedComponents(nodes,
+      val cc = graft.operators.Dedup.connectedComponentsStar(nodes,
         build.rounds.last.select(col("src"), col("dst")),
         "vec_id", "src", "dst")
       val sizes = cc.groupBy(col("rep")).agg(count(lit(1)).as("sz"))

@@ -494,19 +494,26 @@ object KnnGraph {
     * distances, ties by id, count-derived budgets.
     *
     * @param allowed one `id` column — the nodes passing the predicate
+    * @param degree  the hop-budget basis (the graph's serving degree,
+    *                NOT the result size k — decoupled so asking for
+    *                more admitted candidates never silently shortens
+    *                the walk; defaults to the same degree-8 basis the
+    *                unfiltered serving queries and their shared
+    *                oracle CTEs derive)
     * @return (qid, node, d_e4, rank) with rank 1..k ascending over
     *         the admitted evaluated set
     */
   def filteredBeamSearch(graph: DataFrame, vecs: DataFrame,
       queries: DataFrame, n: Long, allowed: DataFrame, k: Int = 8,
-      beam: Int = Adaptive, hops: Int = Adaptive): DataFrame = {
+      beam: Int = Adaptive, hops: Int = Adaptive, ringSeeds: Int = 4,
+      degree: Int = 8): DataFrame = {
     requireBudgets(beam, hops)
     val q = broadcast(
       queries.select(col("qid"), col("qv"), col("qbucket"))
         .localCheckpoint(true))
     val scored = scala.collection.mutable.Buffer[DataFrame]()
-    beamCore(graph, vecs, q, lshRingSeeds(q, vecs, n, 4), n, beam,
-      hops, degree = k, scoredOut = Some(scored))
+    beamCore(graph, vecs, q, lshRingSeeds(q, vecs, n, ringSeeds), n,
+      beam, hops, degree = degree, scoredOut = Some(scored))
     val visited = scored.toSeq
       .map(_.select(col("qid"), col("node"), col("d_e4")))
       .reduce(_.unionByName(_)).distinct()
@@ -717,18 +724,23 @@ object KnnGraph {
   */
 object GraphIndexCache {
 
-  private lazy val root: String = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_graph_static").toString
-    // per-JVM cache: reclaim the corpus-sized at-rest files on exit
-    // (repeated gate/bench JVMs would otherwise accumulate /tmp
-    // garbage until the disk fills)
+  /** Recursively delete `path` at JVM exit — the shared cleanup for
+    * per-JVM at-rest artifacts (this cache's root, SparkEntry's SQL
+    * IVF index dir): repeated gate/bench JVMs would otherwise
+    * accumulate corpus-sized /tmp garbage until the disk fills.
+    */
+  def deleteOnExit(path: String): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
-      try rm(new java.io.File(dir)) catch { case _: Throwable => () }
+      try rm(new java.io.File(path)) catch { case _: Throwable => () }
     }))
+
+  private lazy val root: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_graph_static").toString
+    deleteOnExit(dir)
     dir
   }
 
@@ -748,9 +760,9 @@ object GraphIndexCache {
     * persisting via `corpus` on first use — the streaming serve
     * consumes the PATH (its serving generation reads edges/vecs/params
     * off parquet, never the in-memory build). `idCol`/`vecCol` name
-    * the corpus' id and vector columns (a VectorSql collection frame
-    * passes "id"/"vector"); the id column must be dense longs in
-    * [0, n) — the KnnGraph contract.
+    * the corpus' id and vector columns for non-embeddings-shaped
+    * frames (KnnGraphSpec exercises non-default names); the id
+    * column must be dense longs in [0, n) — the KnnGraph contract.
     */
   def ensurePath(key: String, degree: Int, idCol: String = "vec_id",
       vecCol: String = "embedding")(corpus: => DataFrame): String =

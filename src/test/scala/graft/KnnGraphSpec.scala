@@ -315,7 +315,12 @@ class KnnGraphSpec extends AnyFunSuite {
   test("GraphIndexCache: ensure loads the identical at-rest graph, once") {
     val key = "spec-cache-" + System.nanoTime() // unique per run
     val fresh = KnnGraph.nnDescentBuild(emb, "vec_id", "embedding", 16)
-    val a = graft.operators.GraphIndexCache.ensure(spark, key, 16)(emb)
+    // non-default column names exercise the idCol/vecCol seam (any
+    // dense-long-keyed frame, not just the embeddings shape)
+    val renamed = emb.select(col("vec_id").as("rid"),
+      col("embedding").as("rvec"))
+    val a = graft.operators.GraphIndexCache
+      .ensure(spark, key, 16, idCol = "rid", vecCol = "rvec")(renamed)
     // second ensure must NOT rebuild: it loads the same at-rest files
     // (same content either way — this asserts byte-level equality of
     // the cached graph with a fresh deterministic build)
