@@ -2107,11 +2107,13 @@ object SparkEntry {
     //    100 TB the hop working set shrinks ~16x, which is what
     //    keeps the beam's keyed joins memory-resident per executor):
     //    the shared at-rest graph served with ADC re-scoring —
-    //    static first-16 codebooks (the ann_pq_static model), an
-    //    integer-e6 LUT per (query, subspace, code) broadcast at
-    //    serve time, candidates scored by the ORDER-FREE integer LUT
-    //    sum (monotone in l2², so rank cuts match ADC ranking; no
-    //    float-accumulation tie risk inside the gated hop chain).
+    //    TRAINED m=16 codebooks (the ann_pq Lloyd's chain, id%2
+    //    training sample, oracled via pqKmeansCtes), an integer-e6
+    //    LUT per (query, subspace, code) broadcast at serve time,
+    //    candidates scored by the ORDER-FREE integer LUT sum
+    //    (monotone in l2², so rank cuts match ADC ranking; no
+    //    float-accumulation tie risk inside the gated hop chain),
+    //    then ONE exact re-rank over the VISITED set (DiskANN §3.3).
     //    Output: budgets + per-hop ADC checksums + recall@8 vs exact
     //    — the compression-cost readout next to knn_graph_search's
     //    uncompressed recall (KnnGraph.beamSearchRoundsAdc) --
@@ -2128,8 +2130,15 @@ object SparkEntry {
       val qs = build.vecs.where(pmod(col("id"), lit(mod)) === 0)
         .select(col("id").as("qid"), col("v").as("qv"),
           col("bucket").as("qbucket"))
-      val model = Pq.staticCodebooks(e, "vec_id", "embedding",
-        dim = vecDim(e), m = 8, k = 16)
+      // TRAINED codebooks (the ann_pq Lloyd's chain, id%2 training
+      // sample): the static first-16 model left the walk's ADC
+      // distance too noisy to steer — re-ranked recall@8 0.395 vs
+      // 0.978 uncompressed at n=500. Trained subquantizers cut the
+      // quantization error enough that the compressed walk serves
+      // its DiskANN purpose; the oracle replays the same Lloyd's
+      // via pqKmeansCtes (round(avg,6)-snapped per iteration)
+      val model = Pq.train(e, "vec_id", "embedding",
+        dim = vecDim(e), m = 16, k = 16, iters = 2, trainSampleMod = 2)
       // checkpointed: every hop's scoring joins the code frame, and
       // the encode (subvector argmin over the corpus) must run once,
       // not once per beamCore checkpoint job (the Recall.matrix codes
@@ -2139,14 +2148,17 @@ object SparkEntry {
           posexplode(col("codes")).as(Seq("grp", "code")))
         .localCheckpoint(eager = false)
       val qsv = qs
-        .select(col("qid"), explode(sequence(lit(0), lit(7))).as("grp"),
+        .select(col("qid"),
+          explode(sequence(lit(0), lit(model.m - 1))).as("grp"),
           col("qv"))
         .select(col("qid"), col("grp"),
           slice(col("qv"), col("grp") * model.subDim + 1,
             lit(model.subDim)).as("qsv"))
       val lut = graft.operators.KnnGraph.adcLut(qsv, model.codebooks)
+      val scored = scala.collection.mutable.Buffer[DataFrame]()
       val states = graft.operators.KnnGraph.beamSearchRoundsAdc(
-        graph, build.vecs, qs, n, codesExp, lut, degree = k)
+        graph, build.vecs, qs, n, codesExp, lut, degree = k,
+        scoredOut = Some(scored))
       val hops = states.length - 1
       val exact = graphExactTop8(build.vecs.select(col("id"), col("v")), qs)
       val nq = qs.agg(count(lit(1)).as("nq"))
@@ -2161,10 +2173,18 @@ object SparkEntry {
       // ADC-ranked top-k: what serving straight off the codes gives
       val recallAdc = recallOf(states.last.where(col("rank") <= k),
         "recall_e4")
-      // the DiskANN final step: ONE exact re-rank of the final beam's
-      // ~beam-width candidates (the only full-precision touch in the
-      // whole serve) — recovers most of the quantization loss
-      val rerank = states.last.select(col("qid"), col("node"))
+      // the DiskANN final step (§3.3 of the paper): exact re-rank over
+      // the VISITED set — every candidate the walk ever evaluated
+      // (each hop's full scored frame, before the beam cut), whose
+      // full-precision coordinates a DiskANN server fetches alongside
+      // adjacency during the walk anyway. Bounded per query at
+      // ~beam·(degree+1)·(hops+1) rows — the honest IO model at
+      // 100 TB — and recovers the true neighbors a noisy-ADC beam
+      // touched but cut (re-ranking only the FINAL beam left recall
+      // at 0.59 even with trained k=64 codebooks)
+      val rerank = scored.toSeq
+        .map(_.select(col("qid"), col("node"))).reduce(_.unionByName(_))
+        .distinct()
         .join(build.vecs.select(col("id").as("node"), col("v").as("nv")),
           Seq("node"))
         .join(broadcast(qs.select(col("qid"), col("qv"))), Seq("qid"))
@@ -7561,7 +7581,8 @@ object SparkEntry {
     * and `pc{iters}` (the final codebooks).
     */
   private def pqKmeansCtes(m: Int, subDim: Int, k: Int, iters: Int,
-      sampleMod: Int, tsvBody: Option[String] = None): String = {
+      sampleMod: Int, tsvBody: Option[String] = None,
+      subDimSql: Option[String] = None): String = {
     // default training subvectors: raw embedding slices of the id-mod
     // sample; the residual variant overrides this with slices of
     // (x - coarse centroid) — same downstream chain either way
@@ -7570,8 +7591,15 @@ object SparkEntry {
          |  list_transform(e.embedding[(gm.grp*$subDim+1):(gm.grp*$subDim+$subDim)],
          |    x -> CAST(x AS DOUBLE)) AS sv
          |  FROM embeddings e, gm WHERE e.vec_id % $sampleMod = 0""".stripMargin)
+    // subvector positions 1..subDim — a CTE (not the range() table
+    // function) so the bound can be a scalar subquery when the
+    // caller derives subDim from the data's own width (subDimSql,
+    // the knnGraphAdcCtes case; table functions can't hold
+    // subqueries in DuckDB)
+    val sd = subDimSql.getOrElse(subDim.toString)
     val head =
       s"""gm AS (SELECT unnest(range(0, $m)) AS grp),
+         |pqpos AS (SELECT unnest(range(1, ($sd) + 1)) AS j),
          |tsv AS ($tsv),
          |pc0 AS (SELECT grp, CAST(rn - 1 AS INTEGER) AS code, sv AS centroid FROM (
          |  SELECT grp, sv, row_number() OVER (PARTITION BY grp ORDER BY id) AS rn
@@ -7584,7 +7612,7 @@ object SparkEntry {
          |  FROM tsv t JOIN pc${i - 1} c ON t.grp = c.grp) _p$i WHERE rn = 1),
          |pc$i AS (SELECT grp, code, list(mv ORDER BY pos) AS centroid FROM (
          |  SELECT grp, code, j - 1 AS pos, round(avg(sv[j]), 6) AS mv
-         |  FROM pa$i, range(1, ${subDim + 1}) _r(j) GROUP BY grp, code, j) _c$i
+         |  FROM pa$i, pqpos GROUP BY grp, code, j) _c$i
          |  GROUP BY grp, code)""".stripMargin
     }
     (head +: steps).mkString(",\n")
@@ -7739,33 +7767,40 @@ object SparkEntry {
     * integer-e4 top-8 level members (ties by id) — no LSH, no ring.
     */
   /** PQ-compressed traversal CTEs (the knn_graph_search_pq replay):
-    * static first-16 codebooks over 8 subspaces (the pqStaticCtes
-    * model), full-corpus argmin assignment, an integer-e6 ADC lookup
-    * table per (query, subspace, code), then the SAME gated beam
-    * machinery scoring candidates by the order-free integer LUT sum
-    * instead of full-precision vectors. Assumes gg/qq/vv/nn in scope
-    * like [[knnGraphSearchCtes]].
+    * TRAINED m=16 codebooks — the pqKmeansCtes Lloyd's chain (2
+    * iterations over the id%2 training sample, round(avg,6)-snapped
+    * centroids) with subDim derived from the data's own width —
+    * full-corpus argmin assignment, an integer-e6 ADC lookup table
+    * per (query, subspace, code), then the SAME gated beam machinery
+    * scoring candidates by the order-free integer LUT sum instead of
+    * full-precision vectors. Assumes gg/qq/vv/nn in scope like
+    * [[knnGraphSearchCtes]].
     */
   private lazy val knnGraphAdcCtes: String = {
-    val sub = "(g8.grp*sdp.v+1):(g8.grp*sdp.v+sdp.v)"
-    val pqCtes =
-      s"""sdp AS (SELECT len(embedding) // 8 AS v FROM embeddings LIMIT 1),
-         |g8 AS (SELECT unnest(range(0, 8)) AS grp),
-         |cb AS (SELECT g8.grp, CAST(e.vec_id AS INTEGER) AS code,
-         |  list_transform(e.embedding[$sub], x -> CAST(x AS DOUBLE)) AS centroid
-         |  FROM embeddings e, g8, sdp WHERE e.vec_id < 16),
-         |sv AS (SELECT e.vec_id, g8.grp,
+    val m = 16
+    val sub = "(gm.grp*sdp.v+1):(gm.grp*sdp.v+sdp.v)"
+    val tsv =
+      s"""SELECT e.vec_id AS id, gm.grp,
          |  list_transform(e.embedding[$sub], x -> CAST(x AS DOUBLE)) AS sv
-         |  FROM embeddings e, g8, sdp),
+         |  FROM embeddings e, gm, sdp WHERE e.vec_id % 2 = 0""".stripMargin
+    val pqCtes =
+      s"""sdp AS (SELECT len(embedding) // $m AS v FROM embeddings LIMIT 1),
+         |${pqKmeansCtes(m = m, subDim = 4, k = 16, iters = 2,
+            sampleMod = 2, tsvBody = Some(tsv),
+            subDimSql = Some("SELECT v FROM sdp"))},
+         |cb AS MATERIALIZED (SELECT grp, code, centroid FROM pc2),
+         |sv AS (SELECT e.vec_id, gm.grp,
+         |  list_transform(e.embedding[$sub], x -> CAST(x AS DOUBLE)) AS sv
+         |  FROM embeddings e, gm, sdp),
          |pasgn AS MATERIALIZED (SELECT vec_id, grp, code FROM (
          |  SELECT sv.vec_id, sv.grp, cb.code,
          |    row_number() OVER (PARTITION BY sv.vec_id, sv.grp ORDER BY
          |      sqrt(list_sum(list_transform(sv.sv, (x, i) ->
          |        (x - cb.centroid[i]) * (x - cb.centroid[i])))), cb.code) AS rn
          |  FROM sv JOIN cb ON sv.grp = cb.grp) _pa WHERE rn = 1),
-         |qsvq AS (SELECT qq.qid, g8.grp,
+         |qsvq AS (SELECT qq.qid, gm.grp,
          |  list_transform(qq.qv[$sub], x -> CAST(x AS DOUBLE)) AS qsv
-         |  FROM qq, g8, sdp),
+         |  FROM qq, gm, sdp),
          |lutq AS MATERIALIZED (SELECT q.qid, cb.grp, cb.code,
          |  CAST(round(list_sum(list_transform(q.qsv, (x, i) ->
          |    (x - cb.centroid[i]) * (x - cb.centroid[i]))) * 1e6) AS BIGINT) AS sd
@@ -9097,6 +9132,12 @@ object SparkEntry {
         s"""UNION ALL SELECT 'sum_d_e4_hop$r', v FROM
            |  (SELECT CAST(sum(d_e4) AS BIGINT) AS v FROM st$r) _hs$r
            |  WHERE (SELECT h FROM hv) >= $r""".stripMargin).mkString("\n")
+      // re-rank over the VISITED set (every hop's full scored frame
+      // ss0..ss6, distinct) — the DiskANN §3.3 step the Scala side
+      // mirrors; hops past the derived count are gated empty
+      val visUnion = (0 to 6)
+        .map(r => s"SELECT qid, node FROM ss$r")
+        .mkString(" UNION ALL ")
       s"""WITH $knnGraphChainSql,
          |gg AS MATERIALIZED (SELECT src, dst FROM e10),
          |m AS (SELECT greatest(1, (n + 49) // 50) AS md FROM nn),
@@ -9113,9 +9154,10 @@ object SparkEntry {
          |  JOIN sexact ON st6.qid = sexact.qid
          |    AND st6.node = sexact.nb
          |  WHERE st6.rank <= 8),
+         |vis AS (SELECT DISTINCT qid, node FROM ($visUnion) _v),
          |rrs AS (SELECT c.qid, c.node,
          |  ${knnGraphL2e4("w.v", "q.qv")} AS d_e4
-         |  FROM st6 c JOIN vv w ON c.node = w.id
+         |  FROM vis c JOIN vv w ON c.node = w.id
          |  JOIN qq q ON c.qid = q.qid),
          |rrk AS MATERIALIZED (SELECT qid, node FROM (SELECT rrs.*,
          |  row_number() OVER (PARTITION BY qid ORDER BY d_e4, node) AS rn

@@ -442,7 +442,9 @@ object KnnGraph {
   def beamSearchRoundsAdc(graph: DataFrame, vecs: DataFrame,
       queries: DataFrame, n: Long, codes: DataFrame, lut: DataFrame,
       beam: Int = Adaptive, hops: Int = Adaptive, ringSeeds: Int = 4,
-      degree: Int = 8): Seq[DataFrame] = {
+      degree: Int = 8,
+      scoredOut: Option[scala.collection.mutable.Buffer[DataFrame]] =
+        None): Seq[DataFrame] = {
     requireBudgets(beam, hops)
     val q = broadcast(
       queries.select(col("qid"), col("qv"), col("qbucket"))
@@ -457,7 +459,7 @@ object KnnGraph {
         .groupBy(col("qid"), col("node"))
         .agg(sum(col("sd")).as("d_e4"))
     beamCore(graph, vecs, q, seeds, n, beam, hops, degree,
-      Some(adcScore))
+      Some(adcScore), scoredOut)
   }
 
   /** Final top-k per query after a [[beamSearchRounds]] traversal. */
