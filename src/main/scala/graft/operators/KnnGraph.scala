@@ -274,6 +274,25 @@ object KnnGraph {
     */
   def levelMod(n: Long): Long = 1L << ((ceilLog2(n) + 1) / 2)
 
+  /** At-rest edge-shard shift: shard(src) = src >> (⌈log₂n⌉/2), so
+    * each shard covers a contiguous power-of-two id range of ~√n ids
+    * and the index holds ~√n shards — ring/NN locality keeps a
+    * query's frontier inside few shards, and shard count stays
+    * object-store-sane (~30k dirs at n = 10¹⁰). Count-derived and
+    * integer-exact, so serve-time [[edgeShard]] reproduces the
+    * write-time value from the params count alone. Results are
+    * unaffected (shard is implied by src); only the SCAN shape
+    * changes — the Ann.writeIndex partitionBy(cluster) discipline.
+    */
+  def edgeShardShift(n: Long): Int = ceilLog2(n) / 2
+
+  /** The at-rest shard of node id `id` for a corpus of `n` — the
+    * serve-side key the beam hop adds to its src equi-join so the
+    * edge scan partition-prunes to the frontier's shards.
+    */
+  def edgeShard(id: Column, n: Long): Column =
+    shiftright(id, edgeShardShift(n))
+
   /** Hierarchical routed entry points — the HNSW upper-LAYER descend
     * (hnsw.go:439's outer loop walks levels down to 0; batch form:
     * ONE coarse level of ~√n nodes, the id-mod sample [[levelMod]],
@@ -359,7 +378,19 @@ object KnnGraph {
       scoredOut: Option[scala.collection.mutable.Buffer[DataFrame]] =
         None): Seq[DataFrame] = {
     requireBudgets(beam, hops)
-    val edges = graph.select(col("src"), col("dst"))
+    // a graph loaded from the sharded at-rest layout ([[writeIndex]])
+    // carries its `shard` partition column: keep it and add the
+    // count-derived shard key to the hop's src equi-join, so the
+    // parquet edge scan partition-prunes (DPP off the broadcast
+    // frontier) to the frontier's shards instead of reading the full
+    // edge frame every hop — at 100 TB the difference between a
+    // ~√n-shard read and a corpus-sized one. In-memory builds have no
+    // shard column and join on src alone; results are identical
+    // either way (shard is implied by src).
+    val sharded = graph.columns.contains("shard")
+    val edges =
+      if (sharded) graph.select(col("shard"), col("src"), col("dst"))
+      else graph.select(col("src"), col("dst"))
     val bw = if (beam == Adaptive) adaptiveBeam(n) else beam
     val nHops =
       if (hops == Adaptive) adaptiveHops(n, degree) else hops
@@ -389,15 +420,41 @@ object KnnGraph {
     out += state
     for (_ <- 1 to nHops) {
       val frontier = state.select(col("qid"), col("node"))
-      val expand = frontier
-        .join(edges, col("node") === col("src"))
-        .select(col("qid"), col("dst").as("node"))
+      val expand = expandFrontier(frontier, edges, n, sharded)
       val cands = frontier.unionByName(expand)
         .where(col("qid") =!= col("node")).distinct()
       state = scoreBeam(cands).localCheckpoint(true)
       out += state
     }
     out.result()
+  }
+
+  /** One frontier expansion through the out-edges — the hop join
+    * [[beamCore]] unrolls. Over a SHARDED edge frame (the at-rest
+    * [[writeIndex]] layout) the frontier's shard set — ≤ min(√n,
+    * |frontier|) integers, computed off the already-checkpointed
+    * frontier, a bounded model-sized read like the nprobe routing
+    * collect — becomes a STATIC partition filter on the edge scan,
+    * so each hop reads only the frontier's shard directories instead
+    * of the corpus-sized edge frame. Static (not DPP) because the
+    * checkpointed frontier carries no selective predicate for the
+    * DPP planner rule to latch onto; the IN list is exact, so hops
+    * whose frontier clusters in few shards (ring/NN id locality)
+    * prune hardest. Package-visible so the plan spec asserts the
+    * pruned scan on the production join, not a reconstruction.
+    */
+  private[graft] def expandFrontier(frontier: DataFrame,
+      edges: DataFrame, n: Long, sharded: Boolean): DataFrame = {
+    val pruned =
+      if (sharded) {
+        val shards = frontier
+          .select(edgeShard(col("node"), n).cast("int").as("sh"))
+          .distinct().collect().map(_.getInt(0)).sorted
+        edges.where(col("shard").isin(shards.map(Integer.valueOf): _*))
+          .select(col("src"), col("dst"))
+      } else edges.select(col("src"), col("dst"))
+    frontier.join(pruned, col("node") === col("src"))
+      .select(col("qid"), col("dst").as("node"))
   }
 
   /** ADC lookup table for PQ-compressed traversal: one integer-e6
@@ -533,14 +590,20 @@ object KnnGraph {
   /** Persist a built kNN graph for serving — the at-rest layout every
     * other index family already has (Ann/Pq/Sq/Bq/IvfPq.writeIndex):
     * `path`/edges (src, dst, d_e4, rank — the full-width adjacency
-    * [[beamSearchRounds]] joins against; at 100 TB this is the only
-    * corpus-sized artifact a search touches and it shards by src at
-    * read), `path`/vecs (id, v, bucket — the re-scoring frame +
+    * [[beamSearchRounds]] joins against) written
+    * `partitionBy(shard)` where shard = src >> [[edgeShardShift]]
+    * (the Ann partitionBy(cluster) discipline: ~√n contiguous-id
+    * directories, so a serve's hop joins partition-prune to the
+    * frontier's shards instead of reading the corpus-sized edge
+    * frame), `path`/vecs (id, v, bucket — the re-scoring frame +
     * routed-seed buckets) and `path`/params (the corpus count the
-    * count-derived beam/hop budgets need WITHOUT re-scanning).
+    * count-derived beam/hop/shard knobs need WITHOUT re-scanning).
     */
   def writeIndex(build: Build, path: String): Unit = {
-    build.rounds.last.write.mode("overwrite").parquet(s"$path/edges")
+    build.rounds.last
+      .drop("shard") // re-persisting a loaded graph recomputes it
+      .withColumn("shard", edgeShard(col("src"), build.n))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/edges")
     build.vecs.write.mode("overwrite").parquet(s"$path/vecs")
     import build.vecs.sparkSession.implicits._
     Seq(build.n).toDF("n").write.mode("overwrite").parquet(s"$path/params")
@@ -565,8 +628,13 @@ object KnnGraph {
     * The shared repair/link mechanism of [[appendBatch]] and
     * [[deleteBatch]].
     */
-  private def refineTouched(edges: DataFrame, keep: DataFrame,
+  private def refineTouched(edges: DataFrame, keep0: DataFrame,
       touched: DataFrame, vecs: DataFrame, degree: Int): DataFrame = {
+    // normalize to the canonical 4 columns: a graph loaded from the
+    // sharded at-rest layout carries a `shard` partition column that
+    // must not leak into the maintained graph's unionByName
+    val keep = keep0.select(col("src"), col("dst"), col("d_e4"),
+      col("rank"))
     val u = sym(edges)
     val ut = u.join(touched.select(col("id").as("src")), Seq("src"),
       "left_semi")

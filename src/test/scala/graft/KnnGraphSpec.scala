@@ -295,6 +295,58 @@ class KnnGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("at-rest edges are shard-partitioned and the hop join prunes") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_knngraph_shard").toString
+    try {
+      val build = KnnGraph.nnDescentBuild(emb, "vec_id", "embedding", 16)
+      KnnGraph.writeIndex(build, dir)
+      // layout: one directory per count-derived shard value
+      val shardDirs = new java.io.File(s"$dir/edges").listFiles()
+        .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+      val shift = KnnGraph.edgeShardShift(build.n)
+      val expectDirs = build.rounds.last
+        .select(shiftright(col("src"), shift).as("sh")).distinct()
+        .collect().map(r => s"shard=${r.getLong(0)}").toSet
+      assert(shardDirs.size > 1, shardDirs.toString)
+      assert(shardDirs === expectDirs)
+      val loaded = KnnGraph.loadIndex(spark, dir)
+      assert(loaded.rounds.last.columns.contains("shard"))
+      // the PRODUCTION hop join over a tiny frontier: the parquet
+      // edge scan must carry a static shard IN (...) partition
+      // filter — the scan shape that reads the frontier's shards,
+      // not the corpus-sized edge frame
+      // two frontier nodes in two DIFFERENT shards, so the filter
+      // stays a genuine IN over a strict shard subset
+      val f0 = 1L << shift
+      val frontier = loaded.vecs
+        .where(col("id").isin(0L, f0))
+        .select(lit(0L).as("qid"), col("id").as("node"))
+        .localCheckpoint(true)
+      val edges = loaded.rounds.last
+        .select(col("shard"), col("src"), col("dst"))
+      val expand =
+        KnnGraph.expandFrontier(frontier, edges, loaded.n, sharded = true)
+      val plan = expand.queryExecution.executedPlan.toString
+      val pf = "PartitionFilters: \\[[^\\]]*shard[^\\]]* IN \\(0,1\\)".r
+      assert(pf.findFirstIn(plan).isDefined, plan)
+      // and the sharded expansion returns exactly the unsharded rows
+      val got = expand.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val expect = KnnGraph.expandFrontier(frontier,
+          loaded.rounds.last.select(col("src"), col("dst")),
+          loaded.n, sharded = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === expect)
+      assert(got.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("routedSeeds rejects a corpus-sized query set loudly") {
     // the coarse-level routing scan is |Q|*sqrt(n) by design (the
     // =!= join is structurally a broadcast NLJ); the contract must
