@@ -4450,11 +4450,14 @@ object SparkEntry {
     //    per-source yield table a corpus build publishes next to the
     //    datasheet. Rules are evaluated independently on the full
     //    corpus (each is the already-oracled operator: md5 keep-min,
-    //    minhash CC rep, %97 bench split, 3-shingle contamination,
-    //    INTEGER-e4 quality — float quality hits cross-engine 4-dp
-    //    rounding midpoints at scale, see corpus_datasheet) and
-    //    precedence is a CASE, so the ledger costs the UNION of its
-    //    rules, not a pipeline of materializations --
+    //    minhash CC rep, %97 bench split, 8-shingle contamination —
+    //    k=8 per the repo's own decontaminate_sweep reading: trigrams
+    //    flag 4636 docs at sf0.1 vs 3 at k=8, i.e. k=3 is idiom
+    //    noise, not contamination — INTEGER-e4 quality (float quality
+    //    hits cross-engine 4-dp rounding midpoints at scale, see
+    //    corpus_datasheet)) and precedence is a CASE, so the ledger
+    //    costs the UNION of its rules, not a pipeline of
+    //    materializations --
     "corpus_yield_report" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val exactKeep = Dedup.exactGroups(docs, "text", "doc_id")
@@ -4465,7 +4468,7 @@ object SparkEntry {
       val contam = Corpus.contaminatedIds(
           docs.where(col("doc_id") % 97 =!= 0),
           docs.where(col("doc_id") % 97 === 0),
-          "text", "doc_id", shingleK = 3)
+          "text", "doc_id", shingleK = 8)
         .select(col("doc_id"), lit(1L).as("cont"))
       val qual = docs.select(col("doc_id"), col("source"),
           TextExprs.token_stats(col("text"), Seq("the", "a")).as("st"))
@@ -9875,11 +9878,13 @@ object SparkEntry {
            |SELECT lang, doc_id, quality FROM r WHERE rn <= (nl + 3) // 4
            |ORDER BY lang, quality DESC, doc_id LIMIT 200""".stripMargin.replaceAll("\n", " "),
       // the drop ledger replays each rule's own oracle (md5 keep-min,
-      // the dedup_clusters recursive CTE, %97 bench + 3-shingle
-      // contamination, the datasheet's INTEGER-e4 quality) and applies
-      // the same CASE precedence
+      // the dedup_clusters recursive CTE, %97 bench + 8-shingle
+      // contamination — k=8 per decontaminate_sweep's own reading,
+      // trigrams over-fire ~1500x — the datasheet's INTEGER-e4
+      // quality) and applies the same CASE precedence
       "corpus_yield_report" -> {
         val bases3 = s"list_transform(${SqlSnips.shingles("toks", 3)}, s -> ${SqlSnips.charFold("s")})"
+        val bases8 = s"list_transform(${SqlSnips.shingles("toks", 8)}, s -> ${SqlSnips.charFold("s")})"
         s"""WITH RECURSIVE tk AS (SELECT doc_id, source, $toks AS toks FROM documents),
            |ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
            |sigs AS (SELECT doc_id AS doc, ${SqlSnips.minhashSig(bases3, 8)} AS sig
@@ -9894,7 +9899,7 @@ object SparkEntry {
            |reach(n, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM edges)
            |  UNION SELECT e.d, reach.r FROM edges e JOIN reach ON reach.n = e.s),
            |lbl AS (SELECT n AS doc_id, min(r) AS rep FROM reach GROUP BY n),
-           |sh AS (SELECT doc_id, unnest($bases3) AS sh FROM tk WHERE len(toks) >= 3),
+           |sh AS (SELECT doc_id, unnest($bases8) AS sh FROM tk WHERE len(toks) >= 8),
            |b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
            |cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN b USING (sh)
            |  WHERE s.doc_id % 97 <> 0),
