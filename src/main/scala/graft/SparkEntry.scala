@@ -6376,6 +6376,59 @@ object SparkEntry {
         .orderBy(col("dist"), col("id"))
     }),
 
+    // -- USING-metric parity through the ROUTED paths (planner.go:
+    //    250-270: the metric travels with the plan, not the index):
+    //    the same IVF route under USING euclidean and a different
+    //    subquery vector — candidates from the probed clusters, exact
+    //    full-precision euclidean (distance, id) rank --
+    "vector_sql_ann_l2" -> ((s, dir) => {
+      val cat = vecSqlCatalog(s, dir)
+      cat.putIndex("vectors", sqlIvfIndex(s, dir))
+      graft.sql.VectorSql.execute(cat,
+          "SELECT id, distance FROM vectors NEAREST TO " +
+            "(SELECT vector FROM vectors WHERE id = '1') USING euclidean " +
+            "LIMIT 10")
+        .select(col("id"), round(col("distance"), 4).as("dist"))
+        .orderBy(col("dist"), col("id"))
+    }),
+
+    // -- the graph route under USING euclidean (the graph's NATIVE
+    //    geometry — the beam's integer-e4 walk is l2, so this is the
+    //    distortion-free pairing) with a different subquery vector --
+    "vector_sql_ann_graph_l2" -> ((s, dir) => {
+      val cat = vecSqlCatalog(s, dir)
+      cat.putIndex("vectors", graft.sql.VectorSql.GraphIndex(
+        graft.operators.GraphIndexCache.ensure(s, graphKey(dir, "full"),
+          16)(t(s, dir, "embeddings"))))
+      graft.sql.VectorSql.execute(cat,
+          "SELECT id, distance FROM vectors NEAREST TO " +
+            "(SELECT vector FROM vectors WHERE id = '1') USING euclidean " +
+            "LIMIT 10")
+        .select(col("id"), round(col("distance"), 4).as("dist"))
+        .orderBy(col("dist"), col("id"))
+    }),
+
+    // -- metric-compatibility FALLBACK: USING dotproduct on an
+    //    IVF-indexed collection does NOT route (AnnIndex.honors:
+    //    maximal-dot vectors can sit arbitrarily far in L2, so an
+    //    L2-routed candidate set can exclude true neighbors far
+    //    beyond normal ANN error) — the planner falls through to the
+    //    exact TakeOrdered scan, same text, same index registered.
+    //    Also exercises the LITERAL vector shape (dimension-derived
+    //    basis vector) --
+    "vector_sql_ann_dot_fallback" -> ((s, dir) => {
+      val cat = vecSqlCatalog(s, dir)
+      cat.putIndex("vectors", sqlIvfIndex(s, dir))
+      val dim = vecDim(t(s, dir, "embeddings"))
+      val qlit = (1 to dim).map(i => if (i == 1) "1.0" else "0.0")
+        .mkString("[", ", ", "]")
+      graft.sql.VectorSql.execute(cat,
+          s"SELECT id, distance FROM vectors NEAREST TO $qlit " +
+            "USING dotproduct LIMIT 10")
+        .select(col("id"), round(col("distance"), 4).as("dist"))
+        .orderBy(col("dist"), col("id"))
+    }),
+
     // -- BETWEEN / NOT BETWEEN through the dialect: desugared at
     //    parse time to the range conjunction (the AND is consumed
     //    inside the BETWEEN parse, keeping the grammar unambiguous) --
@@ -12448,6 +12501,67 @@ object SparkEntry {
            |SELECT id, round(rawd, 4) AS dist FROM top
            |ORDER BY dist, id""".stripMargin.replaceAll("\n", " ")
       ,
+      // USING euclidean through the IVF route: identical l2 routing
+      // (qc), exact full-precision euclidean rank over the probed
+      // clusters; query vector = row 1
+      "vector_sql_ann_l2" -> {
+        val l2c = "sqrt(list_sum(list_transform(%s, (x, i) -> " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)) * " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)))))"
+        val l2e = l2c.format("e.embedding", "c.centroid", "c.centroid")
+        val l2q = l2c.format("q.qvec", "c.centroid", "c.centroid")
+        val rawL2 = l2c.format("e.embedding", "q.qvec", "q.qvec")
+        s"""WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cluster,
+           |  embedding AS centroid FROM embeddings WHERE vec_id < 8),
+           |asgn AS (SELECT vec_id, embedding, cluster FROM (
+           |  SELECT e.vec_id, e.embedding, c.cluster,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $l2e, c.cluster) AS rn
+           |  FROM embeddings e, cents c) _r WHERE rn = 1),
+           |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 1),
+           |qc AS (SELECT cluster FROM (
+           |  SELECT c.cluster, $l2q AS d FROM cents c, q) _q
+           |  ORDER BY d, cluster LIMIT 2),
+           |top AS (SELECT CAST(e.vec_id AS VARCHAR) AS id, $rawL2 AS rawd
+           |  FROM asgn e, q, qc WHERE e.cluster = qc.cluster
+           |  ORDER BY rawd, id LIMIT 10)
+           |SELECT id, round(rawd, 4) AS dist FROM top
+           |ORDER BY dist, id""".stripMargin.replaceAll("\n", " ")
+      },
+      // USING euclidean through the GRAPH route: same build + beam
+      // chain, query row 1, exact full-precision l2 rank over the
+      // top-16 candidates
+      "vector_sql_ann_graph_l2" -> {
+        val rawL2 = "sqrt(list_sum(list_transform(e.embedding, (x, i) -> " +
+          "(CAST(x AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE)) * " +
+          "(CAST(x AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE)))))"
+        s"""WITH $knnGraphChainSql,
+           |gg AS MATERIALIZED (SELECT src, dst FROM e10),
+           |qq AS MATERIALIZED (SELECT CAST(-1 AS BIGINT) AS qid,
+           |  v AS qv, bucket AS qbucket FROM vv WHERE id = 1),
+           |$knnGraphSearchCtes,
+           |cand AS (SELECT node FROM st6 WHERE rank <= 16),
+           |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 1),
+           |top AS (SELECT CAST(e.vec_id AS VARCHAR) AS id, $rawL2 AS rawd
+           |  FROM embeddings e JOIN cand ON e.vec_id = cand.node, q
+           |  ORDER BY rawd, id LIMIT 10)
+           |SELECT id, round(rawd, 4) AS dist FROM top
+           |ORDER BY dist, id""".stripMargin.replaceAll("\n", " ")
+      },
+      // dotproduct can't ride the L2-routed index (AnnIndex.honors)
+      // — the oracle is the EXACT corpus scan, which is precisely
+      // the fallback contract; qvec = the dimension-derived basis
+      // literal the Spark side inlines
+      "vector_sql_ann_dot_fallback" ->
+        """WITH q AS (SELECT list_transform(
+          |    range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1),
+          |    i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS qvec),
+          |top AS (SELECT CAST(e.vec_id AS VARCHAR) AS id,
+          |  -list_sum(list_transform(e.embedding, (x, i) ->
+          |    CAST(x AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))) AS rawd
+          |  FROM embeddings e, q
+          |  ORDER BY rawd, id LIMIT 10)
+          |SELECT id, round(rawd, 4) AS dist FROM top
+          |ORDER BY dist, id""".stripMargin.replaceAll("\n", " "),
       // page 2 of the (full-precision distance, id) order
       "vector_sql_offset" ->
         s"""WITH d AS (SELECT CAST(e.vec_id AS VARCHAR) AS id, $rawCosineSql AS rawd

@@ -314,13 +314,16 @@ object KnnGraph {
     // product of the query set against the ~√n level frame) — the
     // DESIGNED |Q|·√n routing scan while Q is micro-batch-sized, a
     // silent quadratic if a caller ever routes a corpus-sized Q.
-    // Count the (model-sized, usually checkpointed) query frame and
+    // Probe the (model-sized, usually checkpointed) query frame and
     // fail loudly past `maxQueries`; a corpus-sized query set should
     // go through the LSH-seeded beamSearchRounds entry (equi-join
-    // seeds) or be chunked into micro-batches.
-    val nq = q.count()
+    // seeds) or be chunked into micro-batches. limit(max+1) keeps the
+    // guard itself O(maxQueries) — a plain count() would pay one
+    // full corpus pass on exactly the corpus-sized-Q case it rejects.
+    val nq = q.limit(math.min(maxQueries, Int.MaxValue - 1L).toInt + 1)
+      .count()
     require(nq <= maxQueries,
-      s"routedSeeds query set has $nq rows (> $maxQueries): the " +
+      s"routedSeeds query set has > $maxQueries rows: the " +
         "coarse-level routing scan is |Q|*sqrt(n) by design and only " +
         "contracts for micro-batch-sized query sets — chunk the " +
         "queries or use LSH-seeded beamSearchRounds")
@@ -826,6 +829,17 @@ object GraphIndexCache {
   private def isBuilt(dir: String): Boolean =
     java.nio.file.Files.exists(marker(dir))
 
+  /** Per-(key, degree) build monitors: concurrent callers building
+    * DIFFERENT indexes proceed in parallel; only same-key callers
+    * serialize (an object-wide lock would stall every graph consumer
+    * behind one unrelated NN-descent build + parquet write).
+    */
+  private val keyLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def lockFor(cacheKey: String): Object =
+    keyLocks.computeIfAbsent(cacheKey, _ => new Object)
+
   /** The at-rest index path for (`key`, `degree`), building and
     * persisting via `corpus` on first use — the streaming serve
     * consumes the PATH (its serving generation reads edges/vecs/params
@@ -835,9 +849,10 @@ object GraphIndexCache {
     * column must be dense longs in [0, n) — the KnnGraph contract.
     */
   def ensurePath(key: String, degree: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding")(corpus: => DataFrame): String =
-    synchronized {
-      val dir = dirFor(s"$key#$degree")
+      vecCol: String = "embedding")(corpus: => DataFrame): String = {
+    val cacheKey = s"$key#$degree"
+    lockFor(cacheKey).synchronized {
+      val dir = dirFor(cacheKey)
       if (!isBuilt(dir)) {
         KnnGraph.writeIndex(
           KnnGraph.nnDescentBuild(corpus, idCol, vecCol, degree), dir)
@@ -845,6 +860,7 @@ object GraphIndexCache {
       }
       dir
     }
+  }
 
   /** The loaded at-rest [[KnnGraph.Build]] for (`key`, `degree`),
     * building once on first use. `rounds` holds only the final graph
@@ -861,12 +877,14 @@ object GraphIndexCache {
     * the build-audit query's hook, so a full run pays the NN-descent
     * cost exactly once no matter which graph query runs first.
     */
-  def seed(build: KnnGraph.Build, key: String, degree: Int): Unit =
-    synchronized {
-      val dir = dirFor(s"$key#$degree")
+  def seed(build: KnnGraph.Build, key: String, degree: Int): Unit = {
+    val cacheKey = s"$key#$degree"
+    lockFor(cacheKey).synchronized {
+      val dir = dirFor(cacheKey)
       if (!isBuilt(dir)) {
         KnnGraph.writeIndex(build, dir)
         java.nio.file.Files.createFile(marker(dir))
       }
     }
+  }
 }

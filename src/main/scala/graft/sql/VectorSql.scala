@@ -48,7 +48,22 @@ object VectorSql {
     * plans VECTOR_SEARCH through an index when the collection has
     * one, full scan otherwise).
     */
-  sealed trait AnnIndex
+  sealed trait AnnIndex {
+    /** Whether this index family's candidate geometry honors `metric`
+      * (the planner gate: a USING metric the index can't honor falls
+      * back to the exact scan instead of serving candidates from the
+      * wrong geometry). Both families generate candidates with L2
+      * routing, so: `euclidean` is native; `cosine` rides the same
+      * candidates (exact for normalized vectors, the standard
+      * L2-routed-cosine serving caveat otherwise — ordinary ANN error
+      * the exact re-rank absorbs, measured in ann_recall_matrix);
+      * `dot` and `manhattan` do NOT route — maximal-dot vectors can
+      * sit arbitrarily far in L2, so an L2 candidate set can exclude
+      * true neighbors far beyond normal ANN error.
+      */
+    def honors(metric: String): Boolean =
+      metric == "euclidean" || metric == "cosine"
+  }
 
   /** IVF registration: `tagged` is the collection's rows carrying a
     * `cluster` routing column next to (id, vector, metadata) —
@@ -83,7 +98,14 @@ object VectorSql {
       tables(name) = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     def drop(name: String): Unit = { tables.remove(name); dropIndex(name) }
-    def put(name: String, df: DataFrame): Unit = tables(name) = df
+    /** Replace a collection. Any registered index is DROPPED with it
+      * — the index was built against the replaced rows, and serving
+      * candidates from a stale frame is the silent-wrong-results
+      * failure mode (re-register via [[putIndex]] after the put).
+      */
+    def put(name: String, df: DataFrame): Unit = {
+      tables(name) = df; dropIndex(name)
+    }
     def get(name: String): DataFrame = tables.getOrElse(name,
       throw new IllegalArgumentException(s"unknown collection: $name"))
     def exists(name: String): Boolean = tables.contains(name)
@@ -91,9 +113,41 @@ object VectorSql {
       * coherence: `tagged` must hold the SAME rows as the collection
       * (a DML write to the collection does not retag the index —
       * exactly the rebuild-on-ingest contract every IVF deployment
-      * carries; drop the index or re-put it after bulk DML).
+      * carries; drop the index or re-put it after bulk DML; put()
+      * of a replacement frame drops the index itself).
+      *
+      * A [[GraphIndex]] registration VALIDATES the dense-long-id
+      * contract here (one aggregate pass over the collection): every
+      * collection id must cast to a long in [0, n) for the graph's
+      * node ids to mean anything — without this, a mismatched
+      * registration silently empties the route's candidate/allowed
+      * sets and the query returns zero rows instead of failing.
       */
-    def putIndex(name: String, idx: AnnIndex): Unit = indexes(name) = idx
+    def putIndex(name: String, idx: AnnIndex): Unit = {
+      idx match {
+        case gi: GraphIndex =>
+          // try_cast: ANSI mode would otherwise THROW on the first
+          // malformed id mid-scan; the aggregate below reports the
+          // contract violation with the count instead
+          val ids = get(name).select(
+            expr("try_cast(id AS BIGINT)").as("lid"))
+          val r = ids.agg(
+            sum(when(col("lid").isNull, 1L).otherwise(0L)).as("bad"),
+            min(col("lid")).as("lo"), max(col("lid")).as("hi")).head()
+          val bad = Option(r.get(0)).fold(0L)(_ => r.getLong(0))
+          require(bad == 0L,
+            s"GraphIndex on '$name': $bad collection ids are not " +
+              "numeric — the graph serves LONG node ids dense in " +
+              "[0, n); re-key the collection or drop the registration")
+          if (!r.isNullAt(1))
+            require(r.getLong(1) >= 0L && r.getLong(2) < gi.build.n,
+              s"GraphIndex on '$name': collection ids span " +
+                s"[${r.getLong(1)}, ${r.getLong(2)}] but the graph " +
+                s"covers [0, ${gi.build.n}) — mismatched registration")
+        case _ => ()
+      }
+      indexes(name) = idx
+    }
     def indexOf(name: String): Option[AnnIndex] = indexes.get(name)
     def dropIndex(name: String): Unit = indexes.remove(name)
   }
@@ -885,9 +939,13 @@ object VectorSql {
           // The WHERE is applied INSIDE the probed clusters
           // (filter-then-rank, the ann_ivf_filtered discipline — the
           // predicate never starves below the LIMIT cut). Exact
-          // fallback: no index, or a distance-radius WHERE (an ANN
-          // candidate set cannot guarantee radius membership)
-          case Some(idx: IvfIndex) if !deferWhere =>
+          // fallback: no index, a distance-radius WHERE (an ANN
+          // candidate set cannot guarantee radius membership), or a
+          // USING metric the index geometry can't honor
+          // (AnnIndex.honors: dot/manhattan fall through to the
+          // exact TakeOrdered scan)
+          case Some(idx: IvfIndex)
+              if !deferWhere && idx.honors(metricName(s.metric)) =>
             val qdf = cat.spark.range(1)
               .select(typedLit(qvec).as("qvec"))
             // routing happens at PLAN time (the query vector is a
@@ -918,7 +976,8 @@ object VectorSql {
           // query's own row stays eligible, matching NEAREST TO's
           // include-self semantics; the qbucket hashes with the
           // build's 8 LSH planes (the nnDescentBuild init default).
-          case Some(gi: GraphIndex) if !deferWhere =>
+          case Some(gi: GraphIndex)
+              if !deferWhere && gi.honors(metricName(s.metric)) =>
             val qdf = cat.spark.range(1).select(
               lit(-1L).as("qid"),
               transform(typedLit(qvec), _.cast("double")).as("qv"),
@@ -941,7 +1000,9 @@ object VectorSql {
               case Some(_) =>
                 // df already carries the WHERE: its ids ARE the
                 // allowed node set (collection ids are string forms
-                // of the graph's dense long ids)
+                // of the graph's dense long ids — the contract
+                // putIndex validated at registration, so this cast
+                // can never silently NULL the allowed set empty)
                 graft.operators.KnnGraph.filteredBeamSearch(
                   gi.build.rounds.last, gi.build.vecs, qdf, gi.build.n,
                   df.select(col("id").cast("long").as("id")),

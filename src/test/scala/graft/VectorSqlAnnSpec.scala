@@ -216,4 +216,75 @@ class VectorSqlAnnSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(got === want)
   }
+
+  test("USING metric the index can't honor -> exact fallback, same text") {
+    // dot/manhattan candidates from L2 routing can exclude true
+    // neighbors far beyond normal ANN error (AnnIndex.honors), so an
+    // indexed collection must fall through to the exact scan for them
+    for (m <- Seq("dotproduct", "manhattan")) {
+      val sql = "SELECT id, distance FROM vectors NEAREST TO " +
+        s"(SELECT vector FROM vectors WHERE id = '0') USING $m LIMIT 10"
+      val cat = freshCat()
+      cat.putIndex("vectors", loadedIdx())
+      val plan = VectorSql.explain(cat, sql)
+      assert(!plan.contains("PartitionFilters: [cluster"),
+        s"$m routed through the index:\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"), plan)
+      val got = VectorSql.execute(cat, sql)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val noIdx = freshCat()
+      val want = VectorSql.execute(noIdx, sql)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got === want, m)
+    }
+    // while euclidean (the native geometry) still routes
+    val cat = freshCat()
+    cat.putIndex("vectors", loadedIdx())
+    val plan = VectorSql.explain(cat,
+      "SELECT id, distance FROM vectors NEAREST TO " +
+        "(SELECT vector FROM vectors WHERE id = '0') USING euclidean " +
+        "LIMIT 10")
+    assert(plan.contains("PartitionFilters: [cluster"), plan)
+  }
+
+  test("put() of a replacement collection drops the registered index") {
+    val cat = freshCat()
+    cat.putIndex("vectors", loadedIdx())
+    assert(cat.indexOf("vectors").isDefined)
+    // replace the collection: the index was built against the old
+    // rows — serving candidates from the stale frame is the silent
+    // wrong-results mode put() must rule out
+    cat.put("vectors", collection().where(col("id") =!= "1"))
+    assert(cat.indexOf("vectors").isEmpty)
+    // and the same SQL text now plans the exact fallback
+    val plan = VectorSql.explain(cat, annSql)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("GraphIndex registration validates the dense-long-id contract") {
+    import graft.operators.KnnGraph
+    val emb = Tables.load(spark, sf, "embeddings")
+    val build = KnnGraph.nnDescentBuild(emb, "vec_id", "embedding", 16)
+    // non-numeric collection ids: the cast would silently NULL the
+    // route's candidate/allowed sets empty — putIndex must throw
+    val bad = new VectorSql.Catalog(spark)
+    bad.put("vectors", collection()
+      .withColumn("id", concat(lit("doc_"), col("id"))))
+    val e1 = intercept[IllegalArgumentException] {
+      bad.putIndex("vectors", VectorSql.GraphIndex(build))
+    }
+    assert(e1.getMessage.contains("not numeric"), e1.getMessage)
+    // ids outside the graph's [0, n) id space: mismatched registration
+    val shifted = new VectorSql.Catalog(spark)
+    shifted.put("vectors", collection()
+      .withColumn("id", (col("id").cast("long") + build.n).cast("string")))
+    val e2 = intercept[IllegalArgumentException] {
+      shifted.putIndex("vectors", VectorSql.GraphIndex(build))
+    }
+    assert(e2.getMessage.contains("mismatched"), e2.getMessage)
+    // the conforming collection registers fine
+    val ok = freshCat()
+    ok.putIndex("vectors", VectorSql.GraphIndex(build))
+    assert(ok.indexOf("vectors").isDefined)
+  }
 }
