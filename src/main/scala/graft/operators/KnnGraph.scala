@@ -565,6 +565,30 @@ object KnnGraph {
     * @return (qid, node, d_e4, rank) with rank 1..k ascending over
     *         the admitted evaluated set
     */
+  /** Whether a filtered traversal can plausibly FILL a top-`k` cut
+    * under a predicate admitting `allowed` of `n` nodes — the
+    * selectivity floor a filtered-search route should check before
+    * walking. The admitted pool is the visited set ∩ predicate:
+    * expected size ≈ (allowed/n) · evaluated, with evaluated ≤
+    * beam·(degree+1)·(hops+1) per query (the count-derived budgets).
+    * Below `allowed · evaluated ≥ k · n` the walk starves — it
+    * returns fewer than k matches not because none exist but because
+    * the visited set holds too few — and the right plan is
+    * filter-then-rank: an ultra-selective predicate leaves only
+    * ~allowed rows to rank, so the exact path is simultaneously
+    * correct AND cheap (IVF-filtered when an IVF index exists,
+    * otherwise the filtered exact scan). Measured at n=500 (degree-8
+    * basis, evaluated = 972): a 10% predicate admits ~97 ≥ k and
+    * fills every query; a 1-node predicate admits ~2 and starves —
+    * FilteredGraphSpec pins both readings.
+    */
+  def filteredViable(n: Long, allowed: Long, k: Int,
+      degree: Int = 8): Boolean = {
+    val evaluated = adaptiveBeam(n).toLong * (degree + 1L) *
+      (adaptiveHops(n, degree) + 1L)
+    allowed * evaluated >= k.toLong * n
+  }
+
   def filteredBeamSearch(graph: DataFrame, vecs: DataFrame,
       queries: DataFrame, n: Long, allowed: DataFrame, k: Int = 8,
       beam: Int = Adaptive, hops: Int = Adaptive, ringSeeds: Int = 4,

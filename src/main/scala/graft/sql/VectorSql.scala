@@ -991,26 +991,45 @@ object VectorSql {
             // built from MATCHING nodes over the whole visited set) —
             // post-filtering the top-`candidates` cut would starve
             // the LIMIT under any selective predicate.
-            val cand = (s.where match {
+            val candOpt: Option[DataFrame] = s.where match {
               case None =>
-                graft.operators.KnnGraph
+                Some(graft.operators.KnnGraph
                   .beamSearchRounds(gi.build.rounds.last, gi.build.vecs,
                     qdf, gi.build.n)
-                  .last.where(col("rank") <= gi.candidates)
+                  .last.where(col("rank") <= gi.candidates))
               case Some(_) =>
                 // df already carries the WHERE: its ids ARE the
                 // allowed node set (collection ids are string forms
                 // of the graph's dense long ids — the contract
                 // putIndex validated at registration, so this cast
                 // can never silently NULL the allowed set empty)
-                graft.operators.KnnGraph.filteredBeamSearch(
-                  gi.build.rounds.last, gi.build.vecs, qdf, gi.build.n,
-                  df.select(col("id").cast("long").as("id")),
-                  k = gi.candidates)
-            }).select(col("node").cast("string").as("id"))
-            df.join(cand, Seq("id"), "left_semi")
-              .withColumn("distance", d)
-              .orderBy(col("distance"), col("id"))
+                val allowed = df.select(col("id").cast("long").as("id"))
+                // plan-time selectivity stat (one count of the
+                // filtered scan — the stats pass any cost-based
+                // planner pays): BELOW the floor the walk's visited
+                // set holds too few matching nodes to fill the cut
+                // (KnnGraph.filteredViable), and the right plan is
+                // filter-then-rank — an ultra-selective predicate
+                // leaves only ~allowed rows to rank, so the exact
+                // path is simultaneously correct and cheap
+                val na = allowed.count()
+                if (graft.operators.KnnGraph
+                    .filteredViable(gi.build.n, na, gi.candidates))
+                  Some(graft.operators.KnnGraph.filteredBeamSearch(
+                    gi.build.rounds.last, gi.build.vecs, qdf, gi.build.n,
+                    allowed, k = gi.candidates))
+                else None
+            }
+            candOpt match {
+              case Some(cand) =>
+                df.join(cand.select(col("node").cast("string").as("id")),
+                    Seq("id"), "left_semi")
+                  .withColumn("distance", d)
+                  .orderBy(col("distance"), col("id"))
+              case None => // selectivity-floor fallback: exact
+                df.withColumn("distance", d)
+                  .orderBy(col("distance"), col("id"))
+            }
           case _ =>
             df.withColumn("distance", d)
               .orderBy(col("distance"), col("id"))

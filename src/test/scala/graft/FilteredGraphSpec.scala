@@ -102,4 +102,65 @@ class FilteredGraphSpec extends AnyFunSuite {
     // set is beam*(hops+1) ~ 100+ nodes, ~10 allowed on average)
     assert(perQ.values.count(_ >= 4) >= 5, perQ.toString)
   }
+
+  test("selectivity floor: ultra-selective predicates starve; filteredViable reads it") {
+    // the ~10% predicate sits ABOVE the floor and filled top-k above;
+    // a ~1%-and-below predicate sits at/below it — measure the admit
+    // starvation the floor formula predicts (PERF.md records the
+    // numbers). allowed·evaluated >= k·n with evaluated =
+    // beam·(degree+1)·(hops+1) = 27·9·4 = 972 at n=500
+    val n = build.n
+    assert(KnnGraph.filteredViable(n, allowed.count(), k = 8)) // ~10%
+    assert(!KnnGraph.filteredViable(n, 1, k = 8)) // single node
+    assert(!KnnGraph.filteredViable(n, (n * 4 / 972).max(1), k = 16))
+    // measured: a single-allowed-node predicate returns AT MOST one
+    // row per query (and only for the queries whose walk touched it)
+    // — fewer than k not because fewer exist but because the visited
+    // set holds too few: the starvation the floor exists to catch
+    val one = emb.where(col("vec_id") === 42)
+      .select(col("vec_id").as("id"))
+    val starved = KnnGraph.filteredBeamSearch(
+      build.rounds.last, build.vecs, qs, build.n, one, k = 8)
+    val counts = starved.groupBy(col("qid")).agg(count(lit(1)).as("c"))
+      .collect().map(_.getLong(1))
+    assert(counts.forall(_ <= 1), counts.mkString(","))
+    assert(counts.sum < 8 * 10, counts.mkString(","))
+  }
+
+  test("SQL graph route falls back to filter-then-rank below the floor") {
+    import graft.sql.VectorSql
+    val cat = new VectorSql.Catalog(spark)
+    val collection = emb.select(
+      col("vec_id").cast("string").as("id"),
+      col("embedding").as("vector"),
+      map(lit("label"), col("label").cast("string")).as("metadata"))
+    cat.put("vectors", collection)
+    cat.putIndex("vectors", VectorSql.GraphIndex(build))
+    // a 2-of-n IN predicate (~0.4%): below the floor for
+    // candidates=16, so the route must NOT walk — the plan is the
+    // exact filter-then-rank (TakeOrdered over the ~2 matching rows)
+    val sql = "SELECT id, distance FROM vectors " +
+      "NEAREST TO (SELECT vector FROM vectors WHERE id = '0') " +
+      "USING euclidean WHERE id IN ('7', '11') LIMIT 10"
+    assert(!KnnGraph.filteredViable(build.n, 2, k = 16))
+    val plan = VectorSql.explain(cat, sql)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val got = VectorSql.execute(cat, sql)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // equals the index-less exact answer: both matching rows, ranked
+    val noIdx = new VectorSql.Catalog(spark)
+    noIdx.put("vectors", collection)
+    val want = VectorSql.execute(noIdx, sql)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got === want)
+    assert(got.map(_._1).toSet === Set("7", "11"), got.toString)
+    // while the ~10% label predicate stays ON the walk (routes): its
+    // plan candidate-joins the traversal output, not a corpus rank
+    val routedSql = "SELECT id, distance FROM vectors " +
+      "NEAREST TO (SELECT vector FROM vectors WHERE id = '0') " +
+      "USING euclidean WHERE metadata.label = '3' LIMIT 5"
+    val routed = VectorSql.execute(cat, routedSql)
+      .collect().map(_.getString(0)).toSeq
+    assert(routed.size === 5, routed.toString)
+  }
 }
