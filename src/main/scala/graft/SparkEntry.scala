@@ -5513,6 +5513,23 @@ object SparkEntry {
         .orderBy(col("dist"), col("doc_id")).limit(10)
     }),
 
+    // -- the batch-inference seam under a REAL (small, local) linear
+    //    model — the huggingface.go:34 ProcessDocuments analog with
+    //    an actual non-identity weight matrix, not the
+    //    hash-projection stand-in: out = W·[n_tokens, n_chars,
+    //    n_vowels, n_distinct, 1] with W the closed-form 4×5 integer
+    //    matrix (LinearProjection.weight). The corpus embeds through
+    //    Embedder.embedColumn (mapPartitions, broadcast weights
+    //    materialized lazily per executor, fixed-size batches — the
+    //    lifecycle EmbedderSpec accumulator-verifies); integer
+    //    outputs ride float32 losslessly, so cosine ranks replay
+    //    exactly in DuckDB end to end --
+    "embed_linear_search" -> ((s, dir) =>
+      graft.functions.Embedder.searchByText(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id", SearchTextQuery,
+        new graft.functions.LinearProjectionEmbedder(), k = 10)),
+
     // -- exact PHRASE search over the positional inverted index (the
     //    lexical complement to BM25's bag-of-words): every query-term
     //    posting (doc, pos, term) survives a map-side isin prune of
@@ -11795,6 +11812,41 @@ object SparkEntry {
            |  (sqrt(list_sum(list_transform(v, x -> x * x))) *
            |   sqrt(list_sum(list_transform(qv, x -> x * x)))))) END, 4) AS dist
            |FROM docs, q ORDER BY dist, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
+      },
+      // the linear-model seam replay: the same integer featurization
+      // (whitespace tokens, chars, vowels, distinct tokens, bias),
+      // the same closed-form 4x5 weight matrix, cosine over the
+      // exact-integer projections — order-free (every sum is exact)
+      "embed_linear_search" -> {
+        def feats(text: String, toks: String): String =
+          s"""[CAST(len($toks) AS DOUBLE), CAST(len($text) AS DOUBLE),
+             |  CAST(len(list_filter(string_split($text, ''),
+             |    c -> c IN ('a','e','i','o','u'))) AS DOUBLE),
+             |  CAST(len(list_distinct($toks)) AS DOUBLE), 1.0]""".stripMargin
+        s"""WITH w AS (SELECT j, list_transform(range(0, 5), i ->
+           |    CAST(((j * 5 + i) * 2654435761) % 7 - 3 AS DOUBLE)) AS wr
+           |  FROM (SELECT unnest(range(0, 4)) AS j) _j),
+           |tk AS (SELECT doc_id, text, $toks AS toks FROM documents),
+           |ft AS (SELECT doc_id, ${feats("text", "toks")} AS x FROM tk),
+           |emb AS (SELECT doc_id, list(v ORDER BY j) AS v FROM (
+           |  SELECT f.doc_id, w.j,
+           |    list_sum(list_transform(f.x, (xi, i) -> xi * w.wr[i])) AS v
+           |  FROM ft f, w) _e GROUP BY doc_id),
+           |qt AS (SELECT '$SearchTextQuery' AS text),
+           |qf AS (SELECT ${feats("text",
+              SqlSnips.tokens("text"))} AS x FROM qt),
+           |qe AS (SELECT list(v ORDER BY j) AS qv FROM (
+           |  SELECT w.j,
+           |    list_sum(list_transform(q.x, (xi, i) -> xi * w.wr[i])) AS v
+           |  FROM qf q, w) _q)
+           |SELECT doc_id, round(CASE WHEN
+           |  list_sum(list_transform(v, x -> x * x)) = 0 OR
+           |  list_sum(list_transform(qv, x -> x * x)) = 0
+           | THEN 1.0 ELSE 1.0 - greatest(-1.0, least(1.0,
+           |  list_sum(list_transform(v, (x, i) -> x * qv[i])) /
+           |  (sqrt(list_sum(list_transform(v, x -> x * x))) *
+           |   sqrt(list_sum(list_transform(qv, x -> x * x)))))) END, 4) AS dist
+           |FROM emb, qe ORDER BY dist, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
       },
       // lexical rank: distinct-token-hash overlap with the query (the
       // dedup_jaccard set form); vector rank: the search_text cosine

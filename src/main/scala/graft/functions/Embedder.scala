@@ -48,6 +48,67 @@ class HashProjectionEmbedder(val dim: Int = TextEmbed.Dim) extends Embedder {
     }
 }
 
+/** The deterministic pieces of [[LinearProjectionEmbedder]], shared
+  * with its DuckDB oracle: an INTEGER featurization (token/char/vowel/
+  * distinct counts + bias — whitespace tokenization identical to
+  * TextFuncs.tokens / SqlSnips.tokens) and a dense non-identity
+  * integer weight matrix from a closed-form hash, so model outputs
+  * are exact small integers that float32 carries losslessly and an
+  * independent engine reproduces bit-for-bit.
+  */
+object LinearProjection {
+  val InDim = 5
+
+  /** w(j, i) = ((j·InDim + i)·2654435761 mod 7) − 3 ∈ [−3, 3]. */
+  def weight(j: Int, i: Int): Float =
+    (((j.toLong * InDim + i) * 2654435761L) % 7L - 3L).toFloat
+
+  /** [n_tokens, n_chars, n_vowels, n_distinct_tokens, 1] — the bias
+    * keeps even the empty text off the zero vector (cosine defined).
+    */
+  def features(t: String): Array[Float] = {
+    val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+    Array(toks.length.toFloat, t.length.toFloat,
+      t.count(c => "aeiou".indexOf(c.toInt) >= 0).toFloat,
+      toks.distinct.length.toFloat, 1f)
+  }
+}
+
+/** A real (small, local) linear model through the batch-inference
+  * seam — the huggingface.go:34 ProcessDocuments analog with an
+  * actual non-identity weight matrix instead of the hash-projection
+  * stand-in: out = W · features(text), W the 4×5 integer matrix
+  * above. The matrix materializes LAZILY, once per executor
+  * deserialization of the broadcast instance — exactly where a real
+  * implementation would load its ONNX/weights file; `initCount` /
+  * `batchCount` let the spec verify that lifecycle (weights loaded
+  * once per executor, calls batched not per-row). Integer outputs
+  * make the whole pipeline DuckDB-oracle-able end to end
+  * (`embed_linear_search`).
+  */
+class LinearProjectionEmbedder(val dim: Int = 4,
+    initCount: Option[org.apache.spark.util.LongAccumulator] = None,
+    batchCount: Option[org.apache.spark.util.LongAccumulator] = None)
+  extends Embedder {
+
+  @transient private lazy val w: Array[Array[Float]] = {
+    initCount.foreach(_.add(1))
+    Array.tabulate(dim, LinearProjection.InDim)(LinearProjection.weight)
+  }
+
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+    batchCount.foreach(_.add(1))
+    texts.map { t =>
+      val x = LinearProjection.features(t)
+      Array.tabulate(dim) { j =>
+        var s = 0f; var i = 0
+        while (i < LinearProjection.InDim) { s += w(j)(i) * x(i); i += 1 }
+        s
+      }
+    }
+  }
+}
+
 object Embedder {
 
   /** Append `outCol` = embedder(textCol) to every row. Null/absent

@@ -96,6 +96,41 @@ class EmbedderSpec extends AnyFunSuite {
     assert(r.map(_.getDouble(1)).toSeq == r.map(_.getDouble(1)).sorted.toSeq)
   }
 
+  test("LinearProjectionEmbedder: broadcast weights load once, batches real, W non-identity") {
+    import graft.functions.{LinearProjection, LinearProjectionEmbedder}
+    val init = spark.sparkContext.longAccumulator("lin_init")
+    val batches = spark.sparkContext.longAccumulator("lin_batches")
+    val model = new LinearProjectionEmbedder(4, Some(init), Some(batches))
+    val embedded = Embedder.embedColumn(
+      docs.select(col("doc_id"), col("text")), "text", "emb",
+      model, batchSize = 16)
+    val rows = embedded.select(col("doc_id"), col("text"), col("emb"))
+      .collect()
+    assert(rows.length == 100)
+    // the weight matrix materialized lazily ONCE per executor-side
+    // deserialization of the broadcast (local[*]: one JVM, a handful
+    // of tasks — never once per row), and calls were batched
+    assert(init.value >= 1 && init.value <= batches.value,
+      s"init=${init.value} batches=${batches.value}")
+    assert(batches.value < 100,
+      s"per-row model calls: ${batches.value}")
+    // W is genuinely non-identity/non-diagonal: off-diagonal mass
+    val w = Array.tabulate(4, LinearProjection.InDim)(
+      LinearProjection.weight)
+    assert(w.zipWithIndex.exists { case (row, j) =>
+      row.zipWithIndex.exists { case (v, i) => i != j && v != 0f } })
+    assert(w.flatten.distinct.length > 2, w.flatten.toSeq.toString)
+    // every produced vector equals the driver-side W·features — the
+    // executor path computes the same projection, exactly (integer
+    // outputs, float32-lossless)
+    rows.foreach { r =>
+      val x = LinearProjection.features(r.getString(1))
+      val want = Array.tabulate(4)(j =>
+        (0 until LinearProjection.InDim).map(i => w(j)(i) * x(i)).sum)
+      assert(r.getSeq[Float](2) == want.toSeq, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("default seam through search_text shape matches the kernel query") {
     // the shipped search_text query uses the codegen kernel; the seam
     // with the default embedder must produce the same ranking
