@@ -100,7 +100,9 @@ object Explain {
     "events_acf", "graph_coreness", "search_phrase", "events_holt_backtest",
     "knn_graph_search_routed", "quality_auc_dup",
     "knn_graph_filtered", "vector_sql_ann",
-    "knn_graph_search_pq", "vector_sql_ann_graph", "graph_connectivity")
+    "knn_graph_search_pq", "vector_sql_ann_graph", "graph_connectivity",
+    "vector_sql_ann_l2", "vector_sql_ann_graph_l2",
+    "vector_sql_ann_dot_fallback", "embed_linear_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -86,9 +86,17 @@ object VectorSql {
     * never a corpus rank) before the exact full-precision
     * (distance, id) rank the dialect always applies — index
     * candidates, exact ordering: the standard ANN serving contract.
+    *
+    * `degree` is the out-degree basis the route's hop budgets AND
+    * the filtered-search selectivity floor assume (the same degree-8
+    * basis the dedicated graph queries derive). putIndex validates
+    * the graph actually SUSTAINS it (average out-degree ≥ degree),
+    * so the floor's evaluated-set bound never overestimates a
+    * thinner-than-assumed graph — the silent-underfill mode the
+    * floor exists to prevent.
     */
   final case class GraphIndex(build: graft.operators.KnnGraph.Build,
-      candidates: Int = 16) extends AnnIndex
+      candidates: Int = 16, degree: Int = 8) extends AnnIndex
 
   /** Mutable collection namespace (the reference's storage engine). */
   final class Catalog(val spark: SparkSession) {
@@ -128,22 +136,39 @@ object VectorSql {
         case gi: GraphIndex =>
           // try_cast: ANSI mode would otherwise THROW on the first
           // malformed id mid-scan; the aggregate below reports the
-          // contract violation with the count instead
-          val ids = get(name).select(
+          // contract violation with the count instead. Canonicality
+          // matters as much as castability: the route's result join
+          // compares the graph's CAST(node AS STRING) against the
+          // collection id, so '007' or ' 7' would cast fine yet
+          // match nothing — silently empty results
+          val ids = get(name).select(col("id"),
             expr("try_cast(id AS BIGINT)").as("lid"))
           val r = ids.agg(
-            sum(when(col("lid").isNull, 1L).otherwise(0L)).as("bad"),
+            sum(when(col("lid").isNull ||
+              col("lid").cast("string") =!= col("id"), 1L)
+              .otherwise(0L)).as("bad"),
             min(col("lid")).as("lo"), max(col("lid")).as("hi")).head()
           val bad = Option(r.get(0)).fold(0L)(_ => r.getLong(0))
           require(bad == 0L,
             s"GraphIndex on '$name': $bad collection ids are not " +
-              "numeric — the graph serves LONG node ids dense in " +
-              "[0, n); re-key the collection or drop the registration")
+              "numeric in canonical form — the graph serves LONG " +
+              "node ids dense in [0, n) joined back by their string " +
+              "form; re-key the collection or drop the registration")
           if (!r.isNullAt(1))
             require(r.getLong(1) >= 0L && r.getLong(2) < gi.build.n,
               s"GraphIndex on '$name': collection ids span " +
                 s"[${r.getLong(1)}, ${r.getLong(2)}] but the graph " +
                 s"covers [0, ${gi.build.n}) — mismatched registration")
+          // the floor basis must not exceed what the graph sustains:
+          // average out-degree >= gi.degree, or filteredViable's
+          // evaluated-set bound overestimates a thin graph and the
+          // route walks where it should fall back
+          val nEdges = gi.build.rounds.last.count()
+          require(nEdges >= gi.degree.toLong * gi.build.n,
+            s"GraphIndex on '$name': graph averages " +
+              s"${nEdges / math.max(1L, gi.build.n)} edges/node, " +
+              s"below the declared degree basis ${gi.degree} — " +
+              "register with the true (lower) degree")
         case _ => ()
       }
       indexes(name) = idx
@@ -995,7 +1020,7 @@ object VectorSql {
               case None =>
                 Some(graft.operators.KnnGraph
                   .beamSearchRounds(gi.build.rounds.last, gi.build.vecs,
-                    qdf, gi.build.n)
+                    qdf, gi.build.n, degree = gi.degree)
                   .last.where(col("rank") <= gi.candidates))
               case Some(_) =>
                 // df already carries the WHERE: its ids ARE the
@@ -1013,11 +1038,11 @@ object VectorSql {
                 // leaves only ~allowed rows to rank, so the exact
                 // path is simultaneously correct and cheap
                 val na = allowed.count()
-                if (graft.operators.KnnGraph
-                    .filteredViable(gi.build.n, na, gi.candidates))
+                if (graft.operators.KnnGraph.filteredViable(
+                    gi.build.n, na, gi.candidates, degree = gi.degree))
                   Some(graft.operators.KnnGraph.filteredBeamSearch(
                     gi.build.rounds.last, gi.build.vecs, qdf, gi.build.n,
-                    allowed, k = gi.candidates))
+                    allowed, k = gi.candidates, degree = gi.degree))
                 else None
             }
             candOpt match {

@@ -282,6 +282,28 @@ class VectorSqlAnnSpec extends AnyFunSuite {
       shifted.putIndex("vectors", VectorSql.GraphIndex(build))
     }
     assert(e2.getMessage.contains("mismatched"), e2.getMessage)
+    // NON-CANONICAL numeric ids ('007' casts to a valid 7 but the
+    // route's string result-join would match nothing): rejected too
+    val padded = new VectorSql.Catalog(spark)
+    padded.put("vectors", collection()
+      .withColumn("id", lpad(col("id"), 3, "0")))
+    val e3 = intercept[IllegalArgumentException] {
+      padded.putIndex("vectors", VectorSql.GraphIndex(build))
+    }
+    assert(e3.getMessage.contains("canonical form"), e3.getMessage)
+    // a degree basis the graph can't sustain (thin graph, claimed 8):
+    // the floor would overestimate the evaluated set — rejected
+    val thin = KnnGraph.Build(
+      Seq(build.rounds.last.where(col("rank") <= 4)),
+      build.vecs, build.n)
+    val e4 = intercept[IllegalArgumentException] {
+      freshCat().putIndex("vectors", VectorSql.GraphIndex(thin))
+    }
+    assert(e4.getMessage.contains("degree basis"), e4.getMessage)
+    // the same thin graph registers fine at its true degree
+    val okThin = freshCat()
+    okThin.putIndex("vectors", VectorSql.GraphIndex(thin, degree = 4))
+    assert(okThin.indexOf("vectors").isDefined)
     // the conforming collection registers fine
     val ok = freshCat()
     ok.putIndex("vectors", VectorSql.GraphIndex(build))
