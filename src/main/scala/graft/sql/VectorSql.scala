@@ -98,7 +98,17 @@ object VectorSql {
   final case class GraphIndex(build: graft.operators.KnnGraph.Build,
       candidates: Int = 16, degree: Int = 8) extends AnnIndex
 
-  /** Mutable collection namespace (the reference's storage engine). */
+  /** Mutable collection namespace (the reference's storage engine).
+    *
+    * At-rest recommendation: store collections with the serving `id`
+    * column in its NATIVE string form. WHERE conditions compile to
+    * plain Column predicates, so `WHERE id = 'x'` then reaches the
+    * parquet scan as a pushed EqualTo (row-group pruning off id
+    * min-max stats — the reference planner's ID_LOOKUP plan type,
+    * planner.go:18, at 100 TB scale); deriving id by CASTING a
+    * numeric column blocks that pushdown (IdLookupProbeSpec pins
+    * both shapes).
+    */
   final class Catalog(val spark: SparkSession) {
     private val tables = scala.collection.mutable.Map[String, DataFrame]()
     private val indexes = scala.collection.mutable.Map[String, AnnIndex]()
