@@ -330,6 +330,23 @@ class KnnGraphSpec extends AnyFunSuite {
       val plan = expand.queryExecution.executedPlan.toString
       val pf = "PartitionFilters: \\[[^\\]]*shard[^\\]]* IN \\(0,1\\)".r
       assert(pf.findFirstIn(plan).isDefined, plan)
+      // and the prune is REAL, not just plan text: the edge scan's
+      // file index selects exactly the frontier's 2 shard
+      // directories out of all of them
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case f: FileSourceScanExec => Seq(f)
+        case _ => p.children.flatMap(scans)
+      }
+      val edgeScan = scans(expand.queryExecution.executedPlan)
+        .filter(_.output.exists(_.name == "shard"))
+      assert(edgeScan.nonEmpty, expand.queryExecution.executedPlan.toString)
+      val selected = edgeScan.head.selectedPartitions.partitionCount
+      assert(selected === 2,
+        s"selected $selected shard dirs of ${shardDirs.size}")
+      assert(shardDirs.size > 2)
       // and the sharded expansion returns exactly the unsharded rows
       val got = expand.collect()
         .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq

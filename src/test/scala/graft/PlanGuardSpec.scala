@@ -751,4 +751,28 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(windows(exec).forall(_.partitionSpec.nonEmpty), exec.toString)
     assert(!exec.toString.contains("CartesianProduct"), exec.toString)
   }
+
+  test("embed_linear_search: map-side embed, top-k never a full sort") {
+    // the seam is mapPartitions (no shuffle before the rank); the
+    // cosine top-10 must plan as TakeOrderedAndProject
+    val p = plan("embed_linear_search")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(hashExchanges(p) === 0, p)
+  }
+
+  test("vector_sql_ann_dot_fallback: exact TakeOrdered, no index probe") {
+    // dot can't honor the L2-routed candidates, so the plan must be
+    // the exact scan: top-k TakeOrdered, no cluster partition filter
+    val p = plan("vector_sql_ann_dot_fallback")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("PartitionFilters: [cluster"), p)
+  }
+
+  test("corpus_yield_report: rules compose keyed, never a cartesian") {
+    val exec = SparkEntry.queries("corpus_yield_report")(spark, dir)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
