@@ -693,22 +693,30 @@ object Microbench {
             build = KnnGraph.nnDescentBuild(embDf, "vec_id", "embedding", 16)
             build.rounds.last.count(); ()
           }
-          val qs = build.vecs.where(col("id") < 10)
+          // serve + maintain from the AT-REST layout (writeIndex →
+          // loadIndex: shard-partitioned edges, per-hop shard-IN
+          // pruning) — the production path, not the in-memory build
+          val idxDir = java.nio.file.Files
+            .createTempDirectory("graft_mb_graph").toString
+          graft.operators.GraphIndexCache.deleteOnExit(idxDir)
+          KnnGraph.writeIndex(build, idxDir)
+          val loaded = KnnGraph.loadIndex(spark, idxDir)
+          val qs = loaded.vecs.where(col("id") < 10)
             .select(col("id").as("qid"), col("v").as("qv"),
               col("bucket").as("qbucket"))
           val tS = minTime {
-            KnnGraph.beamSearch(build.rounds.last, build.vecs, qs,
-              build.n, k = 8).count(); ()
+            KnnGraph.beamSearch(loaded.rounds.last, loaded.vecs, qs,
+              loaded.n, k = 8).count(); ()
           }
-          // append a FIXED 64-vector batch onto a base build (ids
+          // append a FIXED 64-vector batch onto the loaded base (ids
           // n..n+63, vectors recycled from the head of the corpus) —
           // maintenance cost must not scale with the base corpus
-          val batch = build.vecs.where(col("id") < 64)
-            .select((col("id") + lit(build.n)).as("qid"),
+          val batch = loaded.vecs.where(col("id") < 64)
+            .select((col("id") + lit(loaded.n)).as("qid"),
               col("v").as("qv"), col("bucket").as("qbucket"))
             .localCheckpoint(true)
           val tA = minTime {
-            KnnGraph.appendBatch(build, batch, 16).graph.count(); ()
+            KnnGraph.appendBatch(loaded, batch, 16).graph.count(); ()
           }
           G(build.n, build.rounds.length - 1,
             KnnGraph.adaptiveBeam(build.n),
@@ -733,6 +741,35 @@ object Microbench {
         sb ++= s"and the corpus-sized join SIDES grow, which is the at-scale story\n"
         sb ++= "the serving path needs (the count-derived knobs above show the\n"
         sb ++= "budget growth explicitly).\n"
+        sb ++= "\nThe search/append columns measure the PRODUCTION path since\n"
+        sb ++= "r14: writeIndex -> loadIndex, with the at-rest edge frame\n"
+        sb ++= "written `partitionBy(shard)` (shard = src >> (ceil(log2 n)/2),\n"
+        sb ++= "~sqrt(n) contiguous-id directories, KnnGraph.edgeShardShift)\n"
+        sb ++= "and each served hop turning the frontier's shard set - at most\n"
+        sb ++= "min(sqrt(n), |frontier|) integers off the already-checkpointed\n"
+        sb ++= "frontier - into a static `shard IN (...)` partition filter\n"
+        sb ++= "(KnnGraph.expandFrontier; KnnGraphSpec asserts both the plan\n"
+        sb ++= "filter and the real selection: 2 of 32 shard directories read\n"
+        sb ++= "for a 2-shard frontier). At 100 TB a hop therefore reads the\n"
+        sb ++= "frontier's shard directories, not the corpus-sized edge frame -\n"
+        sb ++= "the IVF family's partitionBy(cluster) discipline. Results are\n"
+        sb ++= "byte-identical (shard is implied by src); all 13 graph oracles\n"
+        sb ++= "re-gated green at three SFs on the sharded layout.\n"
+        sb ++= "\n### Filtered-search selectivity floor (measured at n=500)\n\n"
+        sb ++= "Degree-8 basis, evaluated = beam*(degree+1)*(hops+1) = 27*9*4 =\n"
+        sb ++= "972 per query:\n\n"
+        sb ++= "| predicate | allowed | expected admits p*evaluated | measured fill |\n"
+        sb ++= "|---|---|---|---|\n"
+        sb ++= "| label = 3 (~10%) | ~50 | ~97 | all 10 queries fill top-k |\n"
+        sb ++= "| single node (0.2%) | 1 | ~2 | <= 1 row per query (starved) |\n"
+        sb ++= "\nThe walk admits only from its visited set, so below\n"
+        sb ++= "`allowed * evaluated >= k * n` it returns fewer than k matches\n"
+        sb ++= "even when k exist - KnnGraph.filteredViable encodes the rule,\n"
+        sb ++= "and the SQL graph route checks it at plan time (one\n"
+        sb ++= "filtered-scan count) and falls back to filter-then-rank: an\n"
+        sb ++= "ultra-selective predicate leaves only ~allowed rows to rank, so\n"
+        sb ++= "the exact path is both correct and cheap. FilteredGraphSpec\n"
+        sb ++= "pins the measurement and the fallback plan.\n"
       }
 
       // best-effort temp cleanup
