@@ -2148,7 +2148,11 @@ object SparkEntry {
       // Train + encode are deterministic, so they live in the same
       // per-JVM at-rest cache discipline as the graph itself
       // (Pq.writeIndex once, loadIndex per execution) — production
-      // trains a quantizer once per index generation, not per query
+      // trains a quantizer once per index generation, not per query.
+      // CONTRACT: m = 16 requires dim % 16 == 0 (Pq.train throws
+      // loudly otherwise; both shipped corpora widths, 64 and 384,
+      // divide — a non-16-divisible corpus should drop m to 8 on
+      // BOTH engines, the oracle's sdp mirrors len // 16)
       val pqPath = trainedPqDirs.synchronized {
         trainedPqDirs.getOrElseUpdate(graphKey(dir, "walkpq_m16"), {
           val p = java.nio.file.Files

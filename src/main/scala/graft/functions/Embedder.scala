@@ -65,10 +65,14 @@ object LinearProjection {
 
   /** [n_tokens, n_chars, n_vowels, n_distinct_tokens, 1] — the bias
     * keeps even the empty text off the zero vector (cosine defined).
+    * n_chars counts CODE POINTS (DuckDB's len(text) semantics), not
+    * UTF-16 units — an astral-plane character would otherwise count
+    * 2 here and 1 in the oracle and shift the projection by a full
+    * weight column.
     */
   def features(t: String): Array[Float] = {
     val toks = t.trim.split("\\s+").filter(_.nonEmpty)
-    Array(toks.length.toFloat, t.length.toFloat,
+    Array(toks.length.toFloat, t.codePointCount(0, t.length).toFloat,
       t.count(c => "aeiou".indexOf(c.toInt) >= 0).toFloat,
       toks.distinct.length.toFloat, 1f)
   }
@@ -100,10 +104,17 @@ class LinearProjectionEmbedder(val dim: Int = 4,
     batchCount.foreach(_.add(1))
     texts.map { t =>
       val x = LinearProjection.features(t)
+      // accumulate in DOUBLE (the oracle's list_sum precision): a
+      // float accumulator would round partial sums past 2^24. The
+      // final float cast is exact while |out| < 2^24 — with |w| ≤ 3
+      // and 5 features that bounds documents at ~10^6 chars, the
+      // stated input-domain contract of the float32-lossless claim
       Array.tabulate(dim) { j =>
-        var s = 0f; var i = 0
-        while (i < LinearProjection.InDim) { s += w(j)(i) * x(i); i += 1 }
-        s
+        var s = 0.0; var i = 0
+        while (i < LinearProjection.InDim) {
+          s += w(j)(i).toDouble * x(i); i += 1
+        }
+        s.toFloat
       }
     }
   }

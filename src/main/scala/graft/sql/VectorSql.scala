@@ -52,18 +52,26 @@ object VectorSql {
     /** Whether this index family's candidate geometry honors `metric`
       * (the planner gate: a USING metric the index can't honor falls
       * back to the exact scan instead of serving candidates from the
-      * wrong geometry). Both families generate candidates with L2
-      * routing, so: `euclidean` is native; `cosine` rides the same
-      * candidates (exact for normalized vectors, the standard
-      * L2-routed-cosine serving caveat otherwise — ordinary ANN error
-      * the exact re-rank absorbs, measured in ann_recall_matrix);
-      * `dot` and `manhattan` do NOT route — maximal-dot vectors can
-      * sit arbitrarily far in L2, so an L2 candidate set can exclude
-      * true neighbors far beyond normal ANN error.
+      * wrong geometry). ABSTRACT on purpose: each family must declare
+      * its own geometry — a future dot-routed or manhattan-native
+      * family that inherited an L2 default would wrongly refuse its
+      * native metric and wrongly route cosine through it with no
+      * compile-time nudge.
       */
-    def honors(metric: String): Boolean =
-      metric == "euclidean" || metric == "cosine"
+    def honors(metric: String): Boolean
   }
+
+  /** The L2-routed-candidate metric set both current families share:
+    * `euclidean` is native; `cosine` rides the same candidates
+    * (exact for normalized vectors, the standard L2-routed-cosine
+    * serving caveat otherwise — ordinary ANN error the exact re-rank
+    * absorbs, measured in ann_recall_matrix); `dot` and `manhattan`
+    * do NOT route — maximal-dot vectors can sit arbitrarily far in
+    * L2, so an L2 candidate set can exclude true neighbors far
+    * beyond normal ANN error.
+    */
+  private def l2RoutedHonors(metric: String): Boolean =
+    metric == "euclidean" || metric == "cosine"
 
   /** IVF registration: `tagged` is the collection's rows carrying a
     * `cluster` routing column next to (id, vector, metadata) —
@@ -73,7 +81,10 @@ object VectorSql {
     * the k-row (cluster, centroid) table.
     */
   final case class IvfIndex(tagged: DataFrame, centroids: DataFrame,
-      nprobe: Int) extends AnnIndex
+      nprobe: Int) extends AnnIndex {
+    // nearestClusters routes by L2 to the centroids
+    override def honors(metric: String): Boolean = l2RoutedHonors(metric)
+  }
 
   /** kNN-graph registration (the hnsw.go serving model through the
     * SQL surface): `build` is a loaded at-rest graph
@@ -90,13 +101,16 @@ object VectorSql {
     * `degree` is the out-degree basis the route's hop budgets AND
     * the filtered-search selectivity floor assume (the same degree-8
     * basis the dedicated graph queries derive). putIndex validates
-    * the graph actually SUSTAINS it (average out-degree ≥ degree),
-    * so the floor's evaluated-set bound never overestimates a
-    * thinner-than-assumed graph — the silent-underfill mode the
-    * floor exists to prevent.
+    * the graph actually SUSTAINS it — MINIMUM out-degree ≥ degree
+    * over every node (an average would hide skew) — so the floor's
+    * evaluated-set bound never overestimates a thinner-than-assumed
+    * graph: the silent-underfill mode the floor exists to prevent.
     */
   final case class GraphIndex(build: graft.operators.KnnGraph.Build,
-      candidates: Int = 16, degree: Int = 8) extends AnnIndex
+      candidates: Int = 16, degree: Int = 8) extends AnnIndex {
+    // the NN-descent graph is built on integer-e4 L2 distances
+    override def honors(metric: String): Boolean = l2RoutedHonors(metric)
+  }
 
   /** Mutable collection namespace (the reference's storage engine).
     *
@@ -112,18 +126,36 @@ object VectorSql {
   final class Catalog(val spark: SparkSession) {
     private val tables = scala.collection.mutable.Map[String, DataFrame]()
     private val indexes = scala.collection.mutable.Map[String, AnnIndex]()
-    def create(name: String): Unit =
+    /** (Re)create as an EMPTY collection: any registered index is
+      * dropped with the rows it described — same hygiene as [[put]].
+      */
+    def create(name: String): Unit = {
       tables(name) = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      dropIndex(name)
+    }
     def drop(name: String): Unit = { tables.remove(name); dropIndex(name) }
-    /** Replace a collection. Any registered index is DROPPED with it
-      * — the index was built against the replaced rows, and serving
-      * candidates from a stale frame is the silent-wrong-results
-      * failure mode (re-register via [[putIndex]] after the put).
+    /** Replace a collection WHOLESALE. Any registered index is
+      * DROPPED with it — the index was built against the replaced
+      * rows, and serving candidates from a frame with no relation to
+      * the new one is the silent-wrong-results failure mode
+      * (re-register via [[putIndex]] after the put). Incremental DML
+      * (INSERT/DELETE/UPDATE through the dialect) goes through
+      * [[putData]] instead and KEEPS the index — the documented
+      * rebuild-on-ingest contract.
       */
     def put(name: String, df: DataFrame): Unit = {
       tables(name) = df; dropIndex(name)
     }
+    /** Incremental data write (the dialect's DML executor): the
+      * collection rows change, the registered index STAYS — exactly
+      * the rebuild-on-ingest contract every IVF deployment carries
+      * (the index serves the pre-DML generation until the caller
+      * re-registers; the graph route's final semi-join against the
+      * LIVE collection already keeps deleted rows out of results).
+      */
+    private[sql] def putData(name: String, df: DataFrame): Unit =
+      tables(name) = df
     def get(name: String): DataFrame = tables.getOrElse(name,
       throw new IllegalArgumentException(s"unknown collection: $name"))
     def exists(name: String): Boolean = tables.contains(name)
@@ -133,6 +165,12 @@ object VectorSql {
       * exactly the rebuild-on-ingest contract every IVF deployment
       * carries; drop the index or re-put it after bulk DML; put()
       * of a replacement frame drops the index itself).
+      *
+      * Validation is a REGISTRATION-time cost (one aggregate pass
+      * over the collection + one keyed pass over the edge frame —
+      * the stats pass a cost-based planner pays once per index
+      * generation), never a per-query one: production registers an
+      * index once and serves it many times.
       *
       * A [[GraphIndex]] registration VALIDATES the dense-long-id
       * contract here (one aggregate pass over the collection): every
@@ -169,16 +207,25 @@ object VectorSql {
               s"GraphIndex on '$name': collection ids span " +
                 s"[${r.getLong(1)}, ${r.getLong(2)}] but the graph " +
                 s"covers [0, ${gi.build.n}) — mismatched registration")
-          // the floor basis must not exceed what the graph sustains:
-          // average out-degree >= gi.degree, or filteredViable's
-          // evaluated-set bound overestimates a thin graph and the
-          // route walks where it should fall back
-          val nEdges = gi.build.rounds.last.count()
-          require(nEdges >= gi.degree.toLong * gi.build.n,
-            s"GraphIndex on '$name': graph averages " +
-              s"${nEdges / math.max(1L, gi.build.n)} edges/node, " +
-              s"below the declared degree basis ${gi.degree} — " +
-              "register with the true (lower) degree")
+          // the floor basis must not exceed what the graph sustains
+          // ANYWHERE: MINIMUM out-degree >= gi.degree over all n
+          // nodes (an average hides skew — half the nodes edgeless
+          // still averages fine, and the filtered route would walk
+          // exactly where it should fall back). One keyed pass over
+          // the edge frame at registration time.
+          if (gi.build.n > 0) {
+            val ds = gi.build.rounds.last.groupBy(col("src"))
+              .agg(count(lit(1)).as("c"))
+              .agg(min(col("c")).as("mn"), count(lit(1)).as("nsrc"))
+              .head()
+            require(ds.getLong(1) == gi.build.n &&
+                ds.getLong(0) >= gi.degree,
+              s"GraphIndex on '$name': graph min out-degree " +
+                s"${if (ds.getLong(1) == gi.build.n) ds.getLong(0) else 0} " +
+                s"(over ${ds.getLong(1)} of ${gi.build.n} nodes) is below " +
+                s"the declared degree basis ${gi.degree} — register with " +
+                "the true (lower) degree")
+          }
         case _ => ()
       }
       indexes(name) = idx
@@ -705,12 +752,13 @@ object VectorSql {
       val row = Seq((id, vec.toArray, meta))
         .toDF("id", "vector", "metadata")
         .select(col("id"), col("vector"), col("metadata"))
-      cat.put(table, cat.get(table).unionByName(row))
+      cat.putData(table, cat.get(table).unionByName(row))
       cat.get(table).agg(count(lit(1)).as("count"))
 
     case Delete(table, where) =>
       val df = cat.get(table)
-      cat.put(table, where.map(w => df.where(!condCol(w))).getOrElse(df.limit(0)))
+      cat.putData(table,
+        where.map(w => df.where(!condCol(w))).getOrElse(df.limit(0)))
       cat.get(table).agg(count(lit(1)).as("count"))
 
     case Update(table, sets, where) =>
@@ -726,7 +774,7 @@ object VectorSql {
               .otherwise(col("metadata")))
         } else d.withColumn(f, when(hit, lit(v)).otherwise(col(f)))
       }
-      cat.put(table, updated)
+      cat.putData(table, updated)
       cat.get(table).agg(count(lit(1)).as("count"))
 
     case CreateC(t) => cat.create(t)

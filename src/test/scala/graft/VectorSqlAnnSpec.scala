@@ -261,6 +261,26 @@ class VectorSqlAnnSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("DML keeps the registered index; CREATE COLLECTION drops it") {
+    // incremental DML rides the rebuild-on-ingest contract (the
+    // index serves the pre-DML generation until re-registered);
+    // wholesale replacement (put / CREATE COLLECTION) drops
+    val cat = freshCat()
+    cat.putIndex("vectors", loadedIdx())
+    val vlit = Seq.fill(64)("0.0").mkString("[", ", ", "]")
+    VectorSql.execute(cat,
+      s"INSERT INTO vectors (id, vector) VALUES ('99999', $vlit)")
+    assert(cat.indexOf("vectors").isDefined, "INSERT dropped the index")
+    VectorSql.execute(cat, "DELETE FROM vectors WHERE id = '99999'")
+    assert(cat.indexOf("vectors").isDefined, "DELETE dropped the index")
+    VectorSql.execute(cat,
+      "UPDATE vectors SET metadata.label = '9' WHERE id = '3'")
+    assert(cat.indexOf("vectors").isDefined, "UPDATE dropped the index")
+    VectorSql.execute(cat, "CREATE COLLECTION vectors")
+    assert(cat.indexOf("vectors").isEmpty,
+      "CREATE COLLECTION kept a stale index over the emptied rows")
+  }
+
   test("GraphIndex registration validates the dense-long-id contract") {
     import graft.operators.KnnGraph
     val emb = Tables.load(spark, sf, "embeddings")
