@@ -6468,6 +6468,68 @@ object SparkEntry {
         .orderBy(col("dist"), col("id"))
     }),
 
+    // -- DML COHERENCE through the ROUTED path (storage.go:96 parity:
+    //    DELETE removes a row from store AND index, so no later
+    //    SELECT can see it): DELETE the query vector's OWN row — the
+    //    distance-0 row an incoherent route would rank first — then
+    //    search with the same vector as a LITERAL. The index keeps
+    //    ROUTING from its pre-DML generation (candidate ids from the
+    //    probed clusters, bounded cut 16), but everything SERVED
+    //    ranks against the LIVE collection, so the deleted row stays
+    //    out and the LIMIT refills from the surviving candidates --
+    "vector_sql_ann_dml_delete" -> ((s, dir) => {
+      val cat = vecSqlCatalog(s, dir)
+      cat.putIndex("vectors", sqlIvfIndex(s, dir))
+      val qlit = t(s, dir, "embeddings").where(col("vec_id") === 1)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toString).mkString("[", ", ", "]")
+      graft.sql.VectorSql.execute(cat, "DELETE FROM vectors WHERE id = '1'")
+      graft.sql.VectorSql.execute(cat,
+          s"SELECT id, distance FROM vectors NEAREST TO $qlit " +
+            "USING euclidean LIMIT 10")
+        .select(col("id"), round(col("distance"), 4).as("dist"))
+        .orderBy(col("dist"), col("id"))
+    }),
+
+    // -- the UPDATE half of the coherence contract: metadata updated
+    //    through the dialect serves FRESH through the routed path
+    //    (the index frame contributes only candidate ids; the
+    //    projected label comes from the live collection) --
+    "vector_sql_ann_dml_update" -> ((s, dir) => {
+      val cat = vecSqlCatalog(s, dir)
+      cat.putIndex("vectors", sqlIvfIndex(s, dir))
+      graft.sql.VectorSql.execute(cat,
+        "UPDATE vectors SET metadata.label = '9' WHERE id = '2'")
+      graft.sql.VectorSql.execute(cat,
+          "SELECT id, metadata.label AS label, distance FROM vectors " +
+            "NEAREST TO (SELECT vector FROM vectors WHERE id = '0') " +
+            "USING cosine LIMIT 10")
+        .select(col("id"), col("label"),
+          round(col("distance"), 4).as("dist"))
+        .orderBy(col("dist"), col("id"))
+    }),
+
+    // -- MEASURED recall of the L2-routed cosine serving path on the
+    //    UNNORMALIZED corpus (the honors() caveat quantified, r14
+    //    item 3): routed cosine top-10 ∩ exact cosine top-10. The
+    //    routed path serves cosine from L2-probed clusters — exact
+    //    for normalized vectors, ordinary ANN error otherwise; this
+    //    query publishes that error as an oracled number instead of
+    //    a doc caveat --
+    "vector_sql_ann_cosine_recall" -> ((s, dir) => {
+      val sql = "SELECT id, distance FROM vectors NEAREST TO " +
+        "(SELECT vector FROM vectors WHERE id = '0') USING cosine " +
+        "LIMIT 10"
+      val cat = vecSqlCatalog(s, dir)
+      cat.putIndex("vectors", sqlIvfIndex(s, dir))
+      val routed = graft.sql.VectorSql.execute(cat, sql).select(col("id"))
+      val exact = graft.sql.VectorSql
+        .execute(vecSqlCatalog(s, dir), sql).select(col("id"))
+      routed.join(exact, Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("matched"))
+        .select(col("matched"), lit(10L).as("k"))
+    }),
+
     // -- BETWEEN / NOT BETWEEN through the dialect: desugared at
     //    parse time to the range conjunction (the AND is consumed
     //    inside the BETWEEN parse, keeping the grammar unambiguous) --
@@ -12636,6 +12698,105 @@ object SparkEntry {
           |  ORDER BY rawd, id LIMIT 10)
           |SELECT id, round(rawd, 4) AS dist FROM top
           |ORDER BY dist, id""".stripMargin.replaceAll("\n", " "),
+      // DML-coherent routed search (storage.go:96 parity): candidate
+      // ids are the bounded top-16 cut over the PRE-DML index
+      // generation (the probed clusters still hold the deleted row),
+      // the final exact rank runs over the LIVE rows (vec_id <> 1) —
+      // the deleted distance-0 row is out and the cut refills
+      "vector_sql_ann_dml_delete" -> {
+        val l2c = "sqrt(list_sum(list_transform(%s, (x, i) -> " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)) * " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)))))"
+        val l2e = l2c.format("e.embedding", "c.centroid", "c.centroid")
+        val l2q = l2c.format("q.qvec", "c.centroid", "c.centroid")
+        val rawL2 = l2c.format("e.embedding", "q.qvec", "q.qvec")
+        s"""WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cluster,
+           |  embedding AS centroid FROM embeddings WHERE vec_id < 8),
+           |asgn AS (SELECT vec_id, embedding, cluster FROM (
+           |  SELECT e.vec_id, e.embedding, c.cluster,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $l2e, c.cluster) AS rn
+           |  FROM embeddings e, cents c) _r WHERE rn = 1),
+           |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 1),
+           |qc AS (SELECT cluster FROM (
+           |  SELECT c.cluster, $l2q AS d FROM cents c, q) _q
+           |  ORDER BY d, cluster LIMIT 2),
+           |cand AS (SELECT vec_id FROM (
+           |  SELECT e.vec_id, $rawL2 AS d FROM asgn e, q, qc
+           |  WHERE e.cluster = qc.cluster
+           |  ORDER BY d, CAST(e.vec_id AS VARCHAR) LIMIT 16) _c),
+           |top AS (SELECT CAST(e.vec_id AS VARCHAR) AS id, $rawL2 AS rawd
+           |  FROM embeddings e JOIN cand USING (vec_id), q
+           |  WHERE e.vec_id <> 1
+           |  ORDER BY rawd, id LIMIT 10)
+           |SELECT id, round(rawd, 4) AS dist FROM top
+           |ORDER BY dist, id""".stripMargin.replaceAll("\n", " ")
+      },
+      // the UPDATE half: same candidate discipline (cosine cut over
+      // the index generation), label served FRESH from the live rows
+      "vector_sql_ann_dml_update" -> {
+        val l2c = "sqrt(list_sum(list_transform(%s, (x, i) -> " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)) * " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)))))"
+        val l2e = l2c.format("e.embedding", "c.centroid", "c.centroid")
+        val l2q = l2c.format("q.qvec", "c.centroid", "c.centroid")
+        s"""WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cluster,
+           |  embedding AS centroid FROM embeddings WHERE vec_id < 8),
+           |asgn AS (SELECT vec_id, embedding, cluster FROM (
+           |  SELECT e.vec_id, e.embedding, c.cluster,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $l2e, c.cluster) AS rn
+           |  FROM embeddings e, cents c) _r WHERE rn = 1),
+           |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |qc AS (SELECT cluster FROM (
+           |  SELECT c.cluster, $l2q AS d FROM cents c, q) _q
+           |  ORDER BY d, cluster LIMIT 2),
+           |cand AS (SELECT vec_id FROM (
+           |  SELECT e.vec_id, $rawCosineSql AS d FROM asgn e, q, qc
+           |  WHERE e.cluster = qc.cluster
+           |  ORDER BY d, CAST(e.vec_id AS VARCHAR) LIMIT 16) _c),
+           |top AS (SELECT CAST(e.vec_id AS VARCHAR) AS id,
+           |  CASE WHEN e.vec_id = 2 THEN '9'
+           |    ELSE CAST(e.label AS VARCHAR) END AS label,
+           |  $rawCosineSql AS rawd
+           |  FROM embeddings e JOIN cand USING (vec_id), q
+           |  ORDER BY rawd, id LIMIT 10)
+           |SELECT id, label, round(rawd, 4) AS dist FROM top
+           |ORDER BY dist, id""".stripMargin.replaceAll("\n", " ")
+      },
+      // measured recall of the L2-routed cosine path: routed top-10
+      // (candidate cut over the probed clusters, exact cosine rank)
+      // intersected with the exact corpus-wide cosine top-10
+      "vector_sql_ann_cosine_recall" -> {
+        val l2c = "sqrt(list_sum(list_transform(%s, (x, i) -> " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)) * " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)))))"
+        val l2e = l2c.format("e.embedding", "c.centroid", "c.centroid")
+        val l2q = l2c.format("q.qvec", "c.centroid", "c.centroid")
+        s"""WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cluster,
+           |  embedding AS centroid FROM embeddings WHERE vec_id < 8),
+           |asgn AS (SELECT vec_id, embedding, cluster FROM (
+           |  SELECT e.vec_id, e.embedding, c.cluster,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $l2e, c.cluster) AS rn
+           |  FROM embeddings e, cents c) _r WHERE rn = 1),
+           |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |qc AS (SELECT cluster FROM (
+           |  SELECT c.cluster, $l2q AS d FROM cents c, q) _q
+           |  ORDER BY d, cluster LIMIT 2),
+           |cand AS (SELECT vec_id FROM (
+           |  SELECT e.vec_id, $rawCosineSql AS d FROM asgn e, q, qc
+           |  WHERE e.cluster = qc.cluster
+           |  ORDER BY d, CAST(e.vec_id AS VARCHAR) LIMIT 16) _c),
+           |routed AS (SELECT id FROM (
+           |  SELECT CAST(e.vec_id AS VARCHAR) AS id, $rawCosineSql AS rawd
+           |  FROM embeddings e JOIN cand USING (vec_id), q
+           |  ORDER BY rawd, id LIMIT 10) _r),
+           |exact AS (SELECT id FROM (
+           |  SELECT CAST(e.vec_id AS VARCHAR) AS id, $rawCosineSql AS rawd
+           |  FROM embeddings e, q
+           |  ORDER BY rawd, id LIMIT 10) _x)
+           |SELECT (SELECT COUNT(*) FROM routed JOIN exact USING (id))
+           |  AS matched, CAST(10 AS BIGINT) AS k""".stripMargin
+          .replaceAll("\n", " ")
+      },
       // page 2 of the (full-precision distance, id) order
       "vector_sql_offset" ->
         s"""WITH d AS (SELECT CAST(e.vec_id AS VARCHAR) AS id, $rawCosineSql AS rawd

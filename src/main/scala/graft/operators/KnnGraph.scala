@@ -529,6 +529,30 @@ object KnnGraph {
     beamSearchRounds(graph, vecs, queries, n, beam, hops, degree = k).last
       .where(col("rank") <= k)
 
+  /** Whether a filtered traversal can plausibly FILL a top-`k` cut
+    * under a predicate admitting `allowed` of `n` nodes — the
+    * selectivity floor a filtered-search route should check before
+    * walking. The admitted pool is the visited set ∩ predicate:
+    * expected size ≈ (allowed/n) · evaluated, with evaluated ≤
+    * beam·(degree+1)·(hops+1) per query (the count-derived budgets).
+    * Below `allowed · evaluated ≥ k · n` the walk starves — it
+    * returns fewer than k matches not because none exist but because
+    * the visited set holds too few — and the right plan is
+    * filter-then-rank: an ultra-selective predicate leaves only
+    * ~allowed rows to rank, so the exact path is simultaneously
+    * correct AND cheap (IVF-filtered when an IVF index exists,
+    * otherwise the filtered exact scan). Measured at n=500 (degree-8
+    * basis, evaluated = 972): a 10% predicate admits ~97 ≥ k and
+    * fills every query; a 1-node predicate admits ~2 and starves —
+    * FilteredGraphSpec pins both readings.
+    */
+  def filteredViable(n: Long, allowed: Long, k: Int,
+      degree: Int = 8): Boolean = {
+    val evaluated = adaptiveBeam(n).toLong * (degree + 1L) *
+      (adaptiveHops(n, degree) + 1L)
+    allowed * evaluated >= k.toLong * n
+  }
+
   /** FILTERED batch graph search — the graph-family twin of
     * `ann_ivf_filtered` (the case real vector stores special-case:
     * a metadata predicate under an ANN query). The predicate is
@@ -565,30 +589,6 @@ object KnnGraph {
     * @return (qid, node, d_e4, rank) with rank 1..k ascending over
     *         the admitted evaluated set
     */
-  /** Whether a filtered traversal can plausibly FILL a top-`k` cut
-    * under a predicate admitting `allowed` of `n` nodes — the
-    * selectivity floor a filtered-search route should check before
-    * walking. The admitted pool is the visited set ∩ predicate:
-    * expected size ≈ (allowed/n) · evaluated, with evaluated ≤
-    * beam·(degree+1)·(hops+1) per query (the count-derived budgets).
-    * Below `allowed · evaluated ≥ k · n` the walk starves — it
-    * returns fewer than k matches not because none exist but because
-    * the visited set holds too few — and the right plan is
-    * filter-then-rank: an ultra-selective predicate leaves only
-    * ~allowed rows to rank, so the exact path is simultaneously
-    * correct AND cheap (IVF-filtered when an IVF index exists,
-    * otherwise the filtered exact scan). Measured at n=500 (degree-8
-    * basis, evaluated = 972): a 10% predicate admits ~97 ≥ k and
-    * fills every query; a 1-node predicate admits ~2 and starves —
-    * FilteredGraphSpec pins both readings.
-    */
-  def filteredViable(n: Long, allowed: Long, k: Int,
-      degree: Int = 8): Boolean = {
-    val evaluated = adaptiveBeam(n).toLong * (degree + 1L) *
-      (adaptiveHops(n, degree) + 1L)
-    allowed * evaluated >= k.toLong * n
-  }
-
   def filteredBeamSearch(graph: DataFrame, vecs: DataFrame,
       queries: DataFrame, n: Long, allowed: DataFrame, k: Int = 8,
       beam: Int = Adaptive, hops: Int = Adaptive, ringSeeds: Int = 4,
@@ -625,6 +625,16 @@ object KnnGraph {
     * frame), `path`/vecs (id, v, bucket — the re-scoring frame +
     * routed-seed buckets) and `path`/params (the corpus count the
     * count-derived beam/hop/shard knobs need WITHOUT re-scanning).
+    *
+    * Maintenance invariant: `shard` derives from `build.n`, so
+    * re-persisting a maintained (appended/deleted) graph whose count
+    * crossed a power-of-two boundary reshards WHOLESALE — coherently,
+    * because `params` carries the same count the mapping derives
+    * from. Serve-side [[edgeShard]] must therefore always take the
+    * PERSISTED count ([[loadIndex]]'s params read, [[Build.n]]),
+    * never a fresh count of a corpus that drifted after the persist —
+    * a drifted count past the next boundary maps frontiers to shard
+    * ids the layout doesn't have (KnnGraphSpec pins both directions).
     */
   def writeIndex(build: Build, path: String): Unit = {
     build.rounds.last

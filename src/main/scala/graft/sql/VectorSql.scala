@@ -78,10 +78,23 @@ object VectorSql {
     * ideally [[graft.operators.Ann.loadIndex]]'s at-rest
     * partitionBy(cluster) layout, so the probe is a partition-pruned
     * scan of `nprobe` directories, not a corpus read; `centroids`
-    * the k-row (cluster, centroid) table.
+    * the k-row (cluster, centroid) table; `candidates` the minimum
+    * candidate cut a routed search collects before the exact re-rank
+    * (the effective cut is max(candidates, LIMIT+OFFSET), so a LIMIT
+    * can never starve by construction).
+    *
+    * DML coherence (the storage.go:96 contract — DELETE removes a row
+    * from store AND index, so no later SELECT can see it): the index
+    * frame contributes ONLY candidate ids + routing; everything
+    * SERVED (vector, metadata, the ranked distance) comes from the
+    * LIVE collection. After DML through the dialect a routed SELECT
+    * therefore never returns a DELETEd row and always serves
+    * UPDATE-fresh metadata; INSERTed rows stay invisible to the
+    * ROUTED path until re-registration (they are in no cluster — the
+    * rebuild-on-ingest contract every IVF deployment carries).
     */
   final case class IvfIndex(tagged: DataFrame, centroids: DataFrame,
-      nprobe: Int) extends AnnIndex {
+      nprobe: Int, candidates: Int = 16) extends AnnIndex {
     // nearestClusters routes by L2 to the centroids
     override def honors(metric: String): Boolean = l2RoutedHonors(metric)
   }
@@ -93,10 +106,15 @@ object VectorSql {
     * vectors keyed by the LONG form of the collection's string ids
     * (dense in [0, n) — the graph contract). NEAREST TO routes as
     * one count-derived beam traversal producing `candidates` node
-    * ids, which semi-join the collection (a keyed candidate join,
-    * never a corpus rank) before the exact full-precision
-    * (distance, id) rank the dialect always applies — index
-    * candidates, exact ordering: the standard ANN serving contract.
+    * ids — a bounded model-sized set collected at plan time and
+    * pushed into the LIVE collection scan as a static `id IN (…)`
+    * filter (row-group pruning on a native-string-id collection, a
+    * keyed Filter never a corpus-side shuffle otherwise) before the
+    * exact full-precision (distance, id) rank the dialect always
+    * applies — index candidates, exact ordering: the standard ANN
+    * serving contract. Serving from the live collection also makes
+    * the route DML-coherent: DELETEd rows can't be returned, UPDATEd
+    * metadata serves fresh (the [[IvfIndex]] contract).
     *
     * `degree` is the out-degree basis the route's hop budgets AND
     * the filtered-search selectivity floor assume (the same degree-8
@@ -149,10 +167,14 @@ object VectorSql {
     }
     /** Incremental data write (the dialect's DML executor): the
       * collection rows change, the registered index STAYS — exactly
-      * the rebuild-on-ingest contract every IVF deployment carries
-      * (the index serves the pre-DML generation until the caller
-      * re-registers; the graph route's final semi-join against the
-      * LIVE collection already keeps deleted rows out of results).
+      * the rebuild-on-ingest contract every IVF deployment carries.
+      * The index keeps ROUTING from its own generation (INSERTed rows
+      * are invisible to a routed search until re-registration), but
+      * both routed paths SERVE from the live collection — candidate
+      * ids from the index, vector/metadata/rank from the rows as they
+      * are now — so a DELETEd row can never come back and UPDATEd
+      * metadata serves fresh (the [[IvfIndex]] DML-coherence
+      * contract; storage.go:96 parity).
       */
     private[sql] def putData(name: String, df: DataFrame): Unit =
       tables(name) = df
@@ -181,7 +203,8 @@ object VectorSql {
       */
     def putIndex(name: String, idx: AnnIndex): Unit = {
       idx match {
-        case gi: GraphIndex =>
+        case gi: GraphIndex
+            if !VectorSql.graphRegValidated(validationKey(name, gi)) =>
           // try_cast: ANSI mode would otherwise THROW on the first
           // malformed id mid-scan; the aggregate below reports the
           // contract violation with the count instead. Canonicality
@@ -226,10 +249,27 @@ object VectorSql {
                 s"the declared degree basis ${gi.degree} — register with " +
                 "the true (lower) degree")
           }
+          VectorSql.markGraphRegValidated(validationKey(name, gi))
         case _ => ()
       }
       indexes(name) = idx
     }
+
+    /** Validation identity of a GraphIndex registration: the
+      * collection GENERATION (semantic hash of its analyzed plan — a
+      * putData DML write swaps in a new plan and re-validates) × the
+      * build identity (instance + node count) × the declared degree
+      * basis. Per-JVM: production registers once and serves many
+      * times, but the shipped vector_sql_ann_graph* queries construct
+      * a fresh Catalog per execution — without this cache each
+      * execution would re-pay the two registration-time aggregate
+      * jobs, breaking the 'registration-time, never per-query' cost
+      * claim (advisor r14).
+      */
+    private def validationKey(name: String,
+        gi: GraphIndex): (Int, Int, Long, Int) =
+      (get(name).queryExecution.analyzed.semanticHash(),
+        System.identityHashCode(gi.build), gi.build.n, gi.degree)
     def indexOf(name: String): Option[AnnIndex] = indexes.get(name)
     def dropIndex(name: String): Unit = indexes.remove(name)
   }
@@ -413,10 +453,22 @@ object VectorSql {
           nearest = Some(Right(select()))
           expect(Sym(")"))
         } else nearest = Some(Left(vectorLit()))
-        if (accept(Kw("USING"))) metric = Some(next() match {
-          case Ident(s) => s; case Str(s) => s; case Kw(s) => s.toLowerCase
-          case t => throw new IllegalArgumentException(s"bad metric: $t")
-        })
+        if (accept(Kw("USING"))) {
+          val raw = next() match {
+            case Ident(s) => s; case Str(s) => s; case Kw(s) => s
+            case t => throw new IllegalArgumentException(s"bad metric: $t")
+          }
+          // metric names are case-insensitive end to end: the lexer
+          // preserves Ident case, so without normalization here
+          // 'USING Euclidean' would silently skip the index route
+          // (honors() compares lowercase names) and an unknown
+          // metric would surface only at execution — validate the
+          // supported set at PARSE time instead
+          val m = raw.toLowerCase
+          require(supportedMetrics(m), s"unknown metric: $raw " +
+            s"(supported: ${supportedMetrics.toSeq.sorted.mkString(", ")})")
+          metric = Some(m)
+        }
       }
       val where = if (accept(Kw("WHERE"))) Some(cond()) else None
       val groupBy = Vector.newBuilder[String]
@@ -716,14 +768,49 @@ object VectorSql {
       }
   }
 
+  /** The dialect's metric vocabulary (pkg/vector/distance.go's four
+    * functions) — validated at parse time so a typo'd or unsupported
+    * USING fails the statement, not the execution.
+    */
+  private val supportedMetrics: Set[String] =
+    Set("euclidean", "cosine", "dotproduct", "manhattan")
+
+  /** Per-JVM set of already-validated GraphIndex registrations (see
+    * [[Catalog.validationKey]]) — bounded by the number of distinct
+    * (collection generation, build, degree) triples a JVM registers,
+    * i.e. model-sized.
+    */
+  private val validatedGraphRegs =
+    java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Int, Int, Long, Int)]()
+  private def graphRegValidated(key: (Int, Int, Long, Int)): Boolean =
+    validatedGraphRegs.contains(key)
+  private def markGraphRegValidated(key: (Int, Int, Long, Int)): Unit =
+    validatedGraphRegs.add(key)
+  /** Test hook: distinct validated registrations this JVM. */
+  private[graft] def graphRegCacheSize: Int = validatedGraphRegs.size
+
   private def metricName(m: Option[String]): String = m.getOrElse("euclidean")
 
   /** The reference CLI's -verbose mode: the physical plan a statement
-    * would run (planner.go's plan printout, but the real Catalyst one).
+    * would run (planner.go's plan printout, but the real Catalyst
+    * one). The first line names the CHOSEN route in planner.go's
+    * vocabulary — `plan: FULL_SCAN`, `plan: ID_LOOKUP`, or
+    * `plan: VECTOR_SEARCH(route=…, …)` with the route one of
+    * ivf-probe (+ the probed cluster set and the candidate-stage
+    * plan, whose scan shows the static partition prune), graph-beam,
+    * graph-filtered-beam, filtered-floor-fallback (floor says
+    * filter-then-rank wins) or exact-scan (+ reason: no-index,
+    * metric-fallback, distance-where) — so a user can see why a
+    * query did or didn't route through the registered index.
     */
   def explain(cat: Catalog, sql: String): String = parse(sql) match {
-    case s: Select => runSelect(cat, s).queryExecution.explainString(
-      org.apache.spark.sql.execution.SimpleMode)
+    case s: Select =>
+      val route = new StringBuilder
+      val plan = runSelect(cat, s, routeOut = Some(route))
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)
+      s"plan: ${route.result()}\n$plan"
     case u: UnionS => runUnion(cat, u, deterministicLimit = true)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
@@ -983,7 +1070,20 @@ object VectorSql {
   }
 
   private def runSelect(cat: Catalog, s: Select,
-      deterministicLimit: Boolean = true): DataFrame = {
+      deterministicLimit: Boolean = true,
+      routeOut: Option[StringBuilder] = None): DataFrame = {
+    // route naming for EXPLAIN (planner.go's -verbose plan types:
+    // FULL_SCAN / ID_LOOKUP / VECTOR_SEARCH) — the nearest branch
+    // overwrites the non-nearest default set here
+    def setRoute(r: String): Unit =
+      routeOut.foreach { b => b.setLength(0); b.append(r) }
+    setRoute(s.where match {
+      // the reference's ID_LOOKUP rule (planner.go:147-155): a
+      // top-level `id = <literal>` WHERE and no NEAREST TO
+      case Some(Cmp(FieldE("id"), "=", StrE(_) | NumE(_)))
+          if s.nearest.isEmpty => "ID_LOOKUP"
+      case _ => "FULL_SCAN"
+    })
     var df = cat.get(s.table)
     // a WHERE that references `distance` can only be evaluated once
     // NEAREST TO has computed the column, so its application is
@@ -1045,17 +1145,63 @@ object VectorSql {
               .collect().map(_.getInt(0)).toSeq
             val probed0 = idx.tagged
               .where(col("cluster").isin(probeClusters: _*)).drop("cluster")
+            // the WHERE rides INSIDE the probed clusters for candidate
+            // SELECTION (filter-then-rank, the ann_ivf_filtered
+            // discipline — the predicate never starves below the
+            // LIMIT cut), evaluated against the index generation's
+            // metadata; what is actually SERVED is decided by the
+            // live WHERE already applied to df
             val probed = s.where
               .map(w => probed0.where(condCol(w))).getOrElse(probed0)
-            probed.withColumn("distance", d)
-              .orderBy(col("distance"), col("id"))
+            setRoute("VECTOR_SEARCH(route=ivf-probe, clusters=[" +
+              probeClusters.sorted.mkString(", ") + "])")
+            s.limit match {
+              case Some(lim) =>
+                // DML coherence (IvfIndex scaladoc; storage.go:96
+                // parity): the index frame contributes ONLY candidate
+                // ids — a bounded top-cut by the plan's metric,
+                // collected as a model-sized read like the probe
+                // clusters — and the ids push into the LIVE
+                // collection as a static `id IN (...)` filter
+                // (row-group pruning on a native-string-id
+                // collection; never a corpus-side shuffle). The
+                // exact full-precision rank then runs on live rows,
+                // so DELETEd rows are out and UPDATEd metadata is
+                // fresh. Underfill after heavy DML is the documented
+                // ANN serving caveat (cut - deleted can dip below
+                // LIMIT until re-registration).
+                val cut = math.max(idx.candidates,
+                  lim + s.offset.getOrElse(0))
+                val candStage = probed.withColumn("d0", d)
+                  .orderBy(col("d0"), col("id")).limit(cut)
+                  .select(col("id"))
+                routeOut.foreach(_.append("\n-- candidate stage --\n")
+                  .append(candStage.queryExecution.explainString(
+                    org.apache.spark.sql.execution.SimpleMode))
+                  .append("-- serve stage --"))
+                val candIds = candStage.collect().map(_.getString(0)).toSeq
+                df.where(col("id").isin(candIds: _*))
+                  .withColumn("distance", d)
+                  .orderBy(col("distance"), col("id"))
+              case None =>
+                // unbounded NEAREST TO asks for EVERY probed row
+                // ranked, so no bounded candidate collect exists —
+                // serve via a keyed semi-join of the LIVE collection
+                // against the probed ids (still pruned to nprobe
+                // directories on the index side); coherence holds
+                // the same way: only live rows are served
+                df.join(probed.select(col("id")), Seq("id"), "left_semi")
+                  .withColumn("distance", d)
+                  .orderBy(col("distance"), col("id"))
+            }
           // kNN-graph route (the hnsw.go Search model through SQL):
           // ONE count-derived beam traversal of the at-rest graph
-          // produces the candidate node set; the (WHERE-filtered)
-          // collection semi-joins it by id — a keyed candidate join,
-          // never a corpus-wide rank — and the dialect's exact
-          // full-precision (distance, id) order runs on those
-          // candidates only. qid = -1 (not a corpus id) so the
+          // produces the candidate node set; its ids push into the
+          // (WHERE-filtered) LIVE collection as a static `id IN`
+          // filter — a bounded keyed lookup, never a corpus-wide
+          // rank or shuffle — and the dialect's exact full-precision
+          // (distance, id) order runs on those candidates only.
+          // qid = -1 (not a corpus id) so the
           // query's own row stays eligible, matching NEAREST TO's
           // include-self semantics; the qbucket hashes with the
           // build's 8 LSH planes (the nnDescentBuild init default).
@@ -1076,6 +1222,8 @@ object VectorSql {
             // the LIMIT under any selective predicate.
             val candOpt: Option[DataFrame] = s.where match {
               case None =>
+                setRoute("VECTOR_SEARCH(route=graph-beam, candidates=" +
+                  gi.candidates + ")")
                 Some(graft.operators.KnnGraph
                   .beamSearchRounds(gi.build.rounds.last, gi.build.vecs,
                     qdf, gi.build.n, degree = gi.degree)
@@ -1097,23 +1245,50 @@ object VectorSql {
                 // path is simultaneously correct and cheap
                 val na = allowed.count()
                 if (graft.operators.KnnGraph.filteredViable(
-                    gi.build.n, na, gi.candidates, degree = gi.degree))
+                    gi.build.n, na, gi.candidates, degree = gi.degree)) {
+                  setRoute("VECTOR_SEARCH(route=graph-filtered-beam, " +
+                    s"allowed=$na, candidates=${gi.candidates})")
                   Some(graft.operators.KnnGraph.filteredBeamSearch(
                     gi.build.rounds.last, gi.build.vecs, qdf, gi.build.n,
                     allowed, k = gi.candidates, degree = gi.degree))
-                else None
+                } else {
+                  setRoute("VECTOR_SEARCH(route=filtered-floor-fallback, " +
+                    s"allowed=$na)")
+                  None
+                }
             }
             candOpt match {
               case Some(cand) =>
-                df.join(cand.select(col("node").cast("string").as("id")),
-                    Seq("id"), "left_semi")
+                // bounded candidate set (≤ gi.candidates rows) —
+                // collected as a model-sized plan-time read and
+                // pushed into the LIVE collection scan as a static
+                // `id IN (...)` filter. The previous semi-join here
+                // planned an Exchange hashpartitioning(id) over the
+                // collection side that AQE only demoted to broadcast
+                // AFTER the map stage ran (PLANS.md r14,
+                // vector_sql_ann_graph_l2); the static filter skips
+                // the corpus-side shuffle write entirely and
+                // row-group-prunes a native-string-id scan (the
+                // IdLookupProbeSpec pushdown, the IVF route's
+                // static-prune discipline applied to ids).
+                val candIds = cand.select(col("node").cast("string"))
+                  .collect().map(_.getString(0)).toSeq
+                df.where(col("id").isin(candIds: _*))
                   .withColumn("distance", d)
                   .orderBy(col("distance"), col("id"))
               case None => // selectivity-floor fallback: exact
                 df.withColumn("distance", d)
                   .orderBy(col("distance"), col("id"))
             }
-          case _ =>
+          case other =>
+            val reason =
+              if (deferWhere) "distance-where"
+              else other match {
+                case Some(i) if !i.honors(metricName(s.metric)) =>
+                  "metric-fallback"
+                case _ => "no-index"
+              }
+            setRoute(s"VECTOR_SEARCH(route=exact-scan, reason=$reason)")
             df.withColumn("distance", d)
               .orderBy(col("distance"), col("id"))
         }

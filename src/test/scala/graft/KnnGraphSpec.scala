@@ -364,6 +364,76 @@ class KnnGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("re-persisting a maintained graph reshards coherently from the persisted count") {
+    // writeIndex recomputes `shard` from the build's n, so a
+    // maintained graph whose count crossed a power-of-two boundary
+    // reshards WHOLESALE on the next persist — which is coherent
+    // exactly because params carries the same count the mapping
+    // derives from: serve-side edgeShardShift must always take the
+    // PERSISTED count (loadIndex's params read), never a fresh count
+    // of a corpus that drifted after the persist
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_knngraph_reshard").toString
+    try {
+      val n = emb.count()
+      val build = KnnGraph.nnDescentBuild(emb, "vec_id", "embedding", 16)
+      // a batch that pushes the corpus across the next boundary
+      // (n=500 -> 2n=1000: ceilLog2 9 -> 10, shift 4 -> 5), ids
+      // dense in [n, 2n) per the graph contract
+      val batch = emb.select((col("vec_id") + n).as("qid"),
+        transform(col("embedding"), _.cast("double")).as("qv"),
+        graft.operators.Ann.lshSignature(col("embedding"), 8)
+          .as("qbucket"))
+      val app = KnnGraph.appendBatch(build, batch, 16)
+      val vecs2 = build.vecs.unionByName(
+        batch.select(col("qid").as("id"), col("qv").as("v"),
+          col("qbucket").as("bucket")))
+      val b2 = KnnGraph.Build(Seq(app.graph), vecs2, 2 * n)
+      val s1 = KnnGraph.edgeShardShift(build.n)
+      val s2 = KnnGraph.edgeShardShift(b2.n)
+      assert(s1 !== s2, "batch must cross a shard-shift boundary")
+      KnnGraph.writeIndex(b2, dir2)
+      val loaded = KnnGraph.loadIndex(spark, dir2)
+      assert(loaded.n === 2 * n)
+      // the on-disk layout maps EVERY edge with the new count's
+      // shift — the mapping basis is the persisted params count
+      val shardDirs = new java.io.File(s"$dir2/edges").listFiles()
+        .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+      val expect = app.graph
+        .select(shiftright(col("src"), s2).as("sh")).distinct()
+        .collect().map(r => s"shard=${r.getLong(0)}").toSet
+      assert(shardDirs === expect)
+      // serve coherence across the re-persist: the at-rest graph
+      // (hop prune keyed by loaded.n) serves exactly the in-memory
+      // maintained graph's results
+      val q = vecs2.where(col("id") === 0)
+        .select(lit(0L).as("qid"), col("v").as("qv"),
+          col("bucket").as("qbucket"))
+        .localCheckpoint(true)
+      def top8(g: org.apache.spark.sql.DataFrame,
+          v: org.apache.spark.sql.DataFrame, nn: Long): Seq[(Long, Long)] =
+        KnnGraph.beamSearchRounds(g, v, q, nn).last
+          .where(col("rank") <= 8).orderBy(col("rank"))
+          .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      assert(top8(loaded.rounds.last, loaded.vecs, loaded.n) ===
+        top8(app.graph, vecs2, b2.n))
+      // and a DRIFTED fresh count is NOT a valid serve basis: once
+      // the live corpus crosses the NEXT boundary, its shift maps
+      // frontiers to shard ids this layout doesn't have
+      val drifted = KnnGraph.edgeShardShift(4 * n + 100)
+      assert(drifted !== s2)
+      val wrongDirs = app.graph
+        .select(shiftright(col("src"), drifted).as("sh")).distinct()
+        .collect().map(r => s"shard=${r.getLong(0)}").toSet
+      assert(wrongDirs !== shardDirs)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir2))
+    }
+  }
+
   test("routedSeeds rejects a corpus-sized query set loudly") {
     // the coarse-level routing scan is |Q|*sqrt(n) by design (the
     // =!= join is structurally a broadcast NLJ); the contract must

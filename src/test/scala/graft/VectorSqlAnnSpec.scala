@@ -329,4 +329,210 @@ class VectorSqlAnnSpec extends AnyFunSuite {
     ok.putIndex("vectors", VectorSql.GraphIndex(build))
     assert(ok.indexOf("vectors").isDefined)
   }
+
+  test("IVF route is DML-coherent: DELETE excludes, UPDATE fresh, INSERT waits") {
+    val cat = freshCat()
+    cat.putIndex("vectors", loadedIdx())
+    val before = VectorSql.execute(cat, annSql)
+      .collect().map(_.getString(0)).toSeq
+    assert(before.size === 10)
+    // the query row ranks first (distance 0) — delete the SECOND hit
+    // so the NEAREST TO subquery still resolves
+    val victim = before(1)
+    VectorSql.execute(cat, s"DELETE FROM vectors WHERE id = '$victim'")
+    assert(cat.indexOf("vectors").isDefined) // DML keeps the index
+    // still ROUTED (not a silent exact fallback) ...
+    val plan = VectorSql.explain(cat, annSql)
+    assert(plan.startsWith("plan: VECTOR_SEARCH(route=ivf-probe"),
+      plan.linesIterator.next())
+    // ... and the reference contract holds (storage.go:96: DELETE
+    // removes the row from store AND index — no later SELECT can see
+    // it): candidates rank against the LIVE collection
+    val after = VectorSql.execute(cat, annSql)
+      .collect().map(_.getString(0)).toSeq
+    assert(!after.contains(victim), after.toString)
+    assert(after.size === 10,
+      "the candidate cut (16) absorbs one deletion above LIMIT 10")
+    // UPDATE serves FRESH metadata through the routed path
+    val mark = after(1)
+    VectorSql.execute(cat,
+      s"UPDATE vectors SET metadata.label = 'zz' WHERE id = '$mark'")
+    val labels = VectorSql.execute(cat,
+        "SELECT id, metadata.label AS label FROM vectors NEAREST TO " +
+          "(SELECT vector FROM vectors WHERE id = '0') USING cosine " +
+          "LIMIT 10")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(labels(mark) === "zz", labels.toString)
+    // INSERT: a new row — even one near-identical to the query
+    // vector — stays invisible to the ROUTED path until
+    // re-registration (it is in no cluster: rebuild-on-ingest)
+    val qlit = collection().where(col("id") === "0").head()
+      .getSeq[Float](1).map(v => f"$v%.6f").mkString("[", ", ", "]")
+    VectorSql.execute(cat,
+      s"INSERT INTO vectors (id, vector) VALUES ('99999', $qlit)")
+    val withIns = VectorSql.execute(cat, annSql)
+      .collect().map(_.getString(0)).toSeq
+    assert(!withIns.contains("99999"), withIns.toString)
+  }
+
+  test("graph route is DML-coherent: DELETE excludes the row from service") {
+    import graft.operators.KnnGraph
+    val emb = Tables.load(spark, sf, "embeddings")
+    val build = KnnGraph.nnDescentBuild(emb, "vec_id", "embedding", 16)
+    val cat = freshCat()
+    cat.putIndex("vectors", VectorSql.GraphIndex(build))
+    val before = VectorSql.execute(cat, annSql)
+      .collect().map(_.getString(0)).toSeq
+    val victim = before(1)
+    VectorSql.execute(cat, s"DELETE FROM vectors WHERE id = '$victim'")
+    val after = VectorSql.execute(cat, annSql)
+      .collect().map(_.getString(0)).toSeq
+    assert(!after.contains(victim), after.toString)
+    assert(after.size === 10)
+    val plan = VectorSql.explain(cat, annSql)
+    assert(plan.startsWith("plan: VECTOR_SEARCH(route=graph-beam"),
+      plan.linesIterator.next())
+  }
+
+  test("routed serve stage: zero corpus-side shuffle; native ids push In(id)") {
+    // cast-derived id collection (the default vectors frame): the
+    // serve stage is Filter-over-scan + TakeOrdered — ZERO Exchange.
+    // r14's plan gap was the semi-join here: Exchange
+    // hashpartitioning(id) over the collection side that AQE only
+    // demoted to broadcast after the map stage ran.
+    val cat = freshCat()
+    cat.putIndex("vectors", loadedIdx())
+    val plan = VectorSql.explain(cat, annSql)
+    val serve = plan.substring(plan.lastIndexOf("-- serve stage --"))
+    assert(!serve.contains("Exchange"), serve)
+    // graph route: same zero-shuffle serve shape
+    import graft.operators.KnnGraph
+    val emb = Tables.load(spark, sf, "embeddings")
+    val build = KnnGraph.nnDescentBuild(emb, "vec_id", "embedding", 16)
+    val gcat = freshCat()
+    gcat.putIndex("vectors", VectorSql.GraphIndex(build))
+    val gplan = VectorSql.explain(gcat, annSql)
+    val gbody = gplan.linesIterator.drop(1).mkString("\n")
+    assert(!gbody.contains("Exchange hashpartitioning"), gbody)
+    // NATIVE string-id collection: the same candidate ids reach the
+    // parquet scan as PushedFilters: [In(id, ...)] — row-group
+    // pruning off id min-max stats (the IdLookupProbeSpec pushdown,
+    // now on the routed ANN serve path)
+    val ndir = java.nio.file.Files
+      .createTempDirectory("graft_sqlann_native").toString
+    collection()
+      .withColumn("id", concat(lit("d"), lpad(col("id"), 3, "0")))
+      .write.mode("overwrite").parquet(ndir)
+    val native = spark.read.parquet(ndir)
+    val cents = Tables.load(spark, sf, "embeddings")
+      .where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cluster"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    val nidx = java.nio.file.Files
+      .createTempDirectory("graft_sqlann_nidx").toString
+    Ann.writeIndex(
+      Ann.tagCorpus(native, "id", "vector", cents,
+        metaCols = Seq("metadata")),
+      cents, nidx)
+    val (ntagged, ncents) = Ann.loadIndex(spark, nidx)
+    val nc = new VectorSql.Catalog(spark)
+    nc.put("vectors", native)
+    nc.putIndex("vectors", VectorSql.IvfIndex(ntagged, ncents, 2))
+    val nsql = "SELECT id, distance FROM vectors NEAREST TO " +
+      "(SELECT vector FROM vectors WHERE id = 'd000') USING cosine " +
+      "LIMIT 10"
+    val nplan = VectorSql.explain(nc, nsql)
+    val nserve = nplan.substring(nplan.lastIndexOf("-- serve stage --"))
+    assert(nserve.contains("PushedFilters: [In(id"), nserve)
+    assert(!nserve.contains("Exchange"), nserve)
+    assert(VectorSql.execute(nc, nsql).count() === 10)
+  }
+
+  test("EXPLAIN names the chosen route for every plan type") {
+    import graft.operators.KnnGraph
+    val cat = freshCat()
+    assert(VectorSql.explain(cat, "SELECT id FROM vectors LIMIT 5")
+      .startsWith("plan: FULL_SCAN"))
+    assert(VectorSql.explain(cat, "SELECT id FROM vectors WHERE id = '7'")
+      .startsWith("plan: ID_LOOKUP"))
+    // the reference's rule is a TOP-LEVEL id equality
+    // (planner.go:147-155): a conjunction is a full scan
+    assert(VectorSql.explain(cat,
+        "SELECT id FROM vectors WHERE id = '7' AND metadata.label = '3'")
+      .startsWith("plan: FULL_SCAN"))
+    assert(VectorSql.explain(cat, annSql).startsWith(
+      "plan: VECTOR_SEARCH(route=exact-scan, reason=no-index)"))
+    cat.putIndex("vectors", loadedIdx())
+    assert(VectorSql.explain(cat, annSql).startsWith(
+      "plan: VECTOR_SEARCH(route=ivf-probe, clusters=["))
+    assert(VectorSql.explain(cat,
+        annSql.replace("USING cosine", "USING dotproduct")).startsWith(
+      "plan: VECTOR_SEARCH(route=exact-scan, reason=metric-fallback)"))
+    assert(VectorSql.explain(cat,
+        "SELECT id, distance FROM vectors NEAREST TO (SELECT vector " +
+          "FROM vectors WHERE id = '0') USING cosine " +
+          "WHERE distance <= 0.5 LIMIT 10").startsWith(
+      "plan: VECTOR_SEARCH(route=exact-scan, reason=distance-where)"))
+    val emb = Tables.load(spark, sf, "embeddings")
+    val build = KnnGraph.nnDescentBuild(emb, "vec_id", "embedding", 16)
+    val gcat = freshCat()
+    gcat.putIndex("vectors", VectorSql.GraphIndex(build))
+    assert(VectorSql.explain(gcat, annSql)
+      .startsWith("plan: VECTOR_SEARCH(route=graph-beam"))
+    assert(VectorSql.explain(gcat,
+        "SELECT id FROM vectors NEAREST TO (SELECT vector FROM vectors " +
+          "WHERE id = '0') USING cosine WHERE metadata.label = '3' " +
+          "LIMIT 5")
+      .startsWith("plan: VECTOR_SEARCH(route=graph-filtered-beam"))
+    assert(VectorSql.explain(gcat,
+        "SELECT id FROM vectors NEAREST TO (SELECT vector FROM vectors " +
+          "WHERE id = '0') USING cosine WHERE id = '5' LIMIT 5")
+      .startsWith("plan: VECTOR_SEARCH(route=filtered-floor-fallback"))
+  }
+
+  test("USING is case-insensitive and validated at parse time") {
+    val cat = freshCat()
+    cat.putIndex("vectors", loadedIdx())
+    // 'USING Cosine' must neither skip the index route (honors()
+    // compares lowercase names) nor change the result
+    val plan = VectorSql.explain(cat,
+      annSql.replace("USING cosine", "USING Cosine"))
+    assert(plan.startsWith("plan: VECTOR_SEARCH(route=ivf-probe"),
+      plan.linesIterator.next())
+    val got = VectorSql.execute(cat,
+        annSql.replace("USING cosine", "USING COSINE"))
+      .collect().map(_.getString(0)).toSeq
+    val want = VectorSql.execute(cat, annSql)
+      .collect().map(_.getString(0)).toSeq
+    assert(got === want)
+    // an unsupported metric fails at PARSE time, not mid-execution
+    val e = intercept[IllegalArgumentException] {
+      VectorSql.execute(cat,
+        annSql.replace("USING cosine", "USING chebyshev"))
+    }
+    assert(e.getMessage.contains("unknown metric"), e.getMessage)
+  }
+
+  test("GraphIndex re-registration skips validation per (generation, build)") {
+    import graft.operators.KnnGraph
+    val emb = Tables.load(spark, sf, "embeddings")
+    val build = KnnGraph.nnDescentBuild(emb, "vec_id", "embedding", 16)
+    val n0 = VectorSql.graphRegCacheSize
+    val c1 = freshCat()
+    c1.putIndex("vectors", VectorSql.GraphIndex(build))
+    val n1 = VectorSql.graphRegCacheSize
+    assert(n1 === n0 + 1)
+    // same collection plan + same build instance — the shipped
+    // per-query re-registration path (vector_sql_ann_graph* build a
+    // fresh Catalog per execution): validation is cached, so the two
+    // registration-time aggregate jobs don't re-run per query
+    val c2 = freshCat()
+    c2.putIndex("vectors", VectorSql.GraphIndex(build))
+    assert(VectorSql.graphRegCacheSize === n1)
+    // a DML write is a NEW collection generation: re-validated
+    VectorSql.execute(c2,
+      "UPDATE vectors SET metadata.label = '9' WHERE id = '3'")
+    c2.putIndex("vectors", VectorSql.GraphIndex(build))
+    assert(VectorSql.graphRegCacheSize === n1 + 1)
+  }
 }
