@@ -130,6 +130,31 @@ object SparkEntry {
       .select(col("qid").as("eqid"), explode(col("tk")).as("pair"))
       .select(col("eqid"), col("pair.id").as("nb"))
 
+  /** Per-JVM at-rest cache of [[graphExactTop8]] ground-truth frames,
+    * keyed by (canonical dir, audit variant) — the GraphIndexCache
+    * discipline applied to the recall audits' exact reference:
+    * knn_graph_nndescent / knn_graph_search(_routed) / _pq share one
+    * full-corpus-sample frame, and append / delete stop recomputing
+    * their corpus×sample exact scan on every bench repetition (the
+    * frame is deterministic per dir: count-derived sample, integer-e4
+    * ties by id). A few hundred rows at rest; consumers read it back
+    * per execution like every other at-rest model.
+    */
+  private val exactTop8Dirs = scala.collection.mutable.Map[String, String]()
+  private def exactTop8At(s: SparkSession, dir: String, variant: String)(
+      mk: => DataFrame): DataFrame = {
+    val path = exactTop8Dirs.synchronized {
+      exactTop8Dirs.getOrElseUpdate(graphKey(dir, variant), {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_exact8").toString
+        graft.operators.GraphIndexCache.deleteOnExit(p)
+        mk.write.mode("overwrite").parquet(p)
+        p
+      })
+    }
+    s.read.parquet(path)
+  }
+
   /** Cache key for the shared at-rest kNN graph of a data dir —
     * canonical path + corpus-variant tag, so SFs and the append
     * audit's base-subset build never collide (GraphIndexCache).
@@ -181,7 +206,8 @@ object SparkEntry {
             col("bucket").as("qbucket")), n, beam, degree = k),
           Nil)
     val hops = states.length - 1
-    val exact = graphExactTop8(build.vecs.select(col("id"), col("v")), qs)
+    val exact = exactTop8At(s, dir, "exact8_full")(
+      graphExactTop8(build.vecs.select(col("id"), col("v")), qs))
     val matchCnt = states.last
       .where(col("rank") <= k)
       .join(exact, col("qid") === col("eqid") &&
@@ -2016,7 +2042,8 @@ object SparkEntry {
       val mod = math.max(1L, (n + 49L) / 50L)
       val qs = build.vecs.where(pmod(col("id"), lit(mod)) === 0)
         .select(col("id").as("qid"), col("v").as("qv"))
-      val exact = graphExactTop8(build.vecs.select(col("id"), col("v")), qs)
+      val exact = exactTop8At(s, dir, "exact8_full")(
+        graphExactTop8(build.vecs.select(col("id"), col("v")), qs))
       val matchCnt = rounds.last
         .where(col("rank") <= k)
         .where(pmod(col("src"), lit(mod)) === 0)
@@ -2182,7 +2209,8 @@ object SparkEntry {
         graph, build.vecs, qs, n, codesExp, lut, degree = k,
         scoredOut = Some(scored))
       val hops = states.length - 1
-      val exact = graphExactTop8(build.vecs.select(col("id"), col("v")), qs)
+      val exact = exactTop8At(s, dir, "exact8_full")(
+        graphExactTop8(build.vecs.select(col("id"), col("v")), qs))
       val nq = qs.agg(count(lit(1)).as("nq"))
       def recallOf(served: DataFrame, stat: String): DataFrame =
         served
@@ -2271,7 +2299,8 @@ object SparkEntry {
       val beam = graft.operators.KnnGraph.adaptiveBeam(n)
       val hops = graft.operators.KnnGraph.adaptiveHops(n, 8)
       val qs = batch.select(col("qid"), col("qv"))
-      val exact = graphExactTop8(app.allVecs, qs)
+      val exact = exactTop8At(s, dir, "exact8_append")(
+        graphExactTop8(app.allVecs, qs))
       val matchCnt = app.graph
         .where(col("src") >= idCut && col("rank") <= 8)
         .join(exact, col("src") === col("eqid") && col("dst") === col("nb"),
@@ -2319,7 +2348,8 @@ object SparkEntry {
       val qs = d0.touched.where(pmod(col("id"), lit(mod)) === 0)
         .join(d0.vecs.select(col("id"), col("v")), Seq("id"))
         .select(col("id").as("qid"), col("v").as("qv"))
-      val exact = graphExactTop8(d0.vecs.select(col("id"), col("v")), qs)
+      val exact = exactTop8At(s, dir, "exact8_delete")(
+        graphExactTop8(d0.vecs.select(col("id"), col("v")), qs))
       val matchCnt = d0.graph
         .join(qs.select(col("qid").as("src")), Seq("src"), "left_semi")
         .where(col("rank") <= 8)
