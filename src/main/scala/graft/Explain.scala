@@ -102,7 +102,9 @@ object Explain {
     "knn_graph_filtered", "vector_sql_ann",
     "knn_graph_search_pq", "vector_sql_ann_graph", "graph_connectivity",
     "vector_sql_ann_l2", "vector_sql_ann_graph_l2",
-    "vector_sql_ann_dot_fallback", "embed_linear_search")
+    "vector_sql_ann_dot_fallback", "embed_linear_search",
+    "vector_sql_ann_dml_delete", "vector_sql_ann_dml_update",
+    "vector_sql_ann_cosine_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

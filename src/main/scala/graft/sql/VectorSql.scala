@@ -87,11 +87,20 @@ object VectorSql {
     * from store AND index, so no later SELECT can see it): the index
     * frame contributes ONLY candidate ids + routing; everything
     * SERVED (vector, metadata, the ranked distance) comes from the
-    * LIVE collection. After DML through the dialect a routed SELECT
-    * therefore never returns a DELETEd row and always serves
-    * UPDATE-fresh metadata; INSERTed rows stay invisible to the
-    * ROUTED path until re-registration (they are in no cluster — the
-    * rebuild-on-ingest contract every IVF deployment carries).
+    * LIVE collection, and a WHERE admits candidates by their LIVE
+    * values (the probed rows semi-join the filtered collection), so
+    * a row whose UPDATEd metadata newly matches is served. After DML
+    * through the dialect a routed SELECT therefore never returns a
+    * DELETEd row and always serves UPDATE-fresh metadata; INSERTed
+    * rows stay invisible to the ROUTED path until re-registration
+    * (they are in no cluster — the rebuild-on-ingest contract every
+    * IVF deployment carries).
+    *
+    * The bounded candidate cut applies only where the LIMIT
+    * genuinely cuts the (distance, id) order; COUNT(*) / DISTINCT /
+    * explicit ORDER BY shapes (and LIMIT-less searches) serve every
+    * probed row via a keyed semi-join against the live collection —
+    * same coherence, no artificial truncation.
     */
   final case class IvfIndex(tagged: DataFrame, centroids: DataFrame,
       nprobe: Int, candidates: Int = 16) extends AnnIndex {
@@ -204,7 +213,8 @@ object VectorSql {
     def putIndex(name: String, idx: AnnIndex): Unit = {
       idx match {
         case gi: GraphIndex
-            if !VectorSql.graphRegValidated(validationKey(name, gi)) =>
+            if !VectorSql.graphRegValidated(gi.build,
+              validationKey(name, gi)) =>
           // try_cast: ANSI mode would otherwise THROW on the first
           // malformed id mid-scan; the aggregate below reports the
           // contract violation with the count instead. Canonicality
@@ -249,27 +259,26 @@ object VectorSql {
                 s"the declared degree basis ${gi.degree} — register with " +
                 "the true (lower) degree")
           }
-          VectorSql.markGraphRegValidated(validationKey(name, gi))
+          VectorSql.markGraphRegValidated(gi.build, validationKey(name, gi))
         case _ => ()
       }
       indexes(name) = idx
     }
 
-    /** Validation identity of a GraphIndex registration: the
-      * collection GENERATION (semantic hash of its analyzed plan — a
-      * putData DML write swaps in a new plan and re-validates) × the
-      * build identity (instance + node count) × the declared degree
-      * basis. Per-JVM: production registers once and serves many
-      * times, but the shipped vector_sql_ann_graph* queries construct
-      * a fresh Catalog per execution — without this cache each
-      * execution would re-pay the two registration-time aggregate
-      * jobs, breaking the 'registration-time, never per-query' cost
-      * claim (advisor r14).
+    /** Validation identity of a GraphIndex registration UNDER its
+      * Build instance (the IdentityHashMap key): the collection
+      * GENERATION (semantic hash of its analyzed plan — a putData
+      * DML write swaps in a new plan and re-validates) × the
+      * declared degree basis. Per-JVM: production registers once and
+      * serves many times, but the shipped vector_sql_ann_graph*
+      * queries construct a fresh Catalog per execution — without
+      * this cache each execution would re-pay the two
+      * registration-time aggregate jobs, breaking the
+      * 'registration-time, never per-query' cost claim (advisor r14).
       */
     private def validationKey(name: String,
-        gi: GraphIndex): (Int, Int, Long, Int) =
-      (get(name).queryExecution.analyzed.semanticHash(),
-        System.identityHashCode(gi.build), gi.build.n, gi.degree)
+        gi: GraphIndex): (Int, Int) =
+      (get(name).queryExecution.analyzed.semanticHash(), gi.degree)
     def indexOf(name: String): Option[AnnIndex] = indexes.get(name)
     def dropIndex(name: String): Unit = indexes.remove(name)
   }
@@ -462,9 +471,10 @@ object VectorSql {
           // preserves Ident case, so without normalization here
           // 'USING Euclidean' would silently skip the index route
           // (honors() compares lowercase names) and an unknown
-          // metric would surface only at execution — validate the
-          // supported set at PARSE time instead
-          val m = raw.toLowerCase
+          // metric would surface only at execution — canonicalize
+          // aliases and validate the supported set at PARSE time
+          val m0 = raw.toLowerCase
+          val m = metricAliases.getOrElse(m0, m0)
           require(supportedMetrics(m), s"unknown metric: $raw " +
             s"(supported: ${supportedMetrics.toSeq.sorted.mkString(", ")})")
           metric = Some(m)
@@ -770,25 +780,48 @@ object VectorSql {
 
   /** The dialect's metric vocabulary (pkg/vector/distance.go's four
     * functions) — validated at parse time so a typo'd or unsupported
-    * USING fails the statement, not the execution.
+    * USING fails the statement, not the execution. The kernel short
+    * forms the execution layer always accepted (l2/dot/l1,
+    * [[graft.functions.VectorFunctions.forMetric]]) canonicalize to
+    * the reference names at parse time, so 'USING l2' routes and
+    * gates exactly like 'USING euclidean' instead of silently
+    * skipping the index route on a string mismatch.
     */
   private val supportedMetrics: Set[String] =
     Set("euclidean", "cosine", "dotproduct", "manhattan")
+  private val metricAliases: Map[String, String] =
+    Map("l2" -> "euclidean", "dot" -> "dotproduct", "l1" -> "manhattan")
 
-  /** Per-JVM set of already-validated GraphIndex registrations (see
-    * [[Catalog.validationKey]]) — bounded by the number of distinct
-    * (collection generation, build, degree) triples a JVM registers,
-    * i.e. model-sized.
+  /** Per-JVM record of already-validated GraphIndex registrations
+    * (see [[Catalog.validationKey]]), keyed by the Build INSTANCE
+    * (identity semantics — an IdentityHashMap holding the reference,
+    * so a new build can never inherit a GC'd build's validation the
+    * way a bare identityHashCode key could) — bounded by the number
+    * of distinct (build, collection generation, degree) triples a
+    * JVM registers, i.e. model-sized, and the held Builds are the
+    * same instances GraphIndexCache already keeps alive.
     */
   private val validatedGraphRegs =
-    java.util.concurrent.ConcurrentHashMap
-      .newKeySet[(Int, Int, Long, Int)]()
-  private def graphRegValidated(key: (Int, Int, Long, Int)): Boolean =
-    validatedGraphRegs.contains(key)
-  private def markGraphRegValidated(key: (Int, Int, Long, Int)): Unit =
-    validatedGraphRegs.add(key)
+    new java.util.IdentityHashMap[graft.operators.KnnGraph.Build,
+      scala.collection.mutable.Set[(Int, Int)]]()
+  private def graphRegValidated(b: graft.operators.KnnGraph.Build,
+      key: (Int, Int)): Boolean = validatedGraphRegs.synchronized {
+    Option(validatedGraphRegs.get(b)).exists(_.contains(key))
+  }
+  private def markGraphRegValidated(b: graft.operators.KnnGraph.Build,
+      key: (Int, Int)): Unit = validatedGraphRegs.synchronized {
+    validatedGraphRegs.computeIfAbsent(b,
+      _ => scala.collection.mutable.Set.empty) += key
+    ()
+  }
   /** Test hook: distinct validated registrations this JVM. */
-  private[graft] def graphRegCacheSize: Int = validatedGraphRegs.size
+  private[graft] def graphRegCacheSize: Int =
+    validatedGraphRegs.synchronized {
+      var n = 0
+      val it = validatedGraphRegs.values.iterator()
+      while (it.hasNext) n += it.next().size
+      n
+    }
 
   private def metricName(m: Option[String]): String = m.getOrElse("euclidean")
 
@@ -803,6 +836,12 @@ object VectorSql {
     * filter-then-rank wins) or exact-scan (+ reason: no-index,
     * metric-fallback, distance-where) — so a user can see why a
     * query did or didn't route through the registered index.
+    *
+    * COST: a routed statement's plan embeds its static filters
+    * (probed clusters, candidate ids), so EXPLAIN executes the same
+    * plan-time routing reads the statement itself would (the probe
+    * collect; on a graph route the candidate traversal) — the price
+    * of printing the ACTUAL serve plan rather than a template.
     */
   def explain(cat: Catalog, sql: String): String = parse(sql) match {
     case s: Select =>
@@ -1113,6 +1152,13 @@ object VectorSql {
         }
         val d = graft.functions.VectorFunctions.forMetric(metricName(s.metric))(
           col("vector"), typedLit(qvec))
+        // a bounded candidate cut is only sound when the LIMIT
+        // genuinely cuts the implicit (distance, id) order — COUNT(*)
+        // counts every probed row, DISTINCT dedupes before its cut,
+        // and an explicit ORDER BY re-orders, so those shapes must
+        // see the FULL probed set, not a top-k candidate slice
+        val plainTopK = s.limit.isDefined && !s.countStar &&
+          !s.distinct && s.orderBy.isEmpty
         cat.indexOf(s.table) match {
           // index-backed NEAREST TO (planner.go:14-22 VECTOR_SEARCH
           // parity): route the query to its nprobe nearest centroids
@@ -1145,54 +1191,61 @@ object VectorSql {
               .collect().map(_.getInt(0)).toSeq
             val probed0 = idx.tagged
               .where(col("cluster").isin(probeClusters: _*)).drop("cluster")
-            // the WHERE rides INSIDE the probed clusters for candidate
-            // SELECTION (filter-then-rank, the ann_ivf_filtered
-            // discipline — the predicate never starves below the
-            // LIMIT cut), evaluated against the index generation's
-            // metadata; what is actually SERVED is decided by the
-            // live WHERE already applied to df
-            val probed = s.where
-              .map(w => probed0.where(condCol(w))).getOrElse(probed0)
             setRoute("VECTOR_SEARCH(route=ivf-probe, clusters=[" +
               probeClusters.sorted.mkString(", ") + "])")
-            s.limit match {
-              case Some(lim) =>
-                // DML coherence (IvfIndex scaladoc; storage.go:96
-                // parity): the index frame contributes ONLY candidate
-                // ids — a bounded top-cut by the plan's metric,
-                // collected as a model-sized read like the probe
-                // clusters — and the ids push into the LIVE
-                // collection as a static `id IN (...)` filter
-                // (row-group pruning on a native-string-id
-                // collection; never a corpus-side shuffle). The
-                // exact full-precision rank then runs on live rows,
-                // so DELETEd rows are out and UPDATEd metadata is
-                // fresh. Underfill after heavy DML is the documented
-                // ANN serving caveat (cut - deleted can dip below
-                // LIMIT until re-registration).
-                val cut = math.max(idx.candidates,
-                  lim + s.offset.getOrElse(0))
-                val candStage = probed.withColumn("d0", d)
-                  .orderBy(col("d0"), col("id")).limit(cut)
-                  .select(col("id"))
-                routeOut.foreach(_.append("\n-- candidate stage --\n")
-                  .append(candStage.queryExecution.explainString(
-                    org.apache.spark.sql.execution.SimpleMode))
-                  .append("-- serve stage --"))
-                val candIds = candStage.collect().map(_.getString(0)).toSeq
-                df.where(col("id").isin(candIds: _*))
-                  .withColumn("distance", d)
-                  .orderBy(col("distance"), col("id"))
-              case None =>
-                // unbounded NEAREST TO asks for EVERY probed row
-                // ranked, so no bounded candidate collect exists —
-                // serve via a keyed semi-join of the LIVE collection
-                // against the probed ids (still pruned to nprobe
-                // directories on the index side); coherence holds
-                // the same way: only live rows are served
-                df.join(probed.select(col("id")), Seq("id"), "left_semi")
-                  .withColumn("distance", d)
-                  .orderBy(col("distance"), col("id"))
+            if (plainTopK) {
+              // DML coherence (IvfIndex scaladoc; storage.go:96
+              // parity): the index frame contributes ONLY candidate
+              // ids — a bounded top-cut by the plan's metric,
+              // collected as a model-sized read like the probe
+              // clusters — and the ids push into the LIVE collection
+              // as a static `id IN (...)` filter (row-group pruning
+              // on a native-string-id collection; never a corpus-
+              // side shuffle). The exact full-precision rank then
+              // runs on live rows, so DELETEd rows are out and
+              // UPDATEd metadata is fresh. Underfill after heavy DML
+              // is the documented ANN serving caveat (cut - deleted
+              // can dip below LIMIT until re-registration).
+              //
+              // The WHERE rides INSIDE the probed clusters for
+              // candidate selection (filter-then-rank, the
+              // ann_ivf_filtered discipline — the predicate never
+              // starves below the LIMIT cut) and is evaluated
+              // against the rows' LIVE values: df already carries
+              // it, so the keyed semi-join below admits exactly the
+              // live-matching probed rows — a row whose UPDATEd
+              // metadata newly matches is a candidate, symmetric
+              // with the graph route's live `allowed` set.
+              val probed = s.where.map(_ =>
+                  probed0.join(df.select(col("id")), Seq("id"),
+                    "left_semi"))
+                .getOrElse(probed0)
+              val cut = math.max(idx.candidates,
+                s.limit.get + s.offset.getOrElse(0))
+              val candStage = probed.withColumn("d0", d)
+                .orderBy(col("d0"), col("id")).limit(cut)
+                .select(col("id"))
+              routeOut.foreach(_.append("\n-- candidate stage --\n")
+                .append(candStage.queryExecution.explainString(
+                  org.apache.spark.sql.execution.SimpleMode))
+                .append("-- serve stage --"))
+              val candIds = candStage.collect().map(_.getString(0)).toSeq
+              df.where(col("id").isin(candIds: _*))
+                .withColumn("distance", d)
+                .orderBy(col("distance"), col("id"))
+            } else {
+              // no LIMIT, or a shape where the limit does NOT cut
+              // the (distance, id) order (COUNT(*) counts every
+              // probed row; DISTINCT dedupes before its cut;
+              // explicit ORDER BY re-orders) — a bounded candidate
+              // cut would change the result, so serve ALL probed
+              // rows via a keyed semi-join of the LIVE collection
+              // against the probed ids (still pruned to nprobe
+              // directories on the index side); coherence holds the
+              // same way: only live rows are served
+              df.join(probed0.select(col("id")), Seq("id"), "left_semi")
+                .withColumn("distance", d)
+                .orderBy(col("distance"), col("id"))
             }
           // kNN-graph route (the hnsw.go Search model through SQL):
           // ONE count-derived beam traversal of the at-rest graph
@@ -1220,14 +1273,28 @@ object VectorSql {
             // built from MATCHING nodes over the whole visited set) —
             // post-filtering the top-`candidates` cut would starve
             // the LIMIT under any selective predicate.
+            //
+            // The candidate cut honors the LIMIT on the plain path:
+            // cut = max(candidates, LIMIT+OFFSET), with the beam
+            // widened to the cut when it exceeds the count-derived
+            // width (the beam state holds rank<=beam, so a cut past
+            // it would silently re-starve) — a LIMIT can never
+            // underfill by construction, matching the IVF route.
+            val cut =
+              if (plainTopK)
+                math.max(gi.candidates,
+                  s.limit.get + s.offset.getOrElse(0))
+              else gi.candidates
+            val beamW = math.max(
+              graft.operators.KnnGraph.adaptiveBeam(gi.build.n), cut)
             val candOpt: Option[DataFrame] = s.where match {
               case None =>
                 setRoute("VECTOR_SEARCH(route=graph-beam, candidates=" +
-                  gi.candidates + ")")
+                  cut + ")")
                 Some(graft.operators.KnnGraph
                   .beamSearchRounds(gi.build.rounds.last, gi.build.vecs,
-                    qdf, gi.build.n, degree = gi.degree)
-                  .last.where(col("rank") <= gi.candidates))
+                    qdf, gi.build.n, beam = beamW, degree = gi.degree)
+                  .last.where(col("rank") <= cut))
               case Some(_) =>
                 // df already carries the WHERE: its ids ARE the
                 // allowed node set (collection ids are string forms
@@ -1245,12 +1312,12 @@ object VectorSql {
                 // path is simultaneously correct and cheap
                 val na = allowed.count()
                 if (graft.operators.KnnGraph.filteredViable(
-                    gi.build.n, na, gi.candidates, degree = gi.degree)) {
+                    gi.build.n, na, cut, degree = gi.degree)) {
                   setRoute("VECTOR_SEARCH(route=graph-filtered-beam, " +
-                    s"allowed=$na, candidates=${gi.candidates})")
+                    s"allowed=$na, candidates=$cut)")
                   Some(graft.operators.KnnGraph.filteredBeamSearch(
                     gi.build.rounds.last, gi.build.vecs, qdf, gi.build.n,
-                    allowed, k = gi.candidates, degree = gi.degree))
+                    allowed, k = cut, beam = beamW, degree = gi.degree))
                 } else {
                   setRoute("VECTOR_SEARCH(route=filtered-floor-fallback, " +
                     s"allowed=$na)")

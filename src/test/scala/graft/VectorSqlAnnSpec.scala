@@ -511,6 +511,77 @@ class VectorSqlAnnSpec extends AnyFunSuite {
         annSql.replace("USING cosine", "USING chebyshev"))
     }
     assert(e.getMessage.contains("unknown metric"), e.getMessage)
+    // kernel short forms canonicalize to the reference names:
+    // 'USING l2' routes and gates exactly like 'USING euclidean'
+    assert(VectorSql.explain(cat,
+        annSql.replace("USING cosine", "USING l2"))
+      .startsWith("plan: VECTOR_SEARCH(route=ivf-probe"))
+    assert(VectorSql.explain(cat,
+        annSql.replace("USING cosine", "USING dot")).startsWith(
+      "plan: VECTOR_SEARCH(route=exact-scan, reason=metric-fallback)"))
+  }
+
+  test("routed LIMIT extends the candidate cut; rank-agnostic shapes see all probed rows") {
+    val cat = freshCat()
+    cat.putIndex("vectors", loadedIdx())
+    // LIMIT above the registered candidate floor (16): the cut
+    // extends to LIMIT+OFFSET — a LIMIT can never starve
+    val sql20 = "SELECT id, distance FROM vectors NEAREST TO " +
+      "(SELECT vector FROM vectors WHERE id = '0') USING cosine LIMIT 20"
+    assert(VectorSql.execute(cat, sql20).count() === 20)
+    import graft.operators.KnnGraph
+    val emb = Tables.load(spark, sf, "embeddings")
+    val build = KnnGraph.nnDescentBuild(emb, "vec_id", "embedding", 16)
+    val gcat = freshCat()
+    gcat.putIndex("vectors", VectorSql.GraphIndex(build))
+    // graph route: cut extends AND the beam widens to cover it
+    assert(VectorSql.execute(gcat, sql20).count() === 20)
+    assert(VectorSql.execute(gcat,
+        "SELECT id, distance FROM vectors NEAREST TO (SELECT vector " +
+          "FROM vectors WHERE id = '0') USING cosine LIMIT 10 OFFSET 10")
+      .count() === 10)
+    // COUNT(*) does not cut the (distance, id) order, so it must see
+    // EVERY probed row (not a 16-candidate slice) — and coherently:
+    // deleting a probed row drops the count by one
+    val countSql = "SELECT COUNT(*) FROM vectors NEAREST TO " +
+      "(SELECT vector FROM vectors WHERE id = '0') USING cosine LIMIT 10"
+    val pre = VectorSql.execute(cat, countSql).head().getLong(0)
+    assert(pre > 16, s"count=$pre must be the probed-cluster total")
+    val victim = VectorSql.execute(cat, annSql).collect()(1).getString(0)
+    VectorSql.execute(cat, s"DELETE FROM vectors WHERE id = '$victim'")
+    assert(VectorSql.execute(cat, countSql).head().getLong(0) === pre - 1)
+    // explicit ORDER BY re-orders the FULL (live) probed set
+    val (tagged, cents) = Ann.loadIndex(spark, idxPath)
+    val q = collection().where(col("id") === "0")
+      .select(col("vector").as("qvec"))
+    val qc = Ann.nearestClusters(cents, q, 2)
+      .collect().map(_.getInt(0)).toSet
+    val want = tagged.where(col("cluster").isin(qc.toSeq: _*))
+      .where(col("id") =!= victim)
+      .select(col("id")).orderBy(col("id").desc).limit(5)
+      .collect().map(_.getString(0)).toSeq
+    val got = VectorSql.execute(cat,
+        "SELECT id FROM vectors NEAREST TO (SELECT vector FROM vectors " +
+          "WHERE id = '0') USING cosine ORDER BY id DESC LIMIT 5")
+      .collect().map(_.getString(0)).toSeq
+    assert(got === want)
+  }
+
+  test("IVF route: WHERE admits candidates by LIVE values after UPDATE") {
+    val cat = freshCat()
+    cat.putIndex("vectors", loadedIdx(nprobe = 4))
+    // give one near (probed) row a label NO row had at index time —
+    // a stale-metadata candidate filter would return nothing
+    val near = VectorSql.execute(cat, annSql).collect()(1).getString(0)
+    VectorSql.execute(cat,
+      s"UPDATE vectors SET metadata.label = 'zz' WHERE id = '$near'")
+    val got = VectorSql.execute(cat,
+        "SELECT id FROM vectors NEAREST TO (SELECT vector FROM vectors " +
+          "WHERE id = '0') USING cosine WHERE metadata.label = 'zz' " +
+          "LIMIT 5")
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq(near),
+      "a row whose UPDATEd metadata newly matches must be a candidate")
   }
 
   test("GraphIndex re-registration skips validation per (generation, build)") {
