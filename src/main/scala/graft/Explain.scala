@@ -104,7 +104,7 @@ object Explain {
     "vector_sql_ann_l2", "vector_sql_ann_graph_l2",
     "vector_sql_ann_dot_fallback", "embed_linear_search",
     "vector_sql_ann_dml_delete", "vector_sql_ann_dml_update",
-    "vector_sql_ann_cosine_recall")
+    "vector_sql_ann_cosine_recall", "vector_sql_ann_count")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -6537,6 +6537,19 @@ object SparkEntry {
         .orderBy(col("dist"), col("id"))
     }),
 
+    // -- rank-agnostic shape through the ROUTED path: COUNT(*) does
+    //    not cut the (distance, id) order, so the route serves EVERY
+    //    probed row via the live semi-join (a bounded candidate
+    //    slice would under-count) — the count is the probed
+    //    clusters' LIVE row total --
+    "vector_sql_ann_count" -> ((s, dir) => {
+      val cat = vecSqlCatalog(s, dir)
+      cat.putIndex("vectors", sqlIvfIndex(s, dir))
+      graft.sql.VectorSql.execute(cat,
+        "SELECT COUNT(*) AS n FROM vectors NEAREST TO " +
+          "(SELECT vector FROM vectors WHERE id = '0') USING cosine")
+    }),
+
     // -- MEASURED recall of the L2-routed cosine serving path on the
     //    UNNORMALIZED corpus (the honors() caveat quantified, r14
     //    item 3): routed cosine top-10 ∩ exact cosine top-10. The
@@ -12789,6 +12802,27 @@ object SparkEntry {
            |  ORDER BY rawd, id LIMIT 10)
            |SELECT id, label, round(rawd, 4) AS dist FROM top
            |ORDER BY dist, id""".stripMargin.replaceAll("\n", " ")
+      },
+      // COUNT(*) through the IVF route: every live row of the two
+      // probed clusters, no candidate slice
+      "vector_sql_ann_count" -> {
+        val l2c = "sqrt(list_sum(list_transform(%s, (x, i) -> " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)) * " +
+          "(CAST(x AS DOUBLE) - CAST(%s[i] AS DOUBLE)))))"
+        val l2e = l2c.format("e.embedding", "c.centroid", "c.centroid")
+        val l2q = l2c.format("q.qvec", "c.centroid", "c.centroid")
+        s"""WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cluster,
+           |  embedding AS centroid FROM embeddings WHERE vec_id < 8),
+           |asgn AS (SELECT vec_id, cluster FROM (
+           |  SELECT e.vec_id, c.cluster,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $l2e, c.cluster) AS rn
+           |  FROM embeddings e, cents c) _r WHERE rn = 1),
+           |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |qc AS (SELECT cluster FROM (
+           |  SELECT c.cluster, $l2q AS d FROM cents c, q) _q
+           |  ORDER BY d, cluster LIMIT 2)
+           |SELECT COUNT(*) AS n FROM asgn e JOIN qc USING (cluster)"""
+          .stripMargin.replaceAll("\n", " ")
       },
       // measured recall of the L2-routed cosine path: routed top-10
       // (candidate cut over the probed clusters, exact cosine rank)
