@@ -281,6 +281,28 @@ object VectorSql {
       (get(name).queryExecution.analyzed.semanticHash(), gi.degree)
     def indexOf(name: String): Option[AnnIndex] = indexes.get(name)
     def dropIndex(name: String): Unit = indexes.remove(name)
+
+    /** Compact a collection to an at-rest parquet generation and
+      * serve from the re-read — the maintenance op a long-lived
+      * catalog needs at scale. Every DML statement REWRITES the
+      * collection's logical plan (INSERT unions, UPDATE stacks a
+      * projection, DELETE stacks a filter), so an unbounded DML
+      * stream grows an unbounded plan tree: analysis cost rises per
+      * statement and nothing reaches the original scan's row-group
+      * stats. Checkpointing restores (a) a plan that is ONE parquet
+      * scan again, (b) predicate pushdown on the MATERIALIZED native
+      * id column (`WHERE id = 'x'` row-group-prunes at rest — the
+      * ID_LOOKUP contract, and the routed candidate `id IN` filter
+      * pushes the same way, IdLookupProbeSpec), and (c) a stable
+      * on-disk generation. Content-preserving, so a registered index
+      * stays valid (same rows; candidates keep resolving). The
+      * reference persists every mutation (pkg/storage Save/Load);
+      * a batch engine compacts at explicit points instead.
+      */
+    def checkpoint(name: String, path: String): Unit = {
+      get(name).write.mode("overwrite").parquet(path)
+      tables(name) = spark.read.parquet(path)
+    }
   }
 
   // ---- lexer -------------------------------------------------------------

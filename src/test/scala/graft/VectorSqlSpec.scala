@@ -502,4 +502,47 @@ class VectorSqlSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("UNION column mismatch"))
   }
+
+  test("checkpoint bounds DML plan growth and restores at-rest pushdown") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sql_ckpt").toString
+    try {
+      val cat = freshCat()
+      // a DML stream stacks one plan node per statement — the
+      // unbounded-plan mode a long-lived catalog hits
+      for (i <- 0 until 20)
+        VectorSql.execute(cat,
+          s"UPDATE vectors SET metadata.rev = 'r$i' WHERE id = 'v1'")
+      val before = VectorSql.execute(cat, "SELECT id FROM vectors")
+        .collect().map(_.getString(0)).sorted.toSeq
+      val deep = cat.get("vectors").queryExecution.analyzed
+        .treeString.linesIterator.size
+      cat.checkpoint("vectors", dir)
+      // the compacted plan is ONE parquet scan again
+      val shallow = cat.get("vectors").queryExecution.analyzed
+        .treeString.linesIterator.size
+      assert(shallow < deep / 4, s"deep=$deep shallow=$shallow")
+      // content-preserving: rows and the last UPDATE's value survive
+      val after = VectorSql.execute(cat, "SELECT id FROM vectors")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(after === before)
+      val rev = VectorSql.execute(cat,
+          "SELECT metadata.rev AS rev FROM vectors WHERE id = 'v1'")
+        .head().getString(0)
+      assert(rev === "r19")
+      // and the MATERIALIZED native id column now pushes to the scan
+      // (the ID_LOOKUP at-rest contract): row-group pruning off id
+      // stats instead of an in-memory union/projection chain
+      val plan = VectorSql.explain(cat,
+        "SELECT id FROM vectors WHERE id = 'v1'")
+      assert(plan.startsWith("plan: ID_LOOKUP"), plan.linesIterator.next())
+      assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,v1)]") ||
+        plan.contains("EqualTo(id,v1)"), plan)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
