@@ -175,6 +175,21 @@ object SparkEntry {
       mk.write.mode("overwrite").parquet(p)
     })
 
+  /** Per-JVM at-rest exact-Jaccard ground truth of a data dir's
+    * documents table (Dedup.jaccardTruthPairs at the shared
+    * shingleK=3) — the [[exactTop8At]] discipline applied to the
+    * dedup-family audits: five queries (minhash/winnow reports +
+    * matrices, CDC recall) score their own generator against this ONE
+    * deterministic truth frame, so the corpus-wide exact-Jaccard join
+    * is priced once per corpus instead of once per audit execution.
+    * Each audited generator still computes its own predictions.
+    */
+  private def dedupTruthAt(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(atRestDir(graphKey(dir, "dedup_truth_k3")) { p =>
+      Dedup.jaccardTruthPairs(t(s, dir, "documents"), "text", "doc_id")
+        .write.mode("overwrite").parquet(p)
+    })
+
   /** Cache key for the shared at-rest kNN graph of a data dir —
     * canonical path + corpus-variant tag, so SFs and the append
     * audit's base-subset build never collide (GraphIndexCache).
@@ -2293,7 +2308,15 @@ object SparkEntry {
           transform(col("embedding"), _.cast("double")).as("qv"),
           graft.operators.Ann.lshSignature(col("embedding"), 8)
             .as("qbucket"))
-      val app = graft.operators.KnnGraph.appendBatch(build, batch, kb)
+      val app0 = graft.operators.KnnGraph.appendBatch(build, batch, kb)
+      // materialize the maintained graph ONCE: the audit below reads it
+      // from three branches (edge count, checksum, recall semi-join),
+      // and without the checkpoint each branch re-runs the whole
+      // probe+link+refine chain — the plan showed 97 at-rest scans /
+      // 305 Exchanges for one audit (guide §1.2: don't recompute what
+      // you already have; production persists a maintained graph via
+      // writeIndex anyway, so serving reads are always at-rest)
+      val app = app0.copy(graph = app0.graph.localCheckpoint(true))
       val beam = graft.operators.KnnGraph.adaptiveBeam(n)
       val hops = graft.operators.KnnGraph.adaptiveHops(n, 8)
       val qs = batch.select(col("qid"), col("qv"))
@@ -2341,7 +2364,16 @@ object SparkEntry {
       val n = build.n
       val del = build.vecs.where(pmod(col("id"), lit(13L)) === 0)
         .select(col("id"))
-      val d0 = graft.operators.KnnGraph.deleteBatch(build, del, kb)
+      val d1 = graft.operators.KnnGraph.deleteBatch(build, del, kb)
+      // materialize the repaired graph and survivor vecs ONCE: the
+      // audit reads the graph from five branches (recall, edge count,
+      // checksum, deleted-edge invariant, full-list count) and vecs
+      // from three — without the checkpoints each branch re-ran the
+      // whole drop+repair chain (156 at-rest scans / 488 Exchanges in
+      // the executed plan; guide §1.2 order-of-operations: remove the
+      // recomputation before tuning anything inside it)
+      val d0 = d1.copy(graph = d1.graph.localCheckpoint(true),
+        vecs = d1.vecs.localCheckpoint(true))
       val mod = math.max(1L, (n + 49L) / 50L)
       val qs = d0.touched.where(pmod(col("id"), lit(mod)) === 0)
         .join(d0.vecs.select(col("id"), col("v")), Seq("id"))
@@ -4986,25 +5018,29 @@ object SparkEntry {
     //    3i>=|A|+|B| cut — bit-portable); the number that validates a
     //    band/seed config before a corpus-wide dedup run --
     "dedup_recall" -> ((s, dir) =>
-      Dedup.minhashRecallReport(t(s, dir, "documents"), "text", "doc_id")),
+      Dedup.minhashRecallReport(t(s, dir, "documents"), "text", "doc_id",
+        truth = Some(dedupTruthAt(s, dir)))),
 
     // -- the winnow generator scored against the SAME exact-Jaccard
     //    truth: how the deterministic-span generator compares with
     //    the probabilistic-resemblance one on equal footing --
     "dedup_winnow_recall" -> ((s, dir) =>
-      Dedup.winnowRecallReport(t(s, dir, "documents"), "text", "doc_id")),
+      Dedup.winnowRecallReport(t(s, dir, "documents"), "text", "doc_id",
+        truth = Some(dedupTruthAt(s, dir)))),
 
     // -- winnow precision/recall frontier over the min-shared
     //    threshold (winnowing's precision knob): every config derived
     //    from ONE pair table by threshold filter --
     "dedup_winnow_matrix" -> ((s, dir) =>
-      Dedup.winnowRecallMatrix(t(s, dir, "documents"), "text", "doc_id")),
+      Dedup.winnowRecallMatrix(t(s, dir, "documents"), "text", "doc_id",
+        truthIn = Some(dedupTruthAt(s, dir)))),
 
     // -- band/seed sweep over the SAME checkpointed truth: the
     //    precision/recall frontier for picking an LSH config (more,
     //    narrower bands -> recall; fewer, wider -> precision) --
     "dedup_recall_matrix" -> ((s, dir) =>
-      Dedup.minhashRecallMatrix(t(s, dir, "documents"), "text", "doc_id")),
+      Dedup.minhashRecallMatrix(t(s, dir, "documents"), "text", "doc_id",
+        truthIn = Some(dedupTruthAt(s, dir)))),
 
     // -- the CDC generator scored against the SAME exact-Jaccard
     //    truth as minhash/winnow: byte-level chunk-digest pairing is
@@ -5025,7 +5061,8 @@ object SparkEntry {
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("n_shared"))
         .where(col("n_shared") >= 3)
-      Dedup.recallReport(docs, "text", "doc_id", pairs)
+      Dedup.recallReport(docs, "text", "doc_id", pairs,
+        truth = Some(dedupTruthAt(s, dir)))
     }),
 
     // -- incremental near-dup: the doc_id%10==0 batch arrives as "new"

@@ -12,25 +12,54 @@ import org.apache.spark.sql.graftshim.Shims
 import org.apache.spark.sql.types._
 
 /** Bounded top-k buffer: keeps the k smallest (dist, id) pairs under
-  * lexicographic (dist, id) order — deterministic no matter the
-  * arrival order, so partial aggregation across partitions is safe.
+  * lexicographic (dist, id) order over DISTINCT ids — deterministic
+  * no matter the arrival order, so partial aggregation across
+  * partitions is safe.
+  *
+  * Id-dedup is part of the contract: a candidate id arriving more
+  * than once (graph candidate generation emits the same neighbor via
+  * many paths) occupies ONE slot, keeping its smallest dist. This is
+  * what lets the candidate pipelines feed raw (duplicated) candidate
+  * frames straight into the aggregate instead of paying a full
+  * `.distinct()` exchange first — with per-id dists unique per group
+  * (every caller scores id deterministically), the result is
+  * identical to distinct-then-topk by construction.
   */
 final class TopKBuffer(val k: Int) {
-  // max-heap on (dist, id): root = current worst of the kept k
+  // max-heap on (dist, id): root = current worst of the kept k;
+  // kept mirrors the heap as id -> dist for O(1) duplicate checks
   private val heap = new java.util.PriorityQueue[(Double, Long)](
     math.max(k, 1),
     (a: (Double, Long), b: (Double, Long)) => {
       val c = java.lang.Double.compare(b._1, a._1)
       if (c != 0) c else java.lang.Long.compare(b._2, a._2)
     })
+  private val kept = new java.util.HashMap[Long, java.lang.Double]()
 
   def add(dist: Double, id: Long): Unit = {
-    if (heap.size < k) heap.add((dist, id))
-    else {
+    if (heap.size == k) {
+      // zero-allocation fast reject (the overwhelmingly common case
+      // on big candidate frames): strictly worse than the kept worst
+      // can neither enter nor be a kept duplicate needing an update
+      // (a kept copy of this id would have an equal-or-better dist)
       val worst = heap.peek()
-      if (dist < worst._1 || (dist == worst._1 && id < worst._2)) {
-        heap.poll(); heap.add((dist, id))
+      if (dist > worst._1 || (dist == worst._1 && id > worst._2)) return
+    }
+    val cur = kept.get(id)
+    if (cur != null) {
+      // duplicate id: keep the better dist (equal dists are the
+      // common case — same candidate reached via two paths)
+      if (dist < cur.doubleValue()) {
+        heap.remove((cur.doubleValue(), id)) // O(k), k is small
+        heap.add((dist, id))
+        kept.put(id, dist)
       }
+    } else if (heap.size < k) {
+      heap.add((dist, id)); kept.put(id, dist)
+    } else {
+      val worst = heap.peek()
+      heap.poll(); kept.remove(worst._2)
+      heap.add((dist, id)); kept.put(id, dist)
     }
   }
 

@@ -216,8 +216,8 @@ object Dedup {
     * is an offline index-quality job, not a serving path.
     */
   def minhashRecallReport(df: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 3): DataFrame =
-    scorePairs(jaccardTruthPairs(df, textCol, idCol, shingleK),
+      shingleK: Int = 3, truth: Option[DataFrame] = None): DataFrame =
+    scorePairs(truth.getOrElse(jaccardTruthPairs(df, textCol, idCol, shingleK)),
       minhashPairs(df, textCol, idCol, shingleK))
 
   /** Band/seed parameter sweep — [[minhashRecallReport]] across
@@ -229,9 +229,11 @@ object Dedup {
     */
   def minhashRecallMatrix(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3,
-      configs: Seq[(Int, Int)] = Seq((8, 1), (8, 2), (8, 4))): DataFrame = {
-    val truth = jaccardTruthPairs(df, textCol, idCol, shingleK)
-      .localCheckpoint(eager = true)
+      configs: Seq[(Int, Int)] = Seq((8, 1), (8, 2), (8, 4)),
+      truthIn: Option[DataFrame] = None): DataFrame = {
+    val truth = truthIn.getOrElse(
+      jaccardTruthPairs(df, textCol, idCol, shingleK)
+        .localCheckpoint(eager = true))
     // one signature pass shared by every config — the sweep re-BANDS,
     // it never re-minhashes (at 100 TB the sig table is the at-rest
     // artifact; re-deriving it per config would triple the scan)
@@ -254,8 +256,9 @@ object Dedup {
     * winnowing tracks shared spans deterministically.
     */
   def winnowRecallReport(df: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 3, window: Int = 4, minShared: Int = 2): DataFrame =
-    scorePairs(jaccardTruthPairs(df, textCol, idCol, shingleK),
+      shingleK: Int = 3, window: Int = 4, minShared: Int = 2,
+      truth: Option[DataFrame] = None): DataFrame =
+    scorePairs(truth.getOrElse(jaccardTruthPairs(df, textCol, idCol, shingleK)),
       winnowPairs(df, textCol, idCol, shingleK, window,
         minShared = minShared).select(col("doc_a"), col("doc_b")))
 
@@ -269,9 +272,11 @@ object Dedup {
     */
   def winnowRecallMatrix(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, window: Int = 4,
-      minSharedConfigs: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
-    val truth = jaccardTruthPairs(df, textCol, idCol, shingleK)
-      .localCheckpoint(eager = true)
+      minSharedConfigs: Seq[Int] = Seq(1, 2, 3),
+      truthIn: Option[DataFrame] = None): DataFrame = {
+    val truth = truthIn.getOrElse(
+      jaccardTruthPairs(df, textCol, idCol, shingleK)
+        .localCheckpoint(eager = true))
     val pairs = winnowPairs(df, textCol, idCol, shingleK, window,
         minShared = 1)
       .localCheckpoint(eager = true)
@@ -285,9 +290,16 @@ object Dedup {
   }
 
   /** Ground-truth near-dup pairs: exact shingle-set Jaccard >= 1/2
-    * via the integer cut (see [[minhashRecallReport]]'s doc). */
-  private def jaccardTruthPairs(df: DataFrame, textCol: String,
-      idCol: String, shingleK: Int): DataFrame = {
+    * via the integer cut (see [[minhashRecallReport]]'s doc).
+    * Public so a caller auditing SEVERAL generators against the same
+    * corpus can compute the truth once (it is deterministic per
+    * (corpus, shingleK)) and pass it to each report via their
+    * `truth` parameter — the graphExactTop8 at-rest discipline:
+    * ground truth is audit infrastructure, priced once per corpus,
+    * while each audited generator still computes its own predictions.
+    */
+  def jaccardTruthPairs(df: DataFrame, textCol: String,
+      idCol: String, shingleK: Int = 3): DataFrame = {
     val sets = df.select(col(idCol).as("doc"),
         array_sort(array_distinct(
           TextExprs.shingle_hashes(col(textCol), shingleK))).as("ss"))
@@ -314,8 +326,9 @@ object Dedup {
     * plug-in point for new generators (CDC chunk digests, embedding
     * buckets) to join the measured quality framework. */
   def recallReport(df: DataFrame, textCol: String, idCol: String,
-      pred: DataFrame, shingleK: Int = 3): DataFrame =
-    scorePairs(jaccardTruthPairs(df, textCol, idCol, shingleK),
+      pred: DataFrame, shingleK: Int = 3,
+      truth: Option[DataFrame] = None): DataFrame =
+    scorePairs(truth.getOrElse(jaccardTruthPairs(df, textCol, idCol, shingleK)),
       pred.select(col("doc_a"), col("doc_b")))
 
   private def scorePairs(truth: DataFrame, pred: DataFrame): DataFrame =

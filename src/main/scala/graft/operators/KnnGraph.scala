@@ -152,6 +152,15 @@ object KnnGraph {
       .join(br.select(col("bucket"), col("rk").as("rk2"),
         col("id").as("dst")), Seq("bucket", "rk2"))
       .select(col("src"), col("dst"))
+    // the round loop KEEPS its candidate `.distinct()`: the O(n·k²)
+    // two-hop frame has a ~4-5x duplicate factor, and topK joins the
+    // candidate frame against vecs TWICE (by src, then dst) before
+    // the aggregate can dedup — distinct-first shrinks both keyed
+    // join exchanges more than its own exchange costs (measured:
+    // dropping it moved the sf0.1 build 5.4 -> 7.4 s; the TopKBuffer
+    // distinct-id contract makes it semantically optional, so the
+    // SERVING paths, whose scorer join is query-broadcast + one keyed
+    // side, do drop theirs — see beamCore)
     val init = ring.unionByName(lshAdj).distinct()
     val out = Seq.newBuilder[DataFrame]
     var edges = topK(init, vecs, k).localCheckpoint(true)
@@ -418,14 +427,23 @@ object KnnGraph {
           col("pair.dist").cast("bigint").as("d_e4"),
           (col("pos") + 1).cast("int").as("rank"))
     }
+    // the exact scorer computes one deterministic d_e4 row per
+    // (qid, node), so duplicated candidates (a node reached from two
+    // beam members) are deduped inside the topk cut (TopKBuffer
+    // distinct-id contract) and the per-hop candidate `.distinct()`
+    // exchange is dropped; a custom scorer (the ADC LUT sum
+    // aggregates joined code rows per candidate ROW) still needs the
+    // hard dedup or duplicates would double its sums
+    val dedupCands = scorer.nonEmpty
     val out = Seq.newBuilder[DataFrame]
     var state = scoreBeam(seeds).localCheckpoint(true)
     out += state
     for (_ <- 1 to nHops) {
       val frontier = state.select(col("qid"), col("node"))
       val expand = expandFrontier(frontier, edges, n, sharded)
-      val cands = frontier.unionByName(expand)
-        .where(col("qid") =!= col("node")).distinct()
+      val cands0 = frontier.unionByName(expand)
+        .where(col("qid") =!= col("node"))
+      val cands = if (dedupCands) cands0.distinct() else cands0
       state = scoreBeam(cands).localCheckpoint(true)
       out += state
     }
@@ -679,8 +697,10 @@ object KnnGraph {
       .join(u.select(col("src").as("mid"), col("dst").as("far")).as("b"),
         col("a.dst") === col("b.mid"))
       .select(col("a.src").as("src"), col("far").as("dst"))
+    // duplicates deduped inside topK (TopKBuffer distinct-id
+    // contract) — no candidate-frame exchange
     val cands = ut.unionByName(hop)
-      .where(col("src") =!= col("dst")).distinct()
+      .where(col("src") =!= col("dst"))
     val refined = topK(cands, vecs, degree)
     keep.join(touched.select(col("id").as("src")), Seq("src"), "left_anti")
       .unionByName(refined)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.functions.{TopKAgg, VectorFunctions}
 
 /** Cross-family recall audit: one matrix of (family, budget,
   * recall@k) over a shared query sample, for every index family the
@@ -24,13 +24,22 @@ import graft.functions.VectorFunctions
   */
 object Recall {
 
-  /** (qid, id) pairs of the per-query top-k by `s`, ties by id. */
+  /** (qid, id) pairs of the per-query top-k by `s`, ties by id.
+    * TopKPairs partial aggregation, not a rank window: each map task
+    * folds its partition to <= k pairs per query BEFORE the shuffle,
+    * so a family's full scored frame (|Q| x corpus rows) never
+    * crosses an exchange — the window formulation shuffled and
+    * sorted every scored pair (272 Window nodes in the executed
+    * ann_recall_matrix plan). Ordering is identical: ascending
+    * (_s, id) with integer id ties, the TopKBuffer contract.
+    */
   private def topPairs(scored: DataFrame, idCol: String, k: Int): DataFrame =
     scored
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("_s"), col(idCol))))
-      .where(col("_rn") <= k)
-      .select(col("qid"), col(idCol))
+      .groupBy(col("qid"))
+      .agg(TopKAgg.topk_pairs(col("_s").cast("double"),
+        col(idCol).cast("long"), k).as("_tk"))
+      .select(col("qid"), explode(col("_tk")).as("_pair"))
+      .select(col("qid"), col("_pair.id").as(idCol))
 
   /** One (family, budget, recall) row: fraction of exact pairs the
     * family's candidate set recovered. Both sides carry nQueries × k

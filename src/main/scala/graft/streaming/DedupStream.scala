@@ -125,8 +125,8 @@ object DedupStream {
     * and the operator must drop exactly half the rows. Returns the
     * per-type survivor counts, which equal the batch DISTINCT replay.
     */
-  def dedupWithinWatermarkDrain(spark: SparkSession,
-      sfDir: String): DataFrame = {
+  def dedupWithinWatermarkDrain(spark: SparkSession, sfDir: String,
+      statePartitions: Option[Int] = Some(8)): DataFrame = {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_nat_dedup").toString
     val ev = graft.Tables.load(spark, sfDir, "events")
@@ -136,12 +136,22 @@ object DedupStream {
     ev.coalesce(1).write.mode("append").parquet(s"$tmp/in")
     val schema = spark.read.parquet(s"$tmp/in").schema // ts long (canonical)
     val name = s"graft_nat_dedup_${natSinkId.incrementAndGet()}"
-    val q = spark.readStream.schema(schema).parquet(s"$tmp/in/*.parquet")
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ets", "2 hours")
-      .dropDuplicatesWithinWatermark("event_id")
-      .writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
+    // state partitioning is frozen at the first micro-batch (the
+    // intervalJoinBatchDrain sizing note): dedup state here is
+    // (arrival rate x watermark horizon) keys — size the store count
+    // to per-trigger volume up front (the harness feeds one bounded
+    // slice; a 100 TB/day ingest passes a bigger value)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsKey)
+    val q = try {
+      statePartitions.foreach(p => spark.conf.set(partsKey, p.toString))
+      spark.readStream.schema(schema).parquet(s"$tmp/in/*.parquet")
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ets", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+    } finally spark.conf.set(partsKey, prevParts)
     try q.processAllAvailable() finally q.stop()
     try {
       spark.table(name)

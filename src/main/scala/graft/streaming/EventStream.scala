@@ -46,12 +46,20 @@ object EventStream {
     * result — the oracle-checked `streaming_window` query goes through
     * here, so streaming execution itself is gated against DuckDB.
     */
-  def windowedCountsBatchDrain(spark: SparkSession, sfDir: String): DataFrame = {
+  def windowedCountsBatchDrain(spark: SparkSession, sfDir: String,
+      statePartitions: Option[Int] = Some(4)): DataFrame = {
     import org.apache.spark.sql.functions._
     val name = s"graft_stream_win_${memSinkId.incrementAndGet()}"
-    val q = windowedCounts(readStream(spark, sfDir), "1 hour", "2 hours")
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
+    // bounded |windows x types| state — same state-store sizing note
+    // as lateWindowCountsDrain (map side still splits by input file)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsKey)
+    val q = try {
+      statePartitions.foreach(p => spark.conf.set(partsKey, p.toString))
+      windowedCounts(readStream(spark, sfDir), "1 hour", "2 hours")
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+    } finally spark.conf.set(partsKey, prevParts)
     try q.processAllAvailable() finally q.stop()
     // 1h tumbling windows align to epoch hours -> same buckets as the
     // batch events_window query
@@ -71,14 +79,23 @@ object EventStream {
     * register table is the sketch's MERGE form, which is exactly why
     * the incremental max-per-micro-batch aggregation is legal.
     */
-  def hllDistinctUsersBatchDrain(spark: SparkSession,
-      sfDir: String): DataFrame = {
+  def hllDistinctUsersBatchDrain(spark: SparkSession, sfDir: String,
+      statePartitions: Option[Int] = Some(4)): DataFrame = {
     import org.apache.spark.sql.functions._
     val name = s"graft_stream_hll_${memSinkId.incrementAndGet()}"
-    val q = graft.functions.Hll
-      .registers(readStream(spark, sfDir), "user_id", Seq("event_type"))
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
+    // state is |event_types| x 64 register rows by construction —
+    // bounded at any ingest size (same sizing note as
+    // lateWindowCountsDrain; the sketch's whole point is that merge
+    // state never grows with the data)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsKey)
+    val q = try {
+      statePartitions.foreach(p => spark.conf.set(partsKey, p.toString))
+      graft.functions.Hll
+        .registers(readStream(spark, sfDir), "user_id", Seq("event_type"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+    } finally spark.conf.set(partsKey, prevParts)
     try q.processAllAvailable() finally q.stop()
     graft.functions.Hll.estimate(spark.table(name), Seq("event_type"))
       .select(col("event_type"), round(col("hll_est"), 4).as("hll_est"))
@@ -244,7 +261,8 @@ object EventStream {
   }
 
   def lateWindowCountsDrain(spark: SparkSession, batches: Seq[DataFrame],
-      sentinelUs: Long, delay: String): DataFrame = {
+      sentinelUs: Long, delay: String,
+      statePartitions: Option[Int] = None): DataFrame = {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_stream_late").toString
     val incoming = s"$tmp/incoming"
@@ -255,11 +273,24 @@ object EventStream {
     try {
       // first batch lands before start() so the glob has files to list
       feed(batches.head)
-      val q = lateAgg(
+      // State partitioning is pinned at the query's FIRST micro-batch
+      // from the session conf and can never be AQE-resized — the same
+      // sizing note as intervalJoinBatchDrain / the sweep: this agg's
+      // state is |hours x types| rows, bounded at ANY corpus size, so
+      // default-conf state stores (32 on the bench box) x 4 drain
+      // rounds are pure per-micro-batch task + delta-file overhead.
+      // The MAP side still parallelizes by input split; only the
+      // bounded state store is narrowed.
+      val partsKey = "spark.sql.shuffle.partitions"
+      val prevParts = spark.conf.get(partsKey)
+      val q = try {
+        statePartitions.foreach(p => spark.conf.set(partsKey, p.toString))
+        lateAgg(
           spark.readStream.schema(schema).parquet(s"$incoming/*.parquet"),
           delay)
         .writeStream.outputMode("append")
         .format("memory").queryName(name).start()
+      } finally spark.conf.set(partsKey, prevParts)
       try {
         q.processAllAvailable()
         batches.tail.foreach { b => feed(b); q.processAllAvailable() }
@@ -321,8 +352,12 @@ object EventStream {
     // watermark is sentinel - delay, and every real window end must
     // sit below it or unfinalized windows masquerade as late loss
     val sentinelUs = mx + (delayHours + 24L) * 3600L * 1000000L
+    // 4 state partitions, the sweep's sizing: hourly-window x type
+    // state is bounded regardless of ingest size (see
+    // lateWindowCountsDrain's pinning note)
     val streamed = lateWindowCountsDrain(
-      spark, batches, sentinelUs, s"$delayHours hours")
+      spark, batches, sentinelUs, s"$delayHours hours",
+      statePartitions = Some(4))
     val allCounts = ev
       .groupBy(expr("(ts div 1000) div 3600000000").cast("long")
           .as("hour_bucket"),

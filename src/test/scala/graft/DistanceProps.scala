@@ -118,10 +118,13 @@ object DistanceProps extends Properties("graft") {
       xs <- Gen.listOf(Gen.zip(Gen.chooseNum(0.0, 10.0), Gen.chooseNum(0L, 50L)))
       k <- Gen.chooseNum(1, 8)
       cut <- Gen.chooseNum(0, math.max(xs.length, 1))
-    } yield (xs.distinct, k, math.min(cut, xs.distinct.length))) {
+    } yield (xs, k, math.min(cut, xs.length))) {
       case (xs, k, cut) =>
-        // distinct pairs: in knnJoin each (dist, id) occurs once per group
-        val expected = xs.sorted.take(k)
+        // the buffer contract is top-k of DISTINCT ids, each at its
+        // best (smallest) dist — duplicated arrivals of an id (the
+        // graph pipelines' multi-path candidates) occupy one slot
+        val expected = xs.groupBy(_._2).values.map(_.min).toList
+          .sorted.take(k)
         val (l, r) = xs.splitAt(cut)
         val bl = new TopKBuffer(k); val br = new TopKBuffer(k)
         l.foreach { case (dd, i) => bl.add(dd, i) }
@@ -129,5 +132,23 @@ object DistanceProps extends Properties("graft") {
         bl.merge(br)
         val got = bl.sorted.toList
         Prop(got == expected) :| s"got=$got expected=$expected"
+    }
+
+  property("TopKBuffer dedups ids: duplicated adds == distinct adds") =
+    forAll(for {
+      xs <- Gen.nonEmptyListOf(
+        Gen.zip(Gen.chooseNum(0.0, 10.0), Gen.chooseNum(0L, 20L)))
+      k <- Gen.chooseNum(1, 8)
+      dup <- Gen.listOf(Gen.chooseNum(0, 1000))
+    } yield (xs, k, dup.map(i => xs(i % xs.length)))) {
+      case (xs, k, dups) =>
+        // re-adding existing (dist, id) pairs in any order and any
+        // multiplicity never changes the result — the property that
+        // lets candidate frames skip their pre-aggregate .distinct()
+        val b1 = new TopKBuffer(k); val b2 = new TopKBuffer(k)
+        xs.foreach { case (dd, i) => b1.add(dd, i) }
+        (dups ++ xs ++ dups).foreach { case (dd, i) => b2.add(dd, i) }
+        Prop(b1.sorted.toList == b2.sorted.toList) :|
+          s"clean=${b1.sorted.toList} dup=${b2.sorted.toList}"
     }
 }
