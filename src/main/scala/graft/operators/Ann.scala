@@ -219,7 +219,7 @@ object Ann {
     var cents = ks.toDF("k").crossJoin(seedBase)
       .where(col("cluster") < col("k"))
       .select(col("k"), col("cluster"), col("centroid"))
-      .coalesce(1).localCheckpoint(eager = true)
+      .coalesce(1).localCheckpoint(eager = false)
     for (_ <- 0 until iters) {
       val assigned = vecs.crossJoin(broadcast(cents))
         .withColumn("_d", VectorFunctions.vec_l2(col("_v"), col("centroid")))
@@ -236,7 +236,7 @@ object Ann {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centroid"))
-        .coalesce(1).localCheckpoint(eager = true)
+        .coalesce(1).localCheckpoint(eager = false)
     }
     cents
   }
@@ -287,7 +287,7 @@ object Ann {
       // cut lineage per iteration; the frame is k rows, so collapse to
       // ONE partition first — a 32-partition checkpoint of 8 rows costs
       // 32 scheduled tasks per iteration for nothing
-      centroids = centroids.coalesce(1).localCheckpoint(eager = true)
+      centroids = centroids.coalesce(1).localCheckpoint(eager = false)
     }
     centroids
   }

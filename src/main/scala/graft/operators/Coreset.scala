@@ -50,7 +50,7 @@ object Coreset {
     import s.implicits._
     var centers = sample.orderBy(col("id")).limit(1)
       .select(col("id").as("cid"), col("v").as("cv"))
-      .coalesce(1).localCheckpoint(eager = true)
+      .coalesce(1).localCheckpoint(eager = false)
     val seed = centers.collect()
     require(seed.nonEmpty,
       "kcenter requires a non-empty sample: no seed point to start the " +
@@ -71,7 +71,7 @@ object Coreset {
         centers = centers.unionByName(
             sample.where(col("id") === pick.getLong(0))
               .select(col("id").as("cid"), col("v").as("cv")))
-          .coalesce(1).localCheckpoint(eager = true)
+          .coalesce(1).localCheckpoint(eager = false)
         step += 1
       }
     }

@@ -372,13 +372,13 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
       .union(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
       .distinct()
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     // only nodes WITH edges can ever change label: propagate over the
     // edge subgraph (a small fraction of a 100 TB corpus — near-dup
     // members only) and union the untouched singletons back at the end
     val edgeNodes = edges.select(col("s").as("n")).distinct()
     var labels = edgeNodes.select(col("n"), col("n").as("lbl"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     def lblSum(df: DataFrame): java.math.BigDecimal = {
       val r = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
@@ -392,7 +392,7 @@ object Dedup {
       val next = labels.join(nbrMin, col("n") === col("s"), "left")
         .select(col("n"),
           least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       val cur = lblSum(next)
       done = cur.compareTo(prev) == 0
       prev = cur
@@ -442,7 +442,7 @@ object Dedup {
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .where(col("u") =!= col("v"))
       .distinct()
-    var edges = sym0.localCheckpoint(eager = true)
+    var edges = sym0.localCheckpoint(eager = false)
     // order-independent fingerprint of the canonical (min, max) edge
     // set; xxhash64 decorrelates ids so a swap can't preserve the sum
     def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
@@ -489,7 +489,7 @@ object Dedup {
         .union(mSmall.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       val cur = sig(small)
       done = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
       prev = cur

@@ -35,12 +35,12 @@ object Graph {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     val deg = edges.groupBy(col("src").as("doc")).agg(count(lit(1)).as("deg"))
     val n = deg.agg(count(lit(1)).as("n"))
     var ranks = deg.crossJoin(broadcast(n))
       .withColumn("r", expr(s"$Scale div n"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     for (_ <- 1 to iters) {
       val contrib = ranks
         .select(col("doc"), expr("r div deg").as("c"))
@@ -51,7 +51,7 @@ object Graph {
         .withColumn("r", expr(
           s"(15 * ($Scale div n)) div 100 + (85 * coalesce(in_sum, 0)) div 100"))
         .drop("in_sum")
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
     }
     ranks.select(col("doc"), col("deg"), col("r").as("rank_e12"))
   }
@@ -77,7 +77,7 @@ object Graph {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to iters) {
@@ -88,7 +88,7 @@ object Graph {
         .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl")))
           .as("lbl"))
         .withColumnRenamed("src", "node")
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
     }
     labels
   }
@@ -173,10 +173,10 @@ object Graph {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     var c = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     val n = c.count()
     val nRounds = if (iters == Adaptive) corenessIters(n) else iters
     val w = org.apache.spark.sql.expressions.Window
@@ -190,7 +190,7 @@ object Graph {
         .select(col("src"), least(col("rn").cast("long"), col("c")).as("m"))
         .groupBy(col("src")).agg(max(col("m")).as("c"))
         .withColumnRenamed("src", "node")
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       out += c
     }
     Coreness(out.result(), n, edges)

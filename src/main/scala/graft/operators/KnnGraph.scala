@@ -416,7 +416,9 @@ object KnnGraph {
     def scoreBeam(cands: DataFrame): DataFrame = {
       var sc = score(cands)
       scoredOut.foreach { buf =>
-        sc = sc.localCheckpoint(true) // the admit pass re-reads it
+        // lazy: materializes inside the hop's own job; the admit
+        // pass then re-reads the persisted partitions
+        sc = sc.localCheckpoint(false)
         buf += sc
       }
       sc.groupBy(col("qid"))
@@ -435,8 +437,15 @@ object KnnGraph {
     // aggregates joined code rows per candidate ROW) still needs the
     // hard dedup or duplicates would double its sums
     val dedupCands = scorer.nonEmpty
+    // LAZY per-hop checkpoints: the plan/lineage is truncated exactly
+    // as before (localCheckpoint swaps in a LogicalRDD either way),
+    // but hop h's state now materializes inside the job that first
+    // reads it — hop h+1's frontier shard-collect — instead of one
+    // extra blocking driver job per hop. A traversal of H hops pays
+    // H driver round-trips (the shard collects, which are the static
+    // prune's price) rather than 2H.
     val out = Seq.newBuilder[DataFrame]
-    var state = scoreBeam(seeds).localCheckpoint(true)
+    var state = scoreBeam(seeds).localCheckpoint(false)
     out += state
     for (_ <- 1 to nHops) {
       val frontier = state.select(col("qid"), col("node"))
@@ -444,7 +453,7 @@ object KnnGraph {
       val cands0 = frontier.unionByName(expand)
         .where(col("qid") =!= col("node"))
       val cands = if (dedupCands) cands0.distinct() else cands0
-      state = scoreBeam(cands).localCheckpoint(true)
+      state = scoreBeam(cands).localCheckpoint(false)
       out += state
     }
     out.result()

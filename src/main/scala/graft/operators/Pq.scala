@@ -50,7 +50,7 @@ object Pq {
           s => s.getField("mval")).as("centroid"))
       // m*k rows -> ONE partition before the per-iteration checkpoint
       // (32 near-empty checkpoint tasks per iteration otherwise)
-      centroids = centroids.coalesce(1).localCheckpoint(eager = true)
+      centroids = centroids.coalesce(1).localCheckpoint(eager = false)
     }
     centroids
   }
@@ -96,7 +96,7 @@ object Pq {
       if (trainSampleMod > 1) corpus.where(col(idCol) % trainSampleMod === 0)
       else corpus
     val cb = groupedKmeans(subvectors(sample, idCol, vecCol, m, subDim), k, iters)
-    Model(m, k, subDim, cb.coalesce(1).localCheckpoint(eager = true))
+    Model(m, k, subDim, cb.coalesce(1).localCheckpoint(eager = false))
   }
 
   /** Codebooks WITHOUT k-means: entry (g, c) is subvector g of the
