@@ -386,6 +386,15 @@ object Dedup {
     var prev = lblSum(labels)
     var round = 0
     var done = false
+    // round shape kept deliberately plain after measuring two
+    // alternatives on the 5%-cut kNN dup subgraph at sf0.1 (the
+    // highest-diameter caller): pointer jumping (path halving) LOST
+    // (~2.9 s -> 3.8-5.0 s — the extra |nodes|-keyed self-join and
+    // its materialization outweigh the round savings), and batching
+    // two propagation steps per convergence sync was FLAT (~3.0 s) —
+    // under AQE every exchange is already a stage-materialization
+    // barrier, so per-round cost is exchange count, not driver
+    // syncs, and both variants add exchanges per unit progress.
     while (!done && round < maxRounds) {
       val nbrMin = edges.join(labels, col("d") === col("n"))
         .groupBy(col("s")).agg(min(col("lbl")).as("nbl"))
